@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession construction so Verify/Bench/tests agree on the
+  * configs that affect correctness and local-mode performance. */
+object GraftSession {
+
+  /** Apply graft's session configs to a builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read as epoch-nanos long and convert at the source
+    // (WarehouseSim.read) with exact integer division.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+  }
+}

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{PipelineQueries, QueryDef, ReplicationQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The engine's full query surface: every SURVEY.md §2 operator (replication
+  * diffs, manifest compares, audit assembly/routing) plus the training-data
+  * pipeline operators (dedup, similarity, text analysis, multimodal), each
+  * with a DuckDB oracle twin where SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  def allDefs: Seq[QueryDef] = ReplicationQueries.defs ++ PipelineQueries.defs
+
+  /** Flagship query on /root/testdata/sf0.001: the J1 table-inventory diff —
+    * the heart of the replication planner. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("j1_table_diff")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(d => d.name -> d.spark).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }
