@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard.
+ *
+ * Scale design (the 100 TB rules):
+ *  - Every candidate-generation step is an equi-join on a blocking key
+ *    (fingerprint, LSH band, metadata block) — never an O(n²) cross join
+ *    or an OR-of-conditions join (which Spark would plan as a cartesian).
+ *  - Signatures are tiny per doc (k strings / one long), so the shuffle
+ *    volume is signatures not documents.
+ *  - MinHash here uses md5-string hashing so the DuckDB oracle can verify
+ *    exact results; [[graft.functions]] carries the faster xxhash64 variant
+ *    used by Bench (same algorithm, 8-byte hashes instead of 32-hex).
+ */
+object Dedup {
+
+  /** Distinct word w-shingles of the normalized text (empty when fewer
+    * than w tokens — guarded because Spark's `sequence(1, n)` with n<1
+    * would generate a *descending* sequence). */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    array_distinct(
+      when(n >= w,
+        transform(sequence(lit(1), n - (w - 1)),
+          i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact dedup: group by content fingerprint, keep min doc_id.
+    * Pure hash-groupBy — one shuffle on the fingerprint. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: k permutations simulated as min(md5(seed:shingle)).
+    * One explode + one groupBy; signature is k small strings per doc. */
+  def minhashSignatures(docs: DataFrame, k: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol))).as("s"))
+    val aggs = (1 to k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands over a k=8 signature: 2 bands of 4 rows each. */
+  def lshBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
+      md5(concat(col("mh1"), col("mh2"), col("mh3"), col("mh4"))).as("band1"),
+      md5(concat(col("mh5"), col("mh6"), col("mh7"), col("mh8"))).as("band2"))
+
+  /**
+   * MinHash+LSH candidate pairs with verified shingle-Jaccard.
+   * Bands are unpivoted to (band_idx, band_hash) so candidate generation is
+   * a plain equi-join — the scalable plan (an `a.band1=b.band1 OR ...` join
+   * would degenerate to a broadcast-nested-loop).
+   */
+  def minhashLshPairs(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs, 8, idCol, textCol))
+    val unpivoted = bands.select(col("doc_id"), lit(1).as("band_idx"),
+        col("band1").as("band_hash"))
+      .unionAll(bands.select(col("doc_id"), lit(2).as("band_idx"),
+        col("band2").as("band_hash")))
+    val candidates = unpivoted.as("a")
+      .join(unpivoted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("shingles"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /**
+   * N-gram (token-set) Jaccard dedup over a metadata blocking key:
+   * pairs within a block with Jaccard ≥ threshold.
+   */
+  def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))).cast("double"), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /**
+   * 16-bit SimHash over distinct tokens: bit b of md5(token)'s first 4 hex
+   * digits votes ±1; sign of the per-bit sum forms the hash. Expressed as
+   * explode + two groupBys (all codegen'd integer math).
+   */
+  def simhash(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    // v = int value of first 4 hex digits of md5(tok), digit-by-digit so the
+    // DuckDB mirror (strpos-based) is byte-identical.
+    val bits = toks.withColumn("h", md5(col("tok")))
+      .withColumn("v", expr(
+        """(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+          | + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+          | + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+          | + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)""".stripMargin))
+      .select(col("doc_id"), col("v"), explode(sequence(lit(0), lit(15))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(expr("sum(CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END)")
+        .as("vote"))
+    bits.groupBy("doc_id")
+      .agg(expr("sum(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) " +
+        "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs, blocked by a coarse cluster column
+   * (IVF-style): only intra-cell pairs are compared, so the join is an
+   * equi-join on the cell id — the 100 TB-safe plan.
+   */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val e = emb.select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

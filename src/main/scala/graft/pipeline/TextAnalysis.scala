@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization,
+ * language-ID, quality scoring, token counting, document fingerprinting.
+ *
+ * All pure column expressions (whole-stage-codegen friendly, no UDFs) so
+ * they run at scan speed over 100 TB of documents; every function has an
+ * exact DuckDB SQL mirror in [[graft.queries.PipelineQueries]].
+ */
+object TextAnalysis {
+
+  /** Normalized text: lowercase, whitespace collapsed to single spaces. */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normText(text), " ")
+
+  /** Stable document fingerprint = md5 of normalized text. */
+  def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Per-language marker (stopword) lists for the n-gram-free language-ID
+    * heuristic. Real deployments would use char-n-gram profiles; the
+    * heuristic's *shape* (score-per-language, argmax with priority
+    * tie-break) is what matters here. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  /** Occurrences of any marker among the tokens. */
+  def markerCount(toks: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  /** Language scores + argmax prediction ('und' when all scores are 0). */
+  def withLangId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", markerCount(toks, markers))
+    }
+    val langs = langMarkers.map(_._1)
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    // priority order = langMarkers order (first max wins)
+    val pred = langs.foldRight(lit("und"): Column) { (l, rest) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(rest)
+    }
+    scored.withColumn("predicted_lang", pred)
+  }
+
+  /**
+   * Quality features + composite score:
+   * stopword ratio, alpha-char ratio, length saturation, mean token length.
+   * All integer counts per row; ratios are single double divisions (bit-
+   * deterministic across engines), rounded to 6 places.
+   */
+  def withQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTokens = size(toks)
+    val nChars = length(t)
+    val stopArr = array(TextAnalysis.langMarkers.head._2.map(lit): _*)
+    val nStop = size(filter(toks, x => array_contains(stopArr, x)))
+    val nAlpha = regexp_count(lower(t), lit("[a-z]"))
+    val sumTokLen = aggregate(transform(toks, x => length(x)), lit(0),
+      (acc, x) => acc + x)
+    df.withColumn("n_chars", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_stop", nStop)
+      .withColumn("mean_token_len",
+        round(sumTokLen.cast("double") / nTokens.cast("double"), 6))
+      .withColumn("stopword_ratio",
+        round(nStop.cast("double") / nTokens.cast("double"), 6))
+      .withColumn("alpha_ratio",
+        round(nAlpha.cast("double") / nChars.cast("double"), 6))
+      .withColumn("quality_score", round(
+        lit(0.4) * (nStop.cast("double") / nTokens.cast("double")) +
+        lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(100.0)) +
+        lit(0.3) * (nAlpha.cast("double") / nChars.cast("double")), 6))
+  }
+}

@@ -1,7 +1,302 @@
 package graft.queries
 
-/** Training-data pipeline operators (dedup / similarity / text / multimodal).
-  * Filled in as each operator lands. */
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Training-data pipeline operators as oracle-checked queries: dedup
+ * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding), similarity
+ * search (brute-force + IVF top-k), text analysis (lang-ID / quality /
+ * token counts / fingerprint), multimodal plumbing.
+ *
+ * DuckDB mirrors use md5-based hashing (identical hex output in both
+ * engines) so even the MinHash/LSH path is hash-verified end-to-end.
+ */
 object PipelineQueries {
-  val defs: Seq[QueryDef] = Seq()
+
+  private val tokDocs =
+    """tok_docs AS (
+      |  SELECT doc_id, text, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents)""".stripMargin
+
+  private val shingled = tokDocs + ",\n" +
+    """shingled AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(toks) - 2, 0)),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |  FROM tok_docs)""".stripMargin
+
+  private val minhashSig = shingled + ",\n" +
+    """sig AS (
+      |  SELECT doc_id,
+      |    min(md5('1:' || s)) AS mh1, min(md5('2:' || s)) AS mh2,
+      |    min(md5('3:' || s)) AS mh3, min(md5('4:' || s)) AS mh4,
+      |    min(md5('5:' || s)) AS mh5, min(md5('6:' || s)) AS mh6,
+      |    min(md5('7:' || s)) AS mh7, min(md5('8:' || s)) AS mh8
+      |  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingled)
+      |  GROUP BY doc_id)""".stripMargin
+
+  private val embDouble =
+    """e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** Explicit sequential-fold cosine (bit-identical to Spark's
+    * `aggregate(zip_with(...))` fold; verified == list_cosine_similarity). */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))
+       | / (sqrt(list_sum(list_transform($a, x -> x * x)))
+       |    * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+
+  private val stop = "['the','a','of','and','is']"
+
+  private def withC(ctes: String)(select: String) =
+    "WITH " + ctes + "\n" + select
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- text analysis ----------------------------------------------------
+
+    QueryDef("t_fingerprint",
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT)
+        |    AS n_chars_norm
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        W.read(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          length(TextAnalysis.normText(col("text"))).cast("long").as("n_chars_norm"))
+    },
+
+    QueryDef("t_token_count",
+      withC(tokDocs)(
+        """SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+          |    AS BIGINT) AS n_bpe_tokens
+          |FROM tok_docs""".stripMargin)) {
+      (s, dir) =>
+        W.read(s, dir, "documents").select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe_tokens"))
+    },
+
+    QueryDef("t_langid",
+      withC(tokDocs)(
+        s"""SELECT doc_id, lang AS labeled_lang, score_en, score_es, score_fr,
+           |  score_de, score_zh,
+           |  CASE WHEN score_en = best AND best > 0 THEN 'en'
+           |       WHEN score_es = best AND best > 0 THEN 'es'
+           |       WHEN score_fr = best AND best > 0 THEN 'fr'
+           |       WHEN score_de = best AND best > 0 THEN 'de'
+           |       WHEN score_zh = best AND best > 0 THEN 'zh'
+           |       ELSE 'und' END AS predicted_lang
+           |FROM (
+           |  SELECT t.doc_id, d.lang,
+           |    CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS BIGINT) AS score_en,
+           |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS BIGINT) AS score_es,
+           |    CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], x))) AS BIGINT) AS score_fr,
+           |    CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS score_de,
+           |    CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT) AS score_zh,
+           |    greatest(
+           |      CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS BIGINT),
+           |      CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS BIGINT),
+           |      CAST(len(list_filter(toks, x -> list_contains(['le','la','les','et','une'], x))) AS BIGINT),
+           |      CAST(len(list_filter(toks, x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT),
+           |      CAST(len(list_filter(toks, x -> list_contains(['de5','shi4','le5','zai4','he2'], x))) AS BIGINT)) AS best
+           |  FROM tok_docs t JOIN documents d USING (doc_id))""".stripMargin)) {
+      (s, dir) => {
+        val base = W.read(s, dir, "documents")
+          .select(col("doc_id"), col("lang").as("labeled_lang"), col("text"))
+        val out = TextAnalysis.withLangId(base)
+        val scoreCols = TextAnalysis.langMarkers.map { case (l, _) =>
+          col(s"score_$l").cast("long").as(s"score_$l") }
+        out.select((Seq(col("doc_id"), col("labeled_lang")) ++ scoreCols :+
+          col("predicted_lang")): _*)
+      }
+    },
+
+    QueryDef("t_quality_score",
+      withC(tokDocs)(
+        s"""SELECT doc_id,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS BIGINT) AS n_stop,
+           |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           |    / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+           |  round(CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+           |    / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+           |  round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+           |    / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+           |  round(0.4 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+           |        / CAST(len(toks) AS DOUBLE))
+           |    + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+           |    + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+           |        / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+           |FROM tok_docs""".stripMargin)) {
+      (s, dir) =>
+        TextAnalysis.withQuality(W.read(s, dir, "documents"))
+          .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_stop").cast("long").as("n_stop"),
+            col("mean_token_len"), col("stopword_ratio"), col("alpha_ratio"),
+            col("quality_score"))
+    },
+
+    // ---- dedup ------------------------------------------------------------
+
+    QueryDef("dedup_exact",
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) AS keep_doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin) {
+      (s, dir) => Dedup.exact(W.read(s, dir, "documents"))
+    },
+
+    QueryDef("dedup_minhash_sig",
+      withC(minhashSig)(
+        "SELECT doc_id, mh1, mh2, mh3, mh4, mh5, mh6, mh7, mh8 FROM sig")) {
+      (s, dir) => Dedup.minhashSignatures(W.read(s, dir, "documents"))
+    },
+
+    QueryDef("dedup_minhash_lsh",
+      withC(minhashSig)(
+        """SELECT c.doc_a, c.doc_b,
+          |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          |    / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6)
+          |    AS jaccard
+          |FROM (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM (SELECT doc_id, 1 AS band_idx,
+          |          md5(mh1 || mh2 || mh3 || mh4) AS band_hash FROM sig
+          |        UNION ALL
+          |        SELECT doc_id, 2 AS band_idx,
+          |          md5(mh5 || mh6 || mh7 || mh8) AS band_hash FROM sig) a
+          |  JOIN (SELECT doc_id, 1 AS band_idx,
+          |          md5(mh1 || mh2 || mh3 || mh4) AS band_hash FROM sig
+          |        UNION ALL
+          |        SELECT doc_id, 2 AS band_idx,
+          |          md5(mh5 || mh6 || mh7 || mh8) AS band_hash FROM sig) b
+          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          |       AND a.doc_id < b.doc_id) c
+          |JOIN shingled sa ON c.doc_a = sa.doc_id
+          |JOIN shingled sb ON c.doc_b = sb.doc_id""".stripMargin)) {
+      (s, dir) => Dedup.minhashLshPairs(W.read(s, dir, "documents"))
+    },
+
+    QueryDef("dedup_ngram_jaccard",
+      withC(tokDocs)(
+        """SELECT doc_a, doc_b, jaccard FROM (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    round(CAST(len(list_intersect(list_distinct(a.toks),
+          |        list_distinct(b.toks))) AS DOUBLE)
+          |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jaccard
+          |  FROM tok_docs a JOIN tok_docs b
+          |    ON a.source = b.source AND a.doc_id < b.doc_id)
+          |WHERE jaccard >= 0.8""".stripMargin)) {
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(W.read(s, dir, "documents"), "source", 0.8)
+    },
+
+    QueryDef("dedup_simhash",
+      withC(tokDocs)(
+        """SELECT doc_id,
+          |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+          |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+          |FROM (
+          |  SELECT doc_id, b,
+          |    sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          |  FROM (
+          |    SELECT doc_id,
+          |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+          |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+          |      + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+          |      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS v,
+          |      unnest(generate_series(0, 15)) AS b
+          |    FROM (SELECT DISTINCT doc_id, md5(tok) AS h
+          |          FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok
+          |                FROM tok_docs)))
+          |  GROUP BY 1, 2)
+          |GROUP BY 1""".stripMargin)) {
+      (s, dir) => Dedup.simhash(W.read(s, dir, "documents"))
+    },
+
+    QueryDef("dedup_embedding",
+      withC(embDouble)(
+        s"""SELECT vec_a, vec_b, cos_sim FROM (
+           |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |    round(${duckCosine("a.v", "b.v")}, 6) AS cos_sim
+           |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE cos_sim >= 0.4""".stripMargin)) {
+      (s, dir) => Dedup.embeddingNearDups(W.read(s, dir, "embeddings"), 0.4)
+    },
+
+    // ---- similarity search ------------------------------------------------
+
+    QueryDef("sim_topk_bruteforce",
+      withC(embDouble)(
+        s"""SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+           |    round(${duckCosine("q.v", "c.v")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(${duckCosine("q.v", "c.v")}, 6) DESC, c.vec_id)
+           |      AS rank
+           |  FROM (SELECT * FROM e WHERE vec_id < 8) q
+           |  JOIN e c ON q.vec_id <> c.vec_id)
+           |WHERE rank <= 5""".stripMargin)) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 8), emb, 5)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    QueryDef("sim_topk_ivf",
+      withC(embDouble)(
+        s"""SELECT q_id, cell, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+           |  SELECT q.vec_id AS q_id, q.label AS cell, c.vec_id AS c_id,
+           |    round(${duckCosine("q.v", "c.v")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY round(${duckCosine("q.v", "c.v")}, 6) DESC, c.vec_id)
+           |      AS rank
+           |  FROM (SELECT * FROM e WHERE vec_id < 8) q
+           |  JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)
+           |WHERE rank <= 5""".stripMargin)) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 8), emb, 5)
+          .select("q_id", "cell", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // ---- multimodal plumbing ----------------------------------------------
+
+    QueryDef("mm_media_meta",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) % 3 = 0 THEN 'image/jpeg'
+        |       WHEN length(text) % 3 = 1 THEN 'image/png'
+        |       ELSE 'audio/wav' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) // 7) % 64 AS INT) AS height,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.decodeMeta(s,
+          Multimodal.withMediaColumn(W.read(s, dir, "documents"))).toDF()
+    },
+
+    QueryDef("mm_frame_sample",
+      """SELECT doc_id,
+        |  unnest(generate_series(0, octet_length(encode(text)) % 5)) AS frame_idx,
+        |  md5(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(unnest(generate_series(0, octet_length(encode(text)) % 5))
+        |       AS VARCHAR)) AS frame_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.withMediaColumn(W.read(s, dir, "documents")))
+    }
+  )
 }

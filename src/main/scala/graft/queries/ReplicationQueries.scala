@@ -77,9 +77,10 @@ object ReplicationQueries {
           |  count(CASE WHEN d.size IS NULL AND s.size IS NOT NULL THEN 1 END)
           |    AS n_missing_dest,
           |  count(CASE WHEN s.size IS NULL THEN 1 END) AS n_missing_src,
-          |  coalesce(sum(CASE WHEN d.size IS NULL AND s.size IS NOT NULL THEN s.size
+          |  CAST(coalesce(sum(CASE WHEN d.size IS NULL AND s.size IS NOT NULL
+          |    THEN s.size
           |    WHEN s.size IS NOT NULL AND d.size IS NOT NULL AND s.size <> d.size
-          |    THEN s.size END), 0) AS bytes_to_copy
+          |    THEN s.size END), 0) AS BIGINT) AS bytes_to_copy
           |FROM src_files s FULL OUTER JOIN dest_files d ON s.rel_path = d.rel_path
           |GROUP BY 1""".stripMargin)) {
       (s, dir) => ReplicationOps.manifestDiffSummary(W.srcFiles(s, dir), W.destFiles(s, dir))
@@ -270,7 +271,8 @@ object ReplicationQueries {
     // A1/A2 — directory size rollup (recursive sum of file lengths).
     QueryDef("a1_dir_sizes",
       C.withCtes(C.srcFiles)(
-        """SELECT dir, count(*) AS n_files, sum(size) AS total_bytes,
+        """SELECT dir, count(*) AS n_files,
+          |  CAST(sum(size) AS BIGINT) AS total_bytes,
           |  max(mtime) AS max_mtime
           |FROM src_files GROUP BY 1""".stripMargin)) {
       (s, dir) =>

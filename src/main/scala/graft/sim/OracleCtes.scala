@@ -50,7 +50,7 @@ object OracleCtes {
       |    't_' || CAST(l_partkey AS VARCHAR) AS tbl,
       |    'ds=' || strftime(l_shipdate, '%Y-%m-%d') AS part_name,
       |    count(*) AS nfiles,
-      |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS bytes,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS bytes,
       |    max(CAST(floor(epoch(l_shipdate)) AS BIGINT)) AS tldt
       |  FROM lineitem WHERE l_partkey % 3 = 0
       |  GROUP BY 1, 2, 3)""".stripMargin
