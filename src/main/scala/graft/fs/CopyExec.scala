@@ -1,0 +1,165 @@
+package graft.fs
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.FileEntry
+
+/** Outcome of one file copy (mirrors the reference's COPIED/SKIPPED
+  * counters, `batch/BatchUtils.java:39-132`). */
+final case class CopyResult(relPath: String, status: String, bytes: Long)
+
+/**
+ * Distributed executor-side file copy (SURVEY §2.1 S9/S10).
+ *
+ * Same protocol as the reference's `BatchUtils.doCopyFileAction`:
+ * skip-if-same-length, copy via a temp file, length-verify, atomic rename
+ * into place, preserve mtime, 3 retries with backoff. Spark has no raw-file
+ * copy operator, so this is deliberate custom `mapPartitions` code — the
+ * one place imperative I/O belongs. Speculative execution must stay off for
+ * copy jobs (side effects), as the reference enforces
+ * (`MetastoreReplicationJob.java:251-258`).
+ *
+ * Scale: the input is a `Dataset[FileEntry]`; `repartition(parallelism)`
+ * spreads files round-robin (replacing the reference's murmur3(size,mtime)
+ * shuffle-key balancing, `Stage2DirectoryCopyMapper.java:116-125`).
+ */
+object CopyExec {
+
+  val MaxRetries = 3
+
+  /** Copy one file with the full protocol (exposed for external copy
+    * pipelines like BatchReplication stage 2). */
+  def copyOnePublic(fs: FileSystem, conf: Configuration,
+      srcRoot: String, destRoot: String, f: FileEntry): CopyResult =
+    copyOne(fs, conf, srcRoot, destRoot, f)
+
+  private def copyOne(fs: FileSystem, conf: Configuration,
+      srcRoot: String, destRoot: String, f: FileEntry): CopyResult = {
+    val src = new Path(srcRoot, f.relPath)
+    val dest = new Path(destRoot, f.relPath)
+    val tmp = new Path(destRoot,
+      s".graft-tmp/${f.relPath}.${Thread.currentThread().getId}")
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt < MaxRetries) {
+      try {
+        val srcStatus = fs.getFileStatus(src)
+        if (fs.exists(dest) && fs.getFileStatus(dest).getLen == srcStatus.getLen) {
+          return CopyResult(f.relPath, "SKIPPED", 0L)
+        }
+        fs.mkdirs(tmp.getParent)
+        FileUtil.copy(fs, src, fs, tmp, false, true, conf)
+        val copiedLen = fs.getFileStatus(tmp).getLen
+        if (copiedLen != srcStatus.getLen) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"length mismatch after copy: $copiedLen != ${srcStatus.getLen}")
+        }
+        fs.mkdirs(dest.getParent)
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) {
+          throw new java.io.IOException(s"rename $tmp -> $dest failed")
+        }
+        fs.setTimes(dest, srcStatus.getModificationTime, -1)
+        return CopyResult(f.relPath, "COPIED", srcStatus.getLen)
+      } catch {
+        case e: Throwable =>
+          last = e
+          attempt += 1
+          Thread.sleep(math.min(1000L << attempt, 8000L))
+      }
+    }
+    CopyResult(f.relPath, s"FAILED: ${last.getMessage}", 0L)
+  }
+
+  /** Copy every manifest file from srcRoot to destRoot, distributed. */
+  def copyFiles(spark: SparkSession, manifest: Dataset[FileEntry],
+      srcRoot: String, destRoot: String, parallelism: Int = 32): Dataset[CopyResult] = {
+    import spark.implicits._
+    manifest.repartition(parallelism).mapPartitions { it =>
+      val conf = new Configuration()
+      val fs = new Path(destRoot).getFileSystem(conf)
+      it.map(f => copyOne(fs, conf, srcRoot, destRoot, f))
+    }
+  }
+
+  /**
+   * Directory replication driver (reference `DistCpWrapper.run`,
+   * `utils/common/DistCpWrapper.java:41-220`): manifest-diff first, copy
+   * only missing/size-mismatched files, optionally delete dest-only files;
+   * small jobs short-circuit through a driver-side loop (the "local copy"
+   * path, threshold <256MB && <100 files).
+   */
+  def syncDir(spark: SparkSession, srcRoot: String, destRoot: String,
+      deleteExtra: Boolean = true, parallelism: Int = 32,
+      localCopyBytes: Long = 256L << 20, localCopyFiles: Long = 100L): SyncStats = {
+    import spark.implicits._
+    val src = FsOps.listFiles(spark, srcRoot, parallelism)
+    val dest = FsOps.listFiles(spark, destRoot, parallelism)
+    val joined = src.as("s").joinWith(dest.as("d"),
+      col("s.relPath") === col("d.relPath"), "full_outer")
+    val toCopy = joined.flatMap {
+      case (s, d) if s != null && (d == null || d.size != s.size) => Some(s)
+      case _ => None
+    }
+    val extras = joined.flatMap {
+      case (s, d) if s == null => Some(d.relPath)
+      case _ => None
+    }
+
+    val (nFiles, nBytes) = {
+      val r = toCopy.groupBy().agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val results =
+      if (nFiles == 0) Seq.empty[CopyResult]
+      else if (nFiles < localCopyFiles && nBytes < localCopyBytes) {
+        // small dir: driver-side loop beats a distributed job (reference
+        // local-copy threshold, DistCpWrapperOptions.java:41-42)
+        val conf = new Configuration()
+        val fs = new Path(destRoot).getFileSystem(conf)
+        toCopy.collect().toSeq.map(f => copyOne(fs, conf, srcRoot, destRoot, f))
+      } else {
+        copyFiles(spark, toCopy, srcRoot, destRoot, parallelism).collect().toSeq
+      }
+
+    val deleted =
+      if (!deleteExtra) 0L
+      else {
+        val conf = new Configuration()
+        val fs = new Path(destRoot).getFileSystem(conf)
+        extras.collect().count { rel => fs.delete(new Path(destRoot, rel), false) }
+      }
+    // clean tmp staging dir
+    val fsDest = new Path(destRoot).getFileSystem(new Configuration())
+    fsDest.delete(new Path(destRoot, ".graft-tmp"), true)
+
+    val failed = results.filter(_.status.startsWith("FAILED"))
+    if (failed.nonEmpty) {
+      throw new java.io.IOException(
+        s"${failed.size} copies failed, first: ${failed.head.status}")
+    }
+    SyncStats(
+      copied = results.count(_.status == "COPIED"),
+      skipped = results.count(_.status == "SKIPPED"),
+      deleted = deleted,
+      bytesCopied = results.filter(_.status == "COPIED").map(_.bytes).sum)
+  }
+
+  /** J3 equality: same visible relPaths with same sizes on both roots
+    * (reference `FsUtils.equalDirs`, `utils/common/FsUtils.java:270-381`). */
+  def equalDirs(spark: SparkSession, srcRoot: String, destRoot: String): Boolean = {
+    import spark.implicits._
+    val src = FsOps.listFiles(spark, srcRoot)
+    val dest = FsOps.listFiles(spark, destRoot)
+    val mismatches = src.as("s").joinWith(dest.as("d"),
+        col("s.relPath") === col("d.relPath"), "full_outer")
+      .filter(p => p._1 == null || p._2 == null || p._1.size != p._2.size)
+    mismatches.isEmpty
+  }
+}
+
+final case class SyncStats(copied: Long, skipped: Long, deleted: Long, bytesCopied: Long)

@@ -1,0 +1,145 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.catalog.CatalogConnector
+import graft.model._
+import graft.tasks.{TaskContext, Tasks}
+
+/**
+ * Incremental replication server (SURVEY §2.9, §3.2): the reference's
+ * `ReplicationServer.run` poll loop re-expressed as Structured Streaming.
+ *
+ * Per micro-batch (`foreachBatch`), preserving the reference's
+ * exactly-once-ish ordering (`ReplicationServer.java:460-504`):
+ *   1. plan jobs from the audit entries (pure transform, [[JobFactory]]);
+ *   2. persist them PENDING to the state table *before* execution;
+ *   3. execute with per-key lock ordering ([[LockExecutor]], 20 workers);
+ *   4. persist terminal statuses; advance the watermark last.
+ *
+ * Replay after crash re-runs PENDING/RUNNING jobs; tasks are idempotent
+ * (equality checks + TLDT guards), so replay is safe — the reference's
+ * own recovery contract (`docs/faq.md`).
+ */
+final case class IncrementalConfig(
+    srcConnector: CatalogConnector,
+    destConnector: CatalogConnector,
+    srcFsRoot: String,
+    destFsRoot: String,
+    stateDir: String,
+    watermarkPath: String,
+    workers: Int = 20,
+    maxJobsPerBatch: Int = 600,
+    filters: JobFilterConfig = JobFilterConfig())
+
+final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
+
+  val state = new StateStore(spark, cfg.stateDir)
+  val watermark = new Watermark(cfg.watermarkPath)
+
+  private def ctx = TaskContext(spark, cfg.destConnector.connect(),
+    cfg.srcFsRoot, cfg.destFsRoot)
+
+  /** Execute one job against the dest warehouse (T1-T8 dispatch). */
+  def runJob(j: JobState): String = {
+    val src = cfg.srcConnector.connect()
+    val c = ctx
+    val outcome: Tasks.Outcome = j.operation match {
+      case "COPY_TABLE" =>
+        src.getTable(j.db, j.table) match {
+          case Some(t) if t.isPartitioned => Tasks.copyPartitionedTable(c, t)
+          case Some(t) => Tasks.copyUnpartitionedTable(c, t)
+          case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
+        }
+      case TaskType.CopyPartition | TaskType.CopyPartitions =>
+        src.getTable(j.db, j.table) match {
+          case Some(t) =>
+            // ST8 bulk job: partitions of one table, executed under the
+            // table's lock; per-partition copy skips already-equal dirs
+            val outcomes = j.partitions.map { p =>
+              src.getPartition(j.db, j.table, p) match {
+                case Some(pm) => Tasks.copyPartition(c, t, pm)
+                case None => Tasks.NotCompletable(s"src partition $p gone")
+              }
+            }
+            outcomes.collectFirst { case nc: Tasks.NotCompletable => nc }
+              .getOrElse(Tasks.Done)
+          case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
+        }
+      case TaskType.DropTable =>
+        Tasks.dropTable(c, j.db, j.table, j.srcTldt)
+      case TaskType.DropPartition =>
+        Tasks.dropPartition(c, j.db, j.table, j.partitions.head, j.srcTldt)
+      case TaskType.RenameTable =>
+        (for (tdb <- j.renameToDb; ttbl <- j.renameToTable) yield {
+          cfg.srcConnector.connect().getTable(tdb, ttbl) match {
+            case Some(to) => Tasks.renameTable(c, j.db, j.table, to)
+            case None => Tasks.NotCompletable(s"src $tdb.$ttbl gone")
+          }
+        }).getOrElse(Tasks.NotCompletable("rename target missing"))
+      case TaskType.RenamePartition =>
+        (j.partitions match {
+          case Seq(from, to) =>
+            for {
+              t <- src.getTable(j.db, j.table)
+              pm <- src.getPartition(j.db, j.table, to)
+            } yield Tasks.renamePartition(c, t, from, pm)
+          case _ => None
+        }).getOrElse(Tasks.NotCompletable("rename partition spec missing"))
+      case other => Tasks.NotCompletable(s"unknown operation $other")
+    }
+    outcome match {
+      case Tasks.Done | Tasks.Noop => JobStatus.Successful
+      case Tasks.NotCompletable(_) => JobStatus.NotCompletable
+    }
+  }
+
+  /** One micro-batch: plan → persist PENDING → execute → persist statuses
+    * → watermark. Returns (job, status) pairs. */
+  def processBatch(entries: Dataset[AuditLogEntry]): Seq[(JobState, String)] = {
+    val jobs = JobFactory.planJobs(spark, entries, cfg.filters)
+      .collect().toSeq.take(cfg.maxJobsPerBatch)
+    if (jobs.isEmpty) return Seq.empty
+    state.append(jobs) // PENDING before execution (ST2 ordering)
+    val results = LockExecutor.execute(jobs, cfg.workers)(runJob)
+    state.append(results.map { case (j, s) =>
+      j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
+    })
+    watermark.set(jobs.map(_.id).max)
+    results
+  }
+
+  /** Recovery: re-run PENDING/RUNNING jobs from the state table in id
+    * order (ST5 — `ReplicationServer.java:383-390`). */
+  def recover(): Seq[(JobState, String)] = {
+    val runnable = state.restoreRunnable()
+    if (runnable.isEmpty) return Seq.empty
+    val results = LockExecutor.execute(runnable, cfg.workers)(runJob)
+    state.append(results.map { case (j, s) =>
+      j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
+    })
+    results
+  }
+
+  /** Structured Streaming entry: tail a directory of audit-entry JSON
+    * (the file-source stand-in for the JDBC audit tail ST1; a MySQL
+    * deployment swaps in a JDBC micro-batch source behind the same
+    * foreachBatch). */
+  def start(auditDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+    import spark.implicits._
+    val schema = implicitly[org.apache.spark.sql.Encoder[AuditLogEntry]].schema
+    spark.readStream
+      .schema(schema)
+      .json(auditDir)
+      .as[AuditLogEntry]
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[AuditLogEntry], _: Long) =>
+        processBatch(batch); ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+
+/**
+ * Audit-entry → replication-job planning (SURVEY §2.9 ST7/ST8 + filters
+ * P2-P4). Pure Dataset transform — the reference's
+ * `ReplicationJobFactory.createReplicationJobs`
+ * (`incremental/ReplicationJobFactory.java:486-721`) minus the side
+ * effects, which live in [[IncrementalServer]].
+ */
+final case class JobFilterConfig(
+    whitelist: String = ".*",
+    blacklist: String = "^$",
+    dropCommandTypes: Set[String] =
+      Set("SHOWTABLES", "SHOWPARTITIONS", "SWITCHDATABASE"))
+
+object JobFactory {
+
+  /** P2/P3: command-type filter, no-output filter, object-name regex
+    * whitelist/blacklist chain (filters are pluggable Dataset transforms —
+    * the reference loads filter classes reflectively,
+    * `deploy/ReplicationLauncher.java:145-169`). */
+  def filterEntries(entries: Dataset[AuditLogEntry],
+      cfg: JobFilterConfig): Dataset[AuditLogEntry] =
+    entries
+      .filter((e: AuditLogEntry) => !cfg.dropCommandTypes.contains(e.commandType))
+      .filter((e: AuditLogEntry) =>
+        e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
+          e.renameFrom.isDefined)
+      .map { e =>
+        def keep(name: String) =
+          name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
+        e.copy(
+          outputTables = e.outputTables.filter(keep),
+          outputPartitions = e.outputPartitions.filter(keep))
+      }(entries.encoder)
+      .filter((e: AuditLogEntry) =>
+        e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
+          e.renameFrom.isDefined)
+
+  /**
+   * ST7 + ST8: route each entry to an operation and compact multi-partition
+   * outputs of one table into a single bulk job
+   * (`ReplicationJobFactory.java:585-620,660-671`).
+   */
+  def planJobs(spark: SparkSession, entries: Dataset[AuditLogEntry],
+      cfg: JobFilterConfig = JobFilterConfig()): Dataset[JobState] = {
+    import spark.implicits._
+    filterEntries(entries, cfg).flatMap { e =>
+      val op = e.commandType match {
+        case "CREATETABLE" | "THRIFT_CREATE_TABLE" | "QUERY" |
+             "ALTERTABLE_ADDPARTS" => "COPY"
+        case "DROPTABLE" | "THRIFT_DROP_TABLE" => "DROP_TABLE"
+        case "ALTERTABLE_DROPPARTS" => "DROP_PARTITION"
+        case "ALTERTABLE_RENAME" => "RENAME_TABLE"
+        case "ALTERTABLE_RENAMEPART" => "RENAME_PARTITION"
+        case _ => "IGNORE"
+      }
+      def split(name: String): (String, String, Option[String]) = {
+        val spec = ObjectSpec.parse(name)
+        (spec.db, spec.table, spec.partition)
+      }
+      op match {
+        case "COPY" if e.outputPartitions.nonEmpty =>
+          // ST8: group output partitions by table → one job per table
+          e.outputPartitions.groupBy(n => { val s = split(n); (s._1, s._2) })
+            .toSeq.sortBy(_._1)
+            .map { case ((db, tbl), parts) =>
+              JobState(e.id, e.createTime.getTime,
+                if (parts.size > 1) TaskType.CopyPartitions else TaskType.CopyPartition,
+                JobStatus.Pending, db, tbl,
+                parts.flatMap(n => split(n)._3).sorted,
+                None, None, None, Map.empty)
+            }
+        case "COPY" =>
+          e.outputTables.map { n =>
+            val (db, tbl, _) = split(n)
+            JobState(e.id, e.createTime.getTime, "COPY_TABLE",
+              JobStatus.Pending, db, tbl, Seq.empty, None, None, None, Map.empty)
+          }
+        case "DROP_TABLE" =>
+          e.outputTables.map { n =>
+            val (db, tbl, _) = split(n)
+            JobState(e.id, e.createTime.getTime, TaskType.DropTable,
+              JobStatus.Pending, db, tbl, Seq.empty, None, None, None, Map.empty)
+          }
+        case "DROP_PARTITION" =>
+          e.outputPartitions.map { n =>
+            val (db, tbl, part) = split(n)
+            JobState(e.id, e.createTime.getTime, TaskType.DropPartition,
+              JobStatus.Pending, db, tbl, part.toSeq, None, None, None, Map.empty)
+          }
+        case "RENAME_TABLE" =>
+          (e.renameFrom, e.outputTables.headOption) match {
+            case (Some(from), Some(to)) =>
+              val (fdb, ftbl, _) = split(from)
+              val (tdb, ttbl, _) = split(to)
+              Seq(JobState(e.id, e.createTime.getTime, TaskType.RenameTable,
+                JobStatus.Pending, fdb, ftbl, Seq.empty, None,
+                Some(tdb), Some(ttbl), Map.empty))
+            case _ => Seq.empty
+          }
+        case "RENAME_PARTITION" =>
+          (e.renameFrom, e.outputPartitions.headOption) match {
+            case (Some(from), Some(to)) =>
+              val (fdb, ftbl, fpart) = split(from)
+              val (_, _, tpart) = split(to)
+              Seq(JobState(e.id, e.createTime.getTime, TaskType.RenamePartition,
+                JobStatus.Pending, fdb, ftbl,
+                fpart.toSeq ++ tpart.toSeq, None, None, None, Map.empty))
+            case _ => Seq.empty
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.incremental
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+
+import scala.collection.mutable
+
+import graft.model.JobState
+
+/**
+ * ST4 — per-key ordered parallel execution: the reference's lock-DAG
+ * (`multiprocessing/JobDagManager.java:22-69`, `ParallelJobExecutor`
+ * 20 worker threads) re-expressed as a driver-side scheduler.
+ *
+ * Jobs run on a fixed worker pool (each job may itself launch distributed
+ * Spark copy jobs — Spark schedules concurrent jobs from driver threads
+ * natively). A job may start only when (a) none of its lock keys are held
+ * and (b) no *earlier* (smaller-id) waiting job shares a key — preserving
+ * per-object ordering while keeping cross-object parallelism. Renames
+ * carry two keys (both table names), matching the reference's two
+ * exclusive locks (`RenameTableTask.java:174-180`).
+ */
+object LockExecutor {
+
+  def lockKeys(j: JobState): Seq[String] = {
+    val primary = s"${j.db}.${j.table}"
+    val rename = for (d <- j.renameToDb; t <- j.renameToTable) yield s"$d.$t"
+    Seq(primary) ++ rename
+  }
+
+  /** Execute all jobs; returns (job, final status) in input id order.
+    * Jobs are keyed by position — one audit entry can legally yield
+    * several jobs with the same id (ST8 emits one per table). */
+  def execute(jobs: Seq[JobState], workers: Int)(
+      runFn: JobState => String): Seq[(JobState, String)] = {
+    if (jobs.isEmpty) return Seq.empty
+    val indexed = jobs.sortBy(_.id).zipWithIndex
+    val pending = mutable.ListBuffer(indexed: _*)
+    val held = mutable.Set.empty[String]
+    val results = new ConcurrentHashMap[Int, String]()
+    val lock = new Object
+    val pool = Executors.newFixedThreadPool(math.max(1, workers))
+    val remaining = new java.util.concurrent.atomic.AtomicInteger(jobs.size)
+    val done = new java.util.concurrent.CountDownLatch(1)
+
+    def schedule(): Unit = lock.synchronized {
+      // scan in id order; a key blocked by an earlier waiting job stays
+      // blocked for later jobs too (ordering guarantee)
+      val blockedKeys = mutable.Set.empty[String]
+      val runnable = mutable.ListBuffer.empty[(JobState, Int)]
+      val toRemove = mutable.Set.empty[Int]
+      for ((j, idx) <- pending) {
+        val keys = lockKeys(j)
+        if (keys.forall(k => !held.contains(k) && !blockedKeys.contains(k))) {
+          keys.foreach(held.add)
+          runnable += ((j, idx))
+          toRemove += idx
+        } else {
+          keys.foreach(blockedKeys.add)
+        }
+      }
+      pending.filterInPlace { case (_, idx) => !toRemove.contains(idx) }
+      runnable.foreach { case (j, idx) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val status =
+              try runFn(j)
+              catch { case e: Throwable => s"FAILED: ${e.getMessage}" }
+            results.put(idx, status)
+            lock.synchronized { lockKeys(j).foreach(held.remove) }
+            if (remaining.decrementAndGet() == 0) done.countDown()
+            else schedule()
+          }
+        })
+      }
+    }
+
+    schedule()
+    done.await(10, TimeUnit.MINUTES)
+    pool.shutdown()
+    indexed.map { case (j, idx) =>
+      (j, Option(results.get(idx)).getOrElse("FAILED: not run"))
+    }
+  }
+}

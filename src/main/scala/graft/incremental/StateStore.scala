@@ -1,0 +1,86 @@
+package graft.incremental
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.JobState
+
+/**
+ * Replication-job state table (SURVEY §2.1 S12) as an append-only parquet
+ * log of (job row, status transition, seq): the Spark-native replacement
+ * for the reference's MySQL `replication_jobs` table
+ * (`incremental/db/PersistedJobInfoStore.java:82-150`).
+ *
+ * Current state = latest transition per job id — the same latest-wins
+ * window (J5) the engine uses for manifests. Appends are atomic at the
+ * parquet-file level, so restore-after-crash sees a prefix of transitions,
+ * which is exactly the reference's recovery contract (restore PENDING/
+ * RUNNING, re-run idempotent tasks — `ReplicationServer.java:383-390`).
+ */
+final class StateStore(spark: SparkSession, dir: String) extends Serializable {
+  import spark.implicits._
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def append(jobs: Seq[JobState]): Unit = {
+    if (jobs.isEmpty) return
+    val s = seq.incrementAndGet()
+    spark.createDataset(jobs).withColumn("seq", lit(s))
+      .write.mode(SaveMode.Append).parquet(dir)
+  }
+
+  def appendStatus(jobs: Seq[JobState], status: String): Unit =
+    append(jobs.map(_.copy(status = status)))
+
+  private def exists: Boolean =
+    new Path(dir).getFileSystem(new Configuration()).exists(new Path(dir))
+
+  /** Latest transition per job id. */
+  def current(): Dataset[JobState] = {
+    if (!exists) return spark.emptyDataset[JobState]
+    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    spark.read.parquet(dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "seq")
+      .as[JobState]
+  }
+
+  /** O2 — restore runnable jobs in id order
+    * (`PersistedJobInfoStore.java:107-141`). */
+  def restoreRunnable(): Seq[JobState] =
+    current()
+      .filter((j: JobState) =>
+        j.status == graft.model.JobStatus.Pending ||
+        j.status == graft.model.JobStatus.Running)
+      .orderBy("id").collect().toSeq
+}
+
+/**
+ * KV watermark (`last_persisted_id`) — the reference's hand-rolled
+ * checkpoint (`DbKeyValueStore`, `create_tables.sql:30-35`): a one-line
+ * file written via temp+rename (atomic on HDFS).
+ */
+final class Watermark(path: String) {
+  private val p = new Path(path)
+  private def fs = p.getFileSystem(new Configuration())
+
+  def get(): Option[Long] =
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes()).trim.toLong)
+      finally in.close()
+    }
+
+  def set(id: Long): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
+}

@@ -1,0 +1,192 @@
+package graft.tasks
+
+import org.apache.spark.sql.SparkSession
+
+import graft.catalog.CatalogClient
+import graft.fs.CopyExec
+import graft.model._
+
+/**
+ * The task layer (SURVEY §2.10 T1-T10): effectful execution of one plan
+ * row against the destination catalog + filesystem, with the reference's
+ * idempotency machinery — TLDT optimistic-concurrency guards on destructive
+ * ops, conflict handling, copy-skip on directory equality.
+ *
+ * Reference: the task classes under `incremental/primitives/`. Every task is safe to
+ * re-run (equality checks + guards), which is what makes Spark task
+ * retries and streaming replay safe.
+ */
+final case class TaskContext(
+    spark: SparkSession,
+    destCatalog: CatalogClient,
+    srcFsRoot: String,
+    destFsRoot: String) {
+
+  /** P8: map a src location to its dest location (same relative path under
+    * the dest root; s3 passthrough —
+    * `configuration/DestinationObjectFactory.java:49-77`). */
+  def destLocation(srcLoc: String): String =
+    if (srcLoc.startsWith("s3a://") || srcLoc.startsWith("s3n://")) srcLoc
+    else srcLoc.replace(srcFsRoot, destFsRoot)
+}
+
+object Tasks {
+
+  sealed trait Outcome
+  case object Done extends Outcome
+  case object Noop extends Outcome
+  final case class NotCompletable(reason: String) extends Outcome
+
+  /** P10 — build the dest object: src metadata, rewritten location, dest
+    * params merged under src params, src-cluster stamp
+    * (`DestinationObjectFactory.java:90-154`). */
+  def destTableMeta(ctx: TaskContext, src: TableMeta): TableMeta = {
+    val existing = ctx.destCatalog.getTable(src.db, src.table)
+    src.copy(
+      location = ctx.destLocation(src.location),
+      parameters = existing.map(_.parameters).getOrElse(Map.empty) ++
+        src.parameters + (TableMeta.SrcCluster -> "src"))
+  }
+
+  def destPartitionMeta(ctx: TaskContext, src: PartitionMeta): PartitionMeta = {
+    val existing = ctx.destCatalog.getPartition(src.db, src.table, src.partName)
+    src.copy(
+      location = ctx.destLocation(src.location),
+      parameters = existing.map(_.parameters).getOrElse(Map.empty) ++
+        src.parameters + (TableMeta.SrcCluster -> "src"))
+  }
+
+  /** T9 — conflict handler: a dest table whose partition keys differ must
+    * be dropped before copy (`ObjectConflictHandler.java:51-121`). */
+  def resolveConflict(ctx: TaskContext, src: TableMeta): Unit =
+    ctx.destCatalog.getTable(src.db, src.table).foreach { dest =>
+      if (dest.partitionKeys != src.partitionKeys) {
+        ctx.destCatalog.dropTable(src.db, src.table)
+      }
+    }
+
+  /** T1 — copy an unpartitioned table: guards → conflict → dir copy
+    * (skipped when already equal) → metadata commit
+    * (`CopyUnpartitionedTableTask.java:82-201`). */
+  def copyUnpartitionedTable(ctx: TaskContext, src: TableMeta): Outcome = {
+    if (src.isPartitioned) return NotCompletable("table is partitioned")
+    resolveConflict(ctx, src)
+    val destLoc = ctx.destLocation(src.location)
+    if (destLoc != src.location &&
+        !CopyExec.equalDirs(ctx.spark, src.location, destLoc)) {
+      CopyExec.syncDir(ctx.spark, src.location, destLoc)
+    }
+    commitTable(ctx, src)
+    Done
+  }
+
+  /** T2 — partitioned table: metadata only (data flows per partition)
+    * (`CopyPartitionedTableTask.java:69-154`). */
+  def copyPartitionedTable(ctx: TaskContext, src: TableMeta): Outcome = {
+    if (!src.isPartitioned) return NotCompletable("table is not partitioned")
+    resolveConflict(ctx, src)
+    commitTable(ctx, src)
+    Done
+  }
+
+  private def commitTable(ctx: TaskContext, src: TableMeta): Unit = {
+    val dest = destTableMeta(ctx, src)
+    ctx.destCatalog.getTable(src.db, src.table) match {
+      case None => ctx.destCatalog.createTable(dest)
+      case Some(_) => ctx.destCatalog.alterTable(src.db, src.table, dest)
+    }
+  }
+
+  /** T3 — copy one partition: parent table must exist (else T2 first),
+    * equality-check-then-copy, add/alter partition
+    * (`CopyPartitionTask.java:98-263`). */
+  def copyPartition(ctx: TaskContext, srcTable: TableMeta,
+      src: PartitionMeta): Outcome = {
+    if (ctx.destCatalog.getTable(src.db, src.table).isEmpty) {
+      copyPartitionedTable(ctx, srcTable)
+    }
+    val destLoc = ctx.destLocation(src.location)
+    if (destLoc != src.location &&
+        !CopyExec.equalDirs(ctx.spark, src.location, destLoc)) {
+      CopyExec.syncDir(ctx.spark, src.location, destLoc)
+    }
+    val dest = destPartitionMeta(ctx, src)
+    ctx.destCatalog.getPartition(src.db, src.table, src.partName) match {
+      case None => ctx.destCatalog.addPartition(dest)
+      case Some(_) => ctx.destCatalog.alterPartition(dest)
+    }
+    Done
+  }
+
+  /** T5 — TLDT-guarded drops: only drop when the dest object still carries
+    * the expected modified-time token (`DropTableTask.java:47-83`,
+    * `DropPartitionTask.java:51-87`). */
+  def dropTable(ctx: TaskContext, db: String, table: String,
+      expectedTldt: Option[Long]): Outcome =
+    ctx.destCatalog.getTable(db, table) match {
+      case None => Noop
+      case Some(t) =>
+        if (expectedTldt.forall(_ >= t.lastModified)) {
+          ctx.destCatalog.dropTable(db, table); Done
+        } else NotCompletable(s"dest $db.$table modified after drop was logged")
+    }
+
+  def dropPartition(ctx: TaskContext, db: String, table: String,
+      partName: String, expectedTldt: Option[Long]): Outcome =
+    ctx.destCatalog.getPartition(db, table, partName) match {
+      case None => Noop
+      case Some(p) =>
+        if (expectedTldt.forall(_ >= p.lastModified)) {
+          ctx.destCatalog.dropPartition(db, table, partName); Done
+        } else NotCompletable(s"dest $db.$table/$partName modified after drop")
+    }
+
+  /** T6 — rename table with the reference's fallback chain
+    * (`RenameTableTask.java:93-172`): renamed-to exists ⇒ NOOP; rename-from
+    * missing ⇒ fresh copy of the new name; else catalog rename. */
+  def renameTable(ctx: TaskContext, fromDb: String, fromTable: String,
+      to: TableMeta): Outcome = {
+    if (ctx.destCatalog.getTable(to.db, to.table).isDefined) return Noop
+    ctx.destCatalog.getTable(fromDb, fromTable) match {
+      case Some(_) =>
+        ctx.destCatalog.alterTable(fromDb, fromTable, destTableMeta(ctx, to))
+        Done
+      case None =>
+        if (to.isPartitioned) copyPartitionedTable(ctx, to)
+        else copyUnpartitionedTable(ctx, to)
+    }
+  }
+
+  /** T7 — rename partition; cross-table exchange degrades to copy
+    * (`RenamePartitionTask.java:98-205`, HIVE-12865). */
+  def renamePartition(ctx: TaskContext, srcTable: TableMeta, fromName: String,
+      to: PartitionMeta): Outcome = {
+    if (ctx.destCatalog.getPartition(to.db, to.table, to.partName).isDefined)
+      return Noop
+    ctx.destCatalog.getPartition(to.db, to.table, fromName) match {
+      case Some(_) =>
+        ctx.destCatalog.renamePartition(to.db, to.table, fromName,
+          destPartitionMeta(ctx, to))
+        Done
+      case None => copyPartition(ctx, srcTable, to)
+    }
+  }
+
+  /** T10 — retry wrapper: ≤8 attempts, exponential backoff base 2s cap 1h
+    * (`ReplicationJob.java:60-103`; backoff `ReplicationUtils.java:446-463`).
+    * Sleep scale injectable so tests don't wait. */
+  def withRetry[A](maxRetries: Int = 8, baseMs: Long = 2000L,
+      capMs: Long = 3600000L, sleeper: Long => Unit = Thread.sleep)(f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          sleeper(math.min(capMs, baseMs * (1L << (attempt - 1))))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.incremental._
+import graft.model._
+
+/** Incremental server: audit entries → jobs → ordered parallel execution →
+  * converged dest; state-table recovery; per-key lock ordering —
+  * mirroring `ReplicationServerTest`. */
+class IncrementalSpec extends TestBase {
+
+  private def entry(id: Long, cmd: String, outTables: Seq[String] = Seq.empty,
+      outParts: Seq[String] = Seq.empty, renameFrom: Option[String] = None) =
+    AuditLogEntry(id, new Timestamp(1700000000000L + id), cmd, s"cmd-$id",
+      outTables, outParts, renameFrom, Seq.empty)
+
+  private def newServer(name: String): (IncrementalServer,
+      graft.catalog.InMemoryConnector, graft.catalog.InMemoryConnector,
+      java.nio.file.Path, java.nio.file.Path) = {
+    val srcConn = freshCatalog(s"$name-src")
+    val destConn = freshCatalog(s"$name-dest")
+    val srcWh = tmpDir(s"$name-src-wh")
+    val destWh = tmpDir(s"$name-dest-wh")
+    val stateDir = tmpDir(s"$name-state")
+    val cfg = IncrementalConfig(srcConn, destConn,
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"),
+      stateDir.toUri.toString + "jobs",
+      stateDir.toUri.toString + "watermark", workers = 4)
+    (new IncrementalServer(spark, cfg), srcConn, destConn, srcWh, destWh)
+  }
+
+  test("create/insert/drop/rename entries converge the dest warehouse") {
+    import spark.implicits._
+    val (server, srcConn, destConn, srcWh, _) = newServer("incr")
+    val src = srcConn.connect()
+
+    val unp = unpartitionedTable("db1", "t_new", srcWh)
+    src.createTable(unp)
+    val pt = partitionedTable("db1", "t_part", srcWh)
+    src.createTable(pt)
+    src.addPartition(partition(pt, "ds=1/hr=1"))
+    src.addPartition(partition(pt, "ds=1/hr=2"))
+    val renamed = unpartitionedTable("db1", "t_renamed", srcWh)
+    src.createTable(renamed)
+
+    val entries = Seq(
+      entry(1, "CREATETABLE", outTables = Seq("db1.t_new")),
+      entry(2, "QUERY",
+        outParts = Seq("db1.t_part/ds=1/hr=1", "db1.t_part/ds=1/hr=2")),
+      entry(3, "SHOWTABLES"), // filtered at source
+      entry(4, "ALTERTABLE_RENAME", outTables = Seq("db1.t_renamed"),
+        renameFrom = Some("db1.t_old")))
+
+    val results = server.processBatch(spark.createDataset(entries))
+    assert(results.forall(_._2 == JobStatus.Successful),
+      s"statuses: ${results.map(r => (r._1.operation, r._2))}")
+
+    val dest = destConn.connect()
+    assert(dest.getTable("db1", "t_new").isDefined)
+    assert(dest.listPartitionNames("db1", "t_part") == Seq("ds=1/hr=1", "ds=1/hr=2"))
+    assert(dest.getTable("db1", "t_renamed").isDefined)
+    assert(server.watermark.get().contains(4L))
+
+    // ST8 compaction: both partitions of entry 2 became ONE bulk job
+    val partJobs = results.map(_._1).filter(_.operation == TaskType.CopyPartitions)
+    assert(partJobs.size == 1 && partJobs.head.partitions.size == 2)
+
+    // drop with a valid token
+    val dropped = server.processBatch(spark.createDataset(Seq(
+      entry(5, "DROPTABLE", outTables = Seq("db1.t_new")))))
+    assert(dropped.head._2 == JobStatus.Successful)
+    assert(dest.getTable("db1", "t_new").isEmpty)
+  }
+
+  test("state store: latest status wins; recovery re-runs pending jobs") {
+    import spark.implicits._
+    val (server, srcConn, destConn, srcWh, _) = newServer("recov")
+    srcConn.connect().createTable(unpartitionedTable("db1", "t_crash", srcWh))
+
+    // simulate a crash: job persisted PENDING but never executed
+    val job = JobState(10L, 1700000000000L, "COPY_TABLE", JobStatus.Pending,
+      "db1", "t_crash", Seq.empty, None, None, None, Map.empty)
+    server.state.append(Seq(job))
+    assert(server.state.restoreRunnable().map(_.id) == Seq(10L))
+
+    val replayed = server.recover()
+    assert(replayed.map(_._2) == Seq(JobStatus.Successful))
+    assert(destConn.connect().getTable("db1", "t_crash").isDefined)
+    assert(server.state.restoreRunnable().isEmpty)
+    // state table holds both transitions, current() resolves to the latest
+    assert(server.state.current().collect().head.status == JobStatus.Successful)
+  }
+
+  test("lock executor: per-key id order, cross-key parallelism, rename dual locks") {
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def job(id: Long, db: String, table: String,
+        renameTo: Option[(String, String)] = None) =
+      JobState(id, 0L, "X", JobStatus.Pending, db, table, Seq.empty, None,
+        renameTo.map(_._1), renameTo.map(_._2), Map.empty)
+
+    val jobs = Seq(
+      job(1, "db", "a"), job(2, "db", "a"), job(3, "db", "a"),
+      job(4, "db", "b"),
+      job(5, "db", "c", renameTo = Some(("db", "a"))))
+    val results = LockExecutor.execute(jobs, workers = 4) { j =>
+      order.add(j.id); Thread.sleep(20); "OK"
+    }
+    assert(results.forall(_._2 == "OK"))
+    val seq = order.toArray(Array.empty[java.lang.Long]).map(_.toLong).toSeq
+    // same-key jobs 1,2,3 must appear in id order
+    val aOrder = seq.filter(Seq(1L, 2L, 3L).contains)
+    assert(aOrder == Seq(1L, 2L, 3L), s"got order $seq")
+    // job 5 (locks a+c) must run after 1-3 (holds a)
+    assert(seq.indexOf(5L) > seq.indexOf(3L))
+  }
+
+  test("structured streaming tail executes batches via foreachBatch") {
+    import spark.implicits._
+    val (server, srcConn, destConn, srcWh, _) = newServer("stream")
+    srcConn.connect().createTable(unpartitionedTable("db1", "t_stream", srcWh))
+
+    val auditDir = tmpDir("audit-json")
+    val checkpoint = tmpDir("audit-ckpt")
+    spark.createDataset(Seq(entry(1, "CREATETABLE", outTables = Seq("db1.t_stream"))))
+      .write.mode("append").json(auditDir.toUri.toString)
+
+    val q = server.start(auditDir.toUri.toString, checkpoint.toUri.toString)
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(destConn.connect().getTable("db1", "t_stream").isDefined)
+    assert(server.watermark.get().contains(1L))
+  }
+}

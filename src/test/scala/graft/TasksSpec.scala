@@ -1,0 +1,117 @@
+package graft
+
+import graft.model._
+import graft.planner.DiffPlanner
+import graft.tasks.{TaskContext, Tasks}
+
+/** Task-layer guards and pure planner pieces — mirrors the reference's
+  * `TaskEstimatorTest` transitions and drop/rename task tests. */
+class TasksSpec extends TestBase {
+
+  private def ctx(destConn: graft.catalog.InMemoryConnector,
+      srcRoot: String = "file:/src", destRoot: String = "file:/dest") =
+    TaskContext(spark, destConn.connect(), srcRoot, destRoot)
+
+  test("dropTable honors the TLDT optimistic-concurrency guard") {
+    val destConn = freshCatalog("guard-dest")
+    val wh = tmpDir("guard-wh")
+    val t = unpartitionedTable("db1", "t1", wh, tldt = 5000L)
+    destConn.connect().createTable(t)
+
+    // logged drop carries an *older* token than the dest object ⇒ refuse
+    val refused = Tasks.dropTable(ctx(destConn), "db1", "t1", Some(4000L))
+    assert(refused.isInstanceOf[Tasks.NotCompletable])
+    assert(destConn.connect().getTable("db1", "t1").isDefined)
+
+    // matching/newer token ⇒ drop
+    val done = Tasks.dropTable(ctx(destConn), "db1", "t1", Some(5000L))
+    assert(done == Tasks.Done)
+    assert(destConn.connect().getTable("db1", "t1").isEmpty)
+
+    // already gone ⇒ NOOP (idempotent replay)
+    assert(Tasks.dropTable(ctx(destConn), "db1", "t1", Some(5000L)) == Tasks.Noop)
+  }
+
+  test("dropPartition guard") {
+    val destConn = freshCatalog("guardp-dest")
+    val wh = tmpDir("guardp-wh")
+    val t = partitionedTable("db1", "pt", wh)
+    destConn.connect().createTable(t)
+    destConn.connect().addPartition(partition(t, "ds=1/hr=1", tldt = 5000L))
+    assert(Tasks.dropPartition(ctx(destConn), "db1", "pt", "ds=1/hr=1", Some(4000L))
+      .isInstanceOf[Tasks.NotCompletable])
+    assert(Tasks.dropPartition(ctx(destConn), "db1", "pt", "ds=1/hr=1", Some(6000L))
+      == Tasks.Done)
+  }
+
+  test("renameTable: renamed-to already present is a NOOP; missing rename-from copies") {
+    val destConn = freshCatalog("ren-dest")
+    val srcWh = tmpDir("ren-src-wh")
+    val destWh = tmpDir("ren-dest-wh")
+    val c = TaskContext(spark, destConn.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+
+    val renamed = unpartitionedTable("db1", "new_name", srcWh)
+    // dest already has new_name ⇒ NOOP
+    destConn.connect().createTable(renamed)
+    assert(Tasks.renameTable(c, "db1", "old_name", renamed) == Tasks.Noop)
+
+    // rename-from missing on dest ⇒ falls back to a fresh copy
+    val destConn2 = freshCatalog("ren-dest2")
+    val c2 = TaskContext(spark, destConn2.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+    assert(Tasks.renameTable(c2, "db1", "old_name", renamed) == Tasks.Done)
+    assert(destConn2.connect().getTable("db1", "new_name").isDefined)
+
+    // rename-from present ⇒ catalog rename
+    val destConn3 = freshCatalog("ren-dest3")
+    destConn3.connect().createTable(renamed.copy(table = "old_name"))
+    val c3 = TaskContext(spark, destConn3.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+    assert(Tasks.renameTable(c3, "db1", "old_name", renamed) == Tasks.Done)
+    assert(destConn3.connect().getTable("db1", "old_name").isEmpty)
+    assert(destConn3.connect().getTable("db1", "new_name").isDefined)
+  }
+
+  test("conflict handler drops dest table with mismatched partition keys") {
+    val destConn = freshCatalog("conf-dest")
+    val wh = tmpDir("conf-wh")
+    val partitioned = partitionedTable("db1", "t1", wh)
+    destConn.connect().createTable(partitioned)
+    val unpartitioned = unpartitionedTable("db1", "t1", wh)
+    Tasks.resolveConflict(ctx(destConn), unpartitioned)
+    assert(destConn.connect().getTable("db1", "t1").isEmpty)
+  }
+
+  test("retry wrapper: exponential backoff then success / exhaustion") {
+    var sleeps = Seq.empty[Long]
+    var calls = 0
+    val out = Tasks.withRetry(maxRetries = 8, sleeper = s => sleeps :+= s) {
+      calls += 1
+      if (calls < 4) throw new RuntimeException("flaky")
+      42
+    }
+    assert(out == 42 && calls == 4)
+    assert(sleeps == Seq(2000L, 4000L, 8000L))
+
+    intercept[RuntimeException] {
+      Tasks.withRetry(maxRetries = 2, sleeper = _ => ()) {
+        throw new RuntimeException("always")
+      }
+    }
+  }
+
+  test("common-ancestor aggregator (A5)") {
+    import spark.implicits._
+    val locs = Seq(
+      "hdfs://nn/wh/db/t/ds=1/hr=1",
+      "hdfs://nn/wh/db/t/ds=1/hr=2",
+      "hdfs://nn/wh/db/t/ds=2/hr=1").toDS()
+    val lcp = locs.select(DiffPlanner.CommonAncestorAgg.toColumn).head()
+    assert(lcp == "hdfs://nn/wh/db/t")
+
+    // different scheme/authority ⇒ no common ancestor beyond nothing
+    val mixed = Seq("hdfs://nn1/wh/db", "hdfs://nn2/wh/db").toDS()
+    assert(mixed.select(DiffPlanner.CommonAncestorAgg.toColumn).head() == "")
+  }
+}
