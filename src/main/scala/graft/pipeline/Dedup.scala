@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Distinct word w-shingles of the normalized text (empty when fewer
-    * than w tokens — guarded because Spark's `sequence(1, n)` with n<1
-    * would generate a *descending* sequence). */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /** Distinct word w-shingles from a *materialized* token-array column
+    * (empty when fewer than w tokens — guarded because Spark's
+    * `sequence(1, n)` with n<1 would generate a *descending* sequence).
+    * Callers must project tokens into a column first: inlining the
+    * tokenizer here would re-split the text inside every `element_at`
+    * lambda call — O(len²) per document. */
+  def shinglesFromTokens(toks: Column, w: Int = 3): Column = {
     val n = size(toks)
     array_distinct(
       when(n >= w,
@@ -31,6 +33,13 @@ object Dedup {
           i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>")))
   }
+
+  /** (doc_id, shingles) with tokens evaluated once per row. */
+  def shingled(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", w: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("shingles"))
 
   /** Exact dedup: group by content fingerprint, keep min doc_id.
     * Pure hash-groupBy — one shuffle on the fingerprint. */
@@ -42,8 +51,8 @@ object Dedup {
     * One explode + one groupBy; signature is k small strings per doc. */
   def minhashSignatures(docs: DataFrame, k: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol))).as("s"))
+    val sh = shingled(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
     val aggs = (1 to k).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -63,6 +72,8 @@ object Dedup {
    */
   def minhashLshPairs(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // the signature groupBy's shuffle exchange is reused across the band
+    // projections and the self-join automatically (ReusedExchange)
     val bands = lshBands(minhashSignatures(docs, 8, idCol, textCol))
     val unpivoted = bands.select(col("doc_id"), lit(1).as("band_idx"),
         col("band1").as("band_hash"))
@@ -75,13 +86,59 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("shingles"))
+    val sh = shingled(docs, idCol, textCol)
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), size(col("sh_a")).as("na"),
+        size(col("sh_b")).as("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      // |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array op, not two;
+      // `inter` aliased in its own projection so it evaluates once
       .select(col("doc_a"), col("doc_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 6)
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /**
+   * Scale-path MinHash+LSH using the native one-pass
+   * [[graft.functions.MinHashSig]] expression (xxhash64): no explode, no
+   * signature shuffle — signatures are computed at scan speed, and only
+   * the tiny (doc_id, band_hash) pairs shuffle for candidate generation.
+   * Same banding + verify shape as [[minhashLshPairs]].
+   */
+  def minhashLshPairsFast(docs: DataFrame, k: Int = 8, bands: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rowsPerBand = k / bands
+    val sig = shingled(docs, idCol, textCol)
+      .select(col("doc_id"), col("shingles").as("sh"),
+        graft.functions.MinHashSig(docs.sparkSession, col("shingles"), k).as("sig"))
+      .persist() // no shuffle in this pipeline, so nothing is reused without it
+    val unpivoted = (0 until bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band_idx"),
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
+    }.reduce(_ unionAll _)
+    val candidates = unpivoted.as("a")
+      .join(unpivoted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), size(col("sh_a")).as("na"),
+        size(col("sh_b")).as("nb"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
+      // |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array op, not two;
+      // `inter` aliased in its own projection so it evaluates once
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
   }
 
@@ -96,8 +153,11 @@ object Dedup {
     t.as("a").join(t.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))).cast("double"), 6)
+        size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"),
+        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -138,10 +198,13 @@ object Dedup {
       cellCol: String = "label"): DataFrame = {
     val e = emb.select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .persist() // norms computed once per vector, not per pair
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+        round(Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -19,11 +19,15 @@ object Similarity {
   /** Cosine similarity of two double arrays as a pure column expression:
     * sequential fold in index order, so the result is bit-identical to the
     * DuckDB oracle's fold and safe to round-and-compare. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Sequential-fold dot product (index order ⇒ deterministic fp). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
+  /** sqrt(v·v) — precompute once per vector; cos = dot/(norm_a*norm_b). */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   private def asDouble(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
@@ -36,11 +40,14 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
     val c = candidates.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))
+      .withColumn("c_nrm", norm(col("c_v")))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
-        round(cosine(col("q_v"), col("c_v")), 6).as("cos_sim"))
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -54,12 +61,15 @@ object Similarity {
       cellCol: String = "label"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("cell"),
       asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
     val c = candidates.select(col(idCol).as("c_id"), col(cellCol).as("cell"),
       asDouble(col(vecCol)).as("c_v"))
+      .withColumn("c_nrm", norm(col("c_v")))
     val scored = q.join(c, "cell")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("cell"), col("c_id"),
-        round(cosine(col("q_v"), col("c_v")), 6).as("cos_sim"))
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -41,14 +41,15 @@ object PipelineQueries {
 
   private val embDouble =
     """e AS (
-      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+      |  SELECT vec_id, label, v,
+      |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin
 
-  /** Explicit sequential-fold cosine (bit-identical to Spark's
-    * `aggregate(zip_with(...))` fold; verified == list_cosine_similarity). */
+  /** Explicit sequential-fold cosine with precomputed norms (bit-identical
+    * to Spark's `aggregate(zip_with(...))` fold + norm-column design). */
   private def duckCosine(a: String, b: String): String =
-    s"""list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))
-       | / (sqrt(list_sum(list_transform($a, x -> x * x)))
-       |    * sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    s"""list_sum(list_transform(generate_series(1, len($a.v)), i -> $a.v[i] * $b.v[i]))
+       | / ($a.nrm * $b.nrm)""".stripMargin
 
   private val stop = "['the','a','of','and','is']"
 
@@ -164,7 +165,8 @@ object PipelineQueries {
       withC(minhashSig)(
         """SELECT c.doc_a, c.doc_b,
           |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-          |    / CAST(len(list_distinct(sa.shingles || sb.shingles)) AS DOUBLE), 6)
+          |    / CAST(len(sa.shingles) + len(sb.shingles)
+          |      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6)
           |    AS jaccard
           |FROM (
           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -191,7 +193,9 @@ object PipelineQueries {
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |    round(CAST(len(list_intersect(list_distinct(a.toks),
           |        list_distinct(b.toks))) AS DOUBLE)
-          |      / CAST(len(list_distinct(a.toks || b.toks)) AS DOUBLE), 6) AS jaccard
+          |      / CAST(len(list_distinct(a.toks)) + len(list_distinct(b.toks))
+          |        - len(list_intersect(list_distinct(a.toks), list_distinct(b.toks)))
+          |        AS DOUBLE), 6) AS jaccard
           |  FROM tok_docs a JOIN tok_docs b
           |    ON a.source = b.source AND a.doc_id < b.doc_id)
           |WHERE jaccard >= 0.8""".stripMargin)) {
@@ -226,10 +230,16 @@ object PipelineQueries {
       withC(embDouble)(
         s"""SELECT vec_a, vec_b, cos_sim FROM (
            |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           |    round(${duckCosine("a.v", "b.v")}, 6) AS cos_sim
+           |    round(${duckCosine("a", "b")}, 6) AS cos_sim
            |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cos_sim >= 0.4""".stripMargin)) {
       (s, dir) => Dedup.embeddingNearDups(W.read(s, dir, "embeddings"), 0.4)
+    },
+
+    // Scale path: native xxhash64 one-pass signature (no oracle — different
+    // hash family than the md5 parity path; driver records rows-only).
+    QueryDef.rowsOnly("dedup_minhash_fast") {
+      (s, dir) => Dedup.minhashLshPairsFast(W.read(s, dir, "documents"))
     },
 
     // ---- similarity search ------------------------------------------------
@@ -238,9 +248,9 @@ object PipelineQueries {
       withC(embDouble)(
         s"""SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
            |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-           |    round(${duckCosine("q.v", "c.v")}, 6) AS cos_sim,
+           |    round(${duckCosine("q", "c")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY round(${duckCosine("q.v", "c.v")}, 6) DESC, c.vec_id)
+           |      ORDER BY round(${duckCosine("q", "c")}, 6) DESC, c.vec_id)
            |      AS rank
            |  FROM (SELECT * FROM e WHERE vec_id < 8) q
            |  JOIN e c ON q.vec_id <> c.vec_id)
@@ -256,9 +266,9 @@ object PipelineQueries {
       withC(embDouble)(
         s"""SELECT q_id, cell, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
            |  SELECT q.vec_id AS q_id, q.label AS cell, c.vec_id AS c_id,
-           |    round(${duckCosine("q.v", "c.v")}, 6) AS cos_sim,
+           |    round(${duckCosine("q", "c")}, 6) AS cos_sim,
            |    row_number() OVER (PARTITION BY q.vec_id
-           |      ORDER BY round(${duckCosine("q.v", "c.v")}, 6) DESC, c.vec_id)
+           |      ORDER BY round(${duckCosine("q", "c")}, 6) DESC, c.vec_id)
            |      AS rank
            |  FROM (SELECT * FROM e WHERE vec_id < 8) q
            |  JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MinHashSig
+import graft.pipeline.Dedup
+
+/** Native minhash_sig expression: determinism, codegen path, LSH recall on
+  * a constructed near-dup corpus, SQL registration via extensions. */
+class MinHashSigSpec extends TestBase {
+
+  test("signature is deterministic, k-length, and min-stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("a b c", "b c d", "c d e")), // identical shingles
+      (3L, Seq("x y z")),
+      (4L, Seq.empty[String])).toDF("doc_id", "sh")
+    val sigs = docs.select(col("doc_id"),
+      MinHashSig(spark, col("sh"), 8).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1).length == 8)
+    assert(sigs(1) == sigs(2), "identical shingle sets must hash identically")
+    assert(sigs(1) != sigs(3))
+    assert(sigs(4).forall(_ == Long.MaxValue), "empty set → sentinel")
+    // superset can only lower each component (min-stability)
+    val superset = Seq((5L, Seq("a b c", "b c d", "c d e", "zzz extra one")))
+      .toDF("doc_id", "sh")
+      .select(MinHashSig(spark, col("sh"), 8)).as[Seq[Long]].head()
+    assert(superset.zip(sigs(1)).forall { case (sup, base) => sup <= base })
+  }
+
+  test("interpreted eval matches codegen eval") {
+    import spark.implicits._
+    val df = Seq((1L, Seq("p q r", "q r s"))).toDF("doc_id", "sh")
+    val viaCodegen = df.select(MinHashSig(spark, col("sh"), 4)).as[Seq[Long]].head()
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      Array("p q r", "q r s").map(
+        org.apache.spark.unsafe.types.UTF8String.fromString))
+    val interpreted = MinHashSig.compute(arr, 4).toSeq
+    assert(viaCodegen == interpreted)
+  }
+
+  test("fast LSH finds constructed near-duplicates") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 58).map(i => s"token$i").mkString(" ") + " altered tail"
+    val unrelated = (1 to 60).map(i => s"other$i word$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairsFast(docs)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.8),
+      s"expected (1,2) high-jaccard pair, got ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
+  test("minhash_sig registers for SQL use") {
+    MinHashSig.register(spark)
+    import spark.implicits._
+    val out = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d')) AS sig").as[Seq[Long]].head()
+    assert(out.length == 8)
+    val out4 = spark.sql(
+      "SELECT minhash_sig(array('a b c'), 4) AS sig").as[Seq[Long]].head()
+    assert(out4.length == 4)
+  }
+}
