@@ -55,16 +55,12 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
       case TaskType.CopyPartition | TaskType.CopyPartitions =>
         src.getTable(j.db, j.table) match {
           case Some(t) =>
-            // ST8 bulk job: partitions of one table, executed under the
-            // table's lock; per-partition copy skips already-equal dirs
-            val outcomes = j.partitions.map { p =>
-              src.getPartition(j.db, j.table, p) match {
-                case Some(pm) => Tasks.copyPartition(c, t, pm)
-                case None => Tasks.NotCompletable(s"src partition $p gone")
-              }
-            }
-            outcomes.collectFirst { case nc: Tasks.NotCompletable => nc }
-              .getOrElse(Tasks.Done)
+            // ST8 bulk job under the table's lock: T4's common-dir
+            // optimistic copy replaces N per-partition copies when cheap
+            val metas = j.partitions.flatMap(p => src.getPartition(j.db, j.table, p))
+            if (metas.size != j.partitions.size)
+              Tasks.NotCompletable("src partition gone")
+            else Tasks.copyPartitions(c, t, metas)
           case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
         }
       case TaskType.DropTable =>

@@ -118,6 +118,42 @@ object Tasks {
     Done
   }
 
+  /**
+   * T4 — bulk partition copy with the reference's optimistic common-dir
+   * rewrite (`CopyPartitionsTask.java:137-283`): when every partition lives
+   * under one common ancestor and that directory isn't more than 2× the
+   * partitions' own bytes, ONE directory sync replaces N per-partition
+   * copies; the per-partition step then just verifies (equalDirs) and
+   * commits metadata. Sizes come from a single manifest listing, not N.
+   */
+  def copyPartitions(ctx: TaskContext, srcTable: TableMeta,
+      parts: Seq[PartitionMeta]): Outcome = {
+    if (parts.isEmpty) return Noop
+    val common = parts.map(_.location)
+      .foldLeft(Option.empty[Vector[String]])(
+        graft.planner.DiffPlanner.CommonAncestorAgg.reduce)
+    val commonDir = graft.planner.DiffPlanner.CommonAncestorAgg.finish(common)
+    val bulkDone: Boolean =
+      if (commonDir.nonEmpty && parts.size > 1) {
+        val manifest = graft.fs.FsOps.listFiles(ctx.spark, commonDir).collect()
+        val totalBytes = manifest.map(_.size).sum
+        val partRels = parts.map(p =>
+          p.location.stripPrefix(commonDir).stripPrefix("/"))
+        val partBytes = manifest.filter(f =>
+          partRels.exists(r => f.relPath.startsWith(r + "/") || f.relPath == r))
+          .map(_.size).sum
+        if (totalBytes <= 2 * partBytes) {
+          CopyExec.syncDir(ctx.spark, commonDir, ctx.destLocation(commonDir))
+          true
+        } else false
+      } else false
+    // per-partition pass: with the bulk copy done the dirs are already
+    // equal, so copyPartition only commits metadata (idempotent either way)
+    val outcomes = parts.map(p => copyPartition(ctx, srcTable, p))
+    val _ = bulkDone
+    outcomes.collectFirst { case nc: NotCompletable => nc }.getOrElse(Done)
+  }
+
   /** T5 — TLDT-guarded drops: only drop when the dest object still carries
     * the expected modified-time token (`DropTableTask.java:47-83`,
     * `DropPartitionTask.java:51-87`). */

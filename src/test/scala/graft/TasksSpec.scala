@@ -83,6 +83,43 @@ class TasksSpec extends TestBase {
     assert(destConn.connect().getTable("db1", "t1").isEmpty)
   }
 
+  test("T4 bulk copy: common-dir sync replaces per-partition copies; " +
+      "2x guard falls back when unrelated data dominates") {
+    val srcWh = tmpDir("bulk-src-wh")
+    val destWh = tmpDir("bulk-dest-wh")
+    val destConn = freshCatalog("bulk-dest")
+    val c = TaskContext(spark, destConn.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+
+    val t = partitionedTable("db1", "bulk_t", srcWh)
+    val parts = Seq("ds=1/hr=1", "ds=1/hr=2", "ds=1/hr=3").map(p => partition(t, p))
+    assert(Tasks.copyPartitions(c, t, parts) == Tasks.Done)
+    assert(destConn.connect().listPartitionNames("db1", "bulk_t").size == 3)
+    val destLoc = c.destLocation(t.location)
+    assert(graft.fs.CopyExec.equalDirs(spark, t.location, destLoc))
+
+    // unrelated data > 2x partition bytes under the common dir: the bulk
+    // path must NOT be taken (per-partition copies still converge)
+    val destConn2 = freshCatalog("bulk-dest2")
+    val srcWh2 = tmpDir("bulk-src-wh2")
+    val destWh2 = tmpDir("bulk-dest-wh2")
+    val c2 = TaskContext(spark, destConn2.connect(),
+      srcWh2.toUri.toString.stripSuffix("/"), destWh2.toUri.toString.stripSuffix("/"))
+    val t2 = partitionedTable("db1", "bulk_u", srcWh2)
+    val parts2 = Seq("ds=1/hr=1", "ds=1/hr=2").map(p => partition(t2, p))
+    val tableDir = java.nio.file.Paths.get(java.net.URI.create(t2.location))
+    writeFile(tableDir.resolve("unrelated"), "huge.bin", "x" * 10000)
+    assert(Tasks.copyPartitions(c2, t2, parts2) == Tasks.Done)
+    parts2.foreach { p =>
+      assert(graft.fs.CopyExec.equalDirs(spark, p.location,
+        c2.destLocation(p.location)), s"partition ${p.partName} not copied")
+    }
+    // the unrelated blob was not dragged along
+    val destUnrelated = java.nio.file.Paths.get(
+      java.net.URI.create(c2.destLocation(t2.location))).resolve("unrelated")
+    assert(!java.nio.file.Files.exists(destUnrelated))
+  }
+
   test("retry wrapper: exponential backoff then success / exhaustion") {
     var sleeps = Seq.empty[Long]
     var calls = 0
