@@ -1,0 +1,96 @@
+package graft.incremental
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.catalog.CatalogClient
+import graft.model.{PartitionMeta, TableMeta}
+
+/**
+ * The audit-hook analog (reference `hive-hooks/`: CliAuditLogHook +
+ * MetastoreAuditLogListener write CDC rows on every DDL/DML): a
+ * CatalogClient decorator that emits one JSON audit entry per mutation
+ * into a directory the incremental server tails ([[IncrementalServer.start]]).
+ *
+ * Entries are written file-per-entry (atomic create) in the
+ * `AuditLogEntry` JSON schema, so src-side catalog mutations stream
+ * straight into replication jobs — the full hooks → audit log → server
+ * loop of the reference, with the file directory standing in for the
+ * MySQL audit table.
+ */
+final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
+    startId: Long = 0L) extends CatalogClient {
+
+  private val nextId = new AtomicLong(startId)
+
+  private def emit(commandType: String, outputTables: Seq[String] = Seq.empty,
+      outputPartitions: Seq[String] = Seq.empty,
+      renameFrom: Option[String] = None): Unit = {
+    val id = nextId.incrementAndGet()
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    val json = s"""{"id":$id,"createTime":"$ts","commandType":"$commandType",""" +
+      s""""command":"$commandType","outputTables":${arr(outputTables)},""" +
+      s""""outputPartitions":${arr(outputPartitions)},""" +
+      renameFrom.map(r => s""""renameFrom":"$r",""").getOrElse("") +
+      s""""referenceTables":[]}"""
+    val dir = Paths.get(java.net.URI.create(
+      if (auditDir.contains(":/")) auditDir else s"file://$auditDir"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(f"audit-$id%012d.json"),
+      (json + "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE_NEW)
+  }
+
+  // ---- mutations emit audit entries --------------------------------------
+  def createDatabase(db: String): Unit = {
+    underlying.createDatabase(db)
+    emit("CREATEDATABASE")
+  }
+  def createTable(t: TableMeta): Unit = {
+    underlying.createTable(t)
+    emit("CREATETABLE", outputTables = Seq(s"${t.db}.${t.table}"))
+  }
+  def alterTable(db: String, table: String, t: TableMeta): Unit = {
+    underlying.alterTable(db, table, t)
+    if (db != t.db || table != t.table) {
+      emit("ALTERTABLE_RENAME", outputTables = Seq(s"${t.db}.${t.table}"),
+        renameFrom = Some(s"$db.$table"))
+    } else emit("ALTERTABLE_PROPERTIES", outputTables = Seq(s"$db.$table"))
+  }
+  def dropTable(db: String, table: String): Unit = {
+    underlying.dropTable(db, table)
+    emit("DROPTABLE", outputTables = Seq(s"$db.$table"))
+  }
+  def addPartition(p: PartitionMeta): Unit = {
+    underlying.addPartition(p)
+    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"))
+  }
+  def alterPartition(p: PartitionMeta): Unit = {
+    underlying.alterPartition(p)
+    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"))
+  }
+  def dropPartition(db: String, table: String, partName: String): Unit = {
+    underlying.dropPartition(db, table, partName)
+    emit("ALTERTABLE_DROPPARTS",
+      outputPartitions = Seq(s"$db.$table/$partName"))
+  }
+  def renamePartition(db: String, table: String, from: String,
+      to: PartitionMeta): Unit = {
+    underlying.renamePartition(db, table, from, to)
+    emit("ALTERTABLE_RENAMEPART",
+      outputPartitions = Seq(s"$db.$table/${to.partName}"),
+      renameFrom = Some(s"$db.$table/$from"))
+  }
+
+  // ---- reads pass through -------------------------------------------------
+  def listDatabases(): Seq[String] = underlying.listDatabases()
+  def listTables(db: String): Seq[String] = underlying.listTables(db)
+  def getTable(db: String, table: String): Option[TableMeta] =
+    underlying.getTable(db, table)
+  def listPartitionNames(db: String, table: String): Seq[String] =
+    underlying.listPartitionNames(db, table)
+  def getPartition(db: String, table: String, partName: String): Option[PartitionMeta] =
+    underlying.getPartition(db, table, partName)
+}
