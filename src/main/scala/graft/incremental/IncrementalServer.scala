@@ -91,17 +91,25 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
     }
   }
 
-  /** One micro-batch: plan → persist PENDING → execute → persist statuses
-    * → watermark. Returns (job, status) pairs. */
+  /** One micro-batch: plan → persist ALL jobs PENDING → execute in chunks
+    * of maxJobsPerBatch → persist statuses → watermark. Every planned job
+    * is persisted before the watermark advances — the cap only bounds how
+    * many are *in flight* at once (the reference pauses ingestion at
+    * maxJobsInMemory rather than discarding, `ReplicationServer.java:427-439`);
+    * a crash mid-batch leaves the tail PENDING for recover() to replay. */
   def processBatch(entries: Dataset[AuditLogEntry]): Seq[(JobState, String)] = {
     val jobs = JobFactory.planJobs(spark, entries, cfg.filters)
-      .collect().toSeq.take(cfg.maxJobsPerBatch)
+      .collect().toSeq
     if (jobs.isEmpty) return Seq.empty
     state.append(jobs) // PENDING before execution (ST2 ordering)
-    val results = LockExecutor.execute(jobs, cfg.workers)(runJob)
-    state.append(results.map { case (j, s) =>
-      j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
-    })
+    val results = jobs.grouped(math.max(1, cfg.maxJobsPerBatch)).flatMap {
+      chunk =>
+        val rs = LockExecutor.execute(chunk, cfg.workers)(runJob)
+        state.append(rs.map { case (j, s) =>
+          j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
+        })
+        rs
+    }.toSeq
     watermark.set(jobs.map(_.id).max)
     results
   }

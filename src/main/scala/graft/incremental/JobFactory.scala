@@ -52,13 +52,16 @@ object JobFactory {
     import spark.implicits._
     filterEntries(entries, cfg).flatMap { e =>
       val op = e.commandType match {
-        case "CREATETABLE" | "THRIFT_CREATE_TABLE" | "QUERY" |
-             "ALTERTABLE_ADDPARTS" => "COPY"
         case "DROPTABLE" | "THRIFT_DROP_TABLE" => "DROP_TABLE"
         case "ALTERTABLE_DROPPARTS" => "DROP_PARTITION"
         case "ALTERTABLE_RENAME" => "RENAME_TABLE"
         case "ALTERTABLE_RENAMEPART" => "RENAME_PARTITION"
-        case _ => "IGNORE"
+        // Default = COPY, matching the reference's switch default
+        // (`ReplicationJobFactory.java:585-620`): any command with output
+        // tables/partitions — CREATETABLE, QUERY, ALTERTABLE_ADDPARTS,
+        // metadata-only ALTERTABLE_* ops, etc. — replicates as a copy.
+        // SHOW*/no-output entries were already dropped by filterEntries.
+        case _ => "COPY"
       }
       def split(name: String): (String, String, Option[String]) = {
         val spec = ObjectSpec.parse(name)

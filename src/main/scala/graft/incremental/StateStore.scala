@@ -23,7 +23,18 @@ import graft.model.JobState
 final class StateStore(spark: SparkSession, dir: String) extends Serializable {
   import spark.implicits._
 
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Restart-safe transition counter: resume from the max seq already
+  // persisted so post-crash appends sort *after* pre-crash ones (a fresh
+  // counter would tie with old rows and make latest-wins nondeterministic).
+  private val seq = new java.util.concurrent.atomic.AtomicLong(maxPersistedSeq())
+
+  private def maxPersistedSeq(): Long =
+    if (!exists) 0L
+    else spark.read.parquet(dir)
+      .agg(max("seq")).collect()(0) match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
 
   def append(jobs: Seq[JobState]): Unit = {
     if (jobs.isEmpty) return
@@ -38,10 +49,15 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
   private def exists: Boolean =
     new Path(dir).getFileSystem(new Configuration()).exists(new Path(dir))
 
-  /** Latest transition per job id. */
+  /** Latest transition per job. One audit entry legally yields several jobs
+    * with the same id (the factory emits one job per output table, and one
+    * per partition for drops), so the job key is the full identity
+    * (id, operation, db, table, partitions, rename target) — not id alone. */
   def current(): Dataset[JobState] = {
     if (!exists) return spark.emptyDataset[JobState]
-    val w = Window.partitionBy(col("id")).orderBy(col("seq").desc)
+    val w = Window.partitionBy(col("id"), col("operation"), col("db"),
+        col("table"), col("partitions"), col("renameToDb"), col("renameToTable"))
+      .orderBy(col("seq").desc)
     spark.read.parquet(dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -159,15 +159,18 @@ object ReplicationOps {
     when(location.startsWith("s3n://") || location.startsWith("s3a://"), location)
       .otherwise(regexp_replace(location, java.util.regex.Pattern.quote(srcRoot), destRoot))
 
-  /** ST7 — audit entry → operation-type router.
-    * Reference: `incremental/ReplicationJobFactory.java:585-620`. */
+  /** ST7 — audit entry → operation-type router. SHOW and SWITCHDATABASE are
+    * filtered at the source; everything else defaults to COPY — the
+    * reference's switch default (`ReplicationJobFactory.java:585-620`), so
+    * metadata-only ALTERTABLE_* ops still replicate.
+    * Reference: `incremental/auditlog/AuditLogReader.java:202-203`. */
   def routeOpType(commandType: Column): Column =
-    when(commandType.isin("CREATETABLE", "QUERY", "THRIFT_CREATE_TABLE",
-      "ALTERTABLE_ADDPARTS"), "COPY")
+    when(commandType.isin("SHOWTABLES", "SHOWPARTITIONS", "SWITCHDATABASE"),
+      "IGNORE")
       .when(commandType.isin("DROPTABLE", "ALTERTABLE_DROPPARTS",
         "THRIFT_DROP_TABLE"), "DROP")
       .when(commandType.isin("ALTERTABLE_RENAME", "ALTERTABLE_RENAMEPART"), "RENAME")
-      .otherwise("IGNORE")
+      .otherwise("COPY")
 
   /**
    * ST8 — dynamic-partition compaction: N output partitions of one table in

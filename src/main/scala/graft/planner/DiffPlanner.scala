@@ -123,7 +123,9 @@ object DiffPlanner {
       case None | Some(Vector()) => ""
       case Some(prefix +: rest) if prefix.nonEmpty =>
         if (rest.isEmpty) prefix else prefix + rest.mkString("/", "/", "")
-      case Some(rest) => rest.mkString("/", "", "")
+      // scheme-less locations: components() put "" at the head — render
+      // as an absolute path with "/" separators (not concatenated).
+      case Some(v) => v.filter(_.nonEmpty).mkString("/", "/", "")
     }
     def bufferEncoder: Encoder[Option[Vector[String]]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()

@@ -110,19 +110,28 @@ object ReplicationQueries {
           .select("user_id", "event_id", "event_type", "value")
     },
 
-    // J6/A6/S7 — audit-log 1:N object assembly with per-category lists.
+    // J6/A6/S7 — audit-log 1:N object assembly with per-category lists
+    // (lists rendered as ','-joined strings so the driver can hash them).
     QueryDef("j6_audit_assemble",
       C.withCtes(C.auditObjects)(
         """SELECT l.id, l.command_type,
-          |  list_sort(coalesce(list(o.name) FILTER (WHERE o.category = 'OUTPUT'
-          |    AND o.object_type = 'TABLE'), [])) AS output_tables,
-          |  list_sort(coalesce(list(o.name) FILTER (WHERE o.category = 'OUTPUT'
-          |    AND o.object_type = 'PARTITION'), [])) AS output_partitions,
-          |  list_sort(coalesce(list(o.name) FILTER (WHERE o.category = 'REFERENCE_TABLE'),
-          |    [])) AS reference_tables
+          |  coalesce(array_to_string(list_sort(list(o.name)
+          |    FILTER (WHERE o.category = 'OUTPUT' AND o.object_type = 'TABLE')),
+          |    ','), '') AS output_tables,
+          |  coalesce(array_to_string(list_sort(list(o.name)
+          |    FILTER (WHERE o.category = 'OUTPUT' AND o.object_type = 'PARTITION')),
+          |    ','), '') AS output_partitions,
+          |  coalesce(array_to_string(list_sort(list(o.name)
+          |    FILTER (WHERE o.category = 'REFERENCE_TABLE')),
+          |    ','), '') AS reference_tables
           |FROM audit_log l LEFT OUTER JOIN audit_objects o ON l.id = o.id
           |GROUP BY 1, 2""".stripMargin)) {
-      (s, dir) => ReplicationOps.auditAssemble(W.auditLog(s, dir), W.auditObjects(s, dir))
+      (s, dir) =>
+        ReplicationOps.auditAssemble(W.auditLog(s, dir), W.auditObjects(s, dir))
+          .select(col("id"), col("command_type"),
+            array_join(col("output_tables"), ",").as("output_tables"),
+            array_join(col("output_partitions"), ",").as("output_partitions"),
+            array_join(col("reference_tables"), ",").as("reference_tables"))
     },
 
     // J7 — reference-table lookup join (partition → its table, broadcast).
@@ -210,16 +219,17 @@ object ReplicationQueries {
     },
 
     // ST7 — event-type router: audit command type → operation type.
+    // Default COPY (reference switch default); SHOW* → IGNORE.
     QueryDef("st7_event_router",
       C.withCtes(C.auditLog)(
         """SELECT command_type,
-          |  CASE WHEN command_type IN ('CREATETABLE','QUERY','THRIFT_CREATE_TABLE',
-          |         'ALTERTABLE_ADDPARTS') THEN 'COPY'
+          |  CASE WHEN command_type IN ('SHOWTABLES','SHOWPARTITIONS',
+          |         'SWITCHDATABASE') THEN 'IGNORE'
           |       WHEN command_type IN ('DROPTABLE','ALTERTABLE_DROPPARTS',
           |         'THRIFT_DROP_TABLE') THEN 'DROP'
           |       WHEN command_type IN ('ALTERTABLE_RENAME','ALTERTABLE_RENAMEPART')
           |         THEN 'RENAME'
-          |       ELSE 'IGNORE' END AS op_type,
+          |       ELSE 'COPY' END AS op_type,
           |  count(*) AS n
           |FROM audit_log GROUP BY 1, 2""".stripMargin)) {
       (s, dir) =>
@@ -233,7 +243,8 @@ object ReplicationQueries {
     // audit entry → one bulk COPY_PARTITIONS job.
     QueryDef("st8_partition_compaction",
       C.withCtes(C.auditObjects)(
-        """SELECT id, db, tbl, n_parts, part_names,
+        """SELECT id, db, tbl, n_parts,
+          |  array_to_string(part_names, ',') AS part_names,
           |  CASE WHEN n_parts > 1 THEN 'COPY_PARTITIONS'
           |       ELSE 'COPY_PARTITION' END AS task_type
           |FROM (
@@ -253,7 +264,8 @@ object ReplicationQueries {
               split_part(col("name"), lit("."), lit(1)).as("db"),
               split_part(split_part(col("name"), lit("."), lit(2)), lit("/"), lit(1)).as("tbl"),
               split_part(col("name"), lit("/"), lit(2)).as("part_name")))
-          .select("id", "db", "tbl", "n_parts", "part_names", "task_type")
+          .select(col("id"), col("db"), col("tbl"), col("n_parts"),
+            array_join(col("part_names"), ",").as("part_names"), col("task_type"))
     },
 
     // U1 — union+distinct of src/dest partition names.

@@ -150,5 +150,9 @@ class TasksSpec extends TestBase {
     // different scheme/authority ⇒ no common ancestor beyond nothing
     val mixed = Seq("hdfs://nn1/wh/db", "hdfs://nn2/wh/db").toDS()
     assert(mixed.select(DiffPlanner.CommonAncestorAgg.toColumn).head() == "")
+
+    // scheme-less locations render with "/" separators, not concatenated
+    val bare = Seq("/wh/db/t/ds=1", "/wh/db/t/ds=2").toDS()
+    assert(bare.select(DiffPlanner.CommonAncestorAgg.toColumn).head() == "/wh/db/t")
   }
 }
