@@ -149,9 +149,17 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+      .withColumn("n", size(col("toks")))
+    // Size prune before the expensive intersect: J = |∩|/|∪| ≤ min(n)/max(n),
+    // so a pair can only reach the threshold when least(na,nb) ≥ t·greatest.
+    // Evaluated as a cheap long compare in the join filter — the intersect
+    // below then runs on the ~surviving pairs only (sound: no qualifying
+    // pair is dropped).
     t.as("a").join(t.as("b"),
-        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.n"), col("b.n")).cast("double") >=
+          lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"),
         size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"))
