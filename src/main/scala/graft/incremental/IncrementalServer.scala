@@ -31,7 +31,9 @@ final case class IncrementalConfig(
     watermarkPath: String,
     workers: Int = 20,
     maxJobsPerBatch: Int = 600,
-    filters: JobFilterConfig = JobFilterConfig())
+    filters: JobFilterConfig = JobFilterConfig(),
+    maxRetries: Int = 8,
+    retrySleeper: Long => Unit = Thread.sleep)
 
 final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
 
@@ -47,9 +49,10 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
     val c = ctx
     val outcome: Tasks.Outcome = j.operation match {
       case "COPY_TABLE" =>
+        // full-table copy intended ⇒ T8: a partitioned table replicates
+        // metadata AND every existing partition, not metadata alone
         src.getTable(j.db, j.table) match {
-          case Some(t) if t.isPartitioned => Tasks.copyPartitionedTable(c, t)
-          case Some(t) => Tasks.copyUnpartitionedTable(c, t)
+          case Some(t) => Tasks.copyCompleteTable(c, src, t)
           case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
         }
       case TaskType.CopyPartition | TaskType.CopyPartitions =>
@@ -69,8 +72,8 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
         Tasks.dropPartition(c, j.db, j.table, j.partitions.head, j.srcTldt)
       case TaskType.RenameTable =>
         (for (tdb <- j.renameToDb; ttbl <- j.renameToTable) yield {
-          cfg.srcConnector.connect().getTable(tdb, ttbl) match {
-            case Some(to) => Tasks.renameTable(c, j.db, j.table, to)
+          src.getTable(tdb, ttbl) match {
+            case Some(to) => Tasks.renameTable(c, src, j.db, j.table, to)
             case None => Tasks.NotCompletable(s"src $tdb.$ttbl gone")
           }
         }).getOrElse(Tasks.NotCompletable("rename target missing"))
@@ -91,6 +94,14 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
     }
   }
 
+  /** T10 — every job runs under the retry wrapper (≤8 attempts, exponential
+    * backoff), matching `ReplicationJob.java:60-103`. A NOT_COMPLETABLE
+    * outcome is a *return value*, not an exception, so it is never retried
+    * (the reference's FAILED-vs-NOT_COMPLETABLE classification); exceptions
+    * exhausting the retries propagate and LockExecutor records FAILED. */
+  private def runJobWithRetry(j: JobState): String =
+    Tasks.withRetry(cfg.maxRetries, sleeper = cfg.retrySleeper)(runJob(j))
+
   /** One micro-batch: plan → persist ALL jobs PENDING → execute in chunks
     * of maxJobsPerBatch → persist statuses → watermark. Every planned job
     * is persisted before the watermark advances — the cap only bounds how
@@ -98,13 +109,16 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
     * maxJobsInMemory rather than discarding, `ReplicationServer.java:427-439`);
     * a crash mid-batch leaves the tail PENDING for recover() to replay. */
   def processBatch(entries: Dataset[AuditLogEntry]): Seq[(JobState, String)] = {
+    // Global id sort before chunking: LockExecutor orders same-key jobs only
+    // within a chunk, so an unsorted collect could split a DROP and a later
+    // COPY of one table across chunks out of order (ST4/ST5 guarantee).
     val jobs = JobFactory.planJobs(spark, entries, cfg.filters)
-      .collect().toSeq
+      .collect().toSeq.sortBy(_.id)
     if (jobs.isEmpty) return Seq.empty
     state.append(jobs) // PENDING before execution (ST2 ordering)
     val results = jobs.grouped(math.max(1, cfg.maxJobsPerBatch)).flatMap {
       chunk =>
-        val rs = LockExecutor.execute(chunk, cfg.workers)(runJob)
+        val rs = LockExecutor.execute(chunk, cfg.workers)(runJobWithRetry)
         state.append(rs.map { case (j, s) =>
           j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
         })
@@ -119,7 +133,7 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
   def recover(): Seq[(JobState, String)] = {
     val runnable = state.restoreRunnable()
     if (runnable.isEmpty) return Seq.empty
-    val results = LockExecutor.execute(runnable, cfg.workers)(runJob)
+    val results = LockExecutor.execute(runnable, cfg.workers)(runJobWithRetry)
     state.append(results.map { case (j, s) =>
       j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
     })

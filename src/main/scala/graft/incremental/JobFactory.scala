@@ -18,19 +18,68 @@ final case class JobFilterConfig(
     dropCommandTypes: Set[String] =
       Set("SHOWTABLES", "SHOWPARTITIONS", "SWITCHDATABASE"))
 
+/**
+ * F4 — exchange-partition SQL parse, the driver-side twin of the column
+ * expressions in [[graft.functions]] (HIVE-12865 workaround: the audit
+ * entry for `ALTER TABLE <to> EXCHANGE PARTITION (ds='1') WITH TABLE
+ * <from>` carries no inputs/outputs, so the command text is the only
+ * source of truth). Reference: `incremental/ExchangePartitionParser.java:21-149`.
+ */
+object ExchangePartitionParser {
+  final case class Exchange(toDb: String, toTable: String,
+      fromDb: String, fromTable: String, partName: String)
+
+  private val Re =
+    """(?is)\s*ALTER\s+TABLE\s+(\S+)\s+EXCHANGE\s+PARTITION\s*\(\s*(.*)\)\s+WITH\s+TABLE\s+(\S+)\s*""".r
+
+  def parse(command: String): Option[Exchange] = command match {
+    case Re(to, spec, from) =>
+      for {
+        (tdb, ttbl) <- splitSpec(to)
+        (fdb, ftbl) <- splitSpec(from)
+        part <- partName(spec)
+      } yield Exchange(tdb, ttbl, fdb, ftbl, part)
+    case _ => None
+  }
+
+  /** `db.table` or bare `table` (assumes default db, like the reference). */
+  private def splitSpec(s: String): Option[(String, String)] =
+    s.split('.') match {
+      case Array(t) => Some(("default", t))
+      case Array(d, t) => Some((d, t))
+      case _ => None
+    }
+
+  /** `ds='1', hr='2'` → `ds=1/hr=2`. */
+  private def partName(spec: String): Option[String] = {
+    val comps = spec.split(',').toSeq.map(_.trim).map { c =>
+      c.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty =>
+          Some(s"${k.trim}=${v.trim.replace("'", "")}")
+        case _ => None
+      }
+    }
+    if (comps.isEmpty || comps.exists(_.isEmpty)) None
+    else Some(comps.flatten.mkString("/"))
+  }
+}
+
 object JobFactory {
+
+  private val ExchangeCommand = "ALTERTABLE_EXCHANGEPARTITION"
 
   /** P2/P3: command-type filter, no-output filter, object-name regex
     * whitelist/blacklist chain (filters are pluggable Dataset transforms —
     * the reference loads filter classes reflectively,
-    * `deploy/ReplicationLauncher.java:145-169`). */
+    * `deploy/ReplicationLauncher.java:145-169`). Exchange-partition entries
+    * legally have no outputs (HIVE-12865) and pass through to the parser. */
   def filterEntries(entries: Dataset[AuditLogEntry],
       cfg: JobFilterConfig): Dataset[AuditLogEntry] =
     entries
       .filter((e: AuditLogEntry) => !cfg.dropCommandTypes.contains(e.commandType))
       .filter((e: AuditLogEntry) =>
         e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
-          e.renameFrom.isDefined)
+          e.renameFrom.isDefined || e.commandType == ExchangeCommand)
       .map { e =>
         def keep(name: String) =
           name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
@@ -40,7 +89,7 @@ object JobFactory {
       }(entries.encoder)
       .filter((e: AuditLogEntry) =>
         e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
-          e.renameFrom.isDefined)
+          e.renameFrom.isDefined || e.commandType == ExchangeCommand)
 
   /**
    * ST7 + ST8: route each entry to an operation and compact multi-partition
@@ -52,8 +101,12 @@ object JobFactory {
     import spark.implicits._
     filterEntries(entries, cfg).flatMap { e =>
       val op = e.commandType match {
-        case "DROPTABLE" | "THRIFT_DROP_TABLE" => "DROP_TABLE"
-        case "ALTERTABLE_DROPPARTS" => "DROP_PARTITION"
+        // DROPVIEW and THRIFT_DROP_PARTITION propagate as drops too
+        // (`ReplicationJobFactory.java:587-592`) — falling through to COPY
+        // would plan NotCompletable copies of already-deleted source objects.
+        case "DROPTABLE" | "THRIFT_DROP_TABLE" | "DROPVIEW" => "DROP_TABLE"
+        case "ALTERTABLE_DROPPARTS" | "THRIFT_DROP_PARTITION" => "DROP_PARTITION"
+        case ExchangeCommand => "EXCHANGE_PARTITION"
         case "ALTERTABLE_RENAME" => "RENAME_TABLE"
         case "ALTERTABLE_RENAMEPART" => "RENAME_PARTITION"
         // Default = COPY, matching the reference's switch default
@@ -68,6 +121,21 @@ object JobFactory {
         (spec.db, spec.table, spec.partition)
       }
       op match {
+        case "EXCHANGE_PARTITION" =>
+          // HIVE-12865 workaround (`ReplicationJobFactory.java:524-572`):
+          // parse the SQL; the exchanged partition lands in the ALTER TABLE
+          // target, and with the source partition's mtime unavailable the
+          // reference "just copies" ⇒ one COPY_PARTITION of the dest object.
+          ExchangePartitionParser.parse(e.command).toSeq
+            .filter { x =>
+              val name = s"${x.toDb}.${x.toTable}/${x.partName}"
+              name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
+            }
+            .map { x =>
+              JobState(e.id, e.createTime.getTime, TaskType.CopyPartition,
+                JobStatus.Pending, x.toDb, x.toTable, Seq(x.partName),
+                None, None, None, Map.empty)
+            }
         case "COPY" if e.outputPartitions.nonEmpty =>
           // ST8: group output partitions by table → one job per table
           e.outputPartitions.groupBy(n => { val s = split(n); (s._1, s._2) })

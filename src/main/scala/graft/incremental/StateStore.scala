@@ -30,11 +30,19 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
 
   private def maxPersistedSeq(): Long =
     if (!exists) 0L
-    else spark.read.parquet(dir)
-      .agg(max("seq")).collect()(0) match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
+    else try {
+      spark.read.parquet(dir)
+        .agg(max("seq")).collect()(0) match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+    } catch {
+      // A crash during the first-ever append can leave the dir holding only
+      // `_temporary` (no committed parquet footers); schema inference then
+      // throws and the server couldn't even construct a StateStore to
+      // recover. An unreadable/empty log means no persisted transitions.
+      case _: org.apache.spark.sql.AnalysisException => 0L
+    }
 
   def append(jobs: Seq[JobState]): Unit = {
     if (jobs.isEmpty) return

@@ -167,8 +167,8 @@ object ReplicationOps {
   def routeOpType(commandType: Column): Column =
     when(commandType.isin("SHOWTABLES", "SHOWPARTITIONS", "SWITCHDATABASE"),
       "IGNORE")
-      .when(commandType.isin("DROPTABLE", "ALTERTABLE_DROPPARTS",
-        "THRIFT_DROP_TABLE"), "DROP")
+      .when(commandType.isin("DROPTABLE", "DROPVIEW", "ALTERTABLE_DROPPARTS",
+        "THRIFT_DROP_TABLE", "THRIFT_DROP_PARTITION"), "DROP")
       .when(commandType.isin("ALTERTABLE_RENAME", "ALTERTABLE_RENAMEPART"), "RENAME")
       .otherwise("COPY")
 

@@ -225,8 +225,9 @@ object ReplicationQueries {
         """SELECT command_type,
           |  CASE WHEN command_type IN ('SHOWTABLES','SHOWPARTITIONS',
           |         'SWITCHDATABASE') THEN 'IGNORE'
-          |       WHEN command_type IN ('DROPTABLE','ALTERTABLE_DROPPARTS',
-          |         'THRIFT_DROP_TABLE') THEN 'DROP'
+          |       WHEN command_type IN ('DROPTABLE','DROPVIEW',
+          |         'ALTERTABLE_DROPPARTS','THRIFT_DROP_TABLE',
+          |         'THRIFT_DROP_PARTITION') THEN 'DROP'
           |       WHEN command_type IN ('ALTERTABLE_RENAME','ALTERTABLE_RENAMEPART')
           |         THEN 'RENAME'
           |       ELSE 'COPY' END AS op_type,

@@ -177,19 +177,42 @@ object Tasks {
         } else NotCompletable(s"dest $db.$table/$partName modified after drop")
     }
 
+  /**
+   * T8 — copy a COMPLETE table, data included for every partition
+   * (`CopyCompleteTableTask.java:86-162`, invoked from `RenameTableTask`):
+   * unpartitioned ⇒ T1; partitioned ⇒ T2 metadata commit, then enumerate
+   * the source partitions and bulk-copy them (T4, with the common-dir
+   * optimistic rewrite). The reference materializes every partition object
+   * in driver memory — its own documented pain point; here the enumeration
+   * is bounded to one table's partition names and all file volume flows
+   * through the distributed copy path.
+   */
+  def copyCompleteTable(ctx: TaskContext, srcCatalog: CatalogClient,
+      src: TableMeta): Outcome = {
+    if (!src.isPartitioned) return copyUnpartitionedTable(ctx, src)
+    copyPartitionedTable(ctx, src) match {
+      case nc: NotCompletable => nc
+      case _ =>
+        val parts = srcCatalog.listPartitionNames(src.db, src.table)
+          .flatMap(p => srcCatalog.getPartition(src.db, src.table, p))
+        copyPartitions(ctx, src, parts)
+    }
+  }
+
   /** T6 — rename table with the reference's fallback chain
     * (`RenameTableTask.java:93-172`): renamed-to exists ⇒ NOOP; rename-from
-    * missing ⇒ fresh copy of the new name; else catalog rename. */
-  def renameTable(ctx: TaskContext, fromDb: String, fromTable: String,
-      to: TableMeta): Outcome = {
+    * missing ⇒ complete copy of the new name (T8 — metadata-only fallback
+    * would converge a renamed partitioned table with zero partitions);
+    * else catalog rename. */
+  def renameTable(ctx: TaskContext, srcCatalog: CatalogClient,
+      fromDb: String, fromTable: String, to: TableMeta): Outcome = {
     if (ctx.destCatalog.getTable(to.db, to.table).isDefined) return Noop
     ctx.destCatalog.getTable(fromDb, fromTable) match {
       case Some(_) =>
         ctx.destCatalog.alterTable(fromDb, fromTable, destTableMeta(ctx, to))
         Done
       case None =>
-        if (to.isPartitioned) copyPartitionedTable(ctx, to)
-        else copyUnpartitionedTable(ctx, to)
+        copyCompleteTable(ctx, srcCatalog, to)
     }
   }
 

@@ -115,6 +115,65 @@ class IncrementalSpec extends TestBase {
     assert(seq.indexOf(5L) > seq.indexOf(3L))
   }
 
+  test("T10: transient failures are retried and the job ends SUCCESSFUL") {
+    import spark.implicits._
+    val srcConn = freshCatalog("retry-src")
+    val destConn = freshCatalog("retry-dest")
+    val srcWh = tmpDir("retry-src-wh")
+    val destWh = tmpDir("retry-dest-wh")
+    val stateDir = tmpDir("retry-state")
+    srcConn.connect().createTable(unpartitionedTable("db1", "t_flaky", srcWh))
+
+    // src connector fails twice then recovers — the retry wrapper (T10)
+    // must absorb the transient errors instead of marking the job FAILED
+    IncrementalSpec.flakyCalls.set(0)
+    val cfg = IncrementalConfig(FlakySrcConnector(srcConn, failFirst = 2),
+      destConn,
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"),
+      stateDir.toUri.toString + "jobs", stateDir.toUri.toString + "watermark",
+      workers = 2, retrySleeper = _ => ())
+    val server = new IncrementalServer(spark, cfg)
+    val rs = server.processBatch(spark.createDataset(Seq(
+      entry(1, "CREATETABLE", outTables = Seq("db1.t_flaky")))))
+    assert(rs.map(_._2) == Seq(JobStatus.Successful),
+      s"statuses: ${rs.map(_._2)}")
+    assert(destConn.connect().getTable("db1", "t_flaky").isDefined)
+  }
+
+  test("exchange-partition entry plans and executes a COPY_PARTITION of the target") {
+    import spark.implicits._
+    val (server, srcConn, destConn, srcWh, _) = newServer("exch")
+    val src = srcConn.connect()
+    val t = partitionedTable("db2", "target", srcWh)
+    src.createTable(t)
+    src.addPartition(partition(t, "ds=1/hr=1"))
+
+    // HIVE-12865: the exchange entry carries NO outputs — only the command
+    val e = AuditLogEntry(7L, new Timestamp(1700000000007L),
+      "ALTERTABLE_EXCHANGEPARTITION",
+      "ALTER TABLE db2.target EXCHANGE PARTITION (ds='1', hr='1') WITH TABLE db2.source",
+      Seq.empty, Seq.empty, None, Seq.empty)
+    val rs = server.processBatch(spark.createDataset(Seq(e)))
+    assert(rs.map(r => (r._1.operation, r._1.partitions, r._2)) ==
+      Seq((TaskType.CopyPartition, Seq("ds=1/hr=1"), JobStatus.Successful)))
+    assert(destConn.connect().listPartitionNames("db2", "target") == Seq("ds=1/hr=1"))
+  }
+
+  test("T8: COPY_TABLE of a partitioned table replicates all its partitions") {
+    import spark.implicits._
+    val (server, srcConn, destConn, srcWh, _) = newServer("t8copy")
+    val src = srcConn.connect()
+    val t = partitionedTable("db1", "t_full", srcWh)
+    src.createTable(t)
+    Seq("ds=1/hr=1", "ds=1/hr=2").foreach(p => src.addPartition(partition(t, p)))
+
+    val rs = server.processBatch(spark.createDataset(Seq(
+      entry(1, "CREATETABLE", outTables = Seq("db1.t_full")))))
+    assert(rs.map(_._2) == Seq(JobStatus.Successful))
+    assert(destConn.connect().listPartitionNames("db1", "t_full") ==
+      Seq("ds=1/hr=1", "ds=1/hr=2"))
+  }
+
   test("structured streaming tail executes batches via foreachBatch") {
     import spark.implicits._
     val (server, srcConn, destConn, srcWh, _) = newServer("stream")
@@ -130,5 +189,20 @@ class IncrementalSpec extends TestBase {
     finally q.stop()
     assert(destConn.connect().getTable("db1", "t_stream").isDefined)
     assert(server.watermark.get().contains(1L))
+  }
+}
+
+object IncrementalSpec {
+  val flakyCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Src connector whose first `failFirst` connects throw — exercises the
+  * job-level retry wrapper (T10). */
+final case class FlakySrcConnector(inner: graft.catalog.InMemoryConnector,
+    failFirst: Int) extends graft.catalog.CatalogConnector {
+  def connect(): graft.catalog.CatalogClient = {
+    if (IncrementalSpec.flakyCalls.getAndIncrement() < failFirst)
+      throw new RuntimeException("transient catalog hiccup")
+    inner.connect()
   }
 }

@@ -46,21 +46,24 @@ class TasksSpec extends TestBase {
 
   test("renameTable: renamed-to already present is a NOOP; missing rename-from copies") {
     val destConn = freshCatalog("ren-dest")
+    val srcConn = freshCatalog("ren-src")
     val srcWh = tmpDir("ren-src-wh")
     val destWh = tmpDir("ren-dest-wh")
+    val src = srcConn.connect()
     val c = TaskContext(spark, destConn.connect(),
       srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
 
     val renamed = unpartitionedTable("db1", "new_name", srcWh)
+    src.createTable(renamed)
     // dest already has new_name ⇒ NOOP
     destConn.connect().createTable(renamed)
-    assert(Tasks.renameTable(c, "db1", "old_name", renamed) == Tasks.Noop)
+    assert(Tasks.renameTable(c, src, "db1", "old_name", renamed) == Tasks.Noop)
 
     // rename-from missing on dest ⇒ falls back to a fresh copy
     val destConn2 = freshCatalog("ren-dest2")
     val c2 = TaskContext(spark, destConn2.connect(),
       srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
-    assert(Tasks.renameTable(c2, "db1", "old_name", renamed) == Tasks.Done)
+    assert(Tasks.renameTable(c2, src, "db1", "old_name", renamed) == Tasks.Done)
     assert(destConn2.connect().getTable("db1", "new_name").isDefined)
 
     // rename-from present ⇒ catalog rename
@@ -68,9 +71,50 @@ class TasksSpec extends TestBase {
     destConn3.connect().createTable(renamed.copy(table = "old_name"))
     val c3 = TaskContext(spark, destConn3.connect(),
       srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
-    assert(Tasks.renameTable(c3, "db1", "old_name", renamed) == Tasks.Done)
+    assert(Tasks.renameTable(c3, src, "db1", "old_name", renamed) == Tasks.Done)
     assert(destConn3.connect().getTable("db1", "old_name").isEmpty)
     assert(destConn3.connect().getTable("db1", "new_name").isDefined)
+  }
+
+  test("T8: rename fallback of a partitioned table copies ALL partitions with data") {
+    val srcConn = freshCatalog("t8-src")
+    val destConn = freshCatalog("t8-dest")
+    val srcWh = tmpDir("t8-src-wh")
+    val destWh = tmpDir("t8-dest-wh")
+    val src = srcConn.connect()
+    val c = TaskContext(spark, destConn.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+
+    // src already holds the renamed-to table with three partitions
+    val to = partitionedTable("db1", "pt_new", srcWh)
+    src.createTable(to)
+    val parts = Seq("ds=1/hr=1", "ds=1/hr=2", "ds=2/hr=1").map(p => partition(to, p))
+    parts.foreach(src.addPartition)
+
+    // rename-from never existed on dest ⇒ T8 complete copy, partitions included
+    assert(Tasks.renameTable(c, src, "db1", "pt_old", to) == Tasks.Done)
+    val dest = destConn.connect()
+    assert(dest.getTable("db1", "pt_new").isDefined)
+    assert(dest.listPartitionNames("db1", "pt_new") ==
+      Seq("ds=1/hr=1", "ds=1/hr=2", "ds=2/hr=1"))
+    parts.foreach { p =>
+      assert(graft.fs.CopyExec.equalDirs(spark, p.location,
+        c.destLocation(p.location)), s"partition ${p.partName} data not copied")
+    }
+  }
+
+  test("F4: exchange-partition command parse") {
+    import graft.incremental.ExchangePartitionParser
+    val parsed = ExchangePartitionParser.parse(
+      "ALTER TABLE db2.target EXCHANGE PARTITION (ds='2024-01-01', hr='02') WITH TABLE db1.source")
+    assert(parsed.contains(ExchangePartitionParser.Exchange(
+      "db2", "target", "db1", "source", "ds=2024-01-01/hr=02")))
+    // bare table names assume default db (reference behavior)
+    val bare = ExchangePartitionParser.parse(
+      "alter table t2 exchange partition (ds='1') with table t1")
+    assert(bare.contains(ExchangePartitionParser.Exchange(
+      "default", "t2", "default", "t1", "ds=1")))
+    assert(ExchangePartitionParser.parse("SELECT 1").isEmpty)
   }
 
   test("conflict handler drops dest table with mismatched partition keys") {
