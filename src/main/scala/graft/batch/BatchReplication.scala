@@ -99,6 +99,11 @@ object BatchReplication {
       .select("srcDir", "destDir", "relPath", "size", "mtime")
       .as[(String, String, String, Long, Long)]
 
+    // Per-file results never reach the driver: status rollup is a
+    // distributed aggregate, and only a bounded failure sample is collected
+    // (at 100 TB the result set is O(files) — a driver OOM as a collect).
+    // persist() keeps the effectful copy pass from re-running for the
+    // failure sample (copies are idempotent, but once is cheaper).
     val results = toCopy.repartition(cfg.copyParallelism).mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       it.map { case (srcDir, destDir, rel, _, _) =>
@@ -106,11 +111,22 @@ object BatchReplication {
         CopyExec.copyOnePublic(fs, conf, srcDir, destDir,
           FileEntry(srcDir, rel, 0L, 0L))
       }
-    }.collect()
-    val failed = results.filter(_.status.startsWith("FAILED"))
-    if (failed.nonEmpty) throw new java.io.IOException(
-      s"${failed.length} copies failed, first: ${failed.head.status}")
-    results.count(_.status == "COPIED").toLong
+    }.persist()
+    try {
+      val row = results.agg(
+        count(when(col("status") === "COPIED", 1)),
+        count(when(col("status").startsWith("FAILED"), 1))).head()
+      val (copied, failed) = (row.getLong(0), row.getLong(1))
+      if (failed > 0) {
+        val sample = results.filter(col("status").startsWith("FAILED"))
+          .select("status").take(1).headOption.map(_.getString(0)).getOrElse("")
+        throw new java.io.IOException(s"$failed copies failed, first: $sample")
+      }
+      copied
+    } finally {
+      results.unpersist()
+      ()
+    }
   }
 
   private def locationRewriter(cfg: BatchConfig): String => String = {
@@ -120,57 +136,76 @@ object BatchReplication {
       else loc.replace(srcRoot, destRoot)
   }
 
-  /** Stage 3: commit metadata per action (T1-T7 dispatch,
-    * reference `Stage3CommitChangeMapper.java:72-168`). */
+  /** Commit one plan action's metadata against the dest catalog (data moved
+    * in stage 2). Runs on executors — uses only catalog connections. */
+  private def commitOne(ctx: TaskContext, src: graft.catalog.CatalogClient,
+      a: Action): Unit = a.taskType match {
+    case TaskType.CopyUnpartitionedTable =>
+      src.getTable(a.db, a.table).foreach { t =>
+        Tasks.resolveConflict(ctx, t)
+        val dest = Tasks.destTableMeta(ctx, t)
+        if (ctx.destCatalog.getTable(a.db, a.table).isEmpty)
+          ctx.destCatalog.createTable(dest)
+        else ctx.destCatalog.alterTable(a.db, a.table, dest)
+      }
+    case TaskType.CopyPartitionedTable =>
+      src.getTable(a.db, a.table).foreach(t =>
+        Tasks.copyPartitionedTable(ctx, t))
+    case TaskType.CopyPartition =>
+      for {
+        t <- src.getTable(a.db, a.table)
+        p <- src.getPartition(a.db, a.table, a.partName.get)
+      } {
+        val dest = Tasks.destPartitionMeta(ctx, p)
+        if (ctx.destCatalog.getTable(a.db, a.table).isEmpty)
+          Tasks.copyPartitionedTable(ctx, t)
+        if (ctx.destCatalog.getPartition(a.db, a.table, p.partName).isEmpty)
+          ctx.destCatalog.addPartition(dest)
+        else ctx.destCatalog.alterPartition(dest)
+      }
+    case TaskType.DropTable =>
+      Tasks.dropTable(ctx, a.db, a.table, None)
+    case TaskType.DropPartition =>
+      Tasks.dropPartition(ctx, a.db, a.table, a.partName.get, None)
+    case _ => ()
+  }
+
+  /** Stage 3: commit metadata per action (T1-T7 dispatch, reference
+    * `Stage3CommitChangeMapper.java:72-168` — 150 commit mappers). The plan
+    * is hash-partitioned by (db, table) so each table's actions land in one
+    * partition, sorted tables-before-partitions within it (a partition add
+    * requires its table); cross-table commits run in parallel on executors
+    * with one catalog connection per partition. The driver sees only the
+    * per-task-type rollup, never O(actions) rows. */
   def commit(spark: SparkSession, cfg: BatchConfig): BatchStats = {
     import spark.implicits._
-    val actions = spark.read.parquet(cfg.planDir).as[Action].collect()
-    val src = cfg.srcConnector.connect()
-    val ctx = TaskContext(spark, cfg.destConnector.connect(),
-      cfg.srcFsRoot, cfg.destFsRoot)
-    var failures = 0L
-    // tables before their partitions (partition add requires the table)
-    val ordered = actions.sortBy(a => (a.partName.isDefined, a.db, a.table))
-    ordered.foreach { a =>
-      try {
-        a.taskType match {
-          case TaskType.CopyUnpartitionedTable =>
-            src.getTable(a.db, a.table).foreach { t =>
-              // data moved in stage 2; just commit metadata
-              Tasks.resolveConflict(ctx, t)
-              val dest = Tasks.destTableMeta(ctx, t)
-              if (ctx.destCatalog.getTable(a.db, a.table).isEmpty)
-                ctx.destCatalog.createTable(dest)
-              else ctx.destCatalog.alterTable(a.db, a.table, dest)
-            }
-          case TaskType.CopyPartitionedTable =>
-            src.getTable(a.db, a.table).foreach(t =>
-              Tasks.copyPartitionedTable(ctx, t))
-          case TaskType.CopyPartition =>
-            for {
-              t <- src.getTable(a.db, a.table)
-              p <- src.getPartition(a.db, a.table, a.partName.get)
-            } {
-              val dest = Tasks.destPartitionMeta(ctx, p)
-              if (ctx.destCatalog.getTable(a.db, a.table).isEmpty)
-                Tasks.copyPartitionedTable(ctx, t)
-              if (ctx.destCatalog.getPartition(a.db, a.table, p.partName).isEmpty)
-                ctx.destCatalog.addPartition(dest)
-              else ctx.destCatalog.alterPartition(dest)
-            }
-          case TaskType.DropTable =>
-            Tasks.dropTable(ctx, a.db, a.table, None)
-          case TaskType.DropPartition =>
-            Tasks.dropPartition(ctx, a.db, a.table, a.partName.get, None)
-          case _ => ()
+    val (srcConn, destConn) = (cfg.srcConnector, cfg.destConnector)
+    val (srcRoot, destRoot) = (cfg.srcFsRoot, cfg.destFsRoot)
+    val results = spark.read.parquet(cfg.planDir).as[Action]
+      .repartition(cfg.copyParallelism, col("db"), col("table"))
+      .sortWithinPartitions(col("db"), col("table"),
+        col("partName").isNotNull, col("partName"))
+      .mapPartitions { it =>
+        val src = srcConn.connect()
+        val ctx = TaskContext.metadataOnly(destConn.connect(), srcRoot, destRoot)
+        it.map { a =>
+          val ok = try { commitOne(ctx, src, a); true }
+                   catch { case _: Throwable => false }
+          (a.taskType, ok)
         }
-      } catch { case _: Throwable => failures += 1 }
-    }
+      }
+      .toDF("taskType", "ok")
+      .agg(
+        count(lit(1)),
+        count(when(col("taskType").startsWith("COPY"), 1)),
+        count(when(col("taskType").startsWith("DROP"), 1)),
+        count(when(!col("ok"), 1)))
+      .head()
     BatchStats(
-      planned = actions.length.toLong,
-      copies = actions.count(_.taskType.startsWith("COPY")).toLong,
-      drops = actions.count(_.taskType.startsWith("DROP")).toLong,
-      commitFailures = failures)
+      planned = results.getLong(0),
+      copies = results.getLong(1),
+      drops = results.getLong(2),
+      commitFailures = results.getLong(3))
   }
 
   /** Run all three stages (steps resumable individually). */

@@ -114,39 +114,62 @@ object CopyExec {
       val r = toCopy.groupBy().agg(count(lit(1)), coalesce(sum("size"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val results =
-      if (nFiles == 0) Seq.empty[CopyResult]
+    // (copied, skipped, bytesCopied, nFailed, firstFailure). Large dirs
+    // aggregate results distributed and collect only a bounded failure
+    // sample — per-file rows never reach the driver (100-TB rule); the
+    // driver loop below the local-copy threshold is bounded by definition.
+    val (copied, skipped, bytesCopied, nFailed, firstFailure) =
+      if (nFiles == 0) (0L, 0L, 0L, 0L, "")
       else if (nFiles < localCopyFiles && nBytes < localCopyBytes) {
         // small dir: driver-side loop beats a distributed job (reference
         // local-copy threshold, DistCpWrapperOptions.java:41-42)
         val conf = new Configuration()
         val fs = new Path(destRoot).getFileSystem(conf)
-        toCopy.collect().toSeq.map(f => copyOne(fs, conf, srcRoot, destRoot, f))
+        val rs = toCopy.collect().toSeq.map(f => copyOne(fs, conf, srcRoot, destRoot, f))
+        (rs.count(_.status == "COPIED").toLong,
+          rs.count(_.status == "SKIPPED").toLong,
+          rs.filter(_.status == "COPIED").map(_.bytes).sum,
+          rs.count(_.status.startsWith("FAILED")).toLong,
+          rs.find(_.status.startsWith("FAILED")).map(_.status).getOrElse(""))
       } else {
-        copyFiles(spark, toCopy, srcRoot, destRoot, parallelism).collect().toSeq
+        // persist so the bounded failure-sample read doesn't re-run the
+        // (idempotent but expensive) copy pass
+        val res = copyFiles(spark, toCopy, srcRoot, destRoot, parallelism).persist()
+        try {
+          val row = res.agg(
+            count(when(col("status") === "COPIED", 1)),
+            count(when(col("status") === "SKIPPED", 1)),
+            coalesce(sum(when(col("status") === "COPIED", col("bytes"))), lit(0L)),
+            count(when(col("status").startsWith("FAILED"), 1))).head()
+          val sample =
+            if (row.getLong(3) == 0) ""
+            else res.filter(col("status").startsWith("FAILED"))
+              .select("status").take(1).headOption.map(_.getString(0)).getOrElse("")
+          (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), sample)
+        } finally {
+          res.unpersist()
+          ()
+        }
       }
 
+    // deletes execute where the listing lives, like the copies; the driver
+    // sees one count per partition
     val deleted =
       if (!deleteExtra) 0L
-      else {
+      else extras.repartition(parallelism).mapPartitions { it =>
         val conf = new Configuration()
         val fs = new Path(destRoot).getFileSystem(conf)
-        extras.collect().count { rel => fs.delete(new Path(destRoot, rel), false) }
-      }
+        Iterator.single(it.count(rel => fs.delete(new Path(destRoot, rel), false)).toLong)
+      }.agg(coalesce(sum("value"), lit(0L))).head().getLong(0)
     // clean tmp staging dir
     val fsDest = new Path(destRoot).getFileSystem(new Configuration())
     fsDest.delete(new Path(destRoot, ".graft-tmp"), true)
 
-    val failed = results.filter(_.status.startsWith("FAILED"))
-    if (failed.nonEmpty) {
+    if (nFailed > 0) {
       throw new java.io.IOException(
-        s"${failed.size} copies failed, first: ${failed.head.status}")
+        s"$nFailed copies failed, first: $firstFailure")
     }
-    SyncStats(
-      copied = results.count(_.status == "COPIED"),
-      skipped = results.count(_.status == "SKIPPED"),
-      deleted = deleted,
-      bytesCopied = results.filter(_.status == "COPIED").map(_.bytes).sum)
+    SyncStats(copied, skipped, deleted, bytesCopied)
   }
 
   /** J3 equality: same visible relPaths with same sizes on both roots

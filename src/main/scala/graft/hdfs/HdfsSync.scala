@@ -67,6 +67,9 @@ object HdfsSync {
     val actions = plan(spark, srcRoots, destRoot, operations, parallelism)
     if (dryRun) return (actions, None)
 
+    // Copies and deletes both execute on executors; the driver sees only
+    // the per-op rollup plus a bounded failure sample — never O(files) rows
+    // (the reference's stage-2 reducers, `HdfsSyncReducer`).
     val copies = actions.filter((a: SyncAction) => a.op == "ADD" || a.op == "UPDATE")
       .repartition(parallelism)
       .mapPartitions { it =>
@@ -74,23 +77,39 @@ object HdfsSync {
         val fs = new org.apache.hadoop.fs.Path(destRoot).getFileSystem(conf)
         it.map { a =>
           (a.op, CopyExec.copyOnePublic(fs, conf, a.srcRoot, destRoot,
-            graft.model.FileEntry(a.srcRoot, a.relPath, a.size, a.mtime)))
+            graft.model.FileEntry(a.srcRoot, a.relPath, a.size, a.mtime)).status)
         }
-      }.collect()
+      }.toDF("op", "status").persist()
+    val (added, updated, nFailed, firstFailure) =
+      try {
+        val row = copies.agg(
+          count(when(col("op") === "ADD", 1)),
+          count(when(col("op") === "UPDATE", 1)),
+          count(when(col("status").startsWith("FAILED"), 1))).head()
+        val sample =
+          if (row.getLong(2) == 0) ""
+          else copies.filter(col("status").startsWith("FAILED"))
+            .select("status").take(1).headOption.map(_.getString(0)).getOrElse("")
+        (row.getLong(0), row.getLong(1), row.getLong(2), sample)
+      } finally {
+        copies.unpersist()
+        ()
+      }
 
-    val deletes = actions.filter((a: SyncAction) => a.op == "DELETE").collect()
-    val conf = new org.apache.hadoop.conf.Configuration()
-    val fs = new org.apache.hadoop.fs.Path(destRoot).getFileSystem(conf)
-    val deleted = deletes.count(a =>
-      fs.delete(new org.apache.hadoop.fs.Path(destRoot, a.relPath), false))
-    fs.delete(new org.apache.hadoop.fs.Path(destRoot, ".graft-tmp"), true)
+    val deleted = actions.filter((a: SyncAction) => a.op == "DELETE")
+      .repartition(parallelism)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = new org.apache.hadoop.fs.Path(destRoot).getFileSystem(conf)
+        Iterator.single(it.count(a => fs.delete(
+          new org.apache.hadoop.fs.Path(destRoot, a.relPath), false)).toLong)
+      }.agg(coalesce(sum("value"), lit(0L))).head().getLong(0)
+    new org.apache.hadoop.fs.Path(destRoot)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .delete(new org.apache.hadoop.fs.Path(destRoot, ".graft-tmp"), true)
 
-    val failed = copies.collect { case (_, r) if r.status.startsWith("FAILED") => r }
-    if (failed.nonEmpty) throw new java.io.IOException(
-      s"${failed.length} copies failed: ${failed.head.status}")
-    (actions, Some(HdfsSyncStats(
-      added = copies.count(_._1 == "ADD").toLong,
-      updated = copies.count(_._1 == "UPDATE").toLong,
-      deleted = deleted.toLong)))
+    if (nFailed > 0) throw new java.io.IOException(
+      s"$nFailed copies failed: $firstFailure")
+    (actions, Some(HdfsSyncStats(added, updated, deleted)))
   }
 }

@@ -30,6 +30,17 @@ final case class TaskContext(
     else srcLoc.replace(srcFsRoot, destFsRoot)
 }
 
+object TaskContext {
+  /** Context for metadata-only task paths. Batch stage-3 commits run inside
+    * `mapPartitions` on executors, where no SparkSession exists — and none
+    * is needed: the metadata tasks (conflict resolve, dest-object build,
+    * catalog create/alter/drop) never touch the FS-copy layer, the only
+    * consumer of `spark`. */
+  def metadataOnly(destCatalog: CatalogClient, srcFsRoot: String,
+      destFsRoot: String): TaskContext =
+    TaskContext(null, destCatalog, srcFsRoot, destFsRoot)
+}
+
 object Tasks {
 
   sealed trait Outcome
@@ -135,13 +146,21 @@ object Tasks {
     val commonDir = graft.planner.DiffPlanner.CommonAncestorAgg.finish(common)
     val bulkDone: Boolean =
       if (commonDir.nonEmpty && parts.size > 1) {
-        val manifest = graft.fs.FsOps.listFiles(ctx.spark, commonDir).collect()
-        val totalBytes = manifest.map(_.size).sum
+        // Sizing needs only two sums: never materialize the per-file
+        // manifest on the driver (at 100 TB a table's manifest is millions
+        // of rows; the reference's driver-side partition materialization is
+        // its own documented pain point).
+        import org.apache.spark.sql.functions._
+        val manifest = graft.fs.FsOps.listFiles(ctx.spark, commonDir)
         val partRels = parts.map(p =>
           p.location.stripPrefix(commonDir).stripPrefix("/"))
-        val partBytes = manifest.filter(f =>
-          partRels.exists(r => f.relPath.startsWith(r + "/") || f.relPath == r))
-          .map(_.size).sum
+        val inPartition = partRels
+          .map(r => col("relPath") === r || col("relPath").startsWith(r + "/"))
+          .reduce(_ || _)
+        val sums = manifest.agg(
+          coalesce(sum(col("size")), lit(0L)),
+          coalesce(sum(when(inPartition, col("size"))), lit(0L))).head()
+        val (totalBytes, partBytes) = (sums.getLong(0), sums.getLong(1))
         if (totalBytes <= 2 * partBytes) {
           CopyExec.syncDir(ctx.spark, commonDir, ctx.destLocation(commonDir))
           true
