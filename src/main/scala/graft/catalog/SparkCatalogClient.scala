@@ -96,6 +96,7 @@ final class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
     PartitionName.toMap(partName)
 
   def getPartition(db: String, table: String, partName: String): Option[PartitionMeta] = {
+    if (!ext.tableExists(db, table)) return None
     val spec = toSpec(db, table, partName)
     ext.listPartitions(db, table, Some(spec)).headOption.map { p =>
       PartitionMeta(db, table, partName,
@@ -115,12 +116,24 @@ final class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
         locationUri = Some(java.net.URI.create(p.location))),
       p.parameters)))
   def dropPartition(db: String, table: String, partName: String): Unit =
-    ext.dropPartitions(db, table, Seq(toSpec(db, table, partName)),
-      ignoreIfNotExists = true, purge = false, retainData = true)
+    if (ext.tableExists(db, table)) {
+      ext.dropPartitions(db, table, Seq(toSpec(db, table, partName)),
+        ignoreIfNotExists = true, purge = false, retainData = true)
+    }
   def renamePartition(db: String, table: String, from: String,
       to: PartitionMeta): Unit = {
     ext.renamePartitions(db, table, Seq(toSpec(db, table, from)),
       Seq(toSpec(db, table, to.partName)))
     alterPartition(to)
   }
+}
+
+/** Connector for [[SparkCatalogClient]]: resolves the running session's
+  * shared external catalog at connect time (never serializes a live
+  * client — the `ClusterFactory` pattern). With
+  * `spark.sql.catalogImplementation=hive` this is a real Hive metastore;
+  * the default in-memory implementation backs tests. */
+final case class SparkCatalogConnector() extends CatalogConnector {
+  def connect(): CatalogClient =
+    new SparkCatalogClient(SparkSession.active)
 }

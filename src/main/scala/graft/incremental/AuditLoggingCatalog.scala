@@ -23,23 +23,31 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     startId: Long = 0L) extends CatalogClient {
 
   private val nextId = new AtomicLong(startId)
+  // Jackson ships with Spark — a real JSON writer, so names containing
+  // quotes/backslashes escape correctly instead of corrupting the entry
+  // (which the streaming reader would silently drop in PERMISSIVE mode).
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def emit(commandType: String, outputTables: Seq[String] = Seq.empty,
       outputPartitions: Seq[String] = Seq.empty,
       renameFrom: Option[String] = None): Unit = {
     val id = nextId.incrementAndGet()
-    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    val ts = new java.sql.Timestamp(System.currentTimeMillis())
-    val json = s"""{"id":$id,"createTime":"$ts","commandType":"$commandType",""" +
-      s""""command":"$commandType","outputTables":${arr(outputTables)},""" +
-      s""""outputPartitions":${arr(outputPartitions)},""" +
-      renameFrom.map(r => s""""renameFrom":"$r",""").getOrElse("") +
-      s""""referenceTables":[]}"""
+    val node = mapper.createObjectNode()
+    node.put("id", id)
+    // ISO-8601 with 'T': Spark's default JSON timestampFormat
+    node.put("createTime", java.time.LocalDateTime.now().format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+    node.put("commandType", commandType)
+    node.put("command", commandType)
+    val ot = node.putArray("outputTables"); outputTables.foreach(ot.add)
+    val op = node.putArray("outputPartitions"); outputPartitions.foreach(op.add)
+    renameFrom.foreach(r => node.put("renameFrom", r))
+    node.putArray("referenceTables")
     val dir = Paths.get(java.net.URI.create(
       if (auditDir.contains(":/")) auditDir else s"file://$auditDir"))
     Files.createDirectories(dir)
     Files.write(dir.resolve(f"audit-$id%012d.json"),
-      (json + "\n").getBytes(StandardCharsets.UTF_8),
+      (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE_NEW)
   }
 

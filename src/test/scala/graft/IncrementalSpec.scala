@@ -174,6 +174,81 @@ class IncrementalSpec extends TestBase {
       Seq("ds=1/hr=1", "ds=1/hr=2"))
   }
 
+  test("S11: incremental scenario converges into Spark's own ExternalCatalog") {
+    import spark.implicits._
+    val srcConn = freshCatalog("sc-src")
+    val destConn = graft.catalog.SparkCatalogConnector()
+    val srcWh = tmpDir("sc-src-wh")
+    val destWh = tmpDir("sc-dest-wh")
+    val stateDir = tmpDir("sc-state")
+    val src = srcConn.connect()
+    val t = partitionedTable("graft_sc_db", "t_sc", srcWh)
+    src.createTable(t)
+    src.addPartition(partition(t, "ds=1/hr=1"))
+
+    val cfg = IncrementalConfig(srcConn, destConn,
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"),
+      stateDir.toUri.toString + "jobs", stateDir.toUri.toString + "watermark",
+      workers = 2)
+    val server = new IncrementalServer(spark, cfg)
+    val rs = server.processBatch(spark.createDataset(Seq(
+      entry(1, "CREATETABLE", outTables = Seq("graft_sc_db.t_sc")))))
+    assert(rs.map(_._2) == Seq(JobStatus.Successful),
+      s"statuses: ${rs.map(r => (r._1.operation, r._2))}")
+
+    val dest = destConn.connect()
+    assert(dest.getTable("graft_sc_db", "t_sc").isDefined)
+    assert(dest.getTable("graft_sc_db", "t_sc").get.partitionKeys.map(_.name) ==
+      Seq("ds", "hr"))
+    assert(dest.listPartitionNames("graft_sc_db", "t_sc") == Seq("ds=1/hr=1"))
+
+    // drop propagates through the same catalog
+    val rs2 = server.processBatch(spark.createDataset(Seq(
+      entry(2, "DROPTABLE", outTables = Seq("graft_sc_db.t_sc")))))
+    assert(rs2.map(_._2) == Seq(JobStatus.Successful))
+    assert(dest.getTable("graft_sc_db", "t_sc").isEmpty)
+  }
+
+  test("hooks loop: AuditLoggingCatalog mutations stream into a converged dest") {
+    val (server, srcConn, destConn, srcWh, _) = newServer("hooks")
+    val auditDir = tmpDir("hooks-audit")
+    val ckpt = tmpDir("hooks-ckpt")
+    // all src-side DDL goes through the audit hook (the reference's
+    // hive-hooks → audit log → server loop, MetastoreAuditLogListenerTest)
+    val hooked = new AuditLoggingCatalog(srcConn.connect(), auditDir.toString)
+    val t = partitionedTable("db1", "t_hook", srcWh)
+    hooked.createTable(t)
+    hooked.addPartition(partition(t, "ds=1/hr=1"))
+
+    val q = server.start(auditDir.toUri.toString, ckpt.toUri.toString)
+    try {
+      q.processAllAvailable()
+      val dest = destConn.connect()
+      assert(dest.getTable("db1", "t_hook").isDefined)
+      assert(dest.listPartitionNames("db1", "t_hook") == Seq("ds=1/hr=1"))
+
+      // keep mutating while the stream runs
+      hooked.addPartition(partition(t, "ds=1/hr=2"))
+      hooked.dropPartition("db1", "t_hook", "ds=1/hr=1")
+      q.processAllAvailable()
+      assert(dest.listPartitionNames("db1", "t_hook") == Seq("ds=1/hr=2"))
+    } finally q.stop()
+  }
+
+  test("audit JSON entries survive names with quotes and backslashes") {
+    val srcConn = freshCatalog("esc-src")
+    val auditDir = tmpDir("esc-audit")
+    val hooked = new AuditLoggingCatalog(srcConn.connect(), auditDir.toString)
+    val weird = """t_"weird"\name"""
+    hooked.dropTable("db1", weird)
+
+    val files = java.nio.file.Files.list(auditDir).toArray
+    assert(files.length == 1)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(files.head.asInstanceOf[java.nio.file.Path].toFile)
+    assert(node.get("outputTables").get(0).asText == s"db1.$weird")
+  }
+
   test("structured streaming tail executes batches via foreachBatch") {
     import spark.implicits._
     val (server, srcConn, destConn, srcWh, _) = newServer("stream")
