@@ -27,27 +27,50 @@ final case class BatchConfig(
     destFsRoot: String,
     planDir: String,
     blacklist: Seq[(String, String)] = Seq.empty,
-    copyParallelism: Int = 32)
+    copyParallelism: Int = 32,
+    tableListPath: Option[String] = None)
 
 final case class BatchStats(
     planned: Long, copies: Long, drops: Long, commitFailures: Long)
 
 object BatchReplication {
 
+  /** S2 — table-list file scan (`MetastoreReplicationJob.java:435-462,
+    * 589-626`): one `db.table` per line, malformed lines skipped (the
+    * reference logs and continues). The standard entry point for partial
+    * replication runs — the result feeds [[plan]] as an allowlist. */
+  def tableList(spark: SparkSession, path: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .map(_.trim)
+      .flatMap { line =>
+        line.split('.') match {
+          case Array(db, tbl) if db.nonEmpty && tbl.nonEmpty => Some((db, tbl))
+          case _ => None
+        }
+      }
+  }
+
   /** Stage 1: snapshot + diff + persist the plan. */
   def plan(spark: SparkSession, cfg: BatchConfig): Dataset[Action] = {
     import spark.implicits._
     def blacklisted(db: String, table: String): Boolean =
       cfg.blacklist.exists { case (d, t) => db.matches(d) && table.matches(t) }
+    // S2 allowlist: collected driver-side deliberately — a table list is a
+    // human-supplied file (the reference caps splits at 60 KB of text)
+    val allow: Option[Set[(String, String)]] =
+      cfg.tableListPath.map(p => tableList(spark, p).collect().toSet)
+    def allowed(db: String, table: String): Boolean =
+      allow.forall(_.contains((db, table)))
 
     val srcTables = CatalogSnapshot.tables(spark, cfg.srcConnector)
-      .filter((t: TableMeta) => !blacklisted(t.db, t.table))
+      .filter((t: TableMeta) => !blacklisted(t.db, t.table) && allowed(t.db, t.table))
     val destTables = CatalogSnapshot.tables(spark, cfg.destConnector)
-      .filter((t: TableMeta) => !blacklisted(t.db, t.table))
+      .filter((t: TableMeta) => !blacklisted(t.db, t.table) && allowed(t.db, t.table))
     val srcParts = CatalogSnapshot.partitions(spark, cfg.srcConnector)
-      .filter((p: PartitionMeta) => !blacklisted(p.db, p.table))
+      .filter((p: PartitionMeta) => !blacklisted(p.db, p.table) && allowed(p.db, p.table))
     val destParts = CatalogSnapshot.partitions(spark, cfg.destConnector)
-      .filter((p: PartitionMeta) => !blacklisted(p.db, p.table))
+      .filter((p: PartitionMeta) => !blacklisted(p.db, p.table) && allowed(p.db, p.table))
 
     val actions = graft.planner.DiffPlanner.plan(
       (srcTables, srcParts), (destTables, destParts))

@@ -33,11 +33,32 @@ object CopyExec {
   /** Copy one file with the full protocol (exposed for external copy
     * pipelines like BatchReplication stage 2). */
   def copyOnePublic(fs: FileSystem, conf: Configuration,
-      srcRoot: String, destRoot: String, f: FileEntry): CopyResult =
-    copyOne(fs, conf, srcRoot, destRoot, f)
+      srcRoot: String, destRoot: String, f: FileEntry,
+      verifyChecksum: Boolean = false): CopyResult =
+    copyOne(fs, conf, srcRoot, destRoot, f, verifyChecksum)
+
+  /** Content digest for checksum-level comparison. The reference compares
+    * Hadoop `FileChecksum`s (`batch/BatchUtils.java:105-111`), which many
+    * stores (LocalFileSystem, most object stores) don't expose — so the
+    * checksum level computes an MD5 of the bytes instead, which works on
+    * any store at the cost of a read. Config-gated off by default. */
+  private def md5(fs: FileSystem, p: Path): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) md.update(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally in.close()
+    md.digest()
+  }
 
   private def copyOne(fs: FileSystem, conf: Configuration,
-      srcRoot: String, destRoot: String, f: FileEntry): CopyResult = {
+      srcRoot: String, destRoot: String, f: FileEntry,
+      verifyChecksum: Boolean = false): CopyResult = {
     val src = new Path(srcRoot, f.relPath)
     val dest = new Path(destRoot, f.relPath)
     val tmp = new Path(destRoot,
@@ -47,7 +68,9 @@ object CopyExec {
     while (attempt < MaxRetries) {
       try {
         val srcStatus = fs.getFileStatus(src)
-        if (fs.exists(dest) && fs.getFileStatus(dest).getLen == srcStatus.getLen) {
+        if (fs.exists(dest) && fs.getFileStatus(dest).getLen == srcStatus.getLen &&
+            (!verifyChecksum ||
+              java.util.Arrays.equals(md5(fs, src), md5(fs, dest)))) {
           return CopyResult(f.relPath, "SKIPPED", 0L)
         }
         fs.mkdirs(tmp.getParent)
@@ -57,6 +80,13 @@ object CopyExec {
           fs.delete(tmp, false)
           throw new java.io.IOException(
             s"length mismatch after copy: $copiedLen != ${srcStatus.getLen}")
+        }
+        // post-copy verify: a corrupted copy is deleted and retried
+        // (re-copied), matching `BatchUtils.java:105-111`
+        if (verifyChecksum &&
+            !java.util.Arrays.equals(md5(fs, src), md5(fs, tmp))) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"checksum mismatch after copy of $src")
         }
         fs.mkdirs(dest.getParent)
         if (fs.exists(dest)) fs.delete(dest, false)
@@ -77,12 +107,13 @@ object CopyExec {
 
   /** Copy every manifest file from srcRoot to destRoot, distributed. */
   def copyFiles(spark: SparkSession, manifest: Dataset[FileEntry],
-      srcRoot: String, destRoot: String, parallelism: Int = 32): Dataset[CopyResult] = {
+      srcRoot: String, destRoot: String, parallelism: Int = 32,
+      verifyChecksum: Boolean = false): Dataset[CopyResult] = {
     import spark.implicits._
     manifest.repartition(parallelism).mapPartitions { it =>
       val conf = new Configuration()
       val fs = new Path(destRoot).getFileSystem(conf)
-      it.map(f => copyOne(fs, conf, srcRoot, destRoot, f))
+      it.map(f => copyOne(fs, conf, srcRoot, destRoot, f, verifyChecksum))
     }
   }
 
@@ -95,14 +126,19 @@ object CopyExec {
    */
   def syncDir(spark: SparkSession, srcRoot: String, destRoot: String,
       deleteExtra: Boolean = true, parallelism: Int = 32,
-      localCopyBytes: Long = 256L << 20, localCopyFiles: Long = 100L): SyncStats = {
+      localCopyBytes: Long = 256L << 20, localCopyFiles: Long = 100L,
+      verifyChecksum: Boolean = false): SyncStats = {
     import spark.implicits._
     val src = FsOps.listFiles(spark, srcRoot, parallelism)
     val dest = FsOps.listFiles(spark, destRoot, parallelism)
     val joined = src.as("s").joinWith(dest.as("d"),
       col("s.relPath") === col("d.relPath"), "full_outer")
+    // checksum level: a same-size dest file may still be corrupt, so every
+    // src file flows to the copy stage, whose skip decision compares
+    // digests (copyOne) instead of the size-only manifest diff
     val toCopy = joined.flatMap {
-      case (s, d) if s != null && (d == null || d.size != s.size) => Some(s)
+      case (s, d) if s != null &&
+        (d == null || d.size != s.size || verifyChecksum) => Some(s)
       case _ => None
     }
     val extras = joined.flatMap {
@@ -125,7 +161,8 @@ object CopyExec {
         // local-copy threshold, DistCpWrapperOptions.java:41-42)
         val conf = new Configuration()
         val fs = new Path(destRoot).getFileSystem(conf)
-        val rs = toCopy.collect().toSeq.map(f => copyOne(fs, conf, srcRoot, destRoot, f))
+        val rs = toCopy.collect().toSeq
+          .map(f => copyOne(fs, conf, srcRoot, destRoot, f, verifyChecksum))
         (rs.count(_.status == "COPIED").toLong,
           rs.count(_.status == "SKIPPED").toLong,
           rs.filter(_.status == "COPIED").map(_.bytes).sum,
@@ -134,7 +171,8 @@ object CopyExec {
       } else {
         // persist so the bounded failure-sample read doesn't re-run the
         // (idempotent but expensive) copy pass
-        val res = copyFiles(spark, toCopy, srcRoot, destRoot, parallelism).persist()
+        val res = copyFiles(spark, toCopy, srcRoot, destRoot, parallelism,
+          verifyChecksum).persist()
         try {
           val row = res.agg(
             count(when(col("status") === "COPIED", 1)),

@@ -72,6 +72,10 @@ package object functions {
       coalesce(element_at(params, graft.model.TableMeta.Tldt).cast("long"), lit(0L)),
       coalesce(element_at(params, graft.model.TableMeta.Tlmt).cast("long"), lit(0L)))
 
+  /** F10 — job-start timestamp formatting (UTC session TZ), reference
+    * `MetastoreReplicationJob.java:281-283`, `ReplicationServer.java:392-394`. */
+  def utcStamp(ts: Column): Column = date_format(ts, "yyyy-MM-dd HH:mm:ss")
+
   /** F11 — exponential backoff (`ReplicationUtils.java:446-463`). */
   def backoffMs(attempt: Column, baseMs: Long = 2000L,
       capMs: Long = 3600000L): Column =

@@ -35,7 +35,7 @@ final case class IncrementalConfig(
     maxRetries: Int = 8,
     retrySleeper: Long => Unit = Thread.sleep)
 
-final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
+final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
 
   val state = new StateStore(spark, cfg.stateDir)
   val watermark = new Watermark(cfg.watermarkPath)
@@ -140,16 +140,54 @@ final class IncrementalServer(spark: SparkSession, cfg: IncrementalConfig) {
     results
   }
 
+  /** One JDBC poll: read the next id-keyed page after the watermark,
+    * process it, advance the watermark to the page's max id (so pages of
+    * entirely-filtered entries still make progress). Returns entries read.
+    * The per-poll driver materialization is O(pageSize) by construction —
+    * the reference's own fetch shape (`AuditLogReader.java:199-254`). */
+  def pollJdbc(source: JdbcAuditSource): Int = {
+    import spark.implicits._
+    val after = watermark.get().getOrElse(0L)
+    val entries = source.nextPage(after).collect().toSeq
+    if (entries.isEmpty) return 0
+    processBatch(spark.createDataset(entries))
+    watermark.set(math.max(entries.map(_.id).max, after))
+    entries.size
+  }
+
+  /** Drain the JDBC audit tail: poll pages until one comes back empty
+    * (the reference sleeps 10 s and re-polls forever,
+    * `ReplicationServer.java:443-457`; callers wanting that loop wrap this
+    * in their own scheduler). Watermark semantics survive restarts — a new
+    * server over the same watermark path resumes after the last page. */
+  def drainJdbc(source: JdbcAuditSource, maxPolls: Int = Int.MaxValue): Int = {
+    var total = 0
+    var polls = 0
+    var got = -1
+    while (got != 0 && polls < maxPolls) {
+      got = pollJdbc(source)
+      total += got
+      polls += 1
+    }
+    total
+  }
+
   /** Structured Streaming entry: tail a directory of audit-entry JSON
     * (the file-source stand-in for the JDBC audit tail ST1; a MySQL
-    * deployment swaps in a JDBC micro-batch source behind the same
-    * foreachBatch). */
+    * deployment swaps in [[JdbcAuditSource]] behind the same foreachBatch).
+    *
+    * ST3 backpressure: `maxFilesPerTrigger` = maxJobsPerBatch caps
+    * source-side admission (one file per audit entry), so a flood of
+    * entries becomes several bounded micro-batches instead of one
+    * unbounded job collect — the reference pauses ingestion at
+    * `maxJobsInMemory` the same way (`ReplicationServer.java:427-439`). */
   def start(auditDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[AuditLogEntry]].schema
     spark.readStream
       .schema(schema)
+      .option("maxFilesPerTrigger", cfg.maxJobsPerBatch.toString)
       .json(auditDir)
       .as[AuditLogEntry]
       .writeStream

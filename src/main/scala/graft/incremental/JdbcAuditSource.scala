@@ -1,0 +1,79 @@
+package graft.incremental
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.AuditLogEntry
+
+/**
+ * S6/ST1 — the JDBC audit-log tail: id-keyed pages of ≤`pageSize` rows
+ * after the watermark, with the SHOW*-command filter pushed into the JDBC
+ * `WHERE` clause, and the 1:N `audit_objects` join grouped back into one
+ * entry per id (S7/J6/A6).
+ *
+ * Reference: `incremental/auditlog/AuditLogReader.java:199-254` (paging,
+ * `LOCK IN SHARE MODE`, SHOW* skip) and `:239-412` (object assembly). The
+ * share-lock is a MySQL-ism guarding against reading rows whose sibling
+ * `audit_objects` inserts haven't committed; the equivalent guarantee here
+ * is that hooks insert objects before the log row (same as the reference's
+ * hook transaction order).
+ *
+ * Scale shape: `filter` on the JDBC relation pushes `id > ?` and
+ * `command_type NOT IN (...)` down to the database (Catalyst JDBC filter
+ * pushdown — the reference hand-writes the same WHERE clause); the page
+ * itself is bounded at `pageSize` rows by definition, so per-page driver
+ * materialization is O(pageSize), exactly like the reference's fetch.
+ */
+final case class JdbcSourceConfig(
+    url: String,
+    auditTable: String = "audit_log",
+    objectsTable: String = "audit_objects",
+    pageSize: Int = 200,
+    dropCommandTypes: Set[String] =
+      Set("SHOWTABLES", "SHOWPARTITIONS", "SWITCHDATABASE"))
+
+final class JdbcAuditSource(spark: SparkSession, cfg: JdbcSourceConfig) {
+  import spark.implicits._
+
+  private def jdbc(table: String) =
+    spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", table)
+      .load()
+
+  /** One page: entries with `id > afterId`, SHOW* filtered at the source,
+    * ordered by id, limited; objects joined and routed per category. */
+  def nextPage(afterId: Long): Dataset[AuditLogEntry] = {
+    val page = jdbc(cfg.auditTable)
+      .filter(col("id") > afterId &&
+        !col("command_type").isin(cfg.dropCommandTypes.toSeq: _*))
+      .orderBy("id")
+      .limit(cfg.pageSize)
+    val objs = jdbc(cfg.objectsTable)
+      .select(col("audit_log_id").as("id"), col("category"),
+        col("object_type"), col("name"))
+    page.join(objs, Seq("id"), "left_outer")
+      .groupBy(col("id"), col("create_time"), col("command_type"), col("command"))
+      .agg(
+        sort_array(collect_list(when(
+          col("category") === "OUTPUT" && col("object_type") === "TABLE",
+          col("name")))).as("output_tables"),
+        sort_array(collect_list(when(
+          col("category") === "OUTPUT" && col("object_type") === "PARTITION",
+          col("name")))).as("output_partitions"),
+        max(when(col("category") === "RENAME_FROM", col("name"))).as("rename_from"),
+        sort_array(collect_list(when(
+          col("category") === "REFERENCE_TABLE", col("name")))).as("reference_tables"))
+      .map { r =>
+        AuditLogEntry(
+          id = r.getLong(0),
+          createTime = r.getTimestamp(1),
+          commandType = r.getString(2),
+          command = r.getString(3),
+          outputTables = r.getSeq[String](4),
+          outputPartitions = r.getSeq[String](5),
+          renameFrom = Option(r.getString(6)),
+          referenceTables = r.getSeq[String](7))
+      }
+  }
+}

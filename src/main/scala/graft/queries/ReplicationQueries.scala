@@ -23,6 +23,31 @@ object ReplicationQueries {
         W.srcTables(s, dir).select("db", "tbl", "tldt", "location", "partitioned")
     },
 
+    // S2 — table-list file scan: `db.table` lines parsed to (db, tbl).
+    // The sim derives the "file" from the inventory; production reads
+    // spark.read.textFile (BatchReplication.tableList).
+    QueryDef("s2_table_list",
+      C.withCtes(C.srcTables)(
+        """SELECT split_part(line, '.', 1) AS db, split_part(line, '.', 2) AS tbl
+          |FROM (SELECT db || '.' || tbl AS line FROM src_tables)""".stripMargin)) {
+      (s, dir) =>
+        W.srcTables(s, dir)
+          .select(concat(col("db"), lit("."), col("tbl")).as("line"))
+          .select(split_part(col("line"), lit("."), lit(1)).as("db"),
+            split_part(col("line"), lit("."), lit(2)).as("tbl"))
+    },
+
+    // F10 — UTC job-start stamp formatting.
+    QueryDef("f10_timestamp_format",
+      C.withCtes(C.auditLog)(
+        """SELECT id, strftime(create_time, '%Y-%m-%d %H:%M:%S') AS start_stamp
+          |FROM audit_log WHERE command_type = 'CREATETABLE'""".stripMargin)) {
+      (s, dir) =>
+        W.auditLog(s, dir).filter(col("command_type") === "CREATETABLE")
+          .select(col("id"),
+            graft.functions.utcStamp(col("create_time")).as("start_stamp"))
+    },
+
     // S3 — partition-name scan per table.
     QueryDef("s3_partition_scan",
       C.withCtes(C.srcPartitions)(

@@ -87,6 +87,27 @@ class BatchReplicationSpec extends TestBase {
     assert(actions.map(_.table).toSeq == Seq("keep"))
   }
 
+  test("S2: table-list file restricts the plan to listed tables") {
+    val srcWh = tmpDir("s2-src-wh")
+    val srcConn = freshCatalog("s2-src")
+    val destConn = freshCatalog("s2-dest")
+    val src = srcConn.connect()
+    src.createTable(unpartitionedTable("db1", "listed_a", srcWh))
+    src.createTable(unpartitionedTable("db1", "listed_b", srcWh))
+    src.createTable(unpartitionedTable("db1", "unlisted", srcWh))
+
+    val listFile = tmpDir("s2-list").resolve("tables.txt")
+    java.nio.file.Files.writeString(listFile,
+      "db1.listed_a\n \nnot-a-spec\ndb1.listed_b\n")
+
+    val cfg = BatchConfig(srcConn, destConn,
+      srcWh.toUri.toString.stripSuffix("/"), tmpDir("s2-dest-wh").toUri.toString,
+      planDir = tmpDir("s2-plan").toUri.toString + "plan",
+      copyParallelism = 4, tableListPath = Some(listFile.toUri.toString))
+    val actions = BatchReplication.plan(spark, cfg).collect()
+    assert(actions.map(_.table).sorted.toSeq == Seq("listed_a", "listed_b"))
+  }
+
   test("stale dest table is re-planned (TLDT comparison)") {
     val srcWh = tmpDir("tldt-src-wh")
     val destWh = tmpDir("tldt-dest-wh")

@@ -46,6 +46,27 @@ class FsCopySpec extends TestBase {
     assert(stats2.copied == 0 && stats2.deleted == 0)
   }
 
+  test("checksum level detects and re-copies a same-size corrupted file") {
+    val src = tmpDir("ck-src")
+    val dest = tmpDir("ck-dest")
+    writeFile(src, "data.txt", "correct!")
+    writeFile(dest, "data.txt", "corrupt!") // same length, different bytes
+
+    // size-only sync (default) cannot see the corruption
+    val s1 = CopyExec.syncDir(spark, src.toUri.toString, dest.toUri.toString)
+    assert(s1.copied == 0)
+    assert(Files.readString(dest.resolve("data.txt")) == "corrupt!")
+
+    // checksum level re-copies the corrupt file, skips once converged
+    val s2 = CopyExec.syncDir(spark, src.toUri.toString, dest.toUri.toString,
+      verifyChecksum = true)
+    assert(s2.copied == 1, s"stats: $s2")
+    assert(Files.readString(dest.resolve("data.txt")) == "correct!")
+    val s3 = CopyExec.syncDir(spark, src.toUri.toString, dest.toUri.toString,
+      verifyChecksum = true)
+    assert(s3.copied == 0 && s3.skipped == 1)
+  }
+
   test("equalDirs detects size mismatch and missing files") {
     val a = tmpDir("eq-a")
     val b = tmpDir("eq-b")

@@ -249,6 +249,92 @@ class IncrementalSpec extends TestBase {
     assert(node.get("outputTables").get(0).asText == s"db1.$weird")
   }
 
+  test("ST3: a flood of entries is admitted in bounded micro-batches") {
+    import spark.implicits._
+    val srcConn = freshCatalog("bp-src")
+    val destConn = freshCatalog("bp-dest")
+    val srcWh = tmpDir("bp-src-wh")
+    val destWh = tmpDir("bp-dest-wh")
+    val stateDir = tmpDir("bp-state")
+    val src = srcConn.connect()
+    val n = 10
+    (1 to n).foreach(i => src.createTable(unpartitionedTable("db1", s"t_bp$i", srcWh)))
+
+    val cfg = IncrementalConfig(srcConn, destConn,
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"),
+      stateDir.toUri.toString + "jobs", stateDir.toUri.toString + "watermark",
+      workers = 4, maxJobsPerBatch = 3) // admission cap ≪ entry count
+    val server = new IncrementalServer(spark, cfg)
+
+    val auditDir = tmpDir("bp-audit")
+    val ckpt = tmpDir("bp-ckpt")
+    (1 to n).foreach { i =>
+      spark.createDataset(Seq(
+        entry(i.toLong, "CREATETABLE", outTables = Seq(s"db1.t_bp$i"))))
+        .coalesce(1).write.mode("append").json(auditDir.toUri.toString)
+    }
+
+    val q = server.start(auditDir.toUri.toString, ckpt.toUri.toString)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val dest = destConn.connect()
+    (1 to n).foreach(i => assert(dest.getTable("db1", s"t_bp$i").isDefined))
+    // every micro-batch stayed within the source-side admission cap
+    val batchSizes = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(batchSizes.nonEmpty && batchSizes.forall(_ <= cfg.maxJobsPerBatch),
+      s"batch sizes: $batchSizes")
+    assert(batchSizes.size >= 2, s"expected multiple bounded batches: $batchSizes")
+  }
+
+  test("ST1/S6: JDBC audit tail with paging, pushdown filter, restart watermark") {
+    val (server, srcConn, destConn, srcWh, _) = newServer("jdbc")
+    val src = srcConn.connect()
+    src.createTable(unpartitionedTable("db1", "t_a", srcWh))
+    src.createTable(unpartitionedTable("db1", "t_b", srcWh))
+
+    // embedded Derby stands in for the reference's MySQL audit DB
+    val dbDir = tmpDir("jdbc-audit-db").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE audit_log (id BIGINT PRIMARY KEY, " +
+      "create_time TIMESTAMP, command_type VARCHAR(64), command VARCHAR(4000))")
+    st.executeUpdate("CREATE TABLE audit_objects (audit_log_id BIGINT, " +
+      "category VARCHAR(32), object_type VARCHAR(32), name VARCHAR(256))")
+    def insertEntry(id: Long, cmd: String, objs: Seq[(String, String, String)]): Unit = {
+      // objects first, then the log row — the hook commit order the
+      // reference's share-lock read relies on
+      objs.foreach { case (cat, typ, name) =>
+        st.executeUpdate("INSERT INTO audit_objects VALUES " +
+          s"($id, '$cat', '$typ', '$name')")
+      }
+      st.executeUpdate(s"INSERT INTO audit_log VALUES ($id, " +
+        s"TIMESTAMP('2024-01-01 00:00:00'), '$cmd', 'cmd-$id')")
+    }
+    insertEntry(1, "CREATETABLE", Seq(("OUTPUT", "TABLE", "db1.t_a")))
+    insertEntry(2, "SHOWTABLES", Seq.empty) // filtered by the pushed-down WHERE
+    insertEntry(3, "CREATETABLE", Seq(("OUTPUT", "TABLE", "db1.t_b")))
+
+    val source = new JdbcAuditSource(spark,
+      JdbcSourceConfig(url, pageSize = 1)) // force paging: one entry per poll
+    // SHOWTABLES (id 2) never leaves the database — 2 entries total
+    assert(server.drainJdbc(source) == 2)
+    val dest = destConn.connect()
+    assert(dest.getTable("db1", "t_a").isDefined)
+    assert(dest.getTable("db1", "t_b").isDefined)
+    assert(server.watermark.get().contains(3L))
+
+    // restart: a NEW server over the same watermark path resumes after id 3
+    src.createTable(unpartitionedTable("db1", "t_c", srcWh))
+    insertEntry(4, "CREATETABLE", Seq(("OUTPUT", "TABLE", "db1.t_c")))
+    val server2 = new IncrementalServer(spark, server.cfg)
+    assert(server2.drainJdbc(source) == 1) // only the new entry
+    assert(dest.getTable("db1", "t_c").isDefined)
+    assert(server2.watermark.get().contains(4L))
+    conn.close()
+  }
+
   test("structured streaming tail executes batches via foreachBatch") {
     import spark.implicits._
     val (server, srcConn, destConn, srcWh, _) = newServer("stream")
