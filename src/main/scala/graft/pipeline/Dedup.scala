@@ -102,24 +102,50 @@ object Dedup {
   }
 
   /**
+   * Hot-bucket cap for LSH candidate generation (100-TB robustness).
+   *
+   * A band bucket of m docs yields m·(m−1)/2 candidate pairs, so one giant
+   * near-duplicate cluster (boilerplate pages, empty documents) turns a
+   * single bucket into an O(m²) shuffle. The cap keeps the `cap` smallest
+   * doc_ids per (band_idx, band_hash) bucket — deterministic across
+   * re-runs — bounding any bucket's pair cost at cap²/2.
+   *
+   * Recall tradeoff: a pair is lost only when BOTH members sit beyond the
+   * cap in EVERY band bucket they share. In practice the loss is confined
+   * to clusters larger than `cap`, whose members remain linked to the
+   * retained cap members (enough for connected-component dedup), and whose
+   * dominant cause — exact duplicates — the [[exact]] pre-pass in
+   * [[minhashLshPairsRobust]] removes before banding.
+   */
+  def capBuckets(unpivoted: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
+    unpivoted.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap).drop("rn")
+  }
+
+  /**
    * Scale-path MinHash+LSH using the native one-pass
    * [[graft.functions.MinHashSig]] expression (xxhash64): no explode, no
    * signature shuffle — signatures are computed at scan speed, and only
    * the tiny (doc_id, band_hash) pairs shuffle for candidate generation.
-   * Same banding + verify shape as [[minhashLshPairs]].
+   * Same banding + verify shape as [[minhashLshPairs]]. `bucketCap` bounds
+   * hot-bucket blowup (see [[capBuckets]]).
    */
   def minhashLshPairsFast(docs: DataFrame, k: Int = 8, bands: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
     val sig = shingled(docs, idCol, textCol)
       .select(col("doc_id"), col("shingles").as("sh"),
         graft.functions.MinHashSig(docs.sparkSession, col("shingles"), k).as("sig"))
       .persist() // no shuffle in this pipeline, so nothing is reused without it
-    val unpivoted = (0 until bands).map { b =>
+    val unpivotedAll = (0 until bands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
     }.reduce(_ unionAll _)
+    val unpivoted = bucketCap.map(capBuckets(unpivotedAll, _)).getOrElse(unpivotedAll)
     val candidates = unpivoted.as("a")
       .join(unpivoted.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -143,14 +169,43 @@ object Dedup {
   }
 
   /**
+   * Robust scale path for skewed corpora: exact-dedup pre-pass + capped
+   * buckets. Identical documents collapse to one representative (min
+   * doc_id) BEFORE signatures — giant exact-duplicate clusters are the #1
+   * cause of hot LSH buckets, and their members need no LSH to be found —
+   * then the capped fast path runs on representatives only. Pair ids refer
+   * to representatives; exact-dup membership comes from [[exact]].
+   */
+  def minhashLshPairsRobust(docs: DataFrame, k: Int = 8, bands: Int = 2,
+      bucketCap: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val reps = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    minhashLshPairsFast(reps, k, bands, "doc_id", "text", Some(bucketCap))
+  }
+
+  /**
    * N-gram (token-set) Jaccard dedup over a metadata blocking key:
-   * pairs within a block with Jaccard ≥ threshold.
+   * pairs within a block with Jaccard ≥ threshold. `blockCap` bounds a hot
+   * block's quadratic cost the same way [[capBuckets]] does for LSH (the
+   * `source` blocking key is coarse — one viral source would otherwise go
+   * O(n²) at corpus scale); same recall tradeoff, documented there.
    */
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCap: Option[Int] = None): DataFrame = {
+    val all = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
       .withColumn("n", size(col("toks")))
+    val t = blockCap.map { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("blk")).orderBy(col("doc_id"))
+      all.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cap).drop("rn")
+    }.getOrElse(all)
     // Size prune before the expensive intersect: J = |∩|/|∪| ≤ min(n)/max(n),
     // so a pair can only reach the threshold when least(na,nb) ≥ t·greatest.
     // Evaluated as a cheap long compare in the join filter — the intersect

@@ -242,6 +242,19 @@ object PipelineQueries {
       (s, dir) => Dedup.minhashLshPairsFast(W.read(s, dir, "documents"))
     },
 
+    // Robust scale path on a deliberately skewed corpus: 400 exact clones
+    // of one document form a hot cluster that would make one LSH bucket
+    // quadratic; the exact-dedup pre-pass + per-bucket cap keep candidate
+    // generation bounded (rows-only — same hash family as the fast path).
+    QueryDef.rowsOnly("dedup_minhash_robust_skew") {
+      (s, dir) =>
+        val docs = W.read(s, dir, "documents").select("doc_id", "text")
+        val hot = docs.orderBy("doc_id").limit(1)
+          .select(explode(sequence(lit(1L), lit(400L))).as("i"), col("text"))
+          .select((col("i") + 10000000L).as("doc_id"), col("text"))
+        Dedup.minhashLshPairsRobust(docs.unionAll(hot), bucketCap = 50)
+    },
+
     // ---- similarity search ------------------------------------------------
 
     QueryDef("sim_topk_bruteforce",

@@ -55,6 +55,29 @@ class MinHashSigSpec extends TestBase {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("robust LSH: exact pre-pass collapses clones; bucket cap bounds candidates") {
+    import spark.implicits._
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    // 30 identical clones: un-capped LSH would emit 435 pairs from one
+    // bucket; the pre-pass collapses them to one representative → 0 pairs
+    val clones = (1 to 30).map(i => (i.toLong, text)).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairsRobust(clones).count() == 0)
+
+    // near-dups (not exact) still pair up through the capped path
+    val nearDup = (1 to 19).map(i => s"tok$i").mkString(" ") + " changed"
+    val mixed = clones.unionAll(Seq((100L, nearDup)).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLshPairsRobust(mixed)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq.map(p => (p._1, p._2)) == Seq((1L, 100L)),
+      s"got ${pairs.mkString(",")}")
+
+    // the cap keeps only `cap` ids per (band_idx, band_hash) bucket
+    val unpivoted = (1 to 10).map(i => (i.toLong, 1, 42L))
+      .toDF("doc_id", "band_idx", "band_hash")
+    assert(Dedup.capBuckets(unpivoted, 3).as[(Long, Int, Long)].collect()
+      .map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("minhash_sig registers for SQL use") {
     MinHashSig.register(spark)
     import spark.implicits._
