@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
 
 import graft.catalog.CatalogClient
-import graft.model.{PartitionMeta, TableMeta}
+import graft.model.{AuditObject, MetaJson, PartitionMeta, TableMeta}
 
 /**
  * The audit-hook analog (reference `hive-hooks/`: CliAuditLogHook +
@@ -30,7 +30,8 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
 
   private def emit(commandType: String, outputTables: Seq[String] = Seq.empty,
       outputPartitions: Seq[String] = Seq.empty,
-      renameFrom: Option[String] = None): Unit = {
+      renameFrom: Option[String] = None,
+      objects: Seq[AuditObject] = Seq.empty): Unit = {
     val id = nextId.incrementAndGet()
     val node = mapper.createObjectNode()
     node.put("id", id)
@@ -43,6 +44,16 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     val op = node.putArray("outputPartitions"); outputPartitions.foreach(op.add)
     renameFrom.foreach(r => node.put("renameFrom", r))
     node.putArray("referenceTables")
+    // F6: full object metadata rides along so replication can replay
+    // without re-fetching from the (possibly already-mutated) source
+    val objArr = node.putArray("objects")
+    objects.foreach { o =>
+      val on = objArr.addObject()
+      on.put("category", o.category)
+      on.put("objectType", o.objectType)
+      on.put("name", o.name)
+      on.put("serialized", o.serialized)
+    }
     val dir = Paths.get(java.net.URI.create(
       if (auditDir.contains(":/")) auditDir else s"file://$auditDir"))
     Files.createDirectories(dir)
@@ -56,16 +67,26 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     underlying.createDatabase(db)
     emit("CREATEDATABASE")
   }
+  private def tableObj(t: TableMeta): AuditObject =
+    AuditObject("OUTPUT", "TABLE", s"${t.db}.${t.table}", MetaJson.writeTable(t))
+  private def partObj(p: PartitionMeta): AuditObject =
+    AuditObject("OUTPUT", "PARTITION", s"${p.db}.${p.table}/${p.partName}",
+      MetaJson.writePartition(p))
+
   def createTable(t: TableMeta): Unit = {
     underlying.createTable(t)
-    emit("CREATETABLE", outputTables = Seq(s"${t.db}.${t.table}"))
+    emit("CREATETABLE", outputTables = Seq(s"${t.db}.${t.table}"),
+      objects = Seq(tableObj(t)))
   }
   def alterTable(db: String, table: String, t: TableMeta): Unit = {
     underlying.alterTable(db, table, t)
     if (db != t.db || table != t.table) {
       emit("ALTERTABLE_RENAME", outputTables = Seq(s"${t.db}.${t.table}"),
-        renameFrom = Some(s"$db.$table"))
-    } else emit("ALTERTABLE_PROPERTIES", outputTables = Seq(s"$db.$table"))
+        renameFrom = Some(s"$db.$table"), objects = Seq(tableObj(t)))
+    } else {
+      emit("ALTERTABLE_PROPERTIES", outputTables = Seq(s"$db.$table"),
+        objects = Seq(tableObj(t)))
+    }
   }
   def dropTable(db: String, table: String): Unit = {
     underlying.dropTable(db, table)
@@ -73,11 +94,13 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
   }
   def addPartition(p: PartitionMeta): Unit = {
     underlying.addPartition(p)
-    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"))
+    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
+      objects = Seq(partObj(p)))
   }
   def alterPartition(p: PartitionMeta): Unit = {
     underlying.alterPartition(p)
-    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"))
+    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
+      objects = Seq(partObj(p)))
   }
   def dropPartition(db: String, table: String, partName: String): Unit = {
     underlying.dropPartition(db, table, partName)
@@ -89,7 +112,8 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     underlying.renamePartition(db, table, from, to)
     emit("ALTERTABLE_RENAMEPART",
       outputPartitions = Seq(s"$db.$table/${to.partName}"),
-      renameFrom = Some(s"$db.$table/$from"))
+      renameFrom = Some(s"$db.$table/$from"),
+      objects = Seq(partObj(to)))
   }
 
   // ---- reads pass through -------------------------------------------------

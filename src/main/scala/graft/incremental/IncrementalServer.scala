@@ -43,6 +43,16 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
   private def ctx = TaskContext(spark, cfg.destConnector.connect(),
     cfg.srcFsRoot, cfg.destFsRoot)
 
+  // F6 replay payloads: when the source object is already gone (dropped or
+  // renamed away after the entry was logged), the job replays from the
+  // serialized metadata the audit entry carried (`ReplicationUtils.java:76-85`)
+  private def serializedTable(j: JobState): Option[graft.model.TableMeta] =
+    j.extras.get(JobState.SerializedMeta).flatMap(s =>
+      scala.util.Try(graft.model.MetaJson.readTable(s)).toOption)
+  private def serializedPartition(j: JobState): Option[graft.model.PartitionMeta] =
+    j.extras.get(JobState.SerializedMeta).flatMap(s =>
+      scala.util.Try(graft.model.MetaJson.readPartition(s)).toOption)
+
   /** Execute one job against the dest warehouse (T1-T8 dispatch). */
   def runJob(j: JobState): String = {
     val src = cfg.srcConnector.connect()
@@ -51,7 +61,7 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
       case "COPY_TABLE" =>
         // full-table copy intended ⇒ T8: a partitioned table replicates
         // metadata AND every existing partition, not metadata alone
-        src.getTable(j.db, j.table) match {
+        src.getTable(j.db, j.table).orElse(serializedTable(j)) match {
           case Some(t) => Tasks.copyCompleteTable(c, src, t)
           case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
         }
@@ -60,7 +70,9 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
           case Some(t) =>
             // ST8 bulk job under the table's lock: T4's common-dir
             // optimistic copy replaces N per-partition copies when cheap
-            val metas = j.partitions.flatMap(p => src.getPartition(j.db, j.table, p))
+            val metas = j.partitions.flatMap(p =>
+              src.getPartition(j.db, j.table, p).orElse(
+                if (j.partitions.size == 1) serializedPartition(j) else None))
             if (metas.size != j.partitions.size)
               Tasks.NotCompletable("src partition gone")
             else Tasks.copyPartitions(c, t, metas)
@@ -72,7 +84,7 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
         Tasks.dropPartition(c, j.db, j.table, j.partitions.head, j.srcTldt)
       case TaskType.RenameTable =>
         (for (tdb <- j.renameToDb; ttbl <- j.renameToTable) yield {
-          src.getTable(tdb, ttbl) match {
+          src.getTable(tdb, ttbl).orElse(serializedTable(j)) match {
             case Some(to) => Tasks.renameTable(c, src, j.db, j.table, to)
             case None => Tasks.NotCompletable(s"src $tdb.$ttbl gone")
           }
@@ -83,6 +95,7 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
             for {
               t <- src.getTable(j.db, j.table)
               pm <- src.getPartition(j.db, j.table, to)
+                .orElse(serializedPartition(j))
             } yield Tasks.renamePartition(c, t, from, pm)
           case _ => None
         }).getOrElse(Tasks.NotCompletable("rename partition spec missing"))

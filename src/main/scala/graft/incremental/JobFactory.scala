@@ -118,8 +118,18 @@ object JobFactory {
       }
       def split(name: String): (String, String, Option[String]) = {
         val spec = ObjectSpec.parse(name)
-        (spec.db, spec.table, spec.partition)
+        // P7 (`ReplicationUtils.java:481-499`): Hive identifiers are
+        // case-insensitive and stored lowercase — normalize so mixed-case
+        // audit entries hit the same lock keys and catalog objects.
+        (spec.db.toLowerCase, spec.table.toLowerCase, spec.partition)
       }
+      // F6: serialized payload lookup by full object name (case-normalized)
+      def payloadOf(name: String): Map[String, String] =
+        e.objectsOrEmpty
+          .find(o => o.name != null && o.name.equalsIgnoreCase(name) &&
+            o.serialized != null && o.serialized.nonEmpty)
+          .map(o => Map(JobState.SerializedMeta -> o.serialized))
+          .getOrElse(Map.empty)
       op match {
         case "EXCHANGE_PARTITION" =>
           // HIVE-12865 workaround (`ReplicationJobFactory.java:524-572`):
@@ -145,13 +155,15 @@ object JobFactory {
                 if (parts.size > 1) TaskType.CopyPartitions else TaskType.CopyPartition,
                 JobStatus.Pending, db, tbl,
                 parts.flatMap(n => split(n)._3).sorted,
-                None, None, None, Map.empty)
+                None, None, None,
+                if (parts.size == 1) payloadOf(parts.head) else Map.empty)
             }
         case "COPY" =>
           e.outputTables.map { n =>
             val (db, tbl, _) = split(n)
             JobState(e.id, e.createTime.getTime, "COPY_TABLE",
-              JobStatus.Pending, db, tbl, Seq.empty, None, None, None, Map.empty)
+              JobStatus.Pending, db, tbl, Seq.empty, None, None, None,
+              payloadOf(n))
           }
         case "DROP_TABLE" =>
           e.outputTables.map { n =>
@@ -172,7 +184,7 @@ object JobFactory {
               val (tdb, ttbl, _) = split(to)
               Seq(JobState(e.id, e.createTime.getTime, TaskType.RenameTable,
                 JobStatus.Pending, fdb, ftbl, Seq.empty, None,
-                Some(tdb), Some(ttbl), Map.empty))
+                Some(tdb), Some(ttbl), payloadOf(to)))
             case _ => Seq.empty
           }
         case "RENAME_PARTITION" =>
@@ -182,7 +194,7 @@ object JobFactory {
               val (_, _, tpart) = split(to)
               Seq(JobState(e.id, e.createTime.getTime, TaskType.RenamePartition,
                 JobStatus.Pending, fdb, ftbl,
-                fpart.toSeq ++ tpart.toSeq, None, None, None, Map.empty))
+                fpart.toSeq ++ tpart.toSeq, None, None, None, payloadOf(to)))
             case _ => Seq.empty
           }
         case _ => Seq.empty

@@ -139,7 +139,11 @@ final case class Action(
   def spec: ObjectSpec = ObjectSpec(db, table, partName)
 }
 
-/** Audit-log CDC record after 1:N object assembly (SURVEY §2.1 S7/A6). */
+/** Audit-log CDC record after 1:N object assembly (SURVEY §2.1 S7/A6).
+  * `serialized` carries the object's full metadata as JSON ([[MetaJson]]) —
+  * the reference's Thrift-JSON payloads (`ReplicationUtils.java:76-85`),
+  * which let a job replay without re-fetching from the source catalog
+  * (e.g. a rename of an already-dropped source object). */
 final case class AuditObject(
     category: String, // INPUT | OUTPUT | RENAME_FROM | REFERENCE_TABLE
     objectType: String, // TABLE | PARTITION | DATABASE | DFS_DIR | ...
@@ -154,7 +158,36 @@ final case class AuditLogEntry(
     outputTables: Seq[String],
     outputPartitions: Seq[String],
     renameFrom: Option[String],
-    referenceTables: Seq[String])
+    referenceTables: Seq[String],
+    // serialized object payloads (F6); may be null when decoded from JSON
+    // files that predate the field — read through objectsOrEmpty
+    objects: Seq[AuditObject] = Seq.empty) {
+  def objectsOrEmpty: Seq[AuditObject] = Option(objects).getOrElse(Seq.empty)
+}
+
+/**
+ * F6 — object-metadata JSON codec: the engine's analog of the reference's
+ * Thrift-JSON `Table`/`Partition` serialization
+ * (`incremental/ReplicationUtils.java:76-85`, writer side
+ * `hive-hooks/.../ObjectLogModule.java:268-312`). Jackson + its Scala
+ * module ship with Spark.
+ */
+object MetaJson {
+  private lazy val mapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.registerModule(com.fasterxml.jackson.module.scala.DefaultScalaModule)
+    // derived getters (isPartitioned, lastModified) appear in the payload;
+    // ignore them on read — constructor params are the source of truth
+    m.configure(com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+  def writeTable(t: TableMeta): String = mapper.writeValueAsString(t)
+  def readTable(s: String): TableMeta = mapper.readValue(s, classOf[TableMeta])
+  def writePartition(p: PartitionMeta): String = mapper.writeValueAsString(p)
+  def readPartition(s: String): PartitionMeta =
+    mapper.readValue(s, classOf[PartitionMeta])
+}
 
 /** Persisted replication-job row — reference `PersistedJobInfo.java:22-120`,
   * status enum `create_tables.sql:2-27`. */
@@ -165,6 +198,12 @@ object JobStatus {
   val Failed         = "FAILED"
   val NotCompletable = "NOT_COMPLETABLE"
   val Aborted        = "ABORTED"
+}
+
+object JobState {
+  /** extras key carrying the F6 serialized object payload the job can
+    * replay from when the source object is gone. */
+  val SerializedMeta = "serialized_meta"
 }
 
 final case class JobState(

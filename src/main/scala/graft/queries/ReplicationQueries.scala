@@ -37,6 +37,24 @@ object ReplicationQueries {
             split_part(col("line"), lit("."), lit(2)).as("tbl"))
     },
 
+    // F5 — JSON list codec round-trip: partition lists encode to JSON for
+    // the state row, decode back for execution (the reference's
+    // src_partitions JSON columns, ReplicationUtils.java:204-258).
+    QueryDef("f5_json_codec",
+      C.withCtes(C.srcPartitions)(
+        """SELECT db, tbl, parts_json,
+          |  CAST(json_array_length(parts_json) AS INT) AS n_parts
+          |FROM (SELECT db, tbl, to_json(list_sort(list(part_name))) AS parts_json
+          |      FROM src_parts GROUP BY 1, 2)""".stripMargin)) {
+      (s, dir) =>
+        W.srcPartitions(s, dir)
+          .groupBy("db", "tbl")
+          .agg(graft.functions.jsonEncodeList(
+            sort_array(collect_list(col("part_name")))).as("parts_json"))
+          .select(col("db"), col("tbl"), col("parts_json"),
+            size(graft.functions.jsonDecodeList(col("parts_json"))).as("n_parts"))
+    },
+
     // F10 — UTC job-start stamp formatting.
     QueryDef("f10_timestamp_format",
       C.withCtes(C.auditLog)(

@@ -249,6 +249,41 @@ class IncrementalSpec extends TestBase {
     assert(node.get("outputTables").get(0).asText == s"db1.$weird")
   }
 
+  test("P7: mixed-case audit names normalize to lowercase jobs") {
+    import spark.implicits._
+    val jobs = JobFactory.planJobs(spark, spark.createDataset(Seq(
+      entry(1, "CREATETABLE", outTables = Seq("Db1.T_Mixed")),
+      entry(2, "QUERY", outParts = Seq("DB1.T_Mixed/ds=CaseKept/hr=1")))))
+      .collect().sortBy(_.id)
+    assert(jobs.map(j => (j.db, j.table)).toSeq ==
+      Seq(("db1", "t_mixed"), ("db1", "t_mixed")))
+    // partition VALUES keep their case — only identifiers normalize
+    assert(jobs(1).partitions == Seq("ds=CaseKept/hr=1"))
+  }
+
+  test("F6: rename of an already-dropped source object replays from its payload") {
+    import spark.implicits._
+    val (server, srcConn, destConn, srcWh, _) = newServer("payload")
+    val src = srcConn.connect()
+    val dest = destConn.connect()
+
+    // the rename happened on src and the new name was then dropped — the
+    // source catalog has NEITHER name when the entry is processed
+    val renamed = unpartitionedTable("db1", "t_after", srcWh)
+    dest.createTable(renamed.copy(table = "t_before"))
+    assert(src.getTable("db1", "t_after").isEmpty)
+
+    val e = AuditLogEntry(1L, new Timestamp(1700000000001L),
+      "ALTERTABLE_RENAME", "cmd", Seq("db1.t_after"), Seq.empty,
+      Some("db1.t_before"), Seq.empty,
+      objects = Seq(AuditObject("OUTPUT", "TABLE", "db1.t_after",
+        MetaJson.writeTable(renamed))))
+    val rs = server.processBatch(spark.createDataset(Seq(e)))
+    assert(rs.map(_._2) == Seq(JobStatus.Successful), s"got ${rs.map(_._2)}")
+    assert(dest.getTable("db1", "t_before").isEmpty)
+    assert(dest.getTable("db1", "t_after").isDefined)
+  }
+
   test("ST3: a flood of entries is admitted in bounded micro-batches") {
     import spark.implicits._
     val srcConn = freshCatalog("bp-src")
