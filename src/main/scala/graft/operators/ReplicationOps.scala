@@ -146,11 +146,12 @@ object ReplicationOps {
   }
 
   /** P5 — hidden-file predicate: basename must not start with `_` or `.`.
+    * The basename extraction is evaluated once per row (single substring
+    * after the last '/'), not once per comparison.
     * Reference: `batch/hive/Stage2DirectoryCopyMapper.java:36-41`. */
-  def visibleFiles(listing: DataFrame, pathCol: String = "rel_path"): DataFrame = {
-    val name = regexp_extract(col(pathCol), "([^/]+)$", 1)
-    listing.filter(!name.startsWith("_") && !name.startsWith("."))
-  }
+  def visibleFiles(listing: DataFrame, pathCol: String = "rel_path"): DataFrame =
+    listing.filter(
+      !regexp_like(col(pathCol), lit("(^|/)[_.][^/]*$")))
 
   /** P8 — location rewrite: same relative path under dest root; s3n/s3a
     * locations pass through untouched.

@@ -249,6 +249,20 @@ class IncrementalSpec extends TestBase {
     assert(node.get("outputTables").get(0).asText == s"db1.$weird")
   }
 
+  test("P2: non-default whitelist/blacklist regexes prune object names") {
+    import spark.implicits._
+    val filters = JobFilterConfig(whitelist = "prod_.*", blacklist = ".*\\.tmp_.*")
+    val jobs = JobFactory.planJobs(spark, spark.createDataset(Seq(
+      entry(1, "CREATETABLE", outTables = Seq("prod_db.keep")),
+      entry(2, "CREATETABLE", outTables = Seq("scratch_db.skip")), // not whitelisted
+      entry(3, "CREATETABLE", outTables = Seq("prod_db.tmp_skip")), // blacklisted
+      entry(4, "QUERY", outParts = Seq( // partition names filter too
+        "prod_db.keep/ds=1", "prod_db.tmp_part/ds=1")))), filters)
+      .collect().sortBy(_.id)
+    assert(jobs.map(j => (j.id, j.db, j.table)).toSeq ==
+      Seq((1L, "prod_db", "keep"), (4L, "prod_db", "keep")))
+  }
+
   test("P7: mixed-case audit names normalize to lowercase jobs") {
     import spark.implicits._
     val jobs = JobFactory.planJobs(spark, spark.createDataset(Seq(

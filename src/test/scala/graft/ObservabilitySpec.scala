@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.incremental.StateStore
+import graft.incremental.{StateStore, Watermark}
 import graft.model.{JobState, JobStatus}
-import graft.observability.Metrics
+import graft.observability.{Metrics, StatusServer}
 
 /** Counters via observe + listener, job-lag metric from the state table. */
 class ObservabilitySpec extends TestBase {
@@ -38,5 +38,35 @@ class ObservabilitySpec extends TestBase {
     // once it completes, no lag
     state.appendStatus(Seq(state.restoreRunnable().head), JobStatus.Successful)
     assert(Metrics.jobLagSeconds(state, now).isEmpty)
+  }
+
+  test("status endpoint serves job counts, watermark, and health over HTTP") {
+    val dir = tmpDir("status-state")
+    val state = new StateStore(spark, dir.toUri.toString + "jobs")
+    val wm = new Watermark(dir.toUri.toString + "watermark")
+    state.append(Seq(
+      JobState(1, 1700000000000L, "COPY_TABLE", JobStatus.Successful,
+        "db", "t1", Seq.empty, None, None, None, Map.empty),
+      JobState(2, 1700000000000L, "COPY_TABLE", JobStatus.Pending,
+        "db", "t2", Seq.empty, None, None, None, Map.empty)))
+    wm.set(2L)
+
+    val srv = new StatusServer(state, wm)
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val conn = new java.net.URI(s"http://localhost:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(conn.getInputStream.readAllBytes())
+        finally conn.disconnect()
+      }
+      assert(get("/health").contains("\"ok\":true"))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val status = mapper.readTree(get("/status"))
+      assert(status.get("jobs").get(JobStatus.Successful).asLong == 1L)
+      assert(status.get("jobs").get(JobStatus.Pending).asLong == 1L)
+      assert(status.get("watermark").asLong == 2L)
+      assert(status.get("lagSeconds").asLong >= 0L)
+    } finally srv.stop()
   }
 }
