@@ -60,10 +60,12 @@ package object functions {
     * Murmur3 — the direct analog. */
   def balanceKey(cols: Column*): Column = hash(cols: _*)
 
-  /** Portable (oracle-mirrorable) bucket key: md5-hex prefix as int. */
+  /** Portable (oracle-mirrorable) bucket key: md5-hex prefix as int.
+    * `conv(hex, 16, 10)` reads the first two digits in one pass, so the
+    * md5 evaluates once per row (the digit-by-digit form computed it
+    * twice — measurably slower at scan speed). */
   def md5Bucket(c: Column, buckets: Int): Column =
-    ((instr(lit("0123456789abcdef"), substring(md5(c), 1, 1)) - 1) * 16 +
-      (instr(lit("0123456789abcdef"), substring(md5(c), 2, 1)) - 1)) % buckets
+    conv(substring(md5(c), 1, 2), 16, 10).cast("int") % buckets
 
   /** F9 — last-modified resolution: max(TLDT, TLMT) from a parameters map
     * (`ReplicationUtils.java:502-572`). */
