@@ -1,25 +1,28 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
+/** Library-surface smoke: `entry()` returns rows and EVERY declared query
+  * executes end-to-end at sf0.001 (catches runtime breakage of the driver
+  * contract inside `sbt test`, without the external verify script). */
+class EntrySmokeSpec extends TestBase {
 
-/** Drives the driver contract end-to-end: entry() rows>0, every declared
-  * query runs at sf0.001, and each oracleSql key has a queries twin. */
-class EntrySmokeSpec extends AnyFunSuite {
-  lazy val spark = GraftSession.local("graft-test")
+  private val sfDir = "/root/testdata/sf0.001"
 
-  test("entry returns rows on sf0.001") {
+  test("entry() runs and returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs and returns rows at sf0.001") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, "/root/testdata/sf0.001").count()
-      assert(n > 0, s"query $name returned 0 rows")
+  test("every declared query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
     }
+    assert(failures.isEmpty, s"queries failed:\n${failures.mkString("\n")}")
   }
 
-  test("oracleSql keys are a subset of queries keys") {
-    val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(extra.isEmpty, s"oracleSql without queries impl: $extra")
+  test("every oracleSql key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracleSql without queries: $orphans")
   }
 }
