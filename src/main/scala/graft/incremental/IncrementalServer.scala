@@ -185,6 +185,31 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
     total
   }
 
+  /** Structured Streaming entry over the native JDBC micro-batch source
+    * ([[graft.sources.AuditLogJdbcSource]]): audit ids are the stream
+    * offsets, Spark's checkpoint commit log replaces the hand-rolled
+    * watermark for restart positioning (ST1+ST2 in their native Spark
+    * shape), and admission control caps ids per trigger (ST3). */
+  def startJdbcStream(url: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      startId: Long = 0L): StreamingQuery = {
+    import spark.implicits._
+    spark.readStream
+      .format("graft-audit-jdbc")
+      .option("url", url)
+      .option("startId", startId.toString)
+      .option("rowsPerTrigger", cfg.maxJobsPerBatch.toString)
+      .load()
+      .as[AuditLogEntry]
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[AuditLogEntry], _: Long) =>
+        processBatch(batch); ()
+      }
+      .start()
+  }
+
   /** Structured Streaming entry: tail a directory of audit-entry JSON
     * (the file-source stand-in for the JDBC audit tail ST1; a MySQL
     * deployment swaps in [[JdbcAuditSource]] behind the same foreachBatch).

@@ -384,6 +384,53 @@ class IncrementalSpec extends TestBase {
     conn.close()
   }
 
+  test("DSv2 source: JDBC micro-batch stream with id offsets and checkpoint restart") {
+    val (server, srcConn, destConn, srcWh, _) = newServer("dsv2")
+    val src = srcConn.connect()
+    src.createTable(unpartitionedTable("db1", "t_s1", srcWh))
+    src.createTable(unpartitionedTable("db1", "t_s2", srcWh))
+
+    val dbDir = tmpDir("dsv2-audit-db").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.executeUpdate("CREATE TABLE audit_log (id BIGINT PRIMARY KEY, " +
+      "create_time TIMESTAMP, command_type VARCHAR(64), command VARCHAR(4000))")
+    st.executeUpdate("CREATE TABLE audit_objects (audit_log_id BIGINT, " +
+      "category VARCHAR(32), object_type VARCHAR(32), name VARCHAR(256))")
+    def insert(id: Long, cmd: String, table: String): Unit = {
+      st.executeUpdate("INSERT INTO audit_objects VALUES " +
+        s"($id, 'OUTPUT', 'TABLE', 'db1.$table')")
+      st.executeUpdate(s"INSERT INTO audit_log VALUES ($id, " +
+        s"TIMESTAMP('2024-01-01 00:00:00'), '$cmd', 'cmd-$id')")
+    }
+    insert(1, "CREATETABLE", "t_s1")
+    insert(2, "SHOWTABLES", "ignored") // filtered at the source
+    val ckpt = tmpDir("dsv2-ckpt")
+
+    val q = server.startJdbcStream(url, ckpt.toUri.toString)
+    try {
+      q.processAllAvailable()
+      assert(destConn.connect().getTable("db1", "t_s1").isDefined)
+      // rows arriving while the stream runs are picked up next trigger
+      insert(3, "CREATETABLE", "t_s2")
+      q.processAllAvailable()
+      assert(destConn.connect().getTable("db1", "t_s2").isDefined)
+    } finally q.stop()
+
+    // restart from the checkpoint: only NEW ids are admitted
+    src.createTable(unpartitionedTable("db1", "t_s3", srcWh))
+    insert(4, "CREATETABLE", "t_s3")
+    val q2 = server.startJdbcStream(url, ckpt.toUri.toString)
+    try {
+      q2.processAllAvailable()
+      assert(destConn.connect().getTable("db1", "t_s3").isDefined)
+      val replayed = q2.recentProgress.map(_.numInputRows).sum
+      assert(replayed <= 1, s"checkpoint restart re-admitted old ids: $replayed")
+    } finally q2.stop()
+    conn.close()
+  }
+
   test("structured streaming tail executes batches via foreachBatch") {
     import spark.implicits._
     val (server, srcConn, destConn, srcWh, _) = newServer("stream")
