@@ -38,15 +38,22 @@ final class StatusServer(state: StateStore, watermark: Watermark,
     server.createContext("/health", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"ok":true}""")
     })
+    // minimal dashboard (the reference's web-server front end); the JDK
+    // server picks the longest matching prefix, so /status and /health win
+    server.createContext("/", new HttpHandler {
+      def handle(ex: HttpExchange): Unit =
+        respond(ex, 200, StatusServer.IndexHtml, "text/html")
+    })
     server.start()
     server.getAddress.getPort
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
 
-  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.add("Content-Type", "application/json")
+    ex.getResponseHeaders.add("Content-Type", contentType)
     ex.sendResponseHeaders(code, bytes.length.toLong)
     val os = ex.getResponseBody
     try os.write(bytes) finally os.close()
@@ -77,4 +84,28 @@ final class StatusServer(state: StateStore, watermark: Watermark,
     })
     mapper.writeValueAsString(node)
   }
+}
+
+object StatusServer {
+  /** One-file dashboard polling /status every 10 s (the reference refreshes
+    * its progress page on the same cadence as the server's poll sleep). */
+  val IndexHtml: String =
+    """<!doctype html><html><head><title>graft replication status</title>
+      |<style>body{font-family:monospace;margin:2em}table{border-collapse:collapse}
+      |td,th{border:1px solid #999;padding:4px 10px;text-align:right}
+      |th{text-align:left}</style></head><body>
+      |<h2>graft replication status</h2>
+      |<table id="jobs"></table><p id="meta"></p>
+      |<script>
+      |async function refresh(){
+      |  const s = await (await fetch('status')).json();
+      |  const rows = Object.entries(s.jobs)
+      |    .map(([k,v]) => `<tr><th>${k}</th><td>${v}</td></tr>`).join('');
+      |  document.getElementById('jobs').innerHTML = rows;
+      |  document.getElementById('meta').textContent =
+      |    `watermark=${s.watermark ?? '-'} lag=${s.lagSeconds ?? 0}s ` +
+      |    `bucket=${s.lagBucket ?? 0}`;
+      |}
+      |refresh(); setInterval(refresh, 10000);
+      |</script></body></html>""".stripMargin
 }

@@ -200,6 +200,9 @@ object Dedup {
     val all = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
       .withColumn("n", size(col("toks")))
+    // note: persisting the tokenized frame was measured SLOWER than double
+    // tokenization here (columnar-caching large string arrays costs more
+    // than the regexp split) — the self-join deliberately recomputes
     val t = blockCap.map { cap =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("blk")).orderBy(col("doc_id"))

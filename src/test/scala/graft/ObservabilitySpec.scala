@@ -61,6 +61,7 @@ class ObservabilitySpec extends TestBase {
         finally conn.disconnect()
       }
       assert(get("/health").contains("\"ok\":true"))
+      assert(get("/").contains("graft replication status")) // dashboard
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val status = mapper.readTree(get("/status"))
       assert(status.get("jobs").get(JobStatus.Successful).asLong == 1L)
