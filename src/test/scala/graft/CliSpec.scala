@@ -1,0 +1,66 @@
+package graft
+
+import graft.model.TaskType
+import graft.tools.{BatchReplicate, Cli, HdfsSyncTool}
+
+/** CLI surface: flag parsing, connector specs, and a full batch run with
+  * --step resume driven through the CLI layer. */
+class CliSpec extends TestBase {
+
+  test("flag parsing and connector specs") {
+    val flags = Cli.parseFlags(Seq("--src-root", "a", "--dry-run",
+      "--parallelism", "4"))
+    assert(flags == Map("src-root" -> "a", "dry-run" -> "true",
+      "parallelism" -> "4"))
+    assert(Cli.connector("inmemory:x").isInstanceOf[graft.catalog.InMemoryConnector])
+    assert(Cli.connector("spark").isInstanceOf[graft.catalog.SparkCatalogConnector])
+    intercept[IllegalArgumentException](Cli.connector("thrift://nope"))
+    intercept[IllegalArgumentException](Cli.parseFlags(Seq("positional")))
+  }
+
+  test("batch replicate CLI: staged --step runs converge the dest") {
+    val srcWh = tmpDir("cli-src-wh")
+    val destWh = tmpDir("cli-dest-wh")
+    val srcConn = freshCatalog("cli-src")
+    val src = srcConn.connect()
+    src.createTable(unpartitionedTable("db1", "t_cli", srcWh))
+    val destId = s"cli-dest-${System.nanoTime()}"
+
+    val flags = Map(
+      "src-catalog" -> s"inmemory:${srcConn.id}",
+      "dest-catalog" -> s"inmemory:$destId",
+      "src-root" -> srcWh.toUri.toString.stripSuffix("/"),
+      "dest-root" -> destWh.toUri.toString.stripSuffix("/"),
+      "plan-dir" -> (tmpDir("cli-plan").toUri.toString + "plan"),
+      "parallelism" -> "4")
+
+    // resume semantics: each stage runs standalone from the persisted plan
+    BatchReplicate.run(spark, flags + ("step" -> "1"))
+    BatchReplicate.run(spark, flags + ("step" -> "2"))
+    BatchReplicate.run(spark, flags + ("step" -> "3"))
+
+    val dest = graft.catalog.InMemoryConnector(destId).connect()
+    assert(dest.getTable("db1", "t_cli").isDefined)
+    intercept[IllegalArgumentException](
+      BatchReplicate.run(spark, flags + ("step" -> "9")))
+    // blacklist pair parsing
+    assert(BatchReplicate.config(flags + ("blacklist" -> "^tmp_.*:.*,x:y"))
+      .blacklist == Seq(("^tmp_.*", ".*"), ("x", "y")))
+  }
+
+  test("hdfs sync CLI: dry run plans without touching the dest") {
+    val src = tmpDir("cli-sync-src")
+    val dest = tmpDir("cli-sync-dest")
+    writeFile(src, "a.txt", "aaa")
+    HdfsSyncTool.run(spark, Map(
+      "source" -> src.toUri.toString,
+      "destination" -> dest.toUri.toString,
+      "dry-run" -> "true", "parallelism" -> "4"))
+    assert(!java.nio.file.Files.exists(dest.resolve("a.txt")))
+    HdfsSyncTool.run(spark, Map(
+      "source" -> src.toUri.toString,
+      "destination" -> dest.toUri.toString,
+      "parallelism" -> "4"))
+    assert(java.nio.file.Files.readString(dest.resolve("a.txt")) == "aaa")
+  }
+}
