@@ -67,6 +67,70 @@ object Multimodal {
       }
   }
 
+  /** Typed resize output: source dims, target dims, scale factors, and a
+    * content hash of the (stubbed) resized payload. */
+  final case class ResizedMeta(
+      doc_id: Long,
+      src_w: Int, src_h: Int,
+      dst_w: Int, dst_h: Int,
+      scale_x: Double, scale_y: Double,
+      resized_hash: String)
+
+  /** Scalar feature extraction output (a real extractor yields an
+    * embedding; scalars here keep the result oracle-hashable). */
+  final case class MediaFeatures(
+      doc_id: Long,
+      f_bytes: Long,
+      f_aspect: Double,
+      f_fill: Double,
+      feat_hash: String)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Batch resize: same partition-preserving `mapPartitions` shape as
+    * [[decodeMeta]] — a real implementation swaps the stub for an image
+    * library call with the identical (bytes → bytes + dims) signature. */
+  def resizeStub(spark: SparkSession, media: DataFrame,
+      dstW: Int = 224, dstH: Int = 224): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val w = 64 + math.floorMod(n, 64)
+          val h = 64 + math.floorMod(n / 7, 64)
+          ResizedMeta(id, w, h, dstW, dstH,
+            round6(dstW.toDouble / w), round6(dstH.toDouble / h),
+            md5hex(s"$id:${dstW}x$dstH"))
+        }
+      }
+  }
+
+  /** Batch feature extraction: per-partition extractor state (a model
+    * handle in a real pipeline), deterministic stub features here. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val w = 64 + math.floorMod(n, 64)
+          val h = 64 + math.floorMod(n / 7, 64)
+          MediaFeatures(id, n.toLong,
+            round6(w.toDouble / h),
+            round6((n % 255).toDouble / 255.0),
+            md5hex(s"$id:$n"))
+        }
+      }
+  }
+
   /** Frame sampling: one row per sampled frame index, stub frame hash.
     * Pure generate (explode) — distributes with the documents. */
   def sampleFrames(media: DataFrame): DataFrame =

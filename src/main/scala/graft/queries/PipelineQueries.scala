@@ -310,6 +310,38 @@ object PipelineQueries {
           Multimodal.withMediaColumn(W.read(s, dir, "documents"))).toDF()
     },
 
+    // resize: Spark side runs the partition-preserving batch transform;
+    // the oracle reproduces the stub math from the byte length.
+    QueryDef("mm_resize",
+      """SELECT doc_id,
+        |  CAST(64 + octet_length(encode(text)) % 64 AS INT) AS src_w,
+        |  CAST(64 + (octet_length(encode(text)) // 7) % 64 AS INT) AS src_h,
+        |  CAST(224 AS INT) AS dst_w, CAST(224 AS INT) AS dst_h,
+        |  round(224.0 / (64 + octet_length(encode(text)) % 64), 6) AS scale_x,
+        |  round(224.0 / (64 + (octet_length(encode(text)) // 7) % 64), 6) AS scale_y,
+        |  md5(CAST(doc_id AS VARCHAR) || ':224x224') AS resized_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.resizeStub(s,
+          Multimodal.withMediaColumn(W.read(s, dir, "documents"))).toDF()
+    },
+
+    QueryDef("mm_feature_extract",
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS f_bytes,
+        |  round(CAST(64 + octet_length(encode(text)) % 64 AS DOUBLE)
+        |    / CAST(64 + (octet_length(encode(text)) // 7) % 64 AS DOUBLE), 6)
+        |    AS f_aspect,
+        |  round(CAST(octet_length(encode(text)) % 255 AS DOUBLE) / 255.0, 6)
+        |    AS f_fill,
+        |  md5(CAST(doc_id AS VARCHAR) || ':'
+        |    || CAST(octet_length(encode(text)) AS VARCHAR)) AS feat_hash
+        |FROM documents""".stripMargin) {
+      (s, dir) =>
+        Multimodal.extractFeatures(s,
+          Multimodal.withMediaColumn(W.read(s, dir, "documents"))).toDF()
+    },
+
     QueryDef("mm_frame_sample",
       """SELECT doc_id,
         |  unnest(generate_series(0, octet_length(encode(text)) % 5)) AS frame_idx,
