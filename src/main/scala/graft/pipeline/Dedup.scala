@@ -229,29 +229,65 @@ object Dedup {
   }
 
   /**
-   * 16-bit SimHash over distinct tokens: bit b of md5(token)'s first 4 hex
-   * digits votes ±1; sign of the per-bit sum forms the hash. Expressed as
-   * explode + two groupBys (all codegen'd integer math).
+   * SimHash over distinct tokens: bit b of md5(token)'s leading hex digits
+   * votes ±1; sign of the per-bit sum forms the hash. Expressed as
+   * explode + two groupBys (all codegen'd integer math). `nBits` must be a
+   * multiple of 4 (one md5 hex digit per 4 bits); 16 is the compact
+   * default, 32 the pairing resolution ([[simhashPairs]]).
    */
   def simhash(docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      nBits: Int = 16): DataFrame = {
+    require(nBits % 4 == 0 && nBits <= 48, "nBits must be a multiple of 4, <= 48")
+    val digits = nBits / 4
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-    // v = int value of first 4 hex digits of md5(tok), digit-by-digit so the
-    // DuckDB mirror (strpos-based) is byte-identical.
+    // v = int value of the first nBits/4 hex digits of md5(tok), digit-by-
+    // digit so the DuckDB mirror (strpos-based) is byte-identical.
+    val vExpr = (0 until digits).map { i =>
+      val mult = 1L << (4 * (digits - 1 - i))
+      // BIGINT terms: at 32 bits the top-digit products overflow INT
+      s"(instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString(" + ")
     val bits = toks.withColumn("h", md5(col("tok")))
-      .withColumn("v", expr(
-        """(instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
-          | + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
-          | + (instr('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
-          | + (instr('0123456789abcdef', substring(h, 4, 1)) - 1)""".stripMargin))
-      .select(col("doc_id"), col("v"), explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("v", expr(vExpr))
+      .select(col("doc_id"), col("v"),
+        explode(sequence(lit(0), lit(nBits - 1))).as("b"))
       .groupBy("doc_id", "b")
       .agg(expr("sum(CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END)")
         .as("vote"))
     bits.groupBy("doc_id")
       .agg(expr("sum(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) " +
         "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs: banded candidate generation over a 32-bit
+   * hash — 4 bands of 8 bits, so by pigeonhole ANY pair with hamming
+   * distance ≤ 3 shares at least one identical band. The equi-join on
+   * (band_idx, band_val) is therefore a lossless candidate filter for the
+   * hamming ≤ 3 verify; shuffle volume is O(n·bands) tiny rows. (A 16-bit
+   * hash was measured far too coarse for pairing — ~30% of random pairs
+   * landed within hamming 3.)
+   */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
+    val sh = simhash(docs, idCol, textCol, nBits = 32)
+    val bands = (0 until 4).map(b =>
+      sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_val")))
+      .reduce(_ unionAll _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /**

@@ -39,6 +39,52 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingled)
       |  GROUP BY doc_id)""".stripMargin
 
+  private val simhashCte = tokDocs + ",\n" +
+    """sim AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+      |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      |  FROM (
+      |    SELECT doc_id, b,
+      |      sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |    FROM (
+      |      SELECT doc_id,
+      |        (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+      |        + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+      |        + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+      |        + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS v,
+      |        unnest(generate_series(0, 15)) AS b
+      |      FROM (SELECT DISTINCT doc_id, md5(tok) AS h
+      |            FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok
+      |                  FROM tok_docs)))
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)""".stripMargin
+
+  /** 32-bit sim CTE for pairing resolution (one md5 hex digit per 4 bits,
+    * BIGINT terms — top-digit products overflow INTEGER). */
+  private val simhash32V = (0 until 8).map { i =>
+    val mult = 1L << (4 * (7 - i))
+    s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
+  }.mkString("\n        + ")
+
+  private val simhash32Cte = tokDocs + ",\n" +
+    s"""sim32 AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+       |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+       |  FROM (
+       |    SELECT doc_id, b,
+       |      sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+       |    FROM (
+       |      SELECT doc_id,
+       |        $simhash32V AS v,
+       |        unnest(generate_series(0, 31)) AS b
+       |      FROM (SELECT DISTINCT doc_id, md5(tok) AS h
+       |            FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok
+       |                  FROM tok_docs)))
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
+
   private val embDouble =
     """e AS (
       |  SELECT vec_id, label, v,
@@ -204,26 +250,27 @@ object PipelineQueries {
     },
 
     QueryDef("dedup_simhash",
-      withC(tokDocs)(
-        """SELECT doc_id,
-          |  CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
-          |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
-          |FROM (
-          |  SELECT doc_id, b,
-          |    sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
-          |  FROM (
-          |    SELECT doc_id,
-          |      (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
-          |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
-          |      + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
-          |      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS v,
-          |      unnest(generate_series(0, 15)) AS b
-          |    FROM (SELECT DISTINCT doc_id, md5(tok) AS h
-          |          FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok
-          |                FROM tok_docs)))
-          |  GROUP BY 1, 2)
-          |GROUP BY 1""".stripMargin)) {
+      withC(simhashCte)("SELECT doc_id, simhash FROM sim")) {
       (s, dir) => Dedup.simhash(W.read(s, dir, "documents"))
+    },
+
+    // SimHash near-dup pairs: 32-bit hash, 4 bands of 8 bits (pigeonhole-
+    // lossless for hamming <= 3) -> equi-join candidates -> exact verify.
+    QueryDef("dedup_simhash_pairs",
+      withC(simhash32Cte)(
+        """SELECT doc_a, doc_b, hamming FROM (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          |  FROM (SELECT doc_id, simhash, b AS band_idx,
+          |          (simhash >> (b * 8)) & 255 AS band_val
+          |        FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) a
+          |  JOIN (SELECT doc_id, simhash, b AS band_idx,
+          |          (simhash >> (b * 8)) & 255 AS band_val
+          |        FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) b
+          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          |       AND a.doc_id < b.doc_id)
+          |WHERE hamming <= 3""".stripMargin)) {
+      (s, dir) => Dedup.simhashPairs(W.read(s, dir, "documents"))
     },
 
     QueryDef("dedup_embedding",
