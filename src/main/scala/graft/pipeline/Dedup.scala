@@ -273,7 +273,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
-    val sh = simhash(docs, idCol, textCol, nBits = 32)
+    // persist: the signature agg otherwise recomputes in every band branch
+    // on both join sides (8x); the cache is (doc_id, long) — tiny
+    val sh = simhash(docs, idCol, textCol, nBits = 32).persist()
     val bands = (0 until 4).map(b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
         shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_val")))
