@@ -33,7 +33,8 @@ final case class IncrementalConfig(
     maxJobsPerBatch: Int = 600,
     filters: JobFilterConfig = JobFilterConfig(),
     maxRetries: Int = 8,
-    retrySleeper: Long => Unit = Thread.sleep)
+    retrySleeper: Long => Unit = Thread.sleep,
+    compactEveryBatches: Int = 100)
 
 final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
 
@@ -138,8 +139,16 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
         rs
     }.toSeq
     watermark.set(jobs.map(_.id).max)
+    // periodic log compaction: the transition log otherwise grows with
+    // every status change forever (single-writer, between batches)
+    if (cfg.compactEveryBatches > 0 &&
+        batchCount.incrementAndGet() % cfg.compactEveryBatches == 0) {
+      state.compact()
+    }
     results
   }
+
+  private val batchCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Recovery: re-run PENDING/RUNNING jobs from the state table in id
     * order (ST5 — `ReplicationServer.java:383-390`). */

@@ -23,10 +23,24 @@ import graft.model.JobState
 final class StateStore(spark: SparkSession, dir: String) extends Serializable {
   import spark.implicits._
 
+  repairCompaction()
+
   // Restart-safe transition counter: resume from the max seq already
   // persisted so post-crash appends sort *after* pre-crash ones (a fresh
   // counter would tie with old rows and make latest-wins nondeterministic).
   private val seq = new java.util.concurrent.atomic.AtomicLong(maxPersistedSeq())
+
+  private def compactTmpPath = new Path(dir + ".compact-tmp")
+
+  /** Adopt a compacted generation left orphaned by a crash between the
+    * old-log delete and the rename (the compacted data is complete). */
+  private def repairCompaction(): Unit = {
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    if (!fs.exists(new Path(dir)) && fs.exists(compactTmpPath)) {
+      fs.rename(compactTmpPath, new Path(dir))
+      ()
+    }
+  }
 
   private def maxPersistedSeq(): Long =
     if (!exists) 0L
@@ -57,20 +71,41 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
   private def exists: Boolean =
     new Path(dir).getFileSystem(new Configuration()).exists(new Path(dir))
 
-  /** Latest transition per job. One audit entry legally yields several jobs
-    * with the same id (the factory emits one job per output table, and one
-    * per partition for drops), so the job key is the full identity
-    * (id, operation, db, table, partitions, rename target) — not id alone. */
-  def current(): Dataset[JobState] = {
-    if (!exists) return spark.emptyDataset[JobState]
+  /** Latest transition per job, seq retained (the job key is the full
+    * identity — one audit entry legally yields several jobs with one id). */
+  private def latestTransitions(): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(col("id"), col("operation"), col("db"),
         col("table"), col("partitions"), col("renameToDb"), col("renameToTable"))
       .orderBy(col("seq").desc)
     spark.read.parquet(dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .drop("rn", "seq")
-      .as[JobState]
+      .drop("rn")
+  }
+
+  /** Latest transition per job. One audit entry legally yields several jobs
+    * with the same id (the factory emits one job per output table, and one
+    * per partition for drops), so the job key is the full identity
+    * (id, operation, db, table, partitions, rename target) — not id alone. */
+  def current(): Dataset[JobState] = {
+    if (!exists) return spark.emptyDataset[JobState]
+    latestTransitions().drop("seq").as[JobState]
+  }
+
+  /** Compact the append-only log to one row per job (its latest transition,
+    * seq retained so restart ordering survives). The log otherwise grows
+    * with every status transition forever — unbounded at warehouse scale.
+    * Single-writer contract: call between batches, like the reference's
+    * row-overwriting DB store. A crash mid-swap is repaired at the next
+    * construction ([[repairCompaction]]). */
+  def compact(): Unit = {
+    if (!exists) return
+    val fs = new Path(dir).getFileSystem(new Configuration())
+    fs.delete(compactTmpPath, true)
+    latestTransitions().write.parquet(compactTmpPath.toString)
+    fs.delete(new Path(dir), true)
+    fs.rename(compactTmpPath, new Path(dir))
+    ()
   }
 
   /** O2 — restore runnable jobs in id order

@@ -249,6 +249,42 @@ class IncrementalSpec extends TestBase {
     assert(node.get("outputTables").get(0).asText == s"db1.$weird")
   }
 
+  test("state store compaction keeps current view, seq continuity, and repairs a crashed swap") {
+    val dir = tmpDir("compact-state")
+    val path = dir.toUri.toString + "jobs"
+    val state = new StateStore(spark, path)
+    def job(id: Long, table: String, status: String) =
+      JobState(id, 1700000000000L, "COPY_TABLE", status, "db", table,
+        Seq.empty, None, None, None, Map.empty)
+    // 3 transitions for job 1, 2 for job 2 → 5 appends
+    state.append(Seq(job(1, "t1", JobStatus.Pending), job(2, "t2", JobStatus.Pending)))
+    state.append(Seq(job(1, "t1", JobStatus.Running)))
+    state.append(Seq(job(1, "t1", JobStatus.Successful)))
+    val before = state.current().collect().sortBy(_.id).toSeq
+
+    state.compact()
+    val after = state.current().collect().sortBy(_.id).toSeq
+    assert(after == before, s"compaction changed the view: $after vs $before")
+    // physically one row per job now
+    assert(spark.read.parquet(path).count() == 2)
+    assert(state.restoreRunnable().map(_.table) == Seq("t2"))
+
+    // a NEW store over the compacted log continues seq strictly above the
+    // retained max (latest-wins must stay deterministic after restart)
+    val reopened = new StateStore(spark, path)
+    reopened.append(Seq(job(2, "t2", JobStatus.Successful)))
+    assert(reopened.current().collect()
+      .find(_.table == "t2").get.status == JobStatus.Successful)
+
+    // crashed swap: dir deleted, tmp generation present → repaired on open
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    fs.rename(new org.apache.hadoop.fs.Path(path), tmp)
+    val repaired = new StateStore(spark, path)
+    assert(repaired.current().count() == 2)
+  }
+
   test("P2: non-default whitelist/blacklist regexes prune object names") {
     import spark.implicits._
     val filters = JobFilterConfig(whitelist = "prod_.*", blacklist = ".*\\.tmp_.*")

@@ -1,0 +1,57 @@
+package graft
+
+/** Plan-quality regression guard: the declared query surface must keep the
+  * plans we designed for — no accidental cartesians, broadcast on the one
+  * genuinely-small side, pruned scans. Failures here mean a refactor
+  * silently degraded a plan even though results still match. */
+class PlanAuditSpec extends TestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  // the one intentional all-pairs baseline (documented O(Q*N) reference
+  // point; the IVF query is the scale path)
+  private val cartesianExempt = Set("sim_topk_bruteforce")
+
+  test("no cartesian or nested-loop joins anywhere in the query surface") {
+    val offenders = SparkEntry.queries.keySet.toSeq.sorted
+      .filterNot(cartesianExempt)
+      .flatMap { name =>
+        val p = planOf(name)
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning cartesian/nested-loop joins: $offenders")
+  }
+
+  test("lookup join broadcasts its dimension side") {
+    assert(planOf("j7_lookup_join").contains("BroadcastHashJoin"))
+  }
+
+  test("inventory diffs stay sort-merge (both sides large, no broadcast)") {
+    // at real scale both inventories are huge; a broadcast here would OOM.
+    // sf0.001 is small enough that AQE *could* broadcast, so assert on the
+    // pre-AQE plan shape: a full-outer join can only be SMJ.
+    val j1 = planOf("j1_table_diff")
+    assert(j1.contains("SortMergeJoin") && j1.contains("FullOuter"), j1)
+    val j3 = planOf("j3_manifest_diff")
+    assert(j3.contains("SortMergeJoin") && j3.contains("FullOuter"), j3)
+  }
+
+  test("scans prune to referenced columns") {
+    // s1 projects 5 derived columns from 2 physical ones
+    val p = planOf("s1_catalog_scan")
+    assert(p.contains("ReadSchema: struct<p_partkey:bigint,p_size:int>"),
+      s"expected pruned scan, got:\n$p")
+  }
+
+  test("hidden-file filter evaluates one regex per row") {
+    val p = planOf("p5_hidden_filter")
+    assert(!p.contains("regexp_extract"),
+      "p5 should use a single regexp_like, not extract+compare")
+  }
+}
