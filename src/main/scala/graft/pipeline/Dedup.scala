@@ -72,9 +72,11 @@ object Dedup {
    */
   def minhashLshPairs(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // the signature groupBy's shuffle exchange is reused across the band
-    // projections and the self-join automatically (ReusedExchange)
-    val bands = lshBands(minhashSignatures(docs, 8, idCol, textCol))
+    // persist: the unpivot + self-join reference the band frame four times
+    // and Spark does NOT reuse the signature exchange across union branches
+    // (verified in the plan: 4x recompute without the cache). The cached
+    // frame is (doc_id, 2 md5 strings) — tiny.
+    val bands = lshBands(minhashSignatures(docs, 8, idCol, textCol)).persist()
     val unpivoted = bands.select(col("doc_id"), lit(1).as("band_idx"),
         col("band1").as("band_hash"))
       .unionAll(bands.select(col("doc_id"), lit(2).as("band_idx"),
