@@ -28,7 +28,10 @@ final case class BatchConfig(
     planDir: String,
     blacklist: Seq[(String, String)] = Seq.empty,
     copyParallelism: Int = 32,
-    tableListPath: Option[String] = None)
+    tableListPath: Option[String] = None,
+    // checksum copy level: detect + re-copy same-size corrupted files
+    // (CopyExec.md5 — config-gated, off on stores where reads are costly)
+    verifyChecksum: Boolean = false)
 
 final case class BatchStats(
     planned: Long, copies: Long, drops: Long, commitFailures: Long)
@@ -89,6 +92,7 @@ object BatchReplication {
   def copyData(spark: SparkSession, cfg: BatchConfig): Long = {
     import spark.implicits._
     val destOf = locationRewriter(cfg)
+    val verify = cfg.verifyChecksum
     val dirs = spark.read.parquet(cfg.planDir).as[Action]
       .filter((a: Action) =>
         a.updateData && a.srcPath.isDefined &&
@@ -117,8 +121,11 @@ object BatchReplication {
     val destManifest = listUnder(dirs, useSrc = false)
       .select(col("destKey"), col("size").as("destSize"))
 
+    // checksum level: size-equal files may still be corrupt, so every src
+    // file flows to the copy stage whose skip decision compares digests
     val toCopy = srcManifest.join(destManifest, Seq("destKey"), "left_outer")
-      .filter(col("destSize").isNull || col("destSize") =!= col("size"))
+      .filter(lit(verify) ||
+        col("destSize").isNull || col("destSize") =!= col("size"))
       .select("srcDir", "destDir", "relPath", "size", "mtime")
       .as[(String, String, String, Long, Long)]
 
@@ -132,7 +139,7 @@ object BatchReplication {
       it.map { case (srcDir, destDir, rel, _, _) =>
         val fs = new org.apache.hadoop.fs.Path(destDir).getFileSystem(conf)
         CopyExec.copyOnePublic(fs, conf, srcDir, destDir,
-          FileEntry(srcDir, rel, 0L, 0L))
+          FileEntry(srcDir, rel, 0L, 0L), verify)
       }
     }.persist()
     try {

@@ -64,7 +64,8 @@ object BatchReplicate {
       }
     },
     copyParallelism = flags.getOrElse("parallelism", "32").toInt,
-    tableListPath = flags.get("table-list"))
+    tableListPath = flags.get("table-list"),
+    verifyChecksum = flags.get("verify-checksum").contains("true"))
 
   /** `--step N` resumes one stage from the persisted plan (reference
     * `MetastoreReplicationJob.java:308-356`); no step runs all three. */

@@ -46,6 +46,8 @@ class CliSpec extends TestBase {
     // blacklist pair parsing
     assert(BatchReplicate.config(flags + ("blacklist" -> "^tmp_.*:.*,x:y"))
       .blacklist == Seq(("^tmp_.*", ".*"), ("x", "y")))
+    assert(BatchReplicate.config(flags + ("verify-checksum" -> "true"))
+      .verifyChecksum)
   }
 
   test("hdfs sync CLI: dry run plans without touching the dest") {
