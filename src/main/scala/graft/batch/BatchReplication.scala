@@ -211,11 +211,31 @@ object BatchReplication {
     import spark.implicits._
     val (srcConn, destConn) = (cfg.srcConnector, cfg.destConnector)
     val (srcRoot, destRoot) = (cfg.srcFsRoot, cfg.destFsRoot)
-    val results = spark.read.parquet(cfg.planDir).as[Action]
+    val sorted = spark.read.parquet(cfg.planDir).as[Action]
       .repartition(cfg.copyParallelism, col("db"), col("table"))
       .sortWithinPartitions(col("db"), col("table"),
         col("partName").isNotNull, col("partName"))
-      .mapPartitions { it =>
+    if (!srcConn.executorSafe || !destConn.executorSafe) {
+      // a session-bound catalog is reachable only from the driver: stream
+      // the plan through one driver-side pass (toLocalIterator — bounded
+      // memory, one partition at a time) with incremental counters; a
+      // cluster deployment plugs in an executor-safe Thrift-style
+      // connector and takes the distributed path below
+      val src = srcConn.connect()
+      val ctx = TaskContext.metadataOnly(destConn.connect(), srcRoot, destRoot)
+      var (planned, copies, drops, failures) = (0L, 0L, 0L, 0L)
+      val it = sorted.toLocalIterator()
+      while (it.hasNext) {
+        val a = it.next()
+        planned += 1
+        if (a.taskType.startsWith("COPY")) copies += 1
+        if (a.taskType.startsWith("DROP")) drops += 1
+        try commitOne(ctx, src, a)
+        catch { case _: Throwable => failures += 1 }
+      }
+      return BatchStats(planned, copies, drops, failures)
+    }
+    val results = sorted.mapPartitions { it =>
         val src = srcConn.connect()
         val ctx = TaskContext.metadataOnly(destConn.connect(), srcRoot, destRoot)
         it.map { a =>

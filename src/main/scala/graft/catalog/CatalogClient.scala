@@ -38,6 +38,11 @@ trait CatalogClient {
  */
 trait CatalogConnector extends Serializable {
   def connect(): CatalogClient
+  /** Whether connect() works inside executor JVMs (a Thrift-style client
+    * does; a client bound to the driver's SparkSession does not). Paths
+    * that fan catalog work out to executors must fall back to driver-side
+    * execution when this is false. */
+  def executorSafe: Boolean = true
 }
 
 /** In-memory catalog store, addressed by id so executor threads in the
@@ -112,7 +117,14 @@ object CatalogSnapshot {
     import spark.implicits._
     val dbNames = connector.connect().listDatabases()
     if (dbNames.isEmpty) spark.emptyDataset[TableMeta]
-    else spark.createDataset(dbNames)
+    else if (!connector.executorSafe) {
+      // session-bound catalogs are visible only from the driver: enumerate
+      // there (a cluster deployment uses a Thrift-style executor-safe
+      // connector and takes the distributed path below)
+      val c = connector.connect()
+      spark.createDataset(dbNames.flatMap(db =>
+        c.listTables(db).flatMap(t => c.getTable(db, t))))
+    } else spark.createDataset(dbNames)
       .repartition(math.min(parallelism, math.max(dbNames.size, 1)))
       .mapPartitions { it =>
         val c = connector.connect()
@@ -126,7 +138,12 @@ object CatalogSnapshot {
     val specs = tables(spark, connector, parallelism)
       .filter((t: TableMeta) => t.isPartitioned)
       .map(t => (t.db, t.table))
-    specs.repartition(parallelism).mapPartitions { it =>
+    if (!connector.executorSafe) {
+      val c = connector.connect()
+      spark.createDataset(specs.collect().toSeq.flatMap { case (db, tbl) =>
+        c.listPartitionNames(db, tbl).flatMap(p => c.getPartition(db, tbl, p))
+      })
+    } else specs.repartition(parallelism).mapPartitions { it =>
       val c = connector.connect()
       it.flatMap { case (db, tbl) =>
         c.listPartitionNames(db, tbl).iterator

@@ -132,8 +132,14 @@ final class SparkCatalogClient(spark: SparkSession) extends CatalogClient {
   * shared external catalog at connect time (never serializes a live
   * client — the `ClusterFactory` pattern). With
   * `spark.sql.catalogImplementation=hive` this is a real Hive metastore;
-  * the default in-memory implementation backs tests. */
+  * the default in-memory implementation backs tests.
+  *
+  * NOT executor-safe: `SparkSession.active` exists only on the driver (and
+  * in local mode) — cluster deployments that need executor-side catalog
+  * access plug in a Thrift-style connector instead; callers fall back to
+  * driver-side execution for this one ([[CatalogConnector.executorSafe]]). */
 final case class SparkCatalogConnector() extends CatalogConnector {
   def connect(): CatalogClient =
     new SparkCatalogClient(SparkSession.active)
+  override def executorSafe: Boolean = false
 }

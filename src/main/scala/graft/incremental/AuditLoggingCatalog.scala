@@ -35,9 +35,12 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     val id = nextId.incrementAndGet()
     val node = mapper.createObjectNode()
     node.put("id", id)
-    // ISO-8601 with 'T': Spark's default JSON timestampFormat
-    node.put("createTime", java.time.LocalDateTime.now().format(
-      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+    // ISO-8601 with 'T' in UTC: the streaming reader parses in the session
+    // time zone (forced UTC); a default-zone stamp would skew the lag
+    // metric by the host's UTC offset
+    node.put("createTime",
+      java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))
     node.put("commandType", commandType)
     node.put("command", commandType)
     val ot = node.putArray("outputTables"); outputTables.foreach(ot.add)

@@ -59,11 +59,21 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
     val src = cfg.srcConnector.connect()
     val c = ctx
     val outcome: Tasks.Outcome = j.operation match {
-      case "COPY_TABLE" =>
-        // full-table copy intended ⇒ T8: a partitioned table replicates
-        // metadata AND every existing partition, not metadata alone
+      case TaskType.CopyCompleteTable =>
+        // table creation ⇒ T8: replicate metadata AND every existing
+        // partition (no partition events will follow for them)
         src.getTable(j.db, j.table).orElse(serializedTable(j)) match {
           case Some(t) => Tasks.copyCompleteTable(c, src, t)
+          case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
+        }
+      case "COPY_TABLE" =>
+        // table-level mutation ⇒ metadata only for partitioned tables
+        // (partition events carry the data), T1 for unpartitioned —
+        // property churn on a 10k-partition table must NOT enumerate
+        // partitions (reference `ReplicationJobFactory.java:104-140`)
+        src.getTable(j.db, j.table).orElse(serializedTable(j)) match {
+          case Some(t) if t.isPartitioned => Tasks.copyPartitionedTable(c, t)
+          case Some(t) => Tasks.copyUnpartitionedTable(c, t)
           case None => Tasks.NotCompletable(s"src ${j.db}.${j.table} gone")
         }
       case TaskType.CopyPartition | TaskType.CopyPartitions =>

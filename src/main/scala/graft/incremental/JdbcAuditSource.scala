@@ -3,7 +3,7 @@ package graft.incremental
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.AuditLogEntry
+import graft.model.{AuditLogEntry, AuditObject}
 
 /**
  * S6/ST1 — the JDBC audit-log tail: id-keyed pages of ≤`pageSize` rows
@@ -42,16 +42,23 @@ final class JdbcAuditSource(spark: SparkSession, cfg: JdbcSourceConfig) {
       .load()
 
   /** One page: entries with `id > afterId`, SHOW* filtered at the source,
-    * ordered by id, limited; objects joined and routed per category. */
+    * ordered by id, limited; objects joined and routed per category, with
+    * serialized payloads (F6) riding along when the table carries them —
+    * so replay-from-payload behaves identically via paging and the DSv2
+    * stream. */
   def nextPage(afterId: Long): Dataset[AuditLogEntry] = {
     val page = jdbc(cfg.auditTable)
       .filter(col("id") > afterId &&
         !col("command_type").isin(cfg.dropCommandTypes.toSeq: _*))
       .orderBy("id")
       .limit(cfg.pageSize)
-    val objs = jdbc(cfg.objectsTable)
+    val objsRaw = jdbc(cfg.objectsTable)
+    val serCol =
+      if (objsRaw.columns.exists(_.equalsIgnoreCase("serialized"))) col("serialized")
+      else lit("")
+    val objs = objsRaw
       .select(col("audit_log_id").as("id"), col("category"),
-        col("object_type"), col("name"))
+        col("object_type"), col("name"), serCol.as("serialized"))
     page.join(objs, Seq("id"), "left_outer")
       .groupBy(col("id"), col("create_time"), col("command_type"), col("command"))
       .agg(
@@ -63,7 +70,11 @@ final class JdbcAuditSource(spark: SparkSession, cfg: JdbcSourceConfig) {
           col("name")))).as("output_partitions"),
         max(when(col("category") === "RENAME_FROM", col("name"))).as("rename_from"),
         sort_array(collect_list(when(
-          col("category") === "REFERENCE_TABLE", col("name")))).as("reference_tables"))
+          col("category") === "REFERENCE_TABLE", col("name")))).as("reference_tables"),
+        sort_array(collect_list(when(col("category").isNotNull,
+          struct(col("category"), col("object_type").as("objectType"),
+            col("name"), coalesce(col("serialized"), lit(""))
+              .as("serialized"))))).as("objects"))
       .map { r =>
         AuditLogEntry(
           id = r.getLong(0),
@@ -73,7 +84,10 @@ final class JdbcAuditSource(spark: SparkSession, cfg: JdbcSourceConfig) {
           outputTables = r.getSeq[String](4),
           outputPartitions = r.getSeq[String](5),
           renameFrom = Option(r.getString(6)),
-          referenceTables = r.getSeq[String](7))
+          referenceTables = r.getSeq[String](7),
+          objects = r.getSeq[org.apache.spark.sql.Row](8).map(o =>
+            AuditObject(o.getString(0), o.getString(1), o.getString(2),
+              o.getString(3))))
       }
   }
 }

@@ -142,9 +142,11 @@ object JobFactory {
               name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
             }
             .map { x =>
+              // P7 applies here too: unnormalized case would break the
+              // per-object lock key and lowercase-keyed catalog lookups
               JobState(e.id, e.createTime.getTime, TaskType.CopyPartition,
-                JobStatus.Pending, x.toDb, x.toTable, Seq(x.partName),
-                None, None, None, Map.empty)
+                JobStatus.Pending, x.toDb.toLowerCase, x.toTable.toLowerCase,
+                Seq(x.partName), None, None, None, Map.empty)
             }
         case "COPY" if e.outputPartitions.nonEmpty =>
           // ST8: group output partitions by table → one job per table
@@ -159,9 +161,20 @@ object JobFactory {
                 if (parts.size == 1) payloadOf(parts.head) else Map.empty)
             }
         case "COPY" =>
+          // Table creation intends a COMPLETE copy (partitions included —
+          // a table created with pre-existing partitions gets no partition
+          // events to converge from); every other table-level command is
+          // metadata-only, matching `createJobForCopyTable`
+          // (`ReplicationJobFactory.java:104-140`: COPY_PARTITIONED_TABLE
+          // never touches partition data).
+          val tableOp = e.commandType match {
+            case "CREATETABLE" | "CREATETABLE_AS_SELECT" | "IMPORT" =>
+              TaskType.CopyCompleteTable
+            case _ => "COPY_TABLE"
+          }
           e.outputTables.map { n =>
             val (db, tbl, _) = split(n)
-            JobState(e.id, e.createTime.getTime, "COPY_TABLE",
+            JobState(e.id, e.createTime.getTime, tableOp,
               JobStatus.Pending, db, tbl, Seq.empty, None, None, None,
               payloadOf(n))
           }

@@ -31,15 +31,24 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
   private val seq = new java.util.concurrent.atomic.AtomicLong(maxPersistedSeq())
 
   private def compactTmpPath = new Path(dir + ".compact-tmp")
+  private def compactOldPath = new Path(dir + ".compact-old")
 
-  /** Adopt a compacted generation left orphaned by a crash between the
-    * old-log delete and the rename (the compacted data is complete). */
+  /** Repair an interrupted compaction swap. The swap is two renames
+    * (dir→old, tmp→dir), so the possible crash states are: dir present
+    * (leftover tmp/old are garbage), or dir absent with a COMPLETE tmp
+    * generation (adopt it), or dir absent with only old (roll back). */
   private def repairCompaction(): Unit = {
     val fs = new Path(dir).getFileSystem(new Configuration())
-    if (!fs.exists(new Path(dir)) && fs.exists(compactTmpPath)) {
+    if (fs.exists(new Path(dir))) {
+      fs.delete(compactTmpPath, true)
+      fs.delete(compactOldPath, true)
+    } else if (fs.exists(compactTmpPath)) {
       fs.rename(compactTmpPath, new Path(dir))
-      ()
+      fs.delete(compactOldPath, true)
+    } else if (fs.exists(compactOldPath)) {
+      fs.rename(compactOldPath, new Path(dir))
     }
+    ()
   }
 
   private def maxPersistedSeq(): Long =
@@ -96,15 +105,19 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
     * seq retained so restart ordering survives). The log otherwise grows
     * with every status transition forever — unbounded at warehouse scale.
     * Single-writer contract: call between batches, like the reference's
-    * row-overwriting DB store. A crash mid-swap is repaired at the next
-    * construction ([[repairCompaction]]). */
+    * row-overwriting DB store. The swap is two renames so a concurrent
+    * reader (the status endpoint) sees a missing dir only for the
+    * milliseconds between them, never a half-deleted one; a crash mid-swap
+    * is repaired at the next construction ([[repairCompaction]]). */
   def compact(): Unit = {
     if (!exists) return
     val fs = new Path(dir).getFileSystem(new Configuration())
     fs.delete(compactTmpPath, true)
+    fs.delete(compactOldPath, true)
     latestTransitions().write.parquet(compactTmpPath.toString)
-    fs.delete(new Path(dir), true)
+    fs.rename(new Path(dir), compactOldPath)
     fs.rename(compactTmpPath, new Path(dir))
+    fs.delete(compactOldPath, true)
     ()
   }
 

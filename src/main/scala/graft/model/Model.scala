@@ -115,6 +115,7 @@ object TaskType {
   val CopyPartitionedTable   = "COPY_PARTITIONED_TABLE"
   val CopyPartition          = "COPY_PARTITION"
   val CopyPartitions         = "COPY_PARTITIONS" // bulk-compacted (ST8)
+  val CopyCompleteTable      = "COPY_COMPLETE_TABLE" // T8: data + all partitions
   val DropTable              = "DROP_TABLE"
   val DropPartition          = "DROP_PARTITION"
   val RenameTable            = "RENAME_TABLE"

@@ -75,7 +75,9 @@ object Dedup {
     // persist: the unpivot + self-join reference the band frame four times
     // and Spark does NOT reuse the signature exchange across union branches
     // (verified in the plan: 4x recompute without the cache). The cached
-    // frame is (doc_id, 2 md5 strings) — tiny.
+    // frame is (doc_id, 2 md5 strings) — tiny. Long-running services
+    // should unpersist via the returned plan's lineage (or clearCache)
+    // after the terminal action; one cache entry accrues per call.
     val bands = lshBands(minhashSignatures(docs, 8, idCol, textCol)).persist()
     val unpivoted = bands.select(col("doc_id"), lit(1).as("band_idx"),
         col("band1").as("band_hash"))
@@ -276,7 +278,8 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
     // persist: the signature agg otherwise recomputes in every band branch
-    // on both join sides (8x); the cache is (doc_id, long) — tiny
+    // on both join sides (8x); the cache is (doc_id, long) — tiny. Same
+    // caller-unpersists contract as minhashLshPairs for long-running use.
     val sh = simhash(docs, idCol, textCol, nBits = 32).persist()
     val bands = (0 until 4).map(b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),

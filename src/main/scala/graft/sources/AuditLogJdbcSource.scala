@@ -106,39 +106,30 @@ object AuditLogJdbc {
           renameFrom = None, referenceTables = Seq.empty))
       }
       if (entries.isEmpty) return Seq.empty
+      // cheap, dialect-portable probe (getColumns with null filters would
+      // scan the whole catalog every page): an empty-result SELECT either
+      // parses or throws on the missing column. Runs BEFORE the objects
+      // query — autocommit drivers (Derby) close other statements' open
+      // ResultSets when a new statement executes.
+      val hasSerialized =
+        try {
+          conn.createStatement().executeQuery(
+            s"SELECT serialized FROM ${opts.objectsTable} WHERE 1 = 0")
+          true
+        } catch { case _: java.sql.SQLException => false }
+      val serCol = if (hasSerialized) ", serialized" else ""
       val objRs = conn.createStatement().executeQuery(
-        s"""SELECT audit_log_id, category, object_type, name
+        s"""SELECT audit_log_id, category, object_type, name$serCol
            |FROM ${opts.objectsTable}
            |WHERE audit_log_id > $lo AND audit_log_id <= $hi""".stripMargin)
-      val hasSerialized = {
-        val md = conn.getMetaData.getColumns(null, null, null, null)
-        var found = false
-        while (md.next() && !found) {
-          found = md.getString("COLUMN_NAME").equalsIgnoreCase("serialized") &&
-            md.getString("TABLE_NAME").equalsIgnoreCase(opts.objectsTable)
-        }
-        found
-      }
-      val serializedOf: mutable.Map[(Long, String), String] =
-        if (!hasSerialized) mutable.Map.empty
-        else {
-          val m = mutable.Map.empty[(Long, String), String]
-          val rs = conn.createStatement().executeQuery(
-            s"""SELECT audit_log_id, name, serialized FROM ${opts.objectsTable}
-               |WHERE audit_log_id > $lo AND audit_log_id <= $hi""".stripMargin)
-          while (rs.next()) {
-            Option(rs.getString(3)).foreach(s =>
-              m.put((rs.getLong(1), rs.getString(2)), s))
-          }
-          m
-        }
       while (objRs.next()) {
         val id = objRs.getLong(1)
         entries.get(id).foreach { e =>
           val (cat, typ, name) =
             (objRs.getString(2), objRs.getString(3), objRs.getString(4))
-          val obj = AuditObject(cat, typ, name,
-            serializedOf.getOrElse((id, name), ""))
+          val serialized =
+            if (hasSerialized) Option(objRs.getString(5)).getOrElse("") else ""
+          val obj = AuditObject(cat, typ, name, serialized)
           val updated = (cat, typ) match {
             case ("OUTPUT", "TABLE") =>
               e.copy(outputTables = (e.outputTables :+ name).sorted)

@@ -159,7 +159,7 @@ class IncrementalSpec extends TestBase {
     assert(destConn.connect().listPartitionNames("db2", "target") == Seq("ds=1/hr=1"))
   }
 
-  test("T8: COPY_TABLE of a partitioned table replicates all its partitions") {
+  test("T8: CREATETABLE replicates all partitions; property churn stays metadata-only") {
     import spark.implicits._
     val (server, srcConn, destConn, srcWh, _) = newServer("t8copy")
     val src = srcConn.connect()
@@ -167,9 +167,22 @@ class IncrementalSpec extends TestBase {
     src.createTable(t)
     Seq("ds=1/hr=1", "ds=1/hr=2").foreach(p => src.addPartition(partition(t, p)))
 
+    // table creation intends a complete copy (partitions included)
     val rs = server.processBatch(spark.createDataset(Seq(
       entry(1, "CREATETABLE", outTables = Seq("db1.t_full")))))
-    assert(rs.map(_._2) == Seq(JobStatus.Successful))
+    assert(rs.map(r => (r._1.operation, r._2)) ==
+      Seq((TaskType.CopyCompleteTable, JobStatus.Successful)))
+    assert(destConn.connect().listPartitionNames("db1", "t_full") ==
+      Seq("ds=1/hr=1", "ds=1/hr=2"))
+
+    // a later table-level mutation must NOT re-enumerate partitions: add a
+    // src partition that has no audit event, alter properties — the
+    // metadata-only COPY_TABLE leaves the dest partition set unchanged
+    src.addPartition(partition(t, "ds=9/hr=9"))
+    val rs2 = server.processBatch(spark.createDataset(Seq(
+      entry(2, "ALTERTABLE_PROPERTIES", outTables = Seq("db1.t_full")))))
+    assert(rs2.map(r => (r._1.operation, r._2)) ==
+      Seq(("COPY_TABLE", JobStatus.Successful)))
     assert(destConn.connect().listPartitionNames("db1", "t_full") ==
       Seq("ds=1/hr=1", "ds=1/hr=2"))
   }
