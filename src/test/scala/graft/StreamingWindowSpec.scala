@@ -45,4 +45,33 @@ class StreamingWindowSpec extends TestBase {
     assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
     assert(streamed.nonEmpty)
   }
+
+  test("stateful sessionization carries open sessions across micro-batches") {
+    import graft.streaming._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val qName = s"sess_${System.nanoTime()}"
+    val q = StatefulSessionize(input.toDS(), gapUs = 1000000L) // 1s gap
+      .writeStream.outputMode("append").format("memory").queryName(qName).start()
+    try {
+      // batch 1: one open session for user 1 — nothing closes
+      input.addData(SessionEvent(1, 0L), SessionEvent(1, 500000L))
+      q.processAllAvailable()
+      assert(spark.table(qName).isEmpty)
+
+      // batch 2: event past the gap closes the first session; the state
+      // (start/last/count) survived the batch boundary
+      input.addData(SessionEvent(1, 5000000L))
+      q.processAllAvailable()
+      assert(spark.table(qName).as[ClosedSession].collect().toSeq ==
+        Seq(ClosedSession(1, 0L, 500000L, 2)))
+
+      // batch 3: a second user opens+closes within one batch
+      input.addData(SessionEvent(2, 0L), SessionEvent(2, 3000000L))
+      q.processAllAvailable()
+      assert(spark.table(qName).as[ClosedSession].collect().toSet ==
+        Set(ClosedSession(1, 0L, 500000L, 2), ClosedSession(2, 0L, 0L, 1)))
+    } finally q.stop()
+  }
 }
