@@ -53,6 +53,50 @@ object Similarity {
   }
 
   /**
+   * Random-hyperplane LSH bucket id: k sign bits of hyperplane
+   * projections, packed into one long. Hyperplane component signs are
+   * deterministic — parity of `xxhash64(bit, dim)` — so no side data to
+   * broadcast and identical assignment across runs/executors; everything
+   * stays inside codegen'd column expressions.
+   */
+  def rhpBucket(v: Column, k: Int = 12): Column = {
+    val bits = transform(sequence(lit(0), lit(k - 1)), i =>
+      when(aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+          x * when(pmod(xxhash64(i, d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(k - 1)),
+        (b, i) => b * pow(lit(2.0), i.cast("double")).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /**
+   * LSH-bucketed top-k (the second scale path beside IVF): queries only
+   * search their random-hyperplane bucket — an equi-join on the bucket id,
+   * no trained quantizer needed. Recall/latency trades on k: more bits ⇒
+   * smaller buckets ⇒ fewer candidates but more near-neighbors split
+   * across buckets (production uses multi-probe or banding like the
+   * MinHash path).
+   */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      bits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+      .withColumn("bucket", rhpBucket(col("q_v"), bits))
+      .withColumn("q_nrm", norm(col("q_v")))
+    val c = candidates.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))
+      .withColumn("bucket", rhpBucket(col("c_v"), bits))
+      .withColumn("c_nrm", norm(col("c_v")))
+    val scored = q.join(c, "bucket")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("bucket"), col("c_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * IVF-bucketed top-k: queries only search their own coarse cell.
    * Candidate generation is an equi-join on the cell id.
    */

@@ -340,6 +340,16 @@ object PipelineQueries {
       }
     },
 
+    // LSH-bucketed ANN (rows-only: xxhash64 hyperplanes have no DuckDB
+    // twin) — the second scale path beside IVF; same query set as the
+    // oracle-checked variants.
+    QueryDef.rowsOnly("sim_topk_lsh") {
+      (s, dir) => {
+        val e = W.read(s, dir, "embeddings")
+        Similarity.lshTopK(e.filter(col("vec_id") < 8), e, 5)
+      }
+    },
+
     // ---- multimodal plumbing ----------------------------------------------
 
     QueryDef("mm_media_meta",
