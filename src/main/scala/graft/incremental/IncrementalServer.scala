@@ -239,7 +239,8 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
     * unbounded job collect — the reference pauses ingestion at
     * `maxJobsInMemory` the same way (`ReplicationServer.java:427-439`). */
   def start(auditDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      startAfterId: Long = 0L): StreamingQuery = {
     import spark.implicits._
     val schema = implicitly[org.apache.spark.sql.Encoder[AuditLogEntry]].schema
     spark.readStream
@@ -247,6 +248,9 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
       .option("maxFilesPerTrigger", cfg.maxJobsPerBatch.toString)
       .json(auditDir)
       .as[AuditLogEntry]
+      // --start-after-id: the file source positions by file, not id, so
+      // the skip is an entry filter (`ReplicationLauncher.java:275-280`)
+      .filter((e: AuditLogEntry) => e.id > startAfterId)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

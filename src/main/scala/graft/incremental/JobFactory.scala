@@ -81,8 +81,13 @@ object JobFactory {
         e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
           e.renameFrom.isDefined || e.commandType == ExchangeCommand)
       .map { e =>
-        def keep(name: String) =
-          name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
+        // regexes match the case-NORMALIZED name (P7): a mixed-case entry
+        // must not slip past a lowercase blacklist and then lowercase into
+        // the very object the blacklist names
+        def keep(name: String) = {
+          val n = name.toLowerCase
+          n.matches(cfg.whitelist) && !n.matches(cfg.blacklist)
+        }
         e.copy(
           outputTables = e.outputTables.filter(keep),
           outputPartitions = e.outputPartitions.filter(keep))
@@ -138,7 +143,8 @@ object JobFactory {
           // reference "just copies" ⇒ one COPY_PARTITION of the dest object.
           ExchangePartitionParser.parse(e.command).toSeq
             .filter { x =>
-              val name = s"${x.toDb}.${x.toTable}/${x.partName}"
+              val name =
+                s"${x.toDb.toLowerCase}.${x.toTable.toLowerCase}/${x.partName}"
               name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
             }
             .map { x =>

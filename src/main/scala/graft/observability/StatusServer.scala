@@ -33,7 +33,22 @@ final class StatusServer(state: StateStore, watermark: Watermark,
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/status", new HttpHandler {
-      def handle(ex: HttpExchange): Unit = respond(ex, 200, statusJson())
+      def handle(ex: HttpExchange): Unit = {
+        // a poll can race the state log's compaction swap (millisecond
+        // rename window): retry once, else answer 503 instead of
+        // aborting the exchange
+        val body =
+          try Some(statusJson())
+          catch {
+            case _: Throwable =>
+              try Some(statusJson()) catch { case _: Throwable => None }
+          }
+        body match {
+          case Some(b) => respond(ex, 200, b)
+          case None =>
+            respond(ex, 503, """{"error":"state temporarily unavailable"}""")
+        }
+      }
     })
     server.createContext("/health", new HttpHandler {
       def handle(ex: HttpExchange): Unit = respond(ex, 200, """{"ok":true}""")

@@ -121,10 +121,15 @@ object Dedup {
    * dominant cause — exact duplicates — the [[exact]] pre-pass in
    * [[minhashLshPairsRobust]] removes before banding.
    */
-  def capBuckets(unpivoted: DataFrame, cap: Int): DataFrame = {
+  def capBuckets(unpivoted: DataFrame, cap: Int): DataFrame =
+    capByKey(unpivoted, Seq("band_idx", "band_hash"), cap)
+
+  /** Keep the `cap` smallest doc_ids per key — the shared hot-key bound
+    * behind both the LSH bucket cap and the n-gram block cap. */
+  private def capByKey(df: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_hash")).orderBy(col("doc_id"))
-    unpivoted.withColumn("rn", row_number().over(w))
+      .partitionBy(keyCols.map(col): _*).orderBy(col("doc_id"))
+    df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= cap).drop("rn")
   }
 
@@ -207,12 +212,7 @@ object Dedup {
     // note: persisting the tokenized frame was measured SLOWER than double
     // tokenization here (columnar-caching large string arrays costs more
     // than the regexp split) — the self-join deliberately recomputes
-    val t = blockCap.map { cap =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("blk")).orderBy(col("doc_id"))
-      all.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= cap).drop("rn")
-    }.getOrElse(all)
+    val t = blockCap.map(capByKey(all, Seq("blk"), _)).getOrElse(all)
     // Size prune before the expensive intersect: J = |∩|/|∪| ≤ min(n)/max(n),
     // so a pair can only reach the threshold when least(na,nb) ≥ t·greatest.
     // Evaluated as a cheap long compare in the join filter — the intersect

@@ -65,16 +65,22 @@ object AuditLogJdbc {
       rowsPerTrigger: Long,
       dropCommandTypes: Seq[String])
 
-  def options(m: Map[String, String]): Options = Options(
-    url = m.getOrElse("url",
-      throw new IllegalArgumentException("graft-audit-jdbc requires 'url'")),
-    auditTable = m.getOrElse("audittable", "audit_log"),
-    objectsTable = m.getOrElse("objectstable", "audit_objects"),
-    startId = m.getOrElse("startid", "0").toLong,
-    pageSize = m.getOrElse("pagesize", "200").toInt,
-    rowsPerTrigger = m.getOrElse("rowspertrigger", "200").toLong,
-    dropCommandTypes = m.getOrElse("dropcommandtypes",
-      "SHOWTABLES,SHOWPARTITIONS,SWITCHDATABASE").split(',').toSeq)
+  def options(raw: Map[String, String]): Options = {
+    // normalize: getTable receives the ORIGINAL-case option map
+    // (CaseInsensitiveStringMap.asCaseSensitiveMap), so `.option("startId",
+    // ...)` arrives camelCase — lowercase-only lookups silently miss it
+    val m = raw.map { case (k, v) => k.toLowerCase -> v }
+    Options(
+      url = m.getOrElse("url",
+        throw new IllegalArgumentException("graft-audit-jdbc requires 'url'")),
+      auditTable = m.getOrElse("audittable", "audit_log"),
+      objectsTable = m.getOrElse("objectstable", "audit_objects"),
+      startId = m.getOrElse("startid", "0").toLong,
+      pageSize = m.getOrElse("pagesize", "200").toInt,
+      rowsPerTrigger = m.getOrElse("rowspertrigger", "200").toLong,
+      dropCommandTypes = m.getOrElse("dropcommandtypes",
+        "SHOWTABLES,SHOWPARTITIONS,SWITCHDATABASE").split(',').toSeq)
+  }
 
   def maxId(opts: Options): Long = {
     val conn = DriverManager.getConnection(opts.url)

@@ -22,30 +22,60 @@ final case class ClosedSession(
 
 object StatefulSessionize {
 
-  def apply(events: Dataset[SessionEvent], gapUs: Long): Dataset[ClosedSession] = {
+  /** @param gapUs       event-time inactivity gap that closes a session
+    * @param idleFlushMs when set, a processing-time timeout flushes (and
+    *                    removes) the state of users who go quiet — without
+    *                    it a user's final session never emits and per-user
+    *                    state grows with every user_id ever seen. Opt-in
+    *                    because ProcessingTimeTimeout makes the engine run
+    *                    no-data micro-batches continuously
+    *                    (`shouldRunAnotherBatch` is always true), which
+    *                    also means `processAllAvailable` never settles —
+    *                    deployments using it drive the query by trigger. */
+  def apply(events: Dataset[SessionEvent], gapUs: Long,
+      idleFlushMs: Option[Long] = None): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleFlushMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          // a micro-batch delivers a group's events unordered: sort locally
-          // (bounded by one user's events in one batch)
-          val sorted = it.toSeq.sortBy(_.ts_us)
-          var closed = List.empty[ClosedSession]
-          var st = state.getOption
-          for (e <- sorted) {
-            st = st match {
-              case Some(s) if e.ts_us - s.last_us > gapUs =>
-                closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
-                Some(SessionState(e.ts_us, e.ts_us, 1))
-              case Some(s) =>
-                Some(s.copy(last_us = e.ts_us, n = s.n + 1))
-              case None =>
-                Some(SessionState(e.ts_us, e.ts_us, 1))
+          if (state.hasTimedOut) {
+            // idle flush: emit the open session and free the state row
+            val flushed = state.getOption.map(s =>
+              ClosedSession(user, s.start_us, s.last_us, s.n))
+            state.remove()
+            flushed.iterator
+          } else {
+            // a micro-batch delivers a group's events unordered: sort
+            // locally (bounded by one user's events in one batch)
+            val sorted = it.toSeq.sortBy(_.ts_us)
+            var closed = List.empty[ClosedSession]
+            var st = state.getOption
+            for (e <- sorted) {
+              st = st match {
+                case Some(s) if e.ts_us - s.last_us > gapUs =>
+                  closed ::= ClosedSession(user, s.start_us, s.last_us, s.n)
+                  Some(SessionState(e.ts_us, e.ts_us, 1))
+                case Some(s) =>
+                  // a LATE event (cross-batch disorder) folds into the
+                  // session without rewinding its frontier — a backwards
+                  // last_us would make the next on-time event split the
+                  // session spuriously
+                  Some(SessionState(math.min(s.start_us, e.ts_us),
+                    math.max(s.last_us, e.ts_us), s.n + 1))
+                case None =>
+                  Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              idleFlushMs.foreach(state.setTimeoutDuration)
+            }
+            closed.reverse.iterator
           }
-          st.foreach(state.update)
-          closed.reverse.iterator
       }
   }
 }

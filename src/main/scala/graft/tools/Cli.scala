@@ -136,9 +136,11 @@ object IncrementalService {
     val flags = Cli.parseFlags(args.toSeq)
     val spark = GraftSession.local("graft-incremental")
     val server = new IncrementalServer(spark, config(flags))
-    // --start-after-id resets the watermark (reference
-    // `ReplicationLauncher.java:275-280`)
-    flags.get("start-after-id").foreach(id => server.watermark.set(id.toLong))
+    // --start-after-id (reference `ReplicationLauncher.java:275-280`):
+    // resets the watermark (the JDBC poll loop's position) AND feeds the
+    // streaming sources below, which position independently of it
+    val startAfterId = flags.get("start-after-id").map(_.toLong).getOrElse(0L)
+    if (startAfterId > 0L) server.watermark.set(startAfterId)
     val status = new StatusServer(server.state, server.watermark,
       Some(Metrics.install(spark)),
       flags.getOrElse("status-port", "0").toInt)
@@ -148,11 +150,13 @@ object IncrementalService {
     (flags.get("audit-dir"), flags.get("audit-jdbc")) match {
       case (Some(dir), _) =>
         val q = server.start(dir, flags.getOrElse("checkpoint-dir",
-          flags("state-dir").stripSuffix("/") + "/checkpoint"))
+          flags("state-dir").stripSuffix("/") + "/checkpoint"),
+          startAfterId = startAfterId)
         q.awaitTermination()
       case (_, Some(url)) =>
         val q = server.startJdbcStream(url, flags.getOrElse("checkpoint-dir",
-          flags("state-dir").stripSuffix("/") + "/checkpoint"))
+          flags("state-dir").stripSuffix("/") + "/checkpoint"),
+          startId = startAfterId)
         q.awaitTermination()
       case _ => throw new IllegalArgumentException(
         "need --audit-dir or --audit-jdbc")

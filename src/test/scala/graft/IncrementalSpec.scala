@@ -477,6 +477,18 @@ class IncrementalSpec extends TestBase {
       val replayed = q2.recentProgress.map(_.numInputRows).sum
       assert(replayed <= 1, s"checkpoint restart re-admitted old ids: $replayed")
     } finally q2.stop()
+
+    // startId must be honored on a FRESH checkpoint (camelCase option keys
+    // arrive original-case from Spark — a lowercase-only lookup broke this)
+    val (server3, _, destConn3, _, _) = newServer("dsv2b")
+    val q3 = server3.startJdbcStream(url,
+      tmpDir("dsv2-ckpt2").toUri.toString, startId = 3L)
+    try {
+      q3.processAllAvailable()
+      assert(destConn3.connect().getTable("db1", "t_s1").isEmpty,
+        "startId=3 must skip ids 1-3")
+      assert(q3.recentProgress.map(_.numInputRows).sum == 1)
+    } finally q3.stop()
     conn.close()
   }
 

@@ -72,6 +72,41 @@ class StreamingWindowSpec extends TestBase {
       q.processAllAvailable()
       assert(spark.table(qName).as[ClosedSession].collect().toSet ==
         Set(ClosedSession(1, 0L, 500000L, 2), ClosedSession(2, 0L, 0L, 1)))
+
+      // late event (cross-batch disorder) folds into the open session
+      // without rewinding its frontier: the next on-time event must NOT
+      // split the session
+      input.addData(SessionEvent(1, 4800000L)) // late: < last_us 5000000
+      input.addData(SessionEvent(1, 5400000L)) // within gap of 5000000
+      q.processAllAvailable()
+      assert(spark.table(qName).count() == 2, "late event split a session")
+    } finally q.stop()
+  }
+
+  test("idle-flush timeout emits the final session and frees its state") {
+    import graft.streaming._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val qName = s"flush_${System.nanoTime()}"
+    // ProcessingTimeTimeout keeps the engine running no-data batches, so
+    // drive by trigger + poll with a deadline (processAllAvailable never
+    // settles by design here)
+    val q = StatefulSessionize(input.toDS(), gapUs = 1000000L,
+        idleFlushMs = Some(300L))
+      .writeStream.outputMode("append").format("memory").queryName(qName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData(SessionEvent(7, 0L), SessionEvent(7, 100000L))
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = Seq.empty[ClosedSession]
+      while (rows.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        rows = spark.table(qName).as[ClosedSession].collect().toSeq
+      }
+      // the user went quiet: their open session flushed via the timeout
+      assert(rows == Seq(ClosedSession(7, 0L, 100000L, 2)), s"got $rows")
     } finally q.stop()
   }
 }
