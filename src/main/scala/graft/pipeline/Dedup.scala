@@ -206,8 +206,11 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
       blockCap: Option[Int] = None): DataFrame = {
+    // token sets are sorted ONCE per document (amortized over all its
+    // pairs) so the per-pair intersection is the native zero-allocation
+    // two-pointer merge instead of array_intersect's per-call hash set
     val all = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
       .withColumn("n", size(col("toks")))
     // note: persisting the tokenized frame was measured SLOWER than double
     // tokenization here (columnar-caching large string arrays costs more
@@ -224,7 +227,8 @@ object Dedup {
           lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"),
-        size(array_intersect(col("a.toks"), col("b.toks"))).as("inter"))
+        graft.functions.SortedIntersectCount(docs.sparkSession,
+          col("a.toks"), col("b.toks")).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6)

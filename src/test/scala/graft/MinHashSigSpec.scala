@@ -78,6 +78,27 @@ class MinHashSigSpec extends TestBase {
       .map(_._1).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("sorted_intersect_count matches array_intersect semantics") {
+    import spark.implicits._
+    import graft.functions.SortedIntersectCount
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "z"), Seq("b", "y"))).toDF("xs", "ys")
+    val got = df.select(
+      SortedIntersectCount(spark, col("xs"), col("ys")).as("n"),
+      size(array_intersect(col("xs"), col("ys"))).as("expected"))
+      .as[(Int, Int)].collect().toSeq
+    assert(got.forall { case (n, e) => n == e }, s"got $got")
+    // interpreted eval matches codegen path
+    val arr = (s: Seq[String]) =>
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        s.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+    assert(SortedIntersectCount.compute(
+      arr(Seq("a", "b", "c")), arr(Seq("b", "c", "d"))) == 2)
+  }
+
   test("minhash_sig registers for SQL use") {
     MinHashSig.register(spark)
     import spark.implicits._
