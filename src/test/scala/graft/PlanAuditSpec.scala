@@ -49,6 +49,14 @@ class PlanAuditSpec extends TestBase {
       s"expected pruned scan, got:\n$p")
   }
 
+  test("pairwise Jaccard verify uses the native sorted-intersect expression") {
+    val p = planOf("dedup_ngram_jaccard")
+    assert(p.contains("sorted_intersect_count"),
+      "ngram pairs regressed to per-pair hash-set array_intersect")
+    assert(!p.contains("array_intersect("), p.linesIterator
+      .filter(_.contains("array_intersect")).mkString("\n"))
+  }
+
   test("hidden-file filter evaluates one regex per row") {
     val p = planOf("p5_hidden_filter")
     assert(!p.contains("regexp_extract"),
