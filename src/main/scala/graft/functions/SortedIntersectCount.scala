@@ -52,13 +52,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 object SortedIntersectCount {
 
-  /** Hot loop shared by interpreted eval and generated code. */
+  /** Hot loop shared by interpreted eval and generated code. Null elements
+    * sort first (`sort_array` default), are skipped by the merge, and a
+    * null on BOTH sides counts as one intersection — matching
+    * `array_intersect` on distinct arrays (the function registry exposes
+    * this to arbitrary SQL, so null elements must not NPE). */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
     var i = 0
     var j = 0
     var c = 0
+    var aNull = false
+    var bNull = false
+    while (i < na && a.isNullAt(i)) { aNull = true; i += 1 }
+    while (j < nb && b.isNullAt(j)) { bNull = true; j += 1 }
+    if (aNull && bNull) c += 1
     while (i < na && j < nb) {
       val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (cmp == 0) { c += 1; i += 1; j += 1 }

@@ -57,6 +57,12 @@ object Dedup {
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
+  // Note: the LSH verify joins below keep array_intersect deliberately —
+  // LSH candidates are orders of magnitude fewer than documents (that is
+  // the point of LSH), so sorting every document's shingle set to enable
+  // sorted_intersect_count would cost more than the few per-pair hash
+  // sets it saves. The n-gram path converts because its block join emits
+  // pairs comparable in count to documents.
 
   /** LSH bands over a k=8 signature: 2 bands of 4 rows each. */
   def lshBands(sig: DataFrame): DataFrame =

@@ -23,6 +23,7 @@ class BucketingSpec extends TestBase {
         .format("parquet").saveAsTable(name)
     writeBucketed(src, "b_src_files")
     writeBucketed(dest, "b_dest_files")
+    try {
 
     val joined = spark.table("b_src_files").as("s")
       .join(spark.table("b_dest_files").as("d"),
@@ -44,7 +45,11 @@ class BucketingSpec extends TestBase {
     val got = joined.as[(String, Option[Long], Option[Long])].collect().toSet
     assert(got == expected)
 
-    spark.sql("DROP TABLE IF EXISTS b_src_files")
-    spark.sql("DROP TABLE IF EXISTS b_dest_files")
+    } finally {
+      // drop even on assertion failure: the metastore/warehouse persist on
+      // disk and stale managed tables would dirty later runs
+      spark.sql("DROP TABLE IF EXISTS b_src_files")
+      spark.sql("DROP TABLE IF EXISTS b_dest_files")
+    }
   }
 }

@@ -81,22 +81,37 @@ class MinHashSigSpec extends TestBase {
   test("sorted_intersect_count matches array_intersect semantics") {
     import spark.implicits._
     import graft.functions.SortedIntersectCount
-    val df = Seq(
+    val rows = Seq(
       (Seq("a", "b", "c", "d"), Seq("b", "d", "e")),
       (Seq.empty[String], Seq("x")),
       (Seq("a"), Seq("a")),
-      (Seq("a", "z"), Seq("b", "y"))).toDF("xs", "ys")
+      (Seq("a", "z"), Seq("b", "y")))
+    val df = rows.toDF("xs", "ys")
     val got = df.select(
       SortedIntersectCount(spark, col("xs"), col("ys")).as("n"),
       size(array_intersect(col("xs"), col("ys"))).as("expected"))
       .as[(Int, Int)].collect().toSeq
     assert(got.forall { case (n, e) => n == e }, s"got $got")
-    // interpreted eval matches codegen path
+    // interpreted compute() agrees with the codegen (df) results on the
+    // SAME inputs
     val arr = (s: Seq[String]) =>
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
         s.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
-    assert(SortedIntersectCount.compute(
-      arr(Seq("a", "b", "c")), arr(Seq("b", "c", "d"))) == 2)
+    rows.zip(got).foreach { case ((xs, ys), (n, _)) =>
+      assert(SortedIntersectCount.compute(arr(xs), arr(ys)) == n)
+    }
+    // null elements (sorted first) must not NPE and must match
+    // array_intersect's null-intersects-null semantics via SQL
+    SortedIntersectCount.register(spark)
+    val withNulls = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  array(CAST(NULL AS STRING), 'a', 'b'),
+        |  array(CAST(NULL AS STRING), 'b', 'c')) AS n,
+        |  size(array_intersect(
+        |    array(CAST(NULL AS STRING), 'a', 'b'),
+        |    array(CAST(NULL AS STRING), 'b', 'c'))) AS expected""".stripMargin)
+      .as[(Int, Int)].head()
+    assert(withNulls._1 == withNulls._2 && withNulls._1 == 2, s"$withNulls")
   }
 
   test("minhash_sig registers for SQL use") {
