@@ -53,10 +53,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 object SortedIntersectCount {
 
   /** Hot loop shared by interpreted eval and generated code. Null elements
-    * sort first (`sort_array` default), are skipped by the merge, and a
-    * null on BOTH sides counts as one intersection — matching
-    * `array_intersect` on distinct arrays (the function registry exposes
-    * this to arbitrary SQL, so null elements must not NPE). */
+    * are skipped by the merge wherever they appear (the function registry
+    * exposes this to arbitrary SQL, so an unsorted input with a null after
+    * a non-null must not NPE), and a null on BOTH sides counts as one
+    * intersection — matching `array_intersect` on distinct arrays. The
+    * count is only meaningful for sorted distinct inputs (the documented
+    * precondition); for unsorted inputs it degrades to a wrong-but-safe
+    * number, never a crash. */
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -65,15 +68,19 @@ object SortedIntersectCount {
     var c = 0
     var aNull = false
     var bNull = false
-    while (i < na && a.isNullAt(i)) { aNull = true; i += 1 }
-    while (j < nb && b.isNullAt(j)) { bNull = true; j += 1 }
-    if (aNull && bNull) c += 1
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      if (a.isNullAt(i)) { aNull = true; i += 1 }
+      else if (b.isNullAt(j)) { bNull = true; j += 1 }
+      else {
+        val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
+    while (i < na && !aNull) { if (a.isNullAt(i)) aNull = true; i += 1 }
+    while (j < nb && !bNull) { if (b.isNullAt(j)) bNull = true; j += 1 }
+    if (aNull && bNull) c += 1
     c
   }
 

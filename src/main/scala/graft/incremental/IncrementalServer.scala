@@ -34,7 +34,12 @@ final case class IncrementalConfig(
     filters: JobFilterConfig = JobFilterConfig(),
     maxRetries: Int = 8,
     retrySleeper: Long => Unit = Thread.sleep,
-    compactEveryBatches: Int = 100)
+    compactEveryBatches: Int = 100,
+    // optional drain deadline per LockExecutor.execute call: None (default)
+    // waits for every job — long copies must never be latched into a false
+    // terminal state; Some(ms) interrupts stragglers and records RUNNING
+    // for recover() to replay
+    drainTimeoutMillis: Option[Long] = None)
 
 final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
 
@@ -142,7 +147,7 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
     state.append(jobs) // PENDING before execution (ST2 ordering)
     val results = jobs.grouped(math.max(1, cfg.maxJobsPerBatch)).flatMap {
       chunk =>
-        val rs = LockExecutor.execute(chunk, cfg.workers)(runJobWithRetry)
+        val rs = LockExecutor.execute(chunk, cfg.workers, cfg.drainTimeoutMillis)(runJobWithRetry)
         state.append(rs.map { case (j, s) =>
           j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
         })
@@ -165,7 +170,7 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
   def recover(): Seq[(JobState, String)] = {
     val runnable = state.restoreRunnable()
     if (runnable.isEmpty) return Seq.empty
-    val results = LockExecutor.execute(runnable, cfg.workers)(runJobWithRetry)
+    val results = LockExecutor.execute(runnable, cfg.workers, cfg.drainTimeoutMillis)(runJobWithRetry)
     state.append(results.map { case (j, s) =>
       j.copy(status = if (s.startsWith("FAILED")) JobStatus.Failed else s)
     })

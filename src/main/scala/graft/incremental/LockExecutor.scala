@@ -29,8 +29,19 @@ object LockExecutor {
 
   /** Execute all jobs; returns (job, final status) in input id order.
     * Jobs are keyed by position — one audit entry can legally yield
-    * several jobs with the same id (ST8 emits one per table). */
-  def execute(jobs: Seq[JobState], workers: Int)(
+    * several jobs with the same id (ST8 emits one per table).
+    *
+    * Waits for ALL jobs by default: a partition copy at scale can
+    * legitimately run for hours, and the ordered-scheduling invariant
+    * plus the bounded pool guarantee progress, so there is nothing safe
+    * to do at an arbitrary deadline. With `timeoutMillis` set (drain
+    * deadline for tests / graceful shutdown), stragglers are
+    * *interrupted* and reported RUNNING — never a false terminal state:
+    * a RUNNING row is exactly what `StateStore.restoreRunnable` replays,
+    * and the interrupt guarantees the first run is dead before any
+    * replay can start. */
+  def execute(jobs: Seq[JobState], workers: Int,
+      timeoutMillis: Option[Long] = None)(
       runFn: JobState => String): Seq[(JobState, String)] = {
     if (jobs.isEmpty) return Seq.empty
     val indexed = jobs.sortBy(_.id).zipWithIndex
@@ -75,10 +86,23 @@ object LockExecutor {
     }
 
     schedule()
-    done.await(10, TimeUnit.MINUTES)
-    pool.shutdown()
-    indexed.map { case (j, idx) =>
-      (j, Option(results.get(idx)).getOrElse("FAILED: not run"))
+    val finished = timeoutMillis match {
+      case None => done.await(); true
+      case Some(ms) => done.await(ms, TimeUnit.MILLISECONDS)
+    }
+    if (finished) {
+      pool.shutdown()
+      indexed.map { case (j, idx) =>
+        (j, Option(results.get(idx)).getOrElse(graft.model.JobStatus.Running))
+      }
+    } else {
+      // snapshot BEFORE interrupting: an interrupt-induced exception in a
+      // worker must not race its way into the results as a FAILED row
+      val snapshot = new java.util.HashMap[Int, String](results)
+      pool.shutdownNow()
+      indexed.map { case (j, idx) =>
+        (j, Option(snapshot.get(idx)).getOrElse(graft.model.JobStatus.Running))
+      }
     }
   }
 }

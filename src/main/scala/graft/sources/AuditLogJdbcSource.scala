@@ -65,6 +65,15 @@ object AuditLogJdbc {
       rowsPerTrigger: Long,
       dropCommandTypes: Seq[String])
 
+  // table names are spliced into SQL text (JDBC can't parameterize
+  // identifiers) — restrict them to plain possibly-qualified identifiers
+  // so a quote in an option value can't break out of the statement
+  private val IdentPattern = "[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*".r
+  private def validIdent(name: String, opt: String): String =
+    if (IdentPattern.pattern.matcher(name).matches()) name
+    else throw new IllegalArgumentException(
+      s"graft-audit-jdbc: option '$opt' must be a plain identifier, got '$name'")
+
   def options(raw: Map[String, String]): Options = {
     // normalize: getTable receives the ORIGINAL-case option map
     // (CaseInsensitiveStringMap.asCaseSensitiveMap), so `.option("startId",
@@ -73,8 +82,8 @@ object AuditLogJdbc {
     Options(
       url = m.getOrElse("url",
         throw new IllegalArgumentException("graft-audit-jdbc requires 'url'")),
-      auditTable = m.getOrElse("audittable", "audit_log"),
-      objectsTable = m.getOrElse("objectstable", "audit_objects"),
+      auditTable = validIdent(m.getOrElse("audittable", "audit_log"), "auditTable"),
+      objectsTable = validIdent(m.getOrElse("objectstable", "audit_objects"), "objectsTable"),
       startId = m.getOrElse("startid", "0").toLong,
       pageSize = m.getOrElse("pagesize", "200").toInt,
       rowsPerTrigger = m.getOrElse("rowspertrigger", "200").toLong,
@@ -95,12 +104,22 @@ object AuditLogJdbc {
   def fetchRange(opts: Options, lo: Long, hi: Long): Seq[AuditLogEntry] = {
     val conn = DriverManager.getConnection(opts.url)
     try {
-      val notIn = opts.dropCommandTypes.map(t => s"'$t'").mkString(", ")
-      val logRs = conn.createStatement().executeQuery(
+      // command types come from an option value — bind them as parameters
+      // rather than splicing quoted literals (table names are validated
+      // identifiers; id bounds are longs, bound anyway for uniformity)
+      val drops = opts.dropCommandTypes.filter(_.nonEmpty)
+      val notIn =
+        if (drops.isEmpty) ""
+        else s" AND command_type NOT IN (${Seq.fill(drops.size)("?").mkString(", ")})"
+      val logPs = conn.prepareStatement(
         s"""SELECT id, create_time, command_type, command
            |FROM ${opts.auditTable}
-           |WHERE id > $lo AND id <= $hi AND command_type NOT IN ($notIn)
+           |WHERE id > ? AND id <= ?$notIn
            |ORDER BY id""".stripMargin)
+      logPs.setLong(1, lo)
+      logPs.setLong(2, hi)
+      drops.zipWithIndex.foreach { case (t, i) => logPs.setString(3 + i, t) }
+      val logRs = logPs.executeQuery()
       val entries = mutable.LinkedHashMap.empty[Long, AuditLogEntry]
       while (logRs.next()) {
         entries.put(logRs.getLong(1), AuditLogEntry(
@@ -124,10 +143,13 @@ object AuditLogJdbc {
           true
         } catch { case _: java.sql.SQLException => false }
       val serCol = if (hasSerialized) ", serialized" else ""
-      val objRs = conn.createStatement().executeQuery(
+      val objPs = conn.prepareStatement(
         s"""SELECT audit_log_id, category, object_type, name$serCol
            |FROM ${opts.objectsTable}
-           |WHERE audit_log_id > $lo AND audit_log_id <= $hi""".stripMargin)
+           |WHERE audit_log_id > ? AND audit_log_id <= ?""".stripMargin)
+      objPs.setLong(1, lo)
+      objPs.setLong(2, hi)
+      val objRs = objPs.executeQuery()
       while (objRs.next()) {
         val id = objRs.getLong(1)
         entries.get(id).foreach { e =>

@@ -1,6 +1,6 @@
 package graft.tasks
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.catalog.CatalogClient
 import graft.fs.CopyExec
@@ -150,16 +150,10 @@ object Tasks {
         // manifest on the driver (at 100 TB a table's manifest is millions
         // of rows; the reference's driver-side partition materialization is
         // its own documented pain point).
-        import org.apache.spark.sql.functions._
         val manifest = graft.fs.FsOps.listFiles(ctx.spark, commonDir)
         val partRels = parts.map(p =>
           p.location.stripPrefix(commonDir).stripPrefix("/"))
-        val inPartition = partRels
-          .map(r => col("relPath") === r || col("relPath").startsWith(r + "/"))
-          .reduce(_ || _)
-        val sums = manifest.agg(
-          coalesce(sum(col("size")), lit(0L)),
-          coalesce(sum(when(inPartition, col("size"))), lit(0L))).head()
+        val sums = partitionSizeSums(manifest.toDF(), partRels).head()
         val (totalBytes, partBytes) = (sums.getLong(0), sums.getLong(1))
         if (totalBytes <= 2 * partBytes) {
           CopyExec.syncDir(ctx.spark, commonDir, ctx.destLocation(commonDir))
@@ -171,6 +165,59 @@ object Tasks {
     val outcomes = parts.map(p => copyPartition(ctx, srcTable, p))
     val _ = bulkDone
     outcomes.collectFirst { case nc: NotCompletable => nc }.getOrElse(Done)
+  }
+
+  /**
+   * T4 sizing frame: ONE row `(totalBytes, partBytes)` — all bytes under
+   * the common dir vs bytes inside any partition's relative dir.
+   *
+   * Membership is a broadcast join on the file's partition-depth path
+   * prefix, NOT an O(partitions) OR-predicate: T8 feeds this every
+   * partition of a table, and at 10k partitions the predicate form is a
+   * ~20k-node boolean tree that blows whole-stage codegen's 64 KB method
+   * limit (falling back to interpreted eval) and degrades analysis time
+   * quadratically. The join keeps the plan constant-size at any partition
+   * count (reference sizes from one listing the same way,
+   * `CopyPartitionsTask.java:137-283`).
+   */
+  def partitionSizeSums(manifest: DataFrame, partRels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val total = coalesce(sum(col("size")), lit(0L))
+    val rels = partRels.distinct
+    if (rels.exists(_.isEmpty)) {
+      // a partition located AT the common dir owns every file under it
+      return manifest.agg(total.as("totalBytes"), total.as("partBytes"))
+    }
+    val spark = manifest.sparkSession
+    import spark.implicits._
+    val depths = rels.map(_.split('/').length).distinct.sorted
+    val relsDf = broadcast(rels.toDF("__prel"))
+    val inPart = coalesce(
+      sum(when(col("__prel").isNotNull, col("size"))), lit(0L))
+    if (depths.size == 1) {
+      // uniform partition depth (the normal layout): one left broadcast
+      // join on the depth-d prefix — rels are distinct so each file hits
+      // ≤1 of them, and both sums come from a single scan
+      manifest
+        .withColumn("__p", substring_index(col("relPath"), "/", depths.head))
+        .join(relsDf, col("__p") === col("__prel"), "left")
+        .agg(total.as("totalBytes"), inPart.as("partBytes"))
+    } else {
+      // rare mixed-depth layout: try every depth's prefix per file, then
+      // collapse back to one row per file (nested partition dirs could
+      // otherwise double-count a file)
+      manifest
+        .select(col("relPath"), col("size"), explode(array(
+          depths.map(d => substring_index(col("relPath"), "/", d)): _*))
+          .as("__cand"))
+        .join(relsDf, col("__cand") === col("__prel"), "left")
+        .groupBy(col("relPath"))
+        .agg(first(col("size")).as("size"),
+          max(col("__prel").isNotNull).as("__hit"))
+        .agg(total.as("totalBytes"),
+          coalesce(sum(when(col("__hit"), col("size"))), lit(0L))
+            .as("partBytes"))
+    }
   }
 
   /** T5 — TLDT-guarded drops: only drop when the dest object still carries

@@ -115,6 +115,37 @@ class IncrementalSpec extends TestBase {
     assert(seq.indexOf(5L) > seq.indexOf(3L))
   }
 
+  test("lock executor: a job outliving the drain deadline is RUNNING, never FAILED") {
+    def job(id: Long, table: String) =
+      JobState(id, 0L, "X", JobStatus.Pending, "db", table, Seq.empty, None,
+        None, None, Map.empty)
+    // default (no deadline): a job far longer than the old 10-min-style
+    // latch would allow still completes SUCCESSFUL — execute waits
+    val slowDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val waited = LockExecutor.execute(Seq(job(1, "slow")), workers = 1) { _ =>
+      Thread.sleep(300); slowDone.set(true); JobStatus.Successful
+    }
+    assert(slowDone.get(), "execute returned before the job finished")
+    assert(waited.map(_._2) == Seq(JobStatus.Successful))
+
+    // with a deadline: the straggler is interrupted and reported RUNNING —
+    // a replayable state, not a false terminal FAILED
+    val interrupted = new java.util.concurrent.CountDownLatch(1)
+    val rs = LockExecutor.execute(Seq(job(1, "fast"), job(2, "stuck")),
+      workers = 2, timeoutMillis = Some(250)) { j =>
+      if (j.table == "stuck") {
+        try Thread.sleep(60000)
+        catch { case _: InterruptedException => interrupted.countDown() }
+        "FAILED: interrupted" // post-interrupt result must NOT be reported
+      } else JobStatus.Successful
+    }
+    assert(rs.toMap.apply(job(1, "fast")) == JobStatus.Successful)
+    assert(rs.toMap.apply(job(2, "stuck")) == JobStatus.Running,
+      s"straggler status: ${rs.toMap.apply(job(2, "stuck"))}")
+    assert(interrupted.await(5, java.util.concurrent.TimeUnit.SECONDS),
+      "shutdownNow did not interrupt the straggler")
+  }
+
   test("T10: transient failures are retried and the job ends SUCCESSFUL") {
     import spark.implicits._
     val srcConn = freshCatalog("retry-src")

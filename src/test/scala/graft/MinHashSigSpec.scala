@@ -112,6 +112,19 @@ class MinHashSigSpec extends TestBase {
         |    array(CAST(NULL AS STRING), 'b', 'c'))) AS expected""".stripMargin)
       .as[(Int, Int)].head()
     assert(withNulls._1 == withNulls._2 && withNulls._1 == 2, s"$withNulls")
+    // nulls AFTER non-nulls (arbitrary SQL can pass unsorted arrays) must
+    // not NPE either; both-sides-null still counts once
+    val midNulls = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  array('a', CAST(NULL AS STRING), 'b'),
+        |  array('b', 'c', CAST(NULL AS STRING))) AS n""".stripMargin)
+      .as[Int].head()
+    assert(midNulls == 2, s"mid-array nulls: got $midNulls")
+    val oneSideNull = spark.sql(
+      """SELECT sorted_intersect_count(
+        |  array('a', CAST(NULL AS STRING)),
+        |  array('a', 'b')) AS n""".stripMargin).as[Int].head()
+    assert(oneSideNull == 1, s"one-side null: got $oneSideNull")
   }
 
   test("minhash_sig registers for SQL use") {

@@ -164,6 +164,57 @@ class TasksSpec extends TestBase {
     assert(!java.nio.file.Files.exists(destUnrelated))
   }
 
+  test("T4 sizing is a broadcast join, not an O(partitions) predicate") {
+    import spark.implicits._
+    // 500 partitions: the old OR-predicate form would be a ~2000-node
+    // boolean tree here; the join plan stays constant-size
+    val rels = (0 until 500).map(i => s"ds=$i")
+    val manifest = (0 until 2000)
+      .map(i => (s"ds=${i % 600}/f$i.parquet", 10L)).toDF("relPath", "size")
+    val df = Tasks.partitionSizeSums(manifest, rels)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains(" || "), "plan still carries an OR-chain filter")
+    val row = df.head()
+    // files with ds < 500 are in-partition: 3 full cycles of 600 (500 hits
+    // each) + 200 remainder, all < 500 ⇒ 1700 files
+    assert(row.getLong(0) == 20000L && row.getLong(1) == 17000L, s"$row")
+
+    // prefix means PATH prefix: ds=1x must not match rel ds=1
+    val tricky = Seq(("ds=1/f.parquet", 7L), ("ds=1x/f.parquet", 11L))
+      .toDF("relPath", "size")
+    val trow = Tasks.partitionSizeSums(tricky, Seq("ds=1")).head()
+    assert(trow.getLong(0) == 18L && trow.getLong(1) == 7L, s"$trow")
+
+    // mixed partition depths (rare layout) still counts each file once
+    val mixed = Seq(
+      ("ds=1/hr=1/a.parquet", 1L), ("ds=1/b.parquet", 2L),
+      ("other/c.parquet", 4L)).toDF("relPath", "size")
+    val mrow = Tasks.partitionSizeSums(mixed, Seq("ds=1", "ds=1/hr=1")).head()
+    assert(mrow.getLong(0) == 7L && mrow.getLong(1) == 3L, s"$mrow")
+
+    // a partition AT the common dir owns everything
+    val arow = Tasks.partitionSizeSums(tricky, Seq("", "ds=1")).head()
+    assert(arow.getLong(0) == 18L && arow.getLong(1) == 18L, s"$arow")
+  }
+
+  test("T8 on a many-partition table converges through the bulk sizing join") {
+    val srcConn = freshCatalog("many-src")
+    val destConn = freshCatalog("many-dest")
+    val srcWh = tmpDir("many-src-wh")
+    val destWh = tmpDir("many-dest-wh")
+    val src = srcConn.connect()
+    val c = TaskContext(spark, destConn.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+    val t = partitionedTable("db1", "many_t", srcWh)
+    src.createTable(t)
+    val parts = (0 until 120).map(i => partition(t, s"ds=${i / 24}/hr=${i % 24}"))
+    parts.foreach(src.addPartition)
+    assert(Tasks.copyCompleteTable(c, src, t) == Tasks.Done)
+    assert(destConn.connect().listPartitionNames("db1", "many_t").size == 120)
+    assert(graft.fs.CopyExec.equalDirs(spark, t.location, c.destLocation(t.location)))
+  }
+
   test("retry wrapper: exponential backoff then success / exhaustion") {
     var sleeps = Seq.empty[Long]
     var calls = 0
