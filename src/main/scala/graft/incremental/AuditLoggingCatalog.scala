@@ -31,7 +31,9 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
   private def emit(commandType: String, outputTables: Seq[String] = Seq.empty,
       outputPartitions: Seq[String] = Seq.empty,
       renameFrom: Option[String] = None,
-      objects: Seq[AuditObject] = Seq.empty): Unit = {
+      objects: Seq[AuditObject] = Seq.empty,
+      command: Option[String] = None,
+      referenceTables: Seq[String] = Seq.empty): Unit = {
     val id = nextId.incrementAndGet()
     val node = mapper.createObjectNode()
     node.put("id", id)
@@ -42,11 +44,14 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
       java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))
     node.put("commandType", commandType)
-    node.put("command", commandType)
+    // the executed command text, like the reference's CliAuditLogHook —
+    // commands whose entries carry no outputs (HIVE-12865 exchange) are
+    // only replicable from this SQL, so it must be the real text
+    node.put("command", command.getOrElse(commandType))
     val ot = node.putArray("outputTables"); outputTables.foreach(ot.add)
     val op = node.putArray("outputPartitions"); outputPartitions.foreach(op.add)
     renameFrom.foreach(r => node.put("renameFrom", r))
-    node.putArray("referenceTables")
+    val rt = node.putArray("referenceTables"); referenceTables.foreach(rt.add)
     // F6: full object metadata rides along so replication can replay
     // without re-fetching from the (possibly already-mutated) source
     val objArr = node.putArray("objects")
@@ -68,7 +73,7 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
   // ---- mutations emit audit entries --------------------------------------
   def createDatabase(db: String): Unit = {
     underlying.createDatabase(db)
-    emit("CREATEDATABASE")
+    emit("CREATEDATABASE", command = Some(s"CREATE DATABASE $db"))
   }
   private def tableObj(t: TableMeta): AuditObject =
     AuditObject("OUTPUT", "TABLE", s"${t.db}.${t.table}", MetaJson.writeTable(t))
@@ -76,39 +81,56 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     AuditObject("OUTPUT", "PARTITION", s"${p.db}.${p.table}/${p.partName}",
       MetaJson.writePartition(p))
 
+  /** `ds=1/hr=2` → `ds='1', hr='2'` — the SQL partition-spec rendering
+    * (single quotes doubled so values containing quotes stay parseable). */
+  private def specSql(partName: String): String =
+    partName.split('/').map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      s"$k='${v.replace("'", "''")}'"
+    }.mkString(", ")
+
   def createTable(t: TableMeta): Unit = {
     underlying.createTable(t)
     emit("CREATETABLE", outputTables = Seq(s"${t.db}.${t.table}"),
-      objects = Seq(tableObj(t)))
+      objects = Seq(tableObj(t)),
+      command = Some(s"CREATE TABLE ${t.db}.${t.table}"))
   }
   def alterTable(db: String, table: String, t: TableMeta): Unit = {
     underlying.alterTable(db, table, t)
     if (db != t.db || table != t.table) {
       emit("ALTERTABLE_RENAME", outputTables = Seq(s"${t.db}.${t.table}"),
-        renameFrom = Some(s"$db.$table"), objects = Seq(tableObj(t)))
+        renameFrom = Some(s"$db.$table"), objects = Seq(tableObj(t)),
+        command = Some(s"ALTER TABLE $db.$table RENAME TO ${t.db}.${t.table}"))
     } else {
       emit("ALTERTABLE_PROPERTIES", outputTables = Seq(s"$db.$table"),
-        objects = Seq(tableObj(t)))
+        objects = Seq(tableObj(t)),
+        command = Some(s"ALTER TABLE $db.$table SET TBLPROPERTIES (...)"))
     }
   }
   def dropTable(db: String, table: String): Unit = {
     underlying.dropTable(db, table)
-    emit("DROPTABLE", outputTables = Seq(s"$db.$table"))
+    emit("DROPTABLE", outputTables = Seq(s"$db.$table"),
+      command = Some(s"DROP TABLE $db.$table"))
   }
   def addPartition(p: PartitionMeta): Unit = {
     underlying.addPartition(p)
     emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
-      objects = Seq(partObj(p)))
+      objects = Seq(partObj(p)),
+      command = Some(s"ALTER TABLE ${p.db}.${p.table} " +
+        s"ADD PARTITION (${specSql(p.partName)})"))
   }
   def alterPartition(p: PartitionMeta): Unit = {
     underlying.alterPartition(p)
     emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
-      objects = Seq(partObj(p)))
+      objects = Seq(partObj(p)),
+      command = Some(s"INSERT OVERWRITE TABLE ${p.db}.${p.table} " +
+        s"PARTITION (${specSql(p.partName)})"))
   }
   def dropPartition(db: String, table: String, partName: String): Unit = {
     underlying.dropPartition(db, table, partName)
     emit("ALTERTABLE_DROPPARTS",
-      outputPartitions = Seq(s"$db.$table/$partName"))
+      outputPartitions = Seq(s"$db.$table/$partName"),
+      command = Some(s"ALTER TABLE $db.$table DROP PARTITION (${specSql(partName)})"))
   }
   def renamePartition(db: String, table: String, from: String,
       to: PartitionMeta): Unit = {
@@ -116,7 +138,27 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     emit("ALTERTABLE_RENAMEPART",
       outputPartitions = Seq(s"$db.$table/${to.partName}"),
       renameFrom = Some(s"$db.$table/$from"),
-      objects = Seq(partObj(to)))
+      objects = Seq(partObj(to)),
+      command = Some(s"ALTER TABLE $db.$table PARTITION (${specSql(from)}) " +
+        s"RENAME TO PARTITION (${specSql(to.partName)})"))
+  }
+
+  /** HIVE-12865 exchange: moves the partition out of `fromDb.fromTable`
+    * into `to`'s table. The emitted entry deliberately carries NO
+    * outputs — exactly like Hive's hook output for this command — so the
+    * incremental server can only replicate it by parsing the command
+    * text; the source table rides along as an input (REFERENCE_TABLE),
+    * matching the reference's object logging
+    * (`hive-hooks/.../ObjectLogModule.java:268-312`). */
+  def exchangePartition(fromDb: String, fromTable: String,
+      to: PartitionMeta): Unit = {
+    underlying.dropPartition(fromDb, fromTable, to.partName)
+    underlying.addPartition(to)
+    emit("ALTERTABLE_EXCHANGEPARTITION",
+      command = Some(s"ALTER TABLE ${to.db}.${to.table} " +
+        s"EXCHANGE PARTITION (${specSql(to.partName)}) " +
+        s"WITH TABLE $fromDb.$fromTable"),
+      referenceTables = Seq(s"$fromDb.$fromTable"))
   }
 
   // ---- reads pass through -------------------------------------------------

@@ -39,7 +39,11 @@ final case class IncrementalConfig(
     // waits for every job — long copies must never be latched into a false
     // terminal state; Some(ms) interrupts stragglers and records RUNNING
     // for recover() to replay
-    drainTimeoutMillis: Option[Long] = None)
+    drainTimeoutMillis: Option[Long] = None,
+    // two-way-sync protection: with false, copies whose dest is newer than
+    // the source event become guarded DestNewer no-ops (reference knob
+    // BATCH_JOB_OVERWRITE_NEWER)
+    overwriteNewer: Boolean = true)
 
 final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
 
@@ -47,7 +51,7 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
   val watermark = new Watermark(cfg.watermarkPath)
 
   private def ctx = TaskContext(spark, cfg.destConnector.connect(),
-    cfg.srcFsRoot, cfg.destFsRoot)
+    cfg.srcFsRoot, cfg.destFsRoot, overwriteNewer = cfg.overwriteNewer)
 
   // F6 replay payloads: when the source object is already gone (dropped or
   // renamed away after the entry was logged), the job replays from the
@@ -115,10 +119,15 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
             } yield Tasks.renamePartition(c, t, from, pm)
           case _ => None
         }).getOrElse(Tasks.NotCompletable("rename partition spec missing"))
+      case TaskType.NoOp =>
+        // planJobs routes unparseable commands here so they surface as
+        // NOT_COMPLETABLE rows instead of silently vanishing
+        Tasks.NotCompletable(
+          s"unparseable command: ${j.extras.getOrElse("command", "")}")
       case other => Tasks.NotCompletable(s"unknown operation $other")
     }
     outcome match {
-      case Tasks.Done | Tasks.Noop => JobStatus.Successful
+      case Tasks.Done | Tasks.Noop | Tasks.DestNewer => JobStatus.Successful
       case Tasks.NotCompletable(_) => JobStatus.NotCompletable
     }
   }

@@ -50,18 +50,40 @@ object ExchangePartitionParser {
       case _ => None
     }
 
-  /** `ds='1', hr='2'` → `ds=1/hr=2`. */
+  /** `ds='1', hr='2'` → `ds=1/hr=2`. Splits on commas OUTSIDE quotes and
+    * unescapes doubled quotes, so values containing commas or quotes
+    * (`city='San Jose, CA'`, `note='it''s'`) parse instead of silently
+    * yielding a wrong partition name. */
   private def partName(spec: String): Option[String] = {
-    val comps = spec.split(',').toSeq.map(_.trim).map { c =>
+    val comps = splitTopLevel(spec).map(_.trim).filter(_.nonEmpty).map { c =>
       c.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty =>
-          Some(s"${k.trim}=${v.trim.replace("'", "")}")
+          Some(s"${k.trim}=${unquote(v.trim)}")
         case _ => None
       }
     }
     if (comps.isEmpty || comps.exists(_.isEmpty)) None
     else Some(comps.flatten.mkString("/"))
   }
+
+  private def splitTopLevel(spec: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    spec.foreach {
+      case '\'' => inQuote = !inQuote; sb += '\''
+      case ',' if !inQuote => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    out += sb.toString
+    out.result()
+  }
+
+  /** `'it''s'` → `it's`; bare values pass through. */
+  private def unquote(v: String): String =
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v
 }
 
 object JobFactory {
@@ -141,19 +163,32 @@ object JobFactory {
           // parse the SQL; the exchanged partition lands in the ALTER TABLE
           // target, and with the source partition's mtime unavailable the
           // reference "just copies" ⇒ one COPY_PARTITION of the dest object.
-          ExchangePartitionParser.parse(e.command).toSeq
-            .filter { x =>
-              val name =
-                s"${x.toDb.toLowerCase}.${x.toTable.toLowerCase}/${x.partName}"
-              name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
-            }
-            .map { x =>
-              // P7 applies here too: unnormalized case would break the
-              // per-object lock key and lowercase-keyed catalog lookups
-              JobState(e.id, e.createTime.getTime, TaskType.CopyPartition,
-                JobStatus.Pending, x.toDb.toLowerCase, x.toTable.toLowerCase,
-                Seq(x.partName), None, None, None, Map.empty)
-            }
+          ExchangePartitionParser.parse(e.command) match {
+            case Some(x) =>
+              Seq(x).filter { x =>
+                // same normalization as filterEntries.keep: the FULL name
+                // (partition values included) lowercases before matching,
+                // so one blacklist regex behaves identically on both paths
+                val name =
+                  s"${x.toDb}.${x.toTable}/${x.partName}".toLowerCase
+                name.matches(cfg.whitelist) && !name.matches(cfg.blacklist)
+              }.map { x =>
+                // P7 applies here too: unnormalized case would break the
+                // per-object lock key and lowercase-keyed catalog lookups
+                JobState(e.id, e.createTime.getTime, TaskType.CopyPartition,
+                  JobStatus.Pending, x.toDb.toLowerCase, x.toTable.toLowerCase,
+                  Seq(x.partName), None, None, None, Map.empty)
+              }
+            case None =>
+              // an unparseable exchange must surface as NOT_COMPLETABLE in
+              // the state table, not silently skip replication (the
+              // reference logs the SQL on parse failure) — the command
+              // text rides in extras for the operator to inspect
+              Seq(JobState(e.id, e.createTime.getTime, TaskType.NoOp,
+                JobStatus.Pending, "_unparsed", s"exchange_${e.id}",
+                Seq.empty, None, None, None,
+                Map("command" -> Option(e.command).getOrElse(""))))
+          }
         case "COPY" if e.outputPartitions.nonEmpty =>
           // ST8: group output partitions by table → one job per table
           e.outputPartitions.groupBy(n => { val s = split(n); (s._1, s._2) })

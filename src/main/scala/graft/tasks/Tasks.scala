@@ -20,7 +20,13 @@ final case class TaskContext(
     spark: SparkSession,
     destCatalog: CatalogClient,
     srcFsRoot: String,
-    destFsRoot: String) {
+    destFsRoot: String,
+    // overwrite-newer guard (`ReplicationUtils.isSrcOlder` +
+    // `BATCH_JOB_OVERWRITE_NEWER`): with false, a copy whose destination
+    // carries a newer modified-time than the source is skipped with
+    // [[Tasks.DestNewer]] — protecting a two-way-sync dest from a delayed
+    // replay of a stale event; true (default) replicates unconditionally
+    overwriteNewer: Boolean = true) {
 
   /** P8: map a src location to its dest location (same relative path under
     * the dest root; s3 passthrough —
@@ -46,6 +52,13 @@ object Tasks {
   sealed trait Outcome
   case object Done extends Outcome
   case object Noop extends Outcome
+  /** Copy skipped because the destination was modified after the source —
+    * only reachable with `TaskContext.overwriteNewer = false` (the
+    * reference's `BATCH_JOB_OVERWRITE_NEWER` knob; its tasks return
+    * `DEST_IS_NEWER`, `CopyUnpartitionedTableTask.java:109-120`). A
+    * deliberate terminal no-op, distinct from Noop so operators can see
+    * how often the guard fires in a two-way-sync setup. */
+  case object DestNewer extends Outcome
   final case class NotCompletable(reason: String) extends Outcome
 
   /** P10 — build the dest object: src metadata, rewritten location, dest
@@ -81,6 +94,9 @@ object Tasks {
     * (`CopyUnpartitionedTableTask.java:82-201`). */
   def copyUnpartitionedTable(ctx: TaskContext, src: TableMeta): Outcome = {
     if (src.isPartitioned) return NotCompletable("table is partitioned")
+    if (!ctx.overwriteNewer &&
+        ctx.destCatalog.getTable(src.db, src.table)
+          .exists(_.lastModified > src.lastModified)) return DestNewer
     resolveConflict(ctx, src)
     val destLoc = ctx.destLocation(src.location)
     if (destLoc != src.location &&
@@ -113,6 +129,9 @@ object Tasks {
     * (`CopyPartitionTask.java:98-263`). */
   def copyPartition(ctx: TaskContext, srcTable: TableMeta,
       src: PartitionMeta): Outcome = {
+    if (!ctx.overwriteNewer &&
+        ctx.destCatalog.getPartition(src.db, src.table, src.partName)
+          .exists(_.lastModified > src.lastModified)) return DestNewer
     if (ctx.destCatalog.getTable(src.db, src.table).isEmpty) {
       copyPartitionedTable(ctx, srcTable)
     }

@@ -279,6 +279,56 @@ class IncrementalSpec extends TestBase {
     } finally q.stop()
   }
 
+  test("hooks loop: an exchange-partition command converges the dest partition") {
+    val (server, srcConn, destConn, srcWh, _) = newServer("hooks-exch")
+    val auditDir = tmpDir("hooks-exch-audit")
+    val ckpt = tmpDir("hooks-exch-ckpt")
+    val hooked = new AuditLoggingCatalog(srcConn.connect(), auditDir.toString)
+    val staging = partitionedTable("db3", "staging", srcWh)
+    val target = partitionedTable("db3", "target", srcWh)
+    hooked.createTable(staging)
+    hooked.createTable(target)
+    hooked.addPartition(partition(staging, "ds=1/hr=1"))
+    // the exchange moves the partition (metadata; files land under target)
+    // out of staging into target on the SOURCE warehouse
+    val moved = partition(target, "ds=1/hr=1")
+    hooked.exchangePartition("db3", "staging", moved)
+    assert(srcConn.connect().listPartitionNames("db3", "staging").isEmpty)
+
+    // the emitted entry carries the REAL SQL (outputs are empty per
+    // HIVE-12865) and the source table as an input — the server can only
+    // replicate this by parsing the command text
+    val files = java.nio.file.Files.list(auditDir).toArray.map(_.toString).sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val last = mapper.readTree(new java.io.File(files.last))
+    assert(last.get("command").asText ==
+      "ALTER TABLE db3.target EXCHANGE PARTITION (ds='1', hr='1') WITH TABLE db3.staging")
+    assert(last.get("referenceTables").get(0).asText == "db3.staging")
+    assert(last.get("outputPartitions").size() == 0)
+
+    val q = server.start(auditDir.toUri.toString, ckpt.toUri.toString)
+    try {
+      q.processAllAvailable()
+      val dest = destConn.connect()
+      assert(dest.listPartitionNames("db3", "target") == Seq("ds=1/hr=1"))
+      val destP = dest.getPartition("db3", "target", "ds=1/hr=1").get
+      assert(graft.fs.CopyExec.equalDirs(spark, moved.location, destP.location))
+    } finally q.stop()
+  }
+
+  test("unparseable exchange command surfaces as NOT_COMPLETABLE, not a silent skip") {
+    import spark.implicits._
+    val (server, _, _, _, _) = newServer("exch-bad")
+    val results = server.processBatch(spark.createDataset(Seq(
+      entry(1, "ALTERTABLE_EXCHANGEPARTITION")))) // command text "cmd-1"
+    assert(results.map(_._2) == Seq(JobStatus.NotCompletable),
+      s"statuses: ${results.map(_._2)}")
+    // the failed parse is a persisted state row the operator can see
+    val rows = server.state.current().collect()
+    assert(rows.exists(j => j.status == JobStatus.NotCompletable &&
+      j.extras.get("command").contains("cmd-1")), s"rows: ${rows.toSeq}")
+  }
+
   test("audit JSON entries survive names with quotes and backslashes") {
     val srcConn = freshCatalog("esc-src")
     val auditDir = tmpDir("esc-audit")

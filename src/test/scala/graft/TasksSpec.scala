@@ -115,6 +115,13 @@ class TasksSpec extends TestBase {
     assert(bare.contains(ExchangePartitionParser.Exchange(
       "default", "t2", "default", "t1", "ds=1")))
     assert(ExchangePartitionParser.parse("SELECT 1").isEmpty)
+    // values containing commas and (doubled) quotes parse correctly
+    // instead of splitting mid-value or dropping the entry
+    val quoted = ExchangePartitionParser.parse(
+      "ALTER TABLE db.t EXCHANGE PARTITION (city='San Jose, CA', note='it''s') " +
+        "WITH TABLE db.s")
+    assert(quoted.map(_.partName).contains("city=San Jose, CA/note=it's"),
+      s"got $quoted")
   }
 
   test("conflict handler drops dest table with mismatched partition keys") {
@@ -213,6 +220,40 @@ class TasksSpec extends TestBase {
     assert(Tasks.copyCompleteTable(c, src, t) == Tasks.Done)
     assert(destConn.connect().listPartitionNames("db1", "many_t").size == 120)
     assert(graft.fs.CopyExec.equalDirs(spark, t.location, c.destLocation(t.location)))
+  }
+
+  test("overwriteNewer=false guards a newer dest from a stale replay") {
+    val destConn = freshCatalog("newer-dest")
+    val srcWh = tmpDir("newer-src-wh")
+    val destWh = tmpDir("newer-dest-wh")
+    val base = TaskContext(spark, destConn.connect(),
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"))
+    val guarded = base.copy(overwriteNewer = false)
+
+    // dest already holds a NEWER version of the table than the replayed event
+    val srcT = unpartitionedTable("db1", "t_guard", srcWh, tldt = 1000L)
+    val newerDest = srcT.copy(
+      location = guarded.destLocation(srcT.location),
+      parameters = srcT.parameters + (TableMeta.Tldt -> "9999"))
+    destConn.connect().createTable(newerDest)
+    assert(Tasks.copyUnpartitionedTable(guarded, srcT) == Tasks.DestNewer)
+    // the guard left the newer dest untouched
+    assert(destConn.connect().getTable("db1", "t_guard").get
+      .parameters(TableMeta.Tldt) == "9999")
+    // default config overwrites (one-way replication semantics)
+    assert(Tasks.copyUnpartitionedTable(base, srcT) == Tasks.Done)
+    assert(destConn.connect().getTable("db1", "t_guard").get
+      .parameters(TableMeta.Tldt) == "1000")
+
+    // same guard on the partition path
+    val pt = partitionedTable("db1", "pt_guard", srcWh)
+    val srcP = partition(pt, "ds=1/hr=1", tldt = 1000L)
+    destConn.connect().createTable(pt.copy(location = guarded.destLocation(pt.location)))
+    destConn.connect().addPartition(srcP.copy(
+      location = guarded.destLocation(srcP.location),
+      parameters = srcP.parameters + (TableMeta.Tldt -> "9999")))
+    assert(Tasks.copyPartition(guarded, pt, srcP) == Tasks.DestNewer)
+    assert(Tasks.copyPartition(base, pt, srcP) == Tasks.Done)
   }
 
   test("retry wrapper: exponential backoff then success / exhaustion") {
