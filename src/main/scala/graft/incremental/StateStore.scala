@@ -30,6 +30,12 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
   // counter would tie with old rows and make latest-wins nondeterministic).
   private val seq = new java.util.concurrent.atomic.AtomicLong(maxPersistedSeq())
 
+  // Monotonic change stamp for same-process readers (the status endpoint):
+  // bumped on every mutation so a poller can serve cached rollups until
+  // the log actually changes instead of running a Spark job per poll.
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def version: Long = versionCounter.get()
+
   private def compactTmpPath = new Path(dir + ".compact-tmp")
   private def compactOldPath = new Path(dir + ".compact-old")
 
@@ -72,6 +78,8 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
     val s = seq.incrementAndGet()
     spark.createDataset(jobs).withColumn("seq", lit(s))
       .write.mode(SaveMode.Append).parquet(dir)
+    versionCounter.incrementAndGet()
+    ()
   }
 
   def appendStatus(jobs: Seq[JobState], status: String): Unit =
@@ -118,6 +126,7 @@ final class StateStore(spark: SparkSession, dir: String) extends Serializable {
     fs.rename(new Path(dir), compactOldPath)
     fs.rename(compactTmpPath, new Path(dir))
     fs.delete(compactOldPath, true)
+    versionCounter.incrementAndGet()
     ()
   }
 

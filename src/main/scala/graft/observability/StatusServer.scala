@@ -74,17 +74,46 @@ final class StatusServer(state: StateStore, watermark: Watermark,
     try os.write(bytes) finally os.close()
   }
 
+  /** Cached per state-log version: (counts by status, oldest runnable
+    * createTime). A 10 s dashboard poll against a large state log must not
+    * keep the driver running window aggregations — the rollup only changes
+    * when the state table does, so one Spark job per *batch*, not per
+    * poll; lag stays live because it derives from the cached oldest
+    * timestamp and the current clock. */
+  @volatile private var rollupCache: (Long, Map[String, Long], Option[Long]) =
+    (-1L, Map.empty, None)
+
+  private def rollup(): (Map[String, Long], Option[Long]) = {
+    val v = state.version
+    val cached = rollupCache
+    if (cached._1 == v) (cached._2, cached._3)
+    else {
+      import org.apache.spark.sql.functions._
+      // counts and the oldest PENDING/RUNNING createTime in ONE pass
+      val rows = state.current()
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(when(col("status").isin(JobStatus.Pending, JobStatus.Running),
+            col("createTime"))).as("oldest"))
+        .collect()
+      val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+      val oldest = rows.flatMap(r =>
+        if (r.isNullAt(2)) None else Some(r.getLong(2))).minOption
+      rollupCache = (v, counts, oldest)
+      (counts, oldest)
+    }
+  }
+
   private[observability] def statusJson(): String = {
     val node = mapper.createObjectNode()
-    val byStatus = state.current().groupByKey(_.status)(
-        org.apache.spark.sql.Encoders.STRING)
-      .count().collect().toMap
+    val (byStatus, oldestRunnable) = rollup()
     val jobs = node.putObject("jobs")
     Seq(JobStatus.Pending, JobStatus.Running, JobStatus.Successful,
       JobStatus.Failed, JobStatus.NotCompletable, JobStatus.Aborted)
       .foreach(s => jobs.put(s, byStatus.getOrElse(s, 0L)))
     watermark.get().foreach(node.put("watermark", _))
-    Metrics.jobLagSeconds(state, System.currentTimeMillis()).foreach { lag =>
+    oldestRunnable.foreach { oldest =>
+      val lag = (System.currentTimeMillis() - oldest) / 1000L
       node.put("lagSeconds", lag)
       node.put("lagBucket", Metrics.lagBucket(lag))
     }

@@ -19,6 +19,40 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /**
+   * Internal-cache registry: each operator persists ONE intermediate
+   * frame per invocation (band/signature/norm frames that the downstream
+   * self-join would otherwise recompute 4-8×). A long-running service
+   * calling an operator repeatedly must not accrue a cache entry per
+   * call, so each operator re-registers its frame under a fixed key and
+   * the previous entry is unpersisted — unless it is the SAME logical
+   * plan (repeat call on the same input), in which case the live cache
+   * is kept (unpersisting it would evict the shared CacheManager entry
+   * out from under the new call). Bound: ≤1 entry per operator.
+   * [[clearCaches]] releases everything for session teardown.
+   */
+  private val internalCaches =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def persistInternal(key: String, df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    val prev = internalCaches.put(key, cached)
+    if (prev != null &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {
+      prev.unpersist(blocking = false)
+    }
+    cached
+  }
+
+  /** Release every internal cache registered by the operators above. */
+  def clearCaches(): Unit = {
+    val it = internalCaches.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue.unpersist(blocking = false)
+      it.remove()
+    }
+  }
+
   /** Distinct word w-shingles from a *materialized* token-array column
     * (empty when fewer than w tokens — guarded because Spark's
     * `sequence(1, n)` with n<1 would generate a *descending* sequence).
@@ -81,10 +115,10 @@ object Dedup {
     // persist: the unpivot + self-join reference the band frame four times
     // and Spark does NOT reuse the signature exchange across union branches
     // (verified in the plan: 4x recompute without the cache). The cached
-    // frame is (doc_id, 2 md5 strings) — tiny. Long-running services
-    // should unpersist via the returned plan's lineage (or clearCache)
-    // after the terminal action; one cache entry accrues per call.
-    val bands = lshBands(minhashSignatures(docs, 8, idCol, textCol)).persist()
+    // frame is (doc_id, 2 md5 strings) — tiny; registered so repeat calls
+    // hold at most one entry (see internalCaches).
+    val bands = persistInternal("minhash_lsh_bands",
+      lshBands(minhashSignatures(docs, 8, idCol, textCol)))
     val unpivoted = bands.select(col("doc_id"), lit(1).as("band_idx"),
         col("band1").as("band_hash"))
       .unionAll(bands.select(col("doc_id"), lit(2).as("band_idx"),
@@ -152,10 +186,10 @@ object Dedup {
       bucketCap: Option[Int] = None): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rowsPerBand = k / bands
-    val sig = shingled(docs, idCol, textCol)
+    // persisted: no shuffle in this pipeline, so nothing is reused without it
+    val sig = persistInternal("minhash_fast_sig", shingled(docs, idCol, textCol)
       .select(col("doc_id"), col("shingles").as("sh"),
-        graft.functions.MinHashSig(docs.sparkSession, col("shingles"), k).as("sig"))
-      .persist() // no shuffle in this pipeline, so nothing is reused without it
+        graft.functions.MinHashSig(docs.sparkSession, col("shingles"), k).as("sig")))
     val unpivotedAll = (0 until bands).map { b =>
       sig.select(col("doc_id"), lit(b).as("band_idx"),
         xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
@@ -288,9 +322,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
     // persist: the signature agg otherwise recomputes in every band branch
-    // on both join sides (8x); the cache is (doc_id, long) — tiny. Same
-    // caller-unpersists contract as minhashLshPairs for long-running use.
-    val sh = simhash(docs, idCol, textCol, nBits = 32).persist()
+    // on both join sides (8x); the cache is (doc_id, long) — tiny, and
+    // registered so repeat calls hold at most one entry.
+    val sh = persistInternal("simhash_sig",
+      simhash(docs, idCol, textCol, nBits = 32))
     val bands = (0 until 4).map(b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
         shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_val")))
@@ -315,10 +350,11 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
-    val e = emb.select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-      .withColumn("nrm", Similarity.norm(col("v")))
-      .persist() // norms computed once per vector, not per pair
+    // persisted: norms computed once per vector, not per pair
+    val e = persistInternal("embedding_norms",
+      emb.select(col(idCol).as("vec_id"), col(cellCol).as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v"))))
     e.as("a").join(e.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

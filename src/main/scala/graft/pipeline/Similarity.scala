@@ -52,44 +52,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /**
-   * Random-hyperplane LSH bucket id: k sign bits of hyperplane
-   * projections, packed into one long. Hyperplane component signs are
-   * deterministic — parity of `xxhash64(bit, dim)` — so no side data to
-   * broadcast and identical assignment across runs/executors; everything
-   * stays inside codegen'd column expressions.
-   */
-  def rhpBucket(v: Column, k: Int = 12): Column = {
-    val bits = transform(sequence(lit(0), lit(k - 1)), i =>
-      when(aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
-          x * when(pmod(xxhash64(i, d), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(k - 1)),
-        (b, i) => b * pow(lit(2.0), i.cast("double")).cast("long")),
-      lit(0L), (acc, x) => acc + x)
+  /** Deterministic Rademacher hyperplane component: ±1 from an integer
+    * mix of (table, bit, dim) — no RNG state, no broadcast side data,
+    * identical across executors and runs. */
+  private def planeSign(table: Int, bit: Int, d: Int): Double = {
+    var z = table.toLong * 0x9E3779B97F4A7C15L +
+      bit.toLong * 0xBF58476D1CE4E5B9L + d.toLong * 0x94D049BB133111EBL
+    z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L
+    z ^= (z >>> 27); z *= 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 0L) 1.0 else -1.0
   }
 
+  /** Bucket id for one hash table: `bits` sign bits of Rademacher
+    * projections, packed into one long. The hyperplanes are LITERAL
+    * arrays (driver-built, dim known from the data), so the per-row work
+    * is pure codegen'd arithmetic — no per-component hashing. */
+  def rhpBucket(v: Column, dim: Int, bits: Int, table: Int): Column =
+    (0 until bits).map { b =>
+      val plane = array((0 until dim).map(d => lit(planeSign(table, b, d))): _*)
+      when(aggregate(zip_with(v, plane, (x, s) => x * s),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /**
-   * LSH-bucketed top-k (the second scale path beside IVF): queries only
-   * search their random-hyperplane bucket — an equi-join on the bucket id,
-   * no trained quantizer needed. Recall/latency trades on k: more bits ⇒
-   * smaller buckets ⇒ fewer candidates but more near-neighbors split
-   * across buckets (production uses multi-probe or banding like the
-   * MinHash path).
+   * Multi-table random-hyperplane LSH top-k (the second scale path beside
+   * IVF): `tables` independent hash tables of `bits` sign bits each; a
+   * candidate qualifies when it shares ANY table's bucket with the query —
+   * the same banding recall-amplification the MinHash path uses. A single
+   * table is uselessly lossy at realistic angles (P[all bits agree] =
+   * (1−θ/π)^bits ≈ 2% for θ=60°, bits=8 — measured ~0 recall on the test
+   * embeddings); with L tables recall is 1−(1−p)^L. Candidate generation
+   * stays an equi-join on (table, bucket); only ids and one long shuffle,
+   * vectors join back for scoring.
    */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-      bits: Int = 8, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      bits: Int = 6, tables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // dim probe: hyperplanes are literals, so the vector width must be
+    // known up front (one tiny driver job on a LIMIT-1 scan)
+    val dim = candidates.select(size(asDouble(col(vecCol)))).limit(1).head().getInt(0)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
-      .withColumn("bucket", rhpBucket(col("q_v"), bits))
       .withColumn("q_nrm", norm(col("q_v")))
     val c = candidates.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))
-      .withColumn("bucket", rhpBucket(col("c_v"), bits))
       .withColumn("c_nrm", norm(col("c_v")))
-    val scored = q.join(c, "bucket")
+    def buckets(df: DataFrame, id: String, v: String) =
+      (0 until tables).map { t =>
+        df.select(col(id), lit(t).as("tbl"),
+          rhpBucket(col(v), dim, bits, t).as("bucket"))
+      }.reduce(_ unionAll _)
+    val cand = buckets(q, "q_id", "q_v")
+      .join(buckets(c, "c_id", "c_v"), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("bucket"), col("c_id"),
+      .select(col("q_id"), col("c_id"))
+      .distinct()
+    val scored = cand
+      .join(q, "q_id")
+      .join(c, "c_id")
+      .select(col("q_id"), col("c_id"),
         round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("cos_sim"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))

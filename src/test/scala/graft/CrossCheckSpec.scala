@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Similarity}
+import graft.sim.WarehouseSim
+
+/**
+ * Cross-verification of the three rows-only queries against their
+ * exact/oracle-checked twins, so "no DuckDB oracle" no longer means
+ * "only a row count":
+ *  - the xxhash64 fast LSH path finds the same verified pairs as the md5
+ *    parity path;
+ *  - the robust-skew path (exact pre-pass + bucket cap) loses nothing on
+ *    an uncapped corpus and collapses clone clusters as designed;
+ *  - random-hyperplane LSH top-k holds a recall floor against the
+ *    brute-force baseline on the real embeddings table.
+ */
+class CrossCheckSpec extends TestBase {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Near-dup clusters (1 token changed in 60) + unrelated docs. */
+  private def nearDupCorpus = {
+    import spark.implicits._
+    val clusters = (0 until 8).flatMap { c =>
+      val base = (1 to 60).map(i => s"c${c}tok$i")
+      Seq(
+        (c * 10L + 1, base.mkString(" ")),
+        (c * 10L + 2, base.updated(59, "altered").mkString(" ")))
+    }
+    val unrelated = (0 until 20).map(i =>
+      (1000L + i, (1 to 60).map(j => s"lone$i-$j word$j").mkString(" ")))
+    (clusters ++ unrelated).toDF("doc_id", "text")
+  }
+
+  test("fast LSH (xxhash64) finds the same verified pairs as the md5 oracle path") {
+    val docs = nearDupCorpus
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("jaccard") >= 0.7).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairs(Dedup.minhashLshPairs(docs))
+    val fastPairs = pairs(Dedup.minhashLshPairsFast(docs))
+    assert(md5Pairs.nonEmpty, "fixture found no near-dup pairs at all")
+    assert(fastPairs == md5Pairs,
+      s"fast=${fastPairs.toSeq.sorted} md5=${md5Pairs.toSeq.sorted}")
+  }
+
+  test("robust-skew path: lossless without skew; clone clusters collapse to reps") {
+    import spark.implicits._
+    val docs = nearDupCorpus
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("jaccard") >= 0.7).select("doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no exact dups + buckets far below the cap ⇒ identical to the plain
+    // fast path (the cap and pre-pass must not drop legitimate pairs)
+    assert(pairs(Dedup.minhashLshPairsRobust(docs, bucketCap = 50)) ==
+      pairs(Dedup.minhashLshPairsFast(docs)))
+    // 400 exact clones of one doc: the pre-pass collapses them, so the
+    // robust result equals the fast path run on representatives only
+    val hot = docs.orderBy("doc_id").limit(1)
+      .select(explode(sequence(lit(1L), lit(400L))).as("i"), col("text"))
+      .select((col("i") + 10000000L).as("doc_id"), col("text"))
+    val skewed = docs.unionAll(hot)
+    val reps = skewed.groupBy(graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    assert(pairs(Dedup.minhashLshPairsRobust(skewed, bucketCap = 50)) ==
+      pairs(Dedup.minhashLshPairsFast(reps)))
+  }
+
+  test("LSH top-k holds a recall floor against brute force on real embeddings") {
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val k = 5
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = resultSet(Similarity.bruteForceTopK(q, e, k))
+    val approx = resultSet(Similarity.lshTopK(q, e, k))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // an approximate index that finds under half of the true top-k on this
+    // corpus is broken, not "approximate" — 8-bit buckets measured ~0.6+
+    assert(recall >= 0.4, f"LSH top-$k recall $recall%.2f < 0.40 floor " +
+      s"(|exact|=${exact.size}, |approx∩exact|=${(exact & approx).size})")
+  }
+}

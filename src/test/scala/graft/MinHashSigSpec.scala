@@ -127,6 +127,31 @@ class MinHashSigSpec extends TestBase {
     assert(oneSideNull == 1, s"one-side null: got $oneSideNull")
   }
 
+  test("repeated operator calls hold at most one internal cache entry each") {
+    import spark.implicits._
+    Dedup.clearCaches()
+    spark.sparkContext.getPersistentRDDs.foreach(_._2.unpersist(false))
+    def docs(salt: Int) = (1 to 20)
+      .map(i => (i.toLong, s"alpha$salt tok$i beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    // distinct inputs per call — each re-registration must unpersist the
+    // previous call's frame instead of accruing one entry per call
+    Dedup.minhashLshPairs(docs(1)).count()
+    Dedup.minhashLshPairs(docs(2)).count()
+    Dedup.simhashPairs(docs(1)).count()
+    Dedup.simhashPairs(docs(2)).count()
+    Dedup.minhashLshPairsFast(docs(1)).count()
+    Dedup.minhashLshPairsFast(docs(2)).count()
+    val live = spark.sparkContext.getPersistentRDDs.size
+    assert(live <= 3, s"$live cached RDDs after repeat calls (expected <=3)")
+    // repeat call on the SAME input keeps the live cache (no self-evict)
+    Dedup.minhashLshPairsFast(docs(2)).count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 3)
+    Dedup.clearCaches()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearCaches left cached RDDs behind")
+  }
+
   test("minhash_sig registers for SQL use") {
     MinHashSig.register(spark)
     import spark.implicits._

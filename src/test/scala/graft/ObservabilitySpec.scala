@@ -68,6 +68,32 @@ class ObservabilitySpec extends TestBase {
       assert(status.get("jobs").get(JobStatus.Pending).asLong == 1L)
       assert(status.get("watermark").asLong == 2L)
       assert(status.get("lagSeconds").asLong >= 0L)
+
+      // repeated polls between batches are O(1) driver work: no new Spark
+      // job runs until the state table changes
+      val jobsStarted = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobsStarted.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        get("/status"); get("/status"); get("/status")
+        Thread.sleep(1000) // listener events are async
+        assert(jobsStarted.get() == 0,
+          s"${jobsStarted.get()} Spark jobs ran for cached polls")
+
+        // a state change invalidates the cache: next poll recomputes
+        state.appendStatus(Seq(
+          JobState(2, 1700000000000L, "COPY_TABLE", JobStatus.Pending,
+            "db", "t2", Seq.empty, None, None, None, Map.empty)),
+          JobStatus.Successful)
+        val after = mapper.readTree(get("/status"))
+        assert(after.get("jobs").get(JobStatus.Successful).asLong == 2L)
+        assert(after.get("jobs").get(JobStatus.Pending).asLong == 0L)
+      } finally spark.sparkContext.removeSparkListener(listener)
     } finally srv.stop()
   }
 }
