@@ -24,6 +24,11 @@ object Bench {
     } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // clean cache slate per query: operators persist internal frames for
+      // their own self-joins, and letting those accumulate across the run
+      // was measured to distort later queries by up to 2.6x vs isolation
+      // (dedup_simhash_pairs 3.93 s in-suite vs 1.48 s isolated)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -61,8 +61,11 @@ object CopyExec {
       verifyChecksum: Boolean = false): CopyResult = {
     val src = new Path(srcRoot, f.relPath)
     val dest = new Path(destRoot, f.relPath)
+    // a UUID, not the thread id: thread ids are per-JVM, so two executors
+    // retrying the same file against a shared store could collide on the
+    // staging name mid-write
     val tmp = new Path(destRoot,
-      s".graft-tmp/${f.relPath}.${Thread.currentThread().getId}")
+      s".graft-tmp/${f.relPath}.${java.util.UUID.randomUUID().toString.take(8)}")
     var attempt = 0
     var last: Throwable = null
     while (attempt < MaxRetries) {
@@ -102,6 +105,9 @@ object CopyExec {
           Thread.sleep(math.min(1000L << attempt, 8000L))
       }
     }
+    // best-effort staging cleanup: the UUID name is unique to this call,
+    // so an abandoned tmp would otherwise linger under .graft-tmp forever
+    try fs.delete(tmp, false) catch { case _: Throwable => () }
     CopyResult(f.relPath, s"FAILED: ${last.getMessage}", 0L)
   }
 

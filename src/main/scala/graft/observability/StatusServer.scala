@@ -18,13 +18,20 @@ import graft.model.JobStatus
  *  - `GET /status`  → job counts by status, watermark, lag seconds +
  *    alert bucket (the reference's 1800/3600/7200/10800/21600 thresholds),
  *    and any collected `observe` counters (A7/A8).
+ *  - `GET /jobs?status=S&limit=N` → newest-first job rows for drill-down
+ *    (the reference web UI's per-job detail page). Bounded by `limit`
+ *    (default 50, max 500); runs one small Spark job per request — an
+ *    on-demand page, unlike /status which serves from the cached rollup.
  *  - `GET /health`  → 200 "ok" (liveness).
  *
  * All numbers come from the state table's latest-wins view and the
- * in-memory metrics collector — the endpoint reads, never mutates.
+ * in-memory metrics collector — the endpoint reads, never mutates. With a
+ * [[StatsdReporter]] attached, every rollup recompute (i.e. once per
+ * state change, not per poll) also pushes the reference's statsd gauges.
  */
 final class StatusServer(state: StateStore, watermark: Watermark,
-    collector: Option[Metrics.Collector] = None, port: Int = 0) {
+    collector: Option[Metrics.Collector] = None, port: Int = 0,
+    statsd: Option[StatsdReporter] = None) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private var server: HttpServer = _
@@ -43,6 +50,18 @@ final class StatusServer(state: StateStore, watermark: Watermark,
             case _: Throwable =>
               try Some(statusJson()) catch { case _: Throwable => None }
           }
+        body match {
+          case Some(b) => respond(ex, 200, b)
+          case None =>
+            respond(ex, 503, """{"error":"state temporarily unavailable"}""")
+        }
+      }
+    })
+    server.createContext("/jobs", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val body =
+          try Some(jobsJson(ex.getRequestURI.getQuery))
+          catch { case _: Throwable => None }
         body match {
           case Some(b) => respond(ex, 200, b)
           case None =>
@@ -100,6 +119,8 @@ final class StatusServer(state: StateStore, watermark: Watermark,
       val oldest = rows.flatMap(r =>
         if (r.isNullAt(2)) None else Some(r.getLong(2))).minOption
       rollupCache = (v, counts, oldest)
+      statsd.foreach(_.emitJobStats(counts,
+        oldest.map(o => (System.currentTimeMillis() - o) / 1000L)))
       (counts, oldest)
     }
   }
@@ -127,6 +148,33 @@ final class StatusServer(state: StateStore, watermark: Watermark,
       }
     })
     mapper.writeValueAsString(node)
+  }
+
+  /** Newest-first job rows, optionally filtered by status; bounded. */
+  private[observability] def jobsJson(query: String): String = {
+    val params = Option(query).getOrElse("").split('&').iterator
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }.toMap
+    val limit = math.min(params.get("limit").flatMap(_.toIntOption)
+      .getOrElse(50), 500)
+    val base = state.current()
+    val filtered = params.get("status") match {
+      case Some(s) => base.filter((j: graft.model.JobState) => j.status == s)
+      case None => base
+    }
+    val rows = filtered.orderBy(org.apache.spark.sql.functions.col("id").desc)
+      .limit(limit).collect()
+    val arr = mapper.createArrayNode()
+    rows.foreach { j =>
+      val n = arr.addObject()
+      n.put("id", j.id)
+      n.put("createTime", j.createTime)
+      n.put("operation", j.operation)
+      n.put("status", j.status)
+      n.put("table", s"${j.db}.${j.table}")
+      if (j.partitions.nonEmpty)
+        n.put("partitions", j.partitions.mkString(","))
+    }
+    mapper.writeValueAsString(arr)
   }
 }
 

@@ -119,10 +119,11 @@ object Dedup {
     // hold at most one entry (see internalCaches).
     val bands = persistInternal("minhash_lsh_bands",
       lshBands(minhashSignatures(docs, 8, idCol, textCol)))
-    val unpivoted = bands.select(col("doc_id"), lit(1).as("band_idx"),
-        col("band1").as("band_hash"))
-      .unionAll(bands.select(col("doc_id"), lit(2).as("band_idx"),
-        col("band2").as("band_hash")))
+    // both bands from one pass over the persisted frame (posexplode), not
+    // a 2-branch union — fewer scans and codegen stages on each join side
+    val unpivoted = bands
+      .select(col("doc_id"), posexplode(array(col("band1"), col("band2"))))
+      .toDF("doc_id", "band_idx", "band_hash")
     val candidates = unpivoted.as("a")
       .join(unpivoted.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -190,10 +191,12 @@ object Dedup {
     val sig = persistInternal("minhash_fast_sig", shingled(docs, idCol, textCol)
       .select(col("doc_id"), col("shingles").as("sh"),
         graft.functions.MinHashSig(docs.sparkSession, col("shingles"), k).as("sig")))
-    val unpivotedAll = (0 until bands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band_idx"),
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("band_hash"))
-    }.reduce(_ unionAll _)
+    // all bands from one pass over the persisted signatures (posexplode),
+    // not a `bands`-branch union
+    val unpivotedAll = sig.select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
     val unpivoted = bucketCap.map(capBuckets(unpivotedAll, _)).getOrElse(unpivotedAll)
     val candidates = unpivoted.as("a")
       .join(unpivoted.as("b"),
@@ -278,10 +281,13 @@ object Dedup {
 
   /**
    * SimHash over distinct tokens: bit b of md5(token)'s leading hex digits
-   * votes ±1; sign of the per-bit sum forms the hash. Expressed as
-   * explode + two groupBys (all codegen'd integer math). `nBits` must be a
-   * multiple of 4 (one md5 hex digit per 4 bits); 16 is the compact
-   * default, 32 the pairing resolution ([[simhashPairs]]).
+   * votes ±1; sign of the per-bit sum forms the hash. The per-bit votes
+   * are nBits parallel `sum` columns in ONE groupBy — not an
+   * explode(0..nBits-1) into a second shuffle, which multiplies the token
+   * rows by nBits (measured 4.5 s → the dominant cost of
+   * [[simhashPairs]] at 32 bits). `nBits` must be a multiple of 4 (one
+   * md5 hex digit per 4 bits); 16 is the compact default, 32 the pairing
+   * resolution ([[simhashPairs]]).
    */
   def simhash(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
@@ -297,16 +303,17 @@ object Dedup {
       // BIGINT terms: at 32 bits the top-digit products overflow INT
       s"(instr('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
     }.mkString(" + ")
-    val bits = toks.withColumn("h", md5(col("tok")))
+    val voteCols = (0 until nBits).map(b =>
+      sum(when(shiftright(col("v"), b).bitwiseAND(lit(1L)) === lit(1L), lit(1))
+        .otherwise(lit(-1))).as(s"vb$b"))
+    toks.withColumn("h", md5(col("tok")))
       .withColumn("v", expr(vExpr))
-      .select(col("doc_id"), col("v"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(expr("sum(CASE WHEN (shiftright(v, b) & 1) = 1 THEN 1 ELSE -1 END)")
-        .as("vote"))
-    bits.groupBy("doc_id")
-      .agg(expr("sum(CASE WHEN vote > 0 THEN shiftleft(CAST(1 AS BIGINT), b) " +
-        "ELSE CAST(0 AS BIGINT) END)").as("simhash"))
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until nBits).map(b =>
+          when(col(s"vb$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /**
@@ -326,20 +333,80 @@ object Dedup {
     // registered so repeat calls hold at most one entry.
     val sh = persistInternal("simhash_sig",
       simhash(docs, idCol, textCol, nBits = 32))
-    val bands = (0 until 4).map(b =>
-      sh.select(col("doc_id"), col("simhash"), lit(b).as("band_idx"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("band_val")))
-      .reduce(_ unionAll _)
+    // all 4 bands from ONE pass over the persisted signatures (posexplode)
+    // — a 4-branch union costs 4 scans and 4x the codegen stages
+    val bands = sh.select(col("doc_id"), col("simhash"), posexplode(array(
+        (0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8).bitwiseAND(255)): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    // first-matching-band dedup: a pair sharing several bands would come
+    // out of the join once per shared band; instead of a distinct() —
+    // a full shuffle of millions of candidate rows — keep the row only at
+    // its SMALLEST matching band, checked as cheap bitwise compares on the
+    // two signatures already in the row (no qualifying pair is lost, none
+    // duplicates)
+    val firstMatchingBand = (0 until 3).map { s =>
+      (col("a.band_idx") <= s) ||
+        (shiftright(col("a.simhash"), s * 8).bitwiseAND(255) =!=
+          shiftright(col("b.simhash"), s * 8).bitwiseAND(255))
+    }.reduce(_ && _)
     bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(firstMatchingBand)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
-      .distinct()
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Connected components over near-dup pairs → `(doc_id, cluster_id)`
+   * with `cluster_id` = the minimum doc id reachable. This is the step
+   * that turns pairwise dedup output into actionable *clusters* (keep one
+   * representative per cluster, drop the rest) — without it, transitive
+   * duplicates (A~B, B~C but A≁C by threshold) split across keepers.
+   *
+   * Min-label propagation: each round every node takes the minimum label
+   * among itself and its neighbors — converges in ≤ eccentricity(min
+   * node) rounds, each round one equi-join + one aggregation. Near-dup
+   * components are dense and shallow (mostly cliques from banded
+   * candidate generation), so rounds stay single-digit; for adversarially
+   * deep graphs the large-star/small-star variant bounds rounds at
+   * O(log n), at the cost of two joins per round — not needed for dedup
+   * shapes. Labels are `localCheckpoint`ed per round so the plan does not
+   * grow with the iteration count.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    // undirected: propagate both ways; distinct collapses parallel edges
+    val undirected = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = undirected.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = undirected
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("min_nbr"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("a")
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    undirected.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /**

@@ -96,11 +96,13 @@ object Similarity {
       .withColumn("q_nrm", norm(col("q_v")))
     val c = candidates.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))
       .withColumn("c_nrm", norm(col("c_v")))
+    // all table buckets in ONE projection + posexplode: a union of
+    // `tables` branches would re-scan and re-decode the vector column per
+    // branch; this computes every bucket in a single pass over each side
     def buckets(df: DataFrame, id: String, v: String) =
-      (0 until tables).map { t =>
-        df.select(col(id), lit(t).as("tbl"),
-          rhpBucket(col(v), dim, bits, t).as("bucket"))
-      }.reduce(_ unionAll _)
+      df.select(col(id), posexplode(array(
+        (0 until tables).map(t => rhpBucket(col(v), dim, bits, t)): _*)))
+        .toDF(id, "tbl", "bucket")
     val cand = buckets(q, "q_id", "q_v")
       .join(buckets(c, "c_id", "c_v"), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("c_id"))

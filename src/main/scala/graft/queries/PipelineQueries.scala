@@ -283,6 +283,41 @@ object PipelineQueries {
       (s, dir) => Dedup.embeddingNearDups(W.read(s, dir, "embeddings"), 0.4)
     },
 
+    // Cluster assignment over verified near-dup pairs: connected
+    // components with cluster_id = min reachable doc id. The oracle walks
+    // the same pairs with a recursive CTE (transitive closure, then min
+    // per node) — exact, so the iterative min-label propagation in Spark
+    // is hash-verified end-to-end.
+    QueryDef("dedup_clusters",
+      "WITH RECURSIVE " + simhash32Cte + ",\n" +
+        """pairs AS (
+          |  SELECT doc_a, doc_b FROM (
+          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          |    FROM (SELECT doc_id, simhash, b AS band_idx,
+          |            (simhash >> (b * 8)) & 255 AS band_val
+          |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) a
+          |    JOIN (SELECT doc_id, simhash, b AS band_idx,
+          |            (simhash >> (b * 8)) & 255 AS band_val
+          |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) b
+          |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          |         AND a.doc_id < b.doc_id)
+          |  WHERE hamming <= 3),
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM pairs),
+          |reach(id, other) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src)
+          |SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin) {
+      (s, dir) =>
+        Dedup.connectedComponents(
+          Dedup.simhashPairs(W.read(s, dir, "documents")))
+    },
+
     // Scale path: native xxhash64 one-pass signature (no oracle — different
     // hash family than the md5 parity path; driver records rows-only).
     QueryDef.rowsOnly("dedup_minhash_fast") {

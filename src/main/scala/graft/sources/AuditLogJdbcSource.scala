@@ -63,7 +63,15 @@ object AuditLogJdbc {
       startId: Long,
       pageSize: Int,
       rowsPerTrigger: Long,
-      dropCommandTypes: Seq[String])
+      dropCommandTypes: Seq[String],
+      // MySQL-only read consistency (`lockInShareMode=true`): page reads
+      // append LOCK IN SHARE MODE so a half-committed hook transaction's
+      // rows are waited for instead of skipped past — the reference's
+      // AuditLogReader does the same (`auditlog/AuditLogReader.java:199-254`).
+      // Off by default: Derby/Postgres don't accept the syntax, and the
+      // file/embedded deployments don't need it (hooks write objects
+      // before the log row).
+      lockInShareMode: Boolean)
 
   // table names are spliced into SQL text (JDBC can't parameterize
   // identifiers) — restrict them to plain possibly-qualified identifiers
@@ -88,7 +96,8 @@ object AuditLogJdbc {
       pageSize = m.getOrElse("pagesize", "200").toInt,
       rowsPerTrigger = m.getOrElse("rowspertrigger", "200").toLong,
       dropCommandTypes = m.getOrElse("dropcommandtypes",
-        "SHOWTABLES,SHOWPARTITIONS,SWITCHDATABASE").split(',').toSeq)
+        "SHOWTABLES,SHOWPARTITIONS,SWITCHDATABASE").split(',').toSeq,
+      lockInShareMode = m.getOrElse("lockinsharemode", "false").toBoolean)
   }
 
   def maxId(opts: Options): Long = {
@@ -111,11 +120,12 @@ object AuditLogJdbc {
       val notIn =
         if (drops.isEmpty) ""
         else s" AND command_type NOT IN (${Seq.fill(drops.size)("?").mkString(", ")})"
+      val lock = if (opts.lockInShareMode) "\nLOCK IN SHARE MODE" else ""
       val logPs = conn.prepareStatement(
         s"""SELECT id, create_time, command_type, command
            |FROM ${opts.auditTable}
            |WHERE id > ? AND id <= ?$notIn
-           |ORDER BY id""".stripMargin)
+           |ORDER BY id""".stripMargin + lock)
       logPs.setLong(1, lo)
       logPs.setLong(2, hi)
       drops.zipWithIndex.foreach { case (t, i) => logPs.setString(3 + i, t) }

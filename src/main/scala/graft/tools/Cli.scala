@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.GraftSession
 import graft.batch.{BatchConfig, BatchReplication}
-import graft.catalog.{CatalogConnector, InMemoryConnector, SparkCatalogConnector}
+import graft.catalog.{CatalogConnector, InMemoryConnector, JdbcCatalogClient, JdbcCatalogConnector, SparkCatalogConnector}
 import graft.hdfs.HdfsSync
 import graft.incremental.{IncrementalConfig, IncrementalServer}
 import graft.observability.{Metrics, StatusServer}
@@ -18,16 +18,22 @@ import graft.observability.{Metrics, StatusServer}
  * Catalog connectors are named specs (the reference's `ClusterFactory`
  * class-name configuration): `spark` = the session's ExternalCatalog
  * (Hive metastore under `spark.sql.catalogImplementation=hive`);
+ * `jdbc:<url>` = the executor-safe JDBC metastore-subset catalog (the
+ * production connector — schema auto-initialized, idempotent);
  * `inmemory:<id>` = the in-process test catalog.
  */
 object Cli {
 
-  def connector(spec: String): CatalogConnector = spec.split(':') match {
-    case Array("spark") => SparkCatalogConnector()
-    case Array("inmemory", id) => InMemoryConnector(id)
-    case _ => throw new IllegalArgumentException(
-      s"unknown catalog spec '$spec' (expected spark | inmemory:<id>)")
-  }
+  def connector(spec: String): CatalogConnector =
+    if (spec.startsWith("jdbc:")) {
+      JdbcCatalogClient.initSchema(spec)
+      JdbcCatalogConnector(spec)
+    } else spec.split(':') match {
+      case Array("spark") => SparkCatalogConnector()
+      case Array("inmemory", id) => InMemoryConnector(id)
+      case _ => throw new IllegalArgumentException(
+        s"unknown catalog spec '$spec' (expected spark | jdbc:<url> | inmemory:<id>)")
+    }
 
   /** `--key value` pairs + positional-free flags (`--dry-run`). */
   def parseFlags(args: Seq[String]): Map[String, String] = {
@@ -119,7 +125,8 @@ object HdfsSyncTool {
 /** Incremental server (reference `deploy/ReplicationLauncher.main`):
   * `--src-catalog ... --dest-catalog ... --src-root ... --dest-root ...
   *  --state-dir ... [--audit-dir dir | --audit-jdbc url] [--workers N]
-  *  [--max-jobs N] [--status-port P] [--start-after-id N]`. */
+  *  [--max-jobs N] [--status-port P] [--start-after-id N]
+  *  [--statsd host:port]`. */
 object IncrementalService {
 
   def config(flags: Map[String, String]): IncrementalConfig = IncrementalConfig(
@@ -141,9 +148,14 @@ object IncrementalService {
     // streaming sources below, which position independently of it
     val startAfterId = flags.get("start-after-id").map(_.toLong).getOrElse(0L)
     if (startAfterId > 0L) server.watermark.set(startAfterId)
+    // --statsd host:port (reference StatsTracker's daemon address)
+    val statsd = flags.get("statsd").map { hp =>
+      val Array(h, p) = hp.split(':')
+      new graft.observability.StatsdReporter(h, p.toInt)
+    }
     val status = new StatusServer(server.state, server.watermark,
       Some(Metrics.install(spark)),
-      flags.getOrElse("status-port", "0").toInt)
+      flags.getOrElse("status-port", "0").toInt, statsd)
     val port = status.start()
     println(s"status endpoint on :$port")
     server.recover()

@@ -14,6 +14,12 @@ class CliSpec extends TestBase {
       "parallelism" -> "4"))
     assert(Cli.connector("inmemory:x").isInstanceOf[graft.catalog.InMemoryConnector])
     assert(Cli.connector("spark").isInstanceOf[graft.catalog.SparkCatalogConnector])
+    // jdbc spec auto-initializes the schema (idempotent) and is usable
+    val dbDir = tmpDir("cli-jdbc-cat").resolve("db")
+    val jdbcConn = Cli.connector(s"jdbc:derby:$dbDir;create=true")
+    assert(jdbcConn.isInstanceOf[graft.catalog.JdbcCatalogConnector])
+    assert(jdbcConn.executorSafe)
+    assert(jdbcConn.connect().listDatabases().isEmpty)
     intercept[IllegalArgumentException](Cli.connector("thrift://nope"))
     intercept[IllegalArgumentException](Cli.parseFlags(Seq("positional")))
   }

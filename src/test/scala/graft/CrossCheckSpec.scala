@@ -69,6 +69,22 @@ class CrossCheckSpec extends TestBase {
       pairs(Dedup.minhashLshPairsFast(reps)))
   }
 
+  test("connected components collapse transitive near-dup chains") {
+    import spark.implicits._
+    // chain 1-2-3-5 (min label must travel 3 hops), plus two more
+    // components and an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"$cc")
+    // empty input → empty output, right schema
+    val empty = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.columns.toSeq == Seq("doc_id", "cluster_id") && empty.count() == 0)
+  }
+
   test("LSH top-k holds a recall floor against brute force on real embeddings") {
     val e = WarehouseSim.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 8)

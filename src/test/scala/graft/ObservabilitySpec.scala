@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.incremental.{StateStore, Watermark}
 import graft.model.{JobState, JobStatus}
-import graft.observability.{Metrics, StatusServer}
+import graft.observability.{Metrics, StatsdReporter, StatusServer}
 
 /** Counters via observe + listener, job-lag metric from the state table. */
 class ObservabilitySpec extends TestBase {
@@ -95,5 +95,49 @@ class ObservabilitySpec extends TestBase {
         assert(after.get("jobs").get(JobStatus.Pending).asLong == 0L)
       } finally spark.sparkContext.removeSparkListener(listener)
     } finally srv.stop()
+  }
+
+  test("statsd gauges emit on rollup recompute; /jobs serves bounded drill-down") {
+    val dir = tmpDir("statsd-state")
+    val state = new StateStore(spark, dir.toUri.toString + "jobs")
+    val wm = new Watermark(dir.toUri.toString + "watermark")
+    state.append(Seq(
+      JobState(1, 1700000000000L, "COPY_TABLE", JobStatus.Successful,
+        "db", "t1", Seq.empty, None, None, None, Map.empty),
+      JobState(2, 1700000000000L, "COPY_PARTITION", JobStatus.Pending,
+        "db", "t2", Seq("ds=1"), None, None, None, Map.empty)))
+
+    val recv = new java.net.DatagramSocket(0)
+    recv.setSoTimeout(10000)
+    val reporter = new StatsdReporter("localhost", recv.getLocalPort)
+    val srv = new StatusServer(state, wm, statsd = Some(reporter))
+    val port = srv.start()
+    try {
+      def get(path: String): String = {
+        val conn = new java.net.URI(s"http://localhost:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try new String(conn.getInputStream.readAllBytes())
+        finally conn.disconnect()
+      }
+      get("/status") // triggers rollup recompute → gauge emission
+      val seen = scala.collection.mutable.Set.empty[String]
+      val buf = new Array[Byte](512)
+      while (!seen.exists(_.startsWith("graft.jobs.pending:1|g"))) {
+        val pkt = new java.net.DatagramPacket(buf, buf.length)
+        recv.receive(pkt) // SoTimeout fails the test if nothing arrives
+        seen += new String(pkt.getData, 0, pkt.getLength)
+      }
+      assert(seen.exists(_.startsWith("graft.jobs.pending:1|g")), s"got $seen")
+
+      // drill-down: filtered, newest-first, bounded
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val pending = mapper.readTree(get("/jobs?status=PENDING&limit=10"))
+      assert(pending.size() == 1 && pending.get(0).get("table").asText == "db.t2",
+        s"got $pending")
+      assert(pending.get(0).get("partitions").asText == "ds=1")
+      val all = mapper.readTree(get("/jobs"))
+      assert(all.size() == 2 && all.get(0).get("id").asLong == 2L,
+        s"newest first: $all")
+    } finally { srv.stop(); reporter.close(); recv.close() }
   }
 }
