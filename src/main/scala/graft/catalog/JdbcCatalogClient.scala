@@ -61,10 +61,19 @@ object JdbcCatalogClient {
     } finally conn.close()
   }
 
-  // Derby: X0Y32 "already exists"; MySQL/Postgres raise their own codes —
-  // any "object exists" state on CREATE TABLE means init already ran
+  // ONLY the dialect-specific "object already exists" signals mean init
+  // already ran: Derby X0Y32, Postgres 42P07, MySQL error 1050. Anything
+  // else (wrong search_path, dead connection, syntax) must propagate —
+  // a message-text match on "exist" would swallow e.g. Postgres's
+  // 'schema "x" does not exist' and leave a half-initialized catalog.
   private def tableExists(e: SQLException): Boolean =
-    e.getSQLState == "X0Y32" || e.getMessage.toLowerCase.contains("exist")
+    e.getSQLState == "X0Y32" || e.getSQLState == "42P07" || e.getErrorCode == 1050
+
+  /** SQLState class 23 = integrity-constraint violation (covers drivers
+    * that don't subclass SQLIntegrityConstraintViolationException). */
+  private[catalog] def isDuplicateKey(e: SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
 }
 
 final class JdbcCatalogClient(url: String) extends CatalogClient with AutoCloseable {
@@ -95,22 +104,32 @@ final class JdbcCatalogClient(url: String) extends CatalogClient with AutoClosea
   }
 
   /** Last-writer-wins upsert without MERGE (dialect-portable): UPDATE
-    * first, INSERT on miss, re-UPDATE if a concurrent INSERT won the race. */
+    * first, INSERT on miss, re-UPDATE if a concurrent INSERT won the
+    * race. Only a duplicate-key violation means "lost the race" — other
+    * SQLExceptions (connection loss, constraint on another column) must
+    * propagate, not silently degrade to a second UPDATE. */
   private def upsert(updateSql: String, insertSql: String)(
       bindUpdate: PreparedStatement => Unit)(
       bindInsert: PreparedStatement => Unit): Unit = {
     if (update(updateSql)(bindUpdate) == 0) {
       try update(insertSql)(bindInsert)
-      catch { case _: SQLException => update(updateSql)(bindUpdate) }
+      catch {
+        case e: SQLException if JdbcCatalogClient.isDuplicateKey(e) =>
+          update(updateSql)(bindUpdate)
+      }
     }
+    ()
   }
 
   def listDatabases(): Seq[String] =
     query("SELECT db_name FROM graft_dbs ORDER BY db_name")(_ => ())(_.getString(1))
 
-  def createDatabase(db: String): Unit =
+  def createDatabase(db: String): Unit = {
+    // duplicate key = already present (fine); anything else propagates
     try update("INSERT INTO graft_dbs (db_name) VALUES (?)")(_.setString(1, db))
-    catch { case _: SQLException => () } // already present
+    catch { case e: SQLException if JdbcCatalogClient.isDuplicateKey(e) => () }
+    ()
+  }
 
   def listTables(db: String): Seq[String] =
     query("SELECT tbl_name FROM graft_tbls WHERE db_name = ? ORDER BY tbl_name")(

@@ -127,7 +127,8 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
       case other => Tasks.NotCompletable(s"unknown operation $other")
     }
     outcome match {
-      case Tasks.Done | Tasks.Noop | Tasks.DestNewer => JobStatus.Successful
+      case Tasks.Done | Tasks.Noop => JobStatus.Successful
+      case Tasks.DestNewer => JobStatus.DestNewer
       case Tasks.NotCompletable(_) => JobStatus.NotCompletable
     }
   }

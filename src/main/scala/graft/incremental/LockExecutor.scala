@@ -100,6 +100,13 @@ object LockExecutor {
       // worker must not race its way into the results as a FAILED row
       val snapshot = new java.util.HashMap[Int, String](results)
       pool.shutdownNow()
+      // wait for the workers to actually DIE, not just be interrupted: a
+      // straggler stuck in non-interruptible I/O would otherwise keep
+      // writing concurrently with its replay (or with the next chunk's
+      // job on the same lock key), breaking the per-object ordering
+      // invariant. The deadline bounds how long we wait for COMPLETION;
+      // correctness still requires waiting for termination.
+      while (!pool.awaitTermination(60, TimeUnit.SECONDS)) ()
       indexed.map { case (j, idx) =>
         (j, Option(snapshot.get(idx)).getOrElse(graft.model.JobStatus.Running))
       }

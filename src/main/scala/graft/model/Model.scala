@@ -199,6 +199,10 @@ object JobStatus {
   val Failed         = "FAILED"
   val NotCompletable = "NOT_COMPLETABLE"
   val Aborted        = "ABORTED"
+  // terminal no-op under overwriteNewer=false (reference RunInfo's
+  // DEST_IS_NEWER) — its own status so the state table / rollups show how
+  // often the guard fires
+  val DestNewer      = "DEST_IS_NEWER"
 }
 
 object JobState {

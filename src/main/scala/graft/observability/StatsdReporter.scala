@@ -28,7 +28,8 @@ final class StatsdReporter(host: String, port: Int, prefix: String = "graft")
   def emitJobStats(countsByStatus: Map[String, Long],
       lagSeconds: Option[Long]): Unit = {
     Seq(JobStatus.Pending, JobStatus.Running, JobStatus.Successful,
-      JobStatus.Failed, JobStatus.NotCompletable, JobStatus.Aborted)
+      JobStatus.Failed, JobStatus.NotCompletable, JobStatus.Aborted,
+      JobStatus.DestNewer)
       .foreach(s =>
         gauge(s"jobs.${s.toLowerCase}", countsByStatus.getOrElse(s, 0L)))
     lagSeconds.foreach(gauge("jobs.lag_seconds", _))

@@ -31,10 +31,12 @@ import graft.model.JobStatus
  */
 final class StatusServer(state: StateStore, watermark: Watermark,
     collector: Option[Metrics.Collector] = None, port: Int = 0,
-    statsd: Option[StatsdReporter] = None) {
+    statsd: Option[StatsdReporter] = None,
+    statsdPeriodMillis: Long = 30000L) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private var server: HttpServer = _
+  private var emitter: java.util.concurrent.ScheduledExecutorService = _
 
   /** Start listening; returns the bound port (useful with port=0). */
   def start(): Int = {
@@ -79,10 +81,23 @@ final class StatusServer(state: StateStore, watermark: Watermark,
         respond(ex, 200, StatusServer.IndexHtml, "text/html")
     })
     server.start()
+    // statsd pushes on a fixed cadence like the reference's StatsTracker
+    // loop — emission must not depend on anyone polling /status
+    statsd.foreach { _ =>
+      emitter = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        r => { val t = new Thread(r, "graft-statsd"); t.setDaemon(true); t })
+      emitter.scheduleAtFixedRate(
+        () => try emitStats() catch { case _: Throwable => () },
+        0L, statsdPeriodMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+      ()
+    }
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (emitter != null) { emitter.shutdownNow(); () }
+    if (server != null) server.stop(0)
+  }
 
   private def respond(ex: HttpExchange, code: Int, body: String,
       contentType: String = "application/json"): Unit = {
@@ -119,10 +134,18 @@ final class StatusServer(state: StateStore, watermark: Watermark,
       val oldest = rows.flatMap(r =>
         if (r.isNullAt(2)) None else Some(r.getLong(2))).minOption
       rollupCache = (v, counts, oldest)
-      statsd.foreach(_.emitJobStats(counts,
-        oldest.map(o => (System.currentTimeMillis() - o) / 1000L)))
       (counts, oldest)
     }
+  }
+
+  /** One statsd emission from the (possibly cached) rollup. Lag derives
+    * from the cached oldest-runnable timestamp and the CURRENT clock, so
+    * a stalled server reports growing lag — the condition the gauge
+    * exists to alert on — even though no state version changes. */
+  private[observability] def emitStats(): Unit = statsd.foreach { r =>
+    val (counts, oldest) = rollup()
+    r.emitJobStats(counts,
+      oldest.map(o => (System.currentTimeMillis() - o) / 1000L))
   }
 
   private[observability] def statusJson(): String = {
@@ -130,7 +153,8 @@ final class StatusServer(state: StateStore, watermark: Watermark,
     val (byStatus, oldestRunnable) = rollup()
     val jobs = node.putObject("jobs")
     Seq(JobStatus.Pending, JobStatus.Running, JobStatus.Successful,
-      JobStatus.Failed, JobStatus.NotCompletable, JobStatus.Aborted)
+      JobStatus.Failed, JobStatus.NotCompletable, JobStatus.Aborted,
+      JobStatus.DestNewer)
       .foreach(s => jobs.put(s, byStatus.getOrElse(s, 0L)))
     watermark.get().foreach(node.put("watermark", _))
     oldestRunnable.foreach { oldest =>

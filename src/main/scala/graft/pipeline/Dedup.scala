@@ -28,13 +28,22 @@ object Dedup {
    * the previous entry is unpersisted — unless it is the SAME logical
    * plan (repeat call on the same input), in which case the live cache
    * is kept (unpersisting it would evict the shared CacheManager entry
-   * out from under the new call). Bound: ≤1 entry per operator.
-   * [[clearCaches]] releases everything for session teardown.
+   * out from under the new call). Bound: ≤1 entry per operator per
+   * SparkSession. [[clearCaches]] releases everything for teardown.
+   *
+   * Concurrency note: two threads running the SAME operator on different
+   * inputs concurrently can unpersist each other's live frame. That is
+   * safe — Spark transparently recomputes evicted cache partitions — but
+   * the victim loses the reuse speedup; serialize same-operator calls if
+   * that matters.
    */
   private val internalCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def persistInternal(key: String, df: DataFrame): DataFrame = {
+  private def persistInternal(key0: String, df: DataFrame): DataFrame = {
+    // key includes the session so two sessions in one JVM never evict
+    // each other's caches
+    val key = s"${System.identityHashCode(df.sparkSession)}-$key0"
     val cached = df.persist()
     val prev = internalCaches.put(key, cached)
     if (prev != null &&
@@ -406,6 +415,13 @@ object Dedup {
       iter += 1
     }
     undirected.unpersist(blocking = false)
+    // silently returning unconverged labels would split one component
+    // into several "clusters" and keep multiple representatives of the
+    // same duplicate group downstream — fail loudly instead
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter (graph diameter " +
+        "exceeds it) or use a log-round algorithm for this graph")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

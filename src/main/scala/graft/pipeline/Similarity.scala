@@ -90,8 +90,13 @@ object Similarity {
       bits: Int = 6, tables: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // dim probe: hyperplanes are literals, so the vector width must be
-    // known up front (one tiny driver job on a LIMIT-1 scan)
-    val dim = candidates.select(size(asDouble(col(vecCol)))).limit(1).head().getInt(0)
+    // known up front (one tiny driver job on a LIMIT-1 scan). An empty
+    // candidates frame (or null first vector) falls back to dim 1 — the
+    // bucket join is empty either way, and the result must be an empty
+    // frame with the right schema, not a head()-on-nothing crash.
+    val dim = candidates.select(size(asDouble(col(vecCol))).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
     val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
       .withColumn("q_nrm", norm(col("q_v")))
     val c = candidates.select(col(idCol).as("c_id"), asDouble(col(vecCol)).as("c_v"))

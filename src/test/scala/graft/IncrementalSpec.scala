@@ -171,6 +171,34 @@ class IncrementalSpec extends TestBase {
     assert(destConn.connect().getTable("db1", "t_flaky").isDefined)
   }
 
+  test("overwriteNewer=false: a stale replay records DEST_IS_NEWER, not SUCCESSFUL") {
+    import spark.implicits._
+    val srcConn = freshCatalog("destnewer-src")
+    val destConn = freshCatalog("destnewer-dest")
+    val srcWh = tmpDir("destnewer-src-wh")
+    val destWh = tmpDir("destnewer-dest-wh")
+    val stateDir = tmpDir("destnewer-state")
+    val t = unpartitionedTable("db1", "t_two_way", srcWh, tldt = 1000L)
+    srcConn.connect().createTable(t)
+    // dest was modified AFTER the replayed event
+    destConn.connect().createTable(
+      t.copy(parameters = t.parameters + (TableMeta.Tldt -> "9999")))
+    val cfg = IncrementalConfig(srcConn, destConn,
+      srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"),
+      stateDir.toUri.toString + "jobs", stateDir.toUri.toString + "watermark",
+      workers = 2, overwriteNewer = false)
+    val server = new IncrementalServer(spark, cfg)
+    val rs = server.processBatch(spark.createDataset(Seq(
+      entry(1, "ALTERTABLE_PROPERTIES", outTables = Seq("db1.t_two_way")))))
+    assert(rs.map(_._2) == Seq(JobStatus.DestNewer), s"got ${rs.map(_._2)}")
+    // the guard activation is visible in the persisted state, distinct
+    // from a real copy's SUCCESSFUL
+    assert(server.state.current().collect()
+      .exists(_.status == JobStatus.DestNewer))
+    assert(destConn.connect().getTable("db1", "t_two_way").get
+      .parameters(TableMeta.Tldt) == "9999")
+  }
+
   test("exchange-partition entry plans and executes a COPY_PARTITION of the target") {
     import spark.implicits._
     val (server, srcConn, destConn, srcWh, _) = newServer("exch")
