@@ -140,19 +140,55 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(docs, idCol, textCol)
+    jaccardVerify(candidates, shingled(docs, idCol, textCol))
+  }
+
+  /** Shingle-Jaccard verify over candidate (doc_a, doc_b) pairs — the
+    * shared tail of every MinHash path. `sh` is (doc_id, shingles).
+    * |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array op, not two;
+    * `inter` aliased in its own projection so it evaluates once. */
+  private def jaccardVerify(candidates: DataFrame, sh: DataFrame): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), size(col("sh_a")).as("na"),
         size(col("sh_b")).as("nb"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
-      // |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array op, not two;
-      // `inter` aliased in its own projection so it evaluates once
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
+
+  /**
+   * Incremental MinHash+LSH: near-dup pairs that TOUCH a new increment —
+   * dedup of a fresh crawl against an already-deduped corpus without
+   * re-pairing the corpus against itself. The band join's left side is
+   * only the increment's bands, so the join cost is O(|new| · bands)
+   * probes instead of O(|corpus|²) — THE property that makes continuous
+   * dedup feasible at 100 TB (old×old pairs are never enumerated, not
+   * merely filtered out after the join).
+   *
+   * `isNew` marks increment membership as a predicate on the id column.
+   * New×new pairs emerge once from each side; the least/greatest
+   * orientation + distinct collapses them. Output matches
+   * [[minhashLshPairs]] (doc_a < doc_b, verified Jaccard).
+   */
+  def minhashLshPairsIncremental(docs: DataFrame, isNew: Column => Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = persistInternal("minhash_lsh_inc_bands",
+      lshBands(minhashSignatures(docs, 8, idCol, textCol)))
+    val unpivoted = bands
+      .select(col("doc_id"), posexplode(array(col("band1"), col("band2"))))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val candidates = unpivoted.filter(isNew(col("doc_id"))).as("n")
+      .join(unpivoted.as("a"),
+        col("n.band_idx") === col("a.band_idx") &&
+        col("n.band_hash") === col("a.band_hash") &&
+        col("n.doc_id") =!= col("a.doc_id"))
+      .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
+      .distinct()
+    jaccardVerify(candidates, shingled(docs, idCol, textCol))
   }
 
   /**
@@ -214,19 +250,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sh = sig.select(col("doc_id"), col("sh"))
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), size(col("sh_a")).as("na"),
-        size(col("sh_b")).as("nb"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
-      // |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array op, not two;
-      // `inter` aliased in its own projection so it evaluates once
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6)
-          .as("jaccard"))
+    jaccardVerify(candidates, sig.select(col("doc_id"), col("sh").as("shingles")))
   }
 
   /**

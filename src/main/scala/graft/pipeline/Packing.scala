@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for training-data pipelines: assign documents to
+ * fixed-token-budget bins (the pre-tokenization step that turns a corpus
+ * into uniform training sequences).
+ *
+ * Two strategies, both deterministic (bin assignment depends only on the
+ * (group, id) order, never on partitioning):
+ *
+ *  - [[packContiguous]]: bin = floor(exclusive-running-token-count /
+ *    budget). Documents never split, bins fill contiguously and may
+ *    overflow by at most one document's tokens. Pure window arithmetic —
+ *    one shuffle on the group column, SQL-expressible (oracle-verified).
+ *  - [[packGreedy]]: first-fit-in-order — a document that would overflow
+ *    the open bin closes it and starts the next, so no bin ever exceeds
+ *    the budget (unless a single document alone does). Needs a stateful
+ *    scan per group: `groupByKey.flatMapSortedGroups` streams each group's
+ *    sorted iterator through a running fill counter — no group is ever
+ *    materialized in memory, so a giant group is fine at 100 TB.
+ */
+object Packing {
+
+  /** Input row for the greedy packer. */
+  final case class PackIn(grp: String, doc_id: Long, n_tokens: Long)
+
+  /** One packed document: its bin and the bin's fill AFTER adding it. */
+  final case class PackOut(
+      grp: String, doc_id: Long, n_tokens: Long, bin_id: Long, bin_fill: Long)
+
+  /**
+   * Contiguous-fill packing. Output: (grp, doc_id, n_tokens, bin_id,
+   * bin_offset) where bin_offset is the token offset of this document
+   * within its bin's running fill.
+   */
+  def packContiguous(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .withColumn("cum_excl",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("grp"), col("doc_id"), col("n_tokens"),
+        floor(col("cum_excl") / lit(budget)).as("bin_id"),
+        (col("cum_excl") - floor(col("cum_excl") / lit(budget)) * lit(budget))
+          .as("bin_offset"))
+  }
+
+  /**
+   * Greedy first-fit-in-order packing (id order within each group).
+   * Output: (grp, doc_id, n_tokens, bin_id, bin_fill). Invariants (spec-
+   * checked): bin_fill ≤ budget unless a bin holds a single over-budget
+   * document; bins are greedy-tight (the first document of bin k+1 did
+   * not fit in bin k); bin ids are consecutive from 0 per group.
+   */
+  def packGreedy(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val in = df.select(col(groupCol).cast("string").as("grp"),
+        col(idCol).cast("long").as("doc_id"),
+        col(tokenCol).cast("long").as("n_tokens"))
+      .as(Encoders.product[PackIn])
+    in.groupByKey(_.grp)(Encoders.STRING)
+      .flatMapSortedGroups(col("doc_id")) { (grp: String, it: Iterator[PackIn]) =>
+        var bin = 0L
+        var fill = 0L
+        it.map { d =>
+          if (fill > 0 && fill + d.n_tokens > budget) { bin += 1; fill = 0L }
+          fill += d.n_tokens
+          PackOut(grp, d.doc_id, d.n_tokens, bin, fill)
+        }
+      }(Encoders.product[PackOut])
+      .toDF()
+  }
+
+  /** Per-bin rollup of a packed frame: document count, token total, and
+    * fill ratio against the budget. */
+  def binStats(packed: DataFrame, budget: Long): DataFrame =
+    packed.groupBy(col("grp"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+      .withColumn("fill_ratio",
+        round(col("bin_tokens").cast("double") / lit(budget.toDouble), 6))
+}

@@ -1,0 +1,103 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / corpus-mixing operators for training-data
+ * pipelines.
+ *
+ * Everything here derives the keep/drop decision from a *content-stable
+ * hash of the row id*, never from `rand()` or `DataFrame.sample`:
+ *  - re-runs, task retries, and partition re-splits produce the SAME
+ *    sample (at 100 TB a speculative re-execution of one task must not
+ *    change the corpus);
+ *  - the decision is a pure column expression evaluated at scan speed —
+ *    a sampling pass over the corpus is filter-pushdown-friendly and
+ *    never shuffles;
+ *  - two engines (Spark and the DuckDB oracle) agree bit-for-bit, so the
+ *    sampled corpus itself is hash-verified, not just its size.
+ *
+ * The hash is the first 16 bits of md5("salt:id") — uniform enough for
+ * rate control, cheap, and mirrorable in any engine with md5.
+ */
+object Sampling {
+
+  /** Uniform 16-bit hash in [0, 65536): integer value of the first four
+    * hex digits of md5("salt:id"). */
+  def hash16(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long")
+
+  /** Threshold in [0, 65536] such that `hash16 < threshold` keeps ~rate. */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    math.round(rate * 65536.0)
+  }
+
+  /**
+   * Deterministic Bernoulli sample: keep a row iff its id-hash falls
+   * below `rate`. Changing `salt` draws an independent sample; keeping it
+   * fixed makes samples *nested* (rate 0.1 ⊂ rate 0.2 — handy for scaling
+   *-law corpus ladders).
+   */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double,
+      salt: String = "samp"): DataFrame =
+    df.filter(hash16(col(idCol), salt) < lit(rateThreshold(rate)))
+
+  /**
+   * Train/validation/test split assignment as a column — disjoint and
+   * exhaustive by construction (adjacent half-open hash ranges). Fractions
+   * must sum to ≤ 1; any remainder falls into the last split.
+   */
+  def assignSplit(id: Column, fractions: Seq[(String, Double)],
+      salt: String = "split"): Column = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val h = hash16(id, salt)
+    val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(rateThreshold)
+    // last split absorbs the tail so the assignment is total
+    fractions.init.zip(bounds).foldRight(lit(fractions.last._1): Column) {
+      case (((name, _), bound), rest) => when(h < lit(bound), lit(name)).otherwise(rest)
+    }
+  }
+
+  /**
+   * Weighted corpus mix: per-stratum keep rates (e.g. up/down-weighting
+   * sources when composing a training mix). A stratum absent from
+   * `weights` gets `defaultRate`. One scan, no shuffle: the per-row rate
+   * is a CASE over the stratum column.
+   */
+  def weightedMix(df: DataFrame, stratumCol: String,
+      weights: Map[String, Double], defaultRate: Double = 1.0,
+      idCol: String = "doc_id", salt: String = "mix"): DataFrame = {
+    val threshold = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(rateThreshold(defaultRate)): Column) {
+        case ((stratum, rate), rest) =>
+          when(col(stratumCol) === lit(stratum), lit(rateThreshold(rate)))
+            .otherwise(rest)
+      }
+    df.filter(hash16(col(idCol), salt) < threshold)
+  }
+
+  /**
+   * Exact-size stratified sample: the `n` rows with the smallest id-hash
+   * per stratum (hash-ordered so the choice is uniform AND deterministic;
+   * id tie-break for hash collisions). One shuffle on the stratum column.
+   *
+   * At scale prefer [[deterministicSample]] / [[weightedMix]] (shuffle-
+   * free) unless exact per-stratum counts are required; a skewed stratum
+   * here is one window partition — cap input first if a stratum can
+   * exceed executor memory.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, n: Int,
+      idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(hash16(col(idCol), salt), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .drop("rn")
+  }
+}

@@ -27,6 +27,32 @@ object TextAnalysis {
   def bpeTokenCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
 
+  /** Adjacent token bigrams (empty below 2 tokens — `sequence(1, n)` with
+    * n<1 would generate a descending sequence, see
+    * [[Dedup.shinglesFromTokens]]). */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** PII-shaped patterns: ASCII email, dotted IPv4, US-style phone.
+    * Deliberately simple regexes that mean the same thing in Java regex
+    * and RE2 (the DuckDB oracle) — no lookarounds, no unicode classes. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+
+  /** Redact PII-shaped substrings with typed placeholders. Order matters
+    * and is fixed (email → IP → phone) so engines agree on overlapping
+    * text; pure column expressions — redaction runs at scan speed. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipv4Re, "[IP]"),
+      phoneRe, "[PHONE]")
+
   /** Per-language marker (stopword) lists for the n-gram-free language-ID
     * heuristic. Real deployments would use char-n-gram profiles; the
     * heuristic's *shape* (score-per-language, argmax with priority

@@ -16,20 +16,20 @@ import graft.sim.{WarehouseSim => W}
  */
 object PipelineQueries {
 
-  private val tokDocs =
+  private[queries] val tokDocs =
     """tok_docs AS (
       |  SELECT doc_id, text, source,
       |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       |  FROM documents)""".stripMargin
 
-  private val shingled = tokDocs + ",\n" +
+  private[queries] val shingled = tokDocs + ",\n" +
     """shingled AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(toks) - 2, 0)),
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
       |  FROM tok_docs)""".stripMargin
 
-  private val minhashSig = shingled + ",\n" +
+  private[queries] val minhashSig = shingled + ",\n" +
     """sig AS (
       |  SELECT doc_id,
       |    min(md5('1:' || s)) AS mh1, min(md5('2:' || s)) AS mh2,
@@ -99,7 +99,7 @@ object PipelineQueries {
 
   private val stop = "['the','a','of','and','is']"
 
-  private def withC(ctes: String)(select: String) =
+  private[queries] def withC(ctes: String)(select: String) =
     "WITH " + ctes + "\n" + select
 
   val defs: Seq[QueryDef] = Seq(

@@ -1,0 +1,319 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Packing, Sampling, TextAnalysis}
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-4 training-data pipeline operators as oracle-checked queries:
+ * deterministic sampling / split assignment / weighted corpus mixing /
+ * stratified sampling, sequence packing into token budgets, PII-shaped
+ * redaction, corpus statistics, heavy-hitter n-grams, and incremental
+ * (new-vs-corpus) MinHash dedup.
+ *
+ * Shares the md5-hashing convention of [[PipelineQueries]] so every
+ * decision (sample membership, split label, bin id, redacted text) is
+ * hash-verified against DuckDB, not just row-counted.
+ */
+object PipelineQueries2 {
+
+  import PipelineQueries.{minhashSig, tokDocs, withC}
+
+  /** DuckDB twin of [[Sampling.hash16]] over the documents table. */
+  private def duckHash16(salt: String): String = {
+    val terms = (0 until 4).map { i =>
+      val mult = 1L << (4 * (3 - i))
+      s"(strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult"
+    }
+    "CAST(" + terms.mkString("\n      + ") + " AS BIGINT)"
+  }
+
+  // thresholds computed ONCE here and inlined into both engines, so the
+  // Spark plan and the oracle can never disagree on a rounding boundary
+  private val sampRate = 0.25
+  private val sampThresh = Sampling.rateThreshold(sampRate)
+  private val splitFractions = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val splitBounds = splitFractions.map(_._2).scanLeft(0.0)(_ + _)
+    .tail.map(Sampling.rateThreshold)
+  private val mixWeights = Map("src0" -> 0.05, "src1" -> 0.5, "src2" -> 0.9)
+  private val mixDefault = 0.25
+  private val stratN = 10
+  private val packBudget = 512L
+
+  /** tok_docs plus lang (the shared CTE drops it). */
+  private val tokDocsLang =
+    """docs_tl AS (
+      |  SELECT doc_id, text, lang, source,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents)""".stripMargin
+
+  private val packCte = tokDocs + ",\n" +
+    s"""tl AS (
+       |  SELECT source AS grp, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+       |  FROM tok_docs),
+       |pc AS (
+       |  SELECT grp, doc_id, n_tokens,
+       |    sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id) - n_tokens
+       |      AS cum_excl
+       |  FROM tl)""".stripMargin
+
+  /** Synthetic PII injected deterministically from doc_id — identical
+    * string construction on both engines, so redaction is exercised on
+    * every row even though the corpus itself is clean. */
+  // single line: this gets interpolated into stripMargin'd oracle SQL,
+  // where a line-leading `||` would lose its first pipe to the OUTER strip
+  private val duckInjected = Seq(
+    "text", "' contact user'", "CAST(doc_id AS VARCHAR)",
+    "'@example.com or 555-'", "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')",
+    "'-'", "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')",
+    "' ip 10.'", "CAST(doc_id % 256 AS VARCHAR)", "'.0.1'"
+  ).mkString(" || ")
+
+  private def sparkInjected = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or 555-"),
+    lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+
+  private val duckRedacted =
+    s"""regexp_replace(regexp_replace(regexp_replace(t,
+       |    '${TextAnalysis.emailRe}', '[EMAIL]', 'g'),
+       |    '${TextAnalysis.ipv4Re}', '[IP]', 'g'),
+       |    '${TextAnalysis.phoneRe}', '[PHONE]', 'g')""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- deterministic sampling / mixing ----------------------------------
+
+    QueryDef("samp_deterministic",
+      s"""SELECT doc_id, h16 FROM (
+         |  SELECT doc_id, ${duckHash16("samp")} AS h16 FROM documents)
+         |WHERE h16 < $sampThresh""".stripMargin) {
+      (s, dir) =>
+        Sampling.deterministicSample(
+            W.read(s, dir, "documents"), "doc_id", sampRate, "samp")
+          .select(col("doc_id"),
+            Sampling.hash16(col("doc_id"), "samp").as("h16"))
+    },
+
+    QueryDef("samp_split",
+      s"""SELECT doc_id,
+         |  CASE WHEN ${duckHash16("split")} < ${splitBounds(0)} THEN 'train'
+         |       WHEN ${duckHash16("split")} < ${splitBounds(1)} THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin) {
+      (s, dir) =>
+        W.read(s, dir, "documents").select(col("doc_id"),
+          Sampling.assignSplit(col("doc_id"), splitFractions, "split")
+            .as("split"))
+    },
+
+    QueryDef("samp_weighted_mix", {
+      val cases = mixWeights.toSeq.sortBy(_._1).map { case (src, rate) =>
+        s"WHEN source = '$src' THEN ${Sampling.rateThreshold(rate)}"
+      }.mkString("\n       ")
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, ${duckHash16("mix")} AS h16 FROM documents)
+         |WHERE h16 < (CASE $cases
+         |  ELSE ${Sampling.rateThreshold(mixDefault)} END)""".stripMargin
+    }) {
+      (s, dir) =>
+        Sampling.weightedMix(W.read(s, dir, "documents"), "source",
+            mixWeights, mixDefault, "doc_id", "mix")
+          .select("doc_id", "source")
+    },
+
+    QueryDef("samp_stratified",
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${duckHash16("strat")}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $stratN""".stripMargin) {
+      (s, dir) =>
+        Sampling.stratifiedSample(W.read(s, dir, "documents"), "source",
+            stratN, "doc_id", "strat")
+          .select("doc_id", "source")
+    },
+
+    // ---- sequence packing -------------------------------------------------
+
+    QueryDef("pack_contiguous",
+      withC(packCte)(
+        s"""SELECT grp, doc_id, n_tokens,
+           |  CAST(cum_excl // $packBudget AS BIGINT) AS bin_id,
+           |  CAST(cum_excl - (cum_excl // $packBudget) * $packBudget AS BIGINT)
+           |    AS bin_offset
+           |FROM pc""".stripMargin)) {
+      (s, dir) =>
+        Packing.packContiguous(
+          W.read(s, dir, "documents").select(col("source"), col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", packBudget)
+    },
+
+    QueryDef("pack_bin_stats",
+      withC(packCte)(
+        s"""SELECT grp, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           |  round(CAST(sum(n_tokens) AS DOUBLE) / $packBudget.0, 6)
+           |    AS fill_ratio
+           |FROM (SELECT grp, n_tokens,
+           |        CAST(cum_excl // $packBudget AS BIGINT) AS bin_id FROM pc)
+           |GROUP BY 1, 2""".stripMargin)) {
+      (s, dir) =>
+        Packing.binStats(
+          Packing.packContiguous(
+            W.read(s, dir, "documents").select(col("source"), col("doc_id"),
+              size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+            "source", "doc_id", "n_tok", packBudget),
+          packBudget)
+    },
+
+    // Greedy first-fit packing: the stateful per-group scan has no window-
+    // function SQL equivalent (bin resets depend on the running decision),
+    // so the driver records rows-only; PackingSpec verifies the greedy
+    // invariants and cross-checks against a sequential reference packer.
+    QueryDef.rowsOnly("pack_greedy") {
+      (s, dir) =>
+        Packing.packGreedy(
+          W.read(s, dir, "documents").select(col("source"), col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", packBudget)
+    },
+
+    // ---- redaction --------------------------------------------------------
+
+    QueryDef("redact_pii",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.emailRe}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.ipv4Re}')) AS BIGINT)
+         |    AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '${TextAnalysis.phoneRe}')) AS BIGINT)
+         |    AS n_phones,
+         |  md5($duckRedacted) AS redacted_md5
+         |FROM (SELECT doc_id, $duckInjected AS t FROM documents)""".stripMargin) {
+      (s, dir) =>
+        W.read(s, dir, "documents")
+          .select(col("doc_id"), sparkInjected.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(TextAnalysis.emailRe)).cast("long")
+              .as("n_emails"),
+            regexp_count(col("t"), lit(TextAnalysis.ipv4Re)).cast("long")
+              .as("n_ips"),
+            regexp_count(col("t"), lit(TextAnalysis.phoneRe)).cast("long")
+              .as("n_phones"),
+            md5(TextAnalysis.redactPii(col("t"))).as("redacted_md5"))
+    },
+
+    // ---- corpus statistics ------------------------------------------------
+
+    QueryDef("t_corpus_stats",
+      withC(tokDocsLang)(
+        """SELECT source, lang,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+          |  CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+          |    AS BIGINT) AS n_uniq_fp,
+          |  CAST(sum(CASE WHEN len(toks) >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_long,
+          |  round(CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |    AS mean_tokens
+          |FROM docs_tl GROUP BY 1, 2""".stripMargin)) {
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        W.read(s, dir, "documents")
+          .select(col("source"), col("lang"),
+            size(toks).cast("long").as("nt"),
+            TextAnalysis.fingerprint(col("text")).as("fp"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nt")).as("n_tokens"),
+            countDistinct(col("fp")).as("n_uniq_fp"),
+            sum(when(col("nt") >= 50, 1L).otherwise(0L)).as("n_long"),
+            round(sum(col("nt")).cast("double") /
+              count(lit(1)).cast("double"), 6).as("mean_tokens"))
+      }
+    },
+
+    QueryDef("t_top_ngrams",
+      withC(tokDocs)(
+        """SELECT source, bigram, n, CAST(rk AS INT) AS rank FROM (
+          |  SELECT source, bigram, n,
+          |    row_number() OVER (PARTITION BY source ORDER BY n DESC, bigram)
+          |      AS rk
+          |  FROM (
+          |    SELECT source, bigram, CAST(count(*) AS BIGINT) AS n
+          |    FROM (
+          |      SELECT source, unnest(list_transform(
+          |        generate_series(1, greatest(len(toks) - 1, 0)),
+          |        i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          |      FROM tok_docs)
+          |    GROUP BY 1, 2))
+          |WHERE rk <= 10""".stripMargin)) {
+      (s, dir) => {
+        // hierarchical top-k: a single per-source window would sort the
+        // whole (mostly unique) bigram vocabulary in #sources partitions —
+        // the classic top-k skew. Instead take top-10 per (source,
+        // hash-bucket) — 64× more, much smaller sort partitions — then a
+        // final window over ≤ 640 survivors per source. Exact: under the
+        // total order (n desc, bigram), any global top-10 row is top-10
+        // in its own bucket.
+        val wBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("bkt"))
+          .orderBy(col("n").desc, col("bigram"))
+        val wFinal = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("n").desc, col("bigram"))
+        W.read(s, dir, "documents")
+          // tokens MUST be projected before the bigram lambda — inlining
+          // the tokenizer would re-split the text inside every element_at
+          // call, O(len²) per document (see Dedup.shinglesFromTokens)
+          .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+          .select(col("source"),
+            explode(TextAnalysis.bigrams(col("toks"))).as("bigram"))
+          .groupBy("source", "bigram").agg(count(lit(1)).as("n"))
+          .withColumn("bkt", pmod(xxhash64(col("bigram")), lit(64)))
+          .withColumn("rk0", row_number().over(wBucket))
+          .filter(col("rk0") <= 10)
+          .withColumn("rank", row_number().over(wFinal))
+          .filter(col("rank") <= 10)
+          .select(col("source"), col("bigram"), col("n"),
+            col("rank").cast("int").as("rank"))
+      }
+    },
+
+    // ---- incremental dedup ------------------------------------------------
+
+    // "new" increment = doc_id % 10 < 2 (a stable 20% of the corpus at any
+    // SF); pairs must touch the increment — old×old pairs never appear.
+    QueryDef("dedup_minhash_incremental",
+      withC(minhashSig + ",\n" +
+        """bands AS (
+          |  SELECT doc_id, 1 AS band_idx,
+          |    md5(mh1 || mh2 || mh3 || mh4) AS band_hash FROM sig
+          |  UNION ALL
+          |  SELECT doc_id, 2 AS band_idx,
+          |    md5(mh5 || mh6 || mh7 || mh8) AS band_hash FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT least(n.doc_id, a.doc_id) AS doc_a,
+          |    greatest(n.doc_id, a.doc_id) AS doc_b
+          |  FROM (SELECT * FROM bands WHERE doc_id % 10 < 2) n
+          |  JOIN bands a ON n.band_idx = a.band_idx
+          |    AND n.band_hash = a.band_hash AND n.doc_id <> a.doc_id)""".stripMargin)(
+        """SELECT c.doc_a, c.doc_b,
+          |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          |    / CAST(len(sa.shingles) + len(sb.shingles)
+          |      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6)
+          |    AS jaccard
+          |FROM cand c
+          |JOIN shingled sa ON c.doc_a = sa.doc_id
+          |JOIN shingled sb ON c.doc_b = sb.doc_id""".stripMargin)) {
+      (s, dir) =>
+        Dedup.minhashLshPairsIncremental(
+          W.read(s, dir, "documents"), id => id % 10 < 2)
+    }
+  )
+}

@@ -69,6 +69,22 @@ class CrossCheckSpec extends TestBase {
       pairs(Dedup.minhashLshPairsFast(reps)))
   }
 
+  test("incremental LSH equals the full path restricted to increment-touching pairs") {
+    val docs = nearDupCorpus
+    val isNew = (id: org.apache.spark.sql.Column) => id % 10 === 2
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(Dedup.minhashLshPairs(docs))
+    val expected = full.filter { case (a, b) => a % 10 == 2 || b % 10 == 2 }
+    val inc = pairSet(Dedup.minhashLshPairsIncremental(docs, isNew))
+    assert(expected.nonEmpty, "fixture produced no increment-touching pairs")
+    assert(inc == expected,
+      s"inc=${inc.toSeq.sorted} expected=${expected.toSeq.sorted}")
+    // and no old×old pair sneaks in
+    assert(inc.forall { case (a, b) => a % 10 == 2 || b % 10 == 2 })
+  }
+
   test("connected components collapse transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3-5 (min label must travel 3 hops), plus two more

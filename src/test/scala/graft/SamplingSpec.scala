@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Sampling
+import graft.sim.WarehouseSim
+
+/** Deterministic sampling / split / mixing invariants: stability across
+  * re-runs and repartitioning, rate accuracy, nested samples, disjoint-
+  * exhaustive splits, exact stratified counts. */
+class SamplingSpec extends TestBase {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def docs = WarehouseSim.read(spark, sfDir, "documents")
+
+  test("deterministic sample: same rows on re-run and after repartitioning") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample changed under repartitioning")
+    assert(a.nonEmpty)
+  }
+
+  test("deterministic sample: rate is honored within binomial noise") {
+    val n = docs.count()
+    val k = Sampling.deterministicSample(docs, "doc_id", 0.25).count()
+    // 4 sigma of Binomial(n, .25)
+    val sigma = math.sqrt(n * 0.25 * 0.75)
+    assert(math.abs(k - n * 0.25) <= 4 * sigma + 1,
+      s"kept $k of $n at rate 0.25")
+  }
+
+  test("same-salt samples nest: rate 0.1 is a subset of rate 0.3") {
+    val small = Sampling.deterministicSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("different salts draw (near-)independent samples") {
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.5, "saltA")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.deterministicSample(docs, "doc_id", 0.5, "saltB")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val n = docs.count().toDouble
+    val overlap = a.intersect(b).size
+    // expected overlap n/4; 4-sigma band
+    assert(math.abs(overlap - n / 4) <= 4 * math.sqrt(n) + 1,
+      s"overlap $overlap of $n")
+  }
+
+  test("split assignment is total, disjoint, and roughly proportioned") {
+    val split = docs.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("s"))
+    val counts = split.groupBy("s").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(counts.values.sum == n, "splits must partition the corpus")
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > n * 6 / 10, s"train too small: $counts")
+    assert(counts("val") < n / 4 && counts("test") < n / 4, counts.toString)
+  }
+
+  test("weighted mix honors per-source rates") {
+    val mixed = Sampling.weightedMix(docs, "source",
+      Map("src0" -> 0.0, "src1" -> 1.0), defaultRate = 0.5)
+    val bySrc = mixed.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"), "rate-0 source must vanish")
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(bySrc("src1") == src1Total, "rate-1 source must be complete")
+    val otherTotal = docs.filter(!col("source").isin("src0", "src1")).count()
+    val otherKept = bySrc.filterNot(kv => kv._1 == "src1").values.sum
+    assert(math.abs(otherKept - otherTotal / 2.0) <=
+      4 * math.sqrt(otherTotal) + 1, s"default-rate strata: $bySrc")
+  }
+
+  test("stratified sample: exactly n per stratum (or the whole stratum)") {
+    val out = Sampling.stratifiedSample(docs, "source", 5)
+    val sizes = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == full.keySet)
+    sizes.foreach { case (src, k) =>
+      assert(k == math.min(5L, full(src)), s"$src: $k of ${full(src)}")
+    }
+    // deterministic: second run picks the same rows
+    val a = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs.repartition(13), "source", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+}
