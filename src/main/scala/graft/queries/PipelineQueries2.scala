@@ -285,6 +285,57 @@ object PipelineQueries2 {
       }
     },
 
+    // ---- end-to-end corpus build ------------------------------------------
+
+    // The full composition: quality gate → exact-dedup keep-one → weighted
+    // mix → split label → contiguous packing, hash-verified as ONE chain.
+    QueryDef("pipe_end_to_end", {
+      val stop = "['the','a','of','and','is']"
+      val mixCases = mixWeights.toSeq.sortBy(_._1).map { case (src, rate) =>
+        s"WHEN source = '$src' THEN ${Sampling.rateThreshold(rate)}"
+      }.mkString("\n       ")
+      withC(tokDocs + ",\n" +
+        s"""gated AS (
+           |  SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens
+           |  FROM tok_docs
+           |  WHERE round(0.4 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+           |        / CAST(len(toks) AS DOUBLE))
+           |    + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+           |    + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+           |        / CAST(length(text) AS DOUBLE)), 6) >= 0.5),
+           |kept AS (
+           |  SELECT doc_id, source, n_tokens FROM (
+           |    SELECT doc_id, source, n_tokens, row_number() OVER (
+           |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           |      ORDER BY doc_id) AS rn
+           |    FROM gated) WHERE rn = 1),
+           |mixed AS (
+           |  SELECT doc_id, source, n_tokens FROM kept
+           |  WHERE ${duckHash16("mix")} < (CASE $mixCases
+           |    ELSE ${Sampling.rateThreshold(mixDefault)} END)),
+           |lab AS (
+           |  SELECT doc_id, source, n_tokens,
+           |    CASE WHEN ${duckHash16("split")} < ${splitBounds(0)} THEN 'train'
+           |         WHEN ${duckHash16("split")} < ${splitBounds(1)} THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM mixed),
+           |pcc AS (
+           |  SELECT doc_id, source, split, n_tokens,
+           |    sum(n_tokens) OVER (PARTITION BY source, split ORDER BY doc_id)
+           |      - n_tokens AS cum_excl
+           |  FROM lab)""".stripMargin)(
+        s"""SELECT doc_id, source, split, n_tokens,
+           |  CAST(cum_excl // $packBudget AS BIGINT) AS bin_id
+           |FROM pcc""".stripMargin)
+    }) {
+      (s, dir) =>
+        graft.pipeline.TrainingPipeline.buildCorpus(
+          W.read(s, dir, "documents"),
+          graft.pipeline.TrainingPipeline.Config(
+            minQuality = 0.5, mixWeights = mixWeights,
+            defaultRate = mixDefault, splitFractions, packBudget))
+    },
+
     // ---- incremental dedup ------------------------------------------------
 
     // "new" increment = doc_id % 10 < 2 (a stable 20% of the corpus at any
