@@ -413,12 +413,23 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     // undirected: propagate both ways; distinct collapses parallel edges
-    val undirected = edges
+    val undirected0 = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
+    // near-dup graphs are usually tiny next to the corpus — right-size the
+    // per-round shuffles to the edge count (a 15k-edge graph on the
+    // session's full shuffle width spends every round on task overhead)
+    val nEdges = undirected0.count()
+    val parts = math.max(2, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (nEdges / 500000L).toInt + 1))
+    val undirected = undirected0.repartition(parts, col("dst")).persist()
+    undirected.count()
+    undirected0.unpersist(blocking = false)
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var iter = 0
@@ -427,15 +438,16 @@ object Dedup {
       val nbrMin = undirected
         .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("min_nbr"))
-      val next = labels.as("l")
+      // carry old + new in ONE checkpointed frame: the convergence check
+      // below is then a cheap filter-count on materialized partitions
+      // instead of an extra per-round join against the previous labels
+      val step = labels.as("l")
         .join(nbrMin.as("n"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = next.as("a")
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      changed = step.filter(col("lbl") < col("old")).count()
+      labels = step.select(col("id"), col("lbl"))
       iter += 1
     }
     undirected.unpersist(blocking = false)
