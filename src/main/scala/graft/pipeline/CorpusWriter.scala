@@ -29,14 +29,24 @@ object CorpusWriter {
   def shardId(id: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(id), lit(n.toLong))
 
+  /**
+   * @param numTasks explicit shuffle width for the write. File membership
+   *   is `hash(layout, shard) % numTasks`, so it MUST NOT follow the
+   *   session's `spark.sql.shuffle.partitions` (config- and
+   *   cluster-dependent) or AQE coalescing — an explicit count keeps the
+   *   file layout a pure function of the data, run to run. Size it to
+   *   ~distinct leaves × shardsPerLeaf for full write parallelism.
+   */
   def writeShards(df: DataFrame, outDir: String, layoutCols: Seq[String],
       idCol: String, shardsPerLeaf: Int, sortCols: Seq[String] = Seq.empty,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite", numTasks: Int = 512): Unit = {
     require(layoutCols.nonEmpty, "layoutCols must not be empty")
     require(shardsPerLeaf > 0, "shardsPerLeaf must be positive")
+    require(numTasks > 0, "numTasks must be positive")
     val sharded = df.withColumn("_shard", shardId(col(idCol), shardsPerLeaf))
     val keyCols = (layoutCols :+ "_shard").map(col)
-    val sorted = sharded.repartition(keyCols: _*)
+    // user-specified partition counts are exempt from AQE coalescing
+    val sorted = sharded.repartition(numTasks, keyCols: _*)
       .sortWithinPartitions((keyCols ++ sortCols.map(col)): _*)
     sorted.drop("_shard")
       .write.partitionBy(layoutCols: _*).mode(mode).parquet(outDir)

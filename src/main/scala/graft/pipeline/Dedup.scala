@@ -143,11 +143,31 @@ object Dedup {
     jaccardVerify(candidates, shingled(docs, idCol, textCol))
   }
 
+  /** Unpivot a 2-band frame to (doc_id, band_idx, band_hash) rows so
+    * candidate generation is a plain equi-join. */
+  private[graft] def unpivotBands(bands: DataFrame): DataFrame =
+    bands.select(col("doc_id"), posexplode(array(col("band1"), col("band2"))))
+      .toDF("doc_id", "band_idx", "band_hash")
+
+  /** Increment-vs-corpus candidate pairs: probe side is only the new
+    * bands, so old×old pairs are never enumerated. New×new pairs emerge
+    * once from each side; least/greatest + distinct collapses them. */
+  private[graft] def incrementalCandidates(newUnpivoted: DataFrame,
+      allUnpivoted: DataFrame): DataFrame =
+    newUnpivoted.as("n")
+      .join(allUnpivoted.as("a"),
+        col("n.band_idx") === col("a.band_idx") &&
+        col("n.band_hash") === col("a.band_hash") &&
+        col("n.doc_id") =!= col("a.doc_id"))
+      .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
+      .distinct()
+
   /** Shingle-Jaccard verify over candidate (doc_a, doc_b) pairs — the
     * shared tail of every MinHash path. `sh` is (doc_id, shingles).
     * |A∪B| = |A|+|B|-|A∩B| (sets are distinct): one array op, not two;
     * `inter` aliased in its own projection so it evaluates once. */
-  private def jaccardVerify(candidates: DataFrame, sh: DataFrame): DataFrame =
+  private[graft] def jaccardVerify(candidates: DataFrame, sh: DataFrame): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
@@ -177,17 +197,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val bands = persistInternal("minhash_lsh_inc_bands",
       lshBands(minhashSignatures(docs, 8, idCol, textCol)))
-    val unpivoted = bands
-      .select(col("doc_id"), posexplode(array(col("band1"), col("band2"))))
-      .toDF("doc_id", "band_idx", "band_hash")
-    val candidates = unpivoted.filter(isNew(col("doc_id"))).as("n")
-      .join(unpivoted.as("a"),
-        col("n.band_idx") === col("a.band_idx") &&
-        col("n.band_hash") === col("a.band_hash") &&
-        col("n.doc_id") =!= col("a.doc_id"))
-      .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
-        greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
-      .distinct()
+    val unpivoted = unpivotBands(bands)
+    val candidates =
+      incrementalCandidates(unpivoted.filter(isNew(col("doc_id"))), unpivoted)
     jaccardVerify(candidates, shingled(docs, idCol, textCol))
   }
 

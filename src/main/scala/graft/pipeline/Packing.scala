@@ -38,17 +38,29 @@ object Packing {
    * within its bin's running fill.
    */
   def packContiguous(df: DataFrame, groupCol: String, idCol: String,
+      tokenCol: String, budget: Long): DataFrame =
+    packContiguousBy(
+      df.select(col(groupCol).as("grp"), col(idCol), col(tokenCol)),
+      Seq("grp"), idCol, tokenCol, budget)
+
+  /**
+   * Multi-column-group contiguous-fill packing: the group columns pass
+   * through unchanged (no lossy concatenation of group keys into one
+   * string). Output: (groupCols..., doc_id, n_tokens, bin_id, bin_offset).
+   */
+  def packContiguousBy(df: DataFrame, groupCols: Seq[String], idCol: String,
       tokenCol: String, budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
-    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
-        col(tokenCol).cast("long").as("n_tokens"))
+    require(groupCols.nonEmpty, "groupCols must not be empty")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("doc_id"))
+    df.select(groupCols.map(col) ++ Seq(col(idCol).as("doc_id"),
+        col(tokenCol).cast("long").as("n_tokens")): _*)
       .withColumn("cum_excl",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col("grp"), col("doc_id"), col("n_tokens"),
+      .select(groupCols.map(col) ++ Seq(col("doc_id"), col("n_tokens"),
         floor(col("cum_excl") / lit(budget)).as("bin_id"),
         (col("cum_excl") - floor(col("cum_excl") / lit(budget)) * lit(budget))
-          .as("bin_offset"))
+          .as("bin_offset")): _*)
   }
 
   /**

@@ -55,15 +55,12 @@ object TrainingPipeline {
     val mixed = Sampling.weightedMix(kept, "source", cfg.mixWeights,
         cfg.defaultRate)
       .withColumn("split", Sampling.assignSplit(col("doc_id"), cfg.splits))
-    // stage 5: pack each (source, split) stream into token-budget bins
-    val packed = Packing.packContiguous(
-      mixed.withColumn("grp_key",
-        concat_ws("/", col("source"), col("split"))),
-      "grp_key", "doc_id", "n_tokens", cfg.packBudget)
-    packed
-      .select(col("doc_id"),
-        substring_index(col("grp"), "/", 1).as("source"),
-        substring_index(col("grp"), "/", -1).as("split"),
+    // stage 5: pack each (source, split) stream into token-budget bins —
+    // group columns pass through as real columns (a concatenated string
+    // key would corrupt a source name containing the separator)
+    Packing.packContiguousBy(mixed, Seq("source", "split"),
+        "doc_id", "n_tokens", cfg.packBudget)
+      .select(col("doc_id"), col("source"), col("split"),
         col("n_tokens"), col("bin_id"))
   }
 }

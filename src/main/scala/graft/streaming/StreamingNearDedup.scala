@@ -36,28 +36,10 @@ object StreamingNearDedup {
    * probe; verified shingle-Jaccard output like [[Dedup.minhashLshPairs]].
    */
   def pairsAgainstState(batchState: DataFrame, fullState: DataFrame): DataFrame = {
-    def unpivot(df: DataFrame) = df
-      .select(col("doc_id"), posexplode(array(col("band1"), col("band2"))))
-      .toDF("doc_id", "band_idx", "band_hash")
-    val candidates = unpivot(batchState).as("n")
-      .join(unpivot(fullState).as("a"),
-        col("n.band_idx") === col("a.band_idx") &&
-        col("n.band_hash") === col("a.band_hash") &&
-        col("n.doc_id") =!= col("a.doc_id"))
-      .select(least(col("n.doc_id"), col("a.doc_id")).as("doc_a"),
-        greatest(col("n.doc_id"), col("a.doc_id")).as("doc_b"))
-      .distinct()
-    val sh = fullState.select(col("doc_id"), col("shingles"))
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"), size(col("sh_a")).as("na"),
-        size(col("sh_b")).as("nb"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter"))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double"), 6)
-          .as("jaccard"))
+    val candidates = Dedup.incrementalCandidates(
+      Dedup.unpivotBands(batchState), Dedup.unpivotBands(fullState))
+    Dedup.jaccardVerify(candidates,
+      fullState.select(col("doc_id"), col("shingles")))
   }
 
   /**
@@ -70,14 +52,20 @@ object StreamingNearDedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val batchState = stateRows(batch, idCol, textCol).persist()
     try {
-      val prior =
-        if (new java.io.File(new java.net.URI(
-            if (stateDir.contains(":")) stateDir else s"file:$stateDir"))
-            .exists()) spark.read.parquet(stateDir)
-        else spark.emptyDataFrame
-      val full =
-        if (prior.columns.isEmpty) batchState
-        else prior.select(batchState.columns.map(col): _*).unionAll(batchState)
+      // existence via Hadoop's FileSystem so hdfs://, s3a://, and relative
+      // local paths all work; a dir with no readable footers (crashed
+      // first write) reads as absent rather than a permanent crash loop
+      val statePath = new org.apache.hadoop.fs.Path(stateDir)
+      val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val prior: Option[DataFrame] =
+        if (!fs.exists(statePath)) None
+        else try Some(spark.read.parquet(stateDir))
+        catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val full = prior match {
+        case None => batchState
+        case Some(p) =>
+          p.select(batchState.columns.map(col): _*).unionAll(batchState)
+      }
       val pairs = pairsAgainstState(batchState, full)
         .filter(col("jaccard") >= minJaccard)
         .localCheckpoint(true) // materialize BEFORE the state append below
