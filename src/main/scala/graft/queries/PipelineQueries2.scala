@@ -285,6 +285,29 @@ object PipelineQueries2 {
       }
     },
 
+    // Exact per-source token-count quantiles (interpolated, the same
+    // linear rule as DuckDB's quantile_cont). The percentile_approx
+    // sketch twin is cross-checked against this in CrossCheckSpec.
+    QueryDef("t_token_quantiles",
+      withC(tokDocs)(
+        """SELECT source,
+          |  round(quantile_cont(nt, 0.25), 6) AS p25,
+          |  round(quantile_cont(nt, 0.50), 6) AS p50,
+          |  round(quantile_cont(nt, 0.75), 6) AS p75,
+          |  round(quantile_cont(nt, 0.95), 6) AS p95
+          |FROM (SELECT source, CAST(len(toks) AS DOUBLE) AS nt FROM tok_docs)
+          |GROUP BY source""".stripMargin)) {
+      (s, dir) =>
+        W.read(s, dir, "documents")
+          .select(col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("double").as("nt"))
+          .groupBy("source")
+          .agg(round(expr("percentile(nt, 0.25)"), 6).as("p25"),
+            round(expr("percentile(nt, 0.50)"), 6).as("p50"),
+            round(expr("percentile(nt, 0.75)"), 6).as("p75"),
+            round(expr("percentile(nt, 0.95)"), 6).as("p95"))
+    },
+
     // ---- end-to-end corpus build ------------------------------------------
 
     // The full composition: quality gate → exact-dedup keep-one → weighted

@@ -85,6 +85,29 @@ class CrossCheckSpec extends TestBase {
     assert(inc.forall { case (a, b) => a % 10 == 2 || b % 10 == 2 })
   }
 
+  test("percentile_approx sketch tracks the exact quantiles") {
+    // the scale path for order statistics is the sketch (mergeable,
+    // bounded memory); it must stay within its accuracy contract of the
+    // exact interpolated quantiles the oracle verifies
+    val docs = WarehouseSim.read(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("source"),
+        size(graft.pipeline.TextAnalysis.tokens(col("text")))
+          .cast("double").as("nt"))
+    val exact = docs.groupBy("source")
+      .agg(expr("percentile(nt, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = docs.groupBy("source")
+      .agg(expr("percentile_approx(nt, 0.5, 10000)").as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (src, e) =>
+      // high-accuracy sketch on small strata: within one token of exact
+      // (approx returns an actual sample, exact may interpolate between)
+      assert(math.abs(approx(src) - e) <= 1.0,
+        s"$src: approx=${approx(src)} exact=$e")
+    }
+  }
+
   test("connected components collapse transitive near-dup chains") {
     import spark.implicits._
     // chain 1-2-3-5 (min label must travel 3 hops), plus two more
