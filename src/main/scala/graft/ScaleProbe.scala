@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scaling probe: run the heavy pipeline operators at 1× and ~k×
+  * sf0.1 (documents replicated with distinct ids and salted text) and
+  * print the runtime ratio. Near-linear ratios validate the "no
+  * quadratic blowup hiding in the plan" claims in SCALE.md.
+  * Usage: ScaleProbe [k] */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local("graft-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs1 = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    // k copies with disjoint ids; texts salted per copy so the replicas
+    // are near-dups of each other only at the rate real corpora repeat
+    // (an unsalted union would make every doc an exact k-plex and
+    // quadratically inflate true pair counts — measuring THAT measures
+    // the data, not the operator)
+    val docsK = (0 until k).map { i =>
+      docs1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text")
+         else concat(col("text"), lit(s" probe$i"))).as("text"),
+        col("source"))
+    }.reduce(_ unionAll _)
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    def run(name: String)(op: DataFrame => DataFrame): Unit = {
+      spark.catalog.clearCache()
+      val (t1, n1) = time(op(docs1).count())
+      spark.catalog.clearCache()
+      val (tk, nk) = time(op(docsK).count())
+      println(f"$name%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
+
+    run("exact")(Dedup.exact(_))
+    run("minhash_fast")(Dedup.minhashLshPairsFast(_))
+    run("minhash_robust_cap50")(Dedup.minhashLshPairsRobust(_, bucketCap = 50))
+    run("simhash_pairs")(Dedup.simhashPairs(_))
+    run("ngram_jaccard_cap200")(
+      Dedup.ngramJaccardPairs(_, "source", 0.8, blockCap = Some(200)))
+    run("pipe_end_to_end")(d => graft.pipeline.TrainingPipeline.buildCorpus(
+      d.withColumn("lang", lit("en")),
+      graft.pipeline.TrainingPipeline.Config()))
+    spark.stop()
+  }
+  private val Dedup = graft.pipeline.Dedup
+}

@@ -39,7 +39,8 @@ object CorpusWriter {
    */
   def writeShards(df: DataFrame, outDir: String, layoutCols: Seq[String],
       idCol: String, shardsPerLeaf: Int, sortCols: Seq[String] = Seq.empty,
-      mode: String = "overwrite", numTasks: Int = 512): Unit = {
+      mode: String = "overwrite", numTasks: Int = 512,
+      format: String = "parquet"): Unit = {
     require(layoutCols.nonEmpty, "layoutCols must not be empty")
     require(shardsPerLeaf > 0, "shardsPerLeaf must be positive")
     require(numTasks > 0, "numTasks must be positive")
@@ -49,6 +50,9 @@ object CorpusWriter {
     val sorted = sharded.repartition(numTasks, keyCols: _*)
       .sortWithinPartitions((keyCols ++ sortCols.map(col)): _*)
     sorted.drop("_shard")
-      .write.partitionBy(layoutCols: _*).mode(mode).parquet(outDir)
+      .write.partitionBy(layoutCols: _*).mode(mode)
+      // "json" = JSONL shards, the lingua franca of training-data
+      // interchange; same layout/shard guarantees as parquet
+      .format(format).save(outDir)
   }
 }

@@ -40,6 +40,27 @@ class CorpusWriterSpec extends TestBase {
     assert(a == b, "round-trip changed rows")
   }
 
+  test("JSONL shards round-trip with the same layout guarantees") {
+    val out = tmpDir("corpus-jsonl").toString
+    val df = corpus
+    CorpusWriter.writeShards(df, out, Seq("split"), "doc_id",
+      shardsPerLeaf = 2, format = "json")
+    val leaves = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val files = leaf.listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.nonEmpty && files.length <= 2,
+        s"${leaf.getPath}: ${files.length} files")
+      // JSONL: every line of every shard parses as one JSON object
+      files.foreach { f =>
+        scala.io.Source.fromFile(f).getLines().foreach { line =>
+          assert(line.startsWith("{") && line.endsWith("}"), line.take(80))
+        }
+      }
+    }
+    assert(spark.read.json(out).count() == df.count())
+  }
+
   test("shard membership is deterministic and partitioning-independent") {
     val df = corpus
     val s1 = df.select(col("doc_id"),
