@@ -49,7 +49,9 @@ object BenchOne {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
-      println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      val cc = if (name == "dedup_clusters")
+        s" cc_rounds=${graft.pipeline.Dedup.lastCcRounds}" else ""
+      println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)$cc")
     }
     spark.stop()
   }

@@ -423,6 +423,9 @@ object Dedup {
    * shapes. Labels are `localCheckpoint`ed per round so the plan does not
    * grow with the iteration count.
    */
+  /** Rounds the last [[connectedComponents]] call took (diagnostics). */
+  @volatile private[graft] var lastCcRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
@@ -458,11 +461,23 @@ object Dedup {
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
-      changed = step.filter(col("lbl") < col("old")).count()
-      labels = step.select(col("id"), col("lbl"))
+      // pointer jump: also adopt the label OF the label (every label value
+      // is itself a node id, so `step` doubles as the lookup). Halves the
+      // hop distance per round — chain-shaped components converge in
+      // O(log diameter) rounds instead of O(diameter), for one extra join
+      // on the tiny materialized label frame.
+      val jumped = step
+        .join(step.select(col("id").as("lbl"), col("lbl").as("plbl")),
+          Seq("lbl"), "left")
+        .select(col("id"), col("old"),
+          least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("lbl") < col("old")).count()
+      labels = jumped.select(col("id"), col("lbl"))
       iter += 1
     }
     undirected.unpersist(blocking = false)
+    lastCcRounds = iter
     // silently returning unconverged labels would split one component
     // into several "clusters" and keep multiple representatives of the
     // same duplicate group downstream — fail loudly instead
