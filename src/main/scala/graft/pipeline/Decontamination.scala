@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Train/eval decontamination: find corpus documents that share n-gram
+ * shingles with a benchmark/eval set, so they can be dropped before
+ * training (leaked eval items are the classic way training corpora
+ * contaminate benchmark scores).
+ *
+ * Shape: an inverted-index equi-join on the shingle — corpus shingles ×
+ * benchmark shingles meet only where the SAME shingle occurs on both
+ * sides, then per-(corpus doc, bench doc) counts are thresholded. The
+ * benchmark side is tiny (eval sets are thousands of docs, the corpus is
+ * billions), so the join is effectively a semi-probe of the corpus
+ * shingle stream against a small build side.
+ *
+ * Skew guard (`maxDf`): boilerplate shingles ("in this paper we")
+ * appearing in a large fraction of the corpus would fan the join out
+ * quadratically AND produce meaningless matches. Dropping shingles with
+ * corpus document-frequency above `maxDf` bounds any shingle's join
+ * fan-out at `maxDf`·|bench-side occurrences| and is standard
+ * decontamination practice — matching is evidence only when the shared
+ * shingle is RARE.
+ */
+object Decontamination {
+
+  /**
+   * Overlap report: one row per (doc_id, bench_id) pair sharing at least
+   * `minShared` distinct surviving shingles, with the matched-shingle
+   * count and the fraction of the benchmark doc's shingles matched.
+   */
+  def overlaps(corpus: DataFrame, benchmark: DataFrame, minShared: Int,
+      maxDf: Option[Int] = None, w: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cs = Dedup.shingled(corpus, idCol, textCol, w)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+    val bsFull = Dedup.shingled(benchmark, idCol, textCol, w)
+      .select(col("doc_id").as("bench_id"), col("shingles"))
+    val bs = bsFull
+      .select(col("bench_id"), size(col("shingles")).as("n_bench"),
+        explode(col("shingles")).as("s"))
+    // document-frequency prune on the CORPUS side (the skew source);
+    // shingles are distinct per doc, so count(*) = document frequency
+    val csPruned = maxDf match {
+      case None => cs
+      case Some(cap) =>
+        val rare = cs.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        cs.join(rare, "s")
+    }
+    csPruned.join(bs, "s")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy("doc_id", "bench_id", "n_bench")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_bench").cast("double"), 6)
+          .as("bench_frac"))
+  }
+
+  /** The corpus with every document overlapping the benchmark removed —
+    * the actual decontamination step (left-anti on the report). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, minShared: Int,
+      maxDf: Option[Int] = None, w: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val contaminated = overlaps(corpus, benchmark, minShared, maxDf, w,
+      idCol, textCol).select(col("doc_id")).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

@@ -359,6 +359,39 @@ object PipelineQueries2 {
             defaultRate = mixDefault, splitFractions, packBudget))
     },
 
+    // ---- decontamination --------------------------------------------------
+
+    // Benchmark = every 17th doc; corpus = the rest. Overlap = ≥3 shared
+    // rare shingles (corpus document-frequency ≤ 100) — the inverted-
+    // index join with the df-prune that bounds boilerplate fan-out.
+    QueryDef("decon_overlap",
+      withC(PipelineQueries.shingled + ",\n" +
+        """corp AS (
+          |  SELECT doc_id, unnest(shingles) AS s FROM shingled
+          |  WHERE doc_id % 17 <> 0),
+          |rare AS (
+          |  SELECT s FROM (SELECT s, count(*) AS df FROM corp GROUP BY s)
+          |  WHERE df <= 100),
+          |corpr AS (SELECT c.doc_id, c.s FROM corp c JOIN rare r ON c.s = r.s),
+          |bench AS (
+          |  SELECT doc_id AS bench_id, len(shingles) AS n_bench,
+          |    unnest(shingles) AS s
+          |  FROM shingled WHERE doc_id % 17 = 0)""".stripMargin)(
+        """SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
+          |  round(CAST(count(*) AS DOUBLE) / CAST(b.n_bench AS DOUBLE), 6)
+          |    AS bench_frac
+          |FROM corpr c JOIN bench b ON c.s = b.s
+          |GROUP BY c.doc_id, b.bench_id, b.n_bench
+          |HAVING count(*) >= 3""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        graft.pipeline.Decontamination.overlaps(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          minShared = 3, maxDf = Some(100))
+      }
+    },
+
     // ---- incremental dedup ------------------------------------------------
 
     // "new" increment = doc_id % 10 < 2 (a stable 20% of the corpus at any

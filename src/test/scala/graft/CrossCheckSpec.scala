@@ -85,6 +85,31 @@ class CrossCheckSpec extends TestBase {
     assert(inc.forall { case (a, b) => a % 10 == 2 || b % 10 == 2 })
   }
 
+  test("decontaminate removes exactly the corpus docs leaking benchmark shingles") {
+    import spark.implicits._
+    val bench = Seq(
+      (1000L, (1 to 40).map(i => s"benchA$i").mkString(" ")),
+      (2000L, (1 to 40).map(i => s"benchB$i").mkString(" "))).toDF("doc_id", "text")
+    val leaked = // contains a verbatim 20-token span of benchmark doc A
+      (1 to 10).map(i => s"pre$i").mkString(" ") + " " +
+        (5 to 25).map(i => s"benchA$i").mkString(" ")
+    val corpus = Seq(
+      (1L, leaked),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"other$i word$i").mkString(" "))).toDF("doc_id", "text")
+    val report = graft.pipeline.Decontamination.overlaps(corpus, bench, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(report.map(t => (t._1, t._2)).toSet == Set((1L, 1000L)), report.toSeq)
+    assert(report.head._3 >= 15, "the 20-token leak shares >= 15 3-shingles")
+    val clean = graft.pipeline.Decontamination
+      .decontaminate(corpus, bench, minShared = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+    // df-prune: with maxDf=0 every shingle is "too common" — no matches
+    assert(graft.pipeline.Decontamination
+      .overlaps(corpus, bench, 1, maxDf = Some(0)).isEmpty)
+  }
+
   test("percentile_approx sketch tracks the exact quantiles") {
     // the scale path for order statistics is the sketch (mergeable,
     // bounded memory); it must stay within its accuracy contract of the
