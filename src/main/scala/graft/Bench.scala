@@ -29,6 +29,14 @@ object Bench {
       // was measured to distort later queries by up to 2.6x vs isolation
       // (dedup_simhash_pairs 3.93 s in-suite vs 1.48 s isolated)
       spark.catalog.clearCache()
+      // ... and localCheckpoint blocks (connected components, pipelines):
+      // those live at the RDD layer, invisible to catalog.clearCache, and
+      // accumulate block-manager memory across the run (measured +0.2-0.6 s
+      // on late queries). MUST be blocking: async removal storms ran
+      // concurrently with the next measurement and inflated the heavy
+      // queries far worse than the leak (ngram 5.8 s -> 30 s).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

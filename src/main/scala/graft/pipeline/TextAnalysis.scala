@@ -36,6 +36,28 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
 
+  /** Intra-document repetition signals (Gopher-style quality rule): the
+    * fraction of a document's word trigrams that are repeats. Boilerplate
+    * and degenerate generations repeat heavily; prose doesn't. Pure
+    * column math — `toks` must be a MATERIALIZED column (see
+    * [[Dedup.shinglesFromTokens]] for the O(len²) inlining pitfall). */
+  def withRepetition(df: DataFrame, toksCol: String = "toks"): DataFrame = {
+    val toks = col(toksCol)
+    val tris = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn("n_trigrams", size(tris).cast("long"))
+      .withColumn("n_distinct_trigrams",
+        size(array_distinct(tris)).cast("long"))
+      .withColumn("dup_frac",
+        when(col("n_trigrams") > 0,
+          round(lit(1.0) - col("n_distinct_trigrams").cast("double") /
+            col("n_trigrams").cast("double"), 6))
+          .otherwise(lit(0.0)))
+  }
+
   /** PII-shaped patterns: ASCII email, dotted IPv4, US-style phone.
     * Deliberately simple regexes that mean the same thing in Java regex
     * and RE2 (the DuckDB oracle) — no lookarounds, no unicode classes. */

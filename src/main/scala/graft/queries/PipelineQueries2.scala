@@ -359,6 +359,60 @@ object PipelineQueries2 {
             defaultRate = mixDefault, splitFractions, packBudget))
     },
 
+    // Intra-doc repetition (Gopher-style quality rule): fraction of word
+    // trigrams that are repeats.
+    QueryDef("t_repetition",
+      withC(tokDocs)(
+        """SELECT doc_id,
+          |  CAST(len(tris) AS BIGINT) AS n_trigrams,
+          |  CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct_trigrams,
+          |  CASE WHEN len(tris) > 0
+          |    THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+          |      / CAST(len(tris) AS DOUBLE), 6)
+          |    ELSE 0.0 END AS dup_frac
+          |FROM (
+          |  SELECT doc_id, list_transform(
+          |    generate_series(1, greatest(len(toks) - 2, 0)),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+          |  FROM tok_docs)""".stripMargin)) {
+      (s, dir) =>
+        TextAnalysis.withRepetition(
+          W.read(s, dir, "documents")
+            .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks")))
+          .select("doc_id", "n_trigrams", "n_distinct_trigrams", "dup_frac")
+    },
+
+    // Materialize packed bins into training sequences: texts of a bin
+    // concatenated in id order with a separator (md5 so the oracle
+    // compares the full sequence without shipping giant strings).
+    QueryDef("pack_materialize",
+      withC(packCte)(
+        s"""SELECT grp, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           |  md5(string_agg(text, ' <doc> ' ORDER BY doc_id)) AS seq_md5
+           |FROM (
+           |  SELECT p.grp, p.doc_id, p.n_tokens,
+           |    CAST(p.cum_excl // $packBudget AS BIGINT) AS bin_id, d.text
+           |  FROM pc p JOIN documents d ON p.doc_id = d.doc_id)
+           |GROUP BY 1, 2""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        val packed = Packing.packContiguous(
+          docs.select(col("source"), col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
+          "source", "doc_id", "n_tok", packBudget)
+        packed.join(docs.select("doc_id", "text"), "doc_id")
+          .groupBy("grp", "bin_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"),
+            // collect_list order is nondeterministic — sort the structs,
+            // then join, so the sequence is id-ordered on any cluster
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")), " <doc> ")).as("seq_md5"))
+      }
+    },
+
     // ---- decontamination --------------------------------------------------
 
     // Benchmark = every 17th doc; corpus = the rest. Overlap = ≥3 shared
