@@ -65,6 +65,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "minhash_sig(array<string>[, k])")
       }))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => SortedIntersectCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          "sorted_intersect_count(array<string>, array<string>)")
+      }))
   }
 }
 

@@ -66,7 +66,8 @@ object Decontamination {
       maxDf: Option[Int] = None, w: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val contaminated = overlaps(corpus, benchmark, minShared, maxDf, w,
-      idCol, textCol).select(col("doc_id")).distinct()
+      idCol, textCol)
+      .select(col("doc_id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 }

@@ -48,14 +48,20 @@ object TextAnalysis {
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-    df.withColumn("n_trigrams", size(tris).cast("long"))
+    // project the trigram array into a named column so the three derived
+    // columns share one subtree (CollapseProject may re-inline the alias,
+    // but the canonically-equal subtrees then dedupe via subexpression
+    // elimination — either way the array builds once per row, not 3x)
+    df.withColumn("_tris", tris)
+      .withColumn("n_trigrams", size(col("_tris")).cast("long"))
       .withColumn("n_distinct_trigrams",
-        size(array_distinct(tris)).cast("long"))
+        size(array_distinct(col("_tris"))).cast("long"))
       .withColumn("dup_frac",
         when(col("n_trigrams") > 0,
           round(lit(1.0) - col("n_distinct_trigrams").cast("double") /
             col("n_trigrams").cast("double"), 6))
           .otherwise(lit(0.0)))
+      .drop("_tris")
   }
 
   /** PII-shaped patterns: ASCII email, dotted IPv4, US-style phone.

@@ -8,9 +8,14 @@ import graft.pipeline.Dedup
 /**
  * Continuous near-dup dedup over a document stream: each micro-batch is
  * LSH-joined against the signature state accumulated from every earlier
- * batch, so a new crawl increment pays O(|batch| · bands) — the engine
- * never re-pairs the historical corpus against itself (the same property
- * as [[Dedup.minhashLshPairsIncremental]], made continuous).
+ * batch. Pair ENUMERATION is O(|batch| · bands) probes — the historical
+ * corpus is never re-paired against itself (the same property as
+ * [[Dedup.minhashLshPairsIncremental]], made continuous) — but each
+ * batch still SCANS the accumulated state once (read + band unpivot +
+ * join build), so per-batch latency grows with corpus size. At a scale
+ * where that scan dominates, partition the state table by a band-hash
+ * prefix and semi-join on the batch's bands so only matching partitions
+ * are read; the loop below keeps the simple full-scan shape.
  *
  * State is a parquet table of (doc_id, band1, band2, shingles): bands
  * for candidate generation, shingles for the Jaccard verify. Appending
@@ -44,12 +49,21 @@ object StreamingNearDedup {
 
   /**
    * One foreachBatch step: compute the batch's state rows, find pairs
-   * against (state ∪ batch), then append the batch rows to the state
-   * table. Returns the batch's verified pairs.
+   * against (state ∪ batch), hand them to `sink` (which MUST materialize
+   * them — the pairs plan reads the state dir lazily, so it has to
+   * execute before the batch's own rows are appended below), then append
+   * the batch rows to the state table.
+   *
+   * Crash replay: a batch replayed after its state append would
+   * otherwise leave duplicate state rows forever (fanning out every
+   * future pair through the verify joins), so the state read dedups on
+   * doc_id — one extra shuffle per batch, the price of an idempotent
+   * at-least-once loop. Replayed PAIRS still re-emit; downstream dedups
+   * on (doc_a, doc_b).
    */
-  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
-      minJaccard: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def runBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+      minJaccard: Double, idCol: String = "doc_id", textCol: String = "text")(
+      sink: DataFrame => Unit): Unit = {
     val batchState = stateRows(batch, idCol, textCol).persist()
     try {
       // existence via Hadoop's FileSystem so hdfs://, s3a://, and relative
@@ -61,17 +75,28 @@ object StreamingNearDedup {
         if (!fs.exists(statePath)) None
         else try Some(spark.read.parquet(stateDir))
         catch { case _: org.apache.spark.sql.AnalysisException => None }
-      val full = prior match {
+      val full = (prior match {
         case None => batchState
         case Some(p) =>
           p.select(batchState.columns.map(col): _*).unionAll(batchState)
-      }
-      val pairs = pairsAgainstState(batchState, full)
-        .filter(col("jaccard") >= minJaccard)
-        .localCheckpoint(true) // materialize BEFORE the state append below
+      }).dropDuplicates(idCol :: Nil)
+      sink(pairsAgainstState(batchState, full)
+        .filter(col("jaccard") >= minJaccard))
       batchState.write.mode("append").parquet(stateDir)
-      pairs
     } finally batchState.unpersist(blocking = false)
+  }
+
+  /** [[runBatch]] returning the materialized pairs (test/interactive
+    * convenience; the localCheckpoint pins blocks until the session drops
+    * the frame — the streaming loop writes straight to a sink instead). */
+  def processBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
+      minJaccard: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    var out: DataFrame = null
+    runBatch(spark, batch, stateDir, minJaccard, idCol, textCol) { pairs =>
+      out = pairs.localCheckpoint(true)
+    }
+    out
   }
 
   /**
@@ -89,8 +114,12 @@ object StreamingNearDedup {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, stateDir, minJaccard)
-          .write.mode("append").parquet(pairsDir)
+        // write IS the materialization — no checkpoint blocks pinned
+        // across batches (a localCheckpoint per batch would leak, see
+        // SCALE.md's bench-hygiene section)
+        runBatch(batch.sparkSession, batch, stateDir, minJaccard) {
+          _.write.mode("append").parquet(pairsDir)
+        }
       }
       .start()
 }
