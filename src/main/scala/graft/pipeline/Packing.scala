@@ -79,15 +79,25 @@ object Packing {
       .as(Encoders.product[PackIn])
     in.groupByKey(_.grp)(Encoders.STRING)
       .flatMapSortedGroups(col("doc_id")) { (grp: String, it: Iterator[PackIn]) =>
-        var bin = 0L
-        var fill = 0L
-        it.map { d =>
-          if (fill > 0 && fill + d.n_tokens > budget) { bin += 1; fill = 0L }
-          fill += d.n_tokens
-          PackOut(grp, d.doc_id, d.n_tokens, bin, fill)
-        }
+        greedyFold(it.map(d => (d.doc_id, d.n_tokens)), budget)
+          .map { case (id, tok, bin, fill) => PackOut(grp, id, tok, bin, fill) }
       }(Encoders.product[PackOut])
       .toDF()
+  }
+
+  /** The greedy first-fit core, pure and streaming: (id, tokens) in
+    * arrival order → (id, tokens, bin, fill-after-add). Factored out of
+    * the Spark path so its invariants are property-testable without a
+    * session. */
+  def greedyFold(it: Iterator[(Long, Long)], budget: Long)
+      : Iterator[(Long, Long, Long, Long)] = {
+    var bin = 0L
+    var fill = 0L
+    it.map { case (id, tok) =>
+      if (fill > 0 && fill + tok > budget) { bin += 1; fill = 0L }
+      fill += tok
+      (id, tok, bin, fill)
+    }
   }
 
   /** Per-bin rollup of a packed frame: document count, token total, and

@@ -83,6 +83,29 @@ object Sampling {
   }
 
   /**
+   * Token-budget corpus mix: training mixes are specified in TOKENS per
+   * source, not documents. Computes each stratum's token total (one small
+   * aggregate — #strata rows to the driver), derives the keep rate
+   * `min(1, budget/total)`, and applies the same deterministic hash
+   * filter as [[weightedMix]]. A stratum absent from `budgets` is kept
+   * whole. Expected sampled tokens ≈ budget (Bernoulli on docs, so the
+   * realized total varies by ±O(√docs·meanTokens)); exact-cut packing
+   * afterwards is [[Packing]]'s job.
+   */
+  def tokenBudgetMix(df: DataFrame, stratumCol: String, tokenCol: String,
+      budgets: Map[String, Long], idCol: String = "doc_id",
+      salt: String = "tokmix"): DataFrame = {
+    val totals = df.groupBy(col(stratumCol)).agg(sum(col(tokenCol)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = budgets.flatMap { case (stratum, budget) =>
+      totals.get(stratum).map { total =>
+        stratum -> math.min(1.0, budget.toDouble / math.max(1L, total))
+      }
+    }
+    weightedMix(df, stratumCol, rates, defaultRate = 1.0, idCol, salt)
+  }
+
+  /**
    * Exact-size stratified sample: the `n` rows with the smallest id-hash
    * per stratum (hash-ordered so the choice is uniform AND deterministic;
    * id tie-break for hash collisions). One shuffle on the stratum column.

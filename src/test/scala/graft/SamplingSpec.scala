@@ -78,6 +78,28 @@ class SamplingSpec extends TestBase {
       4 * math.sqrt(otherTotal) + 1, s"default-rate strata: $bySrc")
   }
 
+  test("token-budget mix hits each stratum's token budget in expectation") {
+    val withTok = docs.select(col("source"), col("doc_id"),
+      size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .cast("long").as("n_tok"))
+    val totals = withTok.groupBy("source").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = Map(
+      "src0" -> totals("src0") / 4, // downsample to a quarter
+      "src1" -> totals("src1") * 2) // over-budget → keep whole
+    val mixed = Sampling.tokenBudgetMix(withTok, "source", "n_tok", budgets)
+    val got = mixed.groupBy("source").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate-1 strata (absent or over-budget) keep every token
+    assert(got("src1") == totals("src1"))
+    assert(got("src2") == totals("src2"))
+    // the downsampled stratum lands near its budget (Bernoulli on docs:
+    // generous 3-sigma-ish band for a ~25-doc stratum)
+    val target = budgets("src0").toDouble
+    assert(math.abs(got.getOrElse("src0", 0L) - target) <= target,
+      s"src0 kept ${got.get("src0")} of budget $target")
+  }
+
   test("stratified sample: exactly n per stratum (or the whole stratum)") {
     val out = Sampling.stratifiedSample(docs, "source", 5)
     val sizes = out.groupBy("source").count()
