@@ -10,10 +10,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = GraftSession.configure(SparkSession.builder()
+    val spark = GraftSession.create(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // warmup: touch every table + exercise codegen/shuffle machinery once

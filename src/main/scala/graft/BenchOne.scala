@@ -13,9 +13,9 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = GraftSession.configure(SparkSession.builder()
+    val spark = GraftSession.create(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)).getOrCreate()
+      .config("spark.sql.shuffle.partitions", cpus))
     spark.sparkContext.setLogLevel("ERROR")
     if (name == "--probe") {
       import org.apache.spark.sql.functions._

@@ -23,13 +23,21 @@ object GraftSession {
     .config("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
+  /** Build the session AND install graft's extensions (native SQL
+    * functions + the intersect-count optimizer rule) — one registration
+    * up front instead of register-on-first-use per call site. */
+  def create(b: SparkSession.Builder): SparkSession = {
+    val spark = configure(b).getOrCreate()
+    GraftExtensions.install(spark)
+    spark
+  }
+
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    configure(SparkSession.builder()
+    create(SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus))
-      .getOrCreate()
   }
 }

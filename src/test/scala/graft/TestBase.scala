@@ -64,11 +64,10 @@ trait TestBase extends AnyFunSuite {
 
 object TestBase {
   lazy val spark: SparkSession = {
-    val s = GraftSession.configure(SparkSession.builder()
+    val s = GraftSession.create(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4"))
-      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
