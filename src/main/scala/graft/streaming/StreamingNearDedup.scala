@@ -99,6 +99,86 @@ object StreamingNearDedup {
     out
   }
 
+  // ---- band-partitioned state (the large-corpus path) ---------------------
+
+  /**
+   * The pruned-read variant for corpora where scanning the whole state
+   * per batch dominates: state lives in TWO partitioned tables under
+   * `stateRoot` —
+   *
+   *   bands/    (doc_id, band_idx, band_hash) partitioned by
+   *             band_pfx = xxhash64(band_hash) mod nPfx
+   *   shingles/ (doc_id, shingles)            partitioned by
+   *             doc_pfx  = doc_id mod nPfx
+   *
+   * A micro-batch can only collide with state bands in the partitions
+   * its OWN band hashes fall in, and only needs shingles for the docs
+   * that actually became candidates — both reads carry `isin` filters
+   * over the partition column, so Spark's listing prunes untouched
+   * directories entirely. A small batch reads O(|batch| · bands)
+   * partitions of state instead of all of it; the driver holds only the
+   * ≤ nPfx partition ids. Correctness is identical to [[runBatch]]
+   * (spec-checked against the one-shot batch LSH).
+   */
+  def runBatchPartitioned(spark: SparkSession, batch: DataFrame,
+      stateRoot: String, minJaccard: Double, nPfx: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text")(
+      sink: DataFrame => Unit): Unit = {
+    require(nPfx > 0, "nPfx must be positive")
+    val bandsDir = s"$stateRoot/bands"
+    val shinglesDir = s"$stateRoot/shingles"
+    val batchState = stateRows(batch, idCol, textCol).persist()
+    try {
+      val batchBands = Dedup.unpivotBands(batchState)
+        .withColumn("band_pfx", pmod(xxhash64(col("band_hash")), lit(nPfx.toLong)))
+        .persist()
+      try {
+        val bandPfx = batchBands.select("band_pfx").distinct()
+          .collect().map(_.getLong(0)).toSeq
+        val stateBands = readIfExists(spark, bandsDir)
+          .map(_.filter(col("band_pfx").isin(bandPfx: _*))
+            .select("doc_id", "band_idx", "band_hash"))
+        val allBands = (stateBands match {
+          case None => batchBands.select("doc_id", "band_idx", "band_hash")
+          case Some(s) => s.unionAll(
+            batchBands.select("doc_id", "band_idx", "band_hash"))
+        }).dropDuplicates("doc_id", "band_idx") // replay-safe
+        val candidates = Dedup.incrementalCandidates(
+          batchBands.select("doc_id", "band_idx", "band_hash"), allBands)
+          .persist()
+        try {
+          val docPfx = candidates
+            .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+            .select(pmod(col("d"), lit(nPfx.toLong)).as("p")).distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val stateShingles = readIfExists(spark, shinglesDir)
+            .map(_.filter(col("doc_pfx").isin(docPfx: _*))
+              .select("doc_id", "shingles"))
+          val allShingles = (stateShingles match {
+            case None => batchState.select("doc_id", "shingles")
+            case Some(s) =>
+              s.unionAll(batchState.select("doc_id", "shingles"))
+          }).dropDuplicates("doc_id")
+          sink(Dedup.jaccardVerify(candidates, allShingles)
+            .filter(col("jaccard") >= minJaccard))
+        } finally candidates.unpersist(blocking = false)
+        // appends AFTER the sink materialized the pairs (lazy state reads)
+        batchBands.write.partitionBy("band_pfx").mode("append").parquet(bandsDir)
+        batchState.select(col("doc_id"), col("shingles"),
+            pmod(col("doc_id"), lit(nPfx.toLong)).as("doc_pfx"))
+          .write.partitionBy("doc_pfx").mode("append").parquet(shinglesDir)
+      } finally batchBands.unpersist(blocking = false)
+    } finally batchState.unpersist(blocking = false)
+  }
+
+  private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else try Some(spark.read.parquet(dir))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /**
    * Start the continuous loop: `docs` is a STREAMING frame of
    * (doc_id, text); discovered pairs append to `pairsDir`, signature
