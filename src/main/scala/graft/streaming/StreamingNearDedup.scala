@@ -12,10 +12,11 @@ import graft.pipeline.Dedup
  * corpus is never re-paired against itself (the same property as
  * [[Dedup.minhashLshPairsIncremental]], made continuous) — but each
  * batch still SCANS the accumulated state once (read + band unpivot +
- * join build), so per-batch latency grows with corpus size. At a scale
- * where that scan dominates, partition the state table by a band-hash
- * prefix and semi-join on the batch's bands so only matching partitions
- * are read; the loop below keeps the simple full-scan shape.
+ * join build) in the simple [[runBatch]] shape, so per-batch latency
+ * grows with corpus size. At a scale where that scan dominates, use
+ * [[runBatchPartitioned]]: band- and doc-prefix-partitioned state
+ * tables read with partition-pruning `isin` filters, so a batch touches
+ * only the state partitions its own hashes fall in.
  *
  * State is a parquet table of (doc_id, band1, band2, shingles): bands
  * for candidate generation, shingles for the Jaccard verify. Appending
