@@ -60,27 +60,22 @@ object StreamingNearDedup {
    * future pair through the verify joins), so the state read dedups on
    * doc_id — one extra shuffle per batch, the price of an idempotent
    * at-least-once loop. Replayed PAIRS still re-emit; downstream dedups
-   * on (doc_a, doc_b).
+   * on (doc_a, doc_b). doc_id is a stable identity: re-ingesting CHANGED
+   * content under an existing id is out of contract (the state dedup
+   * would keep an arbitrary version) — assign a new id.
    */
   def runBatch(spark: SparkSession, batch: DataFrame, stateDir: String,
       minJaccard: Double, idCol: String = "doc_id", textCol: String = "text")(
       sink: DataFrame => Unit): Unit = {
     val batchState = stateRows(batch, idCol, textCol).persist()
     try {
-      // existence via Hadoop's FileSystem so hdfs://, s3a://, and relative
-      // local paths all work; a dir with no readable footers (crashed
-      // first write) reads as absent rather than a permanent crash loop
-      val statePath = new org.apache.hadoop.fs.Path(stateDir)
-      val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val prior: Option[DataFrame] =
-        if (!fs.exists(statePath)) None
-        else try Some(spark.read.parquet(stateDir))
-        catch { case _: org.apache.spark.sql.AnalysisException => None }
-      val full = (prior match {
+      val full = (readIfExists(spark, stateDir) match {
         case None => batchState
         case Some(p) =>
           p.select(batchState.columns.map(col): _*).unionAll(batchState)
-      }).dropDuplicates(idCol :: Nil)
+        // state columns are normalized by stateRows — dedup on "doc_id",
+        // not idCol (which only names the INPUT's id column)
+      }).dropDuplicates("doc_id" :: Nil)
       sink(pairsAgainstState(batchState, full)
         .filter(col("jaccard") >= minJaccard))
       batchState.write.mode("append").parquet(stateDir)
@@ -118,14 +113,31 @@ object StreamingNearDedup {
    * over the partition column, so Spark's listing prunes untouched
    * directories entirely. A small batch reads O(|batch| · bands)
    * partitions of state instead of all of it; the driver holds only the
-   * ≤ nPfx partition ids. Correctness is identical to [[runBatch]]
-   * (spec-checked against the one-shot batch LSH).
+   * ≤ nPfx partition ids. Same pair output as [[runBatch]] (spec-checked
+   * against the one-shot batch LSH), with the same contracts plus two of
+   * its own:
+   *
+   *  - `nPfx` is part of the on-disk layout: it is pinned in a marker
+   *    file on first write and later calls must match (a mismatched
+   *    modulus would silently prune live partitions).
+   *  - The two state appends (shingles first, then bands) are not
+   *    atomic. Run under an orchestrator that REPLAYS an incomplete
+   *    batch (e.g. [[start]]-style checkpointed foreachBatch): a crash
+   *    between the appends leaves shingles without bands — those docs
+   *    are simply absent from the index until the replay, never
+   *    half-joined (bands are written last so no candidate can lack its
+   *    verify rows).
+   *  - doc_id is a stable identity: re-ingesting CHANGED content under
+   *    the same doc_id is out of contract (state dedup would mix the
+   *    versions arbitrarily) — assign a new id, as [[runBatch]] also
+   *    requires.
    */
   def runBatchPartitioned(spark: SparkSession, batch: DataFrame,
       stateRoot: String, minJaccard: Double, nPfx: Int = 64,
       idCol: String = "doc_id", textCol: String = "text")(
       sink: DataFrame => Unit): Unit = {
     require(nPfx > 0, "nPfx must be positive")
+    checkOrPinNPfx(spark, stateRoot, nPfx)
     val bandsDir = s"$stateRoot/bands"
     val shinglesDir = s"$stateRoot/shingles"
     val batchState = stateRows(batch, idCol, textCol).persist()
@@ -163,16 +175,51 @@ object StreamingNearDedup {
           sink(Dedup.jaccardVerify(candidates, allShingles)
             .filter(col("jaccard") >= minJaccard))
         } finally candidates.unpersist(blocking = false)
-        // appends AFTER the sink materialized the pairs (lazy state reads)
-        batchBands.write.partitionBy("band_pfx").mode("append").parquet(bandsDir)
+        // appends AFTER the sink materialized the pairs (lazy state reads).
+        // Shingles FIRST: a crash between the writes must leave docs
+        // absent from the band index, never band rows lacking verify
+        // data. Repartition on the partition key so each batch adds ~one
+        // file per touched partition, not one per shuffle task (a
+        // 10k-batch stream would otherwise drown the pruning win in
+        // file-open overhead).
         batchState.select(col("doc_id"), col("shingles"),
             pmod(col("doc_id"), lit(nPfx.toLong)).as("doc_pfx"))
+          .repartition(col("doc_pfx"))
           .write.partitionBy("doc_pfx").mode("append").parquet(shinglesDir)
+        batchBands.repartition(col("band_pfx"))
+          .write.partitionBy("band_pfx").mode("append").parquet(bandsDir)
       } finally batchBands.unpersist(blocking = false)
     } finally batchState.unpersist(blocking = false)
   }
 
+  /** Pin nPfx in a marker file on first use; reject a mismatch later —
+    * reading partitions written mod M with filters computed mod N would
+    * silently prune live state. */
+  private def checkOrPinNPfx(spark: SparkSession, stateRoot: String,
+      nPfx: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$stateRoot/_graft_npfx")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded =
+        try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(recorded == nPfx,
+        s"state at $stateRoot was written with nPfx=$recorded; got $nPfx — " +
+          "a mismatched modulus silently prunes live partitions")
+    } else {
+      val out = fs.create(marker, false)
+      try out.write(nPfx.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   private def readIfExists(spark: SparkSession, dir: String): Option[DataFrame] = {
+    // existence via Hadoop's FileSystem so hdfs://, s3a://, and relative
+    // local paths all work; a dir with no readable footers (crashed
+    // first write) reads as absent rather than a permanent crash loop
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None

@@ -33,7 +33,7 @@ class ExtensionsSpec extends TestBase {
       assert(!expected.isEmpty)
       GraftExtensions.install(spark)
       assert(df.collect().map(_.getInt(0)).toSeq == expected)
-    } finally GraftExtensions.uninstall(spark)
+    } finally GraftExtensions.install(spark) // restore constructed-session state
   }
 
   test("unsound shapes are left alone") {
@@ -52,7 +52,7 @@ class ExtensionsSpec extends TestBase {
           sort_array(array_distinct(col("b")), asc = false))).as("n"))
       assert(!desc.queryExecution.executedPlan.toString
         .contains("sorted_intersect_count"))
-    } finally GraftExtensions.uninstall(spark)
+    } finally GraftExtensions.install(spark) // restore constructed-session state
   }
 
   test("withExtensions wiring registers the rule and minhash_sig at session build") {
