@@ -175,3 +175,46 @@ object IncrementalService {
     }
   }
 }
+
+/** Training-corpus build (the pipeline layer end-to-end):
+  * `--input docs.parquet --output out/ [--min-quality 0.5]
+  *  [--mix src:rate,src:rate] [--default-rate 1.0]
+  *  [--splits train:0.8,val:0.1,test:0.1] [--budget 4096]
+  *  [--shards-per-leaf 16] [--format parquet|json]`.
+  * Reads (doc_id, text, source) parquet, runs quality gate → exact dedup
+  * → weighted mix → split → packing, writes layout-partitioned shards. */
+object CorpusBuild {
+
+  def run(spark: org.apache.spark.sql.SparkSession,
+      flags: Map[String, String]): Unit = {
+    import graft.pipeline.{CorpusWriter, TrainingPipeline}
+    def rates(s: String): Map[String, Double] =
+      s.split(',').filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split(':'); k -> v.toDouble
+      }.toMap
+    val cfg = TrainingPipeline.Config(
+      minQuality = flags.getOrElse("min-quality", "0.5").toDouble,
+      mixWeights = flags.get("mix").map(rates).getOrElse(Map.empty),
+      defaultRate = flags.getOrElse("default-rate", "1.0").toDouble,
+      splits = flags.getOrElse("splits", "train:0.8,val:0.1,test:0.1")
+        .split(',').toSeq.map { kv =>
+          val Array(k, v) = kv.split(':'); k -> v.toDouble
+        },
+      packBudget = flags.getOrElse("budget", "4096").toLong)
+    val corpus = TrainingPipeline.buildCorpus(
+      spark.read.parquet(flags("input")), cfg)
+    CorpusWriter.writeShards(corpus, flags("output"),
+      layoutCols = Seq("split", "source"), idCol = "doc_id",
+      shardsPerLeaf = flags.getOrElse("shards-per-leaf", "16").toInt,
+      sortCols = Seq("bin_id"),
+      format = flags.getOrElse("format", "parquet"))
+    val n = spark.read.format(flags.getOrElse("format", "parquet"))
+      .load(flags("output")).count()
+    println(s"wrote $n documents to ${flags("output")}")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("graft-corpus-build")
+    try run(spark, Cli.parseFlags(args.toSeq)) finally spark.stop()
+  }
+}

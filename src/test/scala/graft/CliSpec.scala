@@ -71,4 +71,29 @@ class CliSpec extends TestBase {
       "parallelism" -> "4"))
     assert(java.nio.file.Files.readString(dest.resolve("a.txt")) == "aaa")
   }
+
+  test("corpus build CLI: end-to-end from flags to layout-partitioned shards") {
+    val out = tmpDir("cli-corpus").toString + "/out"
+    graft.tools.CorpusBuild.run(spark, Map(
+      "input" -> "/root/testdata/sf0.001/documents.parquet",
+      "output" -> out,
+      "min-quality" -> "0.3",
+      "mix" -> "src0:0.5",
+      "splits" -> "train:0.9,val:0.1",
+      "budget" -> "512",
+      "shards-per-leaf" -> "2"))
+    val back = spark.read.parquet(out)
+    assert(back.count() > 0)
+    assert(back.columns.toSet ==
+      Set("doc_id", "source", "split", "n_tokens", "bin_id"))
+    val splits = back.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val")))
+    val leaves = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+    leaves.foreach { leaf =>
+      val files = leaf.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty && files.length <= 2, leaf.getPath)
+    }
+  }
 }
