@@ -29,6 +29,7 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // min of two timed runs per query: solo full-suite runs showed
       // ±0.5 s one-off noise landing on DIFFERENT queries each run
@@ -49,15 +50,24 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors.getOrElseUpdate(name,
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+                .replaceAll("[\"\\\\\r\n]", " ").take(200))
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // a crashing query must not publish its fail-fast elapsed time as a
+      // flattering baseline — record a -1 sentinel instead
+      name -> (if (errors.contains(name)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,10 +30,20 @@ object Decontamination {
    * Overlap report: one row per (doc_id, bench_id) pair sharing at least
    * `minShared` distinct surviving shingles, with the matched-shingle
    * count and the fraction of the benchmark doc's shingles matched.
+   *
+   * Corpus and benchmark are treated as INDEPENDENT datasets: equal ids
+   * on the two sides are a coincidence of id assignment, not identity,
+   * so same-id pairs are reported like any other (both sides being
+   * sequentially numbered from 1 is the common case, and suppressing
+   * those pairs would hide genuine contamination). Only when the
+   * benchmark rows are literally a subset of the corpus — same id space,
+   * same rows — set `benchIsCorpusSubset = true` to drop the trivial
+   * doc-matches-itself pairs.
    */
   def overlaps(corpus: DataFrame, benchmark: DataFrame, minShared: Int,
       maxDf: Option[Int] = None, w: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIsCorpusSubset: Boolean = false): DataFrame = {
     val cs = Dedup.shingled(corpus, idCol, textCol, w)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
     val bsFull = Dedup.shingled(benchmark, idCol, textCol, w)
@@ -50,8 +60,11 @@ object Decontamination {
           .filter(col("df") <= cap).select("s")
         cs.join(rare, "s")
     }
-    csPruned.join(bs, "s")
-      .filter(col("doc_id") =!= col("bench_id"))
+    val joined = csPruned.join(bs, "s")
+    val paired =
+      if (benchIsCorpusSubset) joined.filter(col("doc_id") =!= col("bench_id"))
+      else joined
+    paired
       .groupBy("doc_id", "bench_id", "n_bench")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
@@ -64,9 +77,10 @@ object Decontamination {
     * the actual decontamination step (left-anti on the report). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, minShared: Int,
       maxDf: Option[Int] = None, w: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      benchIsCorpusSubset: Boolean = false): DataFrame = {
     val contaminated = overlaps(corpus, benchmark, minShared, maxDf, w,
-      idCol, textCol)
+      idCol, textCol, benchIsCorpusSubset)
       .select(col("doc_id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

@@ -19,21 +19,33 @@ import org.apache.spark.sql.functions._
  *  - two engines (Spark and the DuckDB oracle) agree bit-for-bit, so the
  *    sampled corpus itself is hash-verified, not just its size.
  *
- * The hash is the first 16 bits of md5("salt:id") — uniform enough for
- * rate control, cheap, and mirrorable in any engine with md5.
+ * The hash is the first 32 bits of md5("salt:id") — uniform enough for
+ * rate control, cheap, and mirrorable in any engine with md5. 32 bits
+ * (not 16) so the resolution is ~2.3e-10: a token-budget mix of a few
+ * million tokens against a 100-TB stratum still computes a non-zero
+ * keep threshold instead of silently dropping the stratum.
  */
 object Sampling {
 
-  /** Uniform 16-bit hash in [0, 65536): integer value of the first four
+  /** Size of the hash space: thresholds live in [0, 2^32]. */
+  val HashSpace: Long = 1L << 32
+
+  /** Uniform 32-bit hash in [0, 2^32): integer value of the first eight
     * hex digits of md5("salt:id"). */
-  def hash16(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 4), 16, 10)
+  def hash32(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
-  /** Threshold in [0, 65536] such that `hash16 < threshold` keeps ~rate. */
+  /** Threshold in [0, 2^32] such that `hash32 < threshold` keeps ~rate.
+    * Refuses a positive rate that rounds to threshold 0 (below hash
+    * resolution) — that would silently drop the stratum entirely. */
   def rateThreshold(rate: Double): Long = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    math.round(rate * 65536.0)
+    val t = math.round(rate * HashSpace.toDouble)
+    require(rate == 0.0 || t > 0,
+      s"rate $rate is below the 32-bit hash resolution (${1.0 / HashSpace}); " +
+        "the stratum would be dropped entirely")
+    t
   }
 
   /**
@@ -44,7 +56,7 @@ object Sampling {
    */
   def deterministicSample(df: DataFrame, idCol: String, rate: Double,
       salt: String = "samp"): DataFrame =
-    df.filter(hash16(col(idCol), salt) < lit(rateThreshold(rate)))
+    df.filter(hash32(col(idCol), salt) < lit(rateThreshold(rate)))
 
   /**
    * Train/validation/test split assignment as a column — disjoint and
@@ -55,7 +67,7 @@ object Sampling {
       salt: String = "split"): Column = {
     require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9,
       "split fractions must sum to <= 1")
-    val h = hash16(id, salt)
+    val h = hash32(id, salt)
     val bounds = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(rateThreshold)
     // last split absorbs the tail so the assignment is total
@@ -79,7 +91,7 @@ object Sampling {
           when(col(stratumCol) === lit(stratum), lit(rateThreshold(rate)))
             .otherwise(rest)
       }
-    df.filter(hash16(col(idCol), salt) < threshold)
+    df.filter(hash32(col(idCol), salt) < threshold)
   }
 
   /**
@@ -96,7 +108,15 @@ object Sampling {
       budgets: Map[String, Long], idCol: String = "doc_id",
       salt: String = "tokmix"): DataFrame = {
     val totals = df.groupBy(col(stratumCol)).agg(sum(col(tokenCol)).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"tokenBudgetMix: null $stratumCol values present — filter or " +
+            "bucket them before mixing")
+        require(!r.isNullAt(1),
+          s"tokenBudgetMix: stratum '${r.getString(0)}' has no non-null " +
+            s"$tokenCol values, so no keep rate can be derived")
+        r.getString(0) -> r.getLong(1)
+      }.toMap
     val rates = budgets.flatMap { case (stratum, budget) =>
       totals.get(stratum).map { total =>
         stratum -> math.min(1.0, budget.toDouble / math.max(1L, total))
@@ -118,7 +138,7 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratumCol: String, n: Int,
       idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hash16(col(idCol), salt), col(idCol))
+      .orderBy(hash32(col(idCol), salt), col(idCol))
     df.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= n)
       .drop("rn")

@@ -20,10 +20,10 @@ object PipelineQueries2 {
 
   import PipelineQueries.{minhashSig, tokDocs, withC}
 
-  /** DuckDB twin of [[Sampling.hash16]] over the documents table. */
-  private def duckHash16(salt: String): String = {
-    val terms = (0 until 4).map { i =>
-      val mult = 1L << (4 * (3 - i))
+  /** DuckDB twin of [[Sampling.hash32]] over the documents table. */
+  private def duckHash32(salt: String): String = {
+    val terms = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
       s"(strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult"
     }
     "CAST(" + terms.mkString("\n      + ") + " AS BIGINT)"
@@ -88,20 +88,20 @@ object PipelineQueries2 {
     // ---- deterministic sampling / mixing ----------------------------------
 
     QueryDef("samp_deterministic",
-      s"""SELECT doc_id, h16 FROM (
-         |  SELECT doc_id, ${duckHash16("samp")} AS h16 FROM documents)
-         |WHERE h16 < $sampThresh""".stripMargin) {
+      s"""SELECT doc_id, h32 FROM (
+         |  SELECT doc_id, ${duckHash32("samp")} AS h32 FROM documents)
+         |WHERE h32 < $sampThresh""".stripMargin) {
       (s, dir) =>
         Sampling.deterministicSample(
             W.read(s, dir, "documents"), "doc_id", sampRate, "samp")
           .select(col("doc_id"),
-            Sampling.hash16(col("doc_id"), "samp").as("h16"))
+            Sampling.hash32(col("doc_id"), "samp").as("h32"))
     },
 
     QueryDef("samp_split",
       s"""SELECT doc_id,
-         |  CASE WHEN ${duckHash16("split")} < ${splitBounds(0)} THEN 'train'
-         |       WHEN ${duckHash16("split")} < ${splitBounds(1)} THEN 'val'
+         |  CASE WHEN ${duckHash32("split")} < ${splitBounds(0)} THEN 'train'
+         |       WHEN ${duckHash32("split")} < ${splitBounds(1)} THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin) {
       (s, dir) =>
@@ -115,8 +115,8 @@ object PipelineQueries2 {
         s"WHEN source = '$src' THEN ${Sampling.rateThreshold(rate)}"
       }.mkString("\n       ")
       s"""SELECT doc_id, source FROM (
-         |  SELECT doc_id, source, ${duckHash16("mix")} AS h16 FROM documents)
-         |WHERE h16 < (CASE $cases
+         |  SELECT doc_id, source, ${duckHash32("mix")} AS h32 FROM documents)
+         |WHERE h32 < (CASE $cases
          |  ELSE ${Sampling.rateThreshold(mixDefault)} END)""".stripMargin
     }) {
       (s, dir) =>
@@ -129,7 +129,7 @@ object PipelineQueries2 {
       s"""SELECT doc_id, source FROM (
          |  SELECT doc_id, source,
          |    row_number() OVER (PARTITION BY source
-         |      ORDER BY ${duckHash16("strat")}, doc_id) AS rn
+         |      ORDER BY ${duckHash32("strat")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= $stratN""".stripMargin) {
       (s, dir) =>
@@ -334,12 +334,12 @@ object PipelineQueries2 {
            |    FROM gated) WHERE rn = 1),
            |mixed AS (
            |  SELECT doc_id, source, n_tokens FROM kept
-           |  WHERE ${duckHash16("mix")} < (CASE $mixCases
+           |  WHERE ${duckHash32("mix")} < (CASE $mixCases
            |    ELSE ${Sampling.rateThreshold(mixDefault)} END)),
            |lab AS (
            |  SELECT doc_id, source, n_tokens,
-           |    CASE WHEN ${duckHash16("split")} < ${splitBounds(0)} THEN 'train'
-           |         WHEN ${duckHash16("split")} < ${splitBounds(1)} THEN 'val'
+           |    CASE WHEN ${duckHash32("split")} < ${splitBounds(0)} THEN 'train'
+           |         WHEN ${duckHash32("split")} < ${splitBounds(1)} THEN 'val'
            |         ELSE 'test' END AS split
            |  FROM mixed),
            |pcc AS (

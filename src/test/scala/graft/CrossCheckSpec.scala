@@ -110,6 +110,31 @@ class CrossCheckSpec extends TestBase {
       .overlaps(corpus, bench, 1, maxDf = Some(0)).isEmpty)
   }
 
+  test("decontamination: colliding id spaces still report same-id contamination") {
+    import spark.implicits._
+    // corpus doc 1 and benchmark doc 1 are DIFFERENT documents whose
+    // sequentially-assigned ids happen to collide — the leak must be found
+    val shared = (1 to 30).map(i => s"leak$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "corpus preamble " + shared),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((1L, shared)).toDF("doc_id", "text")
+    val found = graft.pipeline.Decontamination
+      .overlaps(corpus, bench, minShared = 3)
+      .select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 1L)), s"same-id contamination suppressed: $found")
+    assert(graft.pipeline.Decontamination
+      .decontaminate(corpus, bench, minShared = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+    // subset mode: the benchmark IS corpus rows — self-pairs are trivial
+    val subsetPairs = graft.pipeline.Decontamination
+      .overlaps(corpus, corpus.filter($"doc_id" === 1L), minShared = 3,
+        benchIsCorpusSubset = true)
+      .collect()
+    assert(subsetPairs.isEmpty, subsetPairs.mkString(","))
+  }
+
   test("percentile_approx sketch tracks the exact quantiles") {
     // the scale path for order statistics is the sketch (mergeable,
     // bounded memory); it must stay within its accuracy contract of the

@@ -43,13 +43,23 @@ class PackingPropertySpec extends AnyFunSuite {
     })
   }
 
-  test("rateThreshold: monotone, exact at the ends, within one unit of rate*65536") {
+  test("rateThreshold: monotone, exact at the ends, within one unit of rate*2^32") {
     assert(Sampling.rateThreshold(0.0) == 0L)
-    assert(Sampling.rateThreshold(1.0) == 65536L)
+    assert(Sampling.rateThreshold(1.0) == Sampling.HashSpace)
     check(Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
       val (lo, hi) = if (a <= b) (a, b) else (b, a)
       Sampling.rateThreshold(lo) <= Sampling.rateThreshold(hi) &&
-        math.abs(Sampling.rateThreshold(a) - a * 65536.0) <= 0.5 + 1e-9
+        math.abs(Sampling.rateThreshold(a) - a * Sampling.HashSpace.toDouble) <= 0.5 + 1e-9
     })
+  }
+
+  test("rateThreshold: positive rate below hash resolution is refused, not dropped") {
+    // token budget of 1M against a 100-TB-scale stratum total: at 16 bits
+    // this rounded to threshold 0 and silently emptied the stratum
+    val tiny = 1.0e6 / 2.0e13
+    assert(Sampling.rateThreshold(tiny) > 0L)
+    intercept[IllegalArgumentException] {
+      Sampling.rateThreshold(1.0e-11)
+    }
   }
 }
