@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Semantic (embedding-space) clustering and deduplication for training
+ * corpora — the SemDeDup recipe (Abbas et al. 2023, arXiv:2303.09540):
+ * k-means-partition the embedding space, then remove near-duplicates
+ * WITHIN each cluster by cosine similarity, so the pairwise work is
+ * bounded by cluster size instead of corpus size.
+ *
+ * Spark shape, designed for the 100-TB case:
+ *  - **assignment is a pure scan**: centroids are a k×dim literal
+ *    (driver-held, like MLlib's broadcast in Lloyd's iterations), so
+ *    assigning a vector is `argmin` over k codegen'd fold expressions —
+ *    no shuffle, no join, embarrassingly parallel;
+ *  - **centroid update is one partial-aggregated shuffle** of exactly
+ *    k×dim `(cluster, dim) → mean` rows (`posexplode` + `avg` with
+ *    map-side combine), independent of corpus size;
+ *  - **dedup is a cluster-bounded equi self-join** — the same candidate
+ *    shape as the IVF similarity path; a pathologically hot cluster is
+ *    the LSH hot-bucket problem and takes the same cap treatment
+ *    ([[Dedup.minhashLshPairsRobust]]'s approach) if one arises.
+ *
+ * Everything is deterministic and engine-mirrorable, so assignments,
+ * cluster stats, and the kept-set are hash-verified against DuckDB:
+ *  - init = the k lowest-id vectors (no RNG);
+ *  - distances are sequential index-order folds (bit-identical across
+ *    engines, same convention as [[Similarity.dot]]);
+ *  - updated centroid components are rounded to 1e-6 — quantizing kills
+ *    the cross-engine drift of float summation order (Spark's partial
+ *    aggregates sum in partition order, any other engine in its own),
+ *    which otherwise compounds across iterations.
+ *
+ * A cluster that loses all members simply disappears from the centroid
+ * set (both engines derive centroids from the same assignment), so `k`
+ * is an upper bound.
+ */
+object Semantic {
+
+  private def asDouble(vecCol: Column): Column =
+    transform(vecCol, x => x.cast("double"))
+
+  /** Sequential-fold squared L2 distance of a vector column against a
+    * centroid literal — index order, bit-identical to the oracle fold. */
+  private def sqDist(v: Column, centroid: Array[Double]): Column = {
+    val c = array(centroid.map(lit): _*)
+    aggregate(zip_with(v, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** `(cluster_id, sq_dist)` of the nearest centroid: `array_min` over
+    * `(dist, id)` structs — struct ordering breaks exact-tie distances by
+    * centroid id, deterministically in any engine. */
+  private def nearest(v: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(sqDist(v, c).as("d"), lit(cid).as("cid"))
+    }: _*))
+
+  /** Run `iters` Lloyd's iterations from the deterministic lowest-id
+    * init and return the final assignment:
+    * `(vec_id, cluster_id, sq_dist)` with `sq_dist` rounded to 1e-6. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
+    val e = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+
+    // deterministic init: the k lowest-id vectors ARE the first centroids
+    var centroids: Seq[(Int, Array[Double])] =
+      e.orderBy("vec_id").limit(k).collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Double](1).toArray
+      }.toSeq
+
+    for (_ <- 1 to iters) {
+      // one scan assigns; one k×dim-row aggregate re-centers. The avg is
+      // rounded so both engines land on the same quantized centroid no
+      // matter their float summation order.
+      val assigned = e.select(col("vec_id"), col("v"),
+        nearest(col("v"), centroids).getField("cid").as("cluster_id"))
+      centroids = assigned
+        .select(col("cluster_id"), posexplode(col("v")))
+        .groupBy(col("cluster_id"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("m"))
+        .groupBy(col("cluster_id"))
+        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m")))
+          .as("byPos"))
+        .collect().map { r =>
+          val m = r.getMap[Int, Double](1)
+          r.getInt(0) -> Array.tabulate(m.size)(m(_))
+        }.toSeq.sortBy(_._1)
+    }
+
+    e.select(col("vec_id"), nearest(col("v"), centroids).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cluster_id"),
+        round(col("best").getField("d"), 6).as("sq_dist"))
+  }
+
+  /** Per-cluster size, majority ground-truth label, and purity — the
+    * standard external clustering diagnostic when a label column exists. */
+  def clusterStats(assignments: DataFrame, labeled: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val joined = assignments.join(
+      labeled.select(col(idCol).as("vec_id"), col(labelCol).as("label")),
+      "vec_id")
+    val byLabel = joined.groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("label_n"))
+    val w = Window.partitionBy("cluster_id")
+    byLabel
+      .withColumn("n_members", sum(col("label_n")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("label_n").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("label").as("majority_label"),
+        round(col("label_n").cast("double") / col("n_members").cast("double"), 6)
+          .as("purity"))
+  }
+
+  /**
+   * SemDeDup keep-set: within each cluster, drop a vector when a
+   * LOWER-id cluster-mate is cosine-similar above `tau` (greedy
+   * keep-lowest-id — the deterministic variant of the paper's
+   * keep-one-per-duplicate-group). Returns the surviving
+   * `(vec_id, cluster_id)` rows.
+   *
+   * The dominance join is an equi-join on the cluster id, so candidate
+   * volume is Σ cluster_size² — the point of clustering first. The
+   * left-anti at the end keeps survivors without materializing pair
+   * lists per doc.
+   */
+  def semanticDedup(emb: DataFrame, assignments: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val vecs = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .join(assignments.select("vec_id", "cluster_id"), "vec_id")
+    val a = vecs.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_nrm"), col("cluster_id"))
+    val b = vecs.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("cluster_id"))
+    val dominated = a.join(b, "cluster_id")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(Similarity.dot(col("a_v"), col("b_v")) /
+        (col("a_nrm") * col("b_nrm")), 6) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    assignments.select("vec_id", "cluster_id")
+      .join(dominated, Seq("vec_id"), "left_anti")
+  }
+}

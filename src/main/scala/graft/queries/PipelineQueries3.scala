@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Semantic
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-5 semantic (embedding-space) operators as oracle-checked queries:
+ * deterministic k-means clustering over the embeddings table, external
+ * cluster diagnostics against the ground-truth label, and SemDeDup-style
+ * within-cluster cosine deduplication.
+ *
+ * The DuckDB twin replays the SAME algorithm — lowest-id init, two
+ * Lloyd's iterations with 1e-6-quantized centroids, sequential
+ * index-order distance folds — so cluster ids, distances, and the kept
+ * set hash-match bit-for-bit (see [[Semantic]] for why quantization
+ * makes the cross-engine float story safe).
+ */
+object PipelineQueries3 {
+
+  private val kmK = 8
+  private val dedupTau = 0.3
+
+  /** Sequential-fold squared L2 between `a.v` and `b.v` (index order —
+    * the DuckDB twin of [[Semantic]]'s `zip_with` fold). */
+  private def duckSqDist(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a.v)), j -> ($a.v[j]-$b.v[j])*($a.v[j]-$b.v[j])))"
+
+  /** Assignment CTE: nearest centroid in `cN` per vector (tie → lower
+    * cid), carrying the winning distance. */
+  private def duckAssign(cN: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT e.vec_id, c.cid, ${duckSqDist("e", "c")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckSqDist("e", "c")}, c.cid) AS rk
+       |    FROM e CROSS JOIN $cN c) WHERE rk = 1)""".stripMargin
+
+  /** Re-center CTE: element-wise mean of each cluster's members, rounded
+    * to the shared 1e-6 grid before it feeds the next iteration. */
+  private def duckRecenter(aN: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT a.cid, i.i, round(avg(e.v[i.i]), 6) AS m
+       |  FROM $aN a JOIN e USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1,
+       |    (SELECT len(v) FROM e LIMIT 1))) AS i) i
+       |  GROUP BY a.cid, i.i),
+       |$out AS (SELECT cid, list(m ORDER BY i) AS v FROM ${out}_m GROUP BY cid)""".stripMargin
+
+  /** e → c0 → a1 → c1 → a2 → c2 → af: two Lloyd's iterations from the
+    * lowest-id init, then the final assignment. */
+  private val kmeansCtes =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmK)),
+       |${duckAssign("c0", "a1")},
+       |${duckRecenter("a1", "c1")},
+       |${duckAssign("c1", "a2")},
+       |${duckRecenter("a2", "c2")},
+       |${duckAssign("c2", "af")}""".stripMargin
+
+  private def sparkAssign(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Semantic.kmeansAssign(W.read(s, dir, "embeddings"), kmK, iters = 2)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("sem_kmeans_assign",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster_id, round(d, 6) AS sq_dist FROM af""".stripMargin) {
+      (s, dir) => sparkAssign(s, dir)
+    },
+
+    QueryDef("sem_kmeans_stats",
+      s"""WITH $kmeansCtes
+         |SELECT cluster_id, n_members, majority_label,
+         |  round(CAST(label_n AS DOUBLE) / CAST(n_members AS DOUBLE), 6)
+         |    AS purity
+         |FROM (
+         |  SELECT a.cid AS cluster_id, e.label AS majority_label,
+         |    count(*) AS label_n,
+         |    sum(count(*)) OVER (PARTITION BY a.cid) AS n_members,
+         |    row_number() OVER (PARTITION BY a.cid
+         |      ORDER BY count(*) DESC, e.label) AS rk
+         |  FROM af a JOIN e USING (vec_id)
+         |  GROUP BY a.cid, e.label)
+         |WHERE rk = 1""".stripMargin) {
+      (s, dir) =>
+        Semantic.clusterStats(sparkAssign(s, dir), W.read(s, dir, "embeddings"))
+    },
+
+    QueryDef("sem_dedup_keep",
+      s"""WITH $kmeansCtes,
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |av AS (SELECT f.vec_id, f.cid, n.v, n.nrm
+         |  FROM af f JOIN nrm n USING (vec_id)),
+         |dom AS (
+         |  SELECT DISTINCT b.vec_id FROM av a JOIN av b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+         |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= $dedupTau)
+         |SELECT vec_id, cid AS cluster_id FROM af
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dom)""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        Semantic.semanticDedup(emb, sparkAssign(s, dir), dedupTau)
+      }
+    }
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Semantic, Similarity}
+import graft.sim.WarehouseSim
+
+/** Semantic clustering + SemDeDup invariants (the oracle twin verifies
+  * exact values; these pin the algorithmic properties and the
+  * partitioning-independence a 1000-executor run relies on). */
+class SemanticSpec extends TestBase {
+
+  private lazy val emb =
+    WarehouseSim.read(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("kmeans assignment is total, bounded by k, and repartition-invariant") {
+    val a = Semantic.kmeansAssign(emb, k = 8, iters = 2)
+    val n = emb.count()
+    assert(a.count() == n)
+    assert(a.select("vec_id").distinct().count() == n)
+    val clusters = a.select("cluster_id").distinct().collect().map(_.getInt(0))
+    assert(clusters.length <= 8 && clusters.forall(c => c >= 0 && c < 8))
+    // the sample decision must not depend on how the input is split
+    val b = Semantic.kmeansAssign(emb.repartition(13), k = 8, iters = 2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("iterations strictly refine: mean sq_dist does not increase") {
+    def meanDist(iters: Int): Double =
+      Semantic.kmeansAssign(emb, k = 8, iters = iters)
+        .agg(avg("sq_dist")).head().getDouble(0)
+    val d0 = meanDist(0)
+    val d2 = meanDist(2)
+    assert(d2 <= d0 + 1e-9, s"iter0 mean=$d0, iter2 mean=$d2")
+  }
+
+  test("semanticDedup: kept set has no dominated member and keeps each cluster's head") {
+    val assign = Semantic.kmeansAssign(emb, k = 8, iters = 2)
+    val kept = Semantic.semanticDedup(emb, assign, tau = 0.3)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < emb.count())
+
+    // no kept pair within a cluster is cosine >= tau (dominance is gone)
+    val v = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .join(assign.select("vec_id", "cluster_id"), "vec_id")
+      .join(kept.select("vec_id"), Seq("vec_id"), "left_semi")
+    val a = v.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+      col("nrm").as("a_nrm"), col("cluster_id"))
+    val b = v.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("cluster_id"))
+    val survivors = a.join(b, "cluster_id")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(Similarity.dot(col("a_v"), col("b_v")) /
+        (col("a_nrm") * col("b_nrm")), 6) >= 0.3)
+    assert(survivors.isEmpty, "kept set still contains a dominated pair")
+
+    // the lowest id of every cluster can never be dominated
+    val heads = assign.groupBy("cluster_id").agg(min("vec_id").as("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(heads.subsetOf(keptIds))
+  }
+
+  test("clusterStats purity is in (0,1] and members sum to the corpus") {
+    val assign = Semantic.kmeansAssign(emb, k = 8, iters = 2)
+    val stats = Semantic.clusterStats(assign, emb).collect()
+    assert(stats.map(_.getAs[Long]("n_members")).sum == emb.count())
+    assert(stats.forall { r =>
+      val p = r.getAs[Double]("purity"); p > 0.0 && p <= 1.0
+    })
+  }
+
+  test("kmeans survives k larger than distinct vectors (clusters may die)") {
+    val tiny = emb.filter(col("vec_id") < 5)
+    val a = Semantic.kmeansAssign(tiny, k = 8, iters = 2)
+    assert(a.count() == 5)
+    assert(a.select("cluster_id").distinct().count() <= 5)
+  }
+}
