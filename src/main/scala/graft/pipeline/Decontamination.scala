@@ -73,6 +73,59 @@ object Decontamination {
           .as("bench_frac"))
   }
 
+  /**
+   * [[overlaps]] with a Bloom pre-filter on the corpus shingle stream —
+   * the 100-TB path. Rationale: the benchmark side is small in DOCS but
+   * large in DISTINCT SHINGLES (10k docs × ~1k shingles = 10⁷ strings —
+   * gigabytes as a broadcast hash table, megabytes as a Bloom filter at
+   * 1% fpp). Pre-filtering corpus shingles through the Bloom keeps the
+   * corpus side scan-speed and un-shuffled; the document-frequency prune
+   * and the exact inverted-index join then run over the tiny survivor
+   * stream (true matches + fpp·|corpus| false positives).
+   *
+   * Result-identical to [[overlaps]]: Bloom filters have no false
+   * negatives, a surviving shingle keeps ALL its corpus occurrences (so
+   * its document frequency is unchanged), and false positives die in the
+   * exact join. DeconSpec asserts the equality.
+   */
+  def overlapsBloom(corpus: DataFrame, benchmark: DataFrame, minShared: Int,
+      maxDf: Option[Int] = None, w: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.01,
+      benchIsCorpusSubset: Boolean = false): DataFrame = {
+    val benchShingles = Dedup.shingled(benchmark, idCol, textCol, w)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val expected = math.max(1L, benchShingles.count())
+    val bloom = benchShingles.stat.bloomFilter("s", expected, fpp)
+    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
+    val cs = Dedup.shingled(corpus, idCol, textCol, w)
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .filter(mightContain(col("s")))
+    val bs = Dedup.shingled(benchmark, idCol, textCol, w)
+      .select(col("doc_id").as("bench_id"), size(col("shingles")).as("n_bench"),
+        explode(col("shingles")).as("s"))
+    val csPruned = maxDf match {
+      case None => cs
+      case Some(cap) =>
+        // df over survivors only — a Bloom-passing shingle keeps every
+        // one of its corpus occurrences, so this equals its global df
+        val rare = cs.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        cs.join(rare, "s")
+    }
+    val joined = csPruned.join(bs, "s")
+    val paired =
+      if (benchIsCorpusSubset) joined.filter(col("doc_id") =!= col("bench_id"))
+      else joined
+    paired
+      .groupBy("doc_id", "bench_id", "n_bench")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_bench").cast("double"), 6)
+          .as("bench_frac"))
+  }
+
   /** The corpus with every document overlapping the benchmark removed —
     * the actual decontamination step (left-anti on the report). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, minShared: Int,

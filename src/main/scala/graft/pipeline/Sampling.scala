@@ -126,6 +126,39 @@ object Sampling {
   }
 
   /**
+   * Temperature-controlled corpus mix (the mT5 / XLM-R recipe): sampling
+   * probability per stratum ∝ its token share raised to `alpha` (< 1
+   * flattens the distribution toward small strata, 1 = proportional),
+   * scaled to an overall `budgetTokens` target. Per-stratum keep rate:
+   *
+   *   p_s  = n_s^alpha / Σ_t n_t^alpha
+   *   rate = min(1, budget · p_s / n_s),  rounded to 1e-12
+   *
+   * The rounding quantizes away cross-engine float drift (pow/Σ order)
+   * so the derived hash thresholds are engine-stable. One #strata-row
+   * aggregate, then the same shuffle-free hash filter as [[weightedMix]].
+   */
+  def temperatureMix(df: DataFrame, stratumCol: String, tokenCol: String,
+      alpha: Double, budgetTokens: Long, idCol: String = "doc_id",
+      salt: String = "tempmix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val totals = df.groupBy(col(stratumCol)).agg(sum(col(tokenCol)).as("t"))
+      .collect().map { r =>
+        require(!r.isNullAt(0) && !r.isNullAt(1),
+          s"temperatureMix: null $stratumCol/$tokenCol totals")
+        r.getString(0) -> r.getLong(1).toDouble
+      }.sortBy(_._1)
+    val norm = totals.map { case (_, n) => math.pow(n, alpha) }.sum
+    val rates = totals.map { case (s, n) =>
+      val rate = math.min(1.0, budgetTokens.toDouble *
+        (math.pow(n, alpha) / norm) / n)
+      s -> BigDecimal(rate).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }.toMap
+    weightedMix(df, stratumCol, rates, defaultRate = 1.0, idCol, salt)
+  }
+
+  /**
    * Exact-size stratified sample: the `n` rows with the smallest id-hash
    * per stratum (hash-ordered so the choice is uniform AND deterministic;
    * id tie-break for hash collisions). One shuffle on the stratum column.

@@ -21,7 +21,7 @@ object PipelineQueries2 {
   import PipelineQueries.{minhashSig, tokDocs, withC}
 
   /** DuckDB twin of [[Sampling.hash32]] over the documents table. */
-  private def duckHash32(salt: String): String = {
+  private[queries] def duckHash32(salt: String): String = {
     val terms = (0 until 8).map { i =>
       val mult = 1L << (4 * (7 - i))
       s"(strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult"
@@ -418,25 +418,7 @@ object PipelineQueries2 {
     // Benchmark = every 17th doc; corpus = the rest. Overlap = ≥3 shared
     // rare shingles (corpus document-frequency ≤ 100) — the inverted-
     // index join with the df-prune that bounds boilerplate fan-out.
-    QueryDef("decon_overlap",
-      withC(PipelineQueries.shingled + ",\n" +
-        """corp AS (
-          |  SELECT doc_id, unnest(shingles) AS s FROM shingled
-          |  WHERE doc_id % 17 <> 0),
-          |rare AS (
-          |  SELECT s FROM (SELECT s, count(*) AS df FROM corp GROUP BY s)
-          |  WHERE df <= 100),
-          |corpr AS (SELECT c.doc_id, c.s FROM corp c JOIN rare r ON c.s = r.s),
-          |bench AS (
-          |  SELECT doc_id AS bench_id, len(shingles) AS n_bench,
-          |    unnest(shingles) AS s
-          |  FROM shingled WHERE doc_id % 17 = 0)""".stripMargin)(
-        """SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
-          |  round(CAST(count(*) AS DOUBLE) / CAST(b.n_bench AS DOUBLE), 6)
-          |    AS bench_frac
-          |FROM corpr c JOIN bench b ON c.s = b.s
-          |GROUP BY c.doc_id, b.bench_id, b.n_bench
-          |HAVING count(*) >= 3""".stripMargin)) {
+    QueryDef("decon_overlap", PipelineQueries2.deconOracleSql) {
       (s, dir) => {
         val docs = W.read(s, dir, "documents")
         graft.pipeline.Decontamination.overlaps(
@@ -445,8 +427,6 @@ object PipelineQueries2 {
           minShared = 3, maxDf = Some(100))
       }
     },
-
-    // ---- incremental dedup ------------------------------------------------
 
     // "new" increment = doc_id % 10 < 2 (a stable 20% of the corpus at any
     // SF); pairs must touch the increment — old×old pairs never appear.
@@ -477,4 +457,27 @@ object PipelineQueries2 {
           W.read(s, dir, "documents"), id => id % 10 < 2)
     }
   )
+
+  /** decon_overlap's oracle — shared with the Bloom-prefiltered scale
+    * path in [[PipelineQueries3]], which is result-identical. `lazy` so
+    * `defs` (declared above) can reference it during object init. */
+  private[queries] lazy val deconOracleSql: String =
+      withC(PipelineQueries.shingled + ",\n" +
+        """corp AS (
+          |  SELECT doc_id, unnest(shingles) AS s FROM shingled
+          |  WHERE doc_id % 17 <> 0),
+          |rare AS (
+          |  SELECT s FROM (SELECT s, count(*) AS df FROM corp GROUP BY s)
+          |  WHERE df <= 100),
+          |corpr AS (SELECT c.doc_id, c.s FROM corp c JOIN rare r ON c.s = r.s),
+          |bench AS (
+          |  SELECT doc_id AS bench_id, len(shingles) AS n_bench,
+          |    unnest(shingles) AS s
+          |  FROM shingled WHERE doc_id % 17 = 0)""".stripMargin)(
+        """SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared,
+          |  round(CAST(count(*) AS DOUBLE) / CAST(b.n_bench AS DOUBLE), 6)
+          |    AS bench_frac
+          |FROM corpr c JOIN bench b ON c.s = b.s
+          |GROUP BY c.doc_id, b.bench_id, b.n_bench
+          |HAVING count(*) >= 3""".stripMargin)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Semantic
+import graft.pipeline.{Semantic, Sampling, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -19,8 +19,17 @@ import graft.sim.{WarehouseSim => W}
  */
 object PipelineQueries3 {
 
+  import PipelineQueries.withC
+  import PipelineQueries2.duckHash32
+
   private val kmK = 8
   private val dedupTau = 0.3
+  private val tempAlpha = 0.5
+  private val tempBudget = 20000L
+
+  private def duckHash32Doc(salt: String): String = duckHash32(salt)
+
+  private def deconOracleSql: String = PipelineQueries2.deconOracleSql
 
   /** Sequential-fold squared L2 between `a.v` and `b.v` (index order —
     * the DuckDB twin of [[Semantic]]'s `zip_with` fold). */
@@ -106,6 +115,70 @@ object PipelineQueries3 {
       (s, dir) => {
         val emb = W.read(s, dir, "embeddings")
         Semantic.semanticDedup(emb, sparkAssign(s, dir), dedupTau)
+      }
+    },
+
+    // ---- temperature mixing / vocab / bloom decon -------------------------
+
+    // mT5-style temperature sampling: rates derived IN-ENGINE from the
+    // same token totals on both sides, quantized to 1e-12 before the
+    // threshold so pow/summation float drift cannot flip a decision.
+    QueryDef("samp_temperature", {
+      val alpha = tempAlpha
+      val budget = tempBudget
+      withC(PipelineQueries.tokDocs + ",\n" +
+        s"""tot AS (
+           |  SELECT source, CAST(sum(len(toks)) AS DOUBLE) AS n
+           |  FROM tok_docs GROUP BY source),
+           |nrm AS (SELECT sum(pow(n, $alpha)) AS z FROM tot),
+           |th AS (
+           |  SELECT source, CAST(round(round(least(1.0,
+           |      $budget * (pow(n, $alpha) / z) / n), 12)
+           |    * 4294967296.0, 0) AS BIGINT) AS t
+           |  FROM tot, nrm)""".stripMargin)(
+        s"""SELECT d.doc_id, d.source FROM (
+           |  SELECT doc_id, source, ${duckHash32Doc("tempmix")} AS h32
+           |  FROM documents) d
+           |JOIN th USING (source)
+           |WHERE d.h32 < th.t""".stripMargin)
+    }) {
+      (s, dir) =>
+        Sampling.temperatureMix(
+          W.read(s, dir, "documents")
+            .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long")),
+          "source", "n_tok", tempAlpha, tempBudget)
+          .select("doc_id", "source")
+    },
+
+    // Exact per-source vocabulary size; the mergeable HLL sketch twin
+    // (approx_count_distinct) is cross-checked against this in DeconSpec.
+    QueryDef("t_vocab_size",
+      withC(PipelineQueries.tokDocs)(
+        """SELECT source,
+          |  CAST(count(DISTINCT tok) AS BIGINT) AS n_vocab,
+          |  CAST(count(tok) AS BIGINT) AS n_tokens
+          |FROM (SELECT source, unnest(toks) AS tok FROM tok_docs)
+          |GROUP BY source""".stripMargin)) {
+      (s, dir) =>
+        W.read(s, dir, "documents")
+          .select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("tok"))
+          .groupBy("source")
+          .agg(countDistinct(col("tok")).as("n_vocab"),
+            count(col("tok")).as("n_tokens"))
+    },
+
+    // Bloom-prefiltered decontamination: result-identical to
+    // decon_overlap by construction (no false negatives; fpp survivors
+    // die in the exact join), so it shares the SAME oracle — the scale
+    // path is hash-verified, not just spec-compared.
+    QueryDef("decon_overlap_bloom", deconOracleSql) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        graft.pipeline.Decontamination.overlapsBloom(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          minShared = 3, maxDf = Some(100))
       }
     }
   )

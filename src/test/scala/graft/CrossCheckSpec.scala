@@ -110,6 +110,37 @@ class CrossCheckSpec extends TestBase {
       .overlaps(corpus, bench, 1, maxDf = Some(0)).isEmpty)
   }
 
+  test("bloom-prefiltered decontamination equals the exact path at any fpp") {
+    val docs = WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 17 =!= 0)
+    val bench = docs.filter(col("doc_id") % 17 === 0)
+    val exact = graft.pipeline.Decontamination
+      .overlaps(corpus, bench, minShared = 3, maxDf = Some(100))
+      .collect().map(_.toSeq).toSet
+    for (fpp <- Seq(0.5, 0.01)) { // even an awful filter must stay exact
+      val bloom = graft.pipeline.Decontamination
+        .overlapsBloom(corpus, bench, minShared = 3, maxDf = Some(100), fpp = fpp)
+        .collect().map(_.toSeq).toSet
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+  }
+
+  test("HLL vocab sketch tracks the exact distinct-token counts") {
+    val toks = WarehouseSim.read(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("source"),
+        explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tok"))
+    val exact = toks.groupBy("source").agg(countDistinct("tok").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = toks.groupBy("source")
+      .agg(approx_count_distinct("tok", 0.02).as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (s, e) =>
+      assert(math.abs(approx(s) - e) <= 0.05 * e,
+        s"$s: approx ${approx(s)} vs exact $e")
+    }
+  }
+
   test("decontamination: colliding id spaces still report same-id contamination") {
     import spark.implicits._
     // corpus doc 1 and benchmark doc 1 are DIFFERENT documents whose

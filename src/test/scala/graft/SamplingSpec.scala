@@ -100,6 +100,39 @@ class SamplingSpec extends TestBase {
       s"src0 kept ${got.get("src0")} of budget $target")
   }
 
+  test("temperature mix: alpha=1 is proportional, alpha<1 flattens toward small strata") {
+    val withTok = docs.select(col("source"), col("doc_id"),
+      size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .cast("long").as("n_tok"))
+    val totals = withTok.groupBy("source").agg(sum("n_tok").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = totals.values.sum / 3
+    def share(alpha: Double): Map[String, Double] = {
+      val got = Sampling.temperatureMix(withTok, "source", "n_tok", alpha, budget)
+        .groupBy("source").agg(sum("n_tok").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tot = got.values.sum.toDouble
+      got.map { case (s, t) => s -> t / tot }
+    }
+    // alpha=1: every stratum sampled at the same rate -> kept shares track
+    // corpus shares (generous band: Bernoulli on few-hundred-doc strata)
+    val prop = share(1.0)
+    val corpusShare = totals.map { case (s, t) =>
+      s -> t.toDouble / totals.values.sum }
+    prop.foreach { case (s, p) =>
+      assert(math.abs(p - corpusShare(s)) < 0.12, s"alpha=1 $s: $p vs $corpusShare") }
+    // alpha<1: the smallest stratum's share must strictly rise
+    val smallest = totals.minBy(_._2)._1
+    val flat = share(0.3)
+    assert(flat(smallest) > prop(smallest),
+      s"flattening did not boost $smallest: $flat vs $prop")
+    // total kept tokens ~ budget for alpha=1 (all rates < 1 there)
+    val keptTotal = Sampling.temperatureMix(withTok, "source", "n_tok", 1.0, budget)
+      .agg(sum("n_tok")).head().getLong(0)
+    assert(math.abs(keptTotal - budget.toDouble) < 0.35 * budget,
+      s"kept $keptTotal vs budget $budget")
+  }
+
   test("stratified sample: exactly n per stratum (or the whole stratum)") {
     val out = Sampling.stratifiedSample(docs, "source", 5)
     val sizes = out.groupBy("source").count()
