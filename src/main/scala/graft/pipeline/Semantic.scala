@@ -119,6 +119,20 @@ object Semantic {
   }
 
   /**
+   * Prototypicality ranking (the SSL-prototypes pruning metric of
+   * Sorscher et al. 2022, arXiv:2206.14486): rank each cluster's members
+   * by distance to their centroid — rank 1 = most prototypical. Keeping
+   * the TAIL (large ranks) prunes easy/redundant examples; keeping the
+   * head gives canonical exemplars. One window over the assignment —
+   * cluster-partitioned, so the sort is per-cluster, never global.
+   */
+  def prototypeRank(assignments: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("sq_dist"), col("vec_id"))
+    assignments.withColumn("proto_rank", row_number().over(w).cast("int"))
+  }
+
+  /**
    * SemDeDup keep-set: within each cluster, drop a vector when a
    * LOWER-id cluster-mate is cosine-similar above `tau` (greedy
    * keep-lowest-id — the deterministic variant of the paper's

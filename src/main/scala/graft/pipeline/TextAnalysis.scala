@@ -67,6 +67,35 @@ object TextAnalysis {
   /** PII-shaped patterns: ASCII email, dotted IPv4, US-style phone.
     * Deliberately simple regexes that mean the same thing in Java regex
     * and RE2 (the DuckDB oracle) — no lookarounds, no unicode classes. */
+  /**
+   * Per-document TF-IDF informativeness score: the mean smoothed IDF
+   * (`ln((N+1)/(df+1))`) of the document's DISTINCT tokens, plus the
+   * rarest token's IDF. High = rare/contentful vocabulary, low =
+   * boilerplate — a cheap corpus-level quality signal that, unlike
+   * [[withQuality]], is computed against corpus statistics rather than
+   * per-row features.
+   *
+   * Scale shape: one distinct-(doc,token) shuffle, one token-keyed df
+   * aggregate (map-side combined), one token-keyed join back, one
+   * doc-keyed aggregate. No driver-side state: the corpus doc count
+   * rides along as a literal from one scalar aggregate.
+   */
+  def tfidfScores(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val dt = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    val n = dt.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val idf = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"),
+        log((lit(n.toDouble) + 1.0) / (col("df").cast("double") + 1.0))
+          .as("idf"))
+    dt.join(idf, "tok")
+      .groupBy("doc_id")
+      .agg(round(avg(col("idf")), 6).as("mean_idf"),
+        round(max(col("idf")), 6).as("max_idf"),
+        count(lit(1)).as("n_distinct_tok"))
+  }
+
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"

@@ -168,6 +168,39 @@ object PipelineQueries3 {
             count(col("tok")).as("n_tokens"))
     },
 
+    // Prototypicality ranking (SSL-prototypes pruning metric): each
+    // cluster's members ordered by centroid distance — reuses the full
+    // k-means CTE chain, so ranks are verified on top of verified
+    // assignments.
+    QueryDef("sem_prototypes",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cid AS cluster_id, round(d, 6) AS sq_dist,
+         |  CAST(row_number() OVER (PARTITION BY cid ORDER BY round(d, 6),
+         |    vec_id) AS INT) AS proto_rank
+         |FROM af""".stripMargin) {
+      (s, dir) => Semantic.prototypeRank(sparkAssign(s, dir))
+    },
+
+    // Per-document TF-IDF informativeness: mean/max smoothed IDF of the
+    // doc's distinct tokens — quality signal computed against CORPUS
+    // statistics (df), not per-row features.
+    QueryDef("t_tfidf",
+      withC(PipelineQueries.tokDocs + ",\n" +
+        """dt AS (
+          |  SELECT DISTINCT doc_id, unnest(toks) AS tok FROM tok_docs),
+          |nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM dt),
+          |idf AS (
+          |  SELECT tok, ln((nn.n + 1.0) / (CAST(count(*) AS DOUBLE) + 1.0))
+          |    AS idf
+          |  FROM dt, nn GROUP BY tok, nn.n)""".stripMargin)(
+        """SELECT d.doc_id, round(avg(i.idf), 6) AS mean_idf,
+          |  round(max(i.idf), 6) AS max_idf,
+          |  CAST(count(*) AS BIGINT) AS n_distinct_tok
+          |FROM dt d JOIN idf i USING (tok)
+          |GROUP BY d.doc_id""".stripMargin)) {
+      (s, dir) => TextAnalysis.tfidfScores(W.read(s, dir, "documents"))
+    },
+
     // Bloom-prefiltered decontamination: result-identical to
     // decon_overlap by construction (no false negatives; fpp survivors
     // die in the exact join), so it shares the SAME oracle — the scale
