@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Repeated-content removal for training corpora — the two signals a
+ * web-scale pipeline runs between exact dedup and near-dedup:
+ *
+ *  - '''Line-level dedup''': drop every occurrence of any line that
+ *    repeats more than `maxOcc` times across the whole corpus
+ *    (navigation bars, cookie banners, "click here to subscribe" —
+ *    the MassiveText/RefinedWeb boilerplate rule).
+ *  - '''Duplicated-span detection''': per document, the fraction of its
+ *    w-token positional windows that occur elsewhere in the corpus —
+ *    the distributable stand-in for suffix-array exact-substring dedup
+ *    (Lee et al., "Deduplicating Training Data Makes Language Models
+ *    Better"): a suffix array is a single-node structure; hashed
+ *    sliding windows give the same "this text span is copied" signal
+ *    as one explode + one count + one join, all key-partitioned.
+ *
+ * Scale shape (both operators): the explode emits one row per line /
+ * window but projects each to a 32-hex md5 BEFORE the shuffle, so the
+ * frequency aggregate and the join back move fixed-width keys, not
+ * text. The frequency count is a hash aggregate with map-side combine
+ * — the hot boilerplate line is exactly the key partial aggregation
+ * collapses, so corpus-wide skew lands as one row per reducer, not one
+ * partition per boilerplate string. At 100 TB the `freq > maxOcc` set
+ * (true boilerplate) is small enough that AQE turns the join back into
+ * a broadcast; nothing here requires it.
+ */
+object Boilerplate {
+
+  /** (doc_id, pos, line, lh): one row per line, 1-based position kept
+    * for order-preserving reassembly, md5 key projected at the scan. */
+  def explodeLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos0", "line")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("line"), md5(col("line")).as("lh"))
+
+  /** Line-level corpus dedup: remove every occurrence of any line whose
+    * total corpus occurrence count exceeds `maxOcc`; reassemble the
+    * survivors in original order. Returns one row per input document:
+    * (doc_id, n_lines, n_removed, text_dedup) — a fully-boilerplate
+    * document survives with an empty `text_dedup`, so downstream
+    * length-based quality filters see it rather than losing the row. */
+  def lineDedup(docs: DataFrame, maxOcc: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val lines = explodeLines(docs, idCol, textCol)
+    val freq = lines.groupBy("lh").agg(count(lit(1)).as("c"))
+    val kept = lines.join(freq, "lh").filter(col("c") <= maxOcc)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("text_dedup"))
+    lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  /** Per-document duplicated-span stats over w-token stride-1 windows:
+    * (doc_id, n_windows, n_dup_windows, dup_frac) where a window is
+    * "dup" when its exact token sequence occurs ≥2 times corpus-wide
+    * (including self-repeats — a doc that repeats its own span IS
+    * duplicated text). Documents shorter than w tokens report 0
+    * windows and dup_frac 0. `toksCol` must be a materialized column
+    * (see [[Dedup.shinglesFromTokens]] for the O(len²) inlining
+    * pitfall). */
+  def dupSpanStats(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+      toksCol: String = "toks"): DataFrame = {
+    val toks = col(toksCol)
+    val n = size(toks)
+    val windows = docs.select(col(idCol).as("doc_id"),
+        explode(when(n >= w,
+          transform(sequence(lit(1), n - (w - 1)),
+            i => md5(concat_ws(" ",
+              (0 until w).map(j => element_at(toks, i + j)): _*))))
+          .otherwise(array().cast("array<string>"))).as("wh"))
+    val freq = windows.groupBy("wh").agg(count(lit(1)).as("c"))
+    val perDoc = windows.join(freq, "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) > 0,
+          round(col("n_dup_windows").cast("double") /
+            col("n_windows").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+}

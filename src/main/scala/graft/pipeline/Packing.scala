@@ -100,6 +100,37 @@ object Packing {
     }
   }
 
+  /** Overlapping fixed-width chunking — the other half of sequence prep:
+    * documents longer than the training context are split into
+    * `chunkSize`-token windows advancing by `stride` tokens (overlap =
+    * chunkSize - stride keeps context across boundaries). Start
+    * positions are 0, stride, …, ceil((n - chunkSize)/stride)*stride, so
+    * the final window always reaches the document's end and a short
+    * document yields exactly one (short) chunk. One row per chunk:
+    * (doc_id, chunk_idx, n_tokens, chunk_text).
+    *
+    * Pure column math over a materialized token array — the explode is
+    * the output itself (no intermediate shuffle), so chunking runs at
+    * scan speed and partitions exactly like the input. */
+  def chunk(docs: DataFrame, chunkSize: Int = 32, stride: Int = 24,
+      idCol: String = "doc_id", toksCol: String = "toks"): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val n = size(col(toksCol)).cast("long")
+    val lastStart = greatest(
+      floor((n - chunkSize + (stride - 1)).cast("double") / stride).cast("long"),
+      lit(0L))
+    docs.select(col(idCol).as("doc_id"), col(toksCol).as("toks"),
+        explode(sequence(lit(0L), lastStart)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(chunkSize.toLong),
+          size(col("toks")).cast("long") - col("chunk_idx") * stride)
+          .as("n_tokens"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(chunkSize))).as("chunk_text"))
+  }
+
   /** Per-bin rollup of a packed frame: document count, token total, and
     * fill ratio against the budget. */
   def binStats(packed: DataFrame, budget: Long): DataFrame =

@@ -172,4 +172,42 @@ object TextAnalysis {
         lit(0.3) * least(lit(1.0), nTokens.cast("double") / lit(100.0)) +
         lit(0.3) * (nAlpha.cast("double") / nChars.cast("double")), 6))
   }
+
+  /**
+   * Unigram language-model scoring — the CCNet-style perplexity proxy:
+   * train token frequencies on the corpus itself, then score each
+   * document by its mean negative log-likelihood. Low NLL = the doc is
+   * made of the corpus's most common tokens (boilerplate, lists); high
+   * NLL = rare vocabulary. Used exactly like CCNet's KenLM buckets:
+   * quantile-split the scores into head/middle/tail quality tiers.
+   *
+   * Cross-engine determinism: each token's NLL is computed once from
+   * exact integer (count, total) inputs and quantized to an integer
+   * micro-nat (`round(-ln(c/N) * 1e6)`), so the per-document SUM is
+   * exact integer arithmetic in any execution order — no float drift
+   * for partial aggregation to amplify. The reported mean divides two
+   * exact integers at the end (one IEEE op, bit-identical everywhere).
+   *
+   * Scale shape: one token-keyed count with map-side combine (the
+   * vocabulary aggregate — skew-proof for the same reason word-count
+   * is), one token-keyed join back (vocab ≪ corpus: AQE broadcasts it
+   * when it fits), one doc-keyed sum. The corpus token total rides
+   * along as a literal from one scalar aggregate.
+   */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c"))).head().getLong(0)
+    val nll = counts.select(col("tok"),
+      round(-log(col("c").cast("double") / lit(total.toDouble)) * 1e6)
+        .cast("long").as("nll_micro"))
+    tok.join(nll, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll_micro")).as("nll_micro_sum"))
+      .select(col("doc_id"), col("n_tok"), col("nll_micro_sum"),
+        round(col("nll_micro_sum").cast("double") /
+          (col("n_tok").cast("double") * 1e6), 6).as("mean_nll"))
+  }
 }

@@ -85,7 +85,7 @@ object PipelineQueries {
        |    GROUP BY 1, 2)
        |  GROUP BY 1)""".stripMargin
 
-  private val embDouble =
+  private[queries] val embDouble =
     """e AS (
       |  SELECT vec_id, label, v,
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm

@@ -220,4 +220,20 @@ class CrossCheckSpec extends TestBase {
     assert(recall >= 0.4, f"LSH top-$k recall $recall%.2f < 0.40 floor " +
       s"(|exact|=${exact.size}, |approx∩exact|=${(exact & approx).size})")
   }
+
+  test("SQ8 rescored top-k holds a recall floor against the unquantized IVF path") {
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val k = 5
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = resultSet(Similarity.ivfTopK(q, e, k))
+    val sq8 = resultSet(Similarity.sq8TopK(q, e, k))
+    val recall = (ivf & sq8).size.toDouble / ivf.size
+    // same cells, same rescore — the only loss is the int8 pre-rank
+    // dropping a true neighbor below candMult*k; measured 1.0 here
+    assert(recall >= 0.8, f"SQ8 top-$k recall $recall%.2f < 0.80 floor " +
+      s"(|ivf|=${ivf.size}, |sq8∩ivf|=${(ivf & sq8).size})")
+  }
 }
