@@ -63,6 +63,74 @@ object Boilerplate {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** (doc_id, i, wh): one row per w-token stride-1 window with its
+    * 1-based start position and md5 key. Documents shorter than w emit
+    * no rows. The md5 is projected at the scan, so every downstream
+    * shuffle moves 32-hex keys, never token text. */
+  def tokenWindows(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      toksCol: String = "toks"): DataFrame = {
+    val toks = col(toksCol)
+    val n = size(toks)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(when(n >= w,
+          transform(sequence(lit(1), n - (w - 1)),
+            i => md5(concat_ws(" ",
+              (0 until w).map(j => element_at(toks, i + j)): _*))))
+          .otherwise(array().cast("array<string>"))).as(Seq("i0", "wh")))
+      .select(col("doc_id"), (col("i0") + 1).cast("long").as("i"), col("wh"))
+  }
+
+  /** Rewrite each document dropping every token position covered by a
+    * window start in `starts` (doc_id, i): positions i..i+w-1 of each
+    * start are removed, survivors reassemble in original order. One row
+    * per input doc: (doc_id, n_tokens, n_removed, text_clean).
+    *
+    * Coverage cost is honest and bounded: each flagged start explodes w
+    * positions (distinct-folded), so the extra shuffle volume is
+    * O(flagged spans · w) — proportional to the text actually being
+    * removed, not to the corpus. */
+  private[pipeline] def dropCovered(docs: DataFrame, starts: DataFrame,
+      w: Int, idCol: String, toksCol: String): DataFrame = {
+    val covered = starts.select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (w - 1))).as("p"))
+      .distinct()
+    val tokRows = docs.select(col(idCol).as("doc_id"),
+        posexplode(col(toksCol)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"), col("tok"))
+    val kept = tokRows.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"))
+    docs.select(col(idCol).as("doc_id"),
+        size(col(toksCol)).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Exact-substring REMOVAL — the second half of Lee et al.'s dedup
+    * (detection is [[dupSpanStats]]): every token covered by a w-token
+    * window whose exact sequence occurs ≥2 times corpus-wide (self-
+    * repeats included) is cut, and the survivors reassemble in order.
+    * A fully-duplicated document survives as an empty `text_clean` so
+    * downstream length filters see it.
+    *
+    * Same scale shape as [[lineDedup]]: the window frequency is a
+    * map-side-combined count over md5 keys, the dup-start set joins back
+    * on the same keys, and the final reassembly groups on doc_id — the
+    * key the corpus is usually already partitioned by. */
+  def removeDupSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+      toksCol: String = "toks"): DataFrame = {
+    val wins = tokenWindows(docs, w, idCol, toksCol)
+    val freq = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+    val dup = wins.join(freq.filter(col("c") >= 2), "wh")
+      .select("doc_id", "i")
+    dropCovered(docs, dup, w, idCol, toksCol)
+  }
+
   /** Per-document duplicated-span stats over w-token stride-1 windows:
     * (doc_id, n_windows, n_dup_windows, dup_frac) where a window is
     * "dup" when its exact token sequence occurs ≥2 times corpus-wide

@@ -126,6 +126,45 @@ object Decontamination {
           .as("bench_frac"))
   }
 
+  /**
+   * Span-level decontamination — the surgical alternative to dropping
+   * whole documents: every corpus token covered by a w-token window
+   * whose exact sequence also occurs in the benchmark is cut, and the
+   * survivors reassemble in order. One row per corpus doc:
+   * (doc_id, n_tokens, n_removed, text_clean). A mostly-clean document
+   * keeps its clean text instead of being lost to one leaked sentence.
+   *
+   * `maxDf` prunes corpus-frequent windows (occurrence count > maxDf)
+   * before matching, exactly like [[overlaps]]: a boilerplate window
+   * shared with the benchmark is not leak evidence, and masking it
+   * would shred ordinary text.
+   *
+   * Scale shape: both window streams project to md5 keys at the scan;
+   * the benchmark window set is small and distinct (AQE broadcasts it),
+   * the df prune is a map-side-combined count, and the rewrite joins on
+   * (doc_id, position) — see [[Boilerplate.dropCovered]].
+   */
+  def maskSpans(corpus: DataFrame, benchmark: DataFrame, w: Int = 3,
+      maxDf: Option[Int] = None,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ct = corpus.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val bt = benchmark.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val cw = Boilerplate.tokenWindows(ct, w, "doc_id", "toks")
+    val bw = Boilerplate.tokenWindows(bt, w, "doc_id", "toks")
+      .select("wh").distinct()
+    val cwPruned = maxDf match {
+      case None => cw
+      case Some(cap) =>
+        val rare = cw.groupBy("wh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("wh")
+        cw.join(rare, "wh")
+    }
+    val hits = cwPruned.join(bw, "wh").select("doc_id", "i")
+    Boilerplate.dropCovered(ct, hits, w, "doc_id", "toks")
+  }
+
   /** The corpus with every document overlapping the benchmark removed —
     * the actual decontamination step (left-anti on the report). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, minShared: Int,

@@ -176,4 +176,86 @@ object Sampling {
       .filter(col("rn") <= n)
       .drop("rn")
   }
+
+  /** Uniform 32-bit hash of an arbitrary string column (same
+    * construction as [[hash32]], which hashes a row ID). */
+  def hash32Str(s: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), s)), 1, 8), 16, 10)
+      .cast("long")
+
+  /**
+   * DSIR-style importance weights (Xie et al., "Data Selection for
+   * Language Models via Importance Resampling"): score every corpus
+   * document by how much more likely its hashed n-gram features are
+   * under a TARGET distribution (e.g. curated high-quality text) than
+   * under the raw corpus. Selecting the top-weight documents (or
+   * sampling proportionally) tilts a web-scale corpus toward the target
+   * domain without training a classifier.
+   *
+   * Features are unigrams and bigrams hashed into `buckets` buckets —
+   * the dimensionality cap is what makes the model estimable from a
+   * small target set AND keeps both distributions a bounded aggregate.
+   * Bucket probabilities are add-one smoothed (`(c+1)/(N+B)`), so
+   * buckets unseen in the target contribute a finite negative weight
+   * instead of -∞. Per-bucket log-ratios are quantized to integer
+   * micro-nats once, making per-document sums exact integer math in any
+   * partial-aggregation order (the [[TextAnalysis.unigramNll]]
+   * discipline).
+   *
+   * Output: one row per corpus doc — (doc_id, n_feat, logw_micro_sum,
+   * avg_logw); a doc with no features reports n_feat=0 and weight 0.
+   * `avg_logw` (mean per feature) is the usual ranking key: the raw sum
+   * favors long documents.
+   *
+   * Scale shape: two word-count-shaped bucket aggregates (map-side
+   * combine — hot buckets collapse per task), one join of the corpus
+   * feature stream against the ≤`buckets`-row ratio table (broadcast),
+   * one doc-keyed sum. The two scalar totals ride along as literals.
+   */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 8192,
+      salt: String = "dsir", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def feats(df: DataFrame): DataFrame = {
+      val toks = col("toks")
+      df.select(col(idCol).as("doc_id"),
+          TextAnalysis.tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"), explode(concat(toks,
+          when(size(toks) >= 2,
+            transform(sequence(lit(1), size(toks) - 1),
+              i => concat_ws(" ", element_at(toks, i),
+                element_at(toks, i + 1))))
+            .otherwise(array().cast("array<string>")))).as("f"))
+        .select(col("doc_id"),
+          pmod(hash32Str(col("f"), salt), lit(buckets.toLong)).as("b"))
+    }
+    val cf = feats(corpus)
+    val cr = cf.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    val totR = cr.agg(sum(col("cr"))).head().getLong(0)
+    val totT = ct.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
+    // log-ratio per bucket present in the CORPUS (absent buckets have no
+    // occurrences to score); smoothing keeps target-unseen buckets finite
+    val ratio = cr.join(ct, Seq("b"), "left_outer")
+      .select(col("b"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            lit((totT + buckets).toDouble)) /
+            ((col("cr") + 1L).cast("double") /
+              lit((totR + buckets).toDouble))) * 1e6)
+          .cast("long").as("lw_micro"))
+    val perDoc = cf.join(ratio, "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"),
+        sum(col("lw_micro")).as("logw_micro_sum"))
+    corpus.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("logw_micro_sum"), lit(0L)).as("logw_micro_sum"),
+        when(coalesce(col("n_feat"), lit(0L)) > 0,
+          round(col("logw_micro_sum").cast("double") /
+            (col("n_feat").cast("double") * 1e6), 6))
+          .otherwise(lit(0.0)).as("avg_logw"))
+  }
 }

@@ -210,4 +210,60 @@ object TextAnalysis {
         round(col("nll_micro_sum").cast("double") /
           (col("n_tok").cast("double") * 1e6), 6).as("mean_nll"))
   }
+
+  /**
+   * Interpolated bigram-LM scoring — one order up from [[unigramNll]]:
+   * each adjacent token pair (w1, w2) is scored by
+   * `-ln(λ·c(w1w2)/c(w1) + (1-λ)·c(w2)/N)` and a document reports the
+   * sum/mean over its n-1 bigram positions. Interpolation with the
+   * unigram (λ < 1) is the classic fix for unseen-bigram zero
+   * probability — and since every bigram in the corpus-trained model
+   * was observed at least once, the probability is always positive even
+   * at λ=1; λ<1 additionally smooths rare continuations.
+   *
+   * Same cross-engine float story as [[unigramNll]]: the interpolated
+   * probability is computed ONCE per distinct bigram type from exact
+   * integer counts in a fixed IEEE op order, quantized to integer
+   * micro-nats, and per-document sums are exact integer math in any
+   * partial-aggregation order.
+   *
+   * Scale shape: bigram counts and the join back are word-count-shaped
+   * (map-side combine collapses hot pairs); the two unigram-count joins
+   * attach c(w1) and c(w2) to bigram TYPES (≪ occurrences); the corpus
+   * token total rides along as a literal from one scalar aggregate.
+   */
+  def bigramNll(docs: DataFrame, lambda: Double = 0.9,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0,1], got $lambda")
+    val tokd = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val big = tokd.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = tokd.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu"))).head().getLong(0)
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val nll = bc
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .select(col("w1"), col("w2"),
+        round(-log(
+          lit(lambda) * col("cb").cast("double") / col("c1").cast("double") +
+            lit(1.0 - lambda) * col("c2").cast("double") /
+              lit(total.toDouble)) * 1e6)
+          .cast("long").as("nll_micro"))
+    big.join(nll, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_micro")).as("nll_micro_sum"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro_sum"),
+        round(col("nll_micro_sum").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6), 6).as("mean_nll"))
+  }
 }

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Boilerplate, Decontamination, Sampling, TextAnalysis}
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-5 batch 2: content-rewriting and importance-scoring operators as
+ * oracle-checked queries — exact-substring REMOVAL (the rewrite half of
+ * Lee et al.'s dedup; detection is `dedup_spans`), span-level
+ * decontamination masking (cut the leaked span, keep the document),
+ * interpolated bigram-LM scoring (one order up from `t_unigram_nll`),
+ * and DSIR hashed-n-gram importance weights (Xie et al.).
+ *
+ * Every oracle replays the FULL pipeline — window hashing, coverage,
+ * reassembly, smoothing, micro-nat quantization — so the hash-match
+ * covers the rewrite/score values themselves, not just row counts.
+ * Float parity discipline: interpolation weights and smoothing totals
+ * are interpolated into the SQL from the same Scala doubles the Spark
+ * plan uses (e.g. `1.0 - 0.9` prints as 0.09999999999999998, which
+ * DuckDB parses back to the identical IEEE double).
+ */
+object PipelineQueries5 {
+
+  import PipelineQueries.{tokDocs, withC}
+
+  private val remW = 8       // removal window (tokens)
+  private val maskW = 3      // decon mask window (tokens)
+  private val maskMaxDf = 100
+  private val lambda = 0.9   // bigram interpolation weight
+  private val dsirBuckets = 8192
+
+  /** DuckDB: integer value of the first 8 hex digits of md5 column `h`. */
+  private def duckHex32(h: String): String = {
+    val terms = (0 until 8).map { i =>
+      val mult = 1L << (4 * (7 - i))
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $mult"
+    }
+    "CAST(" + terms.mkString("\n      + ") + " AS BIGINT)"
+  }
+
+  /** DuckDB CTEs shared by the two span-rewrite oracles: windows with
+    * start positions, coverage, token rows, reassembly. `src` is a CTE
+    * name with (doc_id, toks); `hitsSql` must define `hits(doc_id, i)`. */
+  private def duckRewrite(src: String, w: Int, hitsSql: String): String =
+    s"""$hitsSql,
+       |covered AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT doc_id, unnest(generate_series(i, i + ${w - 1})) AS p
+       |    FROM hits)),
+       |tokr AS (
+       |  SELECT doc_id, p, toks[p] AS tok FROM (
+       |    SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p
+       |    FROM $src)),
+       |kept AS (
+       |  SELECT t.doc_id, count(*) AS n_kept,
+       |    string_agg(t.tok, ' ' ORDER BY t.p) AS text_clean
+       |  FROM tokr t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.p = c.p
+       |  WHERE c.p IS NULL GROUP BY t.doc_id),
+       |nt AS (SELECT doc_id, len(toks) AS n_tokens FROM $src)""".stripMargin
+
+  private val rewriteSelect =
+    """SELECT n.doc_id, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(n.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(k.text_clean, '') AS text_clean
+      |FROM nt n LEFT JOIN kept k USING (doc_id)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact-substring removal ------------------------------------------
+
+    QueryDef("dedup_span_removal", withC(tokDocs + ",\n" +
+      s"""wins AS (
+         |  SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(toks, i, i + ${remW - 1}), ' '))
+         |      AS wh
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - ${remW - 1})) AS i
+         |    FROM tok_docs)),
+         |freq AS (SELECT wh, count(*) AS c FROM wins GROUP BY 1),
+         |""".stripMargin +
+      duckRewrite("tok_docs", remW,
+        """hits AS (
+          |  SELECT doc_id, i FROM wins JOIN freq USING (wh)
+          |  WHERE c >= 2)""".stripMargin))(rewriteSelect)) {
+      (s, dir) =>
+        val docs = W.read(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        Boilerplate.removeDupSpans(docs, w = remW)
+    },
+
+    // ---- span-level decontamination masking -------------------------------
+
+    QueryDef("decon_mask", withC(tokDocs + ",\n" +
+      s"""ctok AS (SELECT doc_id, toks FROM tok_docs WHERE doc_id % 17 <> 0),
+         |btok AS (SELECT doc_id, toks FROM tok_docs WHERE doc_id % 17 = 0),
+         |cw AS (
+         |  SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(toks, i, i + ${maskW - 1}), ' '))
+         |      AS wh
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - ${maskW - 1})) AS i
+         |    FROM ctok)),
+         |bw AS (
+         |  SELECT DISTINCT
+         |    md5(array_to_string(list_slice(toks, i, i + ${maskW - 1}), ' '))
+         |      AS wh
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - ${maskW - 1})) AS i
+         |    FROM btok)),
+         |rare AS (
+         |  SELECT wh FROM (SELECT wh, count(*) AS df FROM cw GROUP BY 1)
+         |  WHERE df <= $maskMaxDf),
+         |""".stripMargin +
+      duckRewrite("ctok", maskW,
+        """hits AS (
+          |  SELECT doc_id, i FROM cw JOIN rare USING (wh)
+          |  JOIN bw USING (wh))""".stripMargin))(rewriteSelect)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        Decontamination.maskSpans(
+          docs.filter(col("doc_id") % 17 =!= 0),
+          docs.filter(col("doc_id") % 17 === 0),
+          w = maskW, maxDf = Some(maskMaxDf))
+      }
+    },
+
+    // ---- interpolated bigram-LM scoring -----------------------------------
+
+    QueryDef("t_bigram_nll", withC(tokDocs + ",\n" +
+      s"""bg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM tok_docs)),
+         |uni AS (
+         |  SELECT tok, count(*) AS cu
+         |  FROM (SELECT unnest(toks) AS tok FROM tok_docs) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uni),
+         |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+         |nll AS (
+         |  SELECT bc.w1, bc.w2,
+         |    CAST(round(-ln(
+         |      $lambda * CAST(cb AS DOUBLE) / CAST(u1.cu AS DOUBLE)
+         |      + ${1.0 - lambda} * CAST(u2.cu AS DOUBLE) / (SELECT n FROM tot))
+         |      * 1e6) AS BIGINT) AS nll_micro
+         |  FROM bc JOIN uni u1 ON bc.w1 = u1.tok
+         |  JOIN uni u2 ON bc.w2 = u2.tok)""".stripMargin)(
+      """SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
+        |  round(CAST(sum(nll_micro) AS DOUBLE) / (count(*) * 1e6), 6)
+        |    AS mean_nll
+        |FROM bg JOIN nll USING (w1, w2) GROUP BY doc_id""".stripMargin)) {
+      (s, dir) => TextAnalysis.bigramNll(W.read(s, dir, "documents"), lambda)
+    },
+
+    // ---- DSIR importance weights ------------------------------------------
+
+    QueryDef("samp_dsir", withC(tokDocs + ",\n" +
+      s"""feats AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1]))) AS f
+         |  FROM tok_docs),
+         |bkt AS (
+         |  SELECT doc_id, ${duckHex32("h")} % $dsirBuckets AS b
+         |  FROM (SELECT doc_id, md5('dsir:' || f) AS h FROM feats)),
+         |tbkt AS (
+         |  SELECT b FROM bkt JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en'),
+         |crt AS (SELECT b, count(*) AS cr FROM bkt GROUP BY 1),
+         |ctt AS (SELECT b, count(*) AS ct FROM tbkt GROUP BY 1),
+         |totr AS (SELECT CAST(sum(cr) AS BIGINT) AS v FROM crt),
+         |tott AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS v FROM ctt),
+         |ratio AS (
+         |  SELECT crt.b,
+         |    CAST(round(ln(
+         |      (CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+         |        CAST((SELECT v FROM tott) + $dsirBuckets AS DOUBLE))
+         |      / (CAST(cr + 1 AS DOUBLE) /
+         |        CAST((SELECT v FROM totr) + $dsirBuckets AS DOUBLE)))
+         |      * 1e6) AS BIGINT) AS lw_micro
+         |  FROM crt LEFT JOIN ctt USING (b)),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_feat,
+         |    CAST(sum(lw_micro) AS BIGINT) AS s
+         |  FROM bkt JOIN ratio USING (b) GROUP BY 1)""".stripMargin)(
+      """SELECT d.doc_id, coalesce(p.n_feat, 0) AS n_feat,
+        |  coalesce(p.s, 0) AS logw_micro_sum,
+        |  CASE WHEN coalesce(p.n_feat, 0) > 0
+        |    THEN round(CAST(p.s AS DOUBLE) / (p.n_feat * 1e6), 6)
+        |    ELSE 0.0 END AS avg_logw
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
+          buckets = dsirBuckets)
+      }
+    })
+}
