@@ -2,12 +2,12 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayIntersect, Expression, ExpressionInfo, Literal, Size, SortArray}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayDistinct, ArrayIntersect, EvalMode, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, SortArray, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
 
-import graft.functions.{MinHashSig, SortedIntersectCount}
+import graft.functions.{MinHashSig, SortedIntersectCount, VecDot, VecDotLong, VecSqDist}
 
 /**
  * Optimizer rule: `size(array_intersect(x, y))` where BOTH sides are
@@ -44,6 +44,83 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 }
 
 /**
+ * Optimizer rule: the canonical sequential vector folds
+ * `aggregate(zip_with(x, y, (p,q) => p*q), 0.0, (acc,v) => acc+v)` and
+ * its squared-distance sibling `(p-q)*(p-q)` rewrite to the native
+ * [[graft.functions.VecDot]] / [[graft.functions.VecSqDist]] — one
+ * primitive loop in whole-stage codegen instead of an interpreted
+ * lambda fold with per-row boxing and a zipped intermediate array.
+ *
+ * Soundness: the natives execute the IDENTICAL IEEE-754 op sequence
+ * (acc starts +0.0, index-order accumulate) and reproduce the HOF's
+ * null semantics (null array / length mismatch / null element → NULL),
+ * so results are bit-identical — the oracle hash-matches are untouched.
+ * The guard requires the exact canonical shape: both arrays
+ * `array<double>`, zero literal +0.0, merge lambda `acc + v` over its
+ * own variables, identity finish lambda.
+ */
+object VecFoldRewrite extends Rule[LogicalPlan] {
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean =
+    e match {
+      case n: NamedLambdaVariable => n.exprId == v.exprId
+      case _ => false
+    }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def isLongArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // double folds: zero +0.0, both arrays array<double>
+      case agg @ ArrayAggregate(
+          ZipWith(x, y,
+            LambdaFunction(body,
+              Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _)),
+          Literal(zero: Double, DoubleType),
+          LambdaFunction(Add(accRef, vRef, _),
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(finRef, Seq(fin: NamedLambdaVariable), _))
+          if java.lang.Double.doubleToLongBits(zero) == 0L &&
+            isVar(accRef, acc) && isVar(vRef, v) && isVar(finRef, fin) &&
+            isDoubleArray(x) && isDoubleArray(y) =>
+        body match {
+          case Multiply(pRef, qRef, _) if isVar(pRef, p) && isVar(qRef, q) =>
+            VecDot(x, y)
+          case Multiply(Subtract(p1, q1, _), Subtract(p2, q2, _), _)
+              if isVar(p1, p) && isVar(q1, q) &&
+                isVar(p2, p) && isVar(q2, q) =>
+            VecSqDist(x, y)
+          case _ => agg
+        }
+      // long fold: ANSI mode only — VecDotLong's exact arithmetic mirrors
+      // the ANSI overflow error, not legacy wraparound. (The third field
+      // of Multiply/Add is a NumericEvalContext in Spark 4.1, so the mode
+      // is guarded via the evalMode accessor, not a constructor pattern.)
+      case agg @ ArrayAggregate(
+          ZipWith(x, y,
+            LambdaFunction(mul @ Multiply(pRef, qRef, _),
+              Seq(p: NamedLambdaVariable, q: NamedLambdaVariable), _)),
+          Literal(0L, LongType),
+          LambdaFunction(add @ Add(accRef, vRef, _),
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+          LambdaFunction(finRef, Seq(fin: NamedLambdaVariable), _))
+          if mul.evalMode == EvalMode.ANSI && add.evalMode == EvalMode.ANSI &&
+            isVar(pRef, p) && isVar(qRef, q) &&
+            isVar(accRef, acc) && isVar(vRef, v) && isVar(finRef, fin) &&
+            isLongArray(x) && isLongArray(y) =>
+        val _ = agg
+        VecDotLong(x, y)
+    }
+}
+
+/**
  * Session extensions registering graft's native expressions for SQL use:
  *
  * {{{
@@ -56,6 +133,23 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntersectCountRewrite)
+    e.injectOptimizerRule(_ => VecFoldRewrite)
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => VecDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          "vec_dot(array<double>, array<double>)")
+      }))
+    e.injectFunction((
+      FunctionIdentifier("vec_sq_dist"),
+      new ExpressionInfo(classOf[VecSqDist].getName, "vec_sq_dist"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => VecSqDist(a, b)
+        case _ => throw new IllegalArgumentException(
+          "vec_sq_dist(array<double>, array<double>)")
+      }))
     e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
@@ -85,12 +179,17 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(IntersectCountRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ IntersectCountRewrite
+    if (!spark.experimental.extraOptimizations.contains(VecFoldRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecFoldRewrite
     MinHashSig.register(spark)
     SortedIntersectCount.register(spark)
+    graft.functions.VecFold.register(spark)
   }
 
-  /** Remove the installed rule (test isolation). */
+  /** Remove the installed rules (test isolation). */
   def uninstall(spark: SparkSession): Unit =
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(_ == IntersectCountRewrite)
+      spark.experimental.extraOptimizations
+        .filterNot(r => r == IntersectCountRewrite || r == VecFoldRewrite)
 }

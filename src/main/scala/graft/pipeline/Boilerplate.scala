@@ -131,6 +131,39 @@ object Boilerplate {
     dropCovered(docs, dup, w, idCol, toksCol)
   }
 
+  /** Per-document duplicated-span ISLANDS: maximal runs of CONSECUTIVE
+    * duplicated window starts (the gaps-and-islands pattern: starts
+    * sorted per doc, island key = start − rank). A run of `r`
+    * consecutive dup starts witnesses one contiguous duplicated span of
+    * `r + w − 1` tokens — the per-document "how long is the longest
+    * copied passage" signal that [[dupSpanStats]]' flat fraction can't
+    * express (a doc with one 500-token copied block and a doc with 500
+    * scattered 8-token matches have the same dup_frac but very
+    * different cleanup strategies).
+    *
+    * One row per input doc: (doc_id, n_islands, longest_span); docs with
+    * no duplicated windows report (0, 0). The per-doc window sort is
+    * bounded by document length — no global ordering anywhere. */
+  def dupSpanIslands(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+      toksCol: String = "toks"): DataFrame = {
+    val wins = tokenWindows(docs, w, idCol, toksCol)
+    val freq = wins.groupBy("wh").agg(count(lit(1)).as("c"))
+    val dup = wins.join(freq.filter(col("c") >= 2), "wh").select("doc_id", "i")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val runs = dup
+      .withColumn("grp", col("i") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("run") + lit((w - 1).toLong)).as("longest_span"))
+    docs.select(col(idCol).as("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"))
+  }
+
   /** Per-document duplicated-span stats over w-token stride-1 windows:
     * (doc_id, n_windows, n_dup_windows, dup_frac) where a window is
     * "dup" when its exact token sequence occurs ≥2 times corpus-wide

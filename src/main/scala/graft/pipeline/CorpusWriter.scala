@@ -30,6 +30,33 @@ object CorpusWriter {
     pmod(xxhash64(id), lit(n.toLong))
 
   /**
+   * Deterministic epoch ordering: assign every document a (shard, pos)
+   * so training consumes shards in parallel with a REPRODUCIBLE
+   * within-shard order — re-runs, resumed epochs, and different cluster
+   * sizes read the identical sequence, and changing `salt` draws an
+   * independent permutation (epoch 2 = salt "epoch2", no data movement
+   * beyond the reshuffle itself).
+   *
+   * Both coordinates are pure functions of (id, salt): the shard is the
+   * id-hash mod `shards`, the position ranks the same hash within the
+   * shard (id tie-break for colliding hashes). One shuffle on the shard
+   * id; the per-shard window sort is the per-file sort every shard
+   * writer does anyway. Size `shards` like output files (thousands at
+   * 100 TB), so a window partition is one shard's rows, not the corpus.
+   */
+  def trainingOrder(df: DataFrame, shards: Int, idCol: String = "doc_id",
+      salt: String = "epoch0"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    df.select(col(idCol).as("doc_id"))
+      .withColumn("h", graft.pipeline.Sampling.hash32(col("doc_id"), salt))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /**
    * @param numTasks explicit shuffle width for the write. File membership
    *   is `hash(layout, shard) % numTasks`, so it MUST NOT follow the
    *   session's `spark.sql.shuffle.partitions` (config- and

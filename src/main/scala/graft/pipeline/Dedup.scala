@@ -232,6 +232,40 @@ object Dedup {
   }
 
   /**
+   * Containment near-dup pairs — the asymmetric complement of
+   * [[ngramJaccardPairs]]: C(A,B) = |A∩B| / |A| flags a document CONTAINED
+   * in another (quoted snippets, article-in-digest, boilerplate-wrapped
+   * reposts) that Jaccard misses when the sizes differ (J ≤ min/max, so a
+   * 100-token quote inside a 10k-token page can never clear a Jaccard
+   * gate, while its containment is ~1). A pair is reported when EITHER
+   * direction clears `threshold`; both directions are returned.
+   *
+   * Same blocked equi-join + native sorted-merge intersect as the Jaccard
+   * path, but no size prune — containment is exactly the case where
+   * mismatched sizes still match, so the block key (+ optional
+   * `blockCap`) is the only candidate bound.
+   */
+  def containmentPairs(docs: DataFrame, blockCol: String, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      blockCap: Option[Int] = None): DataFrame = {
+    val all = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
+    val t = blockCap.map(capByKey(all, Seq("blk"), _)).getOrElse(all)
+    t.as("a").join(t.as("b"),
+        col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"),
+        graft.functions.SortedIntersectCount(docs.sparkSession,
+          col("a.toks"), col("b.toks")).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6)
+          .as("cont_a"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6)
+          .as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /**
    * Scale-path MinHash+LSH using the native one-pass
    * [[graft.functions.MinHashSig]] expression (xxhash64): no explode, no
    * signature shuffle — signatures are computed at scan speed, and only

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Boilerplate, Decontamination, Sampling, TextAnalysis}
+import graft.pipeline.{Boilerplate, CorpusWriter, Decontamination, Dedup, Sampling, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -30,6 +30,8 @@ object PipelineQueries5 {
   private val maskMaxDf = 100
   private val lambda = 0.9   // bigram interpolation weight
   private val dsirBuckets = 8192
+  private val contThreshold = 0.8
+  private val orderShards = 8
 
   /** DuckDB: integer value of the first 8 hex digits of md5 column `h`. */
   private def duckHex32(h: String): String = {
@@ -197,5 +199,69 @@ object PipelineQueries5 {
         Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
           buckets = dsirBuckets)
       }
+    },
+
+    // ---- duplicated-span islands ------------------------------------------
+
+    QueryDef("dedup_span_islands", withC(tokDocs + ",\n" +
+      s"""wins AS (
+         |  SELECT doc_id, i,
+         |    md5(array_to_string(list_slice(toks, i, i + ${remW - 1}), ' '))
+         |      AS wh
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - ${remW - 1})) AS i
+         |    FROM tok_docs)),
+         |freq AS (SELECT wh, count(*) AS c FROM wins GROUP BY 1),
+         |dup AS (
+         |  SELECT doc_id, i FROM wins JOIN freq USING (wh) WHERE c >= 2),
+         |isl AS (
+         |  SELECT doc_id,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM dup),
+         |runs AS (SELECT doc_id, grp, count(*) AS run FROM isl GROUP BY 1, 2),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_islands,
+         |    CAST(max(run + ${remW - 1}) AS BIGINT) AS longest_span
+         |  FROM runs GROUP BY 1)""".stripMargin)(
+      """SELECT d.doc_id, coalesce(p.n_islands, 0) AS n_islands,
+        |  coalesce(p.longest_span, 0) AS longest_span
+        |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin)) {
+      (s, dir) =>
+        val docs = W.read(s, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        Boilerplate.dupSpanIslands(docs, w = remW)
+    },
+
+    // ---- containment near-dup pairs ---------------------------------------
+
+    QueryDef("dedup_containment", withC(tokDocs)(
+      s"""SELECT doc_a, doc_b, cont_a, cont_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_intersect(list_distinct(a.toks),
+         |        list_distinct(b.toks))) AS DOUBLE)
+         |      / CAST(len(list_distinct(a.toks)) AS DOUBLE), 6) AS cont_a,
+         |    round(CAST(len(list_intersect(list_distinct(a.toks),
+         |        list_distinct(b.toks))) AS DOUBLE)
+         |      / CAST(len(list_distinct(b.toks)) AS DOUBLE), 6) AS cont_b
+         |  FROM tok_docs a JOIN tok_docs b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE greatest(cont_a, cont_b) >= $contThreshold""".stripMargin)) {
+      (s, dir) =>
+        Dedup.containmentPairs(W.read(s, dir, "documents"), "source",
+          contThreshold)
+    },
+
+    // ---- deterministic epoch order ----------------------------------------
+
+    QueryDef("pack_order",
+      s"""SELECT doc_id, shard, pos FROM (
+         |  SELECT doc_id, h % $orderShards AS shard,
+         |    CAST(row_number() OVER (PARTITION BY h % $orderShards
+         |      ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM (SELECT doc_id, ${PipelineQueries2.duckHash32("epoch0")} AS h
+         |    FROM documents))""".stripMargin) {
+      (s, dir) =>
+        CorpusWriter.trainingOrder(W.read(s, dir, "documents"), orderShards,
+          salt = "epoch0")
     })
 }

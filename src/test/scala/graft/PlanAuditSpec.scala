@@ -49,6 +49,15 @@ class PlanAuditSpec extends TestBase {
       s"expected pruned scan, got:\n$p")
   }
 
+  test("similarity family executes the native vector folds") {
+    assert(planOf("sim_topk_ivf").contains("vec_dot"),
+      "IVF rescore regressed to the interpreted HOF fold")
+    assert(planOf("sem_dedup_keep").contains("vec_dot"),
+      "SemDeDup cosine regressed to the interpreted HOF fold")
+    assert(planOf("sim_topk_sq8").contains("vec_dot_long"),
+      "SQ8 integer pre-rank regressed to the interpreted HOF fold")
+  }
+
   test("pairwise Jaccard verify uses the native sorted-intersect expression") {
     val p = planOf("dedup_ngram_jaccard")
     assert(p.contains("sorted_intersect_count"),

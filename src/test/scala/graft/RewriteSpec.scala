@@ -105,6 +105,66 @@ class RewriteSpec extends TestBase {
       s"target-like doc should outrank spam: ${out(1L)} vs ${out(2L)}")
   }
 
+  test("dupSpanIslands merges consecutive dup starts; scattered matches stay separate") {
+    // docs 1+2 share a 10-token passage -> 3 consecutive dup starts in
+    // each = ONE island of 3 + 7 = 10 tokens; doc 3 shares only the span
+    // head and tail separately -> two 1-start islands of 8 tokens
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val head8 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val docs = Seq(
+      (1L, s"$passage x1 x2"),
+      (2L, s"y1 $passage"),
+      (3L, s"$head8 z1 z2 z3 z4 z5 z6 z7 $head8"),
+      (4L, "no duplicated content at all here")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val out = Boilerplate.dupSpanIslands(docs, w = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out(0) == ((1L, 1L, 10L)), out.mkString(","))
+    assert(out(1) == ((2L, 1L, 10L)))
+    // doc 3: the repeated 8-token block at both ends -> 2 islands of 8
+    assert(out(2) == ((3L, 2L, 8L)))
+    assert(out(3) == ((4L, 0L, 0L)))
+  }
+
+  test("containmentPairs flags a snippet inside a larger doc that Jaccard misses") {
+    val snippet = "the quick brown fox jumps over the lazy dog"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler $snippet"),   // snippet buried in a big doc
+      (2L, snippet),               // the snippet alone
+      (3L, "completely different words here")).toDF("doc_id", "text")
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+    val cont = graft.pipeline.Dedup.containmentPairs(docs, "source", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // doc2 ⊂ doc1: cont_b = 1.0; cont_a small
+    assert(cont.toSeq.map(c => (c._1, c._2)) == Seq((1L, 2L)))
+    assert(cont(0)._4 == 1.0 && cont(0)._3 < 0.2)
+    // Jaccard at the same threshold misses the pair entirely
+    val jac = graft.pipeline.Dedup.ngramJaccardPairs(docs, "source", 0.9)
+    assert(jac.count() == 0)
+  }
+
+  test("trainingOrder is a deterministic permutation; salt draws a new one") {
+    val docs = graft.sim.WarehouseSim.read(spark, "/root/testdata/sf0.001",
+      "documents")
+    val n = docs.count()
+    val a = graft.pipeline.CorpusWriter.trainingOrder(docs, shards = 8)
+    val b = graft.pipeline.CorpusWriter.trainingOrder(docs.repartition(13),
+      shards = 8)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // every doc exactly once; positions within a shard are 0..count-1
+    assert(a.count() == n && a.select("doc_id").distinct().count() == n)
+    val posOk = a.groupBy("shard")
+      .agg(count(lit(1)).as("c"), max(col("pos")).as("mx"))
+      .filter(col("mx") =!= col("c") - 1).count()
+    assert(posOk == 0)
+    // a different salt produces a different order (overwhelmingly likely)
+    val c = graft.pipeline.CorpusWriter.trainingOrder(docs, shards = 8,
+      salt = "epoch1")
+    assert(c.exceptAll(a).count() > 0)
+  }
+
   test("dsirWeights is repartition-invariant (integer micro-nat sums)") {
     val docs = graft.sim.WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
     val target = docs.filter(col("lang") === "en")
