@@ -57,6 +57,30 @@ object CorpusWriter {
   }
 
   /**
+   * Write a frame as a BUCKETED (and optionally bucket-sorted) table:
+   * rows are hash-partitioned into `numBuckets` files by `bucketCol` at
+   * write time, and the layout is recorded in the catalog. Every later
+   * equi-join or aggregation on that column then reads co-located
+   * buckets with NO exchange — the shuffle is paid once at write, not
+   * per query.
+   *
+   * This is the 100-TB play for the pipeline's hub key: dedup verdicts,
+   * quality signals, decontamination reports, and pack assignments all
+   * join back to the corpus on doc_id. Bucket both sides by doc_id and
+   * each merge is a zero-shuffle zip of corresponding buckets
+   * (BucketedJoinSpec pins the exchange-free plan). `sortCols` adds
+   * per-bucket sort metadata, letting sort-merge joins skip the sort.
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int, sortCols: Seq[String] = Seq.empty,
+      mode: String = "overwrite"): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val w = df.write.mode(mode).bucketBy(numBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.drop(1): _*)
+     else w).format("parquet").saveAsTable(table)
+  }
+
+  /**
    * @param numTasks explicit shuffle width for the write. File membership
    *   is `hash(layout, shard) % numTasks`, so it MUST NOT follow the
    *   session's `spark.sql.shuffle.partitions` (config- and

@@ -212,6 +212,73 @@ object TextAnalysis {
   }
 
   /**
+   * First-iteration BPE pair statistics: corpus-wide frequency of
+   * adjacent character pairs inside tokens. The argmax of this table IS
+   * byte-pair-encoding's first merge; the top-K table is the signal a
+   * tokenizer-induction pass iterates on (full BPE repeats merge→recount
+   * — each iteration is exactly this aggregate over re-segmented
+   * symbols). Deterministic output: (rank, pair, cnt) ranked by count
+   * desc, pair asc.
+   *
+   * Scale shape: pairs project at the scan (2-char substrings — no
+   * intermediate array), the count is word-count-shaped (map-side
+   * combine collapses hot pairs like "th" per task), and the ranking
+   * window runs over the AGGREGATED pair table, whose size is bounded by
+   * the character-set squared, not the corpus.
+   */
+  def bpePairStats(docs: DataFrame, topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val tok = docs.select(explode(tokens(col(textCol))).as("tok"))
+    val pairs = tok.select(explode(
+        when(length(col("tok")) >= 2,
+          transform(sequence(lit(1), length(col("tok")) - 1),
+            i => col("tok").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+    val counts = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("rank", "pair", "cnt")
+  }
+
+  /**
+   * Composite quality gate — the C4/Gopher-style rule bundle as one
+   * scan-side verdict: length bounds, mean-token-length bounds (too low
+   * = symbol soup, too high = base64/URL blobs), alphabetic-character
+   * floor, and trigram-repetition ceiling. Rules evaluate in a FIXED
+   * order and the FIRST failure is reported, so corpus health dashboards
+   * can group rejected volume by reason and threshold changes are
+   * attributable rule by rule.
+   *
+   * One row per doc: (doc_id, n_tokens, quality_score, dup_frac,
+   * fail_reason, pass) — `fail_reason` null iff `pass`. Everything is a
+   * pure column expression over one projection (the signals reuse
+   * [[withQuality]] / [[withRepetition]]): the gate runs at scan speed,
+   * filter-pushdown-friendly, no shuffle anywhere.
+   */
+  def qualityGate(df: DataFrame,
+      minTokens: Long = 16, maxTokens: Long = 100000,
+      minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+      minAlpha: Double = 0.4, maxDupFrac: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val q = withRepetition(
+      withQuality(df, textCol).withColumn("toks", tokens(col(textCol))))
+    val reason =
+      when(col("n_tokens") < minTokens, "too_short")
+        .when(col("n_tokens") > maxTokens, "too_long")
+        .when(col("mean_token_len") < minMeanTokLen ||
+          col("mean_token_len") > maxMeanTokLen, "token_len")
+        .when(col("alpha_ratio") < minAlpha, "non_alpha")
+        .when(col("dup_frac") > maxDupFrac, "repetition")
+    q.select(col(idCol).as("doc_id"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("quality_score"), col("dup_frac"), reason.as("fail_reason"))
+      .withColumn("pass", col("fail_reason").isNull)
+  }
+
+  /**
    * Interpolated bigram-LM scoring — one order up from [[unigramNll]]:
    * each adjacent token pair (w1, w2) is scored by
    * `-ln(λ·c(w1w2)/c(w1) + (1-λ)·c(w2)/N)` and a document reports the

@@ -97,7 +97,7 @@ object PipelineQueries {
     s"""list_sum(list_transform(generate_series(1, len($a.v)), i -> $a.v[i] * $b.v[i]))
        | / ($a.nrm * $b.nrm)""".stripMargin
 
-  private val stop = "['the','a','of','and','is']"
+  private[queries] val stop = "['the','a','of','and','is']"
 
   private[queries] def withC(ctes: String)(select: String) =
     "WITH " + ctes + "\n" + select

@@ -32,6 +32,13 @@ object PipelineQueries5 {
   private val dsirBuckets = 8192
   private val contThreshold = 0.8
   private val orderShards = 8
+  private val gateMinTokens = 16L
+  private val gateMaxTokens = 100000L
+  private val gateMinTokLen = 2.0
+  private val gateMaxTokLen = 12.0
+  private val gateMinAlpha = 0.4
+  private val gateMaxDupFrac = 0.2
+  private val bpeTopK = 50
 
   /** DuckDB: integer value of the first 8 hex digits of md5 column `h`. */
   private def duckHex32(h: String): String = {
@@ -249,6 +256,68 @@ object PipelineQueries5 {
       (s, dir) =>
         Dedup.containmentPairs(W.read(s, dir, "documents"), "source",
           contThreshold)
+    },
+
+    // ---- BPE pair statistics ----------------------------------------------
+
+    QueryDef("t_bpe_pairs", withC(tokDocs + ",\n" +
+      s"""pr AS (
+         |  SELECT substring(tok, i, 2) AS pair
+         |  FROM (SELECT unnest(toks) AS tok FROM tok_docs),
+         |    LATERAL (SELECT unnest(generate_series(1, length(tok) - 1)) AS i)),
+         |pc AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1)""".stripMargin)(
+      s"""SELECT rank, pair, cnt FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT)
+         |    AS rank, pair, cnt
+         |  FROM pc)
+         |WHERE rank <= $bpeTopK""".stripMargin)) {
+      (s, dir) =>
+        TextAnalysis.bpePairStats(W.read(s, dir, "documents"), topK = bpeTopK)
+    },
+
+    // ---- composite quality gate -------------------------------------------
+
+    QueryDef("t_quality_gate", withC(tokDocs + ",\n" +
+      s"""sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(0.4 * (CAST(len(list_filter(toks, x ->
+         |          list_contains(${PipelineQueries.stop}, x))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE))
+         |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE)), 6) AS quality_score,
+         |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+         |    round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+         |    CASE WHEN len(tris) > 0
+         |      THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+         |        / CAST(len(tris) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS dup_frac
+         |  FROM (
+         |    SELECT doc_id, text, toks, list_transform(
+         |      generate_series(1, greatest(len(toks) - 2, 0)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+         |    FROM tok_docs)),
+         |gated AS (
+         |  SELECT doc_id, n_tokens, quality_score, dup_frac,
+         |    CASE WHEN n_tokens < $gateMinTokens THEN 'too_short'
+         |         WHEN n_tokens > $gateMaxTokens THEN 'too_long'
+         |         WHEN mean_token_len < $gateMinTokLen
+         |           OR mean_token_len > $gateMaxTokLen THEN 'token_len'
+         |         WHEN alpha_ratio < $gateMinAlpha THEN 'non_alpha'
+         |         WHEN dup_frac > $gateMaxDupFrac THEN 'repetition'
+         |         ELSE NULL END AS fail_reason
+         |  FROM sig)""".stripMargin)(
+      """SELECT doc_id, n_tokens, quality_score, dup_frac, fail_reason,
+        |  (fail_reason IS NULL) AS pass
+        |FROM gated""".stripMargin)) {
+      (s, dir) =>
+        TextAnalysis.qualityGate(W.read(s, dir, "documents"),
+          minTokens = gateMinTokens, maxTokens = gateMaxTokens,
+          minMeanTokLen = gateMinTokLen, maxMeanTokLen = gateMaxTokLen,
+          minAlpha = gateMinAlpha, maxDupFrac = gateMaxDupFrac)
     },
 
     // ---- deterministic epoch order ----------------------------------------

@@ -165,6 +165,33 @@ class RewriteSpec extends TestBase {
     assert(c.exceptAll(a).count() > 0)
   }
 
+  test("bpePairStats counts adjacent char pairs; top pair is BPE's first merge") {
+    val docs = Seq((1L, "aaab aab"), (2L, "ab")).toDF("doc_id", "text")
+    // pairs: "aaab" -> aa,aa,ab; "aab" -> aa,ab; "ab" -> ab
+    val out = TextAnalysis.bpePairStats(docs, topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "aa", 3L), (2L, "ab", 3L)))
+  }
+
+  test("qualityGate reports the first failing rule in fixed order") {
+    val clean = (1 to 20).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, "x! y?"),                                   // short AND non-alpha
+      (2L, (1 to 10).map(_ => "the cat sat").mkString(" ")), // repetitive
+      (3L, clean),                                     // passes everything
+      (4L, (1 to 20).map(_ => "1234!").mkString(" "))) // non-alpha
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.qualityGate(docs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(4)), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, Some("too_short"), false),   // too_short outranks non_alpha
+      (2L, Some("repetition"), false),
+      (3L, None, true),
+      (4L, Some("non_alpha"), false)))
+  }
+
   test("dsirWeights is repartition-invariant (integer micro-nat sums)") {
     val docs = graft.sim.WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
     val target = docs.filter(col("lang") === "en")
