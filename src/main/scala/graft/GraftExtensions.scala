@@ -151,6 +151,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "vec_sq_dist(array<double>, array<double>)")
       }))
     e.injectFunction((
+      FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => VecDotLong(a, b)
+        case _ => throw new IllegalArgumentException(
+          "vec_dot_long(array<bigint>, array<bigint>)")
+      }))
+    e.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => exprs match {

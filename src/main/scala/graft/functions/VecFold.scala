@@ -154,14 +154,23 @@ object VecFold {
     acc
   }
 
-  /** Valid-input integer dot; exact (ANSI) arithmetic. */
+  /** Valid-input integer dot; exact (ANSI) arithmetic. Overflow throws
+    * the same SparkArithmeticException (ARITHMETIC_OVERFLOW error class)
+    * the ANSI HOF fold it replaces would throw, so the rewrite is
+    * transparent on the error path too. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) {
-      acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
-      i += 1
+    try {
+      while (i < n) {
+        acc = Math.addExact(acc, Math.multiplyExact(a.getLong(i), b.getLong(i)))
+        i += 1
+      }
+    } catch {
+      case _: ArithmeticException =>
+        throw org.apache.spark.sql.graft.SparkErrorBridge
+          .arithmeticOverflow("long overflow")
     }
     acc
   }

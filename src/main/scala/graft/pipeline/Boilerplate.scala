@@ -111,25 +111,31 @@ object Boilerplate {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
-  /** Exact-substring REMOVAL — the second half of Lee et al.'s dedup
-    * (detection is [[dupSpanStats]]): every token covered by a w-token
-    * window whose exact sequence occurs ≥2 times corpus-wide (self-
-    * repeats included) is cut, and the survivors reassemble in order.
-    * A fully-duplicated document survives as an empty `text_clean` so
-    * downstream length filters see it.
-    *
-    * Same scale shape as [[lineDedup]]: the window frequency is a
-    * map-side-combined count over md5 keys, the dup-start set joins back
-    * on the same keys, and the final reassembly groups on doc_id — the
-    * key the corpus is usually already partitioned by. */
-  def removeDupSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
-      toksCol: String = "toks"): DataFrame = {
+  /** (doc_id, i): the start positions of every w-token window whose
+    * exact sequence occurs ≥2 times corpus-wide (self-repeats included)
+    * — THE single definition of "duplicated span start" that detection
+    * ([[dupSpanIslands]]) and removal ([[removeDupSpans]]) share. The
+    * frequency is a map-side-combined count over md5 keys; the join back
+    * moves the same fixed-width keys. */
+  private def dupStarts(docs: DataFrame, w: Int, idCol: String,
+      toksCol: String): DataFrame = {
     val wins = tokenWindows(docs, w, idCol, toksCol)
     val freq = wins.groupBy("wh").agg(count(lit(1)).as("c"))
-    val dup = wins.join(freq.filter(col("c") >= 2), "wh")
-      .select("doc_id", "i")
-    dropCovered(docs, dup, w, idCol, toksCol)
+    wins.join(freq.filter(col("c") >= 2), "wh").select("doc_id", "i")
   }
+
+  /** Exact-substring REMOVAL — the second half of Lee et al.'s dedup
+    * (detection is [[dupSpanStats]]): every token covered by a
+    * duplicated window ([[dupStarts]]) is cut, and the survivors
+    * reassemble in order. A fully-duplicated document survives as an
+    * empty `text_clean` so downstream length filters see it.
+    *
+    * Same scale shape as [[lineDedup]], plus the positional rewrite of
+    * [[dropCovered]] — reassembly groups on doc_id, the key the corpus
+    * is usually already partitioned by. */
+  def removeDupSpans(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
+      toksCol: String = "toks"): DataFrame =
+    dropCovered(docs, dupStarts(docs, w, idCol, toksCol), w, idCol, toksCol)
 
   /** Per-document duplicated-span ISLANDS: maximal runs of CONSECUTIVE
     * duplicated window starts (the gaps-and-islands pattern: starts
@@ -146,12 +152,9 @@ object Boilerplate {
     * bounded by document length — no global ordering anywhere. */
   def dupSpanIslands(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
       toksCol: String = "toks"): DataFrame = {
-    val wins = tokenWindows(docs, w, idCol, toksCol)
-    val freq = wins.groupBy("wh").agg(count(lit(1)).as("c"))
-    val dup = wins.join(freq.filter(col("c") >= 2), "wh").select("doc_id", "i")
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("i")
-    val runs = dup
+    val runs = dupStarts(docs, w, idCol, toksCol)
       .withColumn("grp", col("i") - row_number().over(byDoc))
       .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
     val perDoc = runs.groupBy("doc_id")
@@ -174,14 +177,7 @@ object Boilerplate {
     * pitfall). */
   def dupSpanStats(docs: DataFrame, w: Int = 8, idCol: String = "doc_id",
       toksCol: String = "toks"): DataFrame = {
-    val toks = col(toksCol)
-    val n = size(toks)
-    val windows = docs.select(col(idCol).as("doc_id"),
-        explode(when(n >= w,
-          transform(sequence(lit(1), n - (w - 1)),
-            i => md5(concat_ws(" ",
-              (0 until w).map(j => element_at(toks, i + j)): _*))))
-          .otherwise(array().cast("array<string>"))).as("wh"))
+    val windows = tokenWindows(docs, w, idCol, toksCol).select("doc_id", "wh")
     val freq = windows.groupBy("wh").agg(count(lit(1)).as("c"))
     val perDoc = windows.join(freq, "wh")
       .groupBy("doc_id")

@@ -134,10 +134,12 @@ object Decontamination {
    * (doc_id, n_tokens, n_removed, text_clean). A mostly-clean document
    * keeps its clean text instead of being lost to one leaked sentence.
    *
-   * `maxDf` prunes corpus-frequent windows (occurrence count > maxDf)
-   * before matching, exactly like [[overlaps]]: a boilerplate window
-   * shared with the benchmark is not leak evidence, and masking it
-   * would shred ordinary text.
+   * `maxDf` prunes corpus-frequent windows before matching, exactly like
+   * [[overlaps]]: a boilerplate window shared with the benchmark is not
+   * leak evidence, and masking it would shred ordinary text. Frequency
+   * is DOCUMENT frequency (distinct docs containing the window), so one
+   * degenerate document repeating a leaked span cannot push that span
+   * over the cap and exempt it from masking corpus-wide.
    *
    * Scale shape: both window streams project to md5 keys at the scan;
    * the benchmark window set is small and distinct (AQE broadcasts it),
@@ -157,7 +159,8 @@ object Decontamination {
     val cwPruned = maxDf match {
       case None => cw
       case Some(cap) =>
-        val rare = cw.groupBy("wh").agg(count(lit(1)).as("df"))
+        val rare = cw.groupBy("wh")
+          .agg(count_distinct(col("doc_id")).as("df"))
           .filter(col("df") <= cap).select("wh")
         cw.join(rare, "wh")
     }

@@ -33,8 +33,7 @@ object Sampling {
   /** Uniform 32-bit hash in [0, 2^32): integer value of the first eight
     * hex digits of md5("salt:id"). */
   def hash32(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    hash32Str(id.cast("string"), salt)
 
   /** Threshold in [0, 2^32] such that `hash32 < threshold` keeps ~rate.
     * Refuses a positive rate that rounds to threshold 0 (below hash
@@ -232,7 +231,7 @@ object Sampling {
     val cf = feats(corpus)
     val cr = cf.groupBy("b").agg(count(lit(1)).as("cr"))
     val ct = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
-    val totR = cr.agg(sum(col("cr"))).head().getLong(0)
+    val totR = cr.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
     val totT = ct.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
     // log-ratio per bucket present in the CORPUS (absent buckets have no
     // occurrences to score); smoothing keeps target-unseen buckets finite

@@ -314,7 +314,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val uni = tokd.select(explode(col("toks")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cu"))
-    val total = uni.agg(sum(col("cu"))).head().getLong(0)
+    val total = uni.agg(coalesce(sum(col("cu")), lit(0L))).head().getLong(0)
     val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val nll = bc
       .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
@@ -325,12 +325,20 @@ object TextAnalysis {
             lit(1.0 - lambda) * col("c2").cast("double") /
               lit(total.toDouble)) * 1e6)
           .cast("long").as("nll_micro"))
-    big.join(nll, Seq("w1", "w2"))
+    val perDoc = big.join(nll, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sum(col("nll_micro")).as("nll_micro_sum"))
-      .select(col("doc_id"), col("n_bigrams"), col("nll_micro_sum"),
-        round(col("nll_micro_sum").cast("double") /
-          (col("n_bigrams").cast("double") * 1e6), 6).as("mean_nll"))
+    // one row per INPUT doc — a sub-2-token doc has no bigrams and
+    // reports (0, 0, 0.0) instead of silently vanishing
+    tokd.select(col("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro_sum"), lit(0L)).as("nll_micro_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          round(col("nll_micro_sum").cast("double") /
+            (col("n_bigrams").cast("double") * 1e6), 6))
+          .otherwise(lit(0.0)).as("mean_nll"))
   }
 }

@@ -20,14 +20,20 @@ object PipelineQueries2 {
 
   import PipelineQueries.{minhashSig, tokDocs, withC}
 
-  /** DuckDB twin of [[Sampling.hash32]] over the documents table. */
-  private[queries] def duckHash32(salt: String): String = {
+  /** DuckDB: integer value of the first 8 hex digits of the md5 hex
+    * string produced by SQL expression `md5Expr` — THE single twin of
+    * [[Sampling.hash32Str]]'s hex-prefix expansion. */
+  private[queries] def duckHex32(md5Expr: String): String = {
     val terms = (0 until 8).map { i =>
       val mult = 1L << (4 * (7 - i))
-      s"(strpos('0123456789abcdef', substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), ${i + 1}, 1)) - 1) * $mult"
+      s"(strpos('0123456789abcdef', substr($md5Expr, ${i + 1}, 1)) - 1) * $mult"
     }
     "CAST(" + terms.mkString("\n      + ") + " AS BIGINT)"
   }
+
+  /** DuckDB twin of [[Sampling.hash32]] over the documents table. */
+  private[queries] def duckHash32(salt: String): String =
+    duckHex32(s"md5('$salt:' || CAST(doc_id AS VARCHAR))")
 
   // thresholds computed ONCE here and inlined into both engines, so the
   // Spark plan and the oracle can never disagree on a rounding boundary

@@ -40,14 +40,7 @@ object PipelineQueries5 {
   private val gateMaxDupFrac = 0.2
   private val bpeTopK = 50
 
-  /** DuckDB: integer value of the first 8 hex digits of md5 column `h`. */
-  private def duckHex32(h: String): String = {
-    val terms = (0 until 8).map { i =>
-      val mult = 1L << (4 * (7 - i))
-      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1)) - 1) * $mult"
-    }
-    "CAST(" + terms.mkString("\n      + ") + " AS BIGINT)"
-  }
+  import PipelineQueries2.duckHex32
 
   /** DuckDB CTEs shared by the two span-rewrite oracles: windows with
     * start positions, coverage, token rows, reassembly. `src` is a CTE
@@ -119,7 +112,8 @@ object PipelineQueries5 {
          |      unnest(generate_series(1, len(toks) - ${maskW - 1})) AS i
          |    FROM btok)),
          |rare AS (
-         |  SELECT wh FROM (SELECT wh, count(*) AS df FROM cw GROUP BY 1)
+         |  SELECT wh FROM (
+         |    SELECT wh, count(DISTINCT doc_id) AS df FROM cw GROUP BY 1)
          |  WHERE df <= $maskMaxDf),
          |""".stripMargin +
       duckRewrite("ctok", maskW,
@@ -155,12 +149,17 @@ object PipelineQueries5 {
          |      + ${1.0 - lambda} * CAST(u2.cu AS DOUBLE) / (SELECT n FROM tot))
          |      * 1e6) AS BIGINT) AS nll_micro
          |  FROM bc JOIN uni u1 ON bc.w1 = u1.tok
-         |  JOIN uni u2 ON bc.w2 = u2.tok)""".stripMargin)(
-      """SELECT doc_id, count(*) AS n_bigrams,
-        |  CAST(sum(nll_micro) AS BIGINT) AS nll_micro_sum,
-        |  round(CAST(sum(nll_micro) AS DOUBLE) / (count(*) * 1e6), 6)
-        |    AS mean_nll
-        |FROM bg JOIN nll USING (w1, w2) GROUP BY doc_id""".stripMargin)) {
+         |  JOIN uni u2 ON bc.w2 = u2.tok),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum(nll_micro) AS BIGINT) AS s
+         |  FROM bg JOIN nll USING (w1, w2) GROUP BY doc_id)""".stripMargin)(
+      """SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(p.s, 0) AS nll_micro_sum,
+        |  CASE WHEN coalesce(p.n_bigrams, 0) > 0
+        |    THEN round(CAST(p.s AS DOUBLE) / (p.n_bigrams * 1e6), 6)
+        |    ELSE 0.0 END AS mean_nll
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin)) {
       (s, dir) => TextAnalysis.bigramNll(W.read(s, dir, "documents"), lambda)
     },
 

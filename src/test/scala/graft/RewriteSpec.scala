@@ -55,16 +55,21 @@ class RewriteSpec extends TestBase {
 
   test("maskSpans maxDf prune: corpus-frequent windows are not masked") {
     val boiler = "click here now"
-    val corpus = ((1 to 5).map(i => (i.toLong, s"$boiler doc$i body")) :+
-      (6L, s"rare leaked span doc6")).toDF("doc_id", "text")
+    val corpus = ((1 to 5).map(i => (i.toLong, s"$boiler doc$i body")) ++ Seq(
+      (6L, "rare leaked span doc6"),
+      // one degenerate doc repeating the leak must NOT push it over the
+      // cap — maxDf counts DOCUMENTS, not occurrences
+      (7L, (1 to 5).map(_ => "rare leaked span").mkString(" "))))
+      .toDF("doc_id", "text")
     val bench = Seq((100L, s"$boiler rare leaked span")).toDF("doc_id", "text")
     val out = Decontamination.maskSpans(corpus, bench, w = 3, maxDf = Some(3))
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toMap
-    // "click here now" occurs 5 > maxDf=3 times in the corpus -> kept;
-    // "rare leaked span" occurs once -> masked from doc 6
+    // "click here now" appears in 5 > maxDf=3 docs -> kept everywhere;
+    // "rare leaked span" appears in 2 docs -> masked from both
     assert((1 to 5).forall(i => out(i.toLong) == 0L))
     assert(out(6L) == 3L)
+    assert(out(7L) == 15L)
   }
 
   test("bigramNll: exact micro-nat arithmetic on a tiny corpus") {

@@ -103,6 +103,21 @@ class VecFoldSpec extends TestBase {
     assert(r.getLong(0) == 31L)
   }
 
+  test("vec_dot_long overflow raises Spark's ANSI ARITHMETIC_OVERFLOW") {
+    val thrown = intercept[Throwable] {
+      spark.sql(
+        s"SELECT vec_dot_long(array(${Long.MaxValue}L, ${Long.MaxValue}L), " +
+          "array(2L, 2L)) AS d").collect()
+    }
+    val chain = Iterator.iterate(thrown)(_.getCause).takeWhile(_ != null)
+      .take(10).toSeq
+    assert(chain.exists {
+      case st: org.apache.spark.SparkThrowable =>
+        st.getErrorClass == "ARITHMETIC_OVERFLOW"
+      case _ => false
+    }, s"no ARITHMETIC_OVERFLOW in cause chain: $chain")
+  }
+
   test("similarity and k-means plans use the natives; results sane") {
     val emb = WarehouseSim.read(spark, "/root/testdata/sf0.001", "embeddings")
     val topk = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 4), emb, 3)
