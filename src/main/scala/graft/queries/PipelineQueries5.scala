@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Boilerplate, CorpusWriter, Decontamination, Dedup, Sampling, TextAnalysis}
+import graft.pipeline.{Boilerplate, CorpusWriter, Decontamination, Dedup, Packing, Sampling, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -39,6 +39,8 @@ object PipelineQueries5 {
   private val gateMinAlpha = 0.4
   private val gateMaxDupFrac = 0.2
   private val bpeTopK = 50
+  private val chainChunk = 32
+  private val chainStride = 24
 
   import PipelineQueries2.duckHex32
 
@@ -68,24 +70,28 @@ object PipelineQueries5 {
       |  coalesce(k.text_clean, '') AS text_clean
       |FROM nt n LEFT JOIN kept k USING (doc_id)""".stripMargin
 
+  /** DuckDB CTEs `wins`/`freq` + `hits`: duplicated w-window starts over
+    * CTE `src(doc_id, toks)` — the oracle twin of Boilerplate.dupStarts. */
+  private def duckDupStarts(src: String, w: Int): String =
+    s"""wins AS (
+       |  SELECT doc_id, i,
+       |    md5(array_to_string(list_slice(toks, i, i + ${w - 1}), ' '))
+       |      AS wh
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks) - ${w - 1})) AS i
+       |    FROM $src)),
+       |freq AS (SELECT wh, count(*) AS c FROM wins GROUP BY 1),
+       |hits AS (
+       |  SELECT doc_id, i FROM wins JOIN freq USING (wh)
+       |  WHERE c >= 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- exact-substring removal ------------------------------------------
 
     QueryDef("dedup_span_removal", withC(tokDocs + ",\n" +
-      s"""wins AS (
-         |  SELECT doc_id, i,
-         |    md5(array_to_string(list_slice(toks, i, i + ${remW - 1}), ' '))
-         |      AS wh
-         |  FROM (SELECT doc_id, toks,
-         |      unnest(generate_series(1, len(toks) - ${remW - 1})) AS i
-         |    FROM tok_docs)),
-         |freq AS (SELECT wh, count(*) AS c FROM wins GROUP BY 1),
-         |""".stripMargin +
-      duckRewrite("tok_docs", remW,
-        """hits AS (
-          |  SELECT doc_id, i FROM wins JOIN freq USING (wh)
-          |  WHERE c >= 2)""".stripMargin))(rewriteSelect)) {
+      duckRewrite("tok_docs", remW, duckDupStarts("tok_docs", remW)))(
+      rewriteSelect)) {
       (s, dir) =>
         val docs = W.read(s, dir, "documents")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
@@ -255,6 +261,77 @@ object PipelineQueries5 {
       (s, dir) =>
         Dedup.containmentPairs(W.read(s, dir, "documents"), "source",
           contThreshold)
+    },
+
+    // ---- quality -> span-removal -> chunk chain ---------------------------
+
+    // Integration proof for the round-5 stages: gate the corpus on the
+    // composite quality rules, cut duplicated spans from the survivors
+    // (window frequency computed over survivors — the corpus actually
+    // being trained on), and chunk the cleaned text to context windows.
+    // The oracle replays the whole chain, so the hash-match certifies
+    // stage COMPOSITION, not just each stage alone.
+    QueryDef("pipe_quality_chain", withC(tokDocs + ",\n" +
+      s"""sig AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+         |      / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+         |    round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+         |      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+         |    CASE WHEN len(tris) > 0
+         |      THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+         |        / CAST(len(tris) AS DOUBLE), 6)
+         |      ELSE 0.0 END AS dup_frac
+         |  FROM (
+         |    SELECT doc_id, text, toks, list_transform(
+         |      generate_series(1, greatest(len(toks) - 2, 0)),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+         |    FROM tok_docs)),
+         |srv AS (
+         |  SELECT doc_id FROM sig
+         |  WHERE NOT (n_tokens < $gateMinTokens OR n_tokens > $gateMaxTokens
+         |    OR mean_token_len < $gateMinTokLen OR mean_token_len > $gateMaxTokLen
+         |    OR alpha_ratio < $gateMinAlpha OR dup_frac > $gateMaxDupFrac)),
+         |stok AS (
+         |  SELECT doc_id, toks FROM tok_docs JOIN srv USING (doc_id)),
+         |""".stripMargin +
+      duckRewrite("stok", remW, duckDupStarts("stok", remW)) + ",\n" +
+      s"""clean AS (
+         |  SELECT n.doc_id, coalesce(k.text_clean, '') AS text_clean
+         |  FROM nt n LEFT JOIN kept k USING (doc_id)),
+         |ctoks AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(lower(trim(text_clean)), '\\s+') AS toks
+         |  FROM clean),
+         |cx AS (
+         |  SELECT doc_id, toks,
+         |    unnest(generate_series(0, greatest(
+         |      CAST(floor((len(toks) - $chainChunk + ${chainStride - 1})
+         |        / $chainStride.0) AS BIGINT), 0))) AS chunk_idx
+         |  FROM ctoks)""".stripMargin)(
+      s"""SELECT doc_id, chunk_idx,
+         |  least($chainChunk, len(toks) - chunk_idx * $chainStride) AS n_tokens,
+         |  array_to_string(list_slice(toks,
+         |    chunk_idx * $chainStride + 1,
+         |    chunk_idx * $chainStride + $chainChunk), ' ') AS chunk_text
+         |FROM cx""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        val srv = docs.join(
+          TextAnalysis.qualityGate(docs,
+            minTokens = gateMinTokens, maxTokens = gateMaxTokens,
+            minMeanTokLen = gateMinTokLen, maxMeanTokLen = gateMaxTokLen,
+            minAlpha = gateMinAlpha, maxDupFrac = gateMaxDupFrac)
+            .filter(col("pass")).select("doc_id"),
+          "doc_id")
+        val toked = srv.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("toks"))
+        val clean = Boilerplate.removeDupSpans(toked, w = remW)
+          .select(col("doc_id"),
+            TextAnalysis.tokens(col("text_clean")).as("toks"))
+        Packing.chunk(clean, chunkSize = chainChunk, stride = chainStride)
+      }
     },
 
     // ---- BPE pair statistics ----------------------------------------------
