@@ -256,7 +256,17 @@ object TextAnalysis {
    * fail_reason, pass) — `fail_reason` null iff `pass`. Everything is a
    * pure column expression over one projection (the signals reuse
    * [[withQuality]] / [[withRepetition]]): the gate runs at scan speed,
-   * filter-pushdown-friendly, no shuffle anywhere.
+   * no shuffle anywhere.
+   *
+   * The verdict is wrapped in a nondeterministic identity barrier:
+   * without it, `gate.filter(col("pass"))` — the operator's primary use
+   * — triggers predicate pushdown, which SUBSTITUTES the whole rule
+   * CASE into a pre-projection filter; every rule's reference to the
+   * tokenize/trigram pipeline then re-evaluates it per row (measured
+   * ~70× on sf0.1: 0.4 s → 26 s). The barrier pins the verdict to its
+   * projection so filters evaluate the computed column. Cost: filters
+   * on gate OUTPUT no longer push into the document scan — the gate is
+   * a terminal verdict frame, filter it, don't re-plan through it.
    */
   def qualityGate(df: DataFrame,
       minTokens: Long = 16, maxTokens: Long = 100000,
@@ -274,9 +284,15 @@ object TextAnalysis {
         .when(col("dup_frac") > maxDupFrac, "repetition")
     q.select(col(idCol).as("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
-        col("quality_score"), col("dup_frac"), reason.as("fail_reason"))
+        col("quality_score"), col("dup_frac"),
+        qualityGateBarrier(reason).as("fail_reason"))
       .withColumn("pass", col("fail_reason").isNull)
   }
+
+  /** Identity on strings, declared nondeterministic purely as an
+    * optimizer barrier (see [[qualityGate]]). */
+  private val qualityGateBarrier =
+    udf((s: String) => s).asNondeterministic()
 
   /**
    * Interpolated bigram-LM scoring — one order up from [[unigramNll]]:
