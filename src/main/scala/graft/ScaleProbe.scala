@@ -49,7 +49,39 @@ object ScaleProbe {
     run("pipe_end_to_end")(d => graft.pipeline.TrainingPipeline.buildCorpus(
       d.withColumn("lang", lit("en")),
       graft.pipeline.TrainingPipeline.Config()))
+
+    // round-5 operators
+    def toked(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    def relined(d: DataFrame): DataFrame = {
+      val t = toked(d)
+      t.select(col("doc_id"), array_join(
+        transform(
+          sequence(lit(0L),
+            ceil(size(col("toks")).cast("double") / 8).cast("long") - 1),
+          g => concat_ws(" ",
+            slice(col("toks"), (g * 8 + 1).cast("int"), lit(8)))),
+        "\n").as("text"))
+    }
+    run("line_dedup")(d => Boilerplate.lineDedup(relined(d), maxOcc = 1))
+    run("span_removal")(d => Boilerplate.removeDupSpans(toked(d)))
+    run("span_islands")(d => Boilerplate.dupSpanIslands(toked(d)))
+    run("containment_cap200")(
+      Dedup.containmentPairs(_, "source", 0.8, blockCap = Some(200)))
+    run("bigram_nll")(TextAnalysis.bigramNll(_))
+    run("dsir_weights")(d =>
+      graft.pipeline.Sampling.dsirWeights(d, d.filter(col("doc_id") % 10 === 0)))
+    run("quality_chain") { d =>
+      val srv = d.join(TextAnalysis.qualityGate(d)
+        .filter(col("pass")).select("doc_id"), "doc_id")
+      val clean = Boilerplate.removeDupSpans(toked(srv))
+        .select(col("doc_id"),
+          TextAnalysis.tokens(col("text_clean")).as("toks"))
+      graft.pipeline.Packing.chunk(clean)
+    }
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup
+  private val Boilerplate = graft.pipeline.Boilerplate
+  private val TextAnalysis = graft.pipeline.TextAnalysis
 }
