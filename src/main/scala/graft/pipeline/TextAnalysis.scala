@@ -244,6 +244,31 @@ object TextAnalysis {
   }
 
   /**
+   * CCNet-style quality tiers: rank documents by their unigram-LM mean
+   * NLL ([[unigramNll]]) and split into `tiers` equal buckets — tier 1
+   * ("head") is the most-predictable text, the last tier ("tail") the
+   * most out-of-model. CCNet keeps head+middle for training and routes
+   * tail to heavier filtering; the tier column is that routing key.
+   *
+   * Exact `ntile` over (mean_nll, doc_id) — deterministic and
+   * bit-reproducible against the oracle, but a single global sort
+   * partition: the PARITY path. At 100 TB use the sketch twin —
+   * `percentile_approx(mean_nll, ...)` boundaries (mergeable, one
+   * aggregate) with a scan-side bucket compare — and accept ε-boundary
+   * wobble; same trade t_token_quantiles documents for its sketch
+   * cross-check.
+   */
+  def nllTiers(docs: DataFrame, tiers: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(tiers > 0, s"tiers must be positive, got $tiers")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_nll"), col("doc_id"))
+    unigramNll(docs, idCol, textCol)
+      .select(col("doc_id"), col("mean_nll"))
+      .withColumn("tier", ntile(tiers).over(w).cast("long"))
+  }
+
+  /**
    * Composite quality gate — the C4/Gopher-style rule bundle as one
    * scan-side verdict: length bounds, mean-token-length bounds (too low
    * = symbol soup, too high = base64/URL blobs), alphabetic-character

@@ -263,6 +263,28 @@ object PipelineQueries5 {
           contThreshold)
     },
 
+    // ---- CCNet quality tiers ----------------------------------------------
+
+    QueryDef("t_nll_tiers", withC(tokDocs + ",\n" +
+      """tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+        |counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |nll AS (
+        |  SELECT tok,
+        |    CAST(round(-ln(CAST(c AS DOUBLE) /
+        |      (SELECT CAST(sum(c) AS DOUBLE) FROM counts)) * 1e6) AS BIGINT)
+        |      AS nll_micro
+        |  FROM counts),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(nll_micro) AS DOUBLE) / (count(*) * 1e6), 6)
+        |      AS mean_nll
+        |  FROM tok JOIN nll USING (tok) GROUP BY doc_id)""".stripMargin)(
+      """SELECT doc_id, mean_nll,
+        |  CAST(ntile(3) OVER (ORDER BY mean_nll, doc_id) AS BIGINT) AS tier
+        |FROM scored""".stripMargin)) {
+      (s, dir) => TextAnalysis.nllTiers(W.read(s, dir, "documents"))
+    },
+
     // ---- quality -> span-removal -> chunk chain ---------------------------
 
     // Integration proof for the round-5 stages: gate the corpus on the

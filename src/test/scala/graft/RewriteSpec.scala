@@ -170,6 +170,22 @@ class RewriteSpec extends TestBase {
     assert(c.exceptAll(a).count() > 0)
   }
 
+  test("nllTiers: common-vocab docs land in the head, rare-vocab in the tail") {
+    val docs = ((1 to 6).map(i => (i.toLong, "the common words appear here")) ++
+      Seq((7L, "zyx wvu tsr qpo nml"), (8L, "abc def ghi jkl mno"),
+        (9L, "the common words appear here")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.nllTiers(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // 9 docs, 3 tiers of 3: the 7 common-text docs fill head+middle and
+    // one lands in tail with the two rare-vocab docs? No — tiers split
+    // by rank: common docs rank 1-7, rare docs rank 8-9. Tier 3 = ranks
+    // 7-9, so docs 7 and 8 are tail and every common doc is tier <= 3
+    // with at most one in the tail.
+    assert(out(7L) == 3L && out(8L) == 3L)
+    assert((1 to 6).count(i => out(i.toLong) < 3L) >= 5)
+  }
+
   test("bpePairStats counts adjacent char pairs; top pair is BPE's first merge") {
     val docs = Seq((1L, "aaab aab"), (2L, "ab")).toDF("doc_id", "text")
     // pairs: "aaab" -> aa,aa,ab; "aab" -> aa,ab; "ab" -> ab
