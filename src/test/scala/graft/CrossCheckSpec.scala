@@ -221,6 +221,30 @@ class CrossCheckSpec extends TestBase {
       s"(|exact|=${exact.size}, |approx∩exact|=${(exact & approx).size})")
   }
 
+  test("NLL tiers: sketch-boundary assignment agrees with the exact ntile path") {
+    // the documented 100-TB twin: percentile_approx boundaries + a
+    // scan-side bucket compare, vs the exact single-sort ntile. With the
+    // sketch at max accuracy the two disagree only on boundary ties.
+    val docs = WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
+    val exact = graft.pipeline.TextAnalysis.nllTiers(docs)
+    val scored = graft.pipeline.TextAnalysis.unigramNll(docs)
+      .select(col("doc_id"), col("mean_nll"))
+    val Array(b1, b2) = scored.select(
+      percentile_approx(col("mean_nll"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)))
+      .head().getSeq[Double](0).toArray
+    val approx = scored.withColumn("tier",
+      when(col("mean_nll") <= b1, 1L)
+        .when(col("mean_nll") <= b2, 2L).otherwise(3L))
+    val joined = exact.as("e").join(approx.as("a"), "doc_id")
+      .select(col("e.tier").as("et"), col("a.tier").as("at"))
+      .collect()
+    val agree = joined.count(r => r.getLong(0) == r.getLong(1))
+    val frac = agree.toDouble / joined.length
+    assert(frac >= 0.95,
+      f"sketch-tier agreement $frac%.3f < 0.95 (n=${joined.length})")
+  }
+
   test("SQ8 rescored top-k holds a recall floor against the unquantized IVF path") {
     val e = WarehouseSim.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
