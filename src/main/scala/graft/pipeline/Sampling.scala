@@ -211,6 +211,25 @@ object Sampling {
    * feature stream against the ≤`buckets`-row ratio table (broadcast),
    * one doc-keyed sum. The two scalar totals ride along as literals.
    */
+  /** DSIR selection — the resampling step over [[dsirWeights]]: keep the
+    * `n` documents with the highest per-feature average importance
+    * weight (ties broken by doc_id). Output: (doc_id, avg_logw, rank).
+    *
+    * Scale shape: `orderBy().limit(n)` plans as TakeOrderedAndProject —
+    * each partition keeps its local top-n and only n-row heaps merge on
+    * the driver; no global sort, no single-partition window. The rank
+    * column is a window over the ALREADY-SELECTED n rows. */
+  def dsirSelect(corpus: DataFrame, target: DataFrame, n: Int,
+      buckets: Int = 8192, salt: String = "dsir", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val top = dsirWeights(corpus, target, buckets, salt, idCol, textCol)
+      .orderBy(col("avg_logw").desc, col("doc_id")).limit(n)
+    val w = Window.orderBy(col("avg_logw").desc, col("doc_id"))
+    top.select(col("doc_id"), col("avg_logw"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def dsirWeights(corpus: DataFrame, target: DataFrame, buckets: Int = 8192,
       salt: String = "dsir", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -30,6 +30,7 @@ object PipelineQueries5 {
   private val maskMaxDf = 100
   private val lambda = 0.9   // bigram interpolation weight
   private val dsirBuckets = 8192
+  private val dsirTopN = 100
   private val contThreshold = 0.8
   private val orderShards = 8
   private val gateMinTokens = 16L
@@ -210,6 +211,54 @@ object PipelineQueries5 {
         val docs = W.read(s, dir, "documents")
         Sampling.dsirWeights(docs, docs.filter(col("lang") === "en"),
           buckets = dsirBuckets)
+      }
+    },
+
+    // ---- DSIR selection (top-n resampling) --------------------------------
+
+    QueryDef("samp_dsir_select", withC(tokDocs + ",\n" +
+      s"""feats AS (
+         |  SELECT doc_id, unnest(list_concat(toks,
+         |    list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i + 1]))) AS f
+         |  FROM tok_docs),
+         |bkt AS (
+         |  SELECT doc_id, ${duckHex32("h")} % $dsirBuckets AS b
+         |  FROM (SELECT doc_id, md5('dsir:' || f) AS h FROM feats)),
+         |tbkt AS (
+         |  SELECT b FROM bkt JOIN documents d USING (doc_id)
+         |  WHERE d.lang = 'en'),
+         |crt AS (SELECT b, count(*) AS cr FROM bkt GROUP BY 1),
+         |ctt AS (SELECT b, count(*) AS ct FROM tbkt GROUP BY 1),
+         |totr AS (SELECT CAST(sum(cr) AS BIGINT) AS v FROM crt),
+         |tott AS (SELECT coalesce(CAST(sum(ct) AS BIGINT), 0) AS v FROM ctt),
+         |ratio AS (
+         |  SELECT crt.b,
+         |    CAST(round(ln(
+         |      (CAST(coalesce(ct, 0) + 1 AS DOUBLE) /
+         |        CAST((SELECT v FROM tott) + $dsirBuckets AS DOUBLE))
+         |      / (CAST(cr + 1 AS DOUBLE) /
+         |        CAST((SELECT v FROM totr) + $dsirBuckets AS DOUBLE)))
+         |      * 1e6) AS BIGINT) AS lw_micro
+         |  FROM crt LEFT JOIN ctt USING (b)),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_feat,
+         |    CAST(sum(lw_micro) AS BIGINT) AS s
+         |  FROM bkt JOIN ratio USING (b) GROUP BY 1),
+         |wts AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN coalesce(p.n_feat, 0) > 0
+         |      THEN round(CAST(p.s AS DOUBLE) / (p.n_feat * 1e6), 6)
+         |      ELSE 0.0 END AS avg_logw
+         |  FROM documents d LEFT JOIN perdoc p USING (doc_id))""".stripMargin)(
+      s"""SELECT doc_id, avg_logw,
+         |  CAST(row_number() OVER (ORDER BY avg_logw DESC, doc_id) AS BIGINT)
+         |    AS rank
+         |FROM wts ORDER BY avg_logw DESC, doc_id LIMIT $dsirTopN""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        Sampling.dsirSelect(docs, docs.filter(col("lang") === "en"),
+          n = dsirTopN, buckets = dsirBuckets)
       }
     },
 

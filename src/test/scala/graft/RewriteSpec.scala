@@ -213,6 +213,23 @@ class RewriteSpec extends TestBase {
       (4L, Some("non_alpha"), false)))
   }
 
+  test("dsirSelect keeps the top-n by weight with TakeOrdered, not a global sort") {
+    val target = (1 to 10).map(i =>
+      (100L + i, "formal prose about science and method")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "formal prose about science and method indeed"),
+      (2L, "lol click free pills now win big"),
+      (3L, "prose about science here too")).toDF("doc_id", "text")
+    val sel = Sampling.dsirSelect(corpus, target, n = 2)
+    assert(sel.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-n selection regressed to a global sort")
+    val rows = sel.orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.length == 2 && rows.map(_._1).toSet == Set(1L, 3L),
+      s"expected the two target-like docs, got ${rows.mkString(",")}")
+  }
+
   test("dsirWeights is repartition-invariant (integer micro-nat sums)") {
     val docs = graft.sim.WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
     val target = docs.filter(col("lang") === "en")
