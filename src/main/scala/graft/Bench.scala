@@ -75,7 +75,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // the driver captures stdout with head-truncation (BENCH_r04/r05 both
+    // lost the front of this line) — a file copy makes the artifact lossless
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -154,10 +154,13 @@ object VecFold {
     acc
   }
 
-  /** Valid-input integer dot; exact (ANSI) arithmetic. Overflow throws
-    * the same SparkArithmeticException (ARITHMETIC_OVERFLOW error class)
-    * the ANSI HOF fold it replaces would throw, so the rewrite is
-    * transparent on the error path too. */
+  /** Valid-input integer dot; exact (ANSI) arithmetic. Overflow throws a
+    * SparkArithmeticException of the same ARITHMETIC_OVERFLOW error class
+    * as the ANSI HOF fold it replaces. Not bit-identical on the error
+    * path: the HOF evaluates all zip_with products before folding, while
+    * this loop interleaves multiply/add per index, so WHICH op overflows
+    * first can differ, and the bridged error carries no query context —
+    * same class, possibly different failing op/message detail. */
   def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     var acc = 0L

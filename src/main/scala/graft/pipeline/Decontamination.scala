@@ -93,14 +93,19 @@ object Decontamination {
       idCol: String = "doc_id", textCol: String = "text",
       fpp: Double = 0.01,
       benchIsCorpusSubset: Boolean = false): DataFrame = {
-    val benchShingles = Dedup.shingled(benchmark, idCol, textCol, w)
+    // build the filter over xxhash64(s) LONGS so the corpus-side probe can
+    // be Spark's native BloomFilterMightContain (codegen'd, no per-row
+    // boxing) instead of a Scala UDF — the probe hashes with the same
+    // xxhash64 and tests the long (see BloomProbe's build/probe contract)
+    val benchHashes = Dedup.shingled(benchmark, idCol, textCol, w)
       .select(explode(col("shingles")).as("s")).distinct()
-    val expected = math.max(1L, benchShingles.count())
-    val bloom = benchShingles.stat.bloomFilter("s", expected, fpp)
-    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
+      .select(xxhash64(col("s")).as("h"))
+    val expected = math.max(1L, benchHashes.count())
+    val bloom = benchHashes.stat.bloomFilter("h", expected, fpp)
     val cs = Dedup.shingled(corpus, idCol, textCol, w)
       .select(col("doc_id"), explode(col("shingles")).as("s"))
-      .filter(mightContain(col("s")))
+      .filter(graft.functions.BloomProbe.mightContain(
+        corpus.sparkSession, bloom, col("s")))
     val bs = Dedup.shingled(benchmark, idCol, textCol, w)
       .select(col("doc_id").as("bench_id"), size(col("shingles")).as("n_bench"),
         explode(col("shingles")).as("s"))

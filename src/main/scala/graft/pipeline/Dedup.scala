@@ -243,20 +243,126 @@ object Dedup {
    * Same blocked equi-join + native sorted-merge intersect as the Jaccard
    * path, but no size prune — containment is exactly the case where
    * mismatched sizes still match, so the block key (+ optional
-   * `blockCap`) is the only candidate bound.
+   * `blockCap`) is the only candidate bound. Because an uncapped hot
+   * block is O(block²), the uncapped path carries a loud runtime guard:
+   * any block over `maxBlock` rows fails the job (assert_true in the
+   * plan, evaluated under the join's own blk partitioning) instead of
+   * silently launching a quadratic join — pass `blockCap` (or raise
+   * `maxBlock` deliberately) to proceed. For recall at weak blocking see
+   * [[containmentPairsLsh]].
    */
   def containmentPairs(docs: DataFrame, blockCol: String, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text",
-      blockCap: Option[Int] = None): DataFrame = {
+      blockCap: Option[Int] = None, maxBlock: Int = 100000): DataFrame = {
     val all = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
         sort_array(array_distinct(TextAnalysis.tokens(col(textCol)))).as("toks"))
-    val t = blockCap.map(capByKey(all, Seq("blk"), _)).getOrElse(all)
+    val t = blockCap.map(capByKey(all, Seq("blk"), _)).getOrElse {
+      val wb = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+      all.withColumn("blk_n", count(lit(1)).over(wb))
+        .filter(assert_true(col("blk_n") <= maxBlock,
+          concat(lit("containmentPairs: block of "), col("blk_n"),
+            lit(s" rows exceeds maxBlock=$maxBlock — the uncapped join is " +
+              "O(block²); pass blockCap or raise maxBlock"))).isNull)
+        .drop("blk_n")
+    }
     t.as("a").join(t.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"),
         graft.functions.SortedIntersectCount(docs.sparkSession,
           col("a.toks"), col("b.toks")).as("inter"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("na").cast("double"), 6)
+          .as("cont_a"),
+        round(col("inter").cast("double") / col("nb").cast("double"), 6)
+          .as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+  }
+
+  /**
+   * Containment pairs WITHOUT a blocking column — the candidate-recall
+   * upgrade for snippet-in-document search that [[containmentPairs]]'
+   * coarse block key can't give. Follows the public LSH Ensemble design
+   * (Zhu et al., VLDB 2016, "LSH Ensemble: Internet-Scale Domain
+   * Search"): containment C(A,B)=|A∩B|/|A| between a small A and a large
+   * B implies only a tiny Jaccard (J ≥ t·|A|/(|A|+|B|−t·|A|)), so any
+   * single band granularity either misses asymmetric pairs (rows-per-band
+   * too high) or floods symmetric ones with candidates (too low). Here
+   * each doc's k-hash MinHash signature is indexed at EVERY power-of-two
+   * rows-per-band granularity g (k/g bands each — 2k−1 band keys per doc,
+   * a bounded constant ×~2 over single-granularity LSH), docs carry their
+   * log2 size tier, and the band equi-join keeps only matches at the ONE
+   * granularity selected per tier pair: the widest g whose LSH threshold
+   * (g/k)^(1/g) still clears the pair's tier-resolution Jaccard lower
+   * bound. Symmetric pairs thus match on high-precision wide bands while
+   * asymmetric pairs fall back to narrow ones, and every candidate is
+   * verified with the EXACT containment (native sorted-merge intersect) —
+   * false positives die in the verify, the only loss is recall.
+   *
+   * Recall bound (cross-checked on a planted fixture in CrossCheckSpec):
+   * a pair with true token Jaccard J survives banding with
+   * P = 1−(1−J^g)^(k/g) at its selected granularity. At extreme
+   * asymmetry (|B|/|A| → ∞ so J → t·|A|/|B| → 0) the g=1 floor gives
+   * P ≈ k·J — raise `k` to chase deeper asymmetry, or prefer
+   * [[containmentPairs]] when a genuine block key exists.
+   */
+  def containmentPairsLsh(docs: DataFrame, threshold: Double, k: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Option[Int] = None): DataFrame = {
+    require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
+    val spark = docs.sparkSession
+    val base = persistInternal("containment_lsh_toks", docs.select(
+        col(idCol).as("doc_id"),
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("tier", floor(log2(size(col("toks")))).cast("int"))
+      .withColumn("sig", graft.functions.MinHashSig(spark, col("toks"), k)))
+    val gs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= k).toSeq
+    // all granularities from one pass over the persisted signatures
+    val bandEntries = array(gs.flatMap { g =>
+      (0 until k / g).map { b =>
+        struct(lit(g).as("g"), lit(b).as("band_idx"),
+          xxhash64(slice(col("sig"), b * g + 1, g)).as("band_hash"))
+      }
+    }: _*)
+    val unpivotedAll = base
+      .select(col("doc_id"), col("tier"), explode(bandEntries).as("e"))
+      .select(col("doc_id"), col("tier"), col("e.g").as("g"),
+        col("e.band_idx").as("band_idx"), col("e.band_hash").as("band_hash"))
+    val unpivoted = bucketCap
+      .map(capByKey(unpivotedAll, Seq("g", "band_idx", "band_hash"), _))
+      .getOrElse(unpivotedAll)
+    // tier-resolution Jaccard lower bound for a containment-t pair whose
+    // member sizes are ~2^tier, and the widest granularity that clears it
+    val lo = pow(lit(2.0), least(col("a.tier"), col("b.tier")).cast("double"))
+    val hi = pow(lit(2.0), greatest(col("a.tier"), col("b.tier")).cast("double"))
+    val jlb = lit(threshold) * lo / (lo + hi)
+    def thr(g: Int): Double = math.pow(g.toDouble / k, 1.0 / g)
+    val gDesc = gs.reverse
+    val gSel =
+      if (gDesc.size == 1) lit(1)
+      else {
+        val cases = gDesc.init.map(g => (jlb >= lit(thr(g))) -> lit(g))
+        cases.tail.foldLeft(when(cases.head._1, cases.head._2)) {
+          case (acc, (p, v)) => acc.when(p, v)
+        }.otherwise(lit(gDesc.last))
+      }
+    val cand = unpivoted.as("a").join(unpivoted.as("b"),
+        col("a.g") === col("b.g") &&
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        col("a.g") === gSel)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val t = base.select(col("doc_id"), col("toks"))
+    cand.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("ta.toks")).as("na"), size(col("tb.toks")).as("nb"),
+        graft.functions.SortedIntersectCount(spark,
+          col("ta.toks"), col("tb.toks")).as("inter"))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("na").cast("double"), 6)
           .as("cont_a"),

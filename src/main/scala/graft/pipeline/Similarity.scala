@@ -153,13 +153,19 @@ object Similarity {
     def intDot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
 
+    // zero-norm guard: an all-zero embedding would quantize to NaN
+    // (round(NaN) casts to 0) and rank on NaN cosines, where engine NaN
+    // orderings diverge — such vectors carry no direction, so drop them
+    // on both sides (the oracle applies the same `nrm > 0` predicate)
     val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("cell"),
         asDouble(col(vecCol)).as("q_v"))
       .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
       .withColumn("q_qv", quant(col("q_v"), col("q_nrm")))
     val c = candidates.select(col(idCol).as("c_id"), col(cellCol).as("cell"),
         asDouble(col(vecCol)).as("c_v"))
       .withColumn("c_nrm", norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
       .withColumn("c_qv", quant(col("c_v"), col("c_nrm")))
     val cw = Window.partitionBy("q_id")
       .orderBy(col("idot").desc, col("c_id"))

@@ -269,6 +269,32 @@ object TextAnalysis {
   }
 
   /**
+   * The 100-TB twin of [[nllTiers]], as a first-class API rather than a
+   * doc-only recipe: tier boundaries from one mergeable
+   * `percentile_approx` aggregate (no global sort anywhere), then a
+   * scan-side bucket compare against the broadcast 1-row boundary frame.
+   * Differs from the exact ntile only by sketch ε at the boundaries and
+   * by assigning equal `mean_nll` ties to one tier instead of splitting
+   * them for equal counts — CrossCheckSpec holds the two ≥95% row-wise
+   * agreement. Same output schema as [[nllTiers]].
+   */
+  def nllTiersApprox(docs: DataFrame, tiers: Int = 3, accuracy: Int = 10000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tiers > 0, s"tiers must be positive, got $tiers")
+    val scored = unigramNll(docs, idCol, textCol)
+      .select(col("doc_id"), col("mean_nll"))
+    if (tiers == 1) return scored.withColumn("tier", lit(1L))
+    val probs = array((1 until tiers).map(i => lit(i.toDouble / tiers)): _*)
+    val bounds = scored.agg(
+      percentile_approx(col("mean_nll"), probs, lit(accuracy)).as("bs"))
+    scored.crossJoin(broadcast(bounds))
+      .withColumn("tier",
+        (lit(1) + size(filter(col("bs"), b => col("mean_nll") > b)))
+          .cast("long"))
+      .drop("bs")
+  }
+
+  /**
    * Composite quality gate — the C4/Gopher-style rule bundle as one
    * scan-side verdict: length bounds, mean-token-length bounds (too low
    * = symbol soup, too high = base64/URL blobs), alphabetic-character

@@ -89,7 +89,7 @@ object PipelineQueries3 {
          |FROM (
          |  SELECT a.cid AS cluster_id, e.label AS majority_label,
          |    count(*) AS label_n,
-         |    sum(count(*)) OVER (PARTITION BY a.cid) AS n_members,
+         |    CAST(sum(count(*)) OVER (PARTITION BY a.cid) AS BIGINT) AS n_members,
          |    row_number() OVER (PARTITION BY a.cid
          |      ORDER BY count(*) DESC, e.label) AS rk
          |  FROM af a JOIN e USING (vec_id)

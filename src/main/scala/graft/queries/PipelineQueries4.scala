@@ -158,7 +158,7 @@ object PipelineQueries4 {
          |    list_transform(v, x ->
          |      greatest(least(CAST(round(x / nrm * 127) AS BIGINT), 127),
          |        -127)) AS qv
-         |  FROM e),
+         |  FROM e WHERE nrm > 0),
          |cand AS (
          |  SELECT q_id, cell, c_id, q_v, q_nrm, c_v, c_nrm FROM (
          |    SELECT q.vec_id AS q_id, q.label AS cell, c.vec_id AS c_id,

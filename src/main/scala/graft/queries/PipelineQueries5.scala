@@ -312,6 +312,15 @@ object PipelineQueries5 {
           contThreshold)
     },
 
+    // block-key-free containment via size-adaptive (LSH Ensemble-style)
+    // banding — xxhash64 signatures aren't DuckDB-expressible, so this is
+    // rows-only here (same precedent as dedup_minhash_fast); recall vs
+    // the exact path is pinned on a planted fixture in CrossCheckSpec
+    QueryDef.rowsOnly("dedup_containment_lsh") {
+      (s, dir) =>
+        Dedup.containmentPairsLsh(W.read(s, dir, "documents"), contThreshold)
+    },
+
     // ---- CCNet quality tiers ----------------------------------------------
 
     QueryDef("t_nll_tiers", withC(tokDocs + ",\n" +

@@ -227,15 +227,7 @@ class CrossCheckSpec extends TestBase {
     // sketch at max accuracy the two disagree only on boundary ties.
     val docs = WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
     val exact = graft.pipeline.TextAnalysis.nllTiers(docs)
-    val scored = graft.pipeline.TextAnalysis.unigramNll(docs)
-      .select(col("doc_id"), col("mean_nll"))
-    val Array(b1, b2) = scored.select(
-      percentile_approx(col("mean_nll"),
-        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)))
-      .head().getSeq[Double](0).toArray
-    val approx = scored.withColumn("tier",
-      when(col("mean_nll") <= b1, 1L)
-        .when(col("mean_nll") <= b2, 2L).otherwise(3L))
+    val approx = graft.pipeline.TextAnalysis.nllTiersApprox(docs)
     val joined = exact.as("e").join(approx.as("a"), "doc_id")
       .select(col("e.tier").as("et"), col("a.tier").as("at"))
       .collect()
@@ -243,6 +235,38 @@ class CrossCheckSpec extends TestBase {
     val frac = agree.toDouble / joined.length
     assert(frac >= 0.95,
       f"sketch-tier agreement $frac%.3f < 0.95 (n=${joined.length})")
+  }
+
+  test("containment LSH holds a recall floor against exact containment on planted pairs") {
+    import spark.implicits._
+    // 40 background docs with disjoint vocabularies, plus 6 planted
+    // containment pairs: a small doc fully contained in a ~5x larger one
+    // (token Jaccard ~0.2 — exactly the asymmetric case a fixed-block
+    // Jaccard gate misses). Deterministic fixture, no randomness.
+    val background = (1 to 40).map { i =>
+      (i.toLong, (1 to 60).map(j => s"bg${i}_$j").mkString(" "))
+    }
+    val planted = (1 to 6).flatMap { p =>
+      val small = (1 to 20).map(j => s"leak${p}_$j")
+      val large = small ++ (1 to 80).map(j => s"wrap${p}_$j")
+      Seq((100L + p, small.mkString(" ")), (200L + p, large.mkString(" ")))
+    }
+    val docs = (background ++ planted).toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact containment over ALL pairs (single block)
+    val exact = pairSet(graft.pipeline.Dedup.containmentPairs(
+      docs.withColumn("blk", lit(1)), "blk", 0.8))
+    assert(exact.size >= 6, s"fixture must plant >=6 pairs, got $exact")
+    val lsh = pairSet(graft.pipeline.Dedup.containmentPairsLsh(docs, 0.8))
+    // no false positives possible (exact verify), so lsh ⊆ exact
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    val recall = (lsh & exact).size.toDouble / exact.size
+    // per-pair survival at J~0.2 under the g=1 fallback is
+    // 1-(1-J)^16 ~ 0.97; 0.6 leaves room for tier-boundary effects
+    assert(recall >= 0.6, f"containment LSH recall $recall%.2f < 0.60 " +
+      s"(|exact|=${exact.size}, |lsh∩exact|=${(lsh & exact).size})")
   }
 
   test("SQ8 rescored top-k holds a recall floor against the unquantized IVF path") {

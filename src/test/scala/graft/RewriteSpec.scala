@@ -230,6 +230,22 @@ class RewriteSpec extends TestBase {
       s"expected the two target-like docs, got ${rows.mkString(",")}")
   }
 
+  test("overlapsBloom probes with the native expression — no ScalaUDF in the plan") {
+    val docs = Seq(
+      (1L, (1 to 30).map(i => s"leak$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((10L, (1 to 30).map(i => s"leak$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val report = Decontamination.overlapsBloom(docs, bench, minShared = 3)
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "corpus-side Bloom pre-filter missing from the physical plan")
+    assert(!plan.contains("UDF"),
+      "Bloom membership fell back to a ScalaUDF — codegen fence reintroduced")
+    assert(report.select("doc_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+  }
+
   test("dsirWeights is repartition-invariant (integer micro-nat sums)") {
     val docs = graft.sim.WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
     val target = docs.filter(col("lang") === "en")
