@@ -18,9 +18,21 @@ import graft.model.{AuditObject, MetaJson, PartitionMeta, TableMeta}
  * straight into replication jobs — the full hooks → audit log → server
  * loop of the reference, with the file directory standing in for the
  * MySQL audit table.
+ *
+ * `thriftOrigin = true` is the METASTORE-LISTENER shape (reference
+ * `hive-hooks/.../MetastoreAuditLogListener.java`): DDL arriving through
+ * the metastore API directly, not through a SQL CLI. Those entries carry
+ * `THRIFT_*` command types and the literal command text `THRIFT_API`
+ * (`MetastoreAuditLogListener.java:311`) — there IS no SQL to log — and
+ * an API-side exchange surfaces as the THRIFT_DROP_PARTITION +
+ * THRIFT_ADD_PARTITION event pair the metastore actually fires, not as
+ * an EXCHANGEPARTITION SQL entry. [[JobFactory]] routes both vocabularies.
  */
 final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
-    startId: Long = 0L) extends CatalogClient {
+    startId: Long = 0L, thriftOrigin: Boolean = false) extends CatalogClient {
+
+  /** `THRIFT_API` sentinel the reference listener writes as the command. */
+  private val ThriftCommand = "THRIFT_API"
 
   private val nextId = new AtomicLong(startId)
   // Jackson ships with Spark — a real JSON writer, so names containing
@@ -73,7 +85,8 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
   // ---- mutations emit audit entries --------------------------------------
   def createDatabase(db: String): Unit = {
     underlying.createDatabase(db)
-    emit("CREATEDATABASE", command = Some(s"CREATE DATABASE $db"))
+    if (thriftOrigin) emit("THRIFT_CREATE_DATABASE", command = Some(ThriftCommand))
+    else emit("CREATEDATABASE", command = Some(s"CREATE DATABASE $db"))
   }
   private def tableObj(t: TableMeta): AuditObject =
     AuditObject("OUTPUT", "TABLE", s"${t.db}.${t.table}", MetaJson.writeTable(t))
@@ -91,13 +104,25 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
 
   def createTable(t: TableMeta): Unit = {
     underlying.createTable(t)
-    emit("CREATETABLE", outputTables = Seq(s"${t.db}.${t.table}"),
-      objects = Seq(tableObj(t)),
-      command = Some(s"CREATE TABLE ${t.db}.${t.table}"))
+    if (thriftOrigin)
+      emit("THRIFT_CREATE_TABLE", outputTables = Seq(s"${t.db}.${t.table}"),
+        objects = Seq(tableObj(t)), command = Some(ThriftCommand))
+    else
+      emit("CREATETABLE", outputTables = Seq(s"${t.db}.${t.table}"),
+        objects = Seq(tableObj(t)),
+        command = Some(s"CREATE TABLE ${t.db}.${t.table}"))
   }
   def alterTable(db: String, table: String, t: TableMeta): Unit = {
     underlying.alterTable(db, table, t)
-    if (db != t.db || table != t.table) {
+    val renamed = db != t.db || table != t.table
+    if (thriftOrigin) {
+      // the listener logs ONE event type for every alter; a rename is
+      // detected downstream by input-name ≠ output-name
+      // (`ReplicationJobFactory.java:599-607`) — renameFrom carries it
+      emit("THRIFT_ALTER_TABLE", outputTables = Seq(s"${t.db}.${t.table}"),
+        renameFrom = if (renamed) Some(s"$db.$table") else None,
+        objects = Seq(tableObj(t)), command = Some(ThriftCommand))
+    } else if (renamed) {
       emit("ALTERTABLE_RENAME", outputTables = Seq(s"${t.db}.${t.table}"),
         renameFrom = Some(s"$db.$table"), objects = Seq(tableObj(t)),
         command = Some(s"ALTER TABLE $db.$table RENAME TO ${t.db}.${t.table}"))
@@ -109,38 +134,63 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
   }
   def dropTable(db: String, table: String): Unit = {
     underlying.dropTable(db, table)
-    emit("DROPTABLE", outputTables = Seq(s"$db.$table"),
-      command = Some(s"DROP TABLE $db.$table"))
+    if (thriftOrigin)
+      emit("THRIFT_DROP_TABLE", outputTables = Seq(s"$db.$table"),
+        command = Some(ThriftCommand))
+    else
+      emit("DROPTABLE", outputTables = Seq(s"$db.$table"),
+        command = Some(s"DROP TABLE $db.$table"))
   }
   def addPartition(p: PartitionMeta): Unit = {
     underlying.addPartition(p)
-    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
-      objects = Seq(partObj(p)),
-      command = Some(s"ALTER TABLE ${p.db}.${p.table} " +
-        s"ADD PARTITION (${specSql(p.partName)})"))
+    if (thriftOrigin)
+      emit("THRIFT_ADD_PARTITION",
+        outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
+        objects = Seq(partObj(p)), command = Some(ThriftCommand))
+    else
+      emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
+        objects = Seq(partObj(p)),
+        command = Some(s"ALTER TABLE ${p.db}.${p.table} " +
+          s"ADD PARTITION (${specSql(p.partName)})"))
   }
   def alterPartition(p: PartitionMeta): Unit = {
     underlying.alterPartition(p)
-    emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
-      objects = Seq(partObj(p)),
-      command = Some(s"INSERT OVERWRITE TABLE ${p.db}.${p.table} " +
-        s"PARTITION (${specSql(p.partName)})"))
+    if (thriftOrigin)
+      emit("THRIFT_ALTER_PARTITION",
+        outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
+        objects = Seq(partObj(p)), command = Some(ThriftCommand))
+    else
+      emit("QUERY", outputPartitions = Seq(s"${p.db}.${p.table}/${p.partName}"),
+        objects = Seq(partObj(p)),
+        command = Some(s"INSERT OVERWRITE TABLE ${p.db}.${p.table} " +
+          s"PARTITION (${specSql(p.partName)})"))
   }
   def dropPartition(db: String, table: String, partName: String): Unit = {
     underlying.dropPartition(db, table, partName)
-    emit("ALTERTABLE_DROPPARTS",
-      outputPartitions = Seq(s"$db.$table/$partName"),
-      command = Some(s"ALTER TABLE $db.$table DROP PARTITION (${specSql(partName)})"))
+    if (thriftOrigin)
+      emit("THRIFT_DROP_PARTITION",
+        outputPartitions = Seq(s"$db.$table/$partName"),
+        command = Some(ThriftCommand))
+    else
+      emit("ALTERTABLE_DROPPARTS",
+        outputPartitions = Seq(s"$db.$table/$partName"),
+        command = Some(s"ALTER TABLE $db.$table DROP PARTITION (${specSql(partName)})"))
   }
   def renamePartition(db: String, table: String, from: String,
       to: PartitionMeta): Unit = {
     underlying.renamePartition(db, table, from, to)
-    emit("ALTERTABLE_RENAMEPART",
-      outputPartitions = Seq(s"$db.$table/${to.partName}"),
-      renameFrom = Some(s"$db.$table/$from"),
-      objects = Seq(partObj(to)),
-      command = Some(s"ALTER TABLE $db.$table PARTITION (${specSql(from)}) " +
-        s"RENAME TO PARTITION (${specSql(to.partName)})"))
+    if (thriftOrigin)
+      emit("THRIFT_ALTER_PARTITION",
+        outputPartitions = Seq(s"$db.$table/${to.partName}"),
+        renameFrom = Some(s"$db.$table/$from"),
+        objects = Seq(partObj(to)), command = Some(ThriftCommand))
+    else
+      emit("ALTERTABLE_RENAMEPART",
+        outputPartitions = Seq(s"$db.$table/${to.partName}"),
+        renameFrom = Some(s"$db.$table/$from"),
+        objects = Seq(partObj(to)),
+        command = Some(s"ALTER TABLE $db.$table PARTITION (${specSql(from)}) " +
+          s"RENAME TO PARTITION (${specSql(to.partName)})"))
   }
 
   /** HIVE-12865 exchange: moves the partition out of `fromDb.fromTable`
@@ -154,11 +204,23 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
       to: PartitionMeta): Unit = {
     underlying.dropPartition(fromDb, fromTable, to.partName)
     underlying.addPartition(to)
-    emit("ALTERTABLE_EXCHANGEPARTITION",
-      command = Some(s"ALTER TABLE ${to.db}.${to.table} " +
-        s"EXCHANGE PARTITION (${specSql(to.partName)}) " +
-        s"WITH TABLE $fromDb.$fromTable"),
-      referenceTables = Seq(s"$fromDb.$fromTable"))
+    if (thriftOrigin) {
+      // an API exchange reaches the listener as the metastore's underlying
+      // drop+add event pair — there is no EXCHANGEPARTITION thrift event,
+      // and no SQL to parse; each half replicates on its own
+      emit("THRIFT_DROP_PARTITION",
+        outputPartitions = Seq(s"$fromDb.$fromTable/${to.partName}"),
+        command = Some(ThriftCommand))
+      emit("THRIFT_ADD_PARTITION",
+        outputPartitions = Seq(s"${to.db}.${to.table}/${to.partName}"),
+        objects = Seq(partObj(to)), command = Some(ThriftCommand))
+    } else {
+      emit("ALTERTABLE_EXCHANGEPARTITION",
+        command = Some(s"ALTER TABLE ${to.db}.${to.table} " +
+          s"EXCHANGE PARTITION (${specSql(to.partName)}) " +
+          s"WITH TABLE $fromDb.$fromTable"),
+        referenceTables = Seq(s"$fromDb.$fromTable"))
+    }
   }
 
   // ---- reads pass through -------------------------------------------------

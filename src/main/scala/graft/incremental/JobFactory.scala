@@ -90,18 +90,28 @@ object JobFactory {
 
   private val ExchangeCommand = "ALTERTABLE_EXCHANGEPARTITION"
 
+  /** Metastore-listener (Thrift API) entries — the reference's
+    * `HiveOperation.isThriftOperation`, which exempts them from the
+    * no-output CLI filter (`ReplicationJobFactory.java:576-583`). */
+  private def isThrift(commandType: String): Boolean =
+    commandType != null && commandType.startsWith("THRIFT_")
+
   /** P2/P3: command-type filter, no-output filter, object-name regex
     * whitelist/blacklist chain (filters are pluggable Dataset transforms —
     * the reference loads filter classes reflectively,
     * `deploy/ReplicationLauncher.java:145-169`). Exchange-partition entries
-    * legally have no outputs (HIVE-12865) and pass through to the parser. */
+    * legally have no outputs (HIVE-12865) and pass through to the parser;
+    * THRIFT_* entries are exempt from the no-output drop like the
+    * reference's isThriftOperation check (database-level thrift events
+    * carry no table outputs yet must not be silently discarded). */
   def filterEntries(entries: Dataset[AuditLogEntry],
       cfg: JobFilterConfig): Dataset[AuditLogEntry] =
     entries
       .filter((e: AuditLogEntry) => !cfg.dropCommandTypes.contains(e.commandType))
       .filter((e: AuditLogEntry) =>
         e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
-          e.renameFrom.isDefined || e.commandType == ExchangeCommand)
+          e.renameFrom.isDefined || e.commandType == ExchangeCommand ||
+          isThrift(e.commandType))
       .map { e =>
         // regexes match the case-NORMALIZED name (P7): a mixed-case entry
         // must not slip past a lowercase blacklist and then lowercase into
@@ -116,7 +126,8 @@ object JobFactory {
       }(entries.encoder)
       .filter((e: AuditLogEntry) =>
         e.outputTables.nonEmpty || e.outputPartitions.nonEmpty ||
-          e.renameFrom.isDefined || e.commandType == ExchangeCommand)
+          e.renameFrom.isDefined || e.commandType == ExchangeCommand ||
+          isThrift(e.commandType))
 
   /**
    * ST7 + ST8: route each entry to an operation and compact multi-partition
@@ -136,6 +147,12 @@ object JobFactory {
         case ExchangeCommand => "EXCHANGE_PARTITION"
         case "ALTERTABLE_RENAME" => "RENAME_TABLE"
         case "ALTERTABLE_RENAMEPART" => "RENAME_PARTITION"
+        // THRIFT alters are one event type for rename AND metadata change;
+        // the reference splits on input-name ≠ output-name
+        // (`ReplicationJobFactory.java:599-616`) — renameFrom carries that
+        case "THRIFT_ALTER_TABLE" if e.renameFrom.isDefined => "RENAME_TABLE"
+        case "THRIFT_ALTER_PARTITION" if e.renameFrom.isDefined =>
+          "RENAME_PARTITION"
         // Default = COPY, matching the reference's switch default
         // (`ReplicationJobFactory.java:585-620`): any command with output
         // tables/partitions — CREATETABLE, QUERY, ALTERTABLE_ADDPARTS,
@@ -209,7 +226,8 @@ object JobFactory {
           // (`ReplicationJobFactory.java:104-140`: COPY_PARTITIONED_TABLE
           // never touches partition data).
           val tableOp = e.commandType match {
-            case "CREATETABLE" | "CREATETABLE_AS_SELECT" | "IMPORT" =>
+            case "CREATETABLE" | "CREATETABLE_AS_SELECT" | "IMPORT" |
+                 "THRIFT_CREATE_TABLE" =>
               TaskType.CopyCompleteTable
             case _ => "COPY_TABLE"
           }

@@ -344,6 +344,55 @@ class IncrementalSpec extends TestBase {
     } finally q.stop()
   }
 
+  test("hooks loop: Thrift-typed drop + exchange + rename converge the dest") {
+    val (server, srcConn, destConn, srcWh, _) = newServer("hooks-thrift")
+    val auditDir = tmpDir("hooks-thrift-audit")
+    val ckpt = tmpDir("hooks-thrift-ckpt")
+    // metastore-listener origin: THRIFT_* command types, command text
+    // THRIFT_API, exchange as the drop+add event pair
+    val hooked = new AuditLoggingCatalog(srcConn.connect(), auditDir.toString,
+      thriftOrigin = true)
+    val staging = partitionedTable("db7", "staging", srcWh)
+    val target = partitionedTable("db7", "target", srcWh)
+    hooked.createTable(staging)
+    hooked.createTable(target)
+    hooked.addPartition(partition(staging, "ds=1/hr=1"))
+    hooked.addPartition(partition(staging, "ds=1/hr=2"))
+    hooked.dropPartition("db7", "staging", "ds=1/hr=2")
+    val moved = partition(target, "ds=1/hr=1")
+    hooked.exchangePartition("db7", "staging", moved)
+
+    // every emitted entry is Thrift-shaped: THRIFT_* type, THRIFT_API text
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val nodes = java.nio.file.Files.list(auditDir).toArray.map(_.toString)
+      .sorted.map(f => mapper.readTree(new java.io.File(f)))
+    assert(nodes.nonEmpty)
+    nodes.foreach { n =>
+      assert(n.get("commandType").asText.startsWith("THRIFT_"), n)
+      assert(n.get("command").asText == "THRIFT_API", n)
+    }
+    // the exchange emitted the drop+add pair, not an EXCHANGEPARTITION SQL
+    assert(nodes.map(_.get("commandType").asText).takeRight(2).toSeq ==
+      Seq("THRIFT_DROP_PARTITION", "THRIFT_ADD_PARTITION"))
+
+    val q = server.start(auditDir.toUri.toString, ckpt.toUri.toString)
+    try {
+      q.processAllAvailable()
+      val dest = destConn.connect()
+      assert(dest.listPartitionNames("db7", "staging").isEmpty)
+      assert(dest.listPartitionNames("db7", "target") == Seq("ds=1/hr=1"))
+      val destP = dest.getPartition("db7", "target", "ds=1/hr=1").get
+      assert(graft.fs.CopyExec.equalDirs(spark, moved.location, destP.location))
+
+      // THRIFT_ALTER_TABLE with a name change routes as RENAME_TABLE
+      val renamed = target.copy(table = "target2")
+      hooked.alterTable("db7", "target", renamed)
+      q.processAllAvailable()
+      assert(dest.getTable("db7", "target").isEmpty)
+      assert(dest.getTable("db7", "target2").isDefined)
+    } finally q.stop()
+  }
+
   test("unparseable exchange command surfaces as NOT_COMPLETABLE, not a silent skip") {
     import spark.implicits._
     val (server, _, _, _, _) = newServer("exch-bad")
