@@ -72,7 +72,7 @@ object ScaleProbe {
     run("dsir_weights")(d =>
       graft.pipeline.Sampling.dsirWeights(d, d.filter(col("doc_id") % 10 === 0)))
     run("quality_chain") { d =>
-      val srv = d.join(TextAnalysis.qualityGate(d)
+      val srv = d.join(TextAnalysis.materializeGate(TextAnalysis.qualityGate(d))
         .filter(col("pass")).select("doc_id"), "doc_id")
       val clean = Boilerplate.removeDupSpans(toked(srv))
         .select(col("doc_id"),

@@ -305,10 +305,20 @@ object Dedup {
    * asymmetry (|B|/|A| → ∞ so J → t·|A|/|B| → 0) the g=1 floor gives
    * P ≈ k·J — raise `k` to chase deeper asymmetry, or prefer
    * [[containmentPairs]] when a genuine block key exists.
+   *
+   * `bucketCap` defaults ON (256), unlike the other LSH paths: the g=1
+   * bands hash a SINGLE minhash value, and every doc whose minimum for
+   * hash j is the same corpus-common token collides there — on real
+   * corpora those buckets hold sizable fractions of the corpus and the
+   * uncapped join is near-quadratic (measured: sf0.1 ran >8 min uncapped
+   * vs seconds capped). The cap keeps the `cap` smallest doc_ids per
+   * (g, band, hash) bucket — same deterministic bound and
+   * loss-confined-to-giant-clusters trade as [[capBuckets]]. `None`
+   * opts out, for corpora known to have no dominant tokens.
    */
   def containmentPairsLsh(docs: DataFrame, threshold: Double, k: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      bucketCap: Option[Int] = None): DataFrame = {
+      bucketCap: Option[Int] = Some(256)): DataFrame = {
     require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
     val spark = docs.sparkSession
     val base = persistInternal("containment_lsh_toks", docs.select(

@@ -43,6 +43,120 @@ object Multimodal {
     }
   }
 
+  /**
+   * The REAL image codec behind the same batch signature: JDK-bundled
+   * `javax.imageio` PNG/JPEG/BMP/GIF decode — no external library. The
+   * stub remains the oracle-parity path (the `documents` fixtures carry
+   * text bytes, not images); this is what a training-data user swaps in
+   * when the binary column holds actual image payloads. `content_hash`
+   * is the MD5 of the decoded ARGB raster (row-major), so two encodings
+   * of the same pixels hash identically — a content-level near-dup key
+   * the encoded-byte hash can't give.
+   */
+  object ImageIoDecoder {
+    def decode(r: MediaRecord): Option[DecodedMeta] = {
+      val img = try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.bytes)))
+      } catch { case _: java.io.IOException => None }
+      img.map { im =>
+        DecodedMeta(r.doc_id, r.media_type, r.bytes.length.toLong,
+          im.getWidth, im.getHeight, pixelMd5(im))
+      }
+    }
+
+    /** MD5 over row-major ARGB ints — encoding-independent content hash. */
+    def pixelMd5(im: java.awt.image.BufferedImage): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(4 * im.getWidth)
+      var y = 0
+      while (y < im.getHeight) {
+        buf.clear()
+        var x = 0
+        while (x < im.getWidth) { buf.putInt(im.getRGB(x, y)); x += 1 }
+        md.update(buf.array, 0, 4 * im.getWidth)
+        y += 1
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+    /** Deterministic nearest-neighbor resize (no Graphics2D rendering
+      * pipeline, whose interpolation can differ across JVM builds). */
+    def resize(im: java.awt.image.BufferedImage, dstW: Int,
+        dstH: Int): java.awt.image.BufferedImage = {
+      val out = new java.awt.image.BufferedImage(dstW, dstH,
+        java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      var y = 0
+      while (y < dstH) {
+        val sy = math.min(im.getHeight - 1, y.toLong * im.getHeight / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = math.min(im.getWidth - 1, x.toLong * im.getWidth / dstW).toInt
+          out.setRGB(x, y, im.getRGB(sx, sy))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /**
+   * [[decodeMeta]] with the real codec: same partition-preserving
+   * mapPartitions shape, actual pixels. Corrupt/undecodable payloads
+   * FAIL the job by default (silent loss is the wrong default for a
+   * training corpus); `dropCorrupt = true` drops them instead — the
+   * web-scale setting, where a tolerable fraction of crawl images is
+   * always broken.
+   */
+  def decodeReal(spark: SparkSession, media: DataFrame,
+      dropCorrupt: Boolean = false): Dataset[DecodedMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_type"), col("media_bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, mt, bytes) =>
+          ImageIoDecoder.decode(MediaRecord(id, mt, bytes)) match {
+            case some @ Some(_) => some
+            case None if dropCorrupt => None
+            case None => throw new IllegalArgumentException(
+              s"doc_id=$id: payload (${bytes.length} bytes, $mt) is not a " +
+                "decodable image; use dropCorrupt=true to skip corrupt media")
+          }
+        }
+      }
+  }
+
+  /** Real resize: decode → deterministic nearest-neighbor scale → ARGB
+    * raster hash of the RESIZED image. Same output schema as
+    * [[resizeStub]]. */
+  def resizeReal(spark: SparkSession, media: DataFrame,
+      dstW: Int = 224, dstH: Int = 224,
+      dropCorrupt: Boolean = false): Dataset[ResizedMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+          } catch { case _: java.io.IOException => None }
+          img match {
+            case Some(im) =>
+              val resized = ImageIoDecoder.resize(im, dstW, dstH)
+              Some(ResizedMeta(id, im.getWidth, im.getHeight, dstW, dstH,
+                round6(dstW.toDouble / im.getWidth),
+                round6(dstH.toDouble / im.getHeight),
+                ImageIoDecoder.pixelMd5(resized)))
+            case None if dropCorrupt => None
+            case None => throw new IllegalArgumentException(
+              s"doc_id=$id: payload is not a decodable image")
+          }
+        }
+      }
+  }
+
   /** Attach a binary media column (payload = utf-8 bytes of the text in
     * tests; on a real pipeline this is the raw image/audio blob). */
   def withMediaColumn(docs: DataFrame, textCol: String = "text"): DataFrame =

@@ -244,6 +244,68 @@ object TextAnalysis {
   }
 
   /**
+   * BPE tokenizer induction — the iterated-merge loop [[bpePairStats]] is
+   * one step of. Classic algorithm (Sennrich et al. 2016, "Neural Machine
+   * Translation of Rare Words with Subword Units"): segment every word
+   * into symbols, count adjacent symbol pairs weighted by word frequency,
+   * merge the most frequent pair corpus-wide, repeat `nMerges` times.
+   *
+   * Scale shape: everything iterates over the word-TYPE table (one row
+   * per distinct word + its count — bounded by vocabulary, not corpus
+   * size), so each step is a word-count-shaped aggregate plus a top-1
+   * `TakeOrdered`; the driver loop holds only the merge list, exactly
+   * like [[Semantic.kmeansAssign]] holds centroids. Lineage is truncated
+   * per step (localCheckpoint on the bounded table).
+   *
+   * Segmentations travel as bracket-delimited strings (`low` →
+   * `<l><o><w>`): a merge is then ONE literal string replace
+   * (`<l><o>` → `<lo>`), whose left-to-right non-overlapping semantics
+   * equal greedy BPE application — and replay identically in DuckDB's
+   * `replace`, making the whole learned merge list hash-verifiable.
+   * Words are restricted to `[a-z0-9]+` so the bracket markers cannot
+   * collide with symbol text (tokenizer induction over alphanumeric word
+   * types — punctuation-bearing types carry no subword signal anyway).
+   * Ties break on the bracketed pair string in BOTH engines.
+   *
+   * Returns the merge list: (step, pair, merged, cnt) — nMerges rows.
+   * Fails loudly if the corpus runs out of pairs before `nMerges`.
+   */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("seg", regexp_replace(col("w"), "(.)", "<$1>"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to nMerges) {
+      val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "><")
+      val top = words.select(col("cnt"), explode(
+          when(size(syms) >= 2, transform(sequence(lit(1), size(syms) - 1),
+            i => concat(lit("<"), element_at(syms, i), lit("><"),
+              element_at(syms, i + 1), lit(">"))))
+            .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("pair"))
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus exhausted at merge $step of $nMerges — lower nMerges")
+      val pat = top(0).getString(0)
+      val pcnt = top(0).getLong(1)
+      val merged = "<" + pat.substring(1, pat.length - 1).replace("><", "") + ">"
+      merges += ((step.toLong, pat, merged, pcnt))
+      words = words.withColumn("seg",
+          regexp_replace(col("seg"),
+            lit(java.util.regex.Pattern.quote(pat)), lit(merged)))
+        .localCheckpoint()
+    }
+    merges.result().toDF("step", "pair", "merged", "cnt")
+  }
+
+  /**
    * CCNet-style quality tiers: rank documents by their unigram-LM mean
    * NLL ([[unigramNll]]) and split into `tiers` equal buckets — tier 1
    * ("head") is the most-predictable text, the last tier ("tail") the
@@ -344,6 +406,23 @@ object TextAnalysis {
     * optimizer barrier (see [[qualityGate]]). */
   private val qualityGateBarrier =
     udf((s: String) => s).asNondeterministic()
+
+  /**
+   * The intended composition pattern for multi-branch [[qualityGate]]
+   * consumers: materialize the verdict frame ONCE, then let every
+   * downstream branch read the stored verdicts. The gate's barrier
+   * (deliberately) stops filter/projection pushdown, so a pipeline that
+   * consumes the gate from k branches (e.g. span-removal's window-count
+   * + rewrite passes) re-runs the whole signal computation k times —
+   * `localCheckpoint` cuts that to 1 by writing the frame to executor
+   * block storage and truncating lineage. The frame is narrow (6 columns
+   * per doc, no text), so the stored size is a rounding error next to
+   * the corpus; blocks free with the frame's RDD via the context
+   * cleaner, so no session-lifetime cache is held by the library —
+   * lifetime is the caller's reference, which is the contract that kept
+   * Dedup's internal-cache registry bounded.
+   */
+  def materializeGate(gate: DataFrame): DataFrame = gate.localCheckpoint()
 
   /**
    * Interpolated bigram-LM scoring — one order up from [[unigramNll]]:

@@ -33,6 +33,45 @@ object PipelineQueries5 {
   private val dsirTopN = 100
   private val contThreshold = 0.8
   private val orderShards = 8
+  private val bpeMerges = 10
+
+  /** Unrolled DuckDB replay of [[TextAnalysis.bpeLearn]]: w0 is the
+    * word-type table with bracket segmentations; each step i chains
+    * pair-count (p_i) → argmax (m_i) → merge-by-replace (w_i). */
+  private def bpeLearnSql(n: Int): String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // step references its predecessor three times (pair count + two
+    // argmax scalar subqueries) — inlined, the base scan duplicates 3^n
+    // times and the query dies on file handles before it runs
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt,
+        |    regexp_replace(w, '(.)', '<\1>', 'g') AS seg
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z0-9]+$')
+        |  GROUP BY w)""".stripMargin
+    val steps = (1 to n).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pcnt FROM (
+         |    SELECT cnt, '<' || syms[i] || '><' || syms[i + 1] || '>' AS pair
+         |    FROM (SELECT cnt, str_split(seg[2:-2], '><') AS syms FROM w${i - 1}),
+         |      LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i))
+         |  GROUP BY pair),
+         |m$i AS MATERIALIZED (SELECT $i AS step, pair,
+         |  '<' || replace(pair[2:-2], '><', '') || '>' AS merged, pcnt
+         |  FROM p$i ORDER BY pcnt DESC, pair LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT w, cnt,
+         |  replace(seg, (SELECT pair FROM m$i), (SELECT merged FROM m$i)) AS seg
+         |  FROM w${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""WITH $w0,
+       |$steps
+       |SELECT CAST(step AS BIGINT) AS step, pair, merged,
+       |  CAST(pcnt AS BIGINT) AS cnt
+       |FROM ($union)""".stripMargin
+  }
   private val gateMinTokens = 16L
   private val gateMaxTokens = 100000L
   private val gateMinTokLen = 2.0
@@ -398,11 +437,14 @@ object PipelineQueries5 {
          |FROM cx""".stripMargin)) {
       (s, dir) => {
         val docs = W.read(s, dir, "documents")
+        // materialize the verdict frame: the chain's downstream passes
+        // (span windows + rewrite) consume the survivors multiple times,
+        // and without this each pass re-runs the gate's signal pipeline
         val srv = docs.join(
-          TextAnalysis.qualityGate(docs,
+          TextAnalysis.materializeGate(TextAnalysis.qualityGate(docs,
             minTokens = gateMinTokens, maxTokens = gateMaxTokens,
             minMeanTokLen = gateMinTokLen, maxMeanTokLen = gateMaxTokLen,
-            minAlpha = gateMinAlpha, maxDupFrac = gateMaxDupFrac)
+            minAlpha = gateMinAlpha, maxDupFrac = gateMaxDupFrac))
             .filter(col("pass")).select("doc_id"),
           "doc_id")
         val toked = srv.select(col("doc_id"),
@@ -429,6 +471,18 @@ object PipelineQueries5 {
          |WHERE rank <= $bpeTopK""".stripMargin)) {
       (s, dir) =>
         TextAnalysis.bpePairStats(W.read(s, dir, "documents"), topK = bpeTopK)
+    },
+
+    // ---- BPE learn: iterated merges ---------------------------------------
+
+    // The oracle replays the full merge loop, unrolled: each step is a
+    // pair-count aggregate over the word-type table + LIMIT-1 argmax +
+    // a literal string replace of the winning pair — the same
+    // bracket-delimited segmentation encoding the Spark side uses, so
+    // the learned merge list hash-matches end-to-end.
+    QueryDef("t_bpe_learn", bpeLearnSql(bpeMerges)) {
+      (s, dir) =>
+        TextAnalysis.bpeLearn(W.read(s, dir, "documents"), nMerges = bpeMerges)
     },
 
     // ---- composite quality gate -------------------------------------------
