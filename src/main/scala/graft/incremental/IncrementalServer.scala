@@ -43,12 +43,16 @@ final case class IncrementalConfig(
     // two-way-sync protection: with false, copies whose dest is newer than
     // the source event become guarded DestNewer no-ops (reference knob
     // BATCH_JOB_OVERWRITE_NEWER)
-    overwriteNewer: Boolean = true)
+    overwriteNewer: Boolean = true,
+    // per-job execution stats sidecar (MapRedStatsLogModule analog):
+    // one JSON row per execution with duration/attempts/status
+    statsDir: Option[String] = None)
 
 final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
 
   val state = new StateStore(spark, cfg.stateDir)
   val watermark = new Watermark(cfg.watermarkPath)
+  private val statsLog = cfg.statsDir.map(new graft.observability.JobStatsLog(_))
 
   private def ctx = TaskContext(spark, cfg.destConnector.connect(),
     cfg.srcFsRoot, cfg.destFsRoot, overwriteNewer = cfg.overwriteNewer)
@@ -138,8 +142,26 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
     * outcome is a *return value*, not an exception, so it is never retried
     * (the reference's FAILED-vs-NOT_COMPLETABLE classification); exceptions
     * exhausting the retries propagate and LockExecutor records FAILED. */
-  private def runJobWithRetry(j: JobState): String =
-    Tasks.withRetry(cfg.maxRetries, sleeper = cfg.retrySleeper)(runJob(j))
+  private def runJobWithRetry(j: JobState): String = {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t0 = System.nanoTime()
+    def record(status: String): Unit = statsLog.foreach(_.append(
+      graft.observability.JobStats(j.id, j.operation, j.db, j.table,
+        j.partitions.size, status, attempts.get,
+        (System.nanoTime() - t0) / 1000000L,
+        java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(
+          java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))))
+    try {
+      val s = Tasks.withRetry(cfg.maxRetries, sleeper = cfg.retrySleeper) {
+        attempts.incrementAndGet(); runJob(j)
+      }
+      record(s)
+      s
+    } catch {
+      case e: Throwable => record(JobStatus.Failed); throw e
+    }
+  }
 
   /** One micro-batch: plan → persist ALL jobs PENDING → execute in chunks
     * of maxJobsPerBatch → persist statuses → watermark. Every planned job

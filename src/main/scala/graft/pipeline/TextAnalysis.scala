@@ -272,9 +272,18 @@ object TextAnalysis {
    */
   def bpeLearn(docs: DataFrame, nMerges: Int = 10,
       textCol: String = "text"): DataFrame = {
-    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeCore(docs, nMerges, textCol)._1
+      .toDF("step", "pair", "merged", "cnt")
+  }
+
+  /** The learn loop; returns (merge list, word-type table with final
+    * bracket segmentations) so [[bpeEncode]] can apply the vocabulary
+    * without re-learning. */
+  private def bpeCore(docs: DataFrame, nMerges: Int, textCol: String)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     var words = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -302,7 +311,38 @@ object TextAnalysis {
             lit(java.util.regex.Pattern.quote(pat)), lit(merged)))
         .localCheckpoint()
     }
-    merges.result().toDF("step", "pair", "merged", "cnt")
+    (merges.result(), words)
+  }
+
+  /**
+   * Apply a [[bpeLearn]]-induced vocabulary back to the corpus: learn
+   * `nMerges` merges, then segment every alphanumeric token instance
+   * with the final merge table and report per-document subword stats —
+   * (doc_id, n_words, n_subwords, mean_subwords). The tokenizer-
+   * compression readout: mean_subwords falls as merges absorb frequent
+   * character sequences, and per-doc outliers flag vocabulary-hostile
+   * text (codes, ids, non-target languages).
+   *
+   * Scale shape: segmentation cost is ONE equi-join of corpus token
+   * instances against the word-TYPE table (AQE broadcasts it when the
+   * vocabulary is small; shuffles both sides when web-scale typo/id
+   * vocabularies are not) plus a per-doc aggregate — the learn loop's
+   * bounded-table iterations are unchanged. Non-alphanumeric tokens
+   * carry no subword signal and are excluded on both engines.
+   */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (_, words) = bpeCore(docs, nMerges, textCol)
+    val sub = words.select(col("w"),
+      size(split(expr("substring(seg, 2, length(seg) - 2)"), "><")).as("nsub"))
+    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .filter(col("tok").rlike("^[a-z0-9]+$"))
+      .join(sub, col("tok") === col("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("nsub").cast("long").as("n_subwords"),
+        round(sum("nsub").cast("double") / count(lit(1)), 6)
+          .as("mean_subwords"))
   }
 
   /**

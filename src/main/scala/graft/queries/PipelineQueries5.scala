@@ -38,7 +38,7 @@ object PipelineQueries5 {
   /** Unrolled DuckDB replay of [[TextAnalysis.bpeLearn]]: w0 is the
     * word-type table with bracket segmentations; each step i chains
     * pair-count (p_i) → argmax (m_i) → merge-by-replace (w_i). */
-  private def bpeLearnSql(n: Int): String = {
+  private def bpeCtes(n: Int): String = {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // step references its predecessor three times (pair count + two
     // argmax scalar subqueries) — inlined, the base scan duplicates 3^n
@@ -65,13 +65,30 @@ object PipelineQueries5 {
          |  replace(seg, (SELECT pair FROM m$i), (SELECT merged FROM m$i)) AS seg
          |  FROM w${i - 1})""".stripMargin
     }.mkString(",\n")
+    s"$w0,\n$steps"
+  }
+
+  private def bpeLearnSql(n: Int): String = {
     val union = (1 to n).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
-    s"""WITH $w0,
-       |$steps
+    s"""WITH ${bpeCtes(n)}
        |SELECT CAST(step AS BIGINT) AS step, pair, merged,
        |  CAST(pcnt AS BIGINT) AS cnt
        |FROM ($union)""".stripMargin
   }
+
+  /** Encode replay: corpus token instances joined to the final merged
+    * word-type table w_n; subword count = symbols in the segmentation. */
+  private def bpeEncodeSql(n: Int): String =
+    s"""WITH $tokDocs,
+       |${bpeCtes(n)},
+       |enc AS (
+       |  SELECT t.doc_id, len(str_split(w.seg[2:-2], '><')) AS nsub
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) t
+       |  JOIN w$n w ON t.tok = w.w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
+       |  round(CAST(sum(nsub) AS DOUBLE) / count(*), 6) AS mean_subwords
+       |FROM enc GROUP BY doc_id""".stripMargin
   private val gateMinTokens = 16L
   private val gateMaxTokens = 100000L
   private val gateMinTokLen = 2.0
@@ -483,6 +500,14 @@ object PipelineQueries5 {
     QueryDef("t_bpe_learn", bpeLearnSql(bpeMerges)) {
       (s, dir) =>
         TextAnalysis.bpeLearn(W.read(s, dir, "documents"), nMerges = bpeMerges)
+    },
+
+    // apply the learned vocabulary: per-doc subword stats under the
+    // n-merge tokenizer — the compression readout that makes the learn
+    // loop's output consumable
+    QueryDef("t_bpe_encode", bpeEncodeSql(bpeMerges)) {
+      (s, dir) =>
+        TextAnalysis.bpeEncode(W.read(s, dir, "documents"), nMerges = bpeMerges)
     },
 
     // ---- composite quality gate -------------------------------------------

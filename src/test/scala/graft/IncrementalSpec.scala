@@ -158,17 +158,32 @@ class IncrementalSpec extends TestBase {
     // src connector fails twice then recovers — the retry wrapper (T10)
     // must absorb the transient errors instead of marking the job FAILED
     IncrementalSpec.flakyCalls.set(0)
+    val statsDir = tmpDir("retry-stats")
     val cfg = IncrementalConfig(FlakySrcConnector(srcConn, failFirst = 2),
       destConn,
       srcWh.toUri.toString.stripSuffix("/"), destWh.toUri.toString.stripSuffix("/"),
       stateDir.toUri.toString + "jobs", stateDir.toUri.toString + "watermark",
-      workers = 2, retrySleeper = _ => ())
+      workers = 2, retrySleeper = _ => (),
+      statsDir = Some(statsDir.toString))
     val server = new IncrementalServer(spark, cfg)
     val rs = server.processBatch(spark.createDataset(Seq(
       entry(1, "CREATETABLE", outTables = Seq("db1.t_flaky")))))
     assert(rs.map(_._2) == Seq(JobStatus.Successful),
       s"statuses: ${rs.map(_._2)}")
     assert(destConn.connect().getTable("db1", "t_flaky").isDefined)
+
+    // MapRedStats analog: the execution wrote one stats row carrying the
+    // retry count (2 transient failures + 1 success = 3 attempts)
+    val stats = graft.observability.JobStatsLog
+      .read(spark, statsDir.toUri.toString).collect()
+    assert(stats.length == 1, stats.mkString(","))
+    val r = stats.head
+    assert(r.getAs[Long]("job_id") == 1L)
+    assert(r.getAs[String]("operation") == graft.model.TaskType.CopyCompleteTable)
+    assert(r.getAs[String]("db") == "db1" && r.getAs[String]("table") == "t_flaky")
+    assert(r.getAs[String]("status") == JobStatus.Successful)
+    assert(r.getAs[Int]("attempts") == 3, s"attempts=${r.getAs[Int]("attempts")}")
+    assert(r.getAs[Long]("duration_ms") >= 0)
   }
 
   test("overwriteNewer=false: a stale replay records DEST_IS_NEWER, not SUCCESSFUL") {
