@@ -22,6 +22,11 @@ import graft.model.JobStatus
  *    (the reference web UI's per-job detail page). Bounded by `limit`
  *    (default 50, max 500); runs one small Spark job per request — an
  *    on-demand page, unlike /status which serves from the cached rollup.
+ *  - `GET /job?id=N` → full detail for ONE job (every state field incl.
+ *    rename targets and extras) plus its execution history from the
+ *    [[JobStatsLog]] sidecar when `statsDir` is configured — per-attempt
+ *    status/duration/retry rows, the drill-down the reference web UI
+ *    renders per active/retired job (`web-server/.../WebServer.java:74`).
  *  - `GET /health`  → 200 "ok" (liveness).
  *
  * All numbers come from the state table's latest-wins view and the
@@ -32,7 +37,8 @@ import graft.model.JobStatus
 final class StatusServer(state: StateStore, watermark: Watermark,
     collector: Option[Metrics.Collector] = None, port: Int = 0,
     statsd: Option[StatsdReporter] = None,
-    statsdPeriodMillis: Long = 30000L) {
+    statsdPeriodMillis: Long = 30000L,
+    statsDir: Option[String] = None) {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private var server: HttpServer = _
@@ -68,6 +74,26 @@ final class StatusServer(state: StateStore, watermark: Watermark,
           case Some(b) => respond(ex, 200, b)
           case None =>
             respond(ex, 503, """{"error":"state temporarily unavailable"}""")
+        }
+      }
+    })
+    // longest-prefix routing: /jobs wins over /job for the list URL
+    server.createContext("/job", new HttpHandler {
+      def handle(ex: HttpExchange): Unit = {
+        val id = Option(ex.getRequestURI.getQuery).getOrElse("").split('&')
+          .map(_.split("=", 2))
+          .collectFirst { case Array("id", v) => v }.flatMap(_.toLongOption)
+        id match {
+          case None =>
+            respond(ex, 400, """{"error":"id parameter required"}""")
+          case Some(i) =>
+            (try Some(jobJson(i)) catch { case _: Throwable => None }) match {
+              case Some(Some(b)) => respond(ex, 200, b)
+              case Some(None) =>
+                respond(ex, 404, s"""{"error":"no job $i"}""")
+              case None => respond(ex, 503,
+                """{"error":"state temporarily unavailable"}""")
+            }
         }
       }
     })
@@ -199,6 +225,58 @@ final class StatusServer(state: StateStore, watermark: Watermark,
         n.put("partitions", j.partitions.mkString(","))
     }
     mapper.writeValueAsString(arr)
+  }
+
+  /** Full state row for one job + its per-execution stats history;
+    * None = unknown id. Both collects are bounded: latest-wins yields at
+    * most one state row, and executions are bounded by the retry cap
+    * times replay count. */
+  private[observability] def jobJson(id: Long): Option[String] = {
+    val cur = state.current()
+    cur.filter((j: graft.model.JobState) => j.id == id).limit(1)
+      .collect().headOption.map { j =>
+        val n = mapper.createObjectNode()
+        n.put("id", j.id)
+        n.put("createTime", j.createTime)
+        n.put("operation", j.operation)
+        n.put("status", j.status)
+        n.put("db", j.db)
+        n.put("table", j.table)
+        if (j.partitions.nonEmpty) {
+          val a = n.putArray("partitions")
+          j.partitions.foreach(a.add)
+        }
+        j.srcTldt.foreach(n.put("srcTldt", _))
+        j.renameToDb.foreach(n.put("renameToDb", _))
+        j.renameToTable.foreach(n.put("renameToTable", _))
+        if (j.extras.nonEmpty) {
+          val e = n.putObject("extras")
+          j.extras.foreach { case (k, v) => e.put(k, v); () }
+        }
+        statsDir.foreach { d =>
+          import org.apache.spark.sql.functions.col
+          // the sidecar dir appears on the first completed execution —
+          // before that, "no history yet" and "no dir yet" both mean []
+          val execs =
+            try JobStatsLog.read(cur.sparkSession, d)
+              .filter(col("job_id") === id)
+              .orderBy(col("completed_at")).collect()
+            catch {
+              case _: org.apache.spark.sql.AnalysisException =>
+                Array.empty[org.apache.spark.sql.Row]
+            }
+          val arr = n.putArray("executions")
+          execs.foreach { r =>
+            val o = arr.addObject()
+            o.put("status", r.getAs[String]("status"))
+            o.put("attempts", r.getAs[Int]("attempts"))
+            o.put("duration_ms", r.getAs[Long]("duration_ms"))
+            o.put("completed_at", r.getAs[String]("completed_at"))
+            ()
+          }
+        }
+        mapper.writeValueAsString(n)
+      }
   }
 }
 

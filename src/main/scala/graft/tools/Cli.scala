@@ -126,7 +126,7 @@ object HdfsSyncTool {
   * `--src-catalog ... --dest-catalog ... --src-root ... --dest-root ...
   *  --state-dir ... [--audit-dir dir | --audit-jdbc url] [--workers N]
   *  [--max-jobs N] [--status-port P] [--start-after-id N]
-  *  [--statsd host:port]`. */
+  *  [--statsd host:port] [--stats-dir dir]`. */
 object IncrementalService {
 
   def config(flags: Map[String, String]): IncrementalConfig = IncrementalConfig(
@@ -137,7 +137,8 @@ object IncrementalService {
     stateDir = flags("state-dir").stripSuffix("/") + "/jobs",
     watermarkPath = flags("state-dir").stripSuffix("/") + "/watermark",
     workers = flags.getOrElse("workers", "20").toInt,
-    maxJobsPerBatch = flags.getOrElse("max-jobs", "600").toInt)
+    maxJobsPerBatch = flags.getOrElse("max-jobs", "600").toInt,
+    statsDir = flags.get("stats-dir"))
 
   def main(args: Array[String]): Unit = {
     val flags = Cli.parseFlags(args.toSeq)
@@ -155,7 +156,8 @@ object IncrementalService {
     }
     val status = new StatusServer(server.state, server.watermark,
       Some(Metrics.install(spark)),
-      flags.getOrElse("status-port", "0").toInt, statsd)
+      flags.getOrElse("status-port", "0").toInt, statsd,
+      statsDir = flags.get("stats-dir"))
     val port = status.start()
     println(s"status endpoint on :$port")
     server.recover()

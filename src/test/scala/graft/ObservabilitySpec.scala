@@ -140,4 +140,57 @@ class ObservabilitySpec extends TestBase {
         s"newest first: $all")
     } finally { srv.stop(); reporter.close(); recv.close() }
   }
+
+  test("/job serves one job's full detail with execution history") {
+    val dir = tmpDir("jobdetail-state")
+    val state = new StateStore(spark, dir.toUri.toString + "jobs")
+    val wm = new Watermark(dir.toUri.toString + "watermark")
+    state.append(Seq(
+      JobState(7, 1700000000000L, "COPY_PARTITION", JobStatus.Successful,
+        "db", "t1", Seq("ds=1", "ds=2"), Some(123L), None, None,
+        Map("src_path" -> "/wh/db/t1"))))
+
+    val statsDir = tmpDir("jobdetail-stats")
+    val log = new graft.observability.JobStatsLog(statsDir.toString)
+    // a crashed first run then a successful replay: two execution rows
+    log.append(graft.observability.JobStats(7, "COPY_PARTITION", "db", "t1",
+      2, JobStatus.Failed, 3, 40L, "2026-01-01T00:00:00.000"))
+    log.append(graft.observability.JobStats(7, "COPY_PARTITION", "db", "t1",
+      2, JobStatus.Successful, 1, 12L, "2026-01-01T00:05:00.000"))
+
+    val srv = new StatusServer(state, wm,
+      statsDir = Some(statsDir.toUri.toString))
+    val port = srv.start()
+    try {
+      def get(path: String): (Int, String) = {
+        val conn = new java.net.URI(s"http://localhost:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        try {
+          val code = conn.getResponseCode
+          val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+          (code, new String(is.readAllBytes()))
+        } finally conn.disconnect()
+      }
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val (code, body) = get("/job?id=7")
+      assert(code == 200, s"$code: $body")
+      val j = mapper.readTree(body)
+      assert(j.get("operation").asText == "COPY_PARTITION")
+      assert(j.get("status").asText == JobStatus.Successful)
+      assert(j.get("db").asText == "db" && j.get("table").asText == "t1")
+      assert(j.get("partitions").size == 2)
+      assert(j.get("srcTldt").asLong == 123L)
+      assert(j.get("extras").get("src_path").asText == "/wh/db/t1")
+      val execs = j.get("executions")
+      assert(execs.size == 2, s"executions: $execs")
+      // ordered by completed_at: the failed run first, then the replay
+      assert(execs.get(0).get("status").asText == JobStatus.Failed)
+      assert(execs.get(0).get("attempts").asInt == 3)
+      assert(execs.get(1).get("status").asText == JobStatus.Successful)
+      assert(execs.get(1).get("duration_ms").asLong == 12L)
+
+      assert(get("/job?id=99")._1 == 404)
+      assert(get("/job")._1 == 400)
+    } finally srv.stop()
+  }
 }
