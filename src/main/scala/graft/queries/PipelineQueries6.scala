@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.pipeline.Classifier
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-6 batch: the learned quality filter ([[Classifier]]) as
+ * oracle-checked queries. The DuckDB oracle REPLAYS TRAINING — all
+ * `iters` full-batch GD steps as unrolled CTEs over integer micro-unit
+ * weight tables (the same discipline as the BPE-learn replay) — so the
+ * hash-match certifies the training trajectory and the calibration
+ * sweep, not just a final projection.
+ *
+ * Cross-engine float parity: logits are exact BIGINT micro-unit sums;
+ * the only engine-ordered float reductions are the per-bucket gradient
+ * sums, quantized to one micro-unit (`round()` half-away-from-zero in
+ * both engines) before they touch the model.
+ */
+object PipelineQueries6 {
+
+  private val lrDims = 256
+  private val lrIters = 8
+  private val lrRate = 0.02
+  private val lrBeta = 0.9
+
+  /** Per-token hashed bucket rows; md5 computed once per token row, the
+    * hex→int expansion referencing the alias. */
+  private val tkCte =
+    s"""tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, ${PipelineQueries2.duckHex32("h")} % $lrDims AS j
+       |  FROM (SELECT doc_id, md5('feat:' || t) AS h FROM tok
+       |        WHERE regexp_matches(t, '^[a-z0-9]+$$')))""".stripMargin
+
+  /** The unrolled training replay ending in a `scores` CTE:
+    * base → w0 (all-zeros weights AND velocities, bias at j = −1) →
+    * per-iteration (wa/bb weight array, z residuals, g gradients,
+    * heavy-ball velocity + weight update in micro-units). */
+  private def lrCtes(iters: Int): String = {
+    val logit = (wAlias: String) =>
+      s"CAST(bb.bw + coalesce(list_sum(list_transform(js, x -> $wAlias.wa[x + 1])), 0) AS DOUBLE) / 1000000.0"
+    val base =
+      s"""$tkCte,
+         |base AS MATERIALIZED (
+         |  SELECT d.doc_id, CAST(d.lang = 'en' AS INT) AS y,
+         |    coalesce(f.js, CAST([] AS BIGINT[])) AS js
+         |  FROM documents d LEFT JOIN (
+         |    SELECT doc_id, list_sort(list(j)) AS js
+         |    FROM tk GROUP BY doc_id) f USING (doc_id)),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+         |w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS wt,
+         |         CAST(0 AS BIGINT) AS vt
+         |       FROM range(-1, $lrDims) r(j))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""wa$i AS (SELECT list(wt ORDER BY j) AS wa FROM w${i - 1} WHERE j >= 0),
+         |bb$i AS (SELECT wt AS bw FROM w${i - 1} WHERE j = -1),
+         |z$i AS MATERIALIZED (
+         |  SELECT doc_id, y, js,
+         |    1.0/(1.0 + exp(-(${logit(s"wa$i")}))) - CAST(y AS DOUBLE) AS r
+         |  FROM base, wa$i, bb$i bb),
+         |g$i AS MATERIALIZED (
+         |  SELECT j, sum(r) AS s FROM (
+         |    SELECT unnest(list_append(js, CAST(-1 AS BIGINT))) AS j, r
+         |    FROM z$i) GROUP BY j),
+         |w$i AS MATERIALIZED (
+         |  SELECT j, wt - CAST(round($lrRate * vtn) AS BIGINT) AS wt,
+         |    CAST(vtn AS BIGINT) AS vt
+         |  FROM (SELECT w.j, w.wt, round($lrBeta * w.vt
+         |          + coalesce(g.s, 0.0) / (SELECT n FROM nn) * 1000000.0)
+         |          AS vtn
+         |        FROM w${i - 1} w LEFT JOIN g$i g USING (j)))""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps,
+       |waF AS (SELECT list(wt ORDER BY j) AS wa FROM w$iters WHERE j >= 0),
+       |bbF AS (SELECT wt AS bw FROM w$iters WHERE j = -1),
+       |scores AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    round(1.0/(1.0 + exp(-(${logit("waF")}))), 6) AS score
+       |  FROM base, waF, bbF bb)""".stripMargin
+  }
+
+  private def classifierSql(iters: Int): String =
+    s"""WITH ${lrCtes(iters)}
+       |SELECT doc_id, y AS label, score,
+       |  CAST(score >= 0.5 AS INT) AS pred
+       |FROM scores""".stripMargin
+
+  private def evalSql(iters: Int): String =
+    s"""WITH ${lrCtes(iters)}
+       |SELECT thr, tp, fp, fn, tn, "precision", "recall",
+       |  CASE WHEN "precision" IS NOT NULL AND "recall" IS NOT NULL
+       |            AND "precision" + "recall" > 0
+       |       THEN round(2.0 * "precision" * "recall"
+       |                  / ("precision" + "recall"), 6) END AS f1
+       |FROM (
+       |  SELECT thr, tp, fp, fn, tn,
+       |    CASE WHEN tp + fp > 0
+       |         THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS "precision",
+       |    CASE WHEN tp + fn > 0
+       |         THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS "recall"
+       |  FROM (
+       |    SELECT CAST(t AS DOUBLE) / 10 AS thr,
+       |      CAST(sum(CASE WHEN score >= CAST(t AS DOUBLE) / 10 AND y = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |      CAST(sum(CASE WHEN score >= CAST(t AS DOUBLE) / 10 AND y = 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |      CAST(sum(CASE WHEN score < CAST(t AS DOUBLE) / 10 AND y = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |      CAST(sum(CASE WHEN score < CAST(t AS DOUBLE) / 10 AND y = 0
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |    FROM scores, range(1, 10) r(t) GROUP BY t))""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // learned quality filter: LR over hashed token features, trained by
+    // replayable quantized GD — scores + 0.5-threshold verdicts
+    QueryDef("t_quality_classifier", classifierSql(lrIters)) {
+      (s, dir) =>
+        Classifier.lrScores(W.read(s, dir, "documents"),
+          dims = lrDims, iters = lrIters, lr = lrRate, beta = lrBeta)
+    },
+
+    // calibration sweep: confusion counts + precision/recall/F1 at
+    // thresholds 0.1..0.9 — the operating-point picker for the gate
+    QueryDef("t_classifier_eval", evalSql(lrIters)) {
+      (s, dir) =>
+        Classifier.lrEval(W.read(s, dir, "documents"),
+          dims = lrDims, iters = lrIters, lr = lrRate, beta = lrBeta)
+    }
+  )
+}

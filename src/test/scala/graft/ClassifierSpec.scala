@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Classifier
+import graft.sim.WarehouseSim
+
+/** Learned-quality-filter invariants: the trainer separates a corpus
+  * with real signal, degrades gracefully on edge inputs, and the
+  * calibration sweep's confusion counts are internally consistent. */
+class ClassifierSpec extends TestBase {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private def docs = WarehouseSim.read(spark, sfDir, "documents")
+
+  test("strong-signal fixture: near-perfect separation in few iterations") {
+    import spark.implicits._
+    // label-1 docs speak "alpha", label-0 docs speak "beta" — disjoint
+    // token rates, so a working LR must drive the classes apart
+    val fixture = (0 until 200).map { i =>
+      val pos = i % 2 == 0
+      val word = if (pos) "alpha" else "beta"
+      (i.toLong, (Seq.fill(20)(word) ++ Seq("shared", "tokens")).mkString(" "),
+        if (pos) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val scored = Classifier.lrScores(fixture, dims = 64, iters = 10, lr = 0.5)
+    val acc = scored.filter(col("pred") === col("label")).count() / 200.0
+    assert(acc >= 0.99, s"accuracy $acc on a separable fixture")
+    val gap = scored.groupBy("label").agg(avg("score").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(gap(1) > 0.9 && gap(0) < 0.1, s"score means: $gap")
+  }
+
+  test("scores are probabilities, stable under repartitioning") {
+    val a = Classifier.lrScores(docs, iters = 3)
+    val bounds = a.agg(min("score"), max("score")).head
+    assert(bounds.getDouble(0) >= 0.0 && bounds.getDouble(1) <= 1.0)
+    val b = Classifier.lrScores(docs.repartition(17), iters = 3)
+    // deterministic training: partitioning must not change the model
+    assert(a.orderBy("doc_id").collect().toSeq ==
+      b.orderBy("doc_id").collect().toSeq,
+      "scores changed under repartitioning")
+  }
+
+  test("docs with no alphanumeric tokens ride on the bias alone") {
+    import spark.implicits._
+    val weird = Seq(
+      (1L, "valid words here", "en"),
+      (2L, "!!! ??? ***", "en"),
+      (3L, "", "xx")).toDF("doc_id", "text", "lang")
+    val scored = Classifier.lrScores(weird, dims = 16, iters = 2, lr = 0.1)
+    assert(scored.count() == 3, "empty-feature docs must not drop out")
+    // both featureless docs get the same bias-only score
+    val s = scored.filter(col("doc_id") >= 2).select("score")
+      .collect().map(_.getDouble(0)).toSet
+    assert(s.size == 1, s"bias-only scores differ: $s")
+  }
+
+  test("eval sweep: confusion counts are consistent at every threshold") {
+    val n = docs.count()
+    val pos = Classifier.lrScores(docs, iters = 3)
+      .filter(col("label") === 1).count()
+    val eval = Classifier.lrEval(docs, iters = 3).collect()
+    assert(eval.length == 9)
+    eval.foreach { r =>
+      val (tp, fp, fn, tn) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+        r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      assert(tp + fp + fn + tn == n, s"counts don't cover the corpus: $r")
+      assert(tp + fn == pos, s"positives drifted: $r")
+    }
+    // recall is monotone non-increasing in the threshold
+    val recalls = eval.sortBy(_.getAs[Double]("thr")).map(_.getAs[Double]("recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall not monotone: ${recalls.toSeq}")
+  }
+}
