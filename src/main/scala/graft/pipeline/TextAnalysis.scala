@@ -425,7 +425,8 @@ object TextAnalysis {
       minTokens: Long = 16, maxTokens: Long = 100000,
       minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
       minAlpha: Double = 0.4, maxDupFrac: Double = 0.2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      carryCols: Seq[String] = Nil): DataFrame = {
     val q = withRepetition(
       withQuality(df, textCol).withColumn("toks", tokens(col(textCol))))
     val reason =
@@ -435,10 +436,13 @@ object TextAnalysis {
           col("mean_token_len") > maxMeanTokLen, "token_len")
         .when(col("alpha_ratio") < minAlpha, "non_alpha")
         .when(col("dup_frac") > maxDupFrac, "repetition")
-    q.select(col(idCol).as("doc_id"),
+    // carryCols pass through untouched (e.g. an event-time column for
+    // streaming rollups — projection preserves its watermark metadata)
+    q.select(Seq(col(idCol).as("doc_id"),
         col("n_tokens").cast("long").as("n_tokens"),
         col("quality_score"), col("dup_frac"),
-        qualityGateBarrier(reason).as("fail_reason"))
+        qualityGateBarrier(reason).as("fail_reason")) ++
+        carryCols.map(col): _*)
       .withColumn("pass", col("fail_reason").isNull)
   }
 

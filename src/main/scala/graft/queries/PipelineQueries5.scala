@@ -89,6 +89,43 @@ object PipelineQueries5 {
        |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
        |  round(CAST(sum(nsub) AS DOUBLE) / count(*), 6) AS mean_subwords
        |FROM enc GROUP BY doc_id""".stripMargin
+  /** Shared gate-oracle CTE chain (tok_docs → sig → gated): the DuckDB
+    * mirror of [[TextAnalysis.qualityGate]]'s signal computation and
+    * verdict. Also reused by PipelineQueries6's windowed monitor. */
+  private[queries] lazy val gateCtes: String = tokDocs + ",\n" +
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    round(0.4 * (CAST(len(list_filter(toks, x ->
+       |          list_contains(${PipelineQueries.stop}, x))) AS DOUBLE)
+       |        / CAST(len(toks) AS DOUBLE))
+       |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+       |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+       |        / CAST(length(text) AS DOUBLE)), 6) AS quality_score,
+       |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+       |      / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
+       |    round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+       |    CASE WHEN len(tris) > 0
+       |      THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
+       |        / CAST(len(tris) AS DOUBLE), 6)
+       |      ELSE 0.0 END AS dup_frac
+       |  FROM (
+       |    SELECT doc_id, text, toks, list_transform(
+       |      generate_series(1, greatest(len(toks) - 2, 0)),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+       |    FROM tok_docs)),
+       |gated AS (
+       |  SELECT doc_id, n_tokens, quality_score, dup_frac,
+       |    CASE WHEN n_tokens < $gateMinTokens THEN 'too_short'
+       |         WHEN n_tokens > $gateMaxTokens THEN 'too_long'
+       |         WHEN mean_token_len < $gateMinTokLen
+       |           OR mean_token_len > $gateMaxTokLen THEN 'token_len'
+       |         WHEN alpha_ratio < $gateMinAlpha THEN 'non_alpha'
+       |         WHEN dup_frac > $gateMaxDupFrac THEN 'repetition'
+       |         ELSE NULL END AS fail_reason
+       |  FROM sig)""".stripMargin
+
   private val gateMinTokens = 16L
   private val gateMaxTokens = 100000L
   private val gateMinTokLen = 2.0
@@ -512,39 +549,7 @@ object PipelineQueries5 {
 
     // ---- composite quality gate -------------------------------------------
 
-    QueryDef("t_quality_gate", withC(tokDocs + ",\n" +
-      s"""sig AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_tokens,
-         |    round(0.4 * (CAST(len(list_filter(toks, x ->
-         |          list_contains(${PipelineQueries.stop}, x))) AS DOUBLE)
-         |        / CAST(len(toks) AS DOUBLE))
-         |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
-         |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-         |        / CAST(length(text) AS DOUBLE)), 6) AS quality_score,
-         |    round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-         |      / CAST(len(toks) AS DOUBLE), 6) AS mean_token_len,
-         |    round(CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-         |      / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
-         |    CASE WHEN len(tris) > 0
-         |      THEN round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE)
-         |        / CAST(len(tris) AS DOUBLE), 6)
-         |      ELSE 0.0 END AS dup_frac
-         |  FROM (
-         |    SELECT doc_id, text, toks, list_transform(
-         |      generate_series(1, greatest(len(toks) - 2, 0)),
-         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
-         |    FROM tok_docs)),
-         |gated AS (
-         |  SELECT doc_id, n_tokens, quality_score, dup_frac,
-         |    CASE WHEN n_tokens < $gateMinTokens THEN 'too_short'
-         |         WHEN n_tokens > $gateMaxTokens THEN 'too_long'
-         |         WHEN mean_token_len < $gateMinTokLen
-         |           OR mean_token_len > $gateMaxTokLen THEN 'token_len'
-         |         WHEN alpha_ratio < $gateMinAlpha THEN 'non_alpha'
-         |         WHEN dup_frac > $gateMaxDupFrac THEN 'repetition'
-         |         ELSE NULL END AS fail_reason
-         |  FROM sig)""".stripMargin)(
+    QueryDef("t_quality_gate", withC(gateCtes)(
       """SELECT doc_id, n_tokens, quality_score, dup_frac, fail_reason,
         |  (fail_reason IS NULL) AS pass
         |FROM gated""".stripMargin)) {

@@ -1,7 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.pipeline.Classifier
 import graft.sim.{WarehouseSim => W}
+import graft.streaming.QualityMonitor
 
 /**
  * Round-6 batch: the learned quality filter ([[Classifier]]) as
@@ -22,6 +25,8 @@ object PipelineQueries6 {
   private val lrIters = 8
   private val lrRate = 0.02
   private val lrBeta = 0.9
+  private val monEpoch = 1700000000L
+  private val monSpreadS = 7200L
 
   /** Per-token hashed bucket rows; md5 computed once per token row, the
     * hex→int expansion referencing the alias. */
@@ -130,6 +135,37 @@ object PipelineQueries6 {
       (s, dir) =>
         Classifier.lrEval(W.read(s, dir, "documents"),
           dims = lrDims, iters = lrIters, lr = lrRate, beta = lrBeta)
+    },
+
+    // windowed ingest-quality rollup, batch twin of the streaming
+    // monitor (StreamingQualitySpec covers watermark/late-data); window
+    // keys as epoch seconds dodge timestamp-serialization skew between
+    // engines. ingest_ts derives deterministically from doc_id (spread
+    // over 2 h), standing in for the feed's arrival time.
+    QueryDef("st_quality_monitor",
+      s"""WITH ${PipelineQueries5.gateCtes},
+         |w AS (
+         |  SELECT n_tokens, quality_score, fail_reason,
+         |    3600 * (($monEpoch + (doc_id * 37) % $monSpreadS) // 3600)
+         |      AS w_start_epoch
+         |  FROM gated)
+         |SELECT w_start_epoch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN fail_reason IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_pass,
+         |  round(1.0 - CAST(sum(CASE WHEN fail_reason IS NULL THEN 1
+         |    ELSE 0 END) AS DOUBLE) / count(*), 6) AS reject_rate,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(quality_score), 6) AS avg_quality
+         |FROM w GROUP BY w_start_epoch""".stripMargin) {
+      (s, dir) =>
+        QualityMonitor.rollup(
+            W.read(s, dir, "documents").withColumn("ingest_ts",
+              timestamp_seconds(
+                lit(monEpoch) + (col("doc_id") * 37) % monSpreadS)))
+          .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
+            col("n_docs"), col("n_pass"), col("reject_rate"),
+            col("total_tokens"), col("avg_quality"))
     }
   )
 }
