@@ -79,6 +79,14 @@ object ScaleProbe {
           TextAnalysis.tokens(col("text_clean")).as("toks"))
       graft.pipeline.Packing.chunk(clean)
     }
+
+    // round-6 operators (synthetic label/timestamp from doc_id — the
+    // probe measures plan scaling, not model quality)
+    run("quality_classifier")(d => graft.pipeline.Classifier.lrScores(d,
+      labelCol = col("doc_id") % 2 === 0))
+    run("quality_monitor")(d => graft.streaming.QualityMonitor.rollup(
+      d.withColumn("ingest_ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id") % 100000L))))
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup

@@ -202,4 +202,130 @@ object Similarity {
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /**
+   * IVF-PQ top-k — the Faiss-default scale recipe (Jégou et al. 2011,
+   * "Product Quantization for Nearest Neighbor Search"): split the
+   * vector into `m` subspaces, learn a tiny `ks`-centroid codebook per
+   * subspace (Lloyd's, same deterministic discipline as
+   * [[Semantic.kmeansAssign]]: lowest-id init, sequential-fold
+   * distances, 1e-6-quantized re-centers), encode every vector as `m`
+   * codes, and answer queries by asymmetric distance (ADC): per query,
+   * a LUT of query-subvector→centroid distances turns candidate
+   * distance into `m` table lookups — no full vectors touched until
+   * the exact rescore of the `candMult·k` ADC survivors.
+   *
+   * Why this is THE 100-TB ANN shape: the corpus is represented by
+   * `m` bytes/vector (64× compression at dim 64/float32), the
+   * candidate scan streams codes not vectors, and training cost is
+   * bounded by `m·ks·subDim` — independent of corpus size (train on a
+   * [[Sampling.deterministicSample]] at real scale).
+   *
+   * Spark shape: subvector instance rows are checkpointed ONCE;
+   * codebooks live as broadcast DATA so every Lloyd's iteration (and
+   * the encode pass) reuses one compiled plan — the literal-codebook
+   * variant would recompile codegen per iteration (measured on the
+   * classifier: 20 of 25 s in janino). ADC is a broadcast join of the
+   * tiny LUT against code rows, grouped to an exact integer micro-unit
+   * sum (engine-order-proof), pre-ranked per query within the IVF
+   * cell, then exactly rescored — the sq8 pattern, one quantization
+   * level deeper.
+   */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      m: Int = 8, ks: Int = 16, iters: Int = 2, candMult: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    require(m > 0 && ks > 0 && iters >= 0 && candMult > 0,
+      s"need positive m/ks/candMult, iters >= 0; got $m, $ks, $iters, $candMult")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    val all = candidates.select(col(idCol).as("vec_id"),
+        col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0) // zero-norm guard, as in sq8TopK
+    val dim = all.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m = $m")
+    val subDim = dim / m
+
+    def subspaces(vec: Column): Column = explode(array((0 until m).map(s =>
+      struct(lit(s).as("s"),
+        slice(vec, s * subDim + 1, subDim).as("subv"))): _*))
+    // (vec_id, s, subv) — one row per subvector, reused by every
+    // training iteration and the encode pass
+    val sub = all.select(col("vec_id"), subspaces(col("v")).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.subv").as("subv"))
+      .localCheckpoint()
+
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+
+    // init: the ks lowest-id vectors' subvectors; cid = id rank
+    val initIds = all.select(col("vec_id")).orderBy("vec_id").limit(ks)
+      .as[Long].collect()
+    val cidOf = initIds.zipWithIndex.toMap
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      sub.filter(col("vec_id").isin(initIds: _*)).collect().map { r =>
+        (r.getInt(1), cidOf(r.getLong(0)), r.getSeq[Double](2))
+      }.toSeq
+
+    def ctDF: DataFrame = cents.toDF("s", "cid", "cv")
+    // nearest codebook entry per (vector, subspace): min over the
+    // broadcast codebook of (distance, cid) structs — deterministic,
+    // cid breaks exact-tie distances
+    def assign: DataFrame = sub.join(broadcast(ctDF), "s")
+      .groupBy("vec_id", "s")
+      .agg(min(struct(sqd(col("subv"), col("cv")).as("d"),
+        col("cid").as("cid"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
+
+    for (_ <- 1 to iters) {
+      cents = assign.join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("subv")))
+        .groupBy("s", "cid", "pos").agg(round(avg("col"), 6).as("mv"))
+        .groupBy("s", "cid")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
+          .as("byPos"))
+        .collect().map { r =>
+          val mm = r.getMap[Int, Double](2)
+          (r.getInt(0), r.getInt(1), Seq.tabulate(mm.size)(mm(_)))
+        }.toSeq
+    }
+
+    // encode under the final codebook; carry the IVF cell for routing
+    val codes = assign.join(all.select(col("vec_id"), col("cell")), "vec_id")
+      .select(col("vec_id").as("c_id"), col("cell"), col("s"), col("cid"))
+
+    val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("q_cell"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
+    // per-query ADC lookup table in integer micro-units: exact BIGINT
+    // sums downstream, immune to engine float-summation order
+    val lut = q.select(col("q_id"), col("q_cell"), subspaces(col("q_v")).as("e"))
+      .select(col("q_id"), col("q_cell"), col("e.s").as("s"),
+        col("e.subv").as("subv"))
+      .join(broadcast(ctDF), "s")
+      .select(col("q_id"), col("q_cell"), col("s"), col("cid"),
+        round(sqd(col("subv"), col("cv")) * 1e6).cast("long").as("ld"))
+
+    val adist = codes.join(broadcast(lut), Seq("s", "cid"))
+      .filter(col("q_cell") === col("cell") && col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(min(col("q_cell")).as("cell"), sum("ld").as("ad"))
+    val cw = Window.partitionBy("q_id").orderBy(col("ad").asc, col("c_id"))
+    val cand = adist.withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= candMult * k)
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    cand
+      .join(q.select(col("q_id"), col("q_v"), col("q_nrm")), "q_id")
+      .join(all.select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("nrm").as("c_nrm")), "c_id")
+      .select(col("q_id"), col("cell"), col("c_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Classifier
+import graft.pipeline.{Classifier, Similarity}
 import graft.sim.{WarehouseSim => W}
 import graft.streaming.QualityMonitor
 
@@ -27,6 +27,75 @@ object PipelineQueries6 {
   private val lrBeta = 0.9
   private val monEpoch = 1700000000L
   private val monSpreadS = 7200L
+  private val pqM = 8
+  private val pqSubDim = 8 // testdata embeddings are dim 64
+  private val pqKs = 16
+  private val pqIters = 2
+  private val pqK = 5
+  private val pqCandMult = 4
+
+  /** Sequential-fold squared L2 over one subspace (index order —
+    * bit-identical to the Spark fold). */
+  private def pqSqd(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, $pqSubDim),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+
+  private def pqAssign(cN: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT sub.vec_id, sub.s, c.cid,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${pqSqd("sub.subv", "c.cv")}, c.cid) AS rk
+       |    FROM sub JOIN $cN c USING (s)) WHERE rk = 1)""".stripMargin
+
+  private def pqRecenter(aN: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT a.s, a.cid, p.pos, round(avg(sub.subv[p.pos]), 6) AS mv
+       |  FROM $aN a JOIN sub ON a.vec_id = sub.vec_id AND a.s = sub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $pqSubDim)) AS pos) p
+       |  GROUP BY a.s, a.cid, p.pos),
+       |$out AS (SELECT s, cid, list(mv ORDER BY pos) AS cv
+       |         FROM ${out}_m GROUP BY s, cid)""".stripMargin
+
+  /** Full IVF-PQ replay: subvectors → per-subspace codebook training
+    * (2 Lloyd's iterations, lowest-id init) → encode → per-query ADC
+    * LUT in integer micro-units → cell-routed candidate ranking. */
+  private val pqCtes =
+    s"""${PipelineQueries.embDouble},
+       |en AS (SELECT vec_id, label, v, nrm FROM e WHERE nrm > 0),
+       |sub AS MATERIALIZED (
+       |  SELECT vec_id, s,
+       |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim) AS subv
+       |  FROM en, range(0, $pqM) r(s)),
+       |ids AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+       |  FROM (SELECT vec_id FROM en ORDER BY vec_id LIMIT $pqKs)),
+       |pc0 AS (SELECT sub.s, ids.cid, sub.subv AS cv
+       |        FROM sub JOIN ids USING (vec_id)),
+       |${pqAssign("pc0", "pa1")},
+       |${pqRecenter("pa1", "pc1")},
+       |${pqAssign("pc1", "pa2")},
+       |${pqRecenter("pa2", "pc2")},
+       |${pqAssign("pc2", "pcodes")},
+       |lut AS MATERIALIZED (
+       |  SELECT qe.vec_id AS q_id, qe.label AS q_cell, c.s, c.cid,
+       |    CAST(round(${pqSqd("qs.subv", "c.cv")} * 1000000.0) AS BIGINT) AS ld
+       |  FROM (SELECT vec_id, label FROM en WHERE vec_id < 8) qe
+       |  JOIN sub qs ON qs.vec_id = qe.vec_id
+       |  JOIN pc2 c ON c.s = qs.s),
+       |adist AS MATERIALIZED (
+       |  SELECT l.q_id, min(l.q_cell) AS cell, k.vec_id AS c_id,
+       |    sum(l.ld) AS ad
+       |  FROM pcodes k JOIN en ce ON ce.vec_id = k.vec_id
+       |  JOIN lut l ON l.s = k.s AND l.cid = k.cid AND l.q_cell = ce.label
+       |            AND l.q_id <> k.vec_id
+       |  GROUP BY l.q_id, k.vec_id),
+       |cand AS (
+       |  SELECT q_id, cell, c_id FROM (
+       |    SELECT q_id, cell, c_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id) AS crk
+       |    FROM adist) WHERE crk <= ${pqCandMult * pqK})""".stripMargin
 
   /** Per-token hashed bucket rows; md5 computed once per token row, the
     * hex→int expansion referencing the alias. */
@@ -166,6 +235,30 @@ object PipelineQueries6 {
           .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
             col("n_docs"), col("n_pass"), col("reject_rate"),
             col("total_tokens"), col("avg_quality"))
+    },
+
+    // IVF-PQ: per-subspace codebooks + ADC candidate ranking + exact
+    // rescore — the oracle replays codebook TRAINING, encoding, and the
+    // integer-micro-unit ADC, so the hash certifies the whole index
+    QueryDef("sim_topk_pq",
+      s"""WITH $pqCtes
+         |SELECT q_id, cell, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT c.q_id, c.cell, c.c_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |      i -> q.v[i] * cc.v[i])) / (q.nrm * cc.nrm), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY c.q_id ORDER BY
+         |      round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * cc.v[i])) / (q.nrm * cc.nrm), 6) DESC, c.c_id)
+         |      AS rank
+         |  FROM cand c JOIN en q ON q.vec_id = c.q_id
+         |  JOIN en cc ON cc.vec_id = c.c_id)
+         |WHERE rank <= $pqK""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb, pqK,
+            m = pqM, ks = pqKs, iters = pqIters, candMult = pqCandMult)
+          .select("q_id", "cell", "c_id", "cos_sim", "rank")
+      }
     }
   )
 }

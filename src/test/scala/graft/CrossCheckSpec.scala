@@ -221,6 +221,24 @@ class CrossCheckSpec extends TestBase {
       s"(|exact|=${exact.size}, |approx∩exact|=${(exact & approx).size})")
   }
 
+  test("IVF-PQ top-k holds a recall floor against the cell-exact IVF path") {
+    // PQ approximates WITHIN the IVF cell, so the fair baseline is the
+    // exact-cosine scan of the same cell (ivfTopK) — recall loss beyond
+    // that is pure quantization error. m=8 subspaces over dim 64 with a
+    // 4x rescore pool measured ~0.9+ here; below half is a broken index.
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val k = 5
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cellExact = resultSet(Similarity.ivfTopK(q, e, k))
+    val pq = resultSet(Similarity.pqTopK(q, e, k))
+    val recall = (cellExact & pq).size.toDouble / cellExact.size
+    assert(recall >= 0.5, f"IVF-PQ top-$k recall $recall%.2f < 0.50 floor " +
+      s"(|exact|=${cellExact.size}, |pq∩exact|=${(cellExact & pq).size})")
+  }
+
   test("NLL tiers: sketch-boundary assignment agrees with the exact ntile path") {
     // the documented 100-TB twin: percentile_approx boundaries + a
     // scan-side bucket compare, vs the exact single-sort ntile. With the
