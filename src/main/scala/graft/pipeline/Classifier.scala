@@ -58,6 +58,12 @@ object Classifier {
 
   private val featSalt = "feat"
 
+  /** A trained hashed-feature LR model: weights and bias in integer
+    * micro-units. Small enough to serialize anywhere (dims longs);
+    * apply with [[score]] — train once on the reference batch, score
+    * any batch OR stream. */
+  final case class LrModel(dims: Int, weightsMu: Array[Long], biasMu: Long)
+
   /** (doc_id, y, js): binary label + the hashed bucket of every
     * alphanumeric token INSTANCE (not distinct) — so the logit is
     * Σ w[j]·tf(j) and the exploded gradient weighs each bucket by its
@@ -80,12 +86,46 @@ object Classifier {
   private def sigmoid(zMu: Column): Column =
     lit(1.0) / (lit(1.0) + exp(-(zMu.cast("double") / lit(1e6))))
 
+  /** Train and return the model itself — for callers that train on a
+    * labeled reference batch once and [[score]] other data (including
+    * streams) against it. */
+  def trainLr(docs: DataFrame, dims: Int = 256, iters: Int = 8,
+      lr: Double = 0.02, beta: Double = 0.9,
+      labelCol: Column = col("lang") === "en",
+      idCol: String = "doc_id", textCol: String = "text"): LrModel = {
+    val (model, _) = train(docs, dims, iters, lr, beta, labelCol,
+      idCol, textCol)
+    model
+  }
+
+  /**
+   * Apply a trained model: `(doc_id, score, pred)`. A pure projection —
+   * the logit is a fold over the document's hashed buckets against the
+   * model as an array LITERAL (one fixed model → one compiled plan, no
+   * join, no shuffle), so it runs at scan speed and is legal in a
+   * streaming query's append mode: train on the reference batch, score
+   * the ingest feed live.
+   */
+  def score(docs: DataFrame, model: LrModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wArr = array(model.weightsMu.map(lit).toIndexedSeq: _*)
+    val zMu = lit(model.biasMu) + aggregate(
+      transform(
+        filter(TextAnalysis.tokens(col(textCol)),
+          t => t.rlike("^[a-z0-9]+$")),
+        t => Sampling.hash32Str(t, featSalt) % model.dims),
+      lit(0L), (acc, j) => acc + element_at(wArr, j.cast("int") + lit(1)))
+    val s = round(sigmoid(zMu), 6)
+    docs.select(col(idCol).as("doc_id"), s.as("score"),
+      (s >= 0.5).cast("int").as("pred"))
+  }
+
   /** `iters` momentum-GD steps from the all-zeros model. Returns the
-    * scored logit frame `(doc_id, y, zmu)` under the FINAL model plus
-    * the checkpointed instance frame's row count. */
+    * model and the scored logit frame `(doc_id, y, zmu)` under the
+    * FINAL weights. */
   private def train(docs: DataFrame, dims: Int, iters: Int, lr: Double,
       beta: Double, labelCol: Column, idCol: String, textCol: String)
-      : DataFrame = {
+      : (LrModel, DataFrame) = {
     require(dims > 0 && iters >= 0 && lr > 0 && beta >= 0 && beta < 1,
       s"need dims > 0, iters >= 0, lr > 0, 0 <= beta < 1; " +
         s"got $dims, $iters, $lr, $beta")
@@ -124,7 +164,7 @@ object Classifier {
         w(i) -= roundHalfAway(lr * v(i))
       }
     }
-    logits
+    (LrModel(dims, w.drop(1), w(0)), logits)
   }
 
   /**
@@ -137,7 +177,8 @@ object Classifier {
       lr: Double = 0.02, beta: Double = 0.9,
       labelCol: Column = col("lang") === "en",
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val scored = train(docs, dims, iters, lr, beta, labelCol, idCol, textCol)
+    val (_, scored) =
+      train(docs, dims, iters, lr, beta, labelCol, idCol, textCol)
     val score = round(sigmoid(col("zmu")), 6)
     scored.select(col("doc_id"), col("y").as("label"), score.as("score"),
       (score >= 0.5).cast("int").as("pred"))

@@ -90,6 +90,28 @@ object Dedup {
     docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_doc_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the exact-match twin of
+    * [[minhashLshPairsIncremental]]: admit a new increment against an
+    * existing corpus without re-aggregating the corpus. Fingerprints
+    * already present are dropped (anti-join), then within-batch
+    * duplicates collapse to the lowest id. Scale shape: one distinct
+    * over corpus fingerprints + one fingerprint-keyed anti-join — both
+    * map-side-combined shuffles; old×old is never touched. At real
+    * scale the corpus side is a PRE-AGGREGATED fingerprint table kept
+    * from earlier runs, making the increment cost independent of
+    * corpus text size. */
+  def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nf = newDocs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+    val seen = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    nf.join(seen, Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
+  }
+
   /** MinHash signature: k permutations simulated as min(md5(seed:shingle)).
     * One explode + one groupBy; signature is k small strings per doc. */
   def minhashSignatures(docs: DataFrame, k: Int = 8,

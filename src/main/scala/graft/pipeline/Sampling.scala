@@ -83,14 +83,50 @@ object Sampling {
    */
   def weightedMix(df: DataFrame, stratumCol: String,
       weights: Map[String, Double], defaultRate: Double = 1.0,
-      idCol: String = "doc_id", salt: String = "mix"): DataFrame = {
-    val threshold = weights.toSeq.sortBy(_._1)
+      idCol: String = "doc_id", salt: String = "mix"): DataFrame =
+    df.filter(hash32(col(idCol), salt) <
+      mixThreshold(stratumCol, weights, defaultRate))
+
+  private def mixThreshold(stratumCol: String, weights: Map[String, Double],
+      defaultRate: Double): Column =
+    weights.toSeq.sortBy(_._1)
       .foldRight(lit(rateThreshold(defaultRate)): Column) {
         case ((stratum, rate), rest) =>
           when(col(stratumCol) === lit(stratum), lit(rateThreshold(rate)))
             .otherwise(rest)
       }
-    df.filter(hash32(col(idCol), salt) < threshold)
+
+  /**
+   * Mix audit report — the readout a mix config review needs BEFORE a
+   * multi-day training run: per stratum, the corpus volume (docs,
+   * tokens), the configured keep rate, and the exact volume the
+   * deterministic mix will keep (`kept_*` — not an estimate: the same
+   * hash decides both this report and [[weightedMix]]'s filter).
+   * One scan + a #strata-row aggregate.
+   */
+  def mixReport(df: DataFrame, stratumCol: String,
+      weights: Map[String, Double], defaultRate: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "mix"): DataFrame = {
+    val rate = weights.toSeq.sortBy(_._1)
+      .foldRight(lit(defaultRate): Column) {
+        case ((stratum, r), rest) =>
+          when(col("stratum") === lit(stratum), lit(r)).otherwise(rest)
+      }
+    df.select(col(stratumCol).as("stratum"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_toks"),
+        (hash32(col(idCol), salt) <
+          mixThreshold(stratumCol, weights, defaultRate))
+          .cast("long").as("keep"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("keep").as("kept_docs"),
+        sum(when(col("keep") === 1, col("n_toks")).otherwise(0L))
+          .as("kept_tokens"))
+      .withColumn("rate", rate)
+      .withColumn("realized_rate",
+        round(col("kept_docs").cast("double") / col("n_docs"), 6))
   }
 
   /**

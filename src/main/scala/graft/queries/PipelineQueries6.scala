@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Classifier, Similarity}
+import graft.pipeline.{Classifier, Decontamination, Dedup, Sampling, Similarity}
 import graft.sim.{WarehouseSim => W}
 import graft.streaming.QualityMonitor
 
@@ -27,6 +27,29 @@ object PipelineQueries6 {
   private val lrBeta = 0.9
   private val monEpoch = 1700000000L
   private val monSpreadS = 7200L
+  // mix report shares samp_weighted_mix's config shape; thresholds are
+  // computed ONCE here and inlined into both engines
+  private val mixW = Map("src0" -> 0.05, "src1" -> 0.5, "src2" -> 0.9)
+  private val mixDefault = 1.0
+  private def mixThrSql: String =
+    mixW.toSeq.sortBy(_._1).foldRight(
+      Sampling.rateThreshold(mixDefault).toString) {
+      case ((s, r), rest) =>
+        s"CASE WHEN source = '$s' THEN ${Sampling.rateThreshold(r)} " +
+          s"ELSE $rest END"
+    }
+  private def mixRateSql: String =
+    mixW.toSeq.sortBy(_._1).foldRight(s"CAST($mixDefault AS DOUBLE)") {
+      case ((s, r), rest) =>
+        s"CASE WHEN stratum = '$s' THEN CAST($r AS DOUBLE) ELSE $rest END"
+    }
+
+  private val splitFracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  private val splitBounds = splitFracs.map(_._2).scanLeft(0.0)(_ + _).tail
+    .map(Sampling.rateThreshold)
+  private val deconMinShared = 3
+  private val deconMaxDf = 100
+
   private val pqM = 8
   private val pqSubDim = 8 // testdata embeddings are dim 64
   private val pqKs = 16
@@ -258,6 +281,98 @@ object PipelineQueries6 {
         Similarity.pqTopK(emb.filter(col("vec_id") < 8), emb, pqK,
             m = pqM, ks = pqKs, iters = pqIters, candMult = pqCandMult)
           .select("q_id", "cell", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // incremental exact dedup: new increment (doc_id % 10 < 2, same
+    // convention as dedup_minhash_incremental) admitted against the
+    // standing corpus by fingerprint anti-join
+    QueryDef("dedup_exact_incremental",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM documents)
+         |SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_dups
+         |FROM fp
+         |WHERE doc_id % 10 < 2 AND fingerprint NOT IN
+         |  (SELECT fingerprint FROM fp WHERE doc_id % 10 >= 2)
+         |GROUP BY fingerprint""".stripMargin) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        Dedup.exactIncremental(
+          docs.filter(col("doc_id") % 10 < 2),
+          docs.filter(col("doc_id") % 10 >= 2))
+      }
+    },
+
+    // mix audit report: per-source volume, configured rate, and the
+    // EXACT kept volume under the deterministic mix hash
+    QueryDef("samp_mix_report",
+      s"""WITH r AS (
+         |  SELECT source AS stratum,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |      AS BIGINT) AS n_toks,
+         |    CASE WHEN ${PipelineQueries2.duckHash32("mix")} < $mixThrSql
+         |      THEN 1 ELSE 0 END AS keep
+         |  FROM documents)
+         |SELECT stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(keep) AS BIGINT) AS kept_docs,
+         |  CAST(sum(CASE WHEN keep = 1 THEN n_toks ELSE 0 END) AS BIGINT)
+         |    AS kept_tokens,
+         |  $mixRateSql AS rate,
+         |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS realized_rate
+         |FROM r GROUP BY stratum""".stripMargin) {
+      (s, dir) =>
+        Sampling.mixReport(W.read(s, dir, "documents"), "source",
+          mixW, mixDefault)
+    },
+
+    // split + decontaminate chain: assign train/val/test, strip train
+    // docs leaking into the test split (rare-shingle inverted index) —
+    // the hash certifies the composed eval-hygiene pipeline
+    QueryDef("pipe_split_decon",
+      s"""WITH ${PipelineQueries.shingled},
+         |spl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN h < ${splitBounds(0)} THEN 'train'
+         |         WHEN h < ${splitBounds(1)} THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, ${PipelineQueries2.duckHash32("split")} AS h
+         |        FROM documents)),
+         |corp AS (
+         |  SELECT sh.doc_id, unnest(sh.shingles) AS s FROM shingled sh
+         |  JOIN spl ON sh.doc_id = spl.doc_id AND spl.split = 'train'),
+         |rare AS (
+         |  SELECT s FROM (SELECT s, count(*) AS df FROM corp GROUP BY s)
+         |  WHERE df <= $deconMaxDf),
+         |corpr AS (SELECT c.doc_id, c.s FROM corp c JOIN rare r ON c.s = r.s),
+         |bench AS (
+         |  SELECT sh.doc_id AS bench_id, unnest(sh.shingles) AS s
+         |  FROM shingled sh
+         |  JOIN spl ON sh.doc_id = spl.doc_id AND spl.split = 'test'),
+         |leaks AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id, b.bench_id FROM corpr c JOIN bench b ON c.s = b.s
+         |    GROUP BY c.doc_id, b.bench_id HAVING count(*) >= $deconMinShared))
+         |SELECT doc_id, split FROM spl WHERE split <> 'train'
+         |UNION ALL
+         |SELECT doc_id, split FROM spl WHERE split = 'train'
+         |  AND doc_id NOT IN (SELECT doc_id FROM leaks)""".stripMargin) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        val split = docs.select(col("doc_id"), col("text"),
+          Sampling.assignSplit(col("doc_id"), splitFracs).as("split"))
+        val train = split.filter(col("split") === "train")
+        val test = split.filter(col("split") === "test")
+        val leaks = Decontamination.overlaps(train, test,
+          minShared = deconMinShared, maxDf = Some(deconMaxDf))
+        train.join(leaks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("split"))
+          .unionByName(split.filter(col("split") =!= "train")
+            .select(col("doc_id"), col("split")))
       }
     }
   )

@@ -56,6 +56,41 @@ class ClassifierSpec extends TestBase {
     assert(s.size == 1, s"bias-only scores differ: $s")
   }
 
+  test("train once, score anywhere: model scoring matches the training " +
+      "path and runs on a stream") {
+    import spark.implicits._
+    val model = Classifier.trainLr(docs, iters = 3)
+    // the scan-only literal-fold scorer and the training loop's
+    // join-sum logits are the same integer arithmetic — bit-equal
+    val viaModel = Classifier.score(docs, model)
+      .orderBy("doc_id").collect().toSeq
+    val viaTrain = Classifier.lrScores(docs, iters = 3)
+      .select("doc_id", "score", "pred").orderBy("doc_id").collect().toSeq
+    assert(viaModel == viaTrain, "model scoring diverged from training path")
+
+    // a pure projection is streaming-legal in append mode with no
+    // watermark: train on the reference batch, score the feed live
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val sample = docs.select("doc_id", "text").as[(Long, String)]
+      .orderBy("doc_id").take(5).toSeq
+    val qName = s"lrscore_${System.nanoTime()}"
+    val q = Classifier.score(input.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").format("memory").queryName(qName)
+      .start()
+    try {
+      input.addData(sample: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(qName).orderBy("doc_id").collect().toSeq
+      val batch = Classifier.score(
+          sample.toDF("doc_id", "text"), model)
+        .orderBy("doc_id").collect().toSeq
+      assert(streamed == batch, "streamed scores diverged from batch")
+      assert(streamed.size == 5)
+    } finally q.stop()
+  }
+
   test("eval sweep: confusion counts are consistent at every threshold") {
     val n = docs.count()
     val pos = Classifier.lrScores(docs, iters = 3)
