@@ -112,6 +112,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_dups"))
   }
 
+  /** Corpus snapshot diff — the replication engine's J1 table diff
+    * applied to a training corpus: compare two snapshot versions by
+    * content fingerprint and report what a downstream consumer must
+    * reprocess. `(doc_id, status)` with status ∈ added (id only in the
+    * new snapshot), removed (only in the old), changed (present in
+    * both, content differs); unchanged docs are omitted — at 100 TB
+    * the diff output is proportional to the CHANGE volume, and the
+    * only shuffle is the doc_id full-outer join of two narrow
+    * (id, fingerprint) projections. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def fp(df: DataFrame, fpName: String) = df.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as(fpName))
+    fp(oldSnap, "fp_old").join(fp(newSnap, "fp_new"), Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
   /** MinHash signature: k permutations simulated as min(md5(seed:shingle)).
     * One explode + one groupBy; signature is k small strings per doc. */
   def minhashSignatures(docs: DataFrame, k: Int = 8,

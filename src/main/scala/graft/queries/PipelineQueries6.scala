@@ -284,6 +284,40 @@ object PipelineQueries6 {
       }
     },
 
+    // corpus snapshot diff: the replication J1 diff over two corpus
+    // versions — old drops doc_id % 13 = 0 (those show as added), new
+    // drops % 17 = 0 (removed) and rewrites text for % 7 = 0 (changed)
+    QueryDef("dedup_corpus_diff",
+      s"""WITH fpo AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      AS fp_old
+         |  FROM documents WHERE doc_id % 13 <> 0),
+         |fpn AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(
+         |      CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)),
+         |      '\\s+', ' ', 'g')) AS fp_new
+         |  FROM documents WHERE doc_id % 17 <> 0)
+         |SELECT coalesce(fpo.doc_id, fpn.doc_id) AS doc_id,
+         |  CASE WHEN fpo.doc_id IS NULL THEN 'added'
+         |       WHEN fpn.doc_id IS NULL THEN 'removed'
+         |       WHEN fp_old <> fp_new THEN 'changed' END AS status
+         |FROM fpo FULL OUTER JOIN fpn ON fpo.doc_id = fpn.doc_id
+         |WHERE CASE WHEN fpo.doc_id IS NULL THEN 'added'
+         |       WHEN fpn.doc_id IS NULL THEN 'removed'
+         |       WHEN fp_old <> fp_new THEN 'changed' END IS NOT NULL"""
+        .stripMargin) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        Dedup.corpusDiff(
+          docs.filter(col("doc_id") % 13 =!= 0),
+          docs.filter(col("doc_id") % 17 =!= 0)
+            .withColumn("text", when(col("doc_id") % 7 === 0,
+              concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+      }
+    },
+
     // incremental exact dedup: new increment (doc_id % 10 < 2, same
     // convention as dedup_minhash_incremental) admitted against the
     // standing corpus by fingerprint anti-join
