@@ -89,19 +89,9 @@ object ScaleProbe {
         timestamp_seconds(lit(1700000000L) + col("doc_id") % 100000L))))
     run("exact_incremental")(d => Dedup.exactIncremental(
       d.filter(col("doc_id") % 10 < 2), d.filter(col("doc_id") % 10 >= 2)))
-    run("split_decon") { d =>
-      val split = d.select(col("doc_id"), col("text"),
-        graft.pipeline.Sampling.assignSplit(col("doc_id"),
-          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
-      val train = split.filter(col("split") === "train")
-      val test = split.filter(col("split") === "test")
-      val leaks = graft.pipeline.Decontamination.overlaps(train, test,
-        minShared = 3, maxDf = Some(100))
-      train.join(leaks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("split"))
-        .unionByName(split.filter(col("split") =!= "train")
-          .select(col("doc_id"), col("split")))
-    }
+    run("split_decon")(d => graft.pipeline.Decontamination.splitAndStrip(
+      d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      minShared = 3, maxDf = Some(100)))
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup

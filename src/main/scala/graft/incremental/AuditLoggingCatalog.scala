@@ -74,8 +74,7 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
       on.put("name", o.name)
       on.put("serialized", o.serialized)
     }
-    val dir = Paths.get(java.net.URI.create(
-      if (auditDir.contains(":/")) auditDir else s"file://$auditDir"))
+    val dir = graft.fs.LocalDirs.resolve(auditDir)
     Files.createDirectories(dir)
     Files.write(dir.resolve(f"audit-$id%012d.json"),
       (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),

@@ -145,13 +145,19 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
   private def runJobWithRetry(j: JobState): String = {
     val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
     val t0 = System.nanoTime()
-    def record(status: String): Unit = statsLog.foreach(_.append(
-      graft.observability.JobStats(j.id, j.operation, j.db, j.table,
-        j.partitions.size, status, attempts.get,
-        (System.nanoTime() - t0) / 1000000L,
-        java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(
-          java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))))
+    // observability must never alter a job outcome: a failed sidecar
+    // append (disk full, bad dir) is swallowed — the job's real status
+    // and exception always win
+    def record(status: String): Unit = statsLog.foreach { log =>
+      try log.append(
+        graft.observability.JobStats(j.id, j.operation, j.db, j.table,
+          j.partitions.size, status, attempts.get,
+          (System.nanoTime() - t0) / 1000000L,
+          java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(
+            java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS"))))
+      catch { case _: Throwable => () }
+    }
     try {
       val s = Tasks.withRetry(cfg.maxRetries, sleeper = cfg.retrySleeper) {
         attempts.incrementAndGet(); runJob(j)

@@ -45,8 +45,7 @@ final class JobStatsLog(dir: String) {
     node.put("attempts", s.attempts)
     node.put("duration_ms", s.duration_ms)
     node.put("completed_at", s.completed_at)
-    val d = Paths.get(java.net.URI.create(
-      if (dir.contains(":/")) dir else s"file://$dir"))
+    val d = graft.fs.LocalDirs.resolve(dir)
     Files.createDirectories(d)
     // nanos in the name: retries/recovery legally execute one job id
     // more than once, and each execution is its own stats row
@@ -58,6 +57,7 @@ final class JobStatsLog(dir: String) {
 
 object JobStatsLog {
   import org.apache.spark.sql.types._
+
 
   val schema: StructType = StructType(Seq(
     StructField("job_id", LongType),
@@ -74,4 +74,12 @@ object JobStatsLog {
     * pass over what can be millions of small files). */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(schema).json(dir)
+
+  /** One job's execution rows only: the `stats-<id>-*` name prefix is
+    * a glob filter, so a per-job drill-down reads just that job's
+    * files instead of scanning the whole sidecar. */
+  def readJob(spark: SparkSession, dir: String, jobId: Long): DataFrame =
+    spark.read.schema(schema)
+      .option("pathGlobFilter", f"stats-$jobId%012d-*.json")
+      .json(dir)
 }

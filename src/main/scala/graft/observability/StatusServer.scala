@@ -258,7 +258,7 @@ final class StatusServer(state: StateStore, watermark: Watermark,
           // the sidecar dir appears on the first completed execution —
           // before that, "no history yet" and "no dir yet" both mean []
           val execs =
-            try JobStatsLog.read(cur.sparkSession, d)
+            try JobStatsLog.readJob(cur.sparkSession, d, id)
               .filter(col("job_id") === id)
               .orderBy(col("completed_at")).collect()
             catch {

@@ -73,10 +73,18 @@ object Classifier {
   private def featurize(docs: DataFrame, dims: Int, labelCol: Column,
       idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), labelCol.cast("int").as("y"),
+      featBuckets(col(textCol), dims).as("js"))
+
+  /** Hashed bucket per alphanumeric token instance. NULL text coalesces
+    * to the empty feature set — the doc stays in the corpus (bias-only),
+    * matching the oracle's LEFT JOIN + empty-list semantics; without the
+    * coalesce, explode(null) would silently drop the row. */
+  private def featBuckets(text: Column, dims: Int): Column =
+    coalesce(
       transform(
-        filter(TextAnalysis.tokens(col(textCol)),
-          t => t.rlike("^[a-z0-9]+$")),
-        t => Sampling.hash32Str(t, featSalt) % dims).as("js"))
+        filter(TextAnalysis.tokens(text), t => t.rlike("^[a-z0-9]+$")),
+        t => Sampling.hash32Str(t, featSalt) % dims),
+      array().cast("array<bigint>"))
 
   /** DuckDB `round()` — half away from zero (Scala's Math.round rounds
     * half toward +∞, which would diverge on exact-.5 negatives). */
@@ -110,10 +118,7 @@ object Classifier {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wArr = array(model.weightsMu.map(lit).toIndexedSeq: _*)
     val zMu = lit(model.biasMu) + aggregate(
-      transform(
-        filter(TextAnalysis.tokens(col(textCol)),
-          t => t.rlike("^[a-z0-9]+$")),
-        t => Sampling.hash32Str(t, featSalt) % model.dims),
+      featBuckets(col(textCol), model.dims),
       lit(0L), (acc, j) => acc + element_at(wArr, j.cast("int") + lit(1)))
     val s = round(sigmoid(zMu), 6)
     docs.select(col(idCol).as("doc_id"), s.as("score"),
@@ -159,9 +164,13 @@ object Classifier {
       val grads = exb.join(resid, Seq("doc_id"))
         .groupBy("j").agg(sum("r").as("s")).collect()
       grads.foreach { row =>
-        val i = row.getLong(0).toInt + 1
-        v(i) = roundHalfAway(beta * v(i) + row.getDouble(1) / n * 1e6)
-        w(i) -= roundHalfAway(lr * v(i))
+        // a null sum = every doc touching this bucket has a null label;
+        // skipping matches the oracle's coalesce(g.s, 0) → no update
+        if (!row.isNullAt(1)) {
+          val i = row.getLong(0).toInt + 1
+          v(i) = roundHalfAway(beta * v(i) + row.getDouble(1) / n * 1e6)
+          w(i) -= roundHalfAway(lr * v(i))
+        }
       }
     }
     (LrModel(dims, w.drop(1), w(0)), logits)

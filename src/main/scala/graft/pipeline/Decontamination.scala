@@ -184,4 +184,27 @@ object Decontamination {
       .select(col("doc_id").as(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** Eval-hygiene composition: assign deterministic splits
+    * ([[Sampling.assignSplit]]), then strip training docs that leak
+    * into the held-out split. Returns `(doc_id, split)` — the train
+    * rows post-decontamination, other splits untouched. One shared
+    * implementation backs the `pipe_split_decon` oracle query and the
+    * scale probe, so the two can't drift. */
+  def splitAndStrip(docs: DataFrame, fractions: Seq[(String, Double)],
+      trainSplit: String = "train", benchSplit: String = "test",
+      minShared: Int = 3, maxDf: Option[Int] = None,
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "split"): DataFrame = {
+    val split = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"),
+      Sampling.assignSplit(col(idCol), fractions, salt).as("split"))
+    val train = split.filter(col("split") === trainSplit)
+    val bench = split.filter(col("split") === benchSplit)
+    val leaks = overlaps(train, bench, minShared, maxDf)
+    train.join(leaks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("split"))
+      .unionByName(split.filter(col("split") =!= trainSplit)
+        .select(col("doc_id"), col("split")))
+  }
 }

@@ -244,7 +244,10 @@ object Similarity {
         col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
       .filter(col("nrm") > 0) // zero-norm guard, as in sq8TopK
-    val dim = all.select(size(col("v"))).head.getInt(0)
+    val dimRow = all.select(size(col("v"))).take(1)
+    require(dimRow.nonEmpty,
+      "pqTopK: no candidates with positive norm — nothing to index")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m = $m")
     val subDim = dim / m
 

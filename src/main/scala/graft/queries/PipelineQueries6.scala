@@ -395,19 +395,9 @@ object PipelineQueries6 {
          |UNION ALL
          |SELECT doc_id, split FROM spl WHERE split = 'train'
          |  AND doc_id NOT IN (SELECT doc_id FROM leaks)""".stripMargin) {
-      (s, dir) => {
-        val docs = W.read(s, dir, "documents")
-        val split = docs.select(col("doc_id"), col("text"),
-          Sampling.assignSplit(col("doc_id"), splitFracs).as("split"))
-        val train = split.filter(col("split") === "train")
-        val test = split.filter(col("split") === "test")
-        val leaks = Decontamination.overlaps(train, test,
-          minShared = deconMinShared, maxDf = Some(deconMaxDf))
-        train.join(leaks.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("split"))
-          .unionByName(split.filter(col("split") =!= "train")
-            .select(col("doc_id"), col("split")))
-      }
+      (s, dir) =>
+        Decontamination.splitAndStrip(W.read(s, dir, "documents"),
+          splitFracs, minShared = deconMinShared, maxDf = Some(deconMaxDf))
     }
   )
 }

@@ -56,6 +56,25 @@ class ClassifierSpec extends TestBase {
     assert(s.size == 1, s"bias-only scores differ: $s")
   }
 
+  test("null text and null labels neither drop rows nor crash training") {
+    import spark.implicits._
+    val rows = Seq[(Long, String, String)](
+      (1L, "valid words here and more", "en"),
+      (2L, null, "en"),          // null text: bias-only features
+      (3L, "unlabeled doc words", null), // null label: no gradient signal
+      (4L, null, null))          // both
+      .toDF("doc_id", "text", "lang")
+    val scored = Classifier.lrScores(rows, dims = 16, iters = 3, lr = 0.1)
+    assert(scored.count() == 4, "null-text/label docs must stay in the corpus")
+    // null-text docs score identically (bias only), regardless of label
+    val biasOnly = scored.filter(col("doc_id").isin(2L, 4L))
+      .select("score").collect().map(_.getDouble(0)).toSet
+    assert(biasOnly.size == 1, s"bias-only scores differ: $biasOnly")
+    // model scoring keeps them too
+    val model = Classifier.trainLr(rows, dims = 16, iters = 3, lr = 0.1)
+    assert(Classifier.score(rows, model).count() == 4)
+  }
+
   test("train once, score anywhere: model scoring matches the training " +
       "path and runs on a stream") {
     import spark.implicits._
