@@ -70,10 +70,18 @@ object JobStatsLog {
     StructField("duration_ms", LongType),
     StructField("completed_at", StringType)))
 
+  /** Readers resolve through [[graft.fs.LocalDirs]] like the writer
+    * does: `append` writes strictly to driver-local disk, so the read
+    * path must carry an explicit `file:` scheme — otherwise on a
+    * cluster whose Hadoop defaultFS is remote (HDFS/S3) the reader
+    * would look at the wrong filesystem and silently see no files. */
+  private def localUri(dir: String): String =
+    graft.fs.LocalDirs.resolve(dir).toUri.toString
+
   /** The stats directory as a DataFrame (explicit schema — no inference
     * pass over what can be millions of small files). */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(schema).json(dir)
+    spark.read.schema(schema).json(localUri(dir))
 
   /** One job's execution rows only: the `stats-<id>-*` name prefix is
     * a glob filter, so a per-job drill-down reads just that job's
@@ -81,5 +89,5 @@ object JobStatsLog {
   def readJob(spark: SparkSession, dir: String, jobId: Long): DataFrame =
     spark.read.schema(schema)
       .option("pathGlobFilter", f"stats-$jobId%012d-*.json")
-      .json(dir)
+      .json(localUri(dir))
 }

@@ -99,7 +99,10 @@ object Dedup {
     * map-side-combined shuffles; old×old is never touched. At real
     * scale the corpus side is a PRE-AGGREGATED fingerprint table kept
     * from earlier runs, making the increment cost independent of
-    * corpus text size. */
+    * corpus text size. Null fingerprints (null text) follow anti-join
+    * semantics: a null key never matches the corpus side, so such rows
+    * are admitted and group together — mirror this in SQL with
+    * NOT EXISTS, not NOT IN (whose null handling drops them). */
   def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val nf = newDocs.select(col(idCol).as("doc_id"),
@@ -365,13 +368,20 @@ object Dedup {
       bucketCap: Option[Int] = Some(256)): DataFrame = {
     require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
     val spark = docs.sparkSession
-    val base = persistInternal("containment_lsh_toks", docs.select(
+    val toksDf = docs.select(
         col(idCol).as("doc_id"),
         sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
           .as("toks"))
       .filter(size(col("toks")) > 0)
+    // Cache only the narrow (doc_id, tier, sig) projection — k longs + an
+    // int per doc. The full token arrays are corpus-sized; pinning them in
+    // the session-lifetime cache registry would hold ~the whole corpus in
+    // block storage between calls. Tokens are recomputed (one extra scan
+    // per verify side) for the exact-verify join instead.
+    val base = persistInternal("containment_lsh_sig", toksDf
       .withColumn("tier", floor(log2(size(col("toks")))).cast("int"))
-      .withColumn("sig", graft.functions.MinHashSig(spark, col("toks"), k)))
+      .withColumn("sig", graft.functions.MinHashSig(spark, col("toks"), k))
+      .select(col("doc_id"), col("tier"), col("sig")))
     val gs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= k).toSeq
     // all granularities from one pass over the persisted signatures
     val bandEntries = array(gs.flatMap { g =>
@@ -410,7 +420,7 @@ object Dedup {
         col("a.g") === gSel)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val t = base.select(col("doc_id"), col("toks"))
+    val t = toksDf
     cand.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"),

@@ -55,10 +55,13 @@ object Multimodal {
    */
   object ImageIoDecoder {
     def decode(r: MediaRecord): Option[DecodedMeta] = {
+      // NonFatal, not just IOException: ImageIO decoders throw
+      // RuntimeExceptions (CMMException, IndexOutOfBounds, IAE) on
+      // malformed payloads, and dropCorrupt must hold for all of them.
       val img = try {
         Option(javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.bytes)))
-      } catch { case _: java.io.IOException => None }
+      } catch { case scala.util.control.NonFatal(_) => None }
       img.map { im =>
         DecodedMeta(r.doc_id, r.media_type, r.bytes.length.toLong,
           im.getWidth, im.getHeight, pixelMd5(im))
@@ -141,7 +144,7 @@ object Multimodal {
           val img = try {
             Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes)))
-          } catch { case _: java.io.IOException => None }
+          } catch { case scala.util.control.NonFatal(_) => None }
           img match {
             case Some(im) =>
               val resized = ImageIoDecoder.resize(im, dstW, dstH)

@@ -330,8 +330,9 @@ object PipelineQueries6 {
          |SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
          |  CAST(count(*) AS BIGINT) AS n_dups
          |FROM fp
-         |WHERE doc_id % 10 < 2 AND fingerprint NOT IN
-         |  (SELECT fingerprint FROM fp WHERE doc_id % 10 >= 2)
+         |WHERE doc_id % 10 < 2 AND NOT EXISTS
+         |  (SELECT 1 FROM fp c
+         |   WHERE c.doc_id % 10 >= 2 AND c.fingerprint = fp.fingerprint)
          |GROUP BY fingerprint""".stripMargin) {
       (s, dir) => {
         val docs = W.read(s, dir, "documents")
