@@ -54,6 +54,16 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // one UNTIMED warmup execution per query first: janino/whole-stage
+      // codegen compiles on the first execution of each distinct plan, and
+      // under local[32] contention that first run measured up to 2.2x the
+      // steady state (dedup_clusters published 10.99 s in r6, 5.1 s warm).
+      // The adaptive min-of-concordant protocol below cannot reject
+      // inflation that hits EVERY iteration of one query, so the compile
+      // cost must be paid before timing starts — the artifact reports
+      // steady-state plans, matching BenchOne's discipline (protocol
+      // change recorded in BASELINE.md round 7).
+      timedRun()
       // adaptive repeats: run until the two fastest iterations agree
       // within 20% (max 4). Min-of-2 was not stall-proof — this host's
       // noisy-neighbor interference produced multi-second stalls that
