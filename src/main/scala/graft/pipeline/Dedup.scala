@@ -365,7 +365,8 @@ object Dedup {
    */
   def containmentPairsLsh(docs: DataFrame, threshold: Double, k: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
-      bucketCap: Option[Int] = Some(256)): DataFrame = {
+      bucketCap: Option[Int] = Some(256),
+      parityHash: Boolean = false): DataFrame = {
     require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
     val spark = docs.sparkSession
     val toksDf = docs.select(
@@ -373,6 +374,19 @@ object Dedup {
         sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
           .as("toks"))
       .filter(size(col("toks")) > 0)
+    // `parityHash = true` swaps the xxhash64 signature/band family for an
+    // md5-string one (min over md5("j:" + token), band = md5 of the
+    // joined slice) that DuckDB can replay verbatim — the banding,
+    // granularity selection, caps, and exact verify are IDENTICAL, so an
+    // oracle hash-match on the parity family certifies the algorithm
+    // end-to-end; the default xxhash64 family remains the scale path
+    // (row-local longs, no string allocation per hash).
+    val sigCol: Column =
+      if (parityHash)
+        array((0 until k).map(j =>
+          array_min(transform(col("toks"),
+            t => md5(concat(lit(s"$j:"), t))))): _*)
+      else graft.functions.MinHashSig(spark, col("toks"), k)
     // Cache only the narrow (doc_id, tier, sig) projection — k longs + an
     // int per doc. The full token arrays are corpus-sized; pinning them in
     // the session-lifetime cache registry would hold ~the whole corpus in
@@ -380,14 +394,17 @@ object Dedup {
     // per verify side) for the exact-verify join instead.
     val base = persistInternal("containment_lsh_sig", toksDf
       .withColumn("tier", floor(log2(size(col("toks")))).cast("int"))
-      .withColumn("sig", graft.functions.MinHashSig(spark, col("toks"), k))
+      .withColumn("sig", sigCol)
       .select(col("doc_id"), col("tier"), col("sig")))
     val gs = Iterator.iterate(1)(_ * 2).takeWhile(_ <= k).toSeq
+    def bandHash(g: Int, b: Int): Column =
+      if (parityHash) md5(concat_ws(",", slice(col("sig"), b * g + 1, g)))
+      else xxhash64(slice(col("sig"), b * g + 1, g))
     // all granularities from one pass over the persisted signatures
     val bandEntries = array(gs.flatMap { g =>
       (0 until k / g).map { b =>
         struct(lit(g).as("g"), lit(b).as("band_idx"),
-          xxhash64(slice(col("sig"), b * g + 1, g)).as("band_hash"))
+          bandHash(g, b).as("band_hash"))
       }
     }: _*)
     val unpivotedAll = base

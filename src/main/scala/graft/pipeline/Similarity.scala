@@ -54,8 +54,10 @@ object Similarity {
 
   /** Deterministic Rademacher hyperplane component: ±1 from an integer
     * mix of (table, bit, dim) — no RNG state, no broadcast side data,
-    * identical across executors and runs. */
-  private def planeSign(table: Int, bit: Int, d: Int): Double = {
+    * identical across executors and runs. `private[graft]` so the
+    * DuckDB oracle builder can inline the SAME plane literals into its
+    * replay SQL (the planes are plan-time constants, not data). */
+  private[graft] def planeSign(table: Int, bit: Int, d: Int): Double = {
     var z = table.toLong * 0x9E3779B97F4A7C15L +
       bit.toLong * 0xBF58476D1CE4E5B9L + d.toLong * 0x94D049BB133111EBL
     z ^= (z >>> 30); z *= 0xBF58476D1CE4E5B9L

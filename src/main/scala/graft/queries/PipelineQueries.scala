@@ -91,6 +91,15 @@ object PipelineQueries {
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin
 
+  /** The LSH hyperplane matrices as a literal VALUES table — one row per
+    * (table, bit) with the dim-wide ±1 plane, generated from the SAME
+    * [[Similarity.planeSign]] the Spark plan inlines. */
+  private def lshPlanesCte(dim: Int, bits: Int, tables: Int): String = {
+    val rows = for { t <- 0 until tables; b <- 0 until bits } yield
+      s"($t,$b,[${(0 until dim).map(d => Similarity.planeSign(t, b, d)).mkString(",")}])"
+    s"planes AS (SELECT * FROM (VALUES\n  ${rows.mkString(",\n  ")}) v(t, b, plane))"
+  }
+
   /** Explicit sequential-fold cosine with precomputed norms (bit-identical
     * to Spark's `aggregate(zip_with(...))` fold + norm-column design). */
   private def duckCosine(a: String, b: String): String =
@@ -375,13 +384,40 @@ object PipelineQueries {
       }
     },
 
-    // LSH-bucketed ANN (rows-only: xxhash64 hyperplanes have no DuckDB
-    // twin) — the second scale path beside IVF; same query set as the
-    // oracle-checked variants.
-    QueryDef.rowsOnly("sim_topk_lsh") {
+    // LSH-bucketed ANN — the second scale path beside IVF. The
+    // hyperplanes are deterministic plan-time literals
+    // (Similarity.planeSign), so the oracle REPLAYS the whole index:
+    // the same ±1 plane matrices are inlined as SQL literals, buckets
+    // are recomputed per (table, vector), and the candidate equi-join +
+    // exact rescore run in DuckDB — certifying bucketing, banding
+    // recall shape, and ranking end-to-end (the sim_topk_pq replay
+    // pattern; retired the rows-only grade in round 7).
+    QueryDef("sim_topk_lsh",
+      withC(embDouble + ",\n" + lshPlanesCte(64, 6, 8) + s""",
+        |bkt AS MATERIALIZED (
+        |  SELECT e.vec_id, p.t,
+        |    sum(CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |          i -> e.v[i] * p.plane[i])) >= 0
+        |        THEN CAST(1 AS BIGINT) << p.b ELSE 0 END) AS bucket
+        |  FROM e, planes p GROUP BY e.vec_id, p.t),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+        |  FROM (SELECT * FROM bkt WHERE vec_id < 8) q
+        |  JOIN bkt c ON c.t = q.t AND c.bucket = q.bucket
+        |            AND c.vec_id <> q.vec_id)""".stripMargin)(
+        s"""SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+           |  SELECT cand.q_id, cand.c_id,
+           |    round(${duckCosine("q", "c")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY cand.q_id
+           |      ORDER BY round(${duckCosine("q", "c")}, 6) DESC, cand.c_id)
+           |      AS rank
+           |  FROM cand JOIN e q ON q.vec_id = cand.q_id
+           |            JOIN e c ON c.vec_id = cand.c_id)
+           |WHERE rank <= 5""".stripMargin)) {
       (s, dir) => {
         val e = W.read(s, dir, "embeddings")
         Similarity.lshTopK(e.filter(col("vec_id") < 8), e, 5)
+          .select("q_id", "c_id", "cos_sim", "rank")
       }
     },
 

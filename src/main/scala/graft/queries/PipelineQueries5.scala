@@ -32,6 +32,56 @@ object PipelineQueries5 {
   private val dsirBuckets = 8192
   private val dsirTopN = 100
   private val contThreshold = 0.8
+  private val contLshK = 16
+  private val contLshCap = 256
+
+  /** Full containment-LSH replay on the md5 parity hash family: sorted
+    * distinct tokens → k signature mins → every power-of-two band
+    * granularity → 256-cap per bucket → tier-selected band join → exact
+    * containment verify. Constants (granularity thresholds) are computed
+    * by the SAME Scala expressions the Spark plan inlines. */
+  private def contLshCtes: String = {
+    val k = contLshK
+    val gs = Seq(1, 2, 4, 8, 16)
+    val sigElems = (0 until k).map(j =>
+      s"list_min(list_transform(toksd, t -> md5('$j:' || t)))")
+      .mkString(",\n      ")
+    val gbRows = gs.flatMap(g => (0 until k / g).map(b => s"($g,$b)"))
+      .mkString(",")
+    def thr(g: Int): Double = math.pow(g.toDouble / k, 1.0 / g)
+    val gCase = gs.reverse.init.map(g =>
+      s"WHEN jlb >= CAST(${thr(g)} AS DOUBLE) THEN $g")
+      .mkString("CASE ", " ", " ELSE 1 END")
+    s"""cl_td AS MATERIALIZED (
+       |  SELECT doc_id, list_sort(list_distinct(toks)) AS toksd
+       |  FROM tok_docs WHERE len(list_distinct(toks)) > 0),
+       |cl_sig AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(floor(log2(len(toksd))) AS INT) AS tier,
+       |    [$sigElems] AS sig
+       |  FROM cl_td),
+       |cl_bands AS MATERIALIZED (
+       |  SELECT s.doc_id, s.tier, gb.g, gb.b AS band_idx,
+       |    md5(array_to_string(s.sig[gb.b * gb.g + 1 : gb.b * gb.g + gb.g],
+       |      ',')) AS band_hash
+       |  FROM cl_sig s CROSS JOIN (VALUES $gbRows) gb(g, b)),
+       |cl_capped AS (
+       |  SELECT doc_id, tier, g, band_idx, band_hash FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY g, band_idx, band_hash ORDER BY doc_id) AS rn
+       |    FROM cl_bands) WHERE rn <= $contLshCap),
+       |cl_cand AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS g,
+       |      CAST($contThreshold AS DOUBLE)
+       |        * power(2.0, least(a.tier, b.tier))
+       |        / (power(2.0, least(a.tier, b.tier))
+       |           + power(2.0, greatest(a.tier, b.tier))) AS jlb
+       |    FROM cl_capped a JOIN cl_capped b
+       |      ON a.g = b.g AND a.band_idx = b.band_idx
+       |     AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |  WHERE g = $gCase)""".stripMargin
+  }
   private val orderShards = 8
   private val bpeMerges = 10
 
@@ -406,12 +456,26 @@ object PipelineQueries5 {
     },
 
     // block-key-free containment via size-adaptive (LSH Ensemble-style)
-    // banding — xxhash64 signatures aren't DuckDB-expressible, so this is
-    // rows-only here (same precedent as dedup_minhash_fast); recall vs
-    // the exact path is pinned on a planted fixture in CrossCheckSpec
-    QueryDef.rowsOnly("dedup_containment_lsh") {
+    // banding. Round 7: oracle-replayed end-to-end on the md5 PARITY hash
+    // family (`parityHash = true`) — signature mins, per-granularity band
+    // hashes, the tier-resolution granularity selection, the 256-cap, and
+    // the exact verify all recomputed in DuckDB, so the hash-match
+    // certifies the full LSH-Ensemble algorithm. The xxhash64 family
+    // stays the scale default; its recall floor remains pinned on the
+    // planted fixture in CrossCheckSpec.
+    QueryDef("dedup_containment_lsh", withC(tokDocs + ",\n" + contLshCtes)(
+      s"""SELECT doc_a, doc_b, cont_a, cont_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(ta.toksd, tb.toksd)) AS DOUBLE)
+         |      / CAST(len(ta.toksd) AS DOUBLE), 6) AS cont_a,
+         |    round(CAST(len(list_intersect(ta.toksd, tb.toksd)) AS DOUBLE)
+         |      / CAST(len(tb.toksd) AS DOUBLE), 6) AS cont_b
+         |  FROM cl_cand c JOIN cl_td ta ON ta.doc_id = c.doc_a
+         |                 JOIN cl_td tb ON tb.doc_id = c.doc_b)
+         |WHERE greatest(cont_a, cont_b) >= $contThreshold""".stripMargin)) {
       (s, dir) =>
-        Dedup.containmentPairsLsh(W.read(s, dir, "documents"), contThreshold)
+        Dedup.containmentPairsLsh(W.read(s, dir, "documents"), contThreshold,
+          parityHash = true)
     },
 
     // ---- CCNet quality tiers ----------------------------------------------
