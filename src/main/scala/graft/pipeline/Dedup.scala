@@ -710,6 +710,89 @@ object Dedup {
   }
 
   /**
+   * Log-round connected components — the alternating large-star /
+   * small-star algorithm (Kiveris et al., "Connected Components in
+   * MapReduce and Beyond", SoCC 2014): the escape hatch
+   * [[connectedComponents]]'s non-convergence error names for graphs
+   * whose diameter exceeds its round budget.
+   *
+   *  - large-star: per node u, connect every LARGER neighbor to
+   *    m = min(N(u) ∪ u) — flattens long tails upward.
+   *  - small-star: per node u (over larger→smaller directed edges),
+   *    connect u and all its smaller neighbors to their minimum —
+   *    contracts each neighborhood toward its root.
+   *
+   * Each round is two grouped-min joins over the CURRENT edge set
+   * (which shrinks toward a star forest), and the round count is
+   * O(log² n) worst-case, independent of diameter — a path graph of
+   * length 10⁶ converges in ~10 rounds where plain min-label
+   * propagation needs diameter/2. The trade: per-round cost is two
+   * shuffles of the edge set vs one label join, so for the shallow
+   * quasi-clique graphs near-dup banding emits, [[connectedComponents]]
+   * is cheaper — use THIS variant when the graph shape is unknown or
+   * chain-like (see SCALE.md "Connected components at scale").
+   *
+   * Output contract matches [[connectedComponents]] exactly:
+   * `(doc_id, cluster_id = min reachable id)`, every node of `pairs`
+   * present — equality with the min-label path is pinned in
+   * CrossCheckSpec, including a chain fixture the min-label path
+   * refuses at its round budget.
+   */
+  def connectedComponentsAlternating(pairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIter: Int = 30): DataFrame = {
+    val edges0 = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val nodes = edges0.select(col("src").as("id"))
+      .unionAll(edges0.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    // emit (v, m(u)) for every neighbor v > u; m = min(N(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val mins = und.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      und.join(mins, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")).distinct()
+    }
+    // over larger→smaller edges: connect u and all smaller neighbors to
+    // the neighborhood minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
+      dir.join(mins, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(mins.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    def labelsOf(e: DataFrame): DataFrame = nodes
+      .join(e.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("mn"), col("id")).as("lbl"))
+    var e = edges0.distinct().localCheckpoint(true)
+    var prev = labelsOf(e).localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = labelsOf(e).localCheckpoint(true)
+      changed = cur.as("c")
+        .join(prev.as("p"), Seq("id"))
+        .filter(col("c.lbl") =!= col("p.lbl")).count()
+      prev = cur
+      iter += 1
+    }
+    lastCcRounds = iter
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponentsAlternating did not converge in $maxIter " +
+        s"rounds ($changed labels still changing) — raise maxIter")
+    prev.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
+  /**
    * Embedding-cosine near-dup pairs, blocked by a coarse cluster column
    * (IVF-style): only intra-cell pairs are compared, so the join is an
    * equi-join on the cell id — the 100 TB-safe plan.

@@ -91,6 +91,36 @@ object PipelineQueries {
       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
       |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings))""".stripMargin
 
+  /** Exact connected-components ground truth: simhash near-dup pairs →
+    * recursive transitive closure → min reachable id per node. Shared by
+    * BOTH cluster queries (min-label and large-star/small-star), so the
+    * two algorithms are certified against one oracle. */
+  private val ccOracleSql: String =
+    "WITH RECURSIVE " + simhash32Cte + ",\n" +
+      """pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |    FROM (SELECT doc_id, simhash, b AS band_idx,
+        |            (simhash >> (b * 8)) & 255 AS band_val
+        |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) a
+        |    JOIN (SELECT doc_id, simhash, b AS band_idx,
+        |            (simhash >> (b * 8)) & 255 AS band_val
+        |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) b
+        |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |         AND a.doc_id < b.doc_id)
+        |  WHERE hamming <= 3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach(id, other) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src)
+        |SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+        |FROM reach GROUP BY id""".stripMargin
+
   /** The LSH hyperplane matrices as a literal VALUES table — one row per
     * (table, bit) with the dim-wide ±1 plane, generated from the SAME
     * [[Similarity.planeSign]] the Spark plan inlines. */
@@ -297,33 +327,20 @@ object PipelineQueries {
     // the same pairs with a recursive CTE (transitive closure, then min
     // per node) — exact, so the iterative min-label propagation in Spark
     // is hash-verified end-to-end.
-    QueryDef("dedup_clusters",
-      "WITH RECURSIVE " + simhash32Cte + ",\n" +
-        """pairs AS (
-          |  SELECT doc_a, doc_b FROM (
-          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-          |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-          |    FROM (SELECT doc_id, simhash, b AS band_idx,
-          |            (simhash >> (b * 8)) & 255 AS band_val
-          |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) a
-          |    JOIN (SELECT doc_id, simhash, b AS band_idx,
-          |            (simhash >> (b * 8)) & 255 AS band_val
-          |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) b
-          |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-          |         AND a.doc_id < b.doc_id)
-          |  WHERE hamming <= 3),
-          |edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-          |  UNION ALL
-          |  SELECT doc_b, doc_a FROM pairs),
-          |reach(id, other) AS (
-          |  SELECT src, dst FROM edges
-          |  UNION
-          |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src)
-          |SELECT id AS doc_id, least(id, min(other)) AS cluster_id
-          |FROM reach GROUP BY id""".stripMargin) {
+    QueryDef("dedup_clusters", ccOracleSql) {
       (s, dir) =>
         Dedup.connectedComponents(
+          Dedup.simhashPairs(W.read(s, dir, "documents")))
+    },
+
+    // Same cluster contract, log-round algorithm: alternating large-star/
+    // small-star (round count independent of graph diameter). The SAME
+    // exact transitive-closure oracle certifies it, so both CC variants
+    // are hash-verified against one ground truth; the chain-shaped graph
+    // the min-label path refuses is pinned in CrossCheckSpec.
+    QueryDef("dedup_clusters_loground", ccOracleSql) {
+      (s, dir) =>
+        Dedup.connectedComponentsAlternating(
           Dedup.simhashPairs(W.read(s, dir, "documents")))
     },
 

@@ -205,6 +205,50 @@ class CrossCheckSpec extends TestBase {
     assert(empty.columns.toSeq == Seq("doc_id", "cluster_id") && empty.count() == 0)
   }
 
+  test("alternating CC equals min-label CC on the real near-dup graph") {
+    import spark.implicits._
+    // same fixtures as the min-label test: chains, multiple components,
+    // empty input...
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L)).toDF("doc_a", "doc_b")
+    val alt = Dedup.connectedComponentsAlternating(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(alt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"$alt")
+    val empty = Dedup.connectedComponentsAlternating(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.columns.toSeq == Seq("doc_id", "cluster_id") && empty.count() == 0)
+    // ... and full equality against the min-label path on the REAL
+    // simhash near-dup graph from the test corpus
+    val real = Dedup.simhashPairs(WarehouseSim.read(spark, sfDir, "documents"))
+      .select("doc_a", "doc_b").localCheckpoint()
+    val a = Dedup.connectedComponentsAlternating(real)
+      .as[(Long, Long)].collect().toMap
+    val m = Dedup.connectedComponents(real)
+      .as[(Long, Long)].collect().toMap
+    assert(a == m, s"alternating and min-label labelings differ: " +
+      s"${(a.toSet diff m.toSet).take(5)} / ${(m.toSet diff a.toSet).take(5)}")
+  }
+
+  test("pathological chain: min-label at its round budget refuses; alternating converges") {
+    import spark.implicits._
+    // a 600-node path graph — diameter 599. Min-label with pointer
+    // jumping halves the hop distance per round, so a tight budget of 3
+    // rounds cannot converge and must fail LOUDLY (silent truncation
+    // would split one component into many). The alternating algorithm's
+    // round count is diameter-independent: the same budget suffices.
+    val chain = (1L until 600L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val refused = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3)
+    }
+    assert(refused.getMessage.contains("did not converge"))
+    val alt = Dedup.connectedComponentsAlternating(chain, maxIter = 15)
+      .as[(Long, Long)].collect()
+    assert(alt.length == 600 && alt.forall(_._2 == 1L),
+      s"chain must collapse to cluster 1: ${alt.filter(_._2 != 1L).take(5).toSeq}")
+    assert(Dedup.lastCcRounds <= 15)
+  }
+
   test("LSH top-k holds a recall floor against brute force on real embeddings") {
     val e = WarehouseSim.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
