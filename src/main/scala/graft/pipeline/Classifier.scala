@@ -116,13 +116,51 @@ object Classifier {
    */
   def score(docs: DataFrame, model: LrModel,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val s = scoreExpr(model, textCol)
+    docs.select(col(idCol).as("doc_id"), s.as("score"),
+      (s >= 0.5).cast("int").as("pred"))
+  }
+
+  /** The rounded sigmoid score of one document under a fixed model —
+    * model weights as an array literal, so the whole thing is a scan-
+    * speed projection. */
+  private def scoreExpr(model: LrModel, textCol: String): Column = {
     val wArr = array(model.weightsMu.map(lit).toIndexedSeq: _*)
     val zMu = lit(model.biasMu) + aggregate(
       featBuckets(col(textCol), model.dims),
       lit(0L), (acc, j) => acc + element_at(wArr, j.cast("int") + lit(1)))
-    val s = round(sigmoid(zMu), 6)
-    docs.select(col(idCol).as("doc_id"), s.as("score"),
-      (s >= 0.5).cast("int").as("pred"))
+    round(sigmoid(zMu), 6)
+  }
+
+  /**
+   * The 100-TB training recipe: [[trainLr]] is `iters` full passes over
+   * the corpus, so at real scale training data must be a SAMPLE — a
+   * hash-stable [[Sampling.deterministicSample]] slice (same documents
+   * on every run, every cluster, any partitioning), not a `.sample()`
+   * whose selection drifts with the RNG seed and split layout. The
+   * model trains on the slice (iters × sampleRate corpus-scans), then
+   * scores the FULL corpus at scan speed with the weights as plan
+   * literals. Output matches [[lrScores]]: `(doc_id, label, score,
+   * pred)` over every document.
+   *
+   * Quality parity vs full-corpus training is measured, not assumed:
+   * the `t_classifier_sampled` eval row (SCALE.md round 7) compares the
+   * two confusion tables at the gate's operating threshold on sf0.1.
+   */
+  def lrScoresSampled(docs: DataFrame, sampleRate: Double,
+      dims: Int = 256, iters: Int = 8,
+      lr: Double = 0.02, beta: Double = 0.9,
+      labelCol: Column = col("lang") === "en",
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "ctrain"): DataFrame = {
+    require(sampleRate > 0 && sampleRate <= 1,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val model = trainLr(
+      Sampling.deterministicSample(docs, idCol, sampleRate, salt),
+      dims, iters, lr, beta, labelCol, idCol, textCol)
+    val s = scoreExpr(model, textCol)
+    docs.select(col(idCol).as("doc_id"), labelCol.cast("int").as("label"),
+      s.as("score"), (s >= 0.5).cast("int").as("pred"))
   }
 
   /** `iters` momentum-GD steps from the all-zeros model. Returns the

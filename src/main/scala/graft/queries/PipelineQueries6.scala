@@ -25,6 +25,9 @@ object PipelineQueries6 {
   private val lrIters = 8
   private val lrRate = 0.02
   private val lrBeta = 0.9
+  private val lrSampRate = 0.25
+  private val lrSampSalt = "ctrain"
+  private val lrSampThresh = Sampling.rateThreshold(lrSampRate)
   private val monEpoch = 1700000000L
   private val monSpreadS = 7200L
   // mix report shares samp_weighted_mix's config shape; thresholds are
@@ -136,9 +139,12 @@ object PipelineQueries6 {
     * base → w0 (all-zeros weights AND velocities, bias at j = −1) →
     * per-iteration (wa/bb weight array, z residuals, g gradients,
     * heavy-ball velocity + weight update in micro-units). */
-  private def lrCtes(iters: Int): String = {
+  private def lrCtes(iters: Int, trainPred: String = "TRUE"): String = {
     val logit = (wAlias: String) =>
       s"CAST(bb.bw + coalesce(list_sum(list_transform(js, x -> $wAlias.wa[x + 1])), 0) AS DOUBLE) / 1000000.0"
+    // `trn` is the training slice (defaults to the whole corpus); the
+    // final `scores` CTE always reads `base` — the sampled variant
+    // trains on the slice and scores everything, like the Spark side
     val base =
       s"""$tkCte,
          |base AS MATERIALIZED (
@@ -147,7 +153,8 @@ object PipelineQueries6 {
          |  FROM documents d LEFT JOIN (
          |    SELECT doc_id, list_sort(list(j)) AS js
          |    FROM tk GROUP BY doc_id) f USING (doc_id)),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+         |trn AS (SELECT * FROM base WHERE $trainPred),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM trn),
          |w0 AS (SELECT CAST(j AS BIGINT) AS j, CAST(0 AS BIGINT) AS wt,
          |         CAST(0 AS BIGINT) AS vt
          |       FROM range(-1, $lrDims) r(j))""".stripMargin
@@ -157,7 +164,7 @@ object PipelineQueries6 {
          |z$i AS MATERIALIZED (
          |  SELECT doc_id, y, js,
          |    1.0/(1.0 + exp(-(${logit(s"wa$i")}))) - CAST(y AS DOUBLE) AS r
-         |  FROM base, wa$i, bb$i bb),
+         |  FROM trn, wa$i, bb$i bb),
          |g$i AS MATERIALIZED (
          |  SELECT j, sum(r) AS s FROM (
          |    SELECT unnest(list_append(js, CAST(-1 AS BIGINT))) AS j, r
@@ -219,6 +226,22 @@ object PipelineQueries6 {
       (s, dir) =>
         Classifier.lrScores(W.read(s, dir, "documents"),
           dims = lrDims, iters = lrIters, lr = lrRate, beta = lrBeta)
+    },
+
+    // the 100-TB recipe: train on a hash-stable deterministic sample,
+    // score the FULL corpus with the resulting weights — the oracle
+    // replays the sampled trajectory (GD over the slice) and the
+    // corpus-wide scoring pass end-to-end
+    QueryDef("t_classifier_sampled",
+      s"""WITH ${lrCtes(lrIters,
+             s"${PipelineQueries2.duckHash32(lrSampSalt)} < $lrSampThresh")}
+         |SELECT doc_id, y AS label, score,
+         |  CAST(score >= 0.5 AS INT) AS pred
+         |FROM scores""".stripMargin) {
+      (s, dir) =>
+        Classifier.lrScoresSampled(W.read(s, dir, "documents"),
+          sampleRate = lrSampRate, dims = lrDims, iters = lrIters,
+          lr = lrRate, beta = lrBeta, salt = lrSampSalt)
     },
 
     // calibration sweep: confusion counts + precision/recall/F1 at
