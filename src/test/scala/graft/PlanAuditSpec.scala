@@ -71,4 +71,14 @@ class PlanAuditSpec extends TestBase {
     assert(!p.contains("regexp_extract"),
       "p5 should use a single regexp_like, not extract+compare")
   }
+
+  test("sampled-classifier scoring is a joinless scan-speed projection") {
+    // training runs while the plan is BUILT (bounded driver model); the
+    // returned frame must score with the weights as literals — one scan,
+    // no join, no shuffle. A Join/Exchange here means scoring regressed
+    // to the per-iteration join path, which would re-shuffle 100 TB.
+    val p = planOf("t_classifier_sampled")
+    assert(!p.contains("Join") && !p.contains("Exchange"),
+      s"scoring plan must be a pure projection, got:\n$p")
+  }
 }
