@@ -92,6 +92,14 @@ object ScaleProbe {
     run("split_decon")(d => graft.pipeline.Decontamination.splitAndStrip(
       d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       minShared = 3, maxDf = Some(100)))
+
+    // round-7 operators
+    run("cc_alternating")(d =>
+      Dedup.connectedComponentsAlternating(Dedup.simhashPairs(d)))
+    run("classifier_sampled")(d => graft.pipeline.Classifier.lrScoresSampled(
+      d, 0.25, labelCol = col("doc_id") % 2 === 0))
+    run("containment_lsh_parity")(
+      Dedup.containmentPairsLsh(_, 0.8, parityHash = true))
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup
