@@ -206,6 +206,80 @@ object Similarity {
   }
 
   /**
+   * IVF multi-probe top-k — [[ivfTopK]]'s recall knob: each query
+   * searches its `nprobe` NEAREST cells (by distance to the cell
+   * centroid) instead of only its own, catching true neighbors that sit
+   * just across a Voronoi boundary — the standard IVF recall/cost
+   * trade (Faiss `nprobe`). Candidate volume scales linearly in
+   * `nprobe`; the join stays a cell-id equi-join.
+   *
+   * Centroids are the per-cell coordinate means rounded to 1e-6 (the
+   * k-means re-center discipline), so the whole pipeline — centroid
+   * computation, probe selection (distance ties broken by cell id),
+   * scoring, ranking — is deterministic and replayed end-to-end by the
+   * DuckDB oracle. With `nprobe >=` the number of cells this EQUALS
+   * brute force (pinned in CrossCheckSpec), which is the exactness
+   * argument for the probe path: it only ever prunes, never reorders.
+   *
+   * At 100 TB: centroids are a tiny aggregate (cells × dim), broadcast
+   * to rank probes per query; the candidate join shuffles only
+   * (cell, ids) pairs. Zero-norm candidates are dropped on both sides
+   * (no direction ⇒ NaN cosine, engine-divergent ordering).
+   */
+  def ivfTopKMultiProbe(queries: DataFrame, candidates: DataFrame, k: Int,
+      nprobe: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
+    val c = candidates.select(col(idCol).as("c_id"), col(cellCol).as("cell"),
+        asDouble(col(vecCol)).as("c_v"))
+      .withColumn("c_nrm", norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+    // per-cell centroid: coordinate means rounded to 1e-6 (deterministic
+    // across engines). cells × dim is bounded (the k-means centroid
+    // discipline), so the table is collected once and inlined as plan
+    // literals — probe ranking is then a scan-speed projection, no join
+    val cents = c.select(col("cell"), posexplode(col("c_v")))
+      .groupBy("cell", "pos").agg(round(avg("col"), 6).as("mv"))
+      .groupBy("cell")
+      .agg(map_from_arrays(collect_list("pos"), collect_list("mv")).as("byPos"))
+      .select(col("cell"),
+        transform(sequence(lit(0), size(col("byPos")) - 1),
+          i => element_at(col("byPos"), i)).as("cv"))
+      .collect()
+    if (cents.isEmpty)
+      // no candidates with positive norm: empty result, right schema
+      return q.filter(lit(false))
+        .select(col("q_id"), col("q_id").as("c_id"),
+          lit(0.0).as("cos_sim"), lit(1).as("rank"))
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // nprobe nearest cells per query: array_sort over (distance, cell)
+    // structs sorts by distance with cell as the deterministic tie-break
+    val distStructs = array(cents.map { r =>
+      val cellLit = lit(r.get(0))
+      val cvLit = array(r.getSeq[Double](1).map(lit).toIndexedSeq: _*)
+      struct(round(sqd(col("q_v"), cvLit), 6).as("cd"), cellLit.as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = q
+      .select(col("q_id"),
+        explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
+      .select(col("q_id"), col("p.cell").as("cell"))
+    val scored = probes
+      .join(c, "cell")
+      .join(q, "q_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * IVF-PQ top-k — the Faiss-default scale recipe (Jégou et al. 2011,
    * "Product Quantization for Nearest Neighbor Search"): split the
    * vector into `m` subspaces, learn a tiny `ks`-centroid codebook per

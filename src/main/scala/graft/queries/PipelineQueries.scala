@@ -401,6 +401,46 @@ object PipelineQueries {
       }
     },
 
+    // IVF with multi-probe (nprobe = 2): each query searches its two
+    // nearest cells by centroid distance — the standard recall knob.
+    // The oracle replays centroid computation, probe selection (distance
+    // ties broken by cell), and the cosine ranking end-to-end; with
+    // nprobe >= cell count this equals brute force (CrossCheckSpec).
+    QueryDef("sim_topk_ivf_probe",
+      withC(PipelineQueries.embDouble + s""",
+        |en AS (SELECT vec_id, label, v, nrm FROM e WHERE nrm > 0),
+        |cents AS MATERIALIZED (
+        |  SELECT label AS cell, list(mv ORDER BY pos) AS cv FROM (
+        |    SELECT label, p.pos, round(avg(v[p.pos]), 6) AS mv
+        |    FROM en, (SELECT unnest(generate_series(1, 64)) AS pos) p
+        |    GROUP BY label, p.pos) GROUP BY label),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT q.vec_id AS q_id, c.cell,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        round(list_sum(list_transform(generate_series(1, 64),
+        |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 6),
+        |        c.cell) AS prk
+        |    FROM (SELECT * FROM en WHERE vec_id < 8) q, cents c)
+        |  WHERE prk <= 2)""".stripMargin)(
+        s"""SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+           |  SELECT p.q_id, c.vec_id AS c_id,
+           |    round(${duckCosine("q", "c")}, 6) AS cos_sim,
+           |    row_number() OVER (PARTITION BY p.q_id
+           |      ORDER BY round(${duckCosine("q", "c")}, 6) DESC, c.vec_id)
+           |      AS rank
+           |  FROM probes p JOIN en c ON c.label = p.cell
+           |  JOIN en q ON q.vec_id = p.q_id
+           |  WHERE p.q_id <> c.vec_id)
+           |WHERE rank <= 5""".stripMargin)) {
+      (s, dir) => {
+        val e = W.read(s, dir, "embeddings")
+        Similarity.ivfTopKMultiProbe(e.filter(col("vec_id") < 8), e, 5,
+            nprobe = 2)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
     // LSH-bucketed ANN — the second scale path beside IVF. The
     // hyperplanes are deterministic plan-time literals
     // (Similarity.planeSign), so the oracle REPLAYS the whole index:

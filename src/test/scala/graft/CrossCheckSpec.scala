@@ -249,6 +249,30 @@ class CrossCheckSpec extends TestBase {
     assert(Dedup.lastCcRounds <= 15)
   }
 
+  test("IVF multi-probe: nprobe >= cell count equals brute force; recall is monotone in nprobe") {
+    import spark.implicits._
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val nCells = e.select("label").distinct().count().toInt
+    // probing every cell = no pruning at all: the ranking must be
+    // EXACTLY brute force (same rounding, same tie-breaks)
+    val all = Similarity.ivfTopKMultiProbe(q, e, 5, nprobe = nCells)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, e, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all == bf, s"full-probe IVF must equal brute force; " +
+      s"diff: ${(all diff bf).take(5)} / ${(bf diff all).take(5)}")
+    // recall against brute force can only improve as nprobe grows
+    def recall(n: Int): Double = {
+      val got = Similarity.ivfTopKMultiProbe(q, e, 5, nprobe = n)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      val want = bf.map(t => (t._1, t._2))
+      got.intersect(want).size.toDouble / want.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"recall must be monotone in nprobe: $r1 -> $r2")
+  }
+
   test("LSH top-k holds a recall floor against brute force on real embeddings") {
     val e = WarehouseSim.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
