@@ -741,29 +741,32 @@ object Dedup {
   def connectedComponentsAlternating(pairs: DataFrame,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxIter: Int = 30): DataFrame = {
+    // normalize ONCE to larger→smaller directed distinct edges; both
+    // star operations preserve that invariant (large-star emits (v, m)
+    // with v > u ≥ m, small-star emits pairs pointing at the group
+    // minimum), so the per-round re-normalization shuffles are saved
     val edges0 = pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
     val nodes = edges0.select(col("src").as("id"))
       .unionAll(edges0.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
     // emit (v, m(u)) for every neighbor v > u; m = min(N(u) ∪ u)
     def largeStar(e: DataFrame): DataFrame = {
+      // e is directed distinct, so the two directions cannot collide
       val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
       val mins = und.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
       und.join(mins, "src").filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst")).distinct()
     }
-    // over larger→smaller edges: connect u and all smaller neighbors to
-    // the neighborhood minimum
+    // over the larger→smaller edges: connect u and all smaller neighbors
+    // to the neighborhood minimum
     def smallStar(e: DataFrame): DataFrame = {
-      val dir = e.select(greatest(col("src"), col("dst")).as("src"),
-          least(col("src"), col("dst")).as("dst"))
-        .filter(col("src") =!= col("dst")).distinct()
-      val mins = dir.groupBy("src").agg(min(col("dst")).as("m"))
-      dir.join(mins, "src").filter(col("dst") =!= col("m"))
+      val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
+      e.join(mins, "src").filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionAll(mins.select(col("src"), col("m").as("dst")))
         .distinct()
@@ -774,6 +777,8 @@ object Dedup {
       .select(col("id"), coalesce(col("mn"), col("id")).as("lbl"))
     var e = edges0.distinct().localCheckpoint(true)
     var prev = labelsOf(e).localCheckpoint(true)
+    // (smallStar output keeps src > dst: it links nodes to a strictly
+    // smaller group minimum, so the directed-distinct invariant holds)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
