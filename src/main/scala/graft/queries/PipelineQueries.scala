@@ -39,6 +39,84 @@ object PipelineQueries {
       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM shingled)
       |  GROUP BY doc_id)""".stripMargin
 
+  /**
+   * Oracle for the xxhash64 scale-path MinHash ([[Dedup.minhashLshPairsFast]]
+   * / [[Dedup.minhashLshPairsRobust]]): replays Spark's XXH64 bit-for-bit
+   * in DuckDB (see [[XxhSql]]) — distinct shingles × seeds 0..7 through
+   * the hash chain, signed-long min per (doc, seed), band folds with seed
+   * chaining from 42, capped band equi-join, shingle-Jaccard verify.
+   * `src` is the docs relation (doc_id, text); `prelude` lets the robust
+   * variant prepend its skew-injection + exact-rep CTEs.
+   */
+  private def xxhMinhashOracleSql(src: String, bucketCap: Option[Int],
+      prelude: Seq[String] = Nil): String = {
+    val sigSrc = bucketCap.map(_ => "capped").getOrElse("unp")
+    val ubMh = XxhSql.toUnsigned("mh")
+    val parts = prelude ++ Seq(
+      s"""xtok AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM $src)""".stripMargin,
+      """xsh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(toks) - 2, 0)),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+        |  FROM xtok)""".stripMargin,
+      """inp AS MATERIALIZED (
+        |  SELECT s, CAST(seed AS HUGEINT) AS seed
+        |  FROM (SELECT DISTINCT unnest(shingles) AS s FROM xsh),
+        |       (SELECT unnest(generate_series(0, 7)) AS seed))""".stripMargin,
+      XxhSql.strHashChain("x"),
+      s"""sigrows AS MATERIALIZED (
+         |  SELECT d.doc_id, x.seed, min(${XxhSql.toSigned("x.hf")}) AS mh
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM xsh) d
+         |  JOIN xf x ON d.s = x.s
+         |  GROUP BY d.doc_id, x.seed)""".stripMargin,
+      s"""bandin AS MATERIALIZED (
+         |  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+         |    max(CASE WHEN seed % 4 = 0 THEN $ubMh END) AS v1,
+         |    max(CASE WHEN seed % 4 = 1 THEN $ubMh END) AS v2,
+         |    max(CASE WHEN seed % 4 = 2 THEN $ubMh END) AS v3,
+         |    max(CASE WHEN seed % 4 = 3 THEN $ubMh END) AS v4
+         |  FROM sigrows GROUP BY 1, 2)""".stripMargin,
+      XxhSql.longFoldChain("bf", "bandin", Seq("doc_id", "band_idx"), 4),
+      "unp AS (SELECT doc_id, band_idx, band_hash FROM bff)") ++
+      bucketCap.map(cap =>
+        s"""capped AS (
+           |  SELECT doc_id, band_idx, band_hash FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY band_idx, band_hash
+           |      ORDER BY doc_id) AS rn FROM unp)
+           |  WHERE rn <= $cap)""".stripMargin).toSeq ++ Seq(
+      s"""cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM $sigSrc a JOIN $sigSrc b
+         |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         |       AND a.doc_id < b.doc_id)""".stripMargin)
+    withC(parts.mkString(",\n"))(
+      """SELECT c.doc_a, c.doc_b,
+        |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |    / CAST(len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM cand c
+        |JOIN xsh sa ON c.doc_a = sa.doc_id
+        |JOIN xsh sb ON c.doc_b = sb.doc_id""".stripMargin)
+  }
+
+  /** Skew-injection + exact-representative CTEs for the robust oracle:
+    * 400 clones of the min-doc_id document, then one representative per
+    * exact fingerprint (min doc_id — matches `min_by(struct, doc_id)`). */
+  private val robustSkewPrelude = Seq(
+    """docs0 AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT 10000000 + i AS doc_id, t.text
+      |  FROM (SELECT unnest(generate_series(1, 400)) AS i),
+      |       (SELECT text FROM documents ORDER BY doc_id LIMIT 1) t)""".stripMargin,
+    """reps AS (
+      |  SELECT min(doc_id) AS doc_id, arg_min(text, doc_id) AS text
+      |  FROM docs0
+      |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))""".stripMargin)
+
   private val simhashCte = tokDocs + ",\n" +
     """sim AS (
       |  SELECT doc_id,
@@ -344,17 +422,22 @@ object PipelineQueries {
           Dedup.simhashPairs(W.read(s, dir, "documents")))
     },
 
-    // Scale path: native xxhash64 one-pass signature (no oracle — different
-    // hash family than the md5 parity path; driver records rows-only).
-    QueryDef.rowsOnly("dedup_minhash_fast") {
+    // Scale path: native xxhash64 one-pass signature. The oracle replays
+    // Spark's XXH64 bit-for-bit in DuckDB (see XxhSql) — candidate
+    // generation is certified on the REAL hash family, not a parity twin.
+    QueryDef("dedup_minhash_fast",
+      xxhMinhashOracleSql("documents", bucketCap = None)) {
       (s, dir) => Dedup.minhashLshPairsFast(W.read(s, dir, "documents"))
     },
 
     // Robust scale path on a deliberately skewed corpus: 400 exact clones
     // of one document form a hot cluster that would make one LSH bucket
     // quadratic; the exact-dedup pre-pass + per-bucket cap keep candidate
-    // generation bounded (rows-only — same hash family as the fast path).
-    QueryDef.rowsOnly("dedup_minhash_robust_skew") {
+    // generation bounded. Same XXH64 replay, plus the skew injection and
+    // representative pre-pass unrolled into the oracle.
+    QueryDef("dedup_minhash_robust_skew",
+      xxhMinhashOracleSql("reps", bucketCap = Some(50),
+        prelude = robustSkewPrelude)) {
       (s, dir) =>
         val docs = W.read(s, dir, "documents").select("doc_id", "text")
         val hot = docs.orderBy("doc_id").limit(1)
