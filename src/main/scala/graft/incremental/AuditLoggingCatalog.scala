@@ -1,11 +1,7 @@
 package graft.incremental
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
-import java.util.concurrent.atomic.AtomicLong
-
 import graft.catalog.CatalogClient
-import graft.model.{AuditObject, MetaJson, PartitionMeta, TableMeta}
+import graft.model.{AuditObject, PartitionMeta, TableMeta}
 
 /**
  * The audit-hook analog (reference `hive-hooks/`: CliAuditLogHook +
@@ -31,55 +27,17 @@ import graft.model.{AuditObject, MetaJson, PartitionMeta, TableMeta}
 final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     startId: Long = 0L, thriftOrigin: Boolean = false) extends CatalogClient {
 
-  /** `THRIFT_API` sentinel the reference listener writes as the command. */
-  private val ThriftCommand = "THRIFT_API"
-
-  private val nextId = new AtomicLong(startId)
-  // Jackson ships with Spark — a real JSON writer, so names containing
-  // quotes/backslashes escape correctly instead of corrupting the entry
-  // (which the streaming reader would silently drop in PERMISSIVE mode).
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val ThriftCommand = AuditEntryWriter.ThriftCommand
+  private val writer = new AuditEntryWriter(auditDir, startId)
 
   private def emit(commandType: String, outputTables: Seq[String] = Seq.empty,
       outputPartitions: Seq[String] = Seq.empty,
       renameFrom: Option[String] = None,
       objects: Seq[AuditObject] = Seq.empty,
       command: Option[String] = None,
-      referenceTables: Seq[String] = Seq.empty): Unit = {
-    val id = nextId.incrementAndGet()
-    val node = mapper.createObjectNode()
-    node.put("id", id)
-    // ISO-8601 with 'T' in UTC: the streaming reader parses in the session
-    // time zone (forced UTC); a default-zone stamp would skew the lag
-    // metric by the host's UTC offset
-    node.put("createTime",
-      java.time.LocalDateTime.now(java.time.ZoneOffset.UTC).format(
-        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")))
-    node.put("commandType", commandType)
-    // the executed command text, like the reference's CliAuditLogHook —
-    // commands whose entries carry no outputs (HIVE-12865 exchange) are
-    // only replicable from this SQL, so it must be the real text
-    node.put("command", command.getOrElse(commandType))
-    val ot = node.putArray("outputTables"); outputTables.foreach(ot.add)
-    val op = node.putArray("outputPartitions"); outputPartitions.foreach(op.add)
-    renameFrom.foreach(r => node.put("renameFrom", r))
-    val rt = node.putArray("referenceTables"); referenceTables.foreach(rt.add)
-    // F6: full object metadata rides along so replication can replay
-    // without re-fetching from the (possibly already-mutated) source
-    val objArr = node.putArray("objects")
-    objects.foreach { o =>
-      val on = objArr.addObject()
-      on.put("category", o.category)
-      on.put("objectType", o.objectType)
-      on.put("name", o.name)
-      on.put("serialized", o.serialized)
-    }
-    val dir = graft.fs.LocalDirs.resolve(auditDir)
-    Files.createDirectories(dir)
-    Files.write(dir.resolve(f"audit-$id%012d.json"),
-      (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
-  }
+      referenceTables: Seq[String] = Seq.empty): Unit =
+    writer.emit(commandType, outputTables, outputPartitions, renameFrom,
+      objects, command, referenceTables)
 
   // ---- mutations emit audit entries --------------------------------------
   def createDatabase(db: String): Unit = {
@@ -87,11 +45,8 @@ final class AuditLoggingCatalog(underlying: CatalogClient, auditDir: String,
     if (thriftOrigin) emit("THRIFT_CREATE_DATABASE", command = Some(ThriftCommand))
     else emit("CREATEDATABASE", command = Some(s"CREATE DATABASE $db"))
   }
-  private def tableObj(t: TableMeta): AuditObject =
-    AuditObject("OUTPUT", "TABLE", s"${t.db}.${t.table}", MetaJson.writeTable(t))
-  private def partObj(p: PartitionMeta): AuditObject =
-    AuditObject("OUTPUT", "PARTITION", s"${p.db}.${p.table}/${p.partName}",
-      MetaJson.writePartition(p))
+  private def tableObj(t: TableMeta): AuditObject = AuditEntryWriter.tableObj(t)
+  private def partObj(p: PartitionMeta): AuditObject = AuditEntryWriter.partObj(p)
 
   /** `ds=1/hr=2` → `ds='1', hr='2'` — the SQL partition-spec rendering
     * (single quotes doubled so values containing quotes stay parseable). */

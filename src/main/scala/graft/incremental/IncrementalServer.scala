@@ -116,11 +116,14 @@ final class IncrementalServer(spark: SparkSession, val cfg: IncrementalConfig) {
       case TaskType.RenamePartition =>
         (j.partitions match {
           case Seq(from, to) =>
-            for {
-              t <- src.getTable(j.db, j.table)
-              pm <- src.getPartition(j.db, j.table, to)
-                .orElse(serializedPartition(j))
-            } yield Tasks.renamePartition(c, t, from, pm)
+            // the carried payload lets the dest-side rename proceed even
+            // when the source has drifted past this entry (table renamed
+            // or partition re-renamed by a later entry); the source table
+            // is only needed for the copy fallback
+            src.getPartition(j.db, j.table, to)
+              .orElse(serializedPartition(j))
+              .map(pm => Tasks.renamePartition(
+                c, src.getTable(j.db, j.table), from, pm))
           case _ => None
         }).getOrElse(Tasks.NotCompletable("rename partition spec missing"))
       case TaskType.NoOp =>

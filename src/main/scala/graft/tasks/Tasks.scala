@@ -302,9 +302,13 @@ object Tasks {
   }
 
   /** T7 — rename partition; cross-table exchange degrades to copy
-    * (`RenamePartitionTask.java:98-205`, HIVE-12865). */
-  def renamePartition(ctx: TaskContext, srcTable: TableMeta, fromName: String,
-      to: PartitionMeta): Outcome = {
+    * (`RenamePartitionTask.java:98-205`, HIVE-12865). `srcTable` is only
+    * needed by the copy fallback: the common dest-side rename must not
+    * depend on source state — the carried audit objects suffice even when
+    * the source has drifted past the entry (e.g. the table was renamed
+    * by a later, not-yet-replayed entry). */
+  def renamePartition(ctx: TaskContext, srcTable: Option[TableMeta],
+      fromName: String, to: PartitionMeta): Outcome = {
     if (ctx.destCatalog.getPartition(to.db, to.table, to.partName).isDefined)
       return Noop
     ctx.destCatalog.getPartition(to.db, to.table, fromName) match {
@@ -312,7 +316,11 @@ object Tasks {
         ctx.destCatalog.renamePartition(to.db, to.table, fromName,
           destPartitionMeta(ctx, to))
         Done
-      case None => copyPartition(ctx, srcTable, to)
+      case None => srcTable match {
+        case Some(t) => copyPartition(ctx, t, to)
+        case None => NotCompletable(
+          s"src ${to.db}.${to.table} gone and dest lacks rename-from $fromName")
+      }
     }
   }
 

@@ -4,8 +4,10 @@ import java.lang.reflect.{InvocationHandler, Method, Proxy}
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.hive.metastore.MetaStoreEventListener
 import org.apache.hadoop.hive.metastore.api.{
   Database, NoSuchObjectException, Partition, Table, ThriftHiveMetastore}
+import org.apache.hadoop.hive.metastore.events._
 import org.apache.thrift.protocol.TBinaryProtocol
 import org.apache.thrift.server.TThreadPoolServer
 import org.apache.thrift.transport.TServerSocket
@@ -22,7 +24,28 @@ import graft.model.PartitionName
  * but exercised over an actual socket + TBinaryProtocol round-trip so
  * the client's wire serialization is covered too.
  */
-final class MockHmsServer(val cat: InMemoryCatalog) {
+final class MockHmsServer(val cat: InMemoryCatalog,
+    listeners: Seq[MetaStoreEventListener] = Seq.empty) {
+
+  /** Fire a listener event AFTER the successful mutation, like the real
+    * HMSHandler's non-transactional listener dispatch. */
+  private def fire(e: ListenerEvent): Unit = listeners.foreach { l =>
+    e match {
+      case ev: CreateTableEvent => l.onCreateTable(ev)
+      case ev: DropTableEvent => l.onDropTable(ev)
+      case ev: AlterTableEvent => l.onAlterTable(ev)
+      case ev: AddPartitionEvent => l.onAddPartition(ev)
+      case ev: DropPartitionEvent => l.onDropPartition(ev)
+      case ev: AlterPartitionEvent => l.onAlterPartition(ev)
+      case ev: CreateDatabaseEvent => l.onCreateDatabase(ev)
+      case ev: DropDatabaseEvent => l.onDropDatabase(ev)
+      case _ => ()
+    }
+  }
+
+  private def thriftTable(db: String, tbl: String): Table =
+    cat.getTable(db, tbl).map(ThriftHmsCatalogClient.toThriftTable)
+      .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
 
   private def partName(db: String, tbl: String,
       values: java.util.List[String]): String = {
@@ -39,7 +62,9 @@ final class MockHmsServer(val cat: InMemoryCatalog) {
         case "get_all_databases" =>
           new java.util.ArrayList[String](cat.listDatabases().asJava)
         case "create_database" =>
-          cat.createDatabase(args(0).asInstanceOf[Database].getName); null
+          cat.createDatabase(args(0).asInstanceOf[Database].getName)
+          fire(new CreateDatabaseEvent(args(0).asInstanceOf[Database], true, null))
+          null
         case "get_all_tables" =>
           new java.util.ArrayList[String](cat.listTables(db).asJava)
         case "get_table" =>
@@ -47,14 +72,20 @@ final class MockHmsServer(val cat: InMemoryCatalog) {
             .getOrElse(throw new NoSuchObjectException(s"$db.$tbl"))
         case "create_table" =>
           cat.createTable(ThriftHmsCatalogClient.fromThriftTable(
-            args(0).asInstanceOf[Table])); null
+            args(0).asInstanceOf[Table]))
+          fire(new CreateTableEvent(args(0).asInstanceOf[Table], true, null))
+          null
         case "alter_table" =>
+          val oldT = thriftTable(db, tbl)
           cat.alterTable(db, tbl, ThriftHmsCatalogClient.fromThriftTable(
-            args(2).asInstanceOf[Table])); null
+            args(2).asInstanceOf[Table]))
+          fire(new AlterTableEvent(oldT, args(2).asInstanceOf[Table], true, null))
+          null
         case "drop_table" =>
-          if (cat.getTable(db, tbl).isEmpty)
-            throw new NoSuchObjectException(s"$db.$tbl")
-          cat.dropTable(db, tbl); null
+          val dropped = thriftTable(db, tbl)
+          cat.dropTable(db, tbl)
+          fire(new DropTableEvent(dropped, true, false, null))
+          null
         case "get_partition_names" =>
           new java.util.ArrayList[String](
             cat.listPartitionNames(db, tbl).asJava)
@@ -67,25 +98,40 @@ final class MockHmsServer(val cat: InMemoryCatalog) {
           val p = args(0).asInstanceOf[Partition]
           val name = partName(p.getDbName, p.getTableName, p.getValues)
           cat.addPartition(ThriftHmsCatalogClient.fromThriftPartition(p, name))
+          fire(new AddPartitionEvent(
+            thriftTable(p.getDbName, p.getTableName), p, true, null))
           p
         case "alter_partition" =>
           val p = args(2).asInstanceOf[Partition]
           val name = partName(db, tbl, p.getValues)
+          val oldP = cat.getPartition(db, tbl, name)
+            .map(ThriftHmsCatalogClient.toThriftPartition)
+            .getOrElse(throw new NoSuchObjectException(s"$db.$tbl/$name"))
           cat.alterPartition(
-            ThriftHmsCatalogClient.fromThriftPartition(p, name)); null
+            ThriftHmsCatalogClient.fromThriftPartition(p, name))
+          fire(new AlterPartitionEvent(oldP, p, thriftTable(db, tbl), true, null))
+          null
         case "drop_partition_by_name" =>
           val name = args(2).asInstanceOf[String]
-          if (cat.getPartition(db, tbl, name).isEmpty)
-            throw new NoSuchObjectException(s"$db.$tbl/$name")
+          val dropped = cat.getPartition(db, tbl, name)
+            .map(ThriftHmsCatalogClient.toThriftPartition)
+            .getOrElse(throw new NoSuchObjectException(s"$db.$tbl/$name"))
           cat.dropPartition(db, tbl, name)
+          fire(new DropPartitionEvent(thriftTable(db, tbl), dropped, true,
+            false, null))
           java.lang.Boolean.TRUE
         case "rename_partition" =>
           val fromVals = args(2).asInstanceOf[java.util.List[String]]
           val to = args(3).asInstanceOf[Partition]
           val fromName = partName(db, tbl, fromVals)
           val toName = partName(to.getDbName, to.getTableName, to.getValues)
+          val oldP = cat.getPartition(db, tbl, fromName)
+            .map(ThriftHmsCatalogClient.toThriftPartition)
+            .getOrElse(throw new NoSuchObjectException(s"$db.$tbl/$fromName"))
           cat.renamePartition(db, tbl, fromName,
             ThriftHmsCatalogClient.fromThriftPartition(to, toName))
+          // the real metastore fires a rename as alter-partition old -> new
+          fire(new AlterPartitionEvent(oldP, to, thriftTable(db, tbl), true, null))
           null
         case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
         case "equals" => java.lang.Boolean.valueOf(proxy eq args(0))
