@@ -43,28 +43,57 @@ object PipelineQueries5 {
   private def contLshCtes: String = {
     val k = contLshK
     val gs = Seq(1, 2, 4, 8, 16)
-    val sigElems = (0 until k).map(j =>
-      s"list_min(list_transform(toksd, t -> md5('$j:' || t)))")
-      .mkString(",\n      ")
-    val gbRows = gs.flatMap(g => (0 until k / g).map(b => s"($g,$b)"))
-      .mkString(",")
     def thr(g: Int): Double = math.pow(g.toDouble / k, 1.0 / g)
     val gCase = gs.reverse.init.map(g =>
       s"WHEN jlb >= CAST(${thr(g)} AS DOUBLE) THEN $g")
       .mkString("CASE ", " ", " ELSE 1 END")
+    // Real-family replay: the signature mins are Spark's XXH64 over the
+    // distinct tokens (seed j = signature row), the per-granularity band
+    // hashes are the xxhash64(slice(sig, ...)) long folds — both through
+    // the bit-exact SQL chains in XxhSql, so the oracle certifies the
+    // SCALE-path hash family, not a parity twin.
+    val ub = XxhSql.toUnsigned("mh")
+    val piv = (0 until k).map(j =>
+      s"max(CASE WHEN seed = $j THEN $ub END) AS m$j").mkString(",\n    ")
+    // one fold chain per granularity; letter prefixes so generated CTE
+    // names (prefix + step index) can never collide across chains
+    def pfx(g: Int) = s"cb${('a' + gs.indexOf(g)).toChar}"
+    val folds = gs.map { g =>
+      val bandRows = (0 until k / g).map { b =>
+        val vs = (0 until g).map(i => s"m${b * g + i} AS v${i + 1}")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, $vs FROM cl_piv"
+      }.mkString("\n  UNION ALL ")
+      s"${pfx(g)}_in AS MATERIALIZED (\n  $bandRows),\n" +
+        XxhSql.longFoldChain(pfx(g), s"${pfx(g)}_in",
+          Seq("doc_id", "band_idx"), g)
+    }.mkString(",\n")
+    val bandUnion = gs.map(g =>
+      s"SELECT doc_id, $g AS g, band_idx, band_hash FROM ${pfx(g)}f")
+      .mkString("\n  UNION ALL ")
     s"""cl_td AS MATERIALIZED (
        |  SELECT doc_id, list_sort(list_distinct(toks)) AS toksd
        |  FROM tok_docs WHERE len(list_distinct(toks)) > 0),
-       |cl_sig AS MATERIALIZED (
+       |inp AS MATERIALIZED (
+       |  SELECT s, CAST(seed AS HUGEINT) AS seed
+       |  FROM (SELECT DISTINCT unnest(toksd) AS s FROM cl_td),
+       |       (SELECT unnest(generate_series(0, ${k - 1})) AS seed)),
+       |${XxhSql.strHashChain("cx")},
+       |cl_sigrows AS MATERIALIZED (
+       |  SELECT d.doc_id, x.seed, min(${XxhSql.toSigned("x.hf")}) AS mh
+       |  FROM (SELECT doc_id, unnest(toksd) AS s FROM cl_td) d
+       |  JOIN cxf x ON d.s = x.s
+       |  GROUP BY d.doc_id, x.seed),
+       |cl_piv AS MATERIALIZED (
        |  SELECT doc_id,
-       |    CAST(floor(log2(len(toksd))) AS INT) AS tier,
-       |    [$sigElems] AS sig
-       |  FROM cl_td),
+       |    $piv
+       |  FROM cl_sigrows GROUP BY doc_id),
+       |$folds,
        |cl_bands AS MATERIALIZED (
-       |  SELECT s.doc_id, s.tier, gb.g, gb.b AS band_idx,
-       |    md5(array_to_string(s.sig[gb.b * gb.g + 1 : gb.b * gb.g + gb.g],
-       |      ',')) AS band_hash
-       |  FROM cl_sig s CROSS JOIN (VALUES $gbRows) gb(g, b)),
+       |  SELECT u.doc_id, t.tier, u.g, u.band_idx, u.band_hash
+       |  FROM ($bandUnion) u
+       |  JOIN (SELECT doc_id, CAST(floor(log2(len(toksd))) AS INT) AS tier
+       |        FROM cl_td) t USING (doc_id)),
        |cl_capped AS (
        |  SELECT doc_id, tier, g, band_idx, band_hash FROM (
        |    SELECT *, row_number() OVER (
@@ -456,13 +485,13 @@ object PipelineQueries5 {
     },
 
     // block-key-free containment via size-adaptive (LSH Ensemble-style)
-    // banding. Round 7: oracle-replayed end-to-end on the md5 PARITY hash
-    // family (`parityHash = true`) — signature mins, per-granularity band
-    // hashes, the tier-resolution granularity selection, the 256-cap, and
-    // the exact verify all recomputed in DuckDB, so the hash-match
-    // certifies the full LSH-Ensemble algorithm. The xxhash64 family
-    // stays the scale default; its recall floor remains pinned on the
-    // planted fixture in CrossCheckSpec.
+    // banding, oracle-replayed end-to-end on the REAL xxhash64 hash
+    // family: signature mins and band folds go through the bit-exact SQL
+    // XXH64 (XxhSql), and the tier-resolution granularity selection, the
+    // 256-cap, and the exact verify are all recomputed in DuckDB — the
+    // hash-match certifies the scale path itself. The md5 parity variant
+    // (`parityHash = true`) remains for engines without xxhash64; the
+    // recall floor stays pinned on the planted fixture in CrossCheckSpec.
     QueryDef("dedup_containment_lsh", withC(tokDocs + ",\n" + contLshCtes)(
       s"""SELECT doc_a, doc_b, cont_a, cont_b FROM (
          |  SELECT c.doc_a, c.doc_b,
@@ -474,8 +503,7 @@ object PipelineQueries5 {
          |                 JOIN cl_td tb ON tb.doc_id = c.doc_b)
          |WHERE greatest(cont_a, cont_b) >= $contThreshold""".stripMargin)) {
       (s, dir) =>
-        Dedup.containmentPairsLsh(W.read(s, dir, "documents"), contThreshold,
-          parityHash = true)
+        Dedup.containmentPairsLsh(W.read(s, dir, "documents"), contThreshold)
     },
 
     // ---- CCNet quality tiers ----------------------------------------------
