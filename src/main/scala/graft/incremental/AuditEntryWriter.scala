@@ -4,6 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, StandardOpenOption}
 import java.util.concurrent.atomic.AtomicLong
 
+import scala.jdk.CollectionConverters._
+
 import graft.model.{AuditObject, MetaJson, PartitionMeta, TableMeta}
 
 /**
@@ -15,10 +17,35 @@ import graft.model.{AuditObject, MetaJson, PartitionMeta, TableMeta}
  * file-per-entry (atomic create) in the `AuditLogEntry` schema the
  * incremental server tails — the file directory stands in for the
  * reference's MySQL audit table.
+ *
+ * Id allocation must survive what MySQL auto-increment gives the
+ * reference for free: process restarts against a populated directory
+ * and CONCURRENT writers (the server-side listener plus a CLI-hook
+ * catalog audit the same warehouse). Ids therefore start past the
+ * highest entry already on disk, and a lost CREATE_NEW race simply
+ * advances and retries — the filesystem's atomic create is the
+ * serialization point, so every emit lands exactly once under a
+ * unique id and no mutation's audit row is ever dropped.
  */
 final class AuditEntryWriter(auditDir: String, startId: Long = 0L) {
 
-  private val nextId = new AtomicLong(startId)
+  private val EntryName = raw"audit-(\d{12})\.json".r
+
+  private def maxOnDisk(): Long = {
+    val dir = graft.fs.LocalDirs.resolve(auditDir)
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.foldLeft(0L) { (m, p) =>
+        p.getFileName.toString match {
+          case EntryName(n) => math.max(m, n.toLong)
+          case _ => m
+        }
+      } finally s.close()
+    }
+  }
+
+  private val nextId = new AtomicLong(math.max(startId, maxOnDisk()))
   // Jackson ships with Spark — a real JSON writer, so names containing
   // quotes/backslashes escape correctly instead of corrupting the entry
   // (which the streaming reader would silently drop in PERMISSIVE mode).
@@ -30,7 +57,7 @@ final class AuditEntryWriter(auditDir: String, startId: Long = 0L) {
       objects: Seq[AuditObject] = Seq.empty,
       command: Option[String] = None,
       referenceTables: Seq[String] = Seq.empty): Unit = {
-    val id = nextId.incrementAndGet()
+    var id = nextId.incrementAndGet()
     val node = mapper.createObjectNode()
     node.put("id", id)
     // ISO-8601 with 'T' in UTC: the streaming reader parses in the session
@@ -60,9 +87,24 @@ final class AuditEntryWriter(auditDir: String, startId: Long = 0L) {
     }
     val dir = graft.fs.LocalDirs.resolve(auditDir)
     Files.createDirectories(dir)
-    Files.write(dir.resolve(f"audit-$id%012d.json"),
-      (mapper.writeValueAsString(node) + "\n").getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE_NEW)
+    // CREATE_NEW is the serialization point: a concurrent writer that
+    // claimed this id makes the create fail, so take the next one and
+    // re-stamp — the auto-increment race loop, with the filesystem as
+    // the arbiter instead of MySQL
+    var written = false
+    while (!written) {
+      try {
+        Files.write(dir.resolve(f"audit-$id%012d.json"),
+          (mapper.writeValueAsString(node) + "\n")
+            .getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        written = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          id = nextId.updateAndGet(n => math.max(n, id) + 1)
+          node.put("id", id)
+      }
+    }
   }
 }
 

@@ -132,4 +132,35 @@ class MetastoreListenerSpec extends TestBase {
     assert(ns(3).get("renameFrom").asText == "db9.t_wire/ds=1/hr=1")
     assert(ns(4).get("renameFrom").asText == "db9.t_wire")
   }
+
+  test("audit ids survive writer restarts and concurrent writers") {
+    import graft.incremental.AuditEntryWriter
+    val dir = tmpDir("aew-ids")
+
+    // restart against a populated dir: a fresh writer with startId=0 must
+    // continue past the highest entry on disk, like the reference's
+    // MySQL auto-increment — not throw on its first emit
+    val w1 = new AuditEntryWriter(dir.toString)
+    (1 to 3).foreach(_ => w1.emit("CREATETABLE"))
+    val w2 = new AuditEntryWriter(dir.toString)
+    w2.emit("DROPTABLE")
+    val afterRestart = entries(dir)
+    assert(afterRestart.map(_.get("id").asLong).toSeq == Seq(1L, 2L, 3L, 4L))
+
+    // concurrent writers sharing the dir (server-side listener + a CLI
+    // hook): CREATE_NEW races resolve by advancing, no entry is lost
+    val w3 = new AuditEntryWriter(dir.toString)
+    val w4 = new AuditEntryWriter(dir.toString)
+    val threads = Seq(w3, w4).zipWithIndex.map { case (w, i) =>
+      new Thread(() => (1 to 20).foreach(n => w.emit(s"ALTERTABLE_${i}_$n")))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val all = entries(dir)
+    assert(all.length == 44)
+    assert(all.map(_.get("id").asLong).toSeq == (1L to 44L))
+    // every emit landed exactly once
+    val types = all.map(_.get("commandType").asText)
+    assert(types.count(_.startsWith("ALTERTABLE_0_")) == 20)
+    assert(types.count(_.startsWith("ALTERTABLE_1_")) == 20)
+  }
 }
