@@ -710,6 +710,45 @@ object Dedup {
   }
 
   /**
+   * Quality-aware cluster resolution — the keeper policy a production
+   * corpus actually wants: within each near-dup cluster keep the
+   * HIGHEST-quality member (ties to the smallest id), not the smallest
+   * id. The reference's dedup keeps an arbitrary representative
+   * (min-key, like [[exact]]); when members differ — truncated mirrors,
+   * boilerplate-wrapped reposts — that throws away the best copy.
+   *
+   * Output: one row per document of `docs` —
+   * `(doc_id, cluster_id, quality_score, is_keeper)` with singletons
+   * (no near-dup pair) forming their own cluster and keeping
+   * themselves. Downstream: `filter(is_keeper = 1)` is the deduped
+   * corpus; the non-keeper rows carry the drop provenance.
+   *
+   * Scale shape: quality is scan-stage column math
+   * ([[TextAnalysis.withQuality]]); cluster ids join in from the
+   * pair-graph-sized CC output (left join — the corpus never enters the
+   * CC iteration); keeper selection is ONE hash-partition-by-cluster
+   * window (row_number over quality desc, id asc). Cluster sizes — and
+   * so per-partition sort runs — are bounded because every upstream
+   * candidate generator caps its blocks/buckets.
+   */
+  def clusterKeepers(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val clusters = connectedComponents(pairs)
+    val member = TextAnalysis.withQuality(
+        docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), col("quality_score"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    member.withColumn("is_keeper",
+      (row_number().over(w) === 1).cast("int"))
+  }
+
+  /**
    * Log-round connected components — the alternating large-star /
    * small-star algorithm (Kiveris et al., "Connected Components in
    * MapReduce and Beyond", SoCC 2014): the escape hatch

@@ -171,10 +171,10 @@ object PipelineQueries {
 
   /** Exact connected-components ground truth: simhash near-dup pairs →
     * recursive transitive closure → min reachable id per node. Shared by
-    * BOTH cluster queries (min-label and large-star/small-star), so the
-    * two algorithms are certified against one oracle. */
-  private val ccOracleSql: String =
-    "WITH RECURSIVE " + simhash32Cte + ",\n" +
+    * BOTH cluster queries (min-label and large-star/small-star) and the
+    * keeper query, so all consumers are certified against one oracle. */
+  private val ccCtes: String =
+    simhash32Cte + ",\n" +
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (
         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -195,9 +195,38 @@ object PipelineQueries {
         |reach(id, other) AS (
         |  SELECT src, dst FROM edges
         |  UNION
-        |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src)
-        |SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+        |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src)""".stripMargin
+
+  private val ccOracleSql: String =
+    "WITH RECURSIVE " + ccCtes + "\n" +
+      """SELECT id AS doc_id, least(id, min(other)) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin
+
+  /** Keeper ground truth: transitive-closure clusters (singletons =
+    * themselves) + the t_quality_score formula, best quality wins with
+    * id as the tie-break. (lazy: `stop` is declared further down) */
+  private lazy val keeperOracleSql: String =
+    "WITH RECURSIVE " + ccCtes + ",\n" +
+      s"""clus AS (
+         |  SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+         |  FROM reach GROUP BY id),
+         |qual AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE))
+         |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
+         |          / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+         |  FROM tok_docs),
+         |mem AS (
+         |  SELECT q.doc_id, coalesce(c.cluster_id, q.doc_id) AS cluster_id,
+         |    q.quality_score
+         |  FROM qual q LEFT JOIN clus c USING (doc_id))
+         |SELECT doc_id, cluster_id, quality_score,
+         |  CAST(row_number() OVER (
+         |    PARTITION BY cluster_id
+         |    ORDER BY quality_score DESC, doc_id) = 1 AS INT) AS is_keeper
+         |FROM mem""".stripMargin
 
   /** The LSH hyperplane matrices as a literal VALUES table — one row per
     * (table, bit) with the dim-wide ±1 plane, generated from the SAME
@@ -420,6 +449,18 @@ object PipelineQueries {
       (s, dir) =>
         Dedup.connectedComponentsAlternating(
           Dedup.simhashPairs(W.read(s, dir, "documents")))
+    },
+
+    // Quality-aware keeper policy over those clusters: every document
+    // gets (cluster_id, quality_score, is_keeper) with the BEST member
+    // kept (ties to smallest id) and singletons keeping themselves —
+    // filter(is_keeper = 1) is the deduped corpus. Oracle = the same
+    // transitive closure + the t_quality_score formula + one window.
+    QueryDef("dedup_cluster_keepers", keeperOracleSql) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        Dedup.clusterKeepers(docs, Dedup.simhashPairs(docs))
+      }
     },
 
     // Scale path: native xxhash64 one-pass signature. The oracle replays

@@ -205,6 +205,30 @@ class CrossCheckSpec extends TestBase {
     assert(empty.columns.toSeq == Seq("doc_id", "cluster_id") && empty.count() == 0)
   }
 
+  test("cluster keepers: one per cluster, best quality wins, singletons kept") {
+    import spark.implicits._
+    val docs = WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.simhashPairs(docs)
+    val out = Dedup.clusterKeepers(docs, pairs)
+    assert(out.count() == docs.count(), "one row per document")
+    // exactly one keeper per cluster
+    val perCluster = out.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.sum("is_keeper").as("k"))
+    assert(perCluster.filter(col("k") =!= 1).count() == 0)
+    // the keeper's quality is the cluster max
+    val best = out.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.max("quality_score").as("q"))
+    val kept = out.filter(col("is_keeper") === 1)
+      .join(best, "cluster_id")
+    assert(kept.filter(col("quality_score") =!= col("q")).count() == 0)
+    // a doc in no pair is its own cluster's keeper
+    val paired = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val singles = out.join(paired, Seq("doc_id"), "left_anti")
+    assert(singles.filter(col("is_keeper") =!= 1 ||
+      col("cluster_id") =!= col("doc_id")).count() == 0)
+  }
+
   test("alternating CC equals min-label CC on the real near-dup graph") {
     import spark.implicits._
     // same fixtures as the min-label test: chains, multiple components,
