@@ -178,11 +178,33 @@ object PipelineQueries2 {
           packBudget)
     },
 
-    // Greedy first-fit packing: the stateful per-group scan has no window-
-    // function SQL equivalent (bin resets depend on the running decision),
-    // so the driver records rows-only; PackingSpec verifies the greedy
-    // invariants and cross-checks against a sequential reference packer.
-    QueryDef.rowsOnly("pack_greedy") {
+    // Greedy first-fit packing: the stateful per-group fold has no window-
+    // function equivalent (bin resets depend on the running decision), but
+    // it IS deterministic in (grp, doc_id) order, so the oracle replays it
+    // row-by-row with a recursive CTE carrying the (bin_id, bin_fill) state
+    // — the same fold `Packing.greedyFold` streams. PackingSpec additionally
+    // property-checks the greedy invariants.
+    QueryDef("pack_greedy",
+      s"""WITH RECURSIVE $tokDocs,
+         |tl AS (
+         |  SELECT source AS grp, doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM tok_docs),
+         |ordered AS (
+         |  SELECT grp, doc_id, n_tokens,
+         |    row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+         |  FROM tl),
+         |fold AS (
+         |  SELECT grp, doc_id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS bin_id, n_tokens AS bin_fill
+         |  FROM ordered WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.grp, o.doc_id, o.n_tokens, o.rn,
+         |    CASE WHEN f.bin_fill > 0 AND f.bin_fill + o.n_tokens > $packBudget
+         |         THEN f.bin_id + 1 ELSE f.bin_id END AS bin_id,
+         |    CASE WHEN f.bin_fill > 0 AND f.bin_fill + o.n_tokens > $packBudget
+         |         THEN o.n_tokens ELSE f.bin_fill + o.n_tokens END AS bin_fill
+         |  FROM fold f JOIN ordered o ON o.grp = f.grp AND o.rn = f.rn + 1)
+         |SELECT grp, doc_id, n_tokens, bin_id, bin_fill FROM fold""".stripMargin) {
       (s, dir) =>
         Packing.packGreedy(
           W.read(s, dir, "documents").select(col("source"), col("doc_id"),

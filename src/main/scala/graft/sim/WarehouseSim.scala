@@ -2,6 +2,7 @@ package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /**
  * Deterministic warehouse simulation derived from the driver-provided
@@ -29,17 +30,38 @@ import org.apache.spark.sql.functions._
  */
 object WarehouseSim {
 
-  def read(spark: SparkSession, sfDir: String, table: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), surfaced as epoch-nanos long
-    // (spark.sql.legacy.parquet.nanosAsLong, see GraftSession). Convert to a
-    // microsecond timestamp with exact integer division — ns values exceed
-    // 2^53, so double division would corrupt them.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType.typeName == "long") match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    normalizeTimestamps(spark.read.parquet(s"$sfDir/$table.parquet"))
+
+  /**
+   * Ingestion contract: downstream operators see session-zone `TIMESTAMP`
+   * (session TZ is pinned to UTC in GraftSession) no matter which physical
+   * timestamp shape the parquet writer chose. The warehouse's inputs have
+   * already arrived in three shapes across test-data generations, so every
+   * shape is handled here, at the single read choke point:
+   *
+   *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so
+   *    GraftSession sets `spark.sql.legacy.parquet.nanosAsLong` and the
+   *    column surfaces as an epoch-nanos long. Converted with exact integer
+   *    division — ns values exceed 2^53, so double division would corrupt
+   *    them. (Only `ts` is known to use this shape; a generic long column
+   *    can't be distinguished from it, so the rule is name-scoped.)
+   *  - parquet timestamp[us] tz=None (pandas/arrow writer default): Spark
+   *    reads TIMESTAMP_NTZ. Cast to TIMESTAMP — with the UTC session zone
+   *    this preserves epoch micros exactly, matching DuckDB's `epoch_us`
+   *    reading of the same naive value.
+   *  - parquet timestamp[us] adjusted-to-UTC: already TIMESTAMP, untouched.
+   */
+  def normalizeTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          d.withColumn(f.name, timestamp_micros(expr(s"`${f.name}` div 1000")))
+        case TimestampNTZType =>
+          d.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => d
+      }
     }
-  }
 
   // ---- table inventories (⇐ part, supplier) -------------------------------
 

@@ -16,13 +16,13 @@ class StreamingWindowSpec extends TestBase {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       stage.resolve("events.parquet"))
     val path = stage.toUri.toString
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // derive the stream schema from the file itself — the physical timestamp
+    // shape has changed across test-data generations, and WarehouseSim's
+    // normalization handles whichever shape arrives
+    val schema = spark.read.parquet(path).schema
 
-    val stream = spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.sim.WarehouseSim.normalizeTimestamps(
+        spark.readStream.schema(schema).parquet(path))
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
