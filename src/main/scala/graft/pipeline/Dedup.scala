@@ -628,6 +628,50 @@ object Dedup {
   }
 
   /**
+   * Pairwise source-overlap matrix — the pre-training mixture report
+   * "how much of source A near-duplicates source B?". Rolls the verified
+   * near-dup pair graph ([[simhashPairs]]) up to the source level: one
+   * row per ORDERED source pair (a, b) with at least one cross-source
+   * near-dup pair, carrying
+   *   - `n_pairs`:      near-dup pairs with one endpoint in each source,
+   *   - `n_docs_a`:     distinct a-side docs involved,
+   *   - `overlap_frac`: n_docs_a / |a| — the fraction of a that b
+   *                     already covers.
+   *
+   * This is the report that sets mixture weights BEFORE paying for a
+   * cross-source dedup of the full corpora: a source 80%-covered by a
+   * larger one is a down-weight candidate, not a dedup candidate.
+   *
+   * Scale shape: the only corpus-scale work is the banded pair generator
+   * itself (already capped); attaching sources is two narrow id-keyed
+   * joins against a `(doc_id, source)` projection (AQE broadcasts it
+   * when the doc-id dimension fits, and the pair side is
+   * candidate-bounded either way), and the rollup output is ≤
+   * |sources|² rows — independent of corpus size.
+   */
+  def sourceOverlap(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val src = docs.select(col(idCol).as("doc_id"), col(srcCol).as("src"))
+    val totals = src.groupBy("src").agg(count(lit(1)).as("n_docs"))
+    val pairs = simhashPairs(docs, maxHamming, idCol, textCol)
+    // both orientations: the matrix is directional (frac is over side a)
+    val directed = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionAll(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val rolled = directed
+      .join(src.select(col("doc_id").as("x"), col("src").as("src_a")), "x")
+      .join(src.select(col("doc_id").as("y"), col("src").as("src_b")), "y")
+      .filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("x")).as("n_docs_a"))
+    rolled.join(totals.select(col("src").as("src_a"), col("n_docs")), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_pairs"), col("n_docs_a"),
+        round(col("n_docs_a").cast("double") / col("n_docs").cast("double"), 6)
+          .as("overlap_frac"))
+  }
+
+  /**
    * Connected components over near-dup pairs → `(doc_id, cluster_id)`
    * with `cluster_id` = the minimum doc id reachable. This is the step
    * that turns pairwise dedup output into actionable *clusters* (keep one

@@ -280,6 +280,52 @@ object Similarity {
   }
 
   /**
+   * Contrastive training-pair mining for embedding-model fine-tuning
+   * (the SimCSE/DPR data-prep step): for every anchor with at least one
+   * semantic positive, emit its best positive and its hardest negative.
+   *
+   *  - candidates: same IVF cell — the bounded candidate generator
+   *    shared with [[Dedup.embeddingNearDups]] and SemDeDup; never a
+   *    cross join;
+   *  - positive: highest-cosine candidate with `cos_sim >= posLo`
+   *    (exact dups should already be removed upstream);
+   *  - hard negative: highest-cosine candidate BELOW `posLo` — the
+   *    near-miss contrastive losses learn most from (easy random
+   *    negatives are free at training time; hard ones must be mined).
+   *
+   * Determinism: cosines are rounded to 6 decimals BEFORE ranking, ties
+   * break by candidate id. Output `(anchor_id, pos_id, pos_sim, neg_id,
+   * neg_sim)`, one row per anchor having both sides.
+   *
+   * Scale shape: one same-cell equi-join bounds candidates by Σ|cell|²,
+   * two row_number windows partitioned by anchor pick winners, the
+   * final join is anchor-keyed. Nothing is collected to the driver.
+   */
+  def minePairs(embeddings: DataFrame, posLo: Double = 0.3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val e = embeddings.select(col(idCol).as("vec_id"),
+        col(cellCol).as("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0) // zero-norm guard, as in sq8TopK
+    val cand = e.as("a").join(e.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("anchor_id"), col("b.vec_id").as("cand_id"),
+        round(dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    def top1(df: DataFrame, idName: String, simName: String) =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("anchor_id"), col("cand_id").as(idName),
+          col("cos_sim").as(simName))
+    top1(cand.filter(col("cos_sim") >= posLo), "pos_id", "pos_sim")
+      .join(top1(cand.filter(col("cos_sim") < posLo), "neg_id", "neg_sim"),
+        "anchor_id")
+  }
+
+  /**
    * IVF-PQ top-k — the Faiss-default scale recipe (Jégou et al. 2011,
    * "Product Quantization for Nearest Neighbor Search"): split the
    * vector into `m` subspaces, learn a tiny `ks`-centroid codebook per

@@ -531,4 +531,112 @@ object TextAnalysis {
             (col("n_bigrams").cast("double") * 1e6), 6))
           .otherwise(lit(0.0)).as("mean_nll"))
   }
+
+  /**
+   * Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+   * Models in Machine Translation") — the scoring rule designed for
+   * distributed count-based LMs at exactly this scale: raw counts, no
+   * discounting, a fixed penalty `alpha` per backoff level, relative
+   * scores rather than normalized probabilities.
+   *
+   * Count tables come from `train` — typically a deterministic hash
+   * sample ([[Sampling.deterministicSample]]), the same
+   * sample-then-score recipe as the LR classifier: at 100 TB the count
+   * tables are built from a slice whose cost the operator controls,
+   * then the full corpus is scored in one scan. Scoring a corpus with
+   * its OWN counts never backs off (every trigram has c3 ≥ 1), so the
+   * train/score split is also what makes the lower orders meaningful.
+   *
+   *   S(w3|w1 w2) = c3/c2(w1 w2)            if c3 > 0
+   *               = α · c2(w2 w3)/c1(w2)    elif c2(w2 w3) > 0
+   *               = α² · c1(w3)/N           elif c1(w3) > 0
+   *               = α² · 1/N                else (OOV floor — keeps the
+   *                                         score finite and the NLL sum
+   *                                         defined for any input)
+   *
+   * Cross-engine determinism: like [[unigramNll]]/[[bigramNll]], each
+   * trigram TYPE's NLL is quantized once to an integer micro-nat, so
+   * per-document sums are exact integer arithmetic in any execution
+   * order. All sides of every division are exact integers cast to
+   * double; α and α² are interpolated into the oracle from the same
+   * Scala doubles the plan uses.
+   *
+   * Scale shape: three word-count-shaped aggregates over the train
+   * slice (map-side combine collapses hot n-grams); scoring joins
+   * trigram TYPES (≪ occurrences) of the scored corpus left-outer to
+   * the count tables, then one type-keyed join back to occurrences and
+   * one doc-keyed sum. N rides along as a literal from one scalar
+   * aggregate. One row per input doc; sub-3-token docs report zeros.
+   */
+  def trigramBackoffNll(docs: DataFrame, train: DataFrame,
+      alpha: Double = 0.4, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+
+    def ngramStructs(toks: Column, n: Int): Column = {
+      def gram(i: Column) = struct(
+        (1 to n).map(j => element_at(toks, i + (j - 1)).as(s"w$j")): _*)
+      val tpe = (1 to n).map(j => s"w$j:string").mkString("array<struct<", ",", ">>")
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i => gram(i)))
+        .otherwise(array().cast(tpe))
+    }
+
+    val tokd = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    val tri = tokd.select(col("doc_id"),
+        explode(ngramStructs(col("toks"), 3)).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+
+    val ttok = train.select(tokens(col(textCol)).as("toks"))
+    val c1 = ttok.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val n = c1.agg(coalesce(sum(col("c1")), lit(0L))).head().getLong(0)
+    require(n > 0, "trigramBackoffNll: train slice has no tokens")
+    val c2 = ttok.select(explode(ngramStructs(col("toks"), 2)).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c3 = ttok.select(explode(ngramStructs(col("toks"), 3)).as("g"))
+      .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("c3"))
+
+    // NLL per scored-corpus trigram TYPE (c3 > 0 implies c2ctx > 0, and
+    // c2bo > 0 implies c1w2 > 0 — the backoff chain never divides by null)
+    val s =
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("c2bo").isNotNull,
+        lit(alpha) * col("c2bo").cast("double") / col("c1w2").cast("double"))
+      .when(col("c1w3").isNotNull,
+        lit(alpha * alpha) * col("c1w3").cast("double") / lit(n.toDouble))
+      .otherwise(lit(alpha * alpha) / lit(n.toDouble))
+    val typed = tri.select("w1", "w2", "w3").distinct()
+      .join(c3, Seq("w1", "w2", "w3"), "left_outer")
+      .join(c2.select(col("w1"), col("w2"), col("c2").as("c2ctx")),
+        Seq("w1", "w2"), "left_outer")
+      .join(c2.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c2bo")), Seq("w2", "w3"), "left_outer")
+      .join(c1.select(col("tok").as("w2"), col("c1").as("c1w2")),
+        Seq("w2"), "left_outer")
+      .join(c1.select(col("tok").as("w3"), col("c1").as("c1w3")),
+        Seq("w3"), "left_outer")
+      .select(col("w1"), col("w2"), col("w3"),
+        round(-log(s) * 1e6).cast("long").as("nll_micro"))
+
+    val perDoc = tri.join(typed, Seq("w1", "w2", "w3"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("nll_micro")).as("nll_micro_sum"))
+    tokd.select(col("doc_id")).distinct()
+      .join(perDoc, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("nll_micro_sum"), lit(0L)).as("nll_micro_sum"),
+        when(coalesce(col("n_trigrams"), lit(0L)) > 0,
+          round(col("nll_micro_sum").cast("double") /
+            (col("n_trigrams").cast("double") * 1e6), 6))
+          .otherwise(lit(0.0)).as("mean_nll"))
+  }
 }

@@ -173,7 +173,10 @@ object PipelineQueries {
     * recursive transitive closure → min reachable id per node. Shared by
     * BOTH cluster queries (min-label and large-star/small-star) and the
     * keeper query, so all consumers are certified against one oracle. */
-  private val ccCtes: String =
+  /** simhash pairs as a reusable CTE (`pairs`): shared by the CC family
+    * and the source-overlap rollup so every consumer certifies against
+    * the one pair definition. */
+  private val simhashPairsCte: String =
     simhash32Cte + ",\n" +
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (
@@ -187,8 +190,11 @@ object PipelineQueries {
         |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) b
         |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
         |         AND a.doc_id < b.doc_id)
-        |  WHERE hamming <= 3),
-        |edges AS (
+        |  WHERE hamming <= 3)""".stripMargin
+
+  private val ccCtes: String =
+    simhashPairsCte + ",\n" +
+      """edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM pairs),
@@ -244,6 +250,9 @@ object PipelineQueries {
        | / ($a.nrm * $b.nrm)""".stripMargin
 
   private[queries] val stop = "['the','a','of','and','is']"
+
+  /** Positive threshold for contrastive pair mining (same-cell cosine). */
+  private val minePosLo = 0.3
 
   private[queries] def withC(ctes: String)(select: String) =
     "WITH " + ctes + "\n" + select
@@ -419,6 +428,32 @@ object PipelineQueries {
       (s, dir) => Dedup.simhashPairs(W.read(s, dir, "documents"))
     },
 
+    // Source-overlap matrix: the simhash near-dup pair graph rolled up to
+    // ordered source pairs — the "how much of A does B already cover"
+    // mixture report. The oracle rides the same certified pairs CTE the
+    // CC family uses.
+    QueryDef("dedup_source_overlap",
+      withC(simhashPairsCte + ",\n" +
+        """dir AS (
+          |  SELECT doc_a AS x, doc_b AS y FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM pairs),
+          |tot AS (
+          |  SELECT source AS src, count(*) AS n_docs
+          |  FROM documents GROUP BY 1),
+          |rolled AS (
+          |  SELECT da.source AS src_a, db.source AS src_b,
+          |    count(*) AS n_pairs, count(DISTINCT x) AS n_docs_a
+          |  FROM dir JOIN documents da ON dir.x = da.doc_id
+          |  JOIN documents db ON dir.y = db.doc_id
+          |  WHERE da.source <> db.source GROUP BY 1, 2)""".stripMargin)(
+        """SELECT src_a, src_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+          |  CAST(n_docs_a AS BIGINT) AS n_docs_a,
+          |  round(CAST(n_docs_a AS DOUBLE) / t.n_docs, 6) AS overlap_frac
+          |FROM rolled JOIN tot t ON rolled.src_a = t.src""".stripMargin)) {
+      (s, dir) => Dedup.sourceOverlap(W.read(s, dir, "documents"))
+    },
+
     QueryDef("dedup_embedding",
       withC(embDouble)(
         s"""SELECT vec_a, vec_b, cos_sim FROM (
@@ -427,6 +462,32 @@ object PipelineQueries {
            |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cos_sim >= 0.4""".stripMargin)) {
       (s, dir) => Dedup.embeddingNearDups(W.read(s, dir, "embeddings"), 0.4)
+    },
+
+    // Contrastive pair mining: per anchor, the best same-cell positive
+    // (cos >= 0.3) and the hardest negative (max cos below 0.3) — the
+    // SimCSE/DPR data-prep step. Rounded-then-ranked cosines with id
+    // tie-breaks keep both engines' rankings identical.
+    QueryDef("sim_mine_pairs",
+      withC(embDouble + ",\n" +
+        s"""cand AS (
+           |  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+           |    round(${duckCosine("a", "b")}, 6) AS cos_sim
+           |  FROM e a JOIN e b ON a.label = b.label
+           |    AND a.vec_id <> b.vec_id AND a.nrm > 0 AND b.nrm > 0),
+           |pos AS (
+           |  SELECT anchor_id, cand_id AS pos_id, cos_sim AS pos_sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |      ORDER BY cos_sim DESC, cand_id) AS rn
+           |    FROM cand WHERE cos_sim >= $minePosLo) WHERE rn = 1),
+           |neg AS (
+           |  SELECT anchor_id, cand_id AS neg_id, cos_sim AS neg_sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY anchor_id
+           |      ORDER BY cos_sim DESC, cand_id) AS rn
+           |    FROM cand WHERE cos_sim < $minePosLo) WHERE rn = 1)""".stripMargin)(
+        """SELECT anchor_id, pos_id, pos_sim, neg_id, neg_sim
+          |FROM pos JOIN neg USING (anchor_id)""".stripMargin)) {
+      (s, dir) => Similarity.minePairs(W.read(s, dir, "embeddings"), minePosLo)
     },
 
     // Cluster assignment over verified near-dup pairs: connected

@@ -29,6 +29,10 @@ object PipelineQueries5 {
   private val maskW = 3      // decon mask window (tokens)
   private val maskMaxDf = 100
   private val lambda = 0.9   // bigram interpolation weight
+  private val lmAlpha = 0.4  // Stupid Backoff per-level penalty
+  private val lmRate = 0.5   // trigram-LM train slice
+  private val lmSalt = "lm"
+  private val lmThresh = Sampling.rateThreshold(lmRate)
   private val dsirBuckets = 8192
   private val dsirTopN = 100
   private val contThreshold = 0.8
@@ -340,6 +344,72 @@ object PipelineQueries5 {
         |    ELSE 0.0 END AS mean_nll
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin)) {
       (s, dir) => TextAnalysis.bigramNll(W.read(s, dir, "documents"), lambda)
+    },
+
+    // Stupid Backoff trigram LM (Brants et al. 2007): counts from the
+    // deterministic 50% hash slice, scoring over the full corpus — the
+    // held-out split is what makes the backoff chain fire (self-trained
+    // counts always have c3 >= 1). The oracle replays sampling, all three
+    // count tables, the backoff CASE, and the micro-nat quantization;
+    // alpha and alpha^2 are interpolated from the same Scala doubles the
+    // Spark plan uses.
+    QueryDef("t_trigram_backoff", withC(tokDocs + ",\n" +
+      s"""train_toks AS (
+         |  SELECT toks FROM tok_docs
+         |  WHERE ${PipelineQueries2.duckHash32(lmSalt)} < $lmThresh),
+         |tg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - 2)) AS i
+         |    FROM tok_docs)),
+         |c1 AS (
+         |  SELECT tok, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS tok FROM train_toks) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM c1),
+         |c2 AS (
+         |  SELECT w1, w2, count(*) AS c2 FROM (
+         |    SELECT toks[i] AS w1, toks[i + 1] AS w2
+         |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+         |      FROM train_toks)) GROUP BY 1, 2),
+         |c3 AS (
+         |  SELECT w1, w2, w3, count(*) AS c3 FROM (
+         |    SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+         |    FROM (SELECT toks, unnest(generate_series(1, len(toks) - 2)) AS i
+         |      FROM train_toks)) GROUP BY 1, 2, 3),
+         |types AS (SELECT DISTINCT w1, w2, w3 FROM tg),
+         |nll AS (
+         |  SELECT t.w1, t.w2, t.w3, CAST(round(-ln(CASE
+         |      WHEN c3.c3 IS NOT NULL
+         |        THEN CAST(c3.c3 AS DOUBLE) / CAST(ctx.c2 AS DOUBLE)
+         |      WHEN bo.c2 IS NOT NULL
+         |        THEN $lmAlpha * CAST(bo.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE)
+         |      WHEN u3.c1 IS NOT NULL
+         |        THEN ${lmAlpha * lmAlpha} * CAST(u3.c1 AS DOUBLE)
+         |          / (SELECT n FROM tot)
+         |      ELSE ${lmAlpha * lmAlpha} / (SELECT n FROM tot)
+         |    END) * 1e6) AS BIGINT) AS nll_micro
+         |  FROM types t
+         |  LEFT JOIN c3 ON t.w1 = c3.w1 AND t.w2 = c3.w2 AND t.w3 = c3.w3
+         |  LEFT JOIN c2 ctx ON t.w1 = ctx.w1 AND t.w2 = ctx.w2
+         |  LEFT JOIN c2 bo ON t.w2 = bo.w1 AND t.w3 = bo.w2
+         |  LEFT JOIN c1 u2 ON t.w2 = u2.tok
+         |  LEFT JOIN c1 u3 ON t.w3 = u3.tok),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_trigrams,
+         |    CAST(sum(nll_micro) AS BIGINT) AS s
+         |  FROM tg JOIN nll USING (w1, w2, w3) GROUP BY doc_id)""".stripMargin)(
+      """SELECT d.doc_id, coalesce(p.n_trigrams, 0) AS n_trigrams,
+        |  coalesce(p.s, 0) AS nll_micro_sum,
+        |  CASE WHEN coalesce(p.n_trigrams, 0) > 0
+        |    THEN round(CAST(p.s AS DOUBLE) / (p.n_trigrams * 1e6), 6)
+        |    ELSE 0.0 END AS mean_nll
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        TextAnalysis.trigramBackoffNll(docs,
+          Sampling.deterministicSample(docs, "doc_id", lmRate, lmSalt),
+          lmAlpha)
+      }
     },
 
     // ---- DSIR importance weights ------------------------------------------

@@ -205,6 +205,48 @@ class CrossCheckSpec extends TestBase {
     assert(empty.columns.toSeq == Seq("doc_id", "cluster_id") && empty.count() == 0)
   }
 
+  test("sourceOverlap: directional matrix with exact fractions on a fixture") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, text, "A"),                        // near-dups doc 2 across sources
+      (2L, text + " ok", "B"),
+      (3L, "completely different content about spark catalyst plans", "B"),
+      (4L, text, "A")                          // same-source near-dup: excluded
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // A→B: docs 1 and 4 each pair with 2 ⇒ 2 pairs, 2 distinct A docs / |A|=2
+    assert(out(("A", "B")) == ((2L, 2L, 1.0)))
+    // B→A: doc 2 pairs with both ⇒ 2 pairs, 1 distinct B doc / |B|=2
+    assert(out(("B", "A")) == ((2L, 1L, 0.5)))
+    assert(out.size == 2, "same-source pairs must not appear")
+  }
+
+  test("minePairs: best positive and hardest negative per anchor; anchors without positives drop") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),     // anchor
+      (2L, Seq(1.0f, 0.1f), 0),     // cos ~0.995 — best positive
+      (3L, Seq(0.7f, 0.714f), 0),   // cos ~0.70 — weaker positive
+      (4L, Seq(0.2f, 0.98f), 0),    // cos ~0.20 — hardest negative
+      (5L, Seq(-1.0f, 0.0f), 0),    // cos -1 — easy negative, not chosen
+      (6L, Seq(1.0f, 0.0f), 1),     // cell 1: only an orthogonal partner
+      (7L, Seq(0.0f, 1.0f), 1)      //   -> no positive, both anchors drop
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.minePairs(emb, posLo = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(!out.contains(6L) && !out.contains(7L))
+    val (posId, posSim, negId, negSim) = out(1L)
+    assert(posId == 2L && negId == 4L)
+    assert(posSim >= 0.3 && negSim < 0.3 && negSim > -1.0)
+    // doc 4's own positive is doc 3 (cos ~0.84); doc 5 sees none
+    assert(out(4L)._1 == 3L)
+    assert(!out.contains(5L), "doc 5 has no positive")
+  }
+
   test("cluster keepers: one per cluster, best quality wins, singletons kept") {
     import spark.implicits._
     val docs = WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")

@@ -86,6 +86,45 @@ class RewriteSpec extends TestBase {
       Seq((3L, ab * 2 + ba), (1L, ba)))
   }
 
+  test("trigramBackoffNll: every backoff level scores exactly") {
+    // train: c1(a,b,c)=2 each, N=6; c2(a,b)=2,(b,c)=2,(c,a)=1;
+    // c3(a,b,c)=2,(b,c,a)=1,(c,a,b)=1
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"),  // L1: c3/c2ctx = 2/2 = 1 -> nll 0
+      (2L, "x b c"),  // L2: alpha * c2(b,c)/c1(b) = 0.4 * 2/2
+      (3L, "x y c"),  // L3: alpha^2 * c1(c)/N
+      (4L, "x y z"),  // L4: alpha^2 / N (OOV floor)
+      (5L, "q")       // too short: zeros
+    ).toDF("doc_id", "text")
+    val a = 0.4; val aSq = a * a
+    val exp = Map(
+      1L -> 0L,
+      2L -> math.round(-math.log(a * 2.0 / 2.0) * 1e6),
+      3L -> math.round(-math.log(aSq * 2.0 / 6.0) * 1e6),
+      4L -> math.round(-math.log(aSq / 6.0) * 1e6),
+      5L -> 0L)
+    val out = TextAnalysis.trigramBackoffNll(docs, train, a)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(2)).toMap == exp)
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("trigramBackoffNll ranks in-distribution text below novel text") {
+    val base = (1 to 40).map(_ => "the cat sat on the mat").mkString(" ")
+    val docs = Seq((1L, base), (2L, "the cat sat on the mat"),
+      (3L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val train = Sampling.deterministicSample(docs, "doc_id", 1.0, "lm")
+      .filter($"doc_id" === 1L)
+    val out = TextAnalysis.trigramBackoffNll(docs, train)
+      .select("doc_id", "mean_nll").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 2's trigrams are all in-distribution; doc 3's word order is
+    // novel, so it lives on the backoff levels and scores higher NLL
+    assert(out(2L) < out(3L))
+  }
+
   test("bigramNll ranks predictable word order below shuffled order") {
     // same unigram profile, different transition regularity
     val regular = (1 to 30).map(_ => "the cat sat").mkString(" ")
