@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
   * sf0.1 (documents replicated with distinct ids and salted text) and
   * print the runtime ratio. Near-linear ratios validate the "no
   * quadratic blowup hiding in the plan" claims in SCALE.md.
-  * Usage: ScaleProbe [k] */
+  * Usage: ScaleProbe [k] [name-substring-filter] */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 10
+    val only: Option[String] = if (args.length > 1) Some(args(1)) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -33,6 +34,12 @@ object ScaleProbe {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     def run(name: String)(op: DataFrame => DataFrame): Unit = {
+      if (!only.forall(name.contains(_))) return
+      // untimed warmup (Bench's discipline): first execution pays janino/
+      // JIT compile; without it the 1x leg absorbs the compile cost and
+      // the ratio reads spuriously sub-linear
+      spark.catalog.clearCache()
+      op(docs1).count()
       spark.catalog.clearCache()
       val (t1, n1) = time(op(docs1).count())
       spark.catalog.clearCache()
@@ -100,6 +107,32 @@ object ScaleProbe {
       d, 0.25, labelCol = col("doc_id") % 2 === 0))
     run("containment_lsh_parity")(
       Dedup.containmentPairsLsh(_, 0.8, parityHash = true))
+
+    // round-8 operators. trigram_backoff trains on the 50% hash slice of
+    // whichever corpus it gets — at k× both the count tables and the
+    // scoring scan grow k×, so near-linear is the expected shape.
+    run("trigram_backoff")(d => TextAnalysis.trigramBackoffNll(d,
+      graft.pipeline.Sampling.deterministicSample(d, "doc_id", 0.5, "lm")))
+    run("source_overlap")(Dedup.sourceOverlap(_))
+    // mine_pairs probes over embeddings: replicas get DISJOINT cells —
+    // the IVF contract at scale is "more data ⇒ more cells" (cell size
+    // stays the sizing knob), so candidate volume grows linearly. An
+    // unsalted label union would instead grow every cell k× and measure
+    // the quadratic the cell structure exists to prevent.
+    if (only.forall("mine_pairs".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val embK = (0 until k).map { i =>
+        emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), (col("label") + lit(i * 1000)).as("label"))
+      }.reduce(_ unionAll _)
+      spark.catalog.clearCache()
+      graft.pipeline.Similarity.minePairs(emb1).count() // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(graft.pipeline.Similarity.minePairs(emb1).count())
+      spark.catalog.clearCache()
+      val (tk, nk) = time(graft.pipeline.Similarity.minePairs(embK).count())
+      println(f"${"mine_pairs"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup
