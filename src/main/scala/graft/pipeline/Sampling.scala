@@ -312,4 +312,61 @@ object Sampling {
             (col("n_feat").cast("double") * 1e6), 6))
           .otherwise(lit(0.0)).as("avg_logw"))
   }
+
+  /** Per-source row for the UniMax fold. */
+  final case class SrcTokens(src: String, n_tokens: Long)
+  /** One UniMax allocation (epochs derived as a column afterwards so the
+    * rounding is the SQL round both engines share, not JVM rint). */
+  final case class UnimaxAlloc(source: String, n_tokens: Long, alloc_tokens: Long)
+
+  /**
+   * UniMax mixture budget allocation (Chung et al. 2023, "UniMax: Fairer
+   * and More Effective Language Sampling for Large-Scale Multilingual
+   * Pretraining"): split a total token `budget` across sources as evenly
+   * as possible, capping every source at `maxEpochs` passes over its own
+   * data. Water-filling over sources ASCENDING by size: each source
+   * takes `min(n_tokens · maxEpochs, budgetLeft div sourcesLeft)`, and
+   * whatever a small source cannot absorb redistributes to the larger
+   * ones that follow. The integer-division variant keeps the whole fold
+   * in exact BIGINT arithmetic, so the DuckDB oracle replays it
+   * bit-for-bit with a recursive CTE (the same discipline as
+   * [[Packing.packGreedy]]).
+   *
+   * Output: one row per source — `(source, n_tokens, alloc_tokens,
+   * epochs)` with `epochs = alloc/n_tokens` rounded to 6. Feed
+   * `alloc_tokens` into [[tokenBudgetMix]] to materialize the mix.
+   *
+   * Scale shape: the corpus-scale work is ONE word-count-shaped token
+   * aggregate; the fold itself runs over |sources| rows inside a single
+   * sorted group — buffered, but bounded by the source count (tens to
+   * thousands), never by the corpus.
+   */
+  def unimaxAllocation(docs: DataFrame, budget: Long, maxEpochs: Long,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perSrc = docs.select(col(srcCol).as("src"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+      .groupBy("src").agg(sum("n_tok").as("n_tokens"))
+      .as[SrcTokens]
+    perSrc.groupByKey(_ => true)
+      .flatMapSortedGroups(col("n_tokens"), col("src")) { (_, it) =>
+        val rows = it.toIndexedSeq // bounded by |sources|, not the corpus
+        var left = budget
+        var remaining = rows.size
+        rows.iterator.map { r =>
+          val quota = left / remaining
+          val alloc = math.min(r.n_tokens * maxEpochs, quota)
+          left -= alloc
+          remaining -= 1
+          UnimaxAlloc(r.src, r.n_tokens, alloc)
+        }
+      }
+      .toDF()
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
 }

@@ -46,6 +46,8 @@ object PipelineQueries2 {
   private val mixDefault = 0.25
   private val stratN = 10
   private val packBudget = 512L
+  private val unimaxBudget = 30000L  // ~110% of sf0.01 corpus tokens
+  private val unimaxEpochs = 2L
 
   /** tok_docs plus lang (the shared CTE drops it). */
   private val tokDocsLang =
@@ -210,6 +212,44 @@ object PipelineQueries2 {
           W.read(s, dir, "documents").select(col("source"), col("doc_id"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok")),
           "source", "doc_id", "n_tok", packBudget)
+    },
+
+    // UniMax budget allocation (Chung et al. 2023): water-filling over
+    // sources ascending by size — each takes min(cap, budgetLeft div
+    // sourcesLeft), leftovers cascade to larger sources. The all-BIGINT
+    // fold replays exactly in a recursive CTE (the pack_greedy
+    // discipline).
+    QueryDef("samp_unimax",
+      s"""WITH RECURSIVE $tokDocs,
+         |st AS (
+         |  SELECT source AS src, CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+         |  FROM tok_docs GROUP BY 1),
+         |ranked AS (
+         |  SELECT src, n_tokens,
+         |    row_number() OVER (ORDER BY n_tokens, src) AS rn,
+         |    count(*) OVER () AS s
+         |  FROM st),
+         |fold AS (
+         |  SELECT src, n_tokens, rn, s,
+         |    least(n_tokens * $unimaxEpochs,
+         |      CAST($unimaxBudget AS BIGINT) // s) AS alloc,
+         |    CAST($unimaxBudget AS BIGINT)
+         |      - least(n_tokens * $unimaxEpochs,
+         |          CAST($unimaxBudget AS BIGINT) // s) AS left_after
+         |  FROM ranked WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.src, r.n_tokens, r.rn, r.s,
+         |    least(r.n_tokens * $unimaxEpochs,
+         |      f.left_after // (r.s - f.rn)) AS alloc,
+         |    f.left_after - least(r.n_tokens * $unimaxEpochs,
+         |      f.left_after // (r.s - f.rn))
+         |  FROM fold f JOIN ranked r ON r.rn = f.rn + 1)
+         |SELECT src AS source, n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+         |  round(CAST(alloc AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS epochs
+         |FROM fold""".stripMargin) {
+      (s, dir) =>
+        Sampling.unimaxAllocation(W.read(s, dir, "documents"),
+          unimaxBudget, unimaxEpochs)
     },
 
     // ---- redaction --------------------------------------------------------

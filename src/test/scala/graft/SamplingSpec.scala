@@ -78,6 +78,25 @@ class SamplingSpec extends TestBase {
       4 * math.sqrt(otherTotal) + 1, s"default-rate strata: $bySrc")
   }
 
+  test("unimax allocation: water-filling caps small sources and cascades the leftover") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(10), "A"), (2L, words(100), "B"), (3L, words(1000), "C")
+    ).toDF("doc_id", "text", "source")
+    // budget 600, maxEpochs 2, ascending fold:
+    //  A: quota 600/3=200, cap 20   -> 20,  left 580
+    //  B: quota 580/2=290, cap 200  -> 200, left 380
+    //  C: quota 380/1=380, cap 2000 -> 380
+    val out = Sampling.unimaxAllocation(docs, budget = 600L, maxEpochs = 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out("A") == ((10L, 20L, 2.0)), "small source capped at maxEpochs")
+    assert(out("B") == ((100L, 200L, 2.0)), "cascaded leftover lifts B to its cap")
+    assert(out("C") == ((1000L, 380L, 0.38)), "largest source absorbs the rest")
+    assert(out.values.map(_._2).sum == 600L, "budget fully spent when demand exceeds it")
+  }
+
   test("token-budget mix hits each stratum's token budget in expectation") {
     val withTok = docs.select(col("source"), col("doc_id"),
       size(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
