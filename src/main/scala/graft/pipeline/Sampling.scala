@@ -313,6 +313,39 @@ object Sampling {
           .otherwise(lit(0.0)).as("avg_logw"))
   }
 
+  /**
+   * Cluster-balanced sampling: keep each document with probability
+   * 1/|its near-dup cluster|, so every distinct content cluster
+   * contributes ~1 document in expectation REGARDLESS of how many times
+   * the content was crawled — the unbiased alternative to hard dedup
+   * (keep-one-per-cluster deletes the duplication signal entirely;
+   * uniform sampling over-represents heavily duplicated content by its
+   * duplication factor).
+   *
+   * The keep decision is exact integer math — `hash32(id) ·
+   * cluster_size < 2^32` — so it is deterministic, coordination-free
+   * (no per-cluster shuffle to pick a winner), retry/replay-stable, and
+   * replayable in the oracle. Singletons satisfy it trivially: never
+   * near-duplicated content is always kept.
+   *
+   * Scale shape: CC output is pair-graph-sized; membership is one
+   * id-keyed left join (docs never enter the CC iteration); sizes are a
+   * cluster-keyed count; the filter is scan-speed. `hash·size` fits a
+   * long for any cluster smaller than 2^31 docs.
+   */
+  def clusterBalancedSample(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", salt: String = "cbal"): DataFrame = {
+    val clus = Dedup.connectedComponents(pairs)
+    val mem = docs.select(col(idCol).as("doc_id"))
+      .join(clus, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val siz = mem.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    mem.join(siz, "cluster_id")
+      .filter(hash32(col("doc_id"), salt) * col("cluster_size") < lit(HashSpace))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** Per-source row for the UniMax fold. */
   final case class SrcTokens(src: String, n_tokens: Long)
   /** One UniMax allocation (epochs derived as a column afterwards so the

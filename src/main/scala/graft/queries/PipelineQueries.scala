@@ -501,6 +501,33 @@ object PipelineQueries {
           Dedup.simhashPairs(W.read(s, dir, "documents")))
     },
 
+    // Cluster-balanced sampling: keep each doc w.p. 1/|cluster| via exact
+    // integer hash math (hash32(id) * size < 2^32) — every content
+    // cluster contributes ~1 doc in expectation; singletons always keep.
+    // The oracle composes the certified transitive-closure clusters with
+    // the certified hash32 replay.
+    QueryDef("samp_cluster_balanced",
+      "WITH RECURSIVE " + ccCtes + ",\n" +
+        s"""clus AS (
+           |  SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+           |  FROM reach GROUP BY id),
+           |mem AS (
+           |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN clus c USING (doc_id)),
+           |siz AS (
+           |  SELECT cluster_id, count(*) AS cluster_size FROM mem GROUP BY 1)
+           |SELECT doc_id, cluster_id,
+           |  CAST(cluster_size AS BIGINT) AS cluster_size
+           |FROM mem JOIN siz USING (cluster_id)
+           |WHERE ${PipelineQueries2.duckHash32("cbal")} * cluster_size
+           |  < 4294967296""".stripMargin) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        graft.pipeline.Sampling.clusterBalancedSample(docs,
+          Dedup.simhashPairs(docs))
+      }
+    },
+
     // Same cluster contract, log-round algorithm: alternating large-star/
     // small-star (round count independent of graph diameter). The SAME
     // exact transitive-closure oracle certifies it, so both CC variants

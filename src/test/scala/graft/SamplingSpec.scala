@@ -78,6 +78,25 @@ class SamplingSpec extends TestBase {
       4 * math.sqrt(otherTotal) + 1, s"default-rate strata: $bySrc")
   }
 
+  test("cluster-balanced sample: singletons always keep; members keep at 1/size exactly") {
+    import spark.implicits._
+    // clique {1,2,3,4} (pairwise near-dups) + singletons 10..29
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val docs = (Seq(1L, 2L, 3L, 4L) ++ (10L to 29L)).toDF("doc_id")
+    val out = Sampling.clusterBalancedSample(docs, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every singleton keeps (hash * 1 < 2^32 always) with itself as cluster
+    (10L to 29L).foreach(id => assert(out(id) == ((id, 1L)), s"singleton $id"))
+    // clique members keep iff hash32(id) * 4 < 2^32 — recompute the exact rule
+    val expectKept = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+      .filter(Sampling.hash32(col("doc_id"), "cbal") * lit(4L) <
+        lit(Sampling.HashSpace))
+      .as[Long].collect().toSet
+    assert(out.keySet.filter(_ <= 4L) == expectKept)
+    expectKept.foreach(id => assert(out(id) == ((1L, 4L))))
+  }
+
   test("unimax allocation: water-filling caps small sources and cascades the leftover") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
