@@ -900,4 +900,50 @@ object Dedup {
           (col("a.nrm") * col("b.nrm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /**
+   * Winnowed-fingerprint overlap pairs — MOSS-style copied-passage
+   * detection at corpus scale (Schleimer et al. 2003). An inverted index
+   * over [[TextAnalysis.winnowFingerprints]] selections: documents
+   * sharing at least `minShared` selected fingerprints are reported with
+   * their containment fraction (shared / smaller fingerprint set). Where
+   * the shingle-Jaccard family scores whole-document similarity, winnow
+   * overlap localizes to substring matches >= w + k - 1 chars — the
+   * right primitive for licensing/provenance sweeps and quote mining.
+   *
+   * `maxDf` drops fingerprints present in more than that many documents
+   * before pairing (boilerplate headers/footers are shared BY EVERYONE
+   * and carry no provenance signal — the same guard as
+   * [[Decontamination]]'s maxDf); containment denominators use the
+   * UNCAPPED per-doc fingerprint counts so the reported fraction stays
+   * an honest property of the documents, not of the cap.
+   *
+   * Scale shape: the pair join is fp-keyed with fan-out bounded by
+   * maxDf² per fingerprint; everything upstream is scan-shaped or
+   * per-document. No quadratic blow-up at any corpus size.
+   */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 3, maxDf: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared > 0, s"minShared must be positive, got $minShared")
+    require(maxDf > 0, s"maxDf must be positive, got $maxDf")
+    // persisted: the selection feeds sizes, the df cap, and both join
+    // sides; recomputing it four times would re-run the k-gram explode
+    val fps = persistInternal("winnow_fps",
+      TextAnalysis.winnowFingerprints(docs, k, w, idCol, textCol))
+    val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val dfWin = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val kept = fps.withColumn("df", count(lit(1)).over(dfWin))
+      .filter(col("df") <= maxDf).drop("df")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
+  }
 }

@@ -639,4 +639,85 @@ object TextAnalysis {
             (col("n_trigrams").cast("double") * 1e6), 6))
           .otherwise(lit(0.0)).as("mean_nll"))
   }
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003 — the MOSS algorithm). Hash every character k-gram of
+   * the normalized text, slide a window of `w` consecutive k-gram
+   * hashes, and keep the minimum hash of each full window. Guarantee:
+   * any substring match of length >= w + k - 1 characters between two
+   * documents shares at least one selected fingerprint, while only
+   * ~2/(w+1) of the k-gram hashes are kept — local, position-robust
+   * document fingerprints (unlike [[fingerprint]], which a 1-char edit
+   * invalidates wholesale).
+   *
+   * Returns the distinct `(doc_id, fp)` selections — the robust-
+   * winnowing fingerprint SET (repeated window minima and ties
+   * collapse; positions are not retained). Hashes are the first 16 md5
+   * hex digits so the DuckDB oracle replays the selection exactly.
+   *
+   * Scale shape: the k-gram explode is scan-shaped (one row per corpus
+   * char), the window min is per-document (bounded by doc length, never
+   * a global sort), and the distinct collapses map-side before the one
+   * fingerprint shuffle. Documents shorter than k + w - 1 normalized
+   * chars yield no full window and thus no fingerprints — callers treat
+   * those as exact-dedup-only.
+   */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k-gram size must be positive, got $k")
+    require(w > 0, s"window size must be positive, got $w")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    docs
+      .select(col(idCol).as("doc_id"), normText(col(textCol)).as("s"))
+      .select(col("doc_id"), col("s"),
+        (length(col("s")) - (k - 1)).as("n_kg"))
+      .filter(col("n_kg") >= w)
+      .select(col("doc_id"), col("n_kg"), col("s"),
+        explode(sequence(lit(1), col("n_kg"))).as("pos"))
+      .select(col("doc_id"), col("n_kg"), col("pos"),
+        substring(md5(col("s").substr(col("pos"), lit(k))), 1, 16).as("h"))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("n_kg") - (w - 1))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  /**
+   * Per-partition CCNet quality tiers — [[nllTiers]] with a separate
+   * unigram LM *and* separate tier boundaries per `partCol` value
+   * (CCNet trains one LM per language and buckets head/middle/tail
+   * within each language, not across the corpus; Wenzek et al. 2020).
+   * Output: (doc_id, part, mean_nll, tier).
+   *
+   * Scale shape: token counts per (part, token) are word-count-shaped
+   * (map-side combine); per-partition totals are a #parts-row
+   * aggregate; the score join stays (part, token)-keyed; the ntile
+   * sorts within each partition value — per-language sorts, never one
+   * global one. [[nllTiersApprox]]'s percentile-sketch boundary trick
+   * applies per part unchanged when even that sort is too much.
+   */
+  def nllTiersBy(docs: DataFrame, partCol: String = "lang", tiers: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tiers > 0, s"tiers must be positive, got $tiers")
+    val tok = docs.select(col(idCol).as("doc_id"), col(partCol).as("part"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = tok.groupBy("part", "tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("part").agg(sum(col("c")).as("t"))
+    val nll = counts.join(totals, "part").select(col("part"), col("tok"),
+      round(-log(col("c").cast("double") / col("t").cast("double")) * 1e6)
+        .cast("long").as("nll_micro"))
+    val scored = tok.join(nll, Seq("part", "tok"))
+      .groupBy("doc_id")
+      .agg(min(col("part")).as("part"), count(lit(1)).as("n_tok"),
+        sum(col("nll_micro")).as("nll_micro_sum"))
+      .select(col("doc_id"), col("part"),
+        round(col("nll_micro_sum").cast("double") /
+          (col("n_tok").cast("double") * 1e6), 6).as("mean_nll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("mean_nll"), col("doc_id"))
+    scored.withColumn("tier", ntile(tiers).over(w).cast("long"))
+  }
 }
