@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, TextAnalysis}
+import graft.pipeline.{CorpusReport, Dedup, Similarity, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -18,6 +18,58 @@ object PipelineQueries7 {
   private val winW = 4 // window of consecutive k-gram hashes
   private val winMinShared = 3
   private val winMaxDf = 20
+
+  private val rpDim = 16 // JL sketch width (testdata embeddings are dim 64)
+  private val rpCandMult = 8
+  private val simK = 5
+
+  /** Sequential-fold cosine with precomputed norms (the duckCosine
+    * discipline — bit-identical to Spark's fold + norm columns). */
+  private def dCos(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a.v)), i -> $a.v[i] * $b.v[i]))
+       | / ($a.nrm * $b.nrm)""".stripMargin
+
+  /** JL sketch CTEs: the SAME ±1 Rademacher literals the Spark plan
+    * compiles ([[Similarity.rpSign]]), per-vector rDim rounded sums,
+    * over the zero-norm-guarded embedding set `ren`. */
+  private val rpCtes =
+    PipelineQueries.embDouble + ",\n" +
+    "ren AS (SELECT vec_id, label, v, nrm FROM e WHERE nrm > 0),\n" +
+    "rpl AS (SELECT * FROM (VALUES\n  " +
+    (0 until rpDim).map(j =>
+      s"($j,[${(0 until 64).map(d => Similarity.rpSign(j, d)).mkString(",")}])")
+      .mkString(",\n  ") + ") v(j, plane)),\n" +
+    s"""rsk0 AS MATERIALIZED (
+       |  SELECT en.vec_id, p.j,
+       |    round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> en.v[i] * p.plane[i])), 6) AS rv
+       |  FROM ren en, rpl p),
+       |rsk AS (SELECT vec_id, list(rv ORDER BY j) AS r
+       |        FROM rsk0 GROUP BY vec_id),
+       |rcand AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_sum(list_transform(generate_series(1, $rpDim),
+       |          j -> qr.r[j] * cr.r[j])) / (q.nrm * c.nrm), 6) DESC,
+       |        c.vec_id) AS crk
+       |    FROM (SELECT * FROM ren WHERE vec_id < 8) q
+       |    JOIN ren c ON c.label = q.label AND c.vec_id <> q.vec_id
+       |    JOIN rsk qr ON qr.vec_id = q.vec_id
+       |    JOIN rsk cr ON cr.vec_id = c.vec_id)
+       |  WHERE crk <= ${rpCandMult * simK})""".stripMargin
+
+  /** Exact-rescore SELECT over a candidate CTE with (q_id, c_id). */
+  private def rescoreSql(candCte: String, src: String): String =
+    s"""SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT $candCte.q_id, $candCte.c_id,
+       |    round(${dCos("q", "c")}, 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY $candCte.q_id
+       |      ORDER BY round(${dCos("q", "c")}, 6) DESC, $candCte.c_id)
+       |      AS rank
+       |  FROM $candCte JOIN $src q ON q.vec_id = $candCte.q_id
+       |            JOIN $src c ON c.vec_id = $candCte.c_id)
+       |WHERE rank <= $simK""".stripMargin
 
   /** Winnowing selection CTEs: normalized text -> k-gram hashes ->
     * per-window minima -> distinct per-doc fingerprint set. Mirrors
@@ -121,5 +173,131 @@ object PipelineQueries7 {
         |    AS BIGINT) AS tier
         |FROM lscored""".stripMargin)) { (s, dir) =>
       TextAnalysis.nllTiersBy(W.read(s, dir, "documents"), "lang", 3)
+    },
+
+    // ---- corpus data card -------------------------------------------------
+
+    // The release-time composition table (Datasheets for Datasets):
+    // CUBE over (lang, source) -> full matrix + marginals + total in
+    // one aggregate, with exact content-distinct counts as the
+    // dup-rate signal.
+    QueryDef("report_data_card", PipelineQueries.withC(
+      """dc AS (
+        |  SELECT lang, source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
+        |    n_chars,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpr
+        |  FROM documents)""".stripMargin)(
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT fpr) AS BIGINT) AS n_unique,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM dc GROUP BY CUBE (lang, source)""".stripMargin)) { (s, dir) =>
+      CorpusReport.dataCard(W.read(s, dir, "documents"))
+    },
+
+    // ---- JL random-projection ANN -----------------------------------------
+
+    // Compressed-candidate ANN #3 (after SQ8 and PQ): in-cell pre-rank
+    // on 16-dim Rademacher sketches, exact rescore of candMult*k
+    // survivors. The oracle inlines the SAME ±1 projection literals and
+    // replays sketching, pre-rank, and rescore end-to-end.
+    QueryDef("sim_topk_rp", PipelineQueries.withC(rpCtes)(
+      rescoreSql("rcand", "ren"))) { (s, dir) =>
+      val e = W.read(s, dir, "embeddings")
+      Similarity.rpTopK(e.filter(col("vec_id") < 8), e, simK,
+          rpDim, rpCandMult)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    },
+
+    // ---- ANN recall report ------------------------------------------------
+
+    // The index-evaluation harness: per (method, query), overlap of the
+    // approximate top-k with the exact top-k. Every branch — the exact
+    // baseline, IVF, multi-probe IVF (centroids + probe selection), and
+    // the JL sketch path — is replayed in the oracle, so the hash-match
+    // certifies the measured recall numbers, not just the plumbing.
+    QueryDef("sim_recall_report", PipelineQueries.withC(rpCtes + s""",
+      |xk AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(${dCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+      |    FROM (SELECT * FROM e WHERE vec_id < 8) q
+      |    JOIN e c ON q.vec_id <> c.vec_id)
+      |  WHERE rank <= $simK),
+      |xn AS (SELECT q_id, count(*) AS n_exact FROM xk GROUP BY 1),
+      |ik AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY round(${dCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+      |    FROM (SELECT * FROM e WHERE vec_id < 8) q
+      |    JOIN e c ON q.label = c.label AND q.vec_id <> c.vec_id)
+      |  WHERE rank <= $simK),
+      |cents AS MATERIALIZED (
+      |  SELECT label AS cell, list(mv ORDER BY pos) AS cv FROM (
+      |    SELECT label, p.pos, round(avg(v[p.pos]), 6) AS mv
+      |    FROM ren, (SELECT unnest(generate_series(1, 64)) AS pos) p
+      |    GROUP BY label, p.pos) GROUP BY label),
+      |probes AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT q.vec_id AS q_id, c.cell,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_sum(list_transform(generate_series(1, 64),
+      |          i -> (q.v[i] - c.cv[i]) * (q.v[i] - c.cv[i]))), 6),
+      |        c.cell) AS prk
+      |    FROM (SELECT * FROM ren WHERE vec_id < 8) q, cents c)
+      |  WHERE prk <= 2),
+      |pk AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT p.q_id, c.vec_id AS c_id,
+      |      round(${dCos("q", "c")}, 6) AS cos_sim,
+      |      row_number() OVER (PARTITION BY p.q_id
+      |        ORDER BY round(${dCos("q", "c")}, 6) DESC, c.vec_id) AS rank
+      |    FROM probes p JOIN ren c ON c.label = p.cell
+      |    JOIN ren q ON q.vec_id = p.q_id
+      |    WHERE p.q_id <> c.vec_id)
+      |  WHERE rank <= $simK),
+      |rk AS (
+      |  SELECT q_id, c_id FROM (
+      |    SELECT rcand.q_id, rcand.c_id,
+      |      row_number() OVER (PARTITION BY rcand.q_id
+      |        ORDER BY round(${dCos("q", "c")}, 6) DESC, rcand.c_id)
+      |        AS rank
+      |    FROM rcand JOIN ren q ON q.vec_id = rcand.q_id
+      |               JOIN ren c ON c.vec_id = rcand.c_id)
+      |  WHERE rank <= $simK),
+      |ih AS (SELECT q_id, count(*) AS hits FROM ik
+      |       JOIN xk USING (q_id, c_id) GROUP BY 1),
+      |ph AS (SELECT q_id, count(*) AS hits FROM pk
+      |       JOIN xk USING (q_id, c_id) GROUP BY 1),
+      |rh AS (SELECT q_id, count(*) AS hits FROM rk
+      |       JOIN xk USING (q_id, c_id) GROUP BY 1),
+      |u AS (
+      |  SELECT 'ivf' AS method, xn.q_id, xn.n_exact,
+      |    coalesce(ih.hits, 0) AS hits FROM xn LEFT JOIN ih USING (q_id)
+      |  UNION ALL
+      |  SELECT 'ivf_probe2', xn.q_id, xn.n_exact, coalesce(ph.hits, 0)
+      |  FROM xn LEFT JOIN ph USING (q_id)
+      |  UNION ALL
+      |  SELECT 'rp', xn.q_id, xn.n_exact, coalesce(rh.hits, 0)
+      |  FROM xn LEFT JOIN rh USING (q_id))""".stripMargin)(
+      """SELECT method, q_id, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(hits AS BIGINT) AS hits,
+        |  round(CAST(hits AS DOUBLE) / CAST(n_exact AS DOUBLE), 6) AS recall
+        |FROM u""".stripMargin)) { (s, dir) =>
+      val e = W.read(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+      Similarity.recallReport(
+        Similarity.bruteForceTopK(q, e, simK),
+        Seq(
+          "ivf" -> Similarity.ivfTopK(q, e, simK),
+          "ivf_probe2" -> Similarity.ivfTopKMultiProbe(q, e, simK, nprobe = 2),
+          "rp" -> Similarity.rpTopK(q, e, simK, rpDim, rpCandMult)))
     })
 }

@@ -436,4 +436,46 @@ class CrossCheckSpec extends TestBase {
     assert(recall >= 0.8, f"SQ8 top-$k recall $recall%.2f < 0.80 floor " +
       s"(|ivf|=${ivf.size}, |sq8∩ivf|=${(ivf & sq8).size})")
   }
+
+  test("JL random-projection top-k: cell-covering candMult equals IVF; default holds a floor") {
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val k = 5
+    def resultSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "c_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = resultSet(Similarity.ivfTopK(q, e, k))
+    // candMult*k >= max cell size -> the sketch pre-rank prunes nothing
+    // and the exact rescore must reproduce cell-exact IVF verbatim
+    val maxCell = e.groupBy("label").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0).toInt
+    val full = resultSet(Similarity.rpTopK(q, e, k,
+      rDim = 16, candMult = maxCell / k + 1))
+    assert(full == ivf, s"cell-covering RP must equal IVF; " +
+      s"diff: ${(full diff ivf).take(5)} / ${(ivf diff full).take(5)}")
+    // default candMult: JL concentration keeps most true neighbors in
+    // the survivor set (measured 0.95 on this corpus at rDim 16, cm 8)
+    val rp = resultSet(Similarity.rpTopK(q, e, k, rDim = 16, candMult = 8))
+    val recall = (ivf & rp).size.toDouble / ivf.size
+    assert(recall >= 0.8, f"RP top-$k recall $recall%.2f < 0.80 floor " +
+      s"(|ivf|=${ivf.size}, |rp∩ivf|=${(ivf & rp).size})")
+  }
+
+  test("recallReport: exact arithmetic, zero-hit rows included") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "c_id")
+    val good = Seq((1L, 10L), (1L, 11L), (2L, 21L)).toDF("q_id", "c_id")
+    val bad = Seq((1L, 99L), (2L, 98L)).toDF("q_id", "c_id")
+    val rep = Similarity.recallReport(exact,
+        Seq("good" -> good, "bad" -> bad))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rep(("good", 1L)) == ((2L, 2L, 1.0)))
+    assert(rep(("good", 2L)) == ((2L, 1L, 0.5)))
+    assert(rep(("bad", 1L)) == ((2L, 0L, 0.0)), "zero-hit query must row")
+    assert(rep(("bad", 2L)) == ((2L, 0L, 0.0)))
+    assert(rep.size == 4)
+  }
 }
