@@ -946,4 +946,53 @@ object Dedup {
         round(col("shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double"), 6).as("containment"))
   }
+
+  /**
+   * LSH tuning report — the measurement every banding config decision
+   * needs: precision and recall of the MinHash-LSH candidate generator
+   * against EXACT shingle Jaccard, on a hash-stable document sample.
+   * Banding theory predicts P[candidate] = 1-(1-j^r)^b (r=4 rows, b=2
+   * bands here); this op measures the reality on YOUR corpus so r/b/
+   * threshold are chosen from data, not folklore.
+   *
+   * Ground truth within the sample is exhaustive: a pair with
+   * Jaccard > 0 must share a shingle, so the inverted-index self-join
+   * enumerates every candidate the exact measure could accept — no
+   * second LSH approximation sneaks into the denominator. `tp` counts
+   * LSH candidates whose (rounded) verified Jaccard clears `threshold`.
+   *
+   * One row out: (n_docs, n_true, n_cand, tp, prec, recall).
+   *
+   * Scale shape: the quadratic ground-truth join is confined to the
+   * `rate` sample BY CONSTRUCTION (that is the tuning protocol — the
+   * sample is the instrument, the full corpus never enters); the LSH
+   * side reuses the production band join on the same sample. All
+   * aggregates are single-row; nothing collects.
+   */
+  def lshTuningReport(docs: DataFrame, rate: Double = 0.5,
+      threshold: Double = 0.7, salt: String = "lshtune",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sample = Sampling.deterministicSample(docs, idCol, rate, salt)
+    val sh = persistInternal("lsh_tuning_shingled",
+      shingled(sample, idCol, textCol))
+    val inv = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val cands = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val truth = jaccardVerify(cands, sh).filter(col("jaccard") >= threshold)
+    val lsh = minhashLshPairs(sample, idCol, textCol)
+    val nDocs = sample.agg(count(lit(1)).as("n_docs"))
+    val nTruth = truth.agg(count(lit(1)).as("n_true"))
+    val lshAgg = lsh.agg(count(lit(1)).as("n_cand"),
+      sum(when(col("jaccard") >= threshold, 1L).otherwise(0L)).as("tp"))
+    nDocs.crossJoin(nTruth).crossJoin(lshAgg)
+      .select(col("n_docs"), col("n_true"), col("n_cand"), col("tp"),
+        when(col("n_cand") > 0,
+          round(col("tp").cast("double") / col("n_cand").cast("double"), 6))
+          .otherwise(lit(0.0)).as("prec"),
+        when(col("n_true") > 0,
+          round(col("tp").cast("double") / col("n_true").cast("double"), 6))
+          .otherwise(lit(0.0)).as("recall"))
+  }
 }

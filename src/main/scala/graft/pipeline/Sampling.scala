@@ -374,6 +374,75 @@ object Sampling {
    * sorted group — buffered, but bounded by the source count (tens to
    * thousands), never by the corpus.
    */
+  /**
+   * DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+   * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+   * the exponential-tilting step of the Group-DRO update applied to
+   * measured per-domain excess loss. DoReMi proper alternates proxy
+   * training with multiplicative weight updates; against FIXED loss
+   * tables the repeated multiplicative update telescopes into a single
+   * exponential tilt, which is what this operator computes in-engine:
+   *
+   *   excess_d = max(0, nll_proxy(d) − nll_ref(d))   (per-event nats)
+   *   w_d ∝ share_d · exp(η · excess_d)
+   *   w   ← (1−c)·w/Σw + c/|D|                       (uniform smoothing)
+   *
+   * The proxy is the corpus [[TextAnalysis.unigramNll]], the reference
+   * the stronger interpolated [[TextAnalysis.bigramNll]] — domains
+   * where the weak model underperforms the strong one most (the
+   * "learnable headroom") are upweighted from their baseline token
+   * share; domains both models find equally (un)predictable keep it.
+   *
+   * Output: (source, n_tokens, share, uni_nll, bi_nll, excess, weight).
+   *
+   * Cross-engine determinism: per-type NLLs are integer micro-nats
+   * (order-proof sums); every derived ratio — per-domain means, share,
+   * the exp tilt, the final weight — is quantized to 1e-6 at each step
+   * so the DuckDB oracle reproduces the fold to the last digit.
+   *
+   * Scale shape: both LM scorings are word-count-shaped aggregates; the
+   * rollup is |sources| rows, and the windows that normalize
+   * share/tilt run over that tiny frame — never the corpus.
+   */
+  def domainReweight(docs: DataFrame, eta: Double = 5.0,
+      smoothing: Double = 0.1, lambda: Double = 0.9,
+      srcCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(eta >= 0.0, s"eta must be >= 0, got $eta")
+    require(smoothing >= 0.0 && smoothing <= 1.0,
+      s"smoothing must be in [0,1], got $smoothing")
+    val uni = TextAnalysis.unigramNll(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_tok"),
+        col("nll_micro_sum").as("uni_sum"))
+    val bi = TextAnalysis.bigramNll(docs, lambda, idCol, textCol)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("nll_micro_sum").as("bi_sum"))
+    val w = Window.partitionBy(lit(1)) // |sources| rows — bounded
+    docs.select(col(idCol).as("doc_id"), col(srcCol).as("source"))
+      .join(uni, "doc_id").join(bi, "doc_id")
+      .groupBy("source")
+      .agg(sum(col("n_tok")).as("n_tokens"),
+        sum(col("uni_sum")).as("uni_micro"),
+        sum(col("n_bigrams")).as("n_bi"),
+        sum(col("bi_sum")).as("bi_micro"))
+      .withColumn("uni_nll", round(col("uni_micro").cast("double") /
+        (col("n_tokens").cast("double") * 1e6), 6))
+      .withColumn("bi_nll", when(col("n_bi") > 0,
+        round(col("bi_micro").cast("double") /
+          (col("n_bi").cast("double") * 1e6), 6)).otherwise(lit(0.0)))
+      .withColumn("excess",
+        round(greatest(col("uni_nll") - col("bi_nll"), lit(0.0)), 6))
+      .withColumn("share", round(col("n_tokens").cast("double") /
+        sum(col("n_tokens").cast("double")).over(w), 6))
+      .withColumn("tilt",
+        round(col("share") * exp(lit(eta) * col("excess")), 6))
+      .withColumn("weight", round(
+        lit(1.0 - smoothing) * col("tilt") / sum(col("tilt")).over(w) +
+          lit(smoothing) / count(lit(1)).over(w).cast("double"), 6))
+      .select(col("source"), col("n_tokens"), col("share"),
+        col("uni_nll"), col("bi_nll"), col("excess"), col("weight"))
+  }
+
   def unimaxAllocation(docs: DataFrame, budget: Long, maxEpochs: Long,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")

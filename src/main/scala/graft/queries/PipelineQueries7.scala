@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{CorpusReport, Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusReport, Dedup, Sampling, Similarity, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -22,6 +22,15 @@ object PipelineQueries7 {
   private val rpDim = 16 // JL sketch width (testdata embeddings are dim 64)
   private val rpCandMult = 8
   private val simK = 5
+
+  private val tuneRate = 0.5
+  private val tuneThresh = Sampling.rateThreshold(tuneRate)
+  private val tuneJac = 0.7
+  private val tuneSalt = "lshtune"
+
+  private val drEta = 5.0
+  private val drSmooth = 0.1
+  private val drLambda = 0.9 // bigram interpolation weight (t_bigram_nll's)
 
   /** Sequential-fold cosine with precomputed norms (the duckCosine
     * discipline — bit-identical to Spark's fold + norm columns). */
@@ -299,5 +308,155 @@ object PipelineQueries7 {
           "ivf" -> Similarity.ivfTopK(q, e, simK),
           "ivf_probe2" -> Similarity.ivfTopKMultiProbe(q, e, simK, nprobe = 2),
           "rp" -> Similarity.rpTopK(q, e, simK, rpDim, rpCandMult)))
+    },
+
+    // ---- LSH tuning report ------------------------------------------------
+
+    // Precision/recall of the production MinHash band join against
+    // exhaustive exact Jaccard on a hash-stable half sample — the
+    // banding-config measurement (P[cand] = 1-(1-j^4)^2 predicted,
+    // this reports observed). The oracle replays sampling, the
+    // inverted-index ground truth, the md5 signature/band family, and
+    // both ratio computations.
+    QueryDef("dedup_lsh_tuning", PipelineQueries.withC(
+      s"""tund AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE ${PipelineQueries2.duckHash32(tuneSalt)} < $tuneThresh),
+         |tuntok AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM tund),
+         |tunsh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len(toks) - 2, 0)),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |    AS shingles
+         |  FROM tuntok),
+         |tuninv AS (SELECT doc_id, unnest(shingles) AS s FROM tunsh),
+         |tuncand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tuninv a JOIN tuninv b
+         |    ON a.s = b.s AND a.doc_id < b.doc_id),
+         |tunjac AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(sa.shingles, sb.shingles))
+         |        AS DOUBLE) /
+         |      CAST(len(sa.shingles) + len(sb.shingles)
+         |        - len(list_intersect(sa.shingles, sb.shingles))
+         |        AS DOUBLE), 6) AS jaccard
+         |  FROM tuncand c
+         |  JOIN tunsh sa ON sa.doc_id = c.doc_a
+         |  JOIN tunsh sb ON sb.doc_id = c.doc_b),
+         |tunsig AS (
+         |  SELECT doc_id,
+         |    min(md5('1:' || s)) AS mh1, min(md5('2:' || s)) AS mh2,
+         |    min(md5('3:' || s)) AS mh3, min(md5('4:' || s)) AS mh4,
+         |    min(md5('5:' || s)) AS mh5, min(md5('6:' || s)) AS mh6,
+         |    min(md5('7:' || s)) AS mh7, min(md5('8:' || s)) AS mh8
+         |  FROM tuninv GROUP BY doc_id),
+         |tunbu AS (
+         |  SELECT doc_id, 0 AS band_idx,
+         |    md5(mh1 || mh2 || mh3 || mh4) AS bh FROM tunsig
+         |  UNION ALL
+         |  SELECT doc_id, 1, md5(mh5 || mh6 || mh7 || mh8) FROM tunsig),
+         |tunlsh AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM tunbu a JOIN tunbu b
+         |    ON a.band_idx = b.band_idx AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id),
+         |tunm AS (
+         |  SELECT
+         |    (SELECT count(*) FROM tund) AS n_docs,
+         |    (SELECT count(*) FROM tunjac WHERE jaccard >= $tuneJac)
+         |      AS n_true,
+         |    (SELECT count(*) FROM tunlsh) AS n_cand,
+         |    (SELECT count(*) FROM tunlsh JOIN tunjac USING (doc_a, doc_b)
+         |     WHERE jaccard >= $tuneJac) AS tp)""".stripMargin)(
+      s"""SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_true AS BIGINT) AS n_true,
+         |  CAST(n_cand AS BIGINT) AS n_cand, CAST(tp AS BIGINT) AS tp,
+         |  CASE WHEN n_cand > 0
+         |    THEN round(CAST(tp AS DOUBLE) / CAST(n_cand AS DOUBLE), 6)
+         |    ELSE 0.0 END AS prec,
+         |  CASE WHEN n_true > 0
+         |    THEN round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6)
+         |    ELSE 0.0 END AS recall
+         |FROM tunm""".stripMargin)) { (s, dir) =>
+      Dedup.lshTuningReport(W.read(s, dir, "documents"),
+        tuneRate, tuneJac, tuneSalt)
+    },
+
+    // ---- DoReMi-style domain reweighting ----------------------------------
+
+    // Exponential tilting of baseline token shares by per-domain excess
+    // loss (weak unigram proxy vs strong interpolated-bigram
+    // reference), smoothed with the uniform mixture — the Group-DRO
+    // update of DoReMi (Xie et al. 2023) telescoped over fixed loss
+    // tables. The oracle trains BOTH LMs, rolls them up per source,
+    // and replays every quantized ratio including the exp tilt.
+    QueryDef("samp_domain_reweight", PipelineQueries.withC(
+      PipelineQueries.tokDocs + ",\n" +
+      s"""drtok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+         |drcnt AS (SELECT tok, count(*) AS c FROM drtok GROUP BY 1),
+         |drnll AS (
+         |  SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE) /
+         |    (SELECT CAST(sum(c) AS DOUBLE) FROM drcnt)) * 1e6) AS BIGINT)
+         |    AS nll_micro
+         |  FROM drcnt),
+         |druni AS (
+         |  SELECT doc_id, count(*) AS n_tok, sum(nll_micro) AS uni_sum
+         |  FROM drtok JOIN drnll USING (tok) GROUP BY 1),
+         |drbg AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - 1)) AS i
+         |    FROM tok_docs)),
+         |drbc AS (SELECT w1, w2, count(*) AS cb FROM drbg GROUP BY 1, 2),
+         |drbnll AS (
+         |  SELECT drbc.w1, drbc.w2,
+         |    CAST(round(-ln(
+         |      $drLambda * CAST(cb AS DOUBLE) / CAST(u1.c AS DOUBLE)
+         |      + ${1.0 - drLambda} * CAST(u2.c AS DOUBLE) /
+         |        (SELECT CAST(sum(c) AS DOUBLE) FROM drcnt))
+         |      * 1e6) AS BIGINT) AS nll_micro
+         |  FROM drbc JOIN drcnt u1 ON drbc.w1 = u1.tok
+         |  JOIN drcnt u2 ON drbc.w2 = u2.tok),
+         |drbi AS (
+         |  SELECT doc_id, count(*) AS n_bi, sum(nll_micro) AS bi_sum
+         |  FROM drbg JOIN drbnll USING (w1, w2) GROUP BY 1),
+         |drper AS (
+         |  SELECT d.source, sum(u.n_tok) AS n_tokens,
+         |    sum(u.uni_sum) AS uni_micro,
+         |    sum(coalesce(b.n_bi, 0)) AS n_bi,
+         |    sum(coalesce(b.bi_sum, 0)) AS bi_micro
+         |  FROM documents d
+         |  JOIN druni u USING (doc_id)
+         |  LEFT JOIN drbi b USING (doc_id)
+         |  GROUP BY d.source),
+         |drm AS (
+         |  SELECT source, n_tokens,
+         |    round(CAST(uni_micro AS DOUBLE) /
+         |      (CAST(n_tokens AS DOUBLE) * 1e6), 6) AS uni_nll,
+         |    CASE WHEN n_bi > 0
+         |      THEN round(CAST(bi_micro AS DOUBLE) /
+         |        (CAST(n_bi AS DOUBLE) * 1e6), 6)
+         |      ELSE 0.0 END AS bi_nll
+         |  FROM drper),
+         |drx AS (
+         |  SELECT source, n_tokens, uni_nll, bi_nll,
+         |    round(greatest(uni_nll - bi_nll, 0.0), 6) AS excess,
+         |    round(CAST(n_tokens AS DOUBLE) /
+         |      sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS share
+         |  FROM drm),
+         |drt AS (
+         |  SELECT *, round(share * exp($drEta * excess), 6) AS tilt
+         |  FROM drx)""".stripMargin)(
+      s"""SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, share,
+         |  uni_nll, bi_nll, excess,
+         |  round(${1.0 - drSmooth} * tilt / sum(tilt) OVER ()
+         |    + $drSmooth / count(*) OVER (), 6) AS weight
+         |FROM drt""".stripMargin)) { (s, dir) =>
+      Sampling.domainReweight(W.read(s, dir, "documents"),
+        drEta, drSmooth, drLambda)
     })
 }

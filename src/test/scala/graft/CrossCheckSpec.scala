@@ -461,6 +461,33 @@ class CrossCheckSpec extends TestBase {
       s"(|ivf|=${ivf.size}, |rp∩ivf|=${(ivf & rp).size})")
   }
 
+  test("lshTuningReport: identical docs are always tp; ratios are consistent") {
+    import spark.implicits._
+    // rate=1.0 keeps every doc: two identical docs (jaccard 1.0, all
+    // bands equal -> guaranteed LSH candidate AND ground truth), one
+    // moderate near-dup, many unrelated docs
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (Seq(
+      (1L, base), (2L, base),
+      (3L, (1 to 40).map(i => if (i > 35) s"alt$i" else s"tok$i").mkString(" ")))
+      ++ (10 until 30).map(i =>
+        (i.toLong, (1 to 40).map(j => s"u$i-$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshTuningReport(docs, rate = 1.0, threshold = 0.7).head()
+    val (nDocs, nTrue, nCand, tp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs == 23L)
+    assert(nTrue >= 1L, "the identical pair must be ground truth")
+    assert(tp >= 1L, "the identical pair must be an LSH candidate")
+    assert(tp <= math.min(nCand, nTrue))
+    assert(r.getDouble(4) ==
+      (if (nCand > 0) BigDecimal(tp.toDouble / nCand)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0))
+    assert(r.getDouble(5) ==
+      (if (nTrue > 0) BigDecimal(tp.toDouble / nTrue)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0))
+  }
+
   test("recallReport: exact arithmetic, zero-hit rows included") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))

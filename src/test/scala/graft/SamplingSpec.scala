@@ -187,4 +187,33 @@ class SamplingSpec extends TestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b)
   }
+
+  test("domainReweight: structured domain (bigram headroom) is upweighted; weights sum to 1") {
+    import spark.implicits._
+    // Domain "pat": every doc cycles the same 20-token sequence — the
+    // unigram LM sees a flat 1/20 distribution (high NLL) but the
+    // bigram successor is deterministic => large excess loss.
+    // Domain "mix": the SAME flat unigram distribution, but each doc
+    // cycles its OWN deterministic shuffle — successors disagree across
+    // docs, so bigrams carry much less signal => smaller excess.
+    val vocab = (1 to 20).map(i => s"v$i")
+    val pat = (1L to 6L).map(i =>
+      (i, Seq.fill(3)(vocab).flatten.mkString(" "), "pat"))
+    val mix = (11L to 16L).map { i =>
+      val perm = new scala.util.Random(i).shuffle(vocab)
+      (i, Seq.fill(3)(perm).flatten.mkString(" "), "mix")
+    }
+    val docs = (pat ++ mix).toDF("doc_id", "text", "source")
+    val out = Sampling.domainReweight(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(5), r.getDouble(6))).toMap
+    val (patShare, patExcess, patW) = out("pat")
+    val (_, mixExcess, mixW) = out("mix")
+    assert(patExcess > mixExcess,
+      s"alternating domain must show more bigram headroom: $patExcess vs $mixExcess")
+    assert(patW > patShare,
+      s"excess-rich domain must be upweighted over its share: $patW vs $patShare")
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-4,
+      s"weights must sum to ~1: ${out.values.map(_._3).sum}")
+  }
 }
