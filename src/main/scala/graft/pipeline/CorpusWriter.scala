@@ -57,6 +57,39 @@ object CorpusWriter {
   }
 
   /**
+   * Curriculum epoch ordering (Bengio et al. 2009, "Curriculum
+   * Learning") — [[trainingOrder]]'s shard-parallel contract with a
+   * quality-major key: within every shard, documents are consumed
+   * easiest/cleanest-first (CCNet NLL tier ascending — tier 1 is the
+   * head), with the deterministic hash shuffle inside each tier and
+   * `salt` still minting a fresh permutation per epoch. Because shard
+   * membership is tier-blind (pure id hash), every shard sees the same
+   * tier proportions, so shard-parallel consumption yields a globally
+   * tier-major schedule without any cross-shard coordination.
+   *
+   * Output: (doc_id, tier, shard, pos).
+   *
+   * Scale shape: tier signal is the certified
+   * [[TextAnalysis.nllTiers]] path (its percentile-sketch twin applies
+   * when the per-corpus sort is too much); ordering is one
+   * per-shard window — shards bound the sort like trainingOrder.
+   */
+  def curriculumOrder(docs: DataFrame, shards: Int, tiers: Int = 3,
+      salt: String = "epoch0", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("tier"), col("h"), col("doc_id"))
+    TextAnalysis.nllTiers(docs, tiers, idCol, textCol)
+      .select(col("doc_id"), col("tier"))
+      .withColumn("h", Sampling.hash32(col("doc_id"), salt))
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .select(col("doc_id"), col("tier"), col("shard"), col("pos"))
+  }
+
+  /**
    * Write a frame as a BUCKETED (and optionally bucket-sorted) table:
    * rows are hash-partitioned into `numBuckets` files by `bucketCol` at
    * write time, and the layout is recorded in the catalog. Every later

@@ -97,6 +97,44 @@ object Semantic {
         round(col("best").getField("d"), 6).as("sq_dist"))
   }
 
+  /**
+   * Farthest-point seeding + assignment (Gonzalez 1985, the 2-approx
+   * k-center traversal) — the deterministic answer to k-means++'s
+   * randomized D² sampling: seed 1 is the lowest-id vector, each next
+   * seed is the corpus point FARTHEST from the chosen set (min-distance
+   * argmax, rounded to 1e-6, ties to the lowest id). Farthest-point
+   * seeds spread across the data's extremes, which is what k-means'
+   * lowest-id init lacks on clustered data; running [[kmeansAssign]]'s
+   * Lloyd refinement from these seeds is the scalable k-means|| recipe
+   * with the randomness replaced by a replayable rule.
+   *
+   * Each seed selection is ONE corpus aggregate (a TakeOrdered of 1 row
+   * — per-partition heaps, no global sort), k−1 of them total; the
+   * driver holds only the k seed vectors. The final assignment is the
+   * same literal-centroid scan as [[kmeansAssign]].
+   */
+  def farthestAssign(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val first = e.orderBy("vec_id").limit(1).collect()
+    require(first.nonEmpty, "farthestAssign on an empty frame")
+    var seeds: Seq[(Int, Array[Double])] =
+      Seq(0 -> first(0).getSeq[Double](1).toArray)
+    for (i <- 1 until k) {
+      // argmax of the (rounded) min distance to the current seed set;
+      // the unrounded min matches the assignment fold, rounding happens
+      // only at the comparison — mirrored exactly in the oracle
+      val next = e.select(col("vec_id"), col("v"),
+          round(nearest(col("v"), seeds).getField("d"), 6).as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).collect()(0)
+      seeds = seeds :+ (i -> next.getSeq[Double](1).toArray)
+    }
+    e.select(col("vec_id"), nearest(col("v"), seeds).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cluster_id"),
+        round(col("best").getField("d"), 6).as("sq_dist"))
+  }
+
   /** Per-cluster size, majority ground-truth label, and purity — the
     * standard external clustering diagnostic when a label column exists. */
   def clusterStats(assignments: DataFrame, labeled: DataFrame,

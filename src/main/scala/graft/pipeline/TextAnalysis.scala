@@ -641,6 +641,52 @@ object TextAnalysis {
   }
 
   /**
+   * N-gram novelty scoring — the memorization/novelty signal of
+   * Merrill et al. 2024 ("Evaluating n-gram novelty of language
+   * models") applied at the data layer: the fraction of a document's
+   * distinct word n-grams that do NOT occur in a reference corpus
+   * (an earlier snapshot, a curated set, or a held-out slice). High
+   * novelty flags genuinely new material worth keeping; near-zero
+   * novelty flags paraphrase-grade duplication that exact and MinHash
+   * dedup both miss when the copied material is embedded in fresh
+   * boilerplate.
+   *
+   * Output: (doc_id, n_ngrams, n_novel, novelty) — one row per corpus
+   * doc; docs with no n-grams (fewer than n tokens) report (0, 0, 0.0).
+   *
+   * Scale shape: the reference side collapses to a distinct n-gram
+   * TYPE table (pre-aggregable and reusable across runs, like the
+   * incremental-dedup fingerprint table); the membership probe is one
+   * n-gram-keyed left-anti join with map-side-combined distincts on
+   * both sides. When the exact TYPE table is too big to join, the
+   * [[graft.functions]] Bloom probe is the drop-in scale twin (the
+   * [[Decontamination]] pattern) at the cost of a bounded
+   * novelty UNDER-estimate (Bloom false positives read as "seen").
+   */
+  def noveltyScores(corpus: DataFrame, reference: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val docTri = corpus.select(col(idCol).as("doc_id"),
+        Dedup.shinglesFromTokens(tokens(col(textCol)), n).as("gs"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val refTri = reference
+      .select(Dedup.shinglesFromTokens(tokens(col(textCol)), n).as("gs"))
+      .select(explode(col("gs")).as("g")).distinct()
+    val counts = docTri.join(refTri, Seq("g"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    corpus.select(col(idCol).as("doc_id"),
+        size(Dedup.shinglesFromTokens(tokens(col(textCol)), n))
+          .cast("long").as("n_ngrams"))
+      .join(counts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams") > 0,
+          round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+            col("n_ngrams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
+  /**
    * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
    * SIGMOD 2003 — the MOSS algorithm). Hash every character k-gram of
    * the normalized text, slide a window of `w` consecutive k-gram

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{CorpusReport, Dedup, Sampling, Similarity, TextAnalysis}
+import graft.pipeline.{CorpusReport, CorpusWriter, Dedup, Sampling, Semantic, Similarity, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -31,6 +31,20 @@ object PipelineQueries7 {
   private val drEta = 5.0
   private val drSmooth = 0.1
   private val drLambda = 0.9 // bigram interpolation weight (t_bigram_nll's)
+
+  private val novSalt = "novelref"
+  private val novRate = 0.5
+  private val novThresh = Sampling.rateThreshold(novRate)
+
+  private val farK = 6
+  /** Sequential-fold squared L2 over the 64 dims (index order —
+    * bit-identical to the Spark zip_with fold). */
+  private def fSqd(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+
+  private val curShards = 8
+  private val curSalt = "epoch0"
 
   /** Sequential-fold cosine with precomputed norms (the duckCosine
     * discipline — bit-identical to Spark's fold + norm columns). */
@@ -458,5 +472,111 @@ object PipelineQueries7 {
          |FROM drt""".stripMargin)) { (s, dir) =>
       Sampling.domainReweight(W.read(s, dir, "documents"),
         drEta, drSmooth, drLambda)
+    },
+
+    // ---- n-gram novelty ---------------------------------------------------
+
+    // Fraction of each doc's distinct word trigrams unseen in the
+    // reference slice (the 50% hash sample — the held-out discipline of
+    // t_trigram_backoff). Near-zero novelty flags paraphrase-grade
+    // duplication that whole-doc dedup misses.
+    QueryDef("t_novelty", PipelineQueries.withC(
+      PipelineQueries.shingled + ",\n" +
+      s"""nvref AS (
+         |  SELECT DISTINCT unnest(shingles) AS g FROM shingled
+         |  WHERE ${PipelineQueries2.duckHash32(novSalt)} < $novThresh),
+         |nvdoc AS (SELECT doc_id, unnest(shingles) AS g FROM shingled),
+         |nvnew AS (
+         |  SELECT doc_id, count(*) AS n_novel FROM nvdoc
+         |  WHERE NOT EXISTS (SELECT 1 FROM nvref r WHERE r.g = nvdoc.g)
+         |  GROUP BY 1),
+         |nvsz AS (
+         |  SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_ngrams
+         |  FROM shingled)""".stripMargin)(
+      """SELECT s.doc_id, s.n_ngrams,
+        |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN s.n_ngrams > 0
+        |    THEN round(CAST(coalesce(n.n_novel, 0) AS DOUBLE) /
+        |      CAST(s.n_ngrams AS DOUBLE), 6)
+        |    ELSE 0.0 END AS novelty
+        |FROM nvsz s LEFT JOIN nvnew n USING (doc_id)""".stripMargin)) {
+      (s, dir) =>
+        val docs = W.read(s, dir, "documents")
+        TextAnalysis.noveltyScores(docs,
+          Sampling.deterministicSample(docs, "doc_id", novRate, novSalt))
+    },
+
+    // ---- farthest-point k-center seeding ----------------------------------
+
+    // Gonzalez-traversal seeds (deterministic k-means++ replacement) +
+    // the literal-centroid assignment scan. The oracle replays every
+    // seed selection (argmax of rounded min distance, lowest-id ties)
+    // and the assignment fold.
+    QueryDef("sem_kmeans_far", PipelineQueries.withC(
+      PipelineQueries.embDouble + ",\n" +
+      "fe AS (SELECT vec_id, v FROM e),\n" +
+      "fs1 AS (SELECT vec_id, v FROM fe ORDER BY vec_id LIMIT 1),\n" +
+      s"""fd1 AS MATERIALIZED (
+         |  SELECT f.vec_id, f.v, ${fSqd("f.v", "s.v")} AS d
+         |  FROM fe f, fs1 s)""".stripMargin + ",\n" +
+      (2 to farK).map { i =>
+        s"""fs$i AS (SELECT vec_id, v FROM fd${i - 1}
+           |  ORDER BY round(d, 6) DESC, vec_id LIMIT 1)""".stripMargin +
+        (if (i < farK) s""",
+           |fd$i AS MATERIALIZED (
+           |  SELECT f.vec_id, f.v,
+           |    least(f.d, ${fSqd("f.v", "s.v")}) AS d
+           |  FROM fd${i - 1} f, fs$i s)""".stripMargin
+         else "")
+      }.mkString(",\n") + ",\n" +
+      s"""fseeds AS (${(1 to farK).map(i =>
+            s"SELECT ${i - 1} AS cid, v FROM fs$i")
+            .mkString("\n  UNION ALL ")})""")(
+      s"""SELECT vec_id, cluster_id, sq_dist FROM (
+         |  SELECT f.vec_id, s.cid AS cluster_id,
+         |    round(${fSqd("f.v", "s.v")}, 6) AS sq_dist,
+         |    row_number() OVER (PARTITION BY f.vec_id
+         |      ORDER BY ${fSqd("f.v", "s.v")}, s.cid) AS rk
+         |  FROM fe f, fseeds s)
+         |WHERE rk = 1""".stripMargin)) { (s, dir) =>
+      Semantic.farthestAssign(W.read(s, dir, "embeddings"), farK)
+    },
+
+    // ---- curriculum epoch ordering ----------------------------------------
+
+    // trainingOrder's shard-parallel contract with a quality-major key:
+    // easiest (tier-1) docs first within every shard; shard membership
+    // stays tier-blind so shard-parallel consumption is globally
+    // tier-major. Oracle replays the LM, the ntile, and the window.
+    QueryDef("pack_curriculum", PipelineQueries.withC(
+      PipelineQueries.tokDocs + ",\n" +
+      s"""cutok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+         |cucnt AS (SELECT tok, count(*) AS c FROM cutok GROUP BY 1),
+         |cunll AS (
+         |  SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE) /
+         |    (SELECT CAST(sum(c) AS DOUBLE) FROM cucnt)) * 1e6) AS BIGINT)
+         |    AS nll_micro
+         |  FROM cucnt),
+         |cuscored AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(nll_micro) AS DOUBLE) / (count(*) * 1e6), 6)
+         |      AS mean_nll
+         |  FROM cutok JOIN cunll USING (tok) GROUP BY doc_id),
+         |cur AS (
+         |  SELECT doc_id,
+         |    CAST(ntile(3) OVER (ORDER BY mean_nll, doc_id) AS BIGINT)
+         |      AS tier
+         |  FROM cuscored),
+         |curh AS (
+         |  SELECT doc_id, tier,
+         |    ${PipelineQueries2.duckHash32(curSalt)} AS h
+         |  FROM cur JOIN documents USING (doc_id))""".stripMargin)(
+      s"""SELECT doc_id, tier, CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |    ORDER BY tier, h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM (SELECT doc_id, tier, h, h % $curShards AS shard FROM curh)""".stripMargin)) {
+      (s, dir) =>
+        CorpusWriter.curriculumOrder(W.read(s, dir, "documents"),
+          curShards, 3, curSalt)
     })
 }

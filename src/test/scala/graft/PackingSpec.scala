@@ -100,4 +100,29 @@ class PackingSpec extends TestBase {
       .map { case (k, vs) => k -> (vs.size.toLong, vs.map(_._3).sum) }
     assert(stats == manual)
   }
+
+  test("curriculumOrder: tier-major within every shard, a permutation, salt reshuffles within tier") {
+    import graft.pipeline.CorpusWriter
+    val docs = WarehouseSim.read(spark, sfDir, "documents")
+    val out = CorpusWriter.curriculumOrder(docs, shards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every doc exactly once; positions are 0..n_s-1 per shard
+    assert(out.length == docs.count())
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(0L until rows.length),
+        s"shard $shard positions must be dense from 0")
+      // tier never decreases along the shard's position order
+      val tiers = rows.sortBy(_._4).map(_._2)
+      assert(tiers.sameElements(tiers.sorted),
+        s"shard $shard must consume tiers in order")
+    }
+    // a new salt keeps (doc -> tier) fixed but changes within-tier order
+    val next = CorpusWriter.curriculumOrder(docs, shards = 4, salt = "epoch1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(t => t._1 -> t._2).toMap == next.map(t => t._1 -> t._2).toMap,
+      "tiers are salt-independent")
+    assert(out.map(t => t._1 -> (t._3, t._4)).toMap !=
+      next.map(t => t._1 -> (t._3, t._4)).toMap,
+      "a new salt must mint a different permutation")
+  }
 }

@@ -12,8 +12,15 @@ class PlanAuditSpec extends TestBase {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
   // the one intentional all-pairs baseline (documented O(Q*N) reference
-  // point; the IVF query is the scale path)
-  private val cartesianExempt = Set("sim_topk_bruteforce")
+  // point; the IVF query is the scale path), plus:
+  //  - sim_recall_report: its exact baseline IS that declared brute
+  //    force (the harness exists to measure the approximate paths
+  //    against it — a bounded query set by protocol);
+  //  - dedup_lsh_tuning: joins three SINGLE-ROW aggregate frames into
+  //    the one-row report — a broadcast NLJ of 1-row inputs, constant
+  //    cost at any corpus size.
+  private val cartesianExempt =
+    Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted

@@ -34,6 +34,32 @@ class SemanticSpec extends TestBase {
     assert(d2 <= d0 + 1e-9, s"iter0 mean=$d0, iter2 mean=$d2")
   }
 
+  test("farthestAssign: seeds spread (2-approx property), assignment total, repartition-invariant") {
+    val k = 6
+    val a = Semantic.farthestAssign(emb, k)
+    val n = emb.count()
+    assert(a.count() == n)
+    val clusters = a.select("cluster_id").distinct().collect().map(_.getInt(0))
+    assert(clusters.length == k, "every farthest-point seed owns itself")
+    // Gonzalez guarantee: max assignment distance <= the min pairwise
+    // seed separation (each new seed was the farthest point, so any
+    // point's distance to its seed is <= distance between any two seeds)
+    val maxAssign = a.agg(max("sq_dist")).head().getDouble(0)
+    val seeds = a.filter(col("sq_dist") === 0.0)
+      .select("vec_id").collect().map(_.getLong(0))
+    val sv = emb.filter(col("vec_id").isin(seeds: _*))
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    val minSeedSep = (for {
+      i <- sv.indices; j <- sv.indices if i < j
+    } yield sv(i).zip(sv(j)).map { case (x, y) => (x - y) * (x - y) }.sum).min
+    assert(maxAssign <= minSeedSep + 1e-6,
+      s"farthest-point cover radius $maxAssign must not exceed seed separation $minSeedSep")
+    val b = Semantic.farthestAssign(emb.repartition(13), k)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("semanticDedup: kept set has no dominated member and keeps each cluster's head") {
     val assign = Semantic.kmeansAssign(emb, k = 8, iters = 2)
     val kept = Semantic.semanticDedup(emb, assign, tau = 0.3)

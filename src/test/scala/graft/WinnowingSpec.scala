@@ -103,6 +103,28 @@ class WinnowingSpec extends TestBase {
     assert(a.sameElements(a.sorted), "tiers must be monotone in mean_nll")
   }
 
+  test("noveltyScores: copied docs score 0, fresh docs score 1, blends in between") {
+    val ref = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // verbatim
+      (2L, "totally fresh words never seen anywhere at all"), // disjoint
+      // half-and-half: first 4 tokens from ref (2 seen trigrams of 6)
+      (3L, "one two three four brand new closing words"),
+      (4L, "xy") // < 3 tokens -> no trigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(corpus, ref).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L)._3 == 0.0, s"verbatim copy must be 0-novel: ${out(1L)}")
+    assert(out(2L)._3 == 1.0, s"disjoint doc must be fully novel: ${out(2L)}")
+    assert(out(3L)._3 > 0.0 && out(3L)._3 < 1.0,
+      s"partial copy must blend: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0.0)), "sub-n docs report (0, 0, 0.0)")
+    assert(out.size == 4, "one row per corpus doc")
+  }
+
   test("nllTiersBy with a single language matches global nllTiers") {
     val docs = Seq(
       (1L, "aa bb cc dd"), (2L, "aa aa aa aa"), (3L, "ee ff gg hh"),
