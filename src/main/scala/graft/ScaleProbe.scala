@@ -117,6 +117,52 @@ object ScaleProbe {
     // mine_pairs probes over embeddings: replicas get DISJOINT cells —
     // the IVF contract at scale is "more data ⇒ more cells" (cell size
     // stays the sizing knob), so candidate volume grows linearly. An
+    // round-8 continuation operators
+    run("winnow_overlap")(Dedup.winnowOverlapPairs(_))
+    run("novelty")(d => TextAnalysis.noveltyScores(d,
+      graft.pipeline.Sampling.deterministicSample(d, "doc_id", 0.5, "novelref")))
+    run("domain_reweight")(d => graft.pipeline.Sampling.domainReweight(d))
+    run("curriculum_order")(d =>
+      graft.pipeline.CorpusWriter.curriculumOrder(d, 8))
+
+    // rp_topk probes with UNSALTED labels on purpose — the opposite of
+    // mine_pairs: per-query rp work is linear in its cell's size, so
+    // growing every cell k× (fixed 8-query side) measures exactly the
+    // in-cell compressed-scan axis the sketch exists to cheapen.
+    if (only.forall("rp_topk".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val embK = (0 until k).map { i =>
+        emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      val q = emb1.filter(col("vec_id") < 8)
+      def rp(c: DataFrame) = graft.pipeline.Similarity.rpTopK(q, c, 5)
+      spark.catalog.clearCache()
+      rp(emb1).count() // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(rp(emb1).count())
+      spark.catalog.clearCache()
+      val (tk, nk) = time(rp(embK).count())
+      println(f"${"rp_topk"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
+
+    // farthest-point seeding: k TakeOrdered(1) passes — linear per pass
+    if (only.forall("kmeans_far".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val embK = (0 until k).map { i =>
+        emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      def far(c: DataFrame) = graft.pipeline.Semantic.farthestAssign(c, 6)
+      spark.catalog.clearCache()
+      far(emb1).count() // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(far(emb1).count())
+      spark.catalog.clearCache()
+      val (tk, nk) = time(far(embK).count())
+      println(f"${"kmeans_far"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
+
     // unsalted label union would instead grow every cell k× and measure
     // the quadratic the cell structure exists to prevent.
     if (only.forall("mine_pairs".contains(_))) {

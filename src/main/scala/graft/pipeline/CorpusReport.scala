@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -48,4 +48,40 @@ object CorpusReport {
         coalesce(col("source"), lit("ALL")).as("source"),
         col("n_docs"), col("n_unique"), col("n_tokens"),
         col("n_chars"), col("min_chars"), col("max_chars"))
+
+  /**
+   * Data-card DELTA of a curation decision: the corpus with a boolean
+   * `kept` verdict column (dedup keeper flag, quality-gate pass, a
+   * sampler's keep decision — any of the pipeline's per-doc verdicts),
+   * rolled up per (lang, source) CUBE cell into before/after/removed
+   * volumes — the impact table every release review reads.
+   *
+   * Deliberately ONE flagged pass, not two [[dataCard]]s joined: the
+   * kept flag rides each row, so before = count, after = conditional
+   * sum in the same aggregate — half the scans, no card-level join,
+   * and immune to Spark's ambiguous-self-join analysis (both "sides"
+   * of a curation diff always share their lineage root).
+   *
+   * Scale shape: identical to [[dataCard]] minus the distinct shuffle —
+   * one cube aggregate collapsing map-side to card-sized output.
+   */
+  def dataCardDiff(docs: DataFrame, kept: Column): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        kept.cast("long").as("k"))
+      .cube("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs_before"),
+        sum(col("k")).as("n_docs_after"),
+        sum(col("n_tok")).as("n_tokens_before"),
+        sum(col("n_tok") * col("k")).as("n_tokens_after"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs_before"), col("n_docs_after"),
+        (col("n_docs_before") - col("n_docs_after")).as("docs_removed"),
+        col("n_tokens_before"), col("n_tokens_after"),
+        (col("n_tokens_before") - col("n_tokens_after"))
+          .as("tokens_removed"))
 }

@@ -375,6 +375,36 @@ object Sampling {
    * thousands), never by the corpus.
    */
   /**
+   * Quality-weighted sampling — the soft filter between a hard quality
+   * gate (loses all mid-quality diversity) and uniform sampling (keeps
+   * junk at full rate): each document's keep probability IS its
+   * composite quality score ([[TextAnalysis.withQuality]], in [0, 1]),
+   * floored at `minRate` so no stratum disappears entirely — the
+   * FineWeb-style "sample by quality, don't guillotine" recipe.
+   *
+   * The rate is the score quantized to 2 decimals (101 possible
+   * thresholds — quantization makes the keep decision replayable and
+   * keeps threshold arithmetic exact), the decision the usual
+   * [[hash32]] compare: deterministic, coordination-free, retry-stable,
+   * and nested across reruns like every sampler here.
+   *
+   * Scale shape: scoring is scan-speed column math, the decision is a
+   * per-row filter — zero shuffle, zero driver state.
+   */
+  def qualityWeightedSample(docs: DataFrame, minRate: Double = 0.05,
+      salt: String = "qsamp", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minRate > 0.0 && minRate <= 1.0,
+      s"minRate must be in (0,1], got $minRate")
+    TextAnalysis.withQuality(docs, textCol)
+      .withColumn("rate",
+        greatest(round(col("quality_score"), 2), lit(minRate)))
+      .filter(hash32(col(idCol), salt) <
+        round(col("rate") * lit(HashSpace.toDouble)).cast("long"))
+      .select(col(idCol).as("doc_id"), col("quality_score"), col("rate"))
+  }
+
+  /**
    * DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
    * Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
    * the exponential-tilting step of the Group-DRO update applied to

@@ -46,6 +46,9 @@ object PipelineQueries7 {
   private val curShards = 8
   private val curSalt = "epoch0"
 
+  private val qwMinRate = 0.05
+  private val qwSalt = "qsamp"
+
   /** Sequential-fold cosine with precomputed norms (the duckCosine
     * discipline — bit-identical to Spark's fold + norm columns). */
   private def dCos(a: String, b: String): String =
@@ -540,6 +543,66 @@ object PipelineQueries7 {
          |  FROM fe f, fseeds s)
          |WHERE rk = 1""".stripMargin)) { (s, dir) =>
       Semantic.farthestAssign(W.read(s, dir, "embeddings"), farK)
+    },
+
+    // ---- quality-weighted sampling ----------------------------------------
+
+    // Soft quality filter: keep probability = the composite quality
+    // score quantized to 2 decimals, floored at minRate — FineWeb's
+    // "sample by quality" middle ground between a hard gate and
+    // uniform sampling. The oracle replays the score, the rate
+    // quantization, and the 101-threshold hash decision.
+    QueryDef("samp_quality_weighted", PipelineQueries.withC(
+      PipelineQueries.tokDocs + ",\n" +
+      s"""qws AS (
+         |  SELECT doc_id,
+         |    round(0.4 * (CAST(len(list_filter(toks,
+         |          x -> list_contains(${PipelineQueries.stop}, x))) AS DOUBLE)
+         |        / CAST(len(toks) AS DOUBLE))
+         |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
+         |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]'))
+         |          AS DOUBLE) / CAST(length(text) AS DOUBLE)), 6)
+         |      AS quality_score
+         |  FROM tok_docs),
+         |qwr AS (
+         |  SELECT doc_id, quality_score,
+         |    greatest(round(quality_score, 2), $qwMinRate) AS rate
+         |  FROM qws)""".stripMargin)(
+      s"""SELECT doc_id, quality_score, rate FROM qwr
+         |WHERE ${PipelineQueries2.duckHash32(qwSalt)} <
+         |  CAST(round(rate * 4294967296.0) AS BIGINT)""".stripMargin)) {
+      (s, dir) =>
+        Sampling.qualityWeightedSample(W.read(s, dir, "documents"),
+          qwMinRate, qwSalt)
+    },
+
+    // ---- data-card delta --------------------------------------------------
+
+    // The curation impact table: one flagged CUBE pass rolling the
+    // composite quality-gate verdict into before/after/removed volumes
+    // per (lang, source) cell. The verdict rides each row via the
+    // gate's carryCols (single lineage — no corpus self-join), and the
+    // oracle replays the full gate rule bundle plus the cube.
+    QueryDef("report_card_diff", PipelineQueries.withC(
+      PipelineQueries5.gateCtes + ",\n" +
+      """cdd AS (
+        |  SELECT d.lang, d.source,
+        |    len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS n_tok,
+        |    CASE WHEN g.fail_reason IS NULL THEN 1 ELSE 0 END AS k
+        |  FROM gated g JOIN documents d USING (doc_id))""".stripMargin)(
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  CAST(count(*) AS BIGINT) AS n_docs_before,
+        |  CAST(sum(k) AS BIGINT) AS n_docs_after,
+        |  CAST(count(*) - sum(k) AS BIGINT) AS docs_removed,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_before,
+        |  CAST(sum(n_tok * k) AS BIGINT) AS n_tokens_after,
+        |  CAST(sum(n_tok) - sum(n_tok * k) AS BIGINT) AS tokens_removed
+        |FROM cdd GROUP BY CUBE (lang, source)""".stripMargin)) {
+      (s, dir) =>
+        val flagged = TextAnalysis.qualityGate(W.read(s, dir, "documents"),
+          carryCols = Seq("lang", "source", "text"))
+        CorpusReport.dataCardDiff(flagged, col("pass"))
     },
 
     // ---- curriculum epoch ordering ----------------------------------------

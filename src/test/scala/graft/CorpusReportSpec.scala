@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusReport, Sampling}
+import graft.sim.WarehouseSim
+
+/** Data-card rollup + curation-diff invariants (the oracle twins verify
+  * exact values; these pin the marginal arithmetic and the flag
+  * semantics). */
+class CorpusReportSpec extends TestBase {
+
+  private lazy val docs =
+    WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
+
+  test("dataCard: marginals are consistent with the full matrix") {
+    val card = CorpusReport.dataCard(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cells = card.filter { case ((l, s), _) => l != "ALL" && s != "ALL" }
+    val total = card(("ALL", "ALL"))
+    assert(cells.values.map(_._1).sum == total._1, "doc counts must roll up")
+    assert(cells.values.map(_._3).sum == total._3, "token counts must roll up")
+    card.foreach { case (k, (n, u, _)) =>
+      assert(u <= n && u > 0, s"$k: n_unique $u must be in (0, $n]")
+    }
+    // lang marginal = sum of its row
+    val langs = cells.keySet.map(_._1)
+    langs.foreach { l =>
+      assert(card((l, "ALL"))._1 ==
+        cells.filter(_._1._1 == l).values.map(_._1).sum)
+    }
+  }
+
+  test("dataCardDiff: removed = before - after; an all-true flag removes nothing") {
+    val flagged = docs.withColumn("kept", col("doc_id") % 3 =!= 0)
+    val diff = CorpusReport.dataCardDiff(flagged, col("kept")).collect()
+    diff.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      assert(r.getLong(7) == r.getLong(5) - r.getLong(6))
+      assert(r.getLong(3) <= r.getLong(2))
+    }
+    val total = diff.find(r => r.getString(0) == "ALL" && r.getString(1) == "ALL").get
+    assert(total.getLong(4) > 0, "the mod-3 flag must remove some docs")
+    val none = CorpusReport.dataCardDiff(docs.withColumn("kept", lit(true)),
+      col("kept")).collect()
+    assert(none.forall(r => r.getLong(4) == 0 && r.getLong(7) == 0))
+  }
+
+  test("qualityWeightedSample: decision replays from the published rate; floor honored") {
+    val kept = Sampling.qualityWeightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(kept.nonEmpty && kept.length < docs.count())
+    kept.foreach { case (_, score, rate) =>
+      assert(rate >= 0.05 && rate <= 1.0)
+      assert(rate >= BigDecimal(score).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP).toDouble - 1e-9)
+    }
+    // the keep decision is exactly hash32 < round(rate * 2^32)
+    val ids = kept.map(_._1).toSet
+    val replay = docs.select(col("doc_id"),
+        Sampling.hash32(col("doc_id"), "qsamp").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.foreach { case (id, _, rate) =>
+      assert(replay(id) < math.round(rate * Sampling.HashSpace.toDouble),
+        s"doc $id kept but hash ${replay(id)} >= threshold for rate $rate")
+    }
+    // deterministic: a rerun over a repartitioned input picks the same set
+    val again = Sampling.qualityWeightedSample(docs.repartition(13))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+}
