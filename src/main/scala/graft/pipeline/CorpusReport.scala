@@ -84,4 +84,60 @@ object CorpusReport {
         col("n_tokens_before"), col("n_tokens_after"),
         (col("n_tokens_before") - col("n_tokens_after"))
           .as("tokens_removed"))
+
+  /**
+   * Corpus Zipf/Heaps health report (one row): least-squares fit of
+   * ln(freq) against ln(rank) over the top `topK` token frequencies —
+   * natural text follows freq ∝ rank^s with s ≈ −1 (Zipf's law), so a
+   * corpus whose slope drifts far from −1 is boilerplate-heavy (flat
+   * head) or over-filtered (cliff head); `zipf_r2` says how well the
+   * power law holds at all. Heaps' law exponent
+   * (ln vocab / ln total tokens ≈ 0.4–0.6 for natural text) rides
+   * along as the vocabulary-growth signal. Together these are the
+   * two-line "does this corpus still look like language?" check a
+   * release gate runs after heavy dedup/filtering.
+   *
+   * Cross-engine determinism: ln(rank)/ln(freq) are 1e6-quantized to
+   * integers per row, all five regression sums are BIGINT (exact in
+   * any order), and slope/r²/heaps are assembled from those exact
+   * sums by the identical double-arithmetic expression in both
+   * engines, then rounded.
+   *
+   * Scale shape: token counts are word-count-shaped (map-side
+   * combine); the top-K is a TakeOrdered (per-partition heaps, never
+   * a global sort); the regression runs over topK rows. Corpus size
+   * enters only through the counting scan.
+   */
+  def zipfReport(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"topK must be >= 2, got $topK")
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_tokens_total"),
+      count(lit(1)).as("vocab"))
+    // rank over the already-TakeOrdered topK frame — the unpartitioned
+    // window is bounded by topK rows by construction
+    val top = counts.orderBy(col("c").desc, col("tok")).limit(topK)
+      .select(col("c"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok"))).cast("long").as("rank"))
+    val pts = top.select(
+      round(log(col("rank").cast("double")) * 1e6).cast("long").as("x"),
+      round(log(col("c").cast("double")) * 1e6).cast("long").as("y"))
+    val sums = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+    val num = col("n").cast("double") * col("sxy") -
+      col("sx").cast("double") * col("sy")
+    val denX = col("n").cast("double") * col("sxx") -
+      col("sx").cast("double") * col("sx")
+    val denY = col("n").cast("double") * col("syy") -
+      col("sy").cast("double") * col("sy")
+    sums.crossJoin(totals).select(
+      col("n_tokens_total"), col("vocab"), col("n").as("top_k"),
+      round(num / denX, 6).as("zipf_slope"),
+      round((num * num) / (denX * denY), 6).as("zipf_r2"),
+      round(log(col("vocab").cast("double")) /
+        log(col("n_tokens_total").cast("double")), 6).as("heaps_beta"))
+  }
 }

@@ -139,4 +139,62 @@ object Packing {
         sum(col("n_tokens")).as("bin_tokens"))
       .withColumn("fill_ratio",
         round(col("bin_tokens").cast("double") / lit(budget.toDouble), 6))
+
+  /** Power-of-two length-tier boundaries for [[lengthBuckets]]: tier t
+    * holds lengths below `bounds(t)`, with the top tier open-ended.
+    * Integer comparisons only — no floating log2 at tier boundaries. */
+  val lengthTierBounds: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L)
+
+  /**
+   * Length-bucketed inference batching: group documents of similar
+   * token length into fixed-count batches so per-batch padding (every
+   * sequence padded to the batch max) is paid against near-equal
+   * lengths — the dynamic-batching step every embedding/scoring pass
+   * over a corpus runs. The assignment is fully deterministic: a doc
+   * lands in its power-of-two length TIER (scan-speed integer
+   * comparisons, [[lengthTierBounds]]), a hash SHARD within the tier,
+   * and batches of `batchSize` docs in (n_tokens DESC, doc_id) order
+   * within each (tier, shard).
+   *
+   * Output, one row per batch: (tier, shard, batch_id, n_docs,
+   * max_len, sum_len, pad_tokens, pad_frac) — pad_tokens =
+   * n_docs·max_len − sum_len is exactly the padding a dense collator
+   * emits for that batch.
+   *
+   * Scale shape: tier+shard assignment is scan-speed column math; the
+   * only ordered work is one window per (tier, shard), so `shards`
+   * bounds every sort's input to ~corpus/(tiers·shards) rows — the
+   * shard-then-window discipline of [[CorpusWriter.trainingOrder]].
+   * Raising `shards` with the cluster keeps each sort executor-sized.
+   */
+  def lengthBuckets(df: DataFrame, batchSize: Int = 16, shards: Int = 8,
+      salt: String = "lenbatch", idCol: String = "doc_id",
+      tokenCol: String = "n_tokens"): DataFrame = {
+    require(batchSize > 0 && shards > 0,
+      "batchSize and shards must be positive")
+    val len = col(tokenCol).cast("long")
+    val tier = lengthTierBounds.zipWithIndex.foldRight(
+      lit(lengthTierBounds.size): org.apache.spark.sql.Column) {
+      case ((b, i), els) => when(len < b, lit(i)).otherwise(els)
+    }
+    val w = Window.partitionBy("tier", "shard")
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    df.select(col(idCol).as("doc_id"), len.as("n_tokens"))
+      .withColumn("tier", tier.cast("int"))
+      .withColumn("shard",
+        (Sampling.hash32(col("doc_id"), salt) % shards).cast("int"))
+      .withColumn("batch_id",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .groupBy("tier", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max(col("n_tokens")).as("max_len"),
+        sum(col("n_tokens")).as("sum_len"))
+      .select(col("tier"), col("shard"), col("batch_id"), col("n_docs"),
+        col("max_len"), col("sum_len"),
+        (col("n_docs") * col("max_len") - col("sum_len")).as("pad_tokens"),
+        when(col("n_docs") * col("max_len") > 0,
+          round((col("n_docs") * col("max_len") - col("sum_len"))
+            .cast("double") /
+            (col("n_docs") * col("max_len")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("pad_frac"))
+  }
 }

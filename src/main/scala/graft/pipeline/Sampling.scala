@@ -501,4 +501,42 @@ object Sampling {
         round(col("alloc_tokens").cast("double") /
           col("n_tokens").cast("double"), 6))
   }
+
+  /**
+   * SoftDedup duplicate down-weighting (He et al. 2024, "SoftDedup: an
+   * Efficient Data Reweighting Method for Speeding Up Language Model
+   * Pre-training") — instead of DROPPING duplicates the way
+   * [[Dedup.exact]] keeps one row per fingerprint, every member of a
+   * duplicate group survives with sampling probability c^(−alpha)
+   * (c = the group's corpus-wide occurrence count), so the group's
+   * expected surviving volume is c^(1−alpha) copies: alpha=1 is soft
+   * exact-dedup (one expected copy, but WHICH copy is spread over the
+   * group — source diversity survives), alpha<1 leaves duplicated
+   * content partially over-represented, alpha>1 actively punishes it.
+   *
+   * The keep decision is the engine's deterministic hash discipline
+   * (hash32(doc_id) < round(weight·2^32)) so reruns and partial
+   * re-processing agree row-by-row; the weight is 1e-6-quantized
+   * BEFORE thresholding so the oracle can never disagree on a rounding
+   * boundary. Output (kept rows only): (doc_id, dup_count, weight).
+   *
+   * Scale shape: one fingerprint-keyed count (the exact-dedup shuffle,
+   * map-side combined), one fingerprint join back (the dup-group side
+   * is count-sized, AQE broadcasts it), then a scan-speed hash filter.
+   * No windows, no driver state.
+   */
+  def softDedupSample(docs: DataFrame, alpha: Double = 1.0,
+      salt: String = "softdedup", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    val fp = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.fingerprint(col(textCol)).as("fpr"))
+    val counts = fp.groupBy("fpr").agg(count(lit(1)).as("dup_count"))
+    fp.join(counts, "fpr")
+      .select(col("doc_id"), col("dup_count"),
+        round(pow(col("dup_count").cast("double"), lit(-alpha)), 6)
+          .as("weight"))
+      .filter(hash32(col("doc_id"), salt) <
+        round(col("weight") * lit(HashSpace.toDouble)).cast("long"))
+  }
 }

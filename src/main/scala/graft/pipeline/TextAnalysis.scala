@@ -766,4 +766,137 @@ object TextAnalysis {
       .partitionBy("part").orderBy(col("mean_nll"), col("doc_id"))
     scored.withColumn("tier", ntile(tiers).over(w).cast("long"))
   }
+
+  /** Gopher repetition thresholds (Rae et al. 2021, table A1): a doc
+    * fails if any fraction exceeds its limit. Top n-gram limits for
+    * n=2,3,4; duplicate n-gram limits for n=5..10. */
+  val gopherTopLimits: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val gopherDupLimits: Map[Int, Double] =
+    (5 to 10).map(n => n -> (0.15 - (n - 5) * 0.01)).toMap
+  val gopherLineLimit = 0.30 // duplicate line fraction
+  val gopherLineCharLimit = 0.20 // duplicate line character fraction
+
+  /**
+   * The full Gopher repetition-rule bundle (Rae et al. 2021, "Scaling
+   * Language Models: Methods, Analysis & Insights from Training
+   * Gopher", table A1) — every repetition signal is WITHIN-document:
+   *
+   *  - `dup_line_frac`: fraction of the document's lines that are
+   *    repeats of an earlier line (occurrences beyond the first /
+   *    total lines); `dup_line_char_frac` is the same in line-char
+   *    units. Pure array math on the split text — no shuffle.
+   *  - `top_{2,3,4}gram_char_frac`: characters covered by ALL
+   *    occurrences of the doc's single most frequent n-gram, over
+   *    total token chars. Ties break by (count, gram chars, md5) so
+   *    every engine picks the same winner.
+   *  - `dup_{5..10}gram_char_frac`: characters of token POSITIONS
+   *    covered by any n-gram that occurs ≥2 times in the doc —
+   *    positions are distinct-folded first, so overlapping duplicate
+   *    windows never double-count (the "careful not to double count"
+   *    clause of the paper).
+   *  - `gopher_pass`: true iff every fraction is within its published
+   *    limit ([[gopherTopLimits]]/[[gopherDupLimits]]/line limits).
+   *
+   * Character conventions (documented, mirrored in the oracle): n-gram
+   * fractions count token characters only (separators excluded, so
+   * coverage sums are position-additive); line fractions count line
+   * characters. Each numerator/denominator pair shares its unit.
+   *
+   * Scale shape: the line rules are scan-speed column math. All nine
+   * n-gram sizes ride ONE flattened explode of the token array (one
+   * scan, rows ≈ 9·tokens), keys are md5-projected before the
+   * (doc_id, n, gram)-keyed count — fixed-width shuffle, map-side
+   * combined, and every downstream join/agg stays doc-keyed. The
+   * coverage explode is bounded by duplicated-gram volume · n, i.e.
+   * proportional to the repetition actually present, not the corpus.
+   */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", toksCol: String = "toks"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val toks = col(toksCol)
+    val ls = split(col(textCol), "\n")
+    val charsOf = (a: Column) =>
+      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast("long"))
+
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol), toks)
+
+    // per-doc totals + the shuffle-free line rules
+    val docStats = base.select(
+      col("doc_id"),
+      charsOf(toks).as("tok_chars"),
+      size(ls).cast("long").as("n_lines"),
+      (size(ls) - size(array_distinct(ls))).cast("long").as("n_dup_lines"),
+      charsOf(ls).as("line_chars"),
+      (charsOf(ls) - charsOf(array_distinct(ls))).as("dup_line_chars"))
+
+    // one flattened explode carries every n: (doc_id, n, i, gh, glen)
+    val nsArr = array((topNs ++ dupNs).map(n => lit(n)): _*)
+    val gramStructs = flatten(transform(nsArr, n =>
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => struct(n.as("n"), i.as("i"),
+            array_join(slice(toks, i, n), " ").as("g"))))
+        .otherwise(array().cast("array<struct<n:int,i:int,g:string>>"))))
+    val gramRows = base
+      .select(col("doc_id"), explode(gramStructs).as("gs"))
+      .select(col("doc_id"), col("gs.n").as("n"), col("gs.i").as("i"),
+        md5(col("gs.g")).as("gh"),
+        (length(col("gs.g")) - (col("gs.n") - 1)).cast("long").as("glen"))
+    val gc = gramRows.groupBy("doc_id", "n", "gh")
+      .agg(count(lit(1)).as("c"), first(col("glen")).as("glen"))
+
+    // top n-gram (n=2..4): all occurrences of the per-doc argmax gram
+    val topWide = gc.filter(col("n").isin(topNs.map(Int.box): _*))
+      .groupBy("doc_id", "n")
+      .agg(max(struct(col("c"), col("glen"), col("gh"))).as("m"))
+      .select(col("doc_id"), col("n"),
+        (col("m.c") * col("m.glen")).as("top_chars"))
+      .groupBy("doc_id")
+      .agg(max(when(col("n") === 2, col("top_chars"))).as("top2"),
+        max(when(col("n") === 3, col("top_chars"))).as("top3"),
+        max(when(col("n") === 4, col("top_chars"))).as("top4"))
+
+    // duplicate n-gram coverage (n=5..10): distinct covered positions
+    val tokRows = base
+      .select(col("doc_id"), posexplode(toks).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("p"),
+        length(col("tok")).cast("long").as("tl"))
+    val covAggs = dupNs.map(n =>
+      sum(when(col("n") === n, col("tl"))).as(s"cov$n"))
+    val covWide = gramRows
+      .join(gc.filter(col("c") >= 2 && col("n").isin(dupNs.map(Int.box): _*))
+        .select("doc_id", "n", "gh"), Seq("doc_id", "n", "gh"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("i"), col("i") + col("n") - 1)).as("p"))
+      .distinct()
+      .join(tokRows, Seq("doc_id", "p"))
+      .groupBy("doc_id")
+      .agg(covAggs.head, covAggs.tail: _*)
+
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(coalesce(num, lit(0L)).cast("double") /
+        den.cast("double"), 6)).otherwise(lit(0.0))
+
+    val wide = docStats
+      .join(topWide, Seq("doc_id"), "left_outer")
+      .join(covWide, Seq("doc_id"), "left_outer")
+      .select(Seq(
+        col("doc_id"),
+        frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
+        frac(col("dup_line_chars"), col("line_chars"))
+          .as("dup_line_char_frac")) ++
+        topNs.map(n => frac(col(s"top$n"), col("tok_chars"))
+          .as(s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => frac(col(s"cov$n"), col("tok_chars"))
+          .as(s"dup_${n}gram_char_frac")): _*)
+    wide.withColumn("gopher_pass",
+      (Seq(col("dup_line_frac") <= gopherLineLimit,
+        col("dup_line_char_frac") <= gopherLineCharLimit) ++
+        topNs.map(n =>
+          col(s"top_${n}gram_char_frac") <= gopherTopLimits(n)) ++
+        dupNs.map(n =>
+          col(s"dup_${n}gram_char_frac") <= gopherDupLimits(n)))
+        .reduce(_ && _))
+  }
 }

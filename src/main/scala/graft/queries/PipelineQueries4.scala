@@ -33,7 +33,7 @@ object PipelineQueries4 {
 
   /** Spark re-liner: '\n' every `lineWidth` tokens of the normalized
     * text. `toks` must be a materialized column. */
-  private def relined = array_join(
+  private[queries] def relined = array_join(
     transform(
       sequence(lit(0L),
         ceil(size(col("toks")).cast("double") / lineWidth).cast("long") - 1),
@@ -42,7 +42,7 @@ object PipelineQueries4 {
     "\n")
 
   /** DuckDB twin of [[relined]] over tok_docs. */
-  private val duckRelined =
+  private[queries] val duckRelined =
     s"""array_to_string(list_transform(
        |    generate_series(0, CAST(ceil(len(toks) / $lineWidth.0) AS BIGINT) - 1),
        |    g -> array_to_string(list_slice(toks, g*$lineWidth + 1, g*$lineWidth + $lineWidth), ' ')),
