@@ -163,6 +163,40 @@ object ScaleProbe {
       println(f"${"kmeans_far"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
 
+    // round-8 cont. operators (docs axis)
+    run("gopher_repetition")(d => TextAnalysis.gopherRepetition(
+      d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))))
+    run("soft_dedup")(d => graft.pipeline.Sampling.softDedupSample(d))
+    run("length_buckets")(d => graft.pipeline.Packing.lengthBuckets(
+      d.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))))
+    run("zipf_report")(d => graft.pipeline.CorpusReport.zipfReport(d))
+
+    // incremental SemDeDup: fixed admission batch, k× corpus — measures
+    // the cell-growth axis (candidates per new row ∝ cell_corpus); the
+    // batch axis is linear by the same join shape. Replicated corpus
+    // vectors are exact clones, so dominance volume grows k× per new
+    // row BY CONSTRUCTION — the probe measures the join, not recall.
+    if (only.forall("sem_inc".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val corpus1 = emb1.filter(col("vec_id") % 2 === 0)
+      val corpusK = (0 until k).map { i =>
+        corpus1.select((col("vec_id") + lit(i.toLong * 10000000L))
+          .as("vec_id"), col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      val newB = emb1.filter(col("vec_id") % 2 === 1 && col("vec_id") < 500)
+      def inc(c: DataFrame) = graft.pipeline.Semantic
+        .semanticDedupIncremental(c, newB, k = 8, iters = 2, tau = 0.3)
+      spark.catalog.clearCache()
+      inc(corpus1).count() // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(inc(corpus1).count())
+      spark.catalog.clearCache()
+      val (tk, nk) = time(inc(corpusK).count())
+      println(f"${"sem_inc"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
+
     // unsalted label union would instead grow every cell k× and measure
     // the quadratic the cell structure exists to prevent.
     if (only.forall("mine_pairs".contains(_))) {

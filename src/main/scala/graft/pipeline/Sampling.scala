@@ -527,6 +527,15 @@ object Sampling {
    */
   def softDedupSample(docs: DataFrame, alpha: Double = 1.0,
       salt: String = "softdedup", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    softDedupWeights(docs, alpha, salt, idCol, textCol)
+      .filter(col("kept")).drop("kept")
+
+  /** [[softDedupSample]] with the decision exposed instead of applied:
+    * every row survives, carrying (doc_id, dup_count, weight, kept) —
+    * the shape funnel reports and composed curation chains consume. */
+  def softDedupWeights(docs: DataFrame, alpha: Double = 1.0,
+      salt: String = "softdedup", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
     val fp = docs.select(col(idCol).as("doc_id"),
@@ -536,7 +545,7 @@ object Sampling {
       .select(col("doc_id"), col("dup_count"),
         round(pow(col("dup_count").cast("double"), lit(-alpha)), 6)
           .as("weight"))
-      .filter(hash32(col("doc_id"), salt) <
+      .withColumn("kept", hash32(col("doc_id"), salt) <
         round(col("weight") * lit(HashSpace.toDouble)).cast("long"))
   }
 }

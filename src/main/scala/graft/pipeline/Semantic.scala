@@ -63,7 +63,18 @@ object Semantic {
     * init and return the final assignment:
     * `(vec_id, cluster_id, sq_dist)` with `sq_dist` rounded to 1e-6. */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignTo(emb, kmeansCentroids(emb, k, iters, idCol, vecCol),
+      idCol, vecCol)
+
+  /** The centroid-training half of [[kmeansAssign]]: `iters` Lloyd's
+    * iterations from the deterministic lowest-id init, returning the
+    * k×dim centroid table (driver-held — the standing "index" an
+    * incremental pipeline trains once per corpus snapshot and reuses
+    * across admission batches). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
     val e = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
 
@@ -91,11 +102,18 @@ object Semantic {
           r.getInt(0) -> Array.tabulate(m.size)(m(_))
         }.toSeq.sortBy(_._1)
     }
+    centroids
+  }
 
-    e.select(col("vec_id"), nearest(col("v"), centroids).as("best"))
+  /** The assignment half of [[kmeansAssign]]: nearest-centroid as a
+    * pure scan against the centroid literals —
+    * `(vec_id, cluster_id, sq_dist)`, `sq_dist` rounded to 1e-6. */
+  def assignTo(emb: DataFrame, centroids: Seq[(Int, Array[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .select(col("vec_id"), nearest(col("v"), centroids).as("best"))
       .select(col("vec_id"), col("best").getField("cid").as("cluster_id"),
         round(col("best").getField("d"), 6).as("sq_dist"))
-  }
 
   /**
    * Farthest-point seeding + assignment (Gonzalez 1985, the 2-approx
@@ -197,6 +215,58 @@ object Semantic {
         (col("a_nrm") * col("b_nrm")), 6) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
     assignments.select("vec_id", "cluster_id")
+      .join(dominated, Seq("vec_id"), "left_anti")
+  }
+
+  /**
+   * Incremental SemDeDup — new-vs-corpus semantic admission, the
+   * embedding-space member of the engine's incremental-dedup family
+   * ([[Dedup.exactIncremental]], [[Dedup.minhashLshPairsIncremental]]):
+   * centroids come from the STANDING corpus (train once per snapshot
+   * via [[kmeansCentroids]], reuse across admission batches); a new
+   * vector is rejected when a same-cluster CORPUS vector, or an
+   * already-considered (lower-id) same-cluster NEW vector, is
+   * cosine-similar above `tau` — the same greedy keep-lowest-id rule
+   * as the batch [[semanticDedup]], restricted so corpus×corpus pairs
+   * are NEVER enumerated.
+   *
+   * Returns the admitted `(vec_id, cluster_id)` rows of `newEmb`.
+   *
+   * Scale shape: corpus assignment is a scan against centroid
+   * literals; both dominance joins are cluster-keyed equi-joins whose
+   * candidate volume is Σ cell_new·(cell_corpus + cell_new) — at a
+   * steady state where the admission batch is ≪ the corpus this is
+   * linear in the batch, and the quadratic old×old term of a naive
+   * re-dedup never appears (the exactIncremental guarantee, carried
+   * into embedding space).
+   */
+  def semanticDedupIncremental(corpusEmb: DataFrame, newEmb: DataFrame,
+      k: Int, iters: Int, tau: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpusEmb, k, iters, idCol, vecCol)
+    def withVec(emb: DataFrame, assign: DataFrame): DataFrame =
+      emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .join(assign.select("vec_id", "cluster_id"), "vec_id")
+    val ca = withVec(corpusEmb, assignTo(corpusEmb, cents, idCol, vecCol))
+      .select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("nrm").as("a_nrm"), col("cluster_id"))
+    val na = withVec(newEmb, assignTo(newEmb, cents, idCol, vecCol))
+    val nb = na.select(col("vec_id").as("b_id"), col("v").as("b_v"),
+      col("nrm").as("b_nrm"), col("cluster_id"))
+    val byCorpus = ca.join(nb, "cluster_id")
+      .filter(round(Similarity.dot(col("a_v"), col("b_v")) /
+        (col("a_nrm") * col("b_nrm")), 6) >= tau)
+      .select(col("b_id").as("vec_id"))
+    val byNew = na.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("nrm").as("a_nrm"), col("cluster_id"))
+      .join(nb, "cluster_id")
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(Similarity.dot(col("a_v"), col("b_v")) /
+        (col("a_nrm") * col("b_nrm")), 6) >= tau)
+      .select(col("b_id").as("vec_id"))
+    val dominated = byCorpus.unionAll(byNew).distinct()
+    na.select("vec_id", "cluster_id")
       .join(dominated, Seq("vec_id"), "left_anti")
   }
 }

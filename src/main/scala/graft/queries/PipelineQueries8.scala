@@ -2,16 +2,19 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{CorpusReport, Packing, Sampling, TextAnalysis}
+import graft.pipeline.{CorpusReport, Packing, Sampling, Semantic, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
  * Round-8 second batch: the full Gopher repetition-rule bundle (Rae et
  * al. 2021, table A1), SoftDedup duplicate down-weighting (He et al.
- * 2024), length-bucketed inference batching, and the Zipf/Heaps corpus
- * health report. Every oracle replays the complete computation — the
- * nine n-gram families, the coverage distinct-fold, the regression
- * sums — so the hash-match certifies the algorithm, not a summary.
+ * 2024), length-bucketed inference batching, the Zipf/Heaps corpus
+ * health report, incremental SemDeDup admission, the composed
+ * gopher→soft-dedup curation funnel, and the tokenizer fertility
+ * report. Every oracle replays the complete computation — the nine
+ * n-gram families, the coverage distinct-fold, the corpus-trained
+ * Lloyd iterations, the regression sums — so the hash-match certifies
+ * the algorithm, not a summary.
  */
 object PipelineQueries8 {
 
@@ -26,6 +29,8 @@ object PipelineQueries8 {
 
   private val zipfTopK = 1000
 
+  private val funSalt = "funnel"
+
   /** DuckDB twin of the length-tier CASE over [[Packing.lengthTierBounds]]. */
   private val duckTier = {
     val whens = Packing.lengthTierBounds.zipWithIndex
@@ -34,9 +39,9 @@ object PipelineQueries8 {
     s"CAST(CASE $whens ELSE ${Packing.lengthTierBounds.size} END AS INT)"
   }
 
-  /** The five regression-sum → slope/r² assembly expressions, written
-    * once and inlined into the oracle so both engines run the
-    * IDENTICAL double arithmetic over the same exact integer sums. */
+  /** The regression-sum → slope/r² assembly expressions, written once
+    * and inlined into the oracle so both engines run the IDENTICAL
+    * double arithmetic over the same exact integer sums. */
   private val zNum = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
   private val zDenX = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
   private val zDenY = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
@@ -50,114 +55,151 @@ object PipelineQueries8 {
         s"dup_${n}gram_char_frac <= ${TextAnalysis.gopherDupLimits(n)}"))
       .mkString("\n    AND ")
 
+  /** The Gopher oracle CTE chain ending in per-doc fraction frame `f` —
+    * shared by `t_gopher_repetition` and the curation funnel. */
+  private val gopherCtes =
+    s"""relined AS (SELECT doc_id, toks,
+       |  ${PipelineQueries4.duckRelined} AS text2 FROM tok_docs),
+       |lstats AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+       |      AS tok_chars,
+       |    CAST(len(string_split(text2, chr(10))) AS BIGINT) AS n_lines,
+       |    CAST(len(string_split(text2, chr(10)))
+       |      - len(list_distinct(string_split(text2, chr(10)))) AS BIGINT)
+       |      AS n_dup_lines,
+       |    CAST(list_sum(list_transform(string_split(text2, chr(10)),
+       |      l -> length(l))) AS BIGINT) AS line_chars,
+       |    CAST(list_sum(list_transform(string_split(text2, chr(10)),
+       |        l -> length(l)))
+       |      - list_sum(list_transform(
+       |          list_distinct(string_split(text2, chr(10))),
+       |          l -> length(l))) AS BIGINT) AS dup_line_chars
+       |  FROM relined),
+       |ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+       |gx AS (
+       |  SELECT doc_id, n,
+       |    unnest(generate_series(1, len(toks) - n + 1)) AS i, toks
+       |  FROM tok_docs, ns WHERE len(toks) >= n),
+       |grams AS (
+       |  SELECT doc_id, n, i,
+       |    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
+       |  FROM gx),
+       |gc AS (
+       |  SELECT doc_id, n, md5(g) AS gh, count(*) AS c,
+       |    CAST(min(length(g)) - (n - 1) AS BIGINT) AS glen
+       |  FROM grams GROUP BY doc_id, n, md5(g)),
+       |top AS (
+       |  SELECT doc_id, n, CAST(c * glen AS BIGINT) AS top_chars FROM (
+       |    SELECT doc_id, n, c, glen,
+       |      row_number() OVER (PARTITION BY doc_id, n
+       |        ORDER BY c DESC, glen DESC, gh DESC) AS rn
+       |    FROM gc WHERE n <= 4) t WHERE rn = 1),
+       |topw AS (
+       |  SELECT doc_id,
+       |    max(CASE WHEN n = 2 THEN top_chars END) AS top2,
+       |    max(CASE WHEN n = 3 THEN top_chars END) AS top3,
+       |    max(CASE WHEN n = 4 THEN top_chars END) AS top4
+       |  FROM top GROUP BY doc_id),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, n, p FROM (
+       |    SELECT g.doc_id, g.n,
+       |      unnest(generate_series(g.i, g.i + g.n - 1)) AS p
+       |    FROM grams g JOIN gc ON gc.doc_id = g.doc_id
+       |      AND gc.n = g.n AND gc.gh = md5(g.g)
+       |    WHERE gc.c >= 2 AND g.n >= 5) q),
+       |tokc AS (
+       |  SELECT doc_id, p, length(toks[p]) AS tl FROM (
+       |    SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks))) AS p
+       |    FROM tok_docs) q),
+       |covw AS (
+       |  SELECT c2.doc_id,
+       |    CAST(sum(CASE WHEN c2.n = 5 THEN tk.tl END) AS BIGINT) AS cov5,
+       |    CAST(sum(CASE WHEN c2.n = 6 THEN tk.tl END) AS BIGINT) AS cov6,
+       |    CAST(sum(CASE WHEN c2.n = 7 THEN tk.tl END) AS BIGINT) AS cov7,
+       |    CAST(sum(CASE WHEN c2.n = 8 THEN tk.tl END) AS BIGINT) AS cov8,
+       |    CAST(sum(CASE WHEN c2.n = 9 THEN tk.tl END) AS BIGINT) AS cov9,
+       |    CAST(sum(CASE WHEN c2.n = 10 THEN tk.tl END) AS BIGINT) AS cov10
+       |  FROM cov c2 JOIN tokc tk ON tk.doc_id = c2.doc_id AND tk.p = c2.p
+       |  GROUP BY c2.doc_id),
+       |f AS (
+       |  SELECT l.doc_id,
+       |    CASE WHEN n_lines > 0
+       |      THEN round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6)
+       |      ELSE 0.0 END AS dup_line_frac,
+       |    CASE WHEN line_chars > 0
+       |      THEN round(CAST(dup_line_chars AS DOUBLE) / line_chars, 6)
+       |      ELSE 0.0 END AS dup_line_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(top2, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS top_2gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(top3, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS top_3gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(top4, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS top_4gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(cov5, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS dup_5gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(cov6, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS dup_6gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(cov7, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS dup_7gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(cov8, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS dup_8gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(cov9, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS dup_9gram_char_frac,
+       |    CASE WHEN tok_chars > 0
+       |      THEN round(CAST(coalesce(cov10, 0) AS DOUBLE) / tok_chars, 6)
+       |      ELSE 0.0 END AS dup_10gram_char_frac
+       |  FROM lstats l
+       |  LEFT JOIN topw USING (doc_id)
+       |  LEFT JOIN covw USING (doc_id))""".stripMargin
+
+  // ---- incremental SemDeDup constants / CTE builders ----------------------
+
+  private val siK = 8
+  private val siIters = 2
+  private val siTau = 0.3
+
+  /** Sequential-fold squared L2 / dot over `$a.v`,`$b.v` — index order,
+    * bit-identical to the Spark zip_with folds (the PQ3 discipline). */
+  private def dSqd(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a.v)), j -> ($a.v[j]-$b.v[j])*($a.v[j]-$b.v[j])))"
+  private def dDot(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a.v)), j -> $a.v[j]*$b.v[j]))"
+
+  /** Nearest-centroid assignment CTE of `$src` against centroids `$cN`
+    * (ties to the lowest cid — the array_min struct order). */
+  private def dAssign(src: String, cN: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${dSqd("e", "c")}, c.cid) AS rk
+       |    FROM $src e CROSS JOIN $cN c) q WHERE rk = 1)""".stripMargin
+
+  /** Re-center CTE over `$src` members, 1e-6-quantized per component. */
+  private def dRecenter(aN: String, src: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT a.cid, i.i, round(avg(e.v[i.i]), 6) AS m
+       |  FROM $aN a JOIN $src e USING (vec_id)
+       |  CROSS JOIN (SELECT unnest(generate_series(1,
+       |    (SELECT len(v) FROM $src LIMIT 1))) AS i) i
+       |  GROUP BY a.cid, i.i),
+       |$out AS (SELECT cid, list(m ORDER BY i) AS v FROM ${out}_m GROUP BY cid)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Gopher repetition-rule bundle ------------------------------------
 
-    QueryDef("t_gopher_repetition", withC(tokDocs + ",\n" +
-      s"""relined AS (SELECT doc_id, toks,
-         |  ${PipelineQueries4.duckRelined} AS text2 FROM tok_docs),
-         |lstats AS (
-         |  SELECT doc_id,
-         |    CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
-         |      AS tok_chars,
-         |    CAST(len(string_split(text2, chr(10))) AS BIGINT) AS n_lines,
-         |    CAST(len(string_split(text2, chr(10)))
-         |      - len(list_distinct(string_split(text2, chr(10)))) AS BIGINT)
-         |      AS n_dup_lines,
-         |    CAST(list_sum(list_transform(string_split(text2, chr(10)),
-         |      l -> length(l))) AS BIGINT) AS line_chars,
-         |    CAST(list_sum(list_transform(string_split(text2, chr(10)),
-         |        l -> length(l)))
-         |      - list_sum(list_transform(
-         |          list_distinct(string_split(text2, chr(10))),
-         |          l -> length(l))) AS BIGINT) AS dup_line_chars
-         |  FROM relined),
-         |ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
-         |gx AS (
-         |  SELECT doc_id, n,
-         |    unnest(generate_series(1, len(toks) - n + 1)) AS i, toks
-         |  FROM tok_docs, ns WHERE len(toks) >= n),
-         |grams AS (
-         |  SELECT doc_id, n, i,
-         |    array_to_string(list_slice(toks, i, i + n - 1), ' ') AS g
-         |  FROM gx),
-         |gc AS (
-         |  SELECT doc_id, n, md5(g) AS gh, count(*) AS c,
-         |    CAST(min(length(g)) - (n - 1) AS BIGINT) AS glen
-         |  FROM grams GROUP BY doc_id, n, md5(g)),
-         |top AS (
-         |  SELECT doc_id, n, CAST(c * glen AS BIGINT) AS top_chars FROM (
-         |    SELECT doc_id, n, c, glen,
-         |      row_number() OVER (PARTITION BY doc_id, n
-         |        ORDER BY c DESC, glen DESC, gh DESC) AS rn
-         |    FROM gc WHERE n <= 4) t WHERE rn = 1),
-         |topw AS (
-         |  SELECT doc_id,
-         |    max(CASE WHEN n = 2 THEN top_chars END) AS top2,
-         |    max(CASE WHEN n = 3 THEN top_chars END) AS top3,
-         |    max(CASE WHEN n = 4 THEN top_chars END) AS top4
-         |  FROM top GROUP BY doc_id),
-         |cov AS (
-         |  SELECT DISTINCT doc_id, n, p FROM (
-         |    SELECT g.doc_id, g.n,
-         |      unnest(generate_series(g.i, g.i + g.n - 1)) AS p
-         |    FROM grams g JOIN gc ON gc.doc_id = g.doc_id
-         |      AND gc.n = g.n AND gc.gh = md5(g.g)
-         |    WHERE gc.c >= 2 AND g.n >= 5) q),
-         |tokc AS (
-         |  SELECT doc_id, p, length(toks[p]) AS tl FROM (
-         |    SELECT doc_id, toks,
-         |      unnest(generate_series(1, len(toks))) AS p
-         |    FROM tok_docs) q),
-         |covw AS (
-         |  SELECT c2.doc_id,
-         |    CAST(sum(CASE WHEN c2.n = 5 THEN tk.tl END) AS BIGINT) AS cov5,
-         |    CAST(sum(CASE WHEN c2.n = 6 THEN tk.tl END) AS BIGINT) AS cov6,
-         |    CAST(sum(CASE WHEN c2.n = 7 THEN tk.tl END) AS BIGINT) AS cov7,
-         |    CAST(sum(CASE WHEN c2.n = 8 THEN tk.tl END) AS BIGINT) AS cov8,
-         |    CAST(sum(CASE WHEN c2.n = 9 THEN tk.tl END) AS BIGINT) AS cov9,
-         |    CAST(sum(CASE WHEN c2.n = 10 THEN tk.tl END) AS BIGINT) AS cov10
-         |  FROM cov c2 JOIN tokc tk ON tk.doc_id = c2.doc_id AND tk.p = c2.p
-         |  GROUP BY c2.doc_id),
-         |f AS (
-         |  SELECT l.doc_id,
-         |    CASE WHEN n_lines > 0
-         |      THEN round(CAST(n_dup_lines AS DOUBLE) / n_lines, 6)
-         |      ELSE 0.0 END AS dup_line_frac,
-         |    CASE WHEN line_chars > 0
-         |      THEN round(CAST(dup_line_chars AS DOUBLE) / line_chars, 6)
-         |      ELSE 0.0 END AS dup_line_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(top2, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS top_2gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(top3, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS top_3gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(top4, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS top_4gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(cov5, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS dup_5gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(cov6, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS dup_6gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(cov7, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS dup_7gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(cov8, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS dup_8gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(cov9, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS dup_9gram_char_frac,
-         |    CASE WHEN tok_chars > 0
-         |      THEN round(CAST(coalesce(cov10, 0) AS DOUBLE) / tok_chars, 6)
-         |      ELSE 0.0 END AS dup_10gram_char_frac
-         |  FROM lstats l
-         |  LEFT JOIN topw USING (doc_id)
-         |  LEFT JOIN covw USING (doc_id))""".stripMargin)(
+    QueryDef("t_gopher_repetition", withC(tokDocs + ",\n" + gopherCtes)(
       s"""SELECT f.*, ($gopherPassSql) AS gopher_pass
          |FROM f""".stripMargin)) { (s, dir) =>
       val docs = W.read(s, dir, "documents")
@@ -256,5 +298,145 @@ object PipelineQueries8 {
          |    / ln(CAST(t.n_tokens_total AS DOUBLE)), 6) AS heaps_beta
          |FROM sums s, totals t""".stripMargin) { (s, dir) =>
       CorpusReport.zipfReport(W.read(s, dir, "documents"), topK = zipfTopK)
+    },
+
+    // ---- incremental SemDeDup admission -----------------------------------
+
+    // Corpus = even vec_ids (the standing, already-admitted index), new
+    // = odd vec_ids. The oracle retrains the corpus-side Lloyd
+    // iterations from scratch and replays both dominance joins, so the
+    // hash-match certifies centroid reuse + the old×old-free admission.
+    QueryDef("sem_dedup_incremental",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ce AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+         |ne AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |    AS cid, v
+         |  FROM (SELECT vec_id, v FROM ce ORDER BY vec_id LIMIT $siK)),
+         |${dAssign("ce", "c0", "a1")},
+         |${dRecenter("a1", "ce", "c1")},
+         |${dAssign("ce", "c1", "a2")},
+         |${dRecenter("a2", "ce", "c2")},
+         |${dAssign("ce", "c2", "caf")},
+         |${dAssign("ne", "c2", "naf")},
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |cav AS (SELECT f.vec_id, f.cid, n.v, n.nrm
+         |  FROM caf f JOIN nrm n USING (vec_id)),
+         |nav AS (SELECT f.vec_id, f.cid, n.v, n.nrm
+         |  FROM naf f JOIN nrm n USING (vec_id)),
+         |domc AS (
+         |  SELECT DISTINCT b.vec_id FROM cav a JOIN nav b ON a.cid = b.cid
+         |  WHERE round(${dDot("a", "b")} / (a.nrm * b.nrm), 6) >= $siTau),
+         |domn AS (
+         |  SELECT DISTINCT b.vec_id FROM nav a JOIN nav b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE round(${dDot("a", "b")} / (a.nrm * b.nrm), 6) >= $siTau)
+         |SELECT vec_id, cid AS cluster_id FROM naf
+         |WHERE vec_id NOT IN (SELECT vec_id FROM domc
+         |  UNION SELECT vec_id FROM domn)""".stripMargin) { (s, dir) =>
+      val emb = W.read(s, dir, "embeddings")
+      Semantic.semanticDedupIncremental(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        k = siK, iters = siIters, tau = siTau)
+    },
+
+    // ---- composed curation funnel (gopher gate → soft dedup) --------------
+
+    // Stage 2's duplicate counts are computed over stage 1's SURVIVORS
+    // (dedup after quality filtering, the production order) — the
+    // oracle replays both stages end-to-end, so the hash certifies the
+    // composition, not just the parts.
+    QueryDef("report_curation_funnel", withC(tokDocs + ",\n" + gopherCtes +
+      ",\n" +
+      s"""surv AS (SELECT doc_id FROM f WHERE $gopherPassSql),
+         |fp2 AS (
+         |  SELECT d.doc_id,
+         |    md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'))
+         |      AS fpr
+         |  FROM documents d JOIN surv USING (doc_id)),
+         |cnt2 AS (SELECT fpr, count(*) AS c FROM fp2 GROUP BY 1),
+         |keep AS (
+         |  SELECT doc_id FROM (
+         |    SELECT f2.doc_id, round(power(c, -$softAlpha), 6) AS wt
+         |    FROM fp2 f2 JOIN cnt2 USING (fpr)) q
+         |  WHERE ${PipelineQueries2.duckHash32(funSalt)}
+         |    < CAST(round(wt * 4294967296.0) AS BIGINT))""".stripMargin)(
+      s"""SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN s.doc_id IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_gopher_fail,
+         |  CAST(sum(CASE WHEN s.doc_id IS NOT NULL AND k.doc_id IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_out,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN len(t.toks)
+         |    ELSE 0 END) AS BIGINT) AS tokens_kept
+         |FROM documents d
+         |JOIN tok_docs t USING (doc_id)
+         |LEFT JOIN surv s USING (doc_id)
+         |LEFT JOIN keep k USING (doc_id)
+         |GROUP BY d.source""".stripMargin)) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+      val gdocs = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), PipelineQueries4.relined.as("text"),
+          col("toks"))
+      val g = TextAnalysis.gopherRepetition(gdocs)
+        .select(col("doc_id"), col("gopher_pass"))
+      val surv = docs.join(g, "doc_id").filter(col("gopher_pass"))
+      val dec = Sampling.softDedupWeights(surv, alpha = softAlpha,
+        salt = funSalt).select(col("doc_id"), col("kept"))
+      docs.join(g, "doc_id").join(dec, Seq("doc_id"), "left_outer")
+        .select(col("source"), col("gopher_pass"),
+          coalesce(col("kept"), lit(false)).as("kept"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(!col("gopher_pass"), 1L).otherwise(0L))
+            .as("n_gopher_fail"),
+          sum(when(col("gopher_pass") && !col("kept"), 1L).otherwise(0L))
+            .as("n_dedup_out"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L))
+            .as("tokens_kept"))
+    },
+
+    // ---- tokenizer fertility report ---------------------------------------
+
+    QueryDef("report_fertility",
+      s"""SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+         |    AS BIGINT) AS ws_tokens,
+         |  CAST(sum(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS DOUBLE)
+         |    / sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))),
+         |    6) AS fertility,
+         |  round(CAST(sum(length(text)) AS DOUBLE)
+         |    / sum(len(regexp_extract_all(lower(text),
+         |        '[a-z]+|[0-9]+|[^a-z0-9\\s]'))), 6) AS chars_per_bpe
+         |FROM documents
+         |GROUP BY lang""".stripMargin) { (s, dir) =>
+      W.read(s, dir, "documents")
+        .select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("ws"),
+          TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe"),
+          length(col("text")).cast("long").as("chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"), sum(col("chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("ws_tokens"),
+          col("bpe_tokens"), col("n_chars"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6)
+            .as("fertility"),
+          round(col("n_chars").cast("double") / col("bpe_tokens"), 6)
+            .as("chars_per_bpe"))
     })
 }

@@ -103,4 +103,43 @@ class SemanticSpec extends TestBase {
     assert(a.count() == 5)
     assert(a.select("cluster_id").distinct().count() <= 5)
   }
+
+  test("semanticDedupIncremental: corpus-identical new vectors rejected, admission ⊆ new, batch-vs-rerun stable") {
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    // new batch = odd ids, plus exact clones of two corpus vectors
+    val clones = corpus.filter(col("vec_id") <= 4)
+      .select((col("vec_id") + 100001).as("vec_id"), col("embedding"),
+        col("label"))
+    val newB = emb.filter(col("vec_id") % 2 === 1).unionByName(clones)
+    val admitted = Semantic.semanticDedupIncremental(
+      corpus, newB, k = 8, iters = 2, tau = 0.3)
+    val ids = admitted.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.exists(_ > 100000L),
+      "clones of standing-corpus vectors must be rejected (cos = 1 >= tau)")
+    val newIds = newB.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(newIds), "admission returns only new-batch rows")
+    // determinism under repartitioning (the retry/replay contract)
+    val again = Semantic.semanticDedupIncremental(
+      corpus.repartition(7), newB.repartition(5), k = 8, iters = 2,
+      tau = 0.3).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again == ids)
+  }
+
+  test("semanticDedupIncremental: tau above every cosine admits the whole batch; stricter tau admits a subset") {
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val newB = emb.filter(col("vec_id") % 2 === 1)
+    val loose = Semantic.semanticDedupIncremental(
+      corpus, newB, k = 8, iters = 2, tau = 1.000001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(loose == newB.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "tau above the cosine range must reject nothing")
+    val strict = Semantic.semanticDedupIncremental(
+      corpus, newB, k = 8, iters = 2, tau = 0.1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val mid = Semantic.semanticDedupIncremental(
+      corpus, newB, k = 8, iters = 2, tau = 0.5)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(strict.subsetOf(mid),
+      "lowering tau can only reject more (admission is tau-monotone)")
+  }
 }
