@@ -366,7 +366,35 @@ object Dedup {
   def containmentPairsLsh(docs: DataFrame, threshold: Double, k: Int = 16,
       idCol: String = "doc_id", textCol: String = "text",
       bucketCap: Option[Int] = Some(256),
-      parityHash: Boolean = false): DataFrame = {
+      parityHash: Boolean = false): DataFrame =
+    containmentLshImpl(docs, threshold, k, idCol, textCol, bucketCap,
+      parityHash, isNew = None)
+
+  /**
+   * New-vs-corpus containment admission — the containment member of the
+   * incremental-dedup family ([[exactIncremental]],
+   * [[minhashLshPairsIncremental]], [[graft.pipeline.Semantic.semanticDedupIncremental]]):
+   * identical multi-granularity band index, caps, tier-selected
+   * granularity, and exact verify as [[containmentPairsLsh]], but the
+   * candidate probe side is restricted to rows where `isNew(doc_id)` —
+   * corpus×corpus pairs are never enumerated (not merely filtered after
+   * the join), so a steady-state increment costs O(new·bands) probes
+   * against the standing band index. New×new pairs emerge once from
+   * each side; least/greatest orientation + distinct collapses them,
+   * and the output shape matches [[containmentPairsLsh]]
+   * (doc_a < doc_b, both containments, max ≥ threshold).
+   */
+  def containmentPairsLshIncremental(docs: DataFrame,
+      isNew: Column => Column, threshold: Double, k: Int = 16,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Option[Int] = Some(256),
+      parityHash: Boolean = false): DataFrame =
+    containmentLshImpl(docs, threshold, k, idCol, textCol, bucketCap,
+      parityHash, isNew = Some(isNew))
+
+  private def containmentLshImpl(docs: DataFrame, threshold: Double, k: Int,
+      idCol: String, textCol: String, bucketCap: Option[Int],
+      parityHash: Boolean, isNew: Option[Column => Column]): DataFrame = {
     require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
     val spark = docs.sparkSession
     val toksDf = docs.select(
@@ -429,14 +457,28 @@ object Dedup {
           case (acc, (p, v)) => acc.when(p, v)
         }.otherwise(lit(gDesc.last))
       }
-    val cand = unpivoted.as("a").join(unpivoted.as("b"),
-        col("a.g") === col("b.g") &&
+    val bandKeys =
+      col("a.g") === col("b.g") &&
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        col("a.g") === gSel)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+        col("a.g") === gSel
+    val cand = isNew match {
+      case None =>
+        unpivoted.as("a").join(unpivoted.as("b"),
+            bandKeys && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      case Some(p) =>
+        // probe = new rows only; corpus×corpus never joins. The jlb/gSel
+        // condition is least/greatest-symmetric, so orientation after the
+        // join is free and distinct collapses the twice-found new×new.
+        unpivoted.filter(p(col("doc_id"))).as("a")
+          .join(unpivoted.as("b"),
+            bandKeys && col("a.doc_id") =!= col("b.doc_id"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+          .distinct()
+    }
     val t = toksDf
     cand.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))

@@ -874,22 +874,31 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(covAggs.head, covAggs.tail: _*)
 
+    assembleGopherFracs(docStats
+      .join(topWide, Seq("doc_id"), "left_outer")
+      .join(covWide, Seq("doc_id"), "left_outer"))
+  }
+
+  /** Shared final assembly of the Gopher bundle from the raw per-doc
+    * counters (doc_id, tok_chars, n_lines, n_dup_lines, line_chars,
+    * dup_line_chars, top2..top4, cov5..cov10 — nulls = zero): fraction
+    * columns + the pass verdict, identical for the exploded and the
+    * inline execution shapes. */
+  private def assembleGopherFracs(raw: DataFrame): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
     def frac(num: Column, den: Column): Column =
       when(den > 0, round(coalesce(num, lit(0L)).cast("double") /
         den.cast("double"), 6)).otherwise(lit(0.0))
-
-    val wide = docStats
-      .join(topWide, Seq("doc_id"), "left_outer")
-      .join(covWide, Seq("doc_id"), "left_outer")
-      .select(Seq(
-        col("doc_id"),
-        frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
-        frac(col("dup_line_chars"), col("line_chars"))
-          .as("dup_line_char_frac")) ++
-        topNs.map(n => frac(col(s"top$n"), col("tok_chars"))
-          .as(s"top_${n}gram_char_frac")) ++
-        dupNs.map(n => frac(col(s"cov$n"), col("tok_chars"))
-          .as(s"dup_${n}gram_char_frac")): _*)
+    val wide = raw.select(Seq(
+      col("doc_id"),
+      frac(col("n_dup_lines"), col("n_lines")).as("dup_line_frac"),
+      frac(col("dup_line_chars"), col("line_chars"))
+        .as("dup_line_char_frac")) ++
+      topNs.map(n => frac(col(s"top$n"), col("tok_chars"))
+        .as(s"top_${n}gram_char_frac")) ++
+      dupNs.map(n => frac(col(s"cov$n"), col("tok_chars"))
+        .as(s"dup_${n}gram_char_frac")): _*)
     wide.withColumn("gopher_pass",
       (Seq(col("dup_line_frac") <= gopherLineLimit,
         col("dup_line_char_frac") <= gopherLineCharLimit) ++
@@ -898,5 +907,138 @@ object TextAnalysis {
         dupNs.map(n =>
           col(s"dup_${n}gram_char_frac") <= gopherDupLimits(n)))
         .reduce(_ && _))
+  }
+
+  /**
+   * [[gopherRepetition]] with ZERO shuffles — every counter computed
+   * within the row by higher-order array functions, so the full bundle
+   * is a pure projection: streaming-append-legal (the per-document
+   * gate a [[graft.streaming.QualityMonitor]]-style ingest check can
+   * run), and immune to the exploded shape's 9·tokens shuffle volume.
+   * The trade is honest and measured (BASELINE.md): per-row HOF
+   * aggregates don't whole-stage-codegen, so on a CPU-bound local run
+   * the exploded shape is ~2× faster — the inline shape wins where
+   * shuffle/network is the constraint (wide clusters, streaming, or a
+   * gate fused into a larger scan), the exploded shape where CPU is,
+   * and both return bit-identical rows (CrossCheckSpec pins it).
+   *
+   * Bit-equal to [[gopherRepetition]] (CrossCheckSpec pins equality on
+   * the corpus): per n, the most-frequent-gram tie-break replays the
+   * same (count, gram chars, md5) struct order over sorted-run
+   * boundaries, and duplicate coverage replays the same
+   * latest-flagged-start sweep the positional distinct-fold computes.
+   *
+   * Cost note: building the duplicate-start flags is
+   * O(tokens · |duplicated grams|) per document (array_contains per
+   * start against the doc's dup-gram list) — linear for real
+   * documents, quadratic only for a pathological doc where every
+   * n-gram repeats exactly twice; the exploded variant has no such
+   * corner and is the right tool for adversarial inputs.
+   */
+  def gopherRepetitionInline(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", toksCol: String = "toks"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val toks = col(toksCol)
+    val ls = split(col(textCol), "\n")
+    val charsOf = (a: Column) =>
+      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast("long"))
+
+    def gramsOf(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - n + 1),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+
+    // sorted-run sweep: per distinct gram, its run length; carry the
+    // best (c, glen, gh) struct and the duplicated-gram list. The run
+    // closes when the next element differs (and once more in finish).
+    val emptyS = array().cast("array<string>")
+    def runZero: Column = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("bc"), lit(0L).as("bg"), lit("").as("bh"),
+      emptyS.as("dups"))
+    def closeRun(acc: Column, n: Int): Column = {
+      // fold the closing run (acc.prev × acc.run) into best/dups
+      val pg = (length(acc.getField("prev")) - (n - 1)).cast("long")
+      val ph = md5(acc.getField("prev"))
+      val better = acc.getField("run") > acc.getField("bc") ||
+        (acc.getField("run") === acc.getField("bc") &&
+          (pg > acc.getField("bg") ||
+            (pg === acc.getField("bg") && ph > acc.getField("bh"))))
+      val hasRun = acc.getField("run") > 0
+      struct(
+        when(hasRun && better, acc.getField("run"))
+          .otherwise(acc.getField("bc")).as("bc"),
+        when(hasRun && better, pg).otherwise(acc.getField("bg")).as("bg"),
+        when(hasRun && better, ph).otherwise(acc.getField("bh")).as("bh"),
+        when(hasRun && acc.getField("run") >= 2,
+          concat(acc.getField("dups"), array(acc.getField("prev"))))
+          .otherwise(acc.getField("dups")).as("dups"))
+    }
+    /** (top_chars, dups) of one n's sorted gram array. */
+    def runStats(n: Int, sorted: Column): Column =
+      aggregate(sorted, runZero,
+        (acc, g) => {
+          val same = g === acc.getField("prev")
+          val closed = closeRun(acc, n)
+          struct(g.as("prev"),
+            when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+              .as("run"),
+            when(same, acc.getField("bc")).otherwise(closed.getField("bc"))
+              .as("bc"),
+            when(same, acc.getField("bg")).otherwise(closed.getField("bg"))
+              .as("bg"),
+            when(same, acc.getField("bh")).otherwise(closed.getField("bh"))
+              .as("bh"),
+            when(same, acc.getField("dups"))
+              .otherwise(closed.getField("dups")).as("dups"))
+        },
+        acc => {
+          val closed = closeRun(acc, n)
+          struct((closed.getField("bc") * closed.getField("bg"))
+            .as("top_chars"), closed.getField("dups").as("dups"))
+        })
+
+    // duplicate coverage: latest-flagged-start sweep over positions —
+    // covered(p) ⇔ some dup-gram start in [p−n+1, p]; chars add once.
+    def covSweep(n: Int, grams: Column, dups: Column): Column = {
+      val nStarts = size(toks) - (n - 1)
+      aggregate(sequence(lit(1), size(toks)),
+        struct(lit(0).as("last"), lit(0L).as("sum")),
+        (acc, p) => {
+          // when-guard (not a bare AND): ANSI element_at throws past the
+          // array end, and only CaseWhen guarantees conditional evaluation
+          val isStart = when(p <= nStarts,
+            array_contains(dups, element_at(grams, p)))
+            .otherwise(lit(false))
+          val newLast = when(isStart, p).otherwise(acc.getField("last"))
+          val covered = newLast > 0 && newLast >= p - (n - 1)
+          struct(newLast.as("last"),
+            (acc.getField("sum") + when(covered,
+              length(element_at(toks, p)).cast("long")).otherwise(0L))
+              .as("sum"))
+        },
+        _.getField("sum"))
+    }
+
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol), toks)
+    // materialize gram arrays + run stats per n so subtrees are shared
+    val withGrams = (topNs ++ dupNs).foldLeft(base) { (d, n) =>
+      d.withColumn(s"_g$n", gramsOf(n))
+        .withColumn(s"_rs$n", runStats(n, array_sort(col(s"_g$n"))))
+    }
+    val raw = withGrams.select(Seq(
+      col("doc_id"),
+      charsOf(toks).as("tok_chars"),
+      size(ls).cast("long").as("n_lines"),
+      (size(ls) - size(array_distinct(ls))).cast("long").as("n_dup_lines"),
+      charsOf(ls).as("line_chars"),
+      (charsOf(ls) - charsOf(array_distinct(ls))).as("dup_line_chars")) ++
+      topNs.map(n =>
+        col(s"_rs$n").getField("top_chars").as(s"top$n")) ++
+      dupNs.map(n =>
+        covSweep(n, col(s"_g$n"), col(s"_rs$n").getField("dups"))
+          .as(s"cov$n")): _*)
+    assembleGopherFracs(raw)
   }
 }

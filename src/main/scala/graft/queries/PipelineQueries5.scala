@@ -44,7 +44,9 @@ object PipelineQueries5 {
     * granularity → 256-cap per bucket → tier-selected band join → exact
     * containment verify. Constants (granularity thresholds) are computed
     * by the SAME Scala expressions the Spark plan inlines. */
-  private def contLshCtes: String = {
+  private def contLshCtes: String = contLshCtes(None)
+
+  private def contLshCtes(newPred: Option[String]): String = {
     val k = contLshK
     val gs = Seq(1, 2, 4, 8, 16)
     def thr(g: Int): Double = math.pow(g.toDouble / k, 1.0 / g)
@@ -105,14 +107,20 @@ object PipelineQueries5 {
        |    FROM cl_bands) WHERE rn <= $contLshCap),
        |cl_cand AS (
        |  SELECT DISTINCT doc_a, doc_b FROM (
-       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g AS g,
+       |    SELECT ${newPred.fold(
+                "a.doc_id AS doc_a, b.doc_id AS doc_b")(_ =>
+                "least(a.doc_id, b.doc_id) AS doc_a, " +
+                  "greatest(a.doc_id, b.doc_id) AS doc_b")}, a.g AS g,
        |      CAST($contThreshold AS DOUBLE)
        |        * power(2.0, least(a.tier, b.tier))
        |        / (power(2.0, least(a.tier, b.tier))
        |           + power(2.0, greatest(a.tier, b.tier))) AS jlb
-       |    FROM cl_capped a JOIN cl_capped b
+       |    FROM ${newPred.fold("cl_capped")(p =>
+                s"(SELECT * FROM cl_capped WHERE $p)")} a
+       |    JOIN cl_capped b
        |      ON a.g = b.g AND a.band_idx = b.band_idx
-       |     AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+       |     AND a.band_hash = b.band_hash AND ${newPred.fold(
+                "a.doc_id < b.doc_id")(_ => "a.doc_id <> b.doc_id")})
        |  WHERE g = $gCase)""".stripMargin
   }
   private val orderShards = 8
@@ -574,6 +582,27 @@ object PipelineQueries5 {
          |WHERE greatest(cont_a, cont_b) >= $contThreshold""".stripMargin)) {
       (s, dir) =>
         Dedup.containmentPairsLsh(W.read(s, dir, "documents"), contThreshold)
+    },
+
+    // Incremental admission twin: probe side = doc_id % 4 = 0 (the
+    // "new" increment), band index = the full corpus — the oracle
+    // replays the same restricted candidate join, so the hash-match
+    // certifies that corpus×corpus pairs are EXCLUDED by construction,
+    // not post-filtered.
+    QueryDef("dedup_containment_incremental", withC(tokDocs + ",\n" +
+      contLshCtes(Some("doc_id % 4 = 0")))(
+      s"""SELECT doc_a, doc_b, cont_a, cont_b FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(len(list_intersect(ta.toksd, tb.toksd)) AS DOUBLE)
+         |      / CAST(len(ta.toksd) AS DOUBLE), 6) AS cont_a,
+         |    round(CAST(len(list_intersect(ta.toksd, tb.toksd)) AS DOUBLE)
+         |      / CAST(len(tb.toksd) AS DOUBLE), 6) AS cont_b
+         |  FROM cl_cand c JOIN cl_td ta ON ta.doc_id = c.doc_a
+         |                 JOIN cl_td tb ON tb.doc_id = c.doc_b)
+         |WHERE greatest(cont_a, cont_b) >= $contThreshold""".stripMargin)) {
+      (s, dir) =>
+        Dedup.containmentPairsLshIncremental(W.read(s, dir, "documents"),
+          id => id % 4 === 0, contThreshold)
     },
 
     // ---- CCNet quality tiers ----------------------------------------------

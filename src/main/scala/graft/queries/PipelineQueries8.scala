@@ -209,6 +209,18 @@ object PipelineQueries8 {
       TextAnalysis.gopherRepetition(docs)
     },
 
+    // Zero-shuffle inline twin: same oracle (same answer, different
+    // execution shape — a pure projection, streaming-append-legal).
+    QueryDef("t_gopher_inline", withC(tokDocs + ",\n" + gopherCtes)(
+      s"""SELECT f.*, ($gopherPassSql) AS gopher_pass
+         |FROM f""".stripMargin)) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), PipelineQueries4.relined.as("text"),
+          col("toks"))
+      TextAnalysis.gopherRepetitionInline(docs)
+    },
+
     // ---- SoftDedup duplicate down-weighting -------------------------------
 
     QueryDef("samp_soft_dedup",
@@ -403,6 +415,86 @@ object PipelineQueries8 {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), col("n_tok")).otherwise(0L))
             .as("tokens_kept"))
+    },
+
+    // ---- embedding health report ------------------------------------------
+
+    // The pre-ANN sanity table: ragged dims, zero norms, and NaN/Inf
+    // components each silently poison cosine math downstream; the avg
+    // norm rides on 1e6-quantized per-row values so the sum is exact in
+    // any partition order.
+    QueryDef("report_embedding_health",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (
+         |  SELECT vec_id, len(v) AS dim,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+         |    len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS bad
+         |  FROM e)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(min(dim) AS BIGINT) AS min_dim,
+         |  CAST(max(dim) AS BIGINT) AS max_dim,
+         |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_norm,
+         |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nonfinite,
+         |  round(min(nrm), 6) AS min_norm,
+         |  round(max(nrm), 6) AS max_norm,
+         |  round(CAST(sum(CAST(round(nrm * 1e6) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1e6), 6) AS avg_norm
+         |FROM s""".stripMargin) { (s, dir) =>
+      val e = W.read(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+      val stats = e.select(
+        size(col("v")).as("dim"),
+        graft.pipeline.Similarity.norm(col("v")).as("nrm"),
+        exists(col("v"), x =>
+          isnan(x) || abs(x) === lit(Double.PositiveInfinity)).as("bad"))
+      stats.agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("dim")).cast("long").as("min_dim"),
+        max(col("dim")).cast("long").as("max_dim"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+        .crossJoin(stats.agg(
+          round(sum(round(col("nrm") * 1e6).cast("long")).cast("double") /
+            (count(lit(1)) * 1e6), 6).as("avg_norm")))
+    },
+
+    // ---- exact-dedup provenance manifest ----------------------------------
+
+    // The audit artifact a release review reads next to the dedup rate:
+    // per content group, WHICH doc survives and which ids it absorbed.
+    // dropped_ids is a sorted comma-joined string, so the whole manifest
+    // stays one row per group and hash-comparable across engines.
+    QueryDef("dedup_manifest",
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      AS fingerprint
+         |  FROM documents)
+         |SELECT fingerprint, keeper_id, n_dropped,
+         |  coalesce(array_to_string(list_transform(list_slice(ids, 2,
+         |    len(ids)), x -> CAST(x AS VARCHAR)), ','), '') AS dropped_ids
+         |FROM (
+         |  SELECT fingerprint, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+         |    CAST(count(*) - 1 AS BIGINT) AS n_dropped,
+         |    list_sort(list(doc_id)) AS ids
+         |  FROM fp GROUP BY fingerprint) g""".stripMargin) { (s, dir) =>
+      W.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(min(col("doc_id")).as("keeper_id"),
+          (count(lit(1)) - 1).as("n_dropped"),
+          array_sort(collect_list(col("doc_id"))).as("ids"))
+        .select(col("fingerprint"), col("keeper_id"), col("n_dropped"),
+          array_join(transform(
+            slice(col("ids"), lit(2), greatest(size(col("ids")) - 1,
+              lit(0))), x => x.cast("string")), ",").as("dropped_ids"))
     },
 
     // ---- tokenizer fertility report ---------------------------------------

@@ -505,4 +505,53 @@ class CrossCheckSpec extends TestBase {
     assert(rep(("bad", 2L)) == ((2L, 0L, 0.0)))
     assert(rep.size == 4)
   }
+
+  test("incremental containment equals the batch pairs restricted to pairs touching the increment") {
+    val docs = WarehouseSim.read(spark, sfDir, "documents")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val batch = Dedup.containmentPairsLsh(docs, 0.8).collect().map(key)
+      .filter(p => p._1 % 4 == 0 || p._2 % 4 == 0).toSet
+    val inc = Dedup.containmentPairsLshIncremental(docs,
+      id => id % 4 === 0, 0.8).collect().map(key).toSet
+    assert(inc == batch,
+      s"incremental-only: ${(inc -- batch).take(3)}; " +
+        s"batch-only: ${(batch -- inc).take(3)}")
+    assert(inc.nonEmpty, "fixture must exercise the admission path")
+  }
+
+  test("gopher inline (zero-shuffle HOF) is bit-equal to the exploded bundle on the corpus") {
+    import graft.pipeline.TextAnalysis
+    val docs = WarehouseSim.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val a = TextAnalysis.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = TextAnalysis.gopherRepetitionInline(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a.keySet == b.keySet)
+    val diffs = a.keys.filter(k => a(k) != b(k))
+    assert(diffs.isEmpty,
+      s"inline/exploded divergence on docs ${diffs.take(3).toList}: " +
+        diffs.take(1).toList.map(k => s"${a(k)} vs ${b(k)}").mkString)
+  }
+
+  test("gopher inline equality holds on adversarial repetition fixtures") {
+    import graft.pipeline.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      1L -> Seq.fill(30)("tok").mkString(" "), // every gram duplicated
+      2L -> "ab cd ab cd ab cd xx yy", // argmax with interior ties
+      3L -> (1 to 40).map(i => s"w$i").mkString(" "), // all distinct
+      4L -> "one two", // shorter than most n
+      5L -> ("p q r s t u v w x y z " * 3).trim) // period-11 repeats
+      .map { case (i, t) => (i, t) }
+      .toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val a = TextAnalysis.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val b = TextAnalysis.gopherRepetitionInline(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == b)
+  }
 }

@@ -18,9 +18,13 @@ class PlanAuditSpec extends TestBase {
   //    against it — a bounded query set by protocol);
   //  - dedup_lsh_tuning: joins three SINGLE-ROW aggregate frames into
   //    the one-row report — a broadcast NLJ of 1-row inputs, constant
-  //    cost at any corpus size.
+  //    cost at any corpus size;
+  //  - report_zipf / report_embedding_health: same 1-row × 1-row shape
+  //    (regression-sum frame × totals frame; count frame × quantized
+  //    norm-sum frame) — the crossJoin is of two scalar aggregates.
   private val cartesianExempt =
-    Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning")
+    Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning",
+      "report_zipf", "report_embedding_health")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted

@@ -127,6 +127,28 @@ class RepetitionSpec extends TestBase {
       s"bucketed padding $bucketPad vs naive $naive — expected < half")
   }
 
+  test("gopher inline gate is streaming-append-legal (pure projection)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qName = s"gopher_stream_${System.nanoTime()}"
+    val docs = input.toDF().toDF("doc_id", "text")
+      .withColumn("toks", TextAnalysis.tokens(col("text")))
+    val q = TextAnalysis.gopherRepetitionInline(docs)
+      .select("doc_id", "gopher_pass")
+      .writeStream.outputMode("append").format("memory").queryName(qName)
+      .start()
+    try {
+      input.addData(
+        1L -> (1 to 120).map(i => s"tok$i").mkString(" "),
+        2L -> Seq.fill(30)("spam").mkString(" "))
+      q.processAllAvailable()
+      val out = spark.table(qName).as[(Long, Boolean)].collect().toMap
+      assert(out == Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
+
   // ---- zipfReport ----------------------------------------------------------
 
   test("zipf: a synthetic Zipfian corpus fits slope ~ -1 with high r2") {
