@@ -61,6 +61,29 @@ class CorpusWriterSpec extends TestBase {
     assert(spark.read.json(out).count() == df.count())
   }
 
+  test("ORC shards round-trip with the same layout guarantees") {
+    // ORC is the third interchange format (columnar like parquet, the
+    // Hive-ecosystem default) — same writeShards contract, zero new code
+    val out = tmpDir("corpus-orc").toString
+    val df = corpus
+    CorpusWriter.writeShards(df, out, Seq("split"), "doc_id",
+      shardsPerLeaf = 2, format = "orc")
+    val leaves = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(leaves.nonEmpty)
+    leaves.foreach { leaf =>
+      val files = leaf.listFiles().filter(_.getName.endsWith(".orc"))
+      assert(files.nonEmpty && files.length <= 2,
+        s"${leaf.getPath}: ${files.length} files")
+    }
+    val back = spark.read.orc(out)
+    assert(back.count() == df.count())
+    val a = df.select("doc_id", "split", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = back.select("doc_id", "split", "bin_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a == b, "ORC round-trip changed rows")
+  }
+
   test("shard membership is deterministic and partitioning-independent") {
     val df = corpus
     val s1 = df.select(col("doc_id"),
