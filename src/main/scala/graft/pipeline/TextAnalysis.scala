@@ -910,6 +910,46 @@ object TextAnalysis {
   }
 
   /**
+   * Deterministic hashed bag-of-words document vectors (feature
+   * hashing, Weinberger et al. 2009): token → bucket by the engine's
+   * salted 32-bit hash, bucket counts as components, L2-normalized and
+   * 1e-6-quantized. A model-free dense representation that turns the
+   * DOCUMENT corpus into ANN-searchable vectors — the lexical
+   * dense-retrieval baseline, and the glue that lets every certified
+   * similarity path (IVF, multi-probe, PQ, JL, SemDeDup) run on text
+   * when no learned embeddings exist yet. Collisions are the standard
+   * feature-hashing trade: bounded dimensionality for a small additive
+   * noise floor.
+   *
+   * Scale shape: one token explode → (doc, bucket) count (map-side
+   * combined, ≤ dim rows per doc) → one doc-keyed densify. No driver
+   * state, no vocabulary table — the point of hashing.
+   */
+  def hashedVectors(docs: DataFrame, dim: Int = 16,
+      salt: String = "feathash", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val buckets = docs
+      .select(col(idCol).as("vec_id"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("vec_id"),
+        (Sampling.hash32Str(col("tok"), salt) % dim).cast("int").as("b"))
+      .groupBy("vec_id", "b").agg(count(lit(1)).as("c"))
+    val raw = buckets.groupBy("vec_id")
+      .agg(map_from_arrays(collect_list(col("b")), collect_list(col("c")))
+        .as("m"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(try_element_at(col("m"), i), lit(0L))
+            .cast("double")).as("raw"))
+    raw.select(col("vec_id"),
+      sqrt(aggregate(col("raw"), lit(0.0), (acc, x) => acc + x * x))
+        .as("nrm"), col("raw"))
+      .select(col("vec_id"),
+        transform(col("raw"), x => round(x / col("nrm"), 6))
+          .as("embedding"))
+  }
+
+  /**
    * [[gopherRepetition]] with ZERO shuffles — every counter computed
    * within the row by higher-order array functions, so the full bundle
    * is a pure projection: streaming-append-legal (the per-document

@@ -31,6 +31,11 @@ object PipelineQueries8 {
 
   private val funSalt = "funnel"
 
+  private val hvDim = 16
+  private val hvCells = 8
+  private val hvK = 5
+  private val hvSalt = "feathash"
+
   /** DuckDB twin of the length-tier CASE over [[Packing.lengthTierBounds]]. */
   private val duckTier = {
     val whens = Packing.lengthTierBounds.zipWithIndex
@@ -415,6 +420,78 @@ object PipelineQueries8 {
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           sum(when(col("kept"), col("n_tok")).otherwise(0L))
             .as("tokens_kept"))
+    },
+
+    // ---- hashed-vector dense retrieval (text → certified ANN) -------------
+
+    // Feature-hash the documents into 16-dim vectors, k-means them with
+    // the corpus-trained centroids, and answer top-5 cosine queries via
+    // the certified IVF path — dense lexical retrieval end-to-end with
+    // no model and no embeddings table. The oracle replays feature
+    // hashing, normalization, both Lloyd iterations, cell assignment,
+    // and the in-cell ranking.
+    QueryDef("pipe_text_ann", {
+      val dim = hvDim
+      val hvec0Cols = (0 until dim).map(i =>
+        s"CAST(sum(CASE WHEN b = $i THEN c ELSE 0 END) AS DOUBLE) AS r$i")
+        .mkString(",\n    ")
+      val nrmSum = (0 until dim).map(i => s"r$i*r$i").mkString(" + ")
+      val vList = (0 until dim).map(i => s"round(r$i / nrm, 6)")
+        .mkString(", ")
+      s"""WITH ht AS (
+         |  SELECT doc_id AS vec_id,
+         |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         |  FROM documents),
+         |hb AS (
+         |  SELECT vec_id,
+         |    CAST(${PipelineQueries2.duckHex32(
+                s"md5('$hvSalt:' || tok)")} % $dim AS INT) AS b,
+         |    count(*) AS c
+         |  FROM ht GROUP BY 1, 2),
+         |hvec0 AS (
+         |  SELECT vec_id,
+         |    $hvec0Cols
+         |  FROM hb GROUP BY vec_id),
+         |hn AS (SELECT vec_id, sqrt($nrmSum) AS nrm, * FROM hvec0),
+         |e2 AS (SELECT vec_id, [$vList] AS v FROM hn WHERE nrm > 0),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+         |    AS cid, v
+         |  FROM (SELECT vec_id, v FROM e2 ORDER BY vec_id LIMIT $hvCells)),
+         |${dAssign("e2", "c0", "a1")},
+         |${dRecenter("a1", "e2", "c1")},
+         |${dAssign("e2", "c1", "a2")},
+         |${dRecenter("a2", "e2", "c2")},
+         |${dAssign("e2", "c2", "af")},
+         |nrm2 AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e2),
+         |qv AS (
+         |  SELECT a.vec_id AS q_id, a.cid AS cell, n.v AS q_v,
+         |    n.nrm AS q_nrm
+         |  FROM af a JOIN nrm2 n USING (vec_id) WHERE vec_id % 100 = 7),
+         |cv AS (
+         |  SELECT a.vec_id AS c_id, a.cid AS cell, n.v AS c_v,
+         |    n.nrm AS c_nrm
+         |  FROM af a JOIN nrm2 n USING (vec_id)),
+         |scored AS (
+         |  SELECT q.q_id, q.cell, c.c_id,
+         |    round(list_sum(list_transform(generate_series(1, $dim),
+         |      j -> q.q_v[j] * c.c_v[j])) / (q.q_nrm * c.c_nrm), 6)
+         |      AS cos_sim
+         |  FROM qv q JOIN cv c ON q.cell = c.cell AND q.q_id <> c.c_id)
+         |SELECT q_id, cell, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos_sim DESC, c_id) AS rank
+         |  FROM scored) WHERE rank <= $hvK""".stripMargin
+    }) { (s, dir) =>
+      val hv = TextAnalysis.hashedVectors(W.read(s, dir, "documents"),
+        dim = hvDim, salt = hvSalt)
+      val cents = Semantic.kmeansCentroids(hv, k = hvCells, iters = 2)
+      val vecs = hv.join(
+        Semantic.assignTo(hv, cents)
+          .select(col("vec_id"), col("cluster_id").as("label")), "vec_id")
+      graft.pipeline.Similarity.ivfTopK(
+        vecs.filter(col("vec_id") % 100 === 7), vecs, k = hvK)
     },
 
     // ---- embedding health report ------------------------------------------

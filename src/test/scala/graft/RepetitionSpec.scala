@@ -149,6 +149,35 @@ class RepetitionSpec extends TestBase {
     } finally q.stop()
   }
 
+  // ---- hashedVectors -------------------------------------------------------
+
+  test("hashedVectors: unit-norm, deterministic, and lexical similarity orders cosine") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical content
+      (3L, "alpha beta gamma epsilon"), // 3/4 overlap
+      (4L, "zeta eta theta iota")) // disjoint
+      .toDF("doc_id", "text")
+    val hv = TextAnalysis.hashedVectors(docs, dim = 16)
+    val vecs = hv.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(vecs.size == 4)
+    vecs.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-4, s"norm $n should be ~1")
+    }
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(vecs(1).sameElements(vecs(2)),
+      "identical text must hash to the identical vector")
+    assert(cos(vecs(1), vecs(3)) > cos(vecs(1), vecs(4)),
+      "3/4 token overlap must out-score disjoint vocabulary")
+    // partitioning-independence (quantized components)
+    val again = TextAnalysis.hashedVectors(docs.repartition(3), dim = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(again.forall { case (k, v) => vecs(k).toSeq == v })
+  }
+
   // ---- zipfReport ----------------------------------------------------------
 
   test("zipf: a synthetic Zipfian corpus fits slope ~ -1 with high r2") {
