@@ -173,6 +173,40 @@ object ScaleProbe {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))))
     run("zipf_report")(d => graft.pipeline.CorpusReport.zipfReport(d))
 
+    // round-8 cont. 2: inline gopher (docs axis), incremental
+    // containment + text-ANN (fixed probe/query set, k× corpus — the 1×
+    // ids are all < 10000000, so the predicate pins the increment)
+    // forced via an aggregate over every verdict column, with a filter
+    // ON the aggregate output so run()'s count() can't prune the sums
+    // away (count() over a bare projection OR over a group-less agg
+    // prunes every HOF column and measures only the scan). A direct
+    // filter on gopher_pass would instead be pushed through the
+    // projections and re-derive the gram arrays per token position
+    // (the materializeGate hazard pinned in the operator's Scaladoc).
+    run("gopher_inline")(d => TextAnalysis.gopherRepetitionInline(
+      d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks")))
+      .groupBy()
+      .agg(sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("dup_line_frac") + col("dup_line_char_frac") +
+          col("top_2gram_char_frac") + col("top_3gram_char_frac") +
+          col("top_4gram_char_frac") + col("dup_5gram_char_frac") +
+          col("dup_6gram_char_frac") + col("dup_7gram_char_frac") +
+          col("dup_8gram_char_frac") + col("dup_9gram_char_frac") +
+          col("dup_10gram_char_frac")).as("chk"))
+      .where(col("chk").isNotNull && col("n_pass") >= 0))
+    run("cont_incremental")(d => Dedup.containmentPairsLshIncremental(
+      d, id => id < 10000000L && id % 4 === 0, 0.8))
+    run("text_ann")(d => {
+      val hv = graft.pipeline.TextAnalysis.hashedVectors(d)
+      val cents = graft.pipeline.Semantic.kmeansCentroids(hv, 8, 2)
+      val vecs = hv.join(graft.pipeline.Semantic.assignTo(hv, cents)
+        .select(col("vec_id"), col("cluster_id").as("label")), "vec_id")
+      graft.pipeline.Similarity.ivfTopK(
+        vecs.filter(col("vec_id") < 10000000L && col("vec_id") % 100 === 7),
+        vecs, 5)
+    })
+
     // incremental SemDeDup: fixed admission batch, k× corpus — measures
     // the cell-growth axis (candidates per new row ∝ cell_corpus); the
     // batch axis is linear by the same join shape. Replicated corpus

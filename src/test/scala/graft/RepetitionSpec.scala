@@ -109,8 +109,10 @@ class RepetitionSpec extends TestBase {
     rows.foreach { r =>
       val t = r.getAs[Int]("tier")
       if (t < bounds.size) assert(r.getAs[Long]("max_len") < bounds(t))
-      if (t > 0) assert(r.getAs[Long]("max_len") >= bounds(t - 1) ||
-        r.getAs[Long]("max_len") < bounds(t - 1), "tier holds by min too")
+      // the batch max is a member, so it must sit at or above the tier's
+      // lower bound too
+      if (t > 0) assert(r.getAs[Long]("max_len") >= bounds(t - 1),
+        s"tier $t batch max ${r.getAs[Long]("max_len")} below lower bound")
     }
   }
 
