@@ -950,17 +950,66 @@ object TextAnalysis {
   }
 
   /**
+   * Exact heavy bigrams (`count >= minCount`) with a Count-Min-sketch
+   * map-side pre-prune: pass 1 builds one ~100 KB CMS over
+   * `xxhash64(bigram)` keys (a scan + an associative sketch merge — no
+   * key shuffle at all); pass 2 re-explodes and filters each gram
+   * instance through the broadcast sketch BEFORE the count shuffle,
+   * then counts the survivors exactly and applies the true
+   * `HAVING count >= minCount`.
+   *
+   * Exactness is by the CMS one-sided bound ([[graft.functions.CmsProbe]]):
+   * estimates never undercount, so `estimate < minCount` proves the
+   * gram can't pass the HAVING — nothing the exact path would keep is
+   * ever pruned, and the final counts are computed from real rows, not
+   * the sketch. CmsProbeSpec pins equality against the unpruned exact
+   * aggregation, and that the CMS filter sits under the Exchange.
+   *
+   * The 100-TB shape: a plain `GROUP BY gram HAVING` shuffles the
+   * ENTIRE gram vocabulary — for web-corpus bigrams that is the same
+   * order as the corpus itself, and map-side partial aggregation
+   * barely helps because most gram types are singletons (nothing to
+   * combine within a partition). The CMS filter deletes the singleton
+   * tail before it reaches the wire: the shuffle carries only
+   * instances of estimated-heavy grams (≤ totalInstances·eps false
+   * positives plus the true heavy mass). Two corpus scans buy a
+   * vocabulary-independent shuffle.
+   */
+  def heavyGramsCms(docs: DataFrame, minCount: Long, eps: Double = 1e-3,
+      confidence: Double = 0.999, seed: Int = 42,
+      textCol: String = "text"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = docs.sparkSession
+    val grams = docs
+      .select(tokens(col(textCol)).as("toks"))
+      .select(explode(bigrams(col("toks"))).as("gram"))
+    val sketchBytes = grams
+      .select(xxhash64(col("gram")).as("h"))
+      .agg(expr(s"count_min_sketch(h, CAST($eps AS DOUBLE), " +
+        s"CAST($confidence AS DOUBLE), $seed)").as("cms"))
+      .head().getAs[Array[Byte]](0) // bounded: depth*width*8 bytes
+    val cms = graft.functions.CmsProbe.deserialize(sketchBytes)
+    grams
+      .filter(graft.functions.CmsProbe.estimate(spark, cms,
+        xxhash64(col("gram"))) >= minCount)
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  /**
    * [[gopherRepetition]] with ZERO shuffles — every counter computed
    * within the row by higher-order array functions, so the full bundle
    * is a pure projection: streaming-append-legal (the per-document
    * gate a [[graft.streaming.QualityMonitor]]-style ingest check can
    * run), and immune to the exploded shape's 9·tokens shuffle volume.
-   * The trade is honest and measured (BASELINE.md): per-row HOF
-   * aggregates don't whole-stage-codegen, so on a CPU-bound local run
-   * the exploded shape is ~2× faster — the inline shape wins where
-   * shuffle/network is the constraint (wide clusters, streaming, or a
-   * gate fused into a larger scan), the exploded shape where CPU is,
-   * and both return bit-identical rows (CrossCheckSpec pins it).
+   * The trade is honest and measured with BOTH shapes fully forced
+   * (BASELINE.md): interpreted HOF aggregates cost ~1.8 ms per
+   * ~200-token document vs the exploded shape's ~2.8 ms — on typical
+   * corpora the inline twin is faster locally AND shuffle-free. Keep
+   * the exploded shape for adversarial inputs (see the cost note
+   * below) and very long documents; both return bit-identical rows
+   * (CrossCheckSpec pins it), so the choice is per-deployment, not
+   * per-semantics.
    *
    * Bit-equal to [[gopherRepetition]] (CrossCheckSpec pins equality on
    * the corpus): per n, the most-frequent-gram tie-break replays the
@@ -974,6 +1023,17 @@ object TextAnalysis {
    * documents, quadratic only for a pathological doc where every
    * n-gram repeats exactly twice; the exploded variant has no such
    * corner and is the right tool for adversarial inputs.
+   *
+   * PUSHDOWN HAZARD — do not `.filter` directly on the verdict
+   * columns of this frame. Predicate pushdown substitutes the alias
+   * chain into the filter condition, and inside the fold lambdas that
+   * substitution turns O(1) materialized-array accesses
+   * (`element_at(_gN, p)`) into a full re-derivation of the gram
+   * arrays — and the tokenization regex — PER TOKEN POSITION
+   * (observed: ~160 ms/doc vs ~2 ms/doc, an ~80× cliff). Filter via
+   * [[materializeGate]] (the localCheckpoint fences the plan), or
+   * join the verdict back on doc_id; aggregates over the verdict
+   * columns are safe (each column evaluates once per row).
    */
   def gopherRepetitionInline(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", toksCol: String = "toks"): DataFrame = {

@@ -36,6 +36,8 @@ object PipelineQueries8 {
   private val hvK = 5
   private val hvSalt = "feathash"
 
+  private val heavyMin = 20L
+
   /** DuckDB twin of the length-tier CASE over [[Packing.lengthTierBounds]]. */
   private val duckTier = {
     val whens = Packing.lengthTierBounds.zipWithIndex
@@ -607,5 +609,25 @@ object PipelineQueries8 {
             .as("fertility"),
           round(col("n_chars").cast("double") / col("bpe_tokens"), 6)
             .as("chars_per_bpe"))
+    },
+
+    // Exact heavy bigrams with a Count-Min-sketch map-side pre-prune
+    // (TextAnalysis.heavyGramsCms + functions/CmsProbe). The sketch only
+    // PRUNES (its one-sided bound proves pruned grams can't reach the
+    // HAVING threshold), so the result is bit-equal to the plain exact
+    // aggregation — which is exactly what the oracle replays; the CMS
+    // never needs a SQL twin. CmsProbeSpec separately pins equality vs
+    // the unpruned path and the filter's pre-Exchange position.
+    QueryDef("t_heavy_grams_cms",
+      withC(tokDocs)(
+        s"""SELECT gram, n FROM (
+           |  SELECT gram, CAST(count(*) AS BIGINT) AS n FROM (
+           |    SELECT unnest(list_transform(
+           |      generate_series(1, greatest(len(toks) - 1, 0)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+           |    FROM tok_docs)
+           |  GROUP BY 1)
+           |WHERE n >= $heavyMin""".stripMargin)) { (s, dir) =>
+      TextAnalysis.heavyGramsCms(W.read(s, dir, "documents"), heavyMin)
     })
 }

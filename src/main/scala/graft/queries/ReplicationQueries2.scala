@@ -264,6 +264,43 @@ object ReplicationQueries2 {
           .agg(count(lit(1)).as("n_files"),
             countDistinct("rel_path").as("n_paths"),
             sum("size").as("total_bytes"))
+    },
+
+    // J8 — as-of (point-in-time) lookup: each QUERY audit entry joined to
+    // the latest CREATETABLE for the same db at or before its timestamp
+    // ("what was the last DDL state when this query ran"). DuckDB replays
+    // it with a native ASOF LEFT JOIN; Spark runs the union-merge window
+    // shape in operators/AsOfJoin.scala — one key shuffle, no range
+    // explosion. The right side is reduced to one row per (db, ts) first
+    // (max-id wins) so "the latest row at a timestamp" is well-defined in
+    // both engines.
+    QueryDef("j8_asof_lookup",
+      C.withCtes(C.auditLog)(
+        """SELECT q.q_id, q.db, q.q_us, ct.ct_id, ct.ct_us,
+          |  round(ct.ct_value, 6) AS ct_value
+          |FROM (
+          |  SELECT id AS q_id, db, epoch_us(create_time) AS q_us
+          |  FROM audit_log WHERE command_type = 'QUERY') q
+          |ASOF LEFT JOIN (
+          |  SELECT db, epoch_us(create_time) AS ct_us,
+          |    max(id) AS ct_id, round(max_by(value, id), 6) AS ct_value
+          |  FROM audit_log WHERE command_type = 'CREATETABLE'
+          |  GROUP BY 1, 2) ct
+          |ON q.db = ct.db AND q.q_us >= ct.ct_us""".stripMargin)) {
+      (s, dir) => {
+        val audit = W.auditLog(s, dir)
+          .withColumn("us", expr("unix_micros(create_time)"))
+        val q = audit.filter(col("command_type") === "QUERY")
+          .select(col("db"), col("id").as("q_id"), col("us").as("q_us"))
+        val ct = graft.operators.AsOfJoin.latestPerKeyTs(
+          audit.filter(col("command_type") === "CREATETABLE")
+            .select(col("db"), col("us").as("ct_us"),
+              col("id").as("ct_id"), round(col("value"), 6).as("ct_value")),
+          Seq("db"), "ct_us", "ct_id")
+        graft.operators.AsOfJoin.asOf(q, ct, Seq("db"), "q_us", "ct_us")
+          .select(col("q_id"), col("db"), col("q_us"),
+            col("ct_id"), col("ct_us"), col("ct_value"))
+      }
     }
   )
 }
