@@ -529,6 +529,69 @@ object Dedup {
   }
 
   /**
+   * b-bit MinHash verification (Li & König 2010): same xxhash64 banding
+   * as [[minhashLshPairsFast]] for candidate generation (lanes 0..7 of
+   * the signature — bit-identical band hashes), but pairs are verified
+   * against a 64-LANE signature compressed to ONE BIT per lane (the
+   * hash's low bit), packed into a single long. Similarity is estimated
+   * from bit agreement: for b=1, E[match] = s + (1-s)/2, so
+   * `s_hat = 2·(matches/k) − 1`; pairs keep when `s_hat >= tau`.
+   *
+   * The scale trade this buys: the verify stage joins candidates against
+   * 8 BYTES per document instead of the full shingle sets (KBs per doc)
+   * — on a 10^11-doc corpus the verification shuffle drops three orders
+   * of magnitude, at the cost of estimator noise (σ ≈ 2/√k ≈ 0.25 at
+   * k=64; tune k upward — 128 lanes is two longs — when τ must cut
+   * finely). Exact-Jaccard verification ([[minhashLshPairsFast]])
+   * remains the precision path; this is the triage path that runs first
+   * at corpus scale. Everything is deterministic in the xxhash64 family,
+   * so the DuckDB oracle replays the estimate bit-for-bit
+   * (`dedup_minhash_bbit`).
+   *
+   * Output: (doc_a, doc_b, n_agree, est_sim) for banded candidates with
+   * est_sim >= tau.
+   */
+  def minhashBbitPairs(docs: DataFrame, k: Int = 64, tau: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text",
+      bucketCap: Option[Int] = None): DataFrame = {
+    require(k > 8 && k <= 64, s"k must be in (8,64] (one packed long), got $k")
+    val bands = 2
+    val rowsPerBand = 4
+    val sig = persistInternal("minhash_bbit_sig", shingled(docs, idCol, textCol)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig(docs.sparkSession, col("shingles"), k).as("sig")))
+    // one long per doc: bit i = low bit of signature lane i
+    val packed = sig.select(col("doc_id"),
+      aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+        (acc, i) => acc.bitwiseOR(call_function("shiftleft",
+          element_at(col("sig"), i + 1).bitwiseAND(lit(1L)), i))).as("pk"))
+    val unpivotedAll = sig.select(col("doc_id"), posexplode(array(
+        (0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val unpivoted = bucketCap.map(capBuckets(unpivotedAll, _)).getOrElse(unpivotedAll)
+    val candidates = unpivoted.as("a")
+      .join(unpivoted.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val est = round(
+      lit(2.0) * (lit(k) - call_function("bit_count",
+        col("pa").bitwiseXOR(col("pb")))).cast("double") / lit(k.toDouble)
+        - lit(1.0), 6)
+    candidates
+      .join(packed.select(col("doc_id").as("doc_a"), col("pk").as("pa")), "doc_a")
+      .join(packed.select(col("doc_id").as("doc_b"), col("pk").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (lit(k) - call_function("bit_count", col("pa").bitwiseXOR(col("pb"))))
+          .cast("long").as("n_agree"),
+        est.as("est_sim"))
+      .filter(col("est_sim") >= tau)
+  }
+
+  /**
    * Robust scale path for skewed corpora: exact-dedup pre-pass + capped
    * buckets. Identical documents collapse to one representative (min
    * doc_id) BEFORE signatures — giant exact-duplicate clusters are the #1

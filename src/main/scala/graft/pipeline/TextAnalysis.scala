@@ -975,6 +975,61 @@ object TextAnalysis {
    * positives plus the true heavy mass). Two corpus scans buy a
    * vocabulary-independent shuffle.
    */
+  /**
+   * BM25 top-k retrieval (Robertson & Spärck Jones; the Okapi/Lucene
+   * formula) for a literal term set — the lexical-retrieval primitive a
+   * curation pipeline uses to pull topical slices out of a corpus
+   * ("find the k documents most about X") without any embedding model.
+   *
+   * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·|d|/avgdl)),
+   * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+   *
+   * Cross-engine determinism (the NLL-tier discipline): every per-(doc,
+   * term) contribution is computed in ONE fixed IEEE op order and
+   * quantized to integer micro-units; per-document scores are exact
+   * long sums in any partial-aggregation order, and ties break on
+   * doc_id.
+   *
+   * Scale shape: the token explode filters to the query terms AT SCAN
+   * (a handful of matches per doc survive), tf is a word-count-shaped
+   * aggregate on (doc, term), df is a ≤|terms|-row rollup joined back
+   * by broadcast, and the global N/avgdl ride as literals from one
+   * scalar aggregate. Top-k plans as TakeOrderedAndProject — per
+   * partition heaps, no global sort; the rank window runs over the k
+   * selected rows only.
+   */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(k > 0, s"k must be positive, got $k")
+    val tokd = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = tokd.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val tf = tokd
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val mic = round(
+      log((lit(n.toDouble) - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+        (col("tf").cast("double") * lit(1.0 + k1)) /
+        (col("tf").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl))) *
+        lit(1e6)).cast("long")
+    val scored = tf.join(broadcast(dfr), "tok")
+      .select(col("doc_id"), mic.as("mic"))
+      .groupBy("doc_id").agg(sum(col("mic")).as("score_micro"))
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id")).limit(k)
+    // rank over the ALREADY-SELECTED k rows (dsirSelect discipline)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   def heavyGramsCms(docs: DataFrame, minCount: Long, eps: Double = 1e-3,
       confidence: Double = 0.999, seed: Int = 42,
       textCol: String = "text"): DataFrame = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{CorpusReport, Packing, Sampling, Semantic, TextAnalysis}
+import graft.pipeline.{CorpusReport, Dedup, Packing, Sampling, Semantic, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -37,6 +37,12 @@ object PipelineQueries8 {
   private val hvSalt = "feathash"
 
   private val heavyMin = 20L
+
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+  private val bmK = 20
+  private val bmTerms = Seq("spark", "hash", "stream")
+  private val bbitTau = 0.5
 
   /** DuckDB twin of the length-tier CASE over [[Packing.lengthTierBounds]]. */
   private val duckTier = {
@@ -629,5 +635,101 @@ object PipelineQueries8 {
            |  GROUP BY 1)
            |WHERE n >= $heavyMin""".stripMargin)) { (s, dir) =>
       TextAnalysis.heavyGramsCms(W.read(s, dir, "documents"), heavyMin)
+    },
+
+    // BM25 top-k retrieval for a literal term set: per-(doc, term)
+    // contributions quantized to integer micro-units in one fixed IEEE op
+    // order (the NLL-tier discipline), so the DuckDB replay — same idf,
+    // same tf saturation, same length normalization — hash-matches the
+    // long sums exactly. Constants interpolate via Double.toString, which
+    // round-trips to the identical double in DuckDB's parser.
+    QueryDef("t_bm25_topk",
+      withC(tokDocs + ",\n" +
+        s"""bdl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM tok_docs),
+           |bst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(dl) AS BIGINT) AS sdl FROM bdl),
+           |btf AS (
+           |  SELECT x.doc_id, d.dl, x.tok, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) x
+           |  JOIN bdl d ON d.doc_id = x.doc_id
+           |  WHERE x.tok IN (${bmTerms.map(t => s"'$t'").mkString(", ")})
+           |  GROUP BY 1, 2, 3),
+           |bdf AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1)""".stripMargin)(
+        s"""SELECT doc_id, score_micro, CAST(rk AS BIGINT) AS rank FROM (
+           |  SELECT doc_id, score_micro,
+           |    row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+           |  FROM (
+           |    SELECT t.doc_id, CAST(sum(t.mic) AS BIGINT) AS score_micro
+           |    FROM (
+           |      SELECT f.doc_id,
+           |        CAST(round(ln((CAST(s.n AS DOUBLE) - CAST(g.df AS DOUBLE) + 0.5)
+           |            / (CAST(g.df AS DOUBLE) + 0.5) + 1.0)
+           |          * (CAST(f.tf AS DOUBLE) * ${1.0 + bmK1})
+           |          / (CAST(f.tf AS DOUBLE) + $bmK1 * (${1.0 - bmB}
+           |              + $bmB * CAST(f.dl AS DOUBLE)
+           |                / (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+           |          * 1000000.0) AS BIGINT) AS mic
+           |      FROM btf f JOIN bdf g ON f.tok = g.tok CROSS JOIN bst s) t
+           |    GROUP BY 1))
+           |WHERE rk <= $bmK""".stripMargin)) { (s, dir) =>
+      TextAnalysis.bm25TopK(W.read(s, dir, "documents"), bmTerms, bmK,
+        bmK1, bmB)
+    },
+
+    // b-bit MinHash verification (Li & König 2010): banding identical to
+    // dedup_minhash_fast (lanes 0..7 — the oracle reuses the certified
+    // XXH64 band-fold replay), verification from the 64-lane low-bit
+    // sketch. The oracle computes bit agreement per seed — mathematically
+    // identical to Spark's popcount over the packed long — so the
+    // estimate column hash-matches on the real hash family.
+    QueryDef("dedup_minhash_bbit", {
+      val ubMh = XxhSql.toUnsigned("mh")
+      val parts = Seq(
+        """xtok AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+          |  FROM documents)""".stripMargin,
+        """xsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, greatest(len(toks) - 2, 0)),
+          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+          |  FROM xtok)""".stripMargin,
+        """inp AS MATERIALIZED (
+          |  SELECT s, CAST(seed AS HUGEINT) AS seed
+          |  FROM (SELECT DISTINCT unnest(shingles) AS s FROM xsh),
+          |       (SELECT unnest(generate_series(0, 63)) AS seed))""".stripMargin,
+        XxhSql.strHashChain("x"),
+        s"""sigrows AS MATERIALIZED (
+           |  SELECT d.doc_id, x.seed, min(${XxhSql.toSigned("x.hf")}) AS mh
+           |  FROM (SELECT doc_id, unnest(shingles) AS s FROM xsh) d
+           |  JOIN xf x ON d.s = x.s
+           |  GROUP BY d.doc_id, x.seed)""".stripMargin,
+        s"""bandin AS MATERIALIZED (
+           |  SELECT doc_id, CAST(seed // 4 AS INT) AS band_idx,
+           |    max(CASE WHEN seed % 4 = 0 THEN $ubMh END) AS v1,
+           |    max(CASE WHEN seed % 4 = 1 THEN $ubMh END) AS v2,
+           |    max(CASE WHEN seed % 4 = 2 THEN $ubMh END) AS v3,
+           |    max(CASE WHEN seed % 4 = 3 THEN $ubMh END) AS v4
+           |  FROM sigrows WHERE seed < 8 GROUP BY 1, 2)""".stripMargin,
+        XxhSql.longFoldChain("bf", "bandin", Seq("doc_id", "band_idx"), 4),
+        """cand AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM bff a JOIN bff b
+          |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+          |       AND a.doc_id < b.doc_id)""".stripMargin,
+        """agree AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    CAST(sum(CASE WHEN (sa.mh & 1) = (sb.mh & 1)
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS m
+          |  FROM cand c
+          |  JOIN sigrows sa ON sa.doc_id = c.doc_a
+          |  JOIN sigrows sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+          |  GROUP BY 1, 2)""".stripMargin)
+      withC(parts.mkString(",\n"))(
+        s"""SELECT doc_a, doc_b, m AS n_agree,
+           |  round(2.0 * CAST(m AS DOUBLE) / 64.0 - 1.0, 6) AS est_sim
+           |FROM agree
+           |WHERE round(2.0 * CAST(m AS DOUBLE) / 64.0 - 1.0, 6) >= $bbitTau""".stripMargin)
+    }) { (s, dir) =>
+      Dedup.minhashBbitPairs(W.read(s, dir, "documents"), tau = bbitTau)
     })
 }
