@@ -207,6 +207,21 @@ object ScaleProbe {
         vecs, 5)
     })
 
+    // round-8 cont. 5: as-of join (docs-derived key/ts streams), CMS
+    // heavy grams, BM25, b-bit MinHash triage
+    run("asof")(d => {
+      val left = d.select(col("source"), col("doc_id").as("lts"),
+        col("doc_id").as("lid"))
+      val right = d.filter(col("doc_id") % 7 === 0)
+        .select(col("source"), col("doc_id").as("rts"),
+          (col("doc_id") * 2).as("rv"))
+      graft.operators.AsOfJoin.asOf(left, right, Seq("source"), "lts", "rts")
+    })
+    run("heavy_cms")(d => TextAnalysis.heavyGramsCms(d, 20L))
+    run("bm25")(d => TextAnalysis.bm25TopK(d,
+      Seq("spark", "hash", "stream"), 20))
+    run("bbit")(d => Dedup.minhashBbitPairs(d))
+
     // incremental SemDeDup: fixed admission batch, k× corpus — measures
     // the cell-growth axis (candidates per new row ∝ cell_corpus); the
     // batch axis is linear by the same join shape. Replicated corpus
