@@ -221,6 +221,8 @@ object ScaleProbe {
     run("bm25")(d => TextAnalysis.bm25TopK(d,
       Seq("spark", "hash", "stream"), 20))
     run("bbit")(d => Dedup.minhashBbitPairs(d))
+    run("graph_rank")(d => Dedup.graphRank(
+      Dedup.simhashPairs(d).select(col("doc_a"), col("doc_b"))))
 
     // incremental SemDeDup: fixed admission batch, k× corpus — measures
     // the cell-growth axis (candidates per new row ∝ cell_corpus); the

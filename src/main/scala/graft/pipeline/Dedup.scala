@@ -529,6 +529,52 @@ object Dedup {
   }
 
   /**
+   * Centrality ranking of the near-dup pair graph by damped power
+   * iteration (PageRank, Page et al. 1999; 3 fixed iterations, d=0.85):
+   * within a duplicate cluster the highest-ranked document is the one
+   * the most near-dups point at — the "most canonical" copy, a
+   * centrality-based alternative to [[clusterKeepers]]' quality rule
+   * when no quality model is trusted.
+   *
+   * Determinism across engines (the integer-fold discipline): ranks
+   * live in integer micro-units end to end. BASE = 1e6 div N;
+   * contribution of u to each neighbor = r(u) div deg(u) (BIGINT floor
+   * div); r'(v) = (15·BASE) div 100 + (85·Σcontrib) div 100. Every sum
+   * is an exact long sum (any partial-agg order), every division is
+   * floor div — the DuckDB oracle unrolls the same three iterations and
+   * hash-matches (`dedup_graph_rank`).
+   *
+   * Scale shape: the graph is PAIR-sized (near-dup candidates), not
+   * corpus-sized. Each iteration is one equi-join of ranks against the
+   * persisted (src, dst, deg) edge frame plus one grouped sum — two
+   * shuffles per iteration on the edge key, executor-sized partitions,
+   * driver holds only the node-count scalar. Fixed iteration count
+   * keeps the lineage bounded (no convergence loop, no checkpointing
+   * needed at 3 rounds).
+   */
+  def graphRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val edges = persistInternal("graph_rank_edges",
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val e2 = persistInternal("graph_rank_out",
+      edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
+    val n = edges.select(col("src")).distinct().count()
+    val base = 1000000L / math.max(n, 1L)
+    val base15 = (15L * base) / 100L
+    var ranks = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), lit(base).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = e2.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        .select(col("dst").as("doc_id"),
+          (lit(base15) + expr("(85 * s) div 100")).as("r"))
+    }
+    ranks.select(col("doc_id"), col("r").as("rank_micro"))
+  }
+
+  /**
    * b-bit MinHash verification (Li & König 2010): same xxhash64 banding
    * as [[minhashLshPairsFast]] for candidate generation (lanes 0..7 of
    * the signature — bit-identical band hashes), but pairs are verified

@@ -176,7 +176,7 @@ object PipelineQueries {
   /** simhash pairs as a reusable CTE (`pairs`): shared by the CC family
     * and the source-overlap rollup so every consumer certifies against
     * the one pair definition. */
-  private val simhashPairsCte: String =
+  private[queries] val simhashPairsCte: String =
     simhash32Cte + ",\n" +
       """pairs AS (
         |  SELECT doc_a, doc_b FROM (

@@ -731,5 +731,46 @@ object PipelineQueries8 {
            |WHERE round(2.0 * CAST(m AS DOUBLE) / 64.0 - 1.0, 6) >= $bbitTau""".stripMargin)
     }) { (s, dir) =>
       Dedup.minhashBbitPairs(W.read(s, dir, "documents"), tau = bbitTau)
+    },
+
+    // Damped power-iteration centrality over the certified simhash pair
+    // graph (PageRank, 3 iterations, d=0.85), all-BIGINT micro-unit
+    // arithmetic: BASE = 1e6 // N, contrib = r // deg,
+    // r' = (15·BASE) // 100 + (85·Σ) // 100. The oracle unrolls the
+    // identical three iterations over the same pairs CTE the CC family
+    // rides, so the hash-match certifies every iteration's integer fold.
+    QueryDef("dedup_graph_rank",
+      withC(PipelineQueries.simhashPairsCte + ",\n" +
+        """gedges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM pairs),
+          |gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |  FROM gedges GROUP BY 1),
+          |gn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM gedges),
+          |r0 AS (SELECT DISTINCT src AS doc_id,
+          |  (SELECT 1000000 // n FROM gn) AS r FROM gedges),
+          |s1 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          |  FROM r0 r JOIN gedges e ON e.src = r.doc_id
+          |  JOIN gdeg d ON d.src = r.doc_id GROUP BY 1),
+          |r1 AS (SELECT dst AS doc_id,
+          |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
+          |    + (85 * s) // 100 AS r FROM s1),
+          |s2 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          |  FROM r1 r JOIN gedges e ON e.src = r.doc_id
+          |  JOIN gdeg d ON d.src = r.doc_id GROUP BY 1),
+          |r2 AS (SELECT dst AS doc_id,
+          |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
+          |    + (85 * s) // 100 AS r FROM s2),
+          |s3 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          |  FROM r2 r JOIN gedges e ON e.src = r.doc_id
+          |  JOIN gdeg d ON d.src = r.doc_id GROUP BY 1),
+          |r3 AS (SELECT dst AS doc_id,
+          |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
+          |    + (85 * s) // 100 AS r FROM s3)""".stripMargin)(
+        "SELECT doc_id, r AS rank_micro FROM r3")) { (s, dir) =>
+      Dedup.graphRank(
+        Dedup.simhashPairs(W.read(s, dir, "documents"))
+          .select("doc_a", "doc_b"))
     })
 }

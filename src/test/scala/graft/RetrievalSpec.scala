@@ -49,6 +49,21 @@ class RetrievalSpec extends TestBase {
     assert(out === List((1L, 2L, 64L, 1.0)))
   }
 
+  test("graphRank: hand-traced path graph — center dominates, ends tie") {
+    // path 1-2-3: N=3, BASE=333333, base15=49999; three integer
+    // iterations traced by hand (floor div throughout)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Dedup.graphRank(pairs).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 209725L, 2L -> 580536L, 3L -> 209725L))
+  }
+
+  test("graphRank: symmetric clique ranks equally") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val r = Dedup.graphRank(pairs).as[(Long, Long)].collect().toMap
+    assert(r.values.toSet.size === 1, s"clique ranks diverged: $r")
+    assert(r.keySet === Set(1L, 2L, 3L))
+  }
+
   test("b-bit estimate tracks exact Jaccard on the corpus candidates") {
     val docs = graft.sim.WarehouseSim
       .read(spark, "/root/testdata/sf0.001", "documents")
