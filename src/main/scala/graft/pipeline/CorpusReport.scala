@@ -50,6 +50,35 @@ object CorpusReport {
         col("n_chars"), col("min_chars"), col("max_chars"))
 
   /**
+   * The documented 100-TB swap of [[dataCard]], as real code: identical
+   * cube rollup with `approx_count_distinct` (HLL++, rsd 5% default)
+   * replacing the exact fingerprint distinct — the HLL sketch merges
+   * per grouping set map-side, so the card costs ONE scan with NO
+   * distinct shuffle at all. No DuckDB oracle by nature (HLL estimates
+   * are engine-specific); CorpusReportSpec pins every cell within the
+   * rsd envelope of the exact card and all non-estimate columns equal.
+   */
+  def dataCardApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        col("n_chars"),
+        TextAnalysis.fingerprint(col("text")).as("fpr"))
+      .cube("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col("fpr"), rsd).as("n_unique_approx"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .select(
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_unique_approx"), col("n_tokens"),
+        col("n_chars"), col("min_chars"), col("max_chars"))
+
+  /**
    * Data-card DELTA of a curation decision: the corpus with a boolean
    * `kept` verdict column (dedup keeper flag, quality-gate pass, a
    * sampler's keep decision — any of the pipeline's per-doc verdicts),

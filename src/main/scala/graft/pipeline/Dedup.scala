@@ -575,6 +575,39 @@ object Dedup {
   }
 
   /**
+   * Centrality-based keeper per near-dup cluster: [[graphRank]] scores
+   * joined onto [[connectedComponents]] labels, one window per cluster —
+   * the highest-ranked member wins (doc_id breaks ties). The
+   * decision-layer sibling of [[clusterKeepers]]: quality-based keepers
+   * need a trusted quality model; centrality keepers only need the pair
+   * graph itself (the copy everyone near-duplicates is the canonical
+   * one). Output: (cluster_id, keeper_id, rank_micro, n_members), one
+   * row per cluster in the pair graph.
+   *
+   * Scale shape: every frame here is PAIR-graph-sized; the window
+   * partitions by cluster (executor-sized — near-dup clusters are
+   * quasi-cliques), and the corpus is never touched.
+   */
+  def rankKeepers(pairs0: DataFrame, iters: Int = 3): DataFrame = {
+    // both consumers iterate over the pair frame — persist it once or the
+    // banded candidate join underneath runs twice
+    val pairs = persistInternal("rank_keeper_pairs", pairs0)
+    val ranks = graphRank(pairs, iters)
+    val clusters = connectedComponents(pairs)
+    val wCount = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("rank_micro").desc, col("doc_id"))
+    clusters.join(ranks, "doc_id")
+      .withColumn("n_members", count(lit(1)).over(wCount))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("rank_micro"), col("n_members"))
+  }
+
+  /**
    * b-bit MinHash verification (Li & König 2010): same xxhash64 banding
    * as [[minhashLshPairsFast]] for candidate generation (lanes 0..7 of
    * the signature — bit-identical band hashes), but pairs are verified

@@ -192,7 +192,7 @@ object PipelineQueries {
         |         AND a.doc_id < b.doc_id)
         |  WHERE hamming <= 3)""".stripMargin
 
-  private val ccCtes: String =
+  private[queries] val ccCtes: String =
     simhashPairsCte + ",\n" +
       """edges AS (
         |  SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -772,5 +772,50 @@ object PipelineQueries8 {
       Dedup.graphRank(
         Dedup.simhashPairs(W.read(s, dir, "documents"))
           .select("doc_a", "doc_b"))
+    },
+
+    // Centrality keeper per cluster: the recursive-CTE CC closure joined
+    // to the unrolled integer PageRank, one keeper per cluster (max rank,
+    // id tie-break). Composes the two certified paths end to end — the
+    // hash-match certifies the composition, not just the parts.
+    QueryDef("dedup_rank_keepers",
+      "WITH RECURSIVE " + PipelineQueries.ccCtes + ",\n" +
+        """gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+          |  FROM edges GROUP BY 1),
+          |gn AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS n FROM edges),
+          |r0 AS (SELECT DISTINCT src AS doc_id,
+          |  (SELECT 1000000 // n FROM gn) AS r FROM edges),
+          |s1 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          |  FROM r0 r JOIN edges e ON e.src = r.doc_id
+          |  JOIN gdeg d ON d.src = r.doc_id GROUP BY 1),
+          |r1 AS (SELECT dst AS doc_id,
+          |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
+          |    + (85 * s) // 100 AS r FROM s1),
+          |s2 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          |  FROM r1 r JOIN edges e ON e.src = r.doc_id
+          |  JOIN gdeg d ON d.src = r.doc_id GROUP BY 1),
+          |r2 AS (SELECT dst AS doc_id,
+          |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
+          |    + (85 * s) // 100 AS r FROM s2),
+          |s3 AS (SELECT e.dst, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+          |  FROM r2 r JOIN edges e ON e.src = r.doc_id
+          |  JOIN gdeg d ON d.src = r.doc_id GROUP BY 1),
+          |r3 AS (SELECT dst AS doc_id,
+          |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
+          |    + (85 * s) // 100 AS r FROM s3),
+          |clus AS (SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+          |  FROM reach GROUP BY id)
+          |SELECT cluster_id, doc_id AS keeper_id, r AS rank_micro,
+          |  CAST(n_members AS BIGINT) AS n_members
+          |FROM (
+          |  SELECT c.cluster_id, r3.doc_id, r3.r,
+          |    count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+          |    row_number() OVER (PARTITION BY c.cluster_id
+          |      ORDER BY r3.r DESC, r3.doc_id) AS rn
+          |  FROM r3 JOIN clus c USING (doc_id))
+          |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      Dedup.rankKeepers(
+        Dedup.simhashPairs(W.read(s, dir, "documents"))
+          .select("doc_a", "doc_b"))
     })
 }

@@ -70,4 +70,25 @@ class CorpusReportSpec extends TestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == ids)
   }
+
+  test("dataCardApprox: HLL cells inside the rsd envelope, exact columns equal") {
+    val docs = graft.sim.WarehouseSim
+      .read(spark, "/root/testdata/sf0.001", "documents")
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val exact = CorpusReport.dataCard(docs).collect()
+      .map(r => key(r) -> r).toMap
+    val approx = CorpusReport.dataCardApprox(docs).collect()
+      .map(r => key(r) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // non-estimate columns are bit-equal
+      Seq(2, 4, 5, 6, 7).foreach(i =>
+        assert(a.getLong(i) === e.getLong(i), s"cell $k col $i"))
+      // the HLL estimate stays within 4x the 5% rsd of the exact distinct
+      val ex = e.getLong(3).toDouble
+      assert(math.abs(a.getLong(3) - ex) <= math.max(1.0, 0.2 * ex),
+        s"cell $k approx ${a.getLong(3)} vs exact $ex")
+    }
+  }
 }
