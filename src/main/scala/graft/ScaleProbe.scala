@@ -218,6 +218,19 @@ object ScaleProbe {
       graft.operators.AsOfJoin.asOf(left, right, Seq("source"), "lts", "rts")
     })
     run("heavy_cms")(d => TextAnalysis.heavyGramsCms(d, 20L))
+    // native GopherStats twin, forced the same way as gopher_inline
+    run("gopher_native")(d => TextAnalysis.gopherRepetitionNative(
+      d.select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks")))
+      .groupBy()
+      .agg(sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("dup_line_frac") + col("dup_line_char_frac") +
+          col("top_2gram_char_frac") + col("top_3gram_char_frac") +
+          col("top_4gram_char_frac") + col("dup_5gram_char_frac") +
+          col("dup_6gram_char_frac") + col("dup_7gram_char_frac") +
+          col("dup_8gram_char_frac") + col("dup_9gram_char_frac") +
+          col("dup_10gram_char_frac")).as("chk"))
+      .where(col("chk").isNotNull && col("n_pass") >= 0))
     run("bm25")(d => TextAnalysis.bm25TopK(d,
       Seq("spark", "hash", "stream"), 20))
     run("bbit")(d => Dedup.minhashBbitPairs(d))

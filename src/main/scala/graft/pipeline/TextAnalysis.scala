@@ -1057,14 +1057,17 @@ object TextAnalysis {
    * is a pure projection: streaming-append-legal (the per-document
    * gate a [[graft.streaming.QualityMonitor]]-style ingest check can
    * run), and immune to the exploded shape's 9·tokens shuffle volume.
-   * The trade is honest and measured with BOTH shapes fully forced
+   * The trade is honest and measured with all shapes fully forced
    * (BASELINE.md): interpreted HOF aggregates cost ~1.8 ms per
-   * ~200-token document vs the exploded shape's ~2.8 ms — on typical
-   * corpora the inline twin is faster locally AND shuffle-free. Keep
-   * the exploded shape for adversarial inputs (see the cost note
-   * below) and very long documents; both return bit-identical rows
-   * (CrossCheckSpec pins it), so the choice is per-deployment, not
-   * per-semantics.
+   * ~200-token document vs the exploded shape's ~2.8 ms — and the
+   * native-Expression sibling [[gopherRepetitionNative]] does the same
+   * work in ~0.18 ms (one codegen'd JVM pass), so prefer IT for both
+   * bulk scoring and streaming gates. This HOF twin remains the
+   * pure-Spark-functions formulation (no custom expression required —
+   * useful where deploying expression jars is not an option), and the
+   * exploded shape remains the tool for adversarial inputs (see the
+   * cost note below). All three return bit-identical rows
+   * (CrossCheckSpec pins the three-way equality).
    *
    * Bit-equal to [[gopherRepetition]] (CrossCheckSpec pins equality on
    * the corpus): per n, the most-frequent-gram tie-break replays the
@@ -1090,6 +1093,30 @@ object TextAnalysis {
    * join the verdict back on doc_id; aggregates over the verdict
    * columns are safe (each column evaluates once per row).
    */
+  /**
+   * The native-Expression shape of the Gopher bundle — same pure
+   * projection as [[gopherRepetitionInline]] with all 14 counters
+   * computed by ONE whole-stage-codegen'd pass per row
+   * ([[graft.functions.GopherStats]]): the throughput tier for bulk
+   * scoring AND streaming gates (zero shuffle, append-legal, none of
+   * the inline twin's interpreted-HOF CPU or its filter-pushdown
+   * hazard — the struct is opaque to alias substitution, so filtering
+   * its fields re-evaluates one compiled call, not a per-position
+   * re-derivation). Bit-identical to both siblings; CrossCheckSpec
+   * pins the three-way equality, corpus + adversarial fixtures.
+   */
+  def gopherRepetitionNative(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", toksCol: String = "toks"): DataFrame = {
+    val g = graft.functions.GopherStats.stats(docs.sparkSession,
+      col(toksCol), col(textCol))
+    val raw = docs
+      .select(col(idCol).as("doc_id"), g.as("_g"))
+      .select(col("doc_id") +:
+        graft.functions.GopherStats.fieldNames
+          .map(f => col(s"_g.$f").as(f)): _*)
+    assembleGopherFracs(raw)
+  }
+
   def gopherRepetitionInline(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", toksCol: String = "toks"): DataFrame = {
     val topNs = Seq(2, 3, 4)

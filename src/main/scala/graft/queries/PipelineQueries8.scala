@@ -234,6 +234,21 @@ object PipelineQueries8 {
       TextAnalysis.gopherRepetitionInline(docs)
     },
 
+    // The native-Expression shape of the same bundle (one codegen'd JVM
+    // pass per row, functions/GopherStats) — same oracle as its two
+    // siblings, so the driver gate certifies the custom expression's
+    // arithmetic end to end; CrossCheckSpec separately pins three-way
+    // bit-equality.
+    QueryDef("t_gopher_native", withC(tokDocs + ",\n" + gopherCtes)(
+      s"""SELECT f.*, ($gopherPassSql) AS gopher_pass
+         |FROM f""".stripMargin)) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), PipelineQueries4.relined.as("text"),
+          col("toks"))
+      TextAnalysis.gopherRepetitionNative(docs)
+    },
+
     // ---- SoftDedup duplicate down-weighting -------------------------------
 
     QueryDef("samp_soft_dedup",

@@ -553,5 +553,24 @@ class CrossCheckSpec extends TestBase {
     val b = TextAnalysis.gopherRepetitionInline(docs).collect()
       .map(r => r.getLong(0) -> r.toSeq.tail).toMap
     assert(a == b)
+    val c = TextAnalysis.gopherRepetitionNative(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a == c, "native GopherStats diverges on adversarial fixtures")
+  }
+
+  test("gopher native expression is bit-equal to both siblings on the corpus") {
+    import graft.pipeline.TextAnalysis
+    val docs = WarehouseSim.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+    val a = TextAnalysis.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val c = TextAnalysis.gopherRepetitionNative(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(a.keySet == c.keySet)
+    val diffs = a.keys.filter(k => a(k) != c(k))
+    assert(diffs.isEmpty,
+      s"native/exploded divergence on docs ${diffs.take(3).toList}: " +
+        diffs.take(1).toList.map(k => s"${a(k)} vs ${c(k)}").mkString)
   }
 }
