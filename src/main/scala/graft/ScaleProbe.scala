@@ -277,6 +277,38 @@ object ScaleProbe {
       val (tk, nk) = time(graft.pipeline.Similarity.minePairs(embK).count())
       println(f"${"mine_pairs"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
+
+    // round-8 cont. — j9/j10/topk/zorder. Event-shaped frames derived
+    // from the docs leg so both legs scale together. ts = doc_id·37
+    // UNmodded: the replicas' disjoint id ranges then occupy disjoint
+    // time regions at the SAME per-key event density, so a k× corpus is
+    // k× more of the same timeline — more data, not denser data (a
+    // fixed modulus was measured to densify instead: match counts went
+    // quadratic and SCD2's replicas collided onto identical (key, ts)).
+    def eventish(d: DataFrame): DataFrame =
+      d.select(col("doc_id").as("event_id"),
+        (col("doc_id") % 5).cast("string").as("kk"),
+        (col("doc_id") * 37L).as("t"),
+        length(col("text")).cast("long").as("v"))
+    run("range_join")(d => {
+      val ev = eventish(d)
+      val iv = ev.filter(col("event_id") % 25 === 0)
+        .select(col("kk"), col("event_id").as("iid"),
+          col("t").as("s"), (col("t") + 400L).as("e"))
+      graft.operators.RangeJoin.overlapJoin(ev, iv, Seq("kk"),
+        "t", "s", "e", bucketSeconds = 200L)
+    })
+    run("scd2_history")(d => graft.operators.Scd2.buildHistory(
+      eventish(d), Seq("kk"), "t", "event_id"))
+    run("topk_agg")(d => d
+      .groupBy((col("doc_id") % 50).as("g"))
+      .agg(graft.functions.TopKAgg.topk(spark,
+        struct(length(col("text")).as("l"), col("doc_id")), 5).as("top"))
+      .select(col("g"), explode(col("top"))))
+    run("zorder_value")(d => graft.pipeline.CorpusWriter.zorderValue(
+      d.select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        (col("doc_id") * 2654435761L % 1000).as("m")),
+      Seq("len", "m")))
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup

@@ -1,0 +1,143 @@
+package graft.functions
+
+import java.util.{PriorityQueue => JPriorityQueue}
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/**
+ * Bounded top-k aggregate: keeps the k LARGEST values of its child
+ * under the type's natural ordering and returns them sorted
+ * descending. Pack `struct(score, tieBreak, payload…)` as the child
+ * (the same max-struct idiom [[graft.operators.AsOfJoin.latestPerKeyTs]]
+ * uses) to get "top k rows by score, deterministic tie-break, payload
+ * rides along" — then `posexplode` the array for ranked rows.
+ *
+ * Why an aggregate and not a window: the standard top-n-per-group
+ * formulation (`row_number() OVER (PARTITION BY g ORDER BY s DESC) <=
+ * k`) shuffles EVERY row to its group's partition and sorts the whole
+ * group, even though all but k rows per group are discarded. This
+ * aggregate is algebraic in the way that matters at 100 TB: each map
+ * task reduces its slice to ≤k values per group BEFORE the exchange
+ * (partial aggregation), so the shuffle carries ≤ k·maps·groups
+ * values instead of every row, and no per-group full sort ever runs —
+ * the heap keeps candidate sets bounded at k throughout. Being a
+ * TypedImperativeAggregate it plans as ObjectHashAggregate: no
+ * whole-stage codegen for the agg itself, a trade that wins whenever
+ * rows-per-group ≫ k (the 100-TB case; at k ≈ group size a window is
+ * equivalent and simpler).
+ *
+ * State: a size-k min-heap (peek = weakest kept value); an incoming
+ * value competes with the weakest only — O(log k) per row, O(k) space
+ * per group regardless of group size. Values are deep-copied on
+ * admission (Spark reuses row/UTF8String buffers). Partial-state
+ * serialization round-trips through an UnsafeProjection of
+ * `array<childType>` — the engine's own wire format, so any orderable
+ * child type (atomic, struct, nested) works unchanged. Nulls are
+ * ignored (SQL aggregate convention).
+ */
+case class TopKAgg(child: Expression, k: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[JPriorityQueue[Any]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"topk requires k > 0, got $k")
+
+  @transient private lazy val ord: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType)
+
+  @transient private lazy val ser: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](ArrayType(child.dataType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk"
+
+  override def createAggregationBuffer(): JPriorityQueue[Any] =
+    new JPriorityQueue[Any](k + 1, ord)
+
+  override def update(heap: JPriorityQueue[Any], input: InternalRow): JPriorityQueue[Any] = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (heap.size < k) heap.add(InternalRow.copyValue(v))
+      else if (ord.compare(v, heap.peek) > 0) {
+        heap.poll(); heap.add(InternalRow.copyValue(v))
+      }
+    }
+    heap
+  }
+
+  override def merge(heap: JPriorityQueue[Any], other: JPriorityQueue[Any]): JPriorityQueue[Any] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val v = it.next() // already a deep copy from the partial side
+      if (heap.size < k) heap.add(v)
+      else if (ord.compare(v, heap.peek) > 0) { heap.poll(); heap.add(v) }
+    }
+    heap
+  }
+
+  override def eval(heap: JPriorityQueue[Any]): Any = {
+    val arr = heap.toArray
+    java.util.Arrays.sort(arr,
+      ord.reverse.asInstanceOf[java.util.Comparator[AnyRef]])
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(heap: JPriorityQueue[Any]): Array[Byte] =
+    ser.apply(InternalRow(new GenericArrayData(heap.toArray)))
+      .getBytes
+
+  override def deserialize(bytes: Array[Byte]): JPriorityQueue[Any] = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val heap = createAggregationBuffer()
+    // UnsafeArrayData elements alias the backing buffer; copy them out
+    row.getArray(0).toObjectArray(child.dataType)
+      .foreach(v => heap.add(InternalRow.copyValue(v)))
+    heap
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKAgg =
+    copy(child = newChild)
+}
+
+object TopKAgg {
+
+  /** Register `topk(expr, k)` (idempotent; k must be a literal int). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(e, kExpr) =>
+          val k = kExpr.eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"topk k must be an integer literal, got $other")
+          }
+          TopKAgg(e, k).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("topk(expr, k)")
+      },
+      "built-in")
+
+  /** `topk(value, k)` as a typed Column aggregate. */
+  def topk(spark: SparkSession, value: Column, k: Int): Column = {
+    register(spark)
+    call_function("topk", value, org.apache.spark.sql.functions.lit(k))
+  }
+}

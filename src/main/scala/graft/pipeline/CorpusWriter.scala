@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -138,5 +138,79 @@ object CorpusWriter {
       // "json" = JSONL shards, the lingua franca of training-data
       // interchange; same layout/shard guarantees as parquet
       .format(format).save(outDir)
+  }
+
+  /**
+   * Morton (z-order) interleave of pre-quantized dimensions: bit `b` of
+   * dimension `i` lands at output bit `b·n + i`, so rows close in EVERY
+   * dimension get close z-values. Inputs must be non-negative and
+   * `< 2^bits`; `bits · n` must fit a long. Pure column bit arithmetic
+   * — codegen'd, scan-speed, no shuffle of its own.
+   */
+  def mortonValue(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "mortonValue needs at least one dimension")
+    require(bits > 0 && bits * dims.size <= 63,
+      s"bits*dims must be in (0, 63], got $bits*${dims.size}")
+    val n = dims.size
+    val terms = for { b <- 0 until bits; i <- 0 until n } yield
+      shiftleft(shiftright(dims(i).cast("long"), b).bitwiseAND(lit(1L)),
+        b * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /**
+   * Z-order layout key: linearly quantize each dimension to
+   * `[0, 2^bits)` against its GLOBAL min/max (one tiny aggregate,
+   * broadcast back as a 1-row bounds frame — the [[TextAnalysis
+   * .nllTiersApprox]] pattern; no global sort, no rank window), then
+   * Morton-interleave. Adds `q_<dim>` columns and `z_value`.
+   *
+   * Why this exists: a corpus laid out by ONE column skips scans only
+   * on that column. Sorting by the z-value clusters rows along ALL
+   * chosen dimensions at once, so parquet per-file min/max stats prune
+   * scans filtered on ANY of them — the multi-dimensional data-skipping
+   * play (Z-ordering as in lakehouse OPTIMIZE). The quantization is an
+   * exact, engine-replayable formula (the oracle inlines the identical
+   * double arithmetic), deliberately not rank-based: rank quantization
+   * needs a global sort pass; linear quantization is one scan + one
+   * broadcast and is monotone in the raw value, which is all pruning
+   * needs.
+   */
+  def zorderValue(df: DataFrame, dims: Seq[String], bits: Int = 8): DataFrame = {
+    require(dims.nonEmpty, "zorderValue needs at least one dimension")
+    val scale = (1L << bits) - 1
+    val bounds = df.agg(
+      min(col(dims.head)).as(s"_mn_${dims.head}"),
+      (max(col(dims.head)).as(s"_mx_${dims.head}") +:
+        dims.tail.flatMap(d => Seq(min(col(d)).as(s"_mn_$d"),
+          max(col(d)).as(s"_mx_$d")))): _*)
+    val q = dims.foldLeft(df.crossJoin(broadcast(bounds))) { (d, dim) =>
+      d.withColumn(s"q_$dim",
+        when(col(s"_mx_$dim") === col(s"_mn_$dim"), lit(0L))
+          .otherwise(least(floor(
+            (col(dim) - col(s"_mn_$dim")).cast("double") * scale /
+              (col(s"_mx_$dim") - col(s"_mn_$dim")).cast("double"))
+            .cast("long"), lit(scale))))
+    }
+    q.withColumn("z_value", mortonValue(dims.map(d => col(s"q_$d")), bits))
+      .drop(dims.flatMap(d => Seq(s"_mn_$d", s"_mx_$d")): _*)
+  }
+
+  /**
+   * Write the corpus z-ordered: range-partition on `z_value` (each
+   * output file owns a contiguous z-range) and sort within partitions,
+   * so every file's parquet min/max on every interleaved dimension is
+   * tight. `numFiles` is explicit for the same determinism reason as
+   * [[writeShards]]' numTasks. One range shuffle — the write-once cost
+   * that every later filtered scan amortizes.
+   */
+  def writeZOrdered(df: DataFrame, outDir: String, dims: Seq[String],
+      idCol: String, bits: Int = 8, numFiles: Int = 64,
+      mode: String = "overwrite"): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    zorderValue(df, dims, bits)
+      .repartitionByRange(numFiles, col("z_value"), col(idCol))
+      .sortWithinPartitions(col("z_value"), col(idCol))
+      .write.mode(mode).parquet(outDir)
   }
 }

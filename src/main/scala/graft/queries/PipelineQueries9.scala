@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+import graft.operators.{RangeJoin, Scd2}
+import graft.pipeline.CorpusWriter
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-8 third batch: the bucketized interval join (`j9`), the SCD2
+ * validity-interval build (`j10`), the bounded top-k-per-group native
+ * aggregate (`t_topk_native`), and the z-order layout key
+ * (`pack_zorder`). Each oracle replays the full computation — DuckDB's
+ * native IEJoin answers the range join, a window replay answers the
+ * heap aggregate, and the morton interleave is generated from the SAME
+ * (bit, dim) enumeration the Spark column expression uses.
+ */
+object PipelineQueries9 {
+
+  /** Interval width for the j9 incident windows. */
+  private val winMinutes = 30
+  /** Bucket width for the range-join candidate generator: half the
+    * interval length, so each window explodes to ≤ 3 buckets. */
+  private val rjBucketSeconds = winMinutes * 60L / 2
+  private val topK = 3
+  private val zBits = 8
+
+  /** DuckDB twin of [[CorpusWriter.mortonValue]]: generated from the
+    * identical (bit, dim) enumeration so the two engines interleave
+    * bit-for-bit the same way. */
+  private def mortonSql(cols: Seq[String], bits: Int): String =
+    (for { b <- 0 until bits; i <- cols.indices }
+      yield s"(((${cols(i)} >> $b) & 1) << ${b * cols.size + i})")
+      .mkString(" | ")
+
+  /** DuckDB twin of [[CorpusWriter.zorderValue]]'s linear quantization
+    * (same association order: (v-mn) → double, ×scale, ÷(mx-mn)). */
+  private def quantSql(v: String, mn: String, mx: String, scale: Long): String =
+    s"""CAST(CASE WHEN $mx = $mn THEN 0
+       | ELSE least(CAST(floor(CAST($v - $mn AS DOUBLE) * $scale /
+       |   CAST($mx - $mn AS DOUBLE)) AS BIGINT), $scale) END AS BIGINT)"""
+      .stripMargin.replace("\n", "")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // J9 — interval (range-overlap) join: every event inside a 30-minute
+    // "incident window" opened by each value>200 event of the same type.
+    // DuckDB plans the range predicate natively (IEJoin); Spark reduces
+    // it to an equi-join on (event_type, time bucket) + exact re-filter
+    // (operators/RangeJoin.scala) — no BroadcastNestedLoopJoin anywhere.
+    QueryDef("j9_range_join",
+      s"""WITH incidents AS (
+         |  SELECT event_type, event_id AS incident_id,
+         |    ts AS s_ts, ts + INTERVAL $winMinutes MINUTE AS e_ts
+         |  FROM events WHERE value > 200)
+         |SELECT e.event_type, i.incident_id, count(*) AS n_events,
+         |  round(sum(e.value), 6) AS sum_value,
+         |  min(epoch_us(e.ts)) AS first_us, max(epoch_us(e.ts)) AS last_us
+         |FROM events e JOIN incidents i
+         |  ON e.event_type = i.event_type
+         | AND e.ts >= i.s_ts AND e.ts < i.e_ts
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = W.read(s, dir, "events")
+      val incidents = ev.filter(col("value") > 200)
+        .select(col("event_type"), col("event_id").as("incident_id"),
+          col("ts").as("s_ts"),
+          (col("ts") + expr(s"INTERVAL $winMinutes MINUTES")).as("e_ts"))
+      RangeJoin.overlapJoin(
+          ev.select("event_id", "ts", "event_type", "value"), incidents,
+          Seq("event_type"), "ts", "s_ts", "e_ts",
+          bucketSeconds = rjBucketSeconds)
+        .groupBy("event_type", "incident_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("sum_value"),
+          min(unix_micros(col("ts"))).as("first_us"),
+          max(unix_micros(col("ts"))).as("last_us"))
+    },
+
+    // J10 — SCD2 history: the events change-log per user folded into
+    // validity intervals [effective_from, effective_to). One max-struct
+    // dedup + one lead() window (operators/Scd2.scala); the oracle
+    // replays both (row_number-desc dedup = max-struct with the unique
+    // tie-break leading).
+    QueryDef("j10_scd2_history",
+      """WITH uniq AS (
+        |  SELECT user_id, ts, event_id, event_type AS state, value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id, ts
+        |    ORDER BY event_id DESC) = 1)
+        |SELECT user_id, epoch_us(ts) AS from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS to_us,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current,
+        |  event_id, state, round(value, 6) AS value
+        |FROM uniq""".stripMargin) { (s, dir) =>
+      val changes = W.read(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("state"), round(col("value"), 6).as("value"))
+      Scd2.buildHistory(changes, Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"),
+          unix_micros(col("effective_from")).as("from_us"),
+          unix_micros(col("effective_to")).as("to_us"),
+          col("is_current"), col("event_id"), col("state"), col("value"))
+    },
+
+    // Top-k per group as a bounded-heap NATIVE aggregate (functions/
+    // TopKAgg): map-side partials carry ≤k rows per group into the
+    // exchange — no full per-group sort, no row_number window. The
+    // oracle IS that window formulation, so the hash-match certifies
+    // the heap + merge path against the textbook semantics.
+    QueryDef("t_topk_native",
+      s"""SELECT lang,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY n_chars DESC, doc_id DESC) AS BIGINT) AS rnk,
+         |  n_chars, doc_id
+         |FROM documents
+         |QUALIFY rnk <= $topK""".stripMargin) { (s, dir) =>
+      W.read(s, dir, "documents")
+        .groupBy("lang")
+        .agg(TopKAgg.topk(s, struct(col("n_chars"), col("doc_id")), topK)
+          .as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.n_chars").as("n_chars"), col("col.doc_id").as("doc_id"))
+    },
+
+    // Z-order layout key: linear quantization of (n_chars, n_lines)
+    // against broadcast global bounds, then the morton interleave. The
+    // oracle's interleave SQL is GENERATED from the same (bit, dim)
+    // loop as the Spark column expression — bit-for-bit parity.
+    QueryDef("pack_zorder", {
+      val scale = (1L << zBits) - 1
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(length(text) - length(replace(text, chr(10), '')) + 1
+         |      AS BIGINT) AS n_lines
+         |  FROM documents),
+         |b AS (
+         |  SELECT min(n_chars) AS mn1, max(n_chars) AS mx1,
+         |         min(n_lines) AS mn2, max(n_lines) AS mx2 FROM d),
+         |q AS (
+         |  SELECT doc_id, n_chars, n_lines,
+         |    ${quantSql("n_chars", "mn1", "mx1", scale)} AS q_n_chars,
+         |    ${quantSql("n_lines", "mn2", "mx2", scale)} AS q_n_lines
+         |  FROM d, b)
+         |SELECT doc_id, n_chars, n_lines, q_n_chars, q_n_lines,
+         |  ${mortonSql(Seq("q_n_chars", "q_n_lines"), zBits)} AS z_value
+         |FROM q""".stripMargin
+    }) { (s, dir) =>
+      val d = W.read(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "\n", "")) + 1)
+            .cast("long").as("n_lines"))
+      CorpusWriter.zorderValue(d, Seq("n_chars", "n_lines"), zBits)
+    }
+  )
+}

@@ -95,4 +95,56 @@ class CorpusWriterSpec extends TestBase {
     assert(s1 == s2)
     assert(s1.values.toSet.subsetOf((0L until 5L).toSet))
   }
+
+  test("mortonValue interleaves bits: known values, monotone in each dim") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 0L),
+      (255L, 255L)).toDF("a", "b")
+    val got = df.select(CorpusWriter.mortonValue(Seq(col("a"), col("b")), 8))
+      .as[Long].collect().toSeq
+    // bit b of dim i -> output bit 2b+i: (1,0)->1, (0,1)->2, (1,1)->3,
+    // (3,0)->0b101=5, (255,255)->65535
+    assert(got === Seq(0L, 1L, 2L, 3L, 5L, 65535L))
+  }
+
+  test("writeZOrdered: disjoint per-file z-ranges, tighter per-file dim spans") {
+    val docs = WarehouseSim.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (col("doc_id") * 2654435761L % 1000).as("m")) // independent 2nd dim
+    val out = tmpDir("zorder-out").toString
+    CorpusWriter.writeZOrdered(docs, out, Seq("n_chars", "m"), "doc_id",
+      bits = 8, numFiles = 8)
+
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length > 1, "expected multiple z-ordered files")
+
+    // range partitioning on z: per-file [min,max] z intervals are disjoint
+    val zRanges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("z_value"), max("z_value"))
+        .collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    zRanges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo, "overlapping z ranges")
+      case _ =>
+    }
+
+    // data-skipping effectiveness: per-file n_chars spans must be far
+    // tighter than a layout that ignores n_chars would give (each file
+    // of a random layout spans ~the whole global range)
+    val g = docs.agg(min("n_chars"), max("n_chars")).collect().head
+    val globalSpan = (g.getLong(1) - g.getLong(0)).toDouble
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("n_chars"), max("n_chars"))
+        .collect().head
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    assert(spans.sum / spans.length < 0.7 * globalSpan,
+      s"mean per-file span ${spans.sum / spans.length} vs global $globalSpan")
+
+    // lossless
+    assert(spark.read.parquet(out).select("doc_id").distinct().count()
+      === docs.count())
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
+
+/** The bounded-heap top-k aggregate vs the window formulation it
+  * replaces: equality on the corpus (merge path forced through many
+  * partitions), small-group and null handling, atomic-type support,
+  * and the ObjectHashAggregate partial-aggregation plan pin. */
+class TopKAggSpec extends TestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("topk(struct) matches the row_number window on the corpus") {
+    val docs = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
+      .repartition(13) // force the serialize/merge partial path
+    val got = docs.groupBy("lang")
+      .agg(TopKAgg.topk(spark, struct(col("n_chars"), col("doc_id")), 5)
+        .as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).as("rnk"),
+        col("col.n_chars"), col("col.doc_id"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id").desc)
+    val want = docs.select(col("lang"), row_number().over(w).as("rnk"),
+        col("n_chars"), col("doc_id"))
+      .filter(col("rnk") <= 5)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("k larger than the group returns the whole group, sorted desc") {
+    val df = Seq(("g", 3L), ("g", 1L), ("g", 2L)).toDF("g", "v")
+    val got = df.groupBy("g").agg(TopKAgg.topk(spark, col("v"), 10).as("t"))
+      .select("t").as[Seq[Long]].collect().head
+    assert(got === Seq(3L, 2L, 1L))
+  }
+
+  test("nulls are ignored; all-null group yields an empty array") {
+    val df = Seq(("g", Some(2L)), ("g", None), ("h", None))
+      .toDF("g", "v")
+    val got = df.groupBy("g").agg(TopKAgg.topk(spark, col("v"), 3).as("t"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got === Map("g" -> Seq(2L), "h" -> Seq.empty))
+  }
+
+  test("atomic orderable types work — top strings") {
+    val df = Seq("pear", "apple", "quince", "fig").toDF("s")
+      .repartition(3)
+    val got = df.agg(TopKAgg.topk(spark, col("s"), 2).as("t"))
+      .select("t").as[Seq[String]].collect().head
+    assert(got === Seq("quince", "pear"))
+  }
+
+  test("ties keep duplicates up to k (a multiset, not distinct)") {
+    val df = Seq(5L, 5L, 5L, 1L).toDF("v")
+    val got = df.agg(TopKAgg.topk(spark, col("v"), 3).as("t"))
+      .select("t").as[Seq[Long]].collect().head
+    assert(got === Seq(5L, 5L, 5L))
+  }
+
+  test("plans as ObjectHashAggregate with a partial stage before the exchange") {
+    val docs = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
+    val plan = docs.groupBy("lang")
+      .agg(TopKAgg.topk(spark, struct(col("n_chars"), col("doc_id")), 5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // partial aggregation present: two ObjectHashAggregate nodes
+    assert(plan.sliding("ObjectHashAggregate".length)
+      .count(_ == "ObjectHashAggregate") >= 2, plan)
+  }
+}
