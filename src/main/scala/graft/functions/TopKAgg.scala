@@ -20,15 +20,20 @@ import org.apache.spark.sql.types._
  * uses) to get "top k rows by score, deterministic tie-break, payload
  * rides along" — then `posexplode` the array for ranked rows.
  *
- * Why an aggregate and not a window: the standard top-n-per-group
- * formulation (`row_number() OVER (PARTITION BY g ORDER BY s DESC) <=
- * k`) shuffles EVERY row to its group's partition and sorts the whole
- * group, even though all but k rows per group are discarded. This
- * aggregate is algebraic in the way that matters at 100 TB: each map
- * task reduces its slice to ≤k values per group BEFORE the exchange
- * (partial aggregation), so the shuffle carries ≤ k·maps·groups
- * values instead of every row, and no per-group full sort ever runs —
- * the heap keeps candidate sets bounded at k throughout. Being a
+ * Why an aggregate and not a window — the honest comparison against
+ * Spark 4's own optimization: the standard formulation (`row_number()
+ * OVER (PARTITION BY g ORDER BY s DESC) <= k`) is no longer the
+ * naive shuffle-everything plan — Spark ≥3.5 inserts
+ * `WindowGroupLimit(Partial)` before the exchange, so BOTH paths
+ * carry ≤ k·maps·groups rows through the shuffle. What the window
+ * path still pays and this aggregate doesn't (measured 1.3× at
+ * sf0.1, TopKAggSpec's twin): a full LOCAL sort of every map
+ * partition (O(n log n)) feeding the partial limit, then a final
+ * per-group sort + Window pass after the exchange — the heap does
+ * O(n log k) per map slice with no sort anywhere. The structural win
+ * is composability: being a real aggregate, top-k computes IN THE
+ * SAME groupBy as count/sum/avg — one scan, one shuffle — where the
+ * window formulation needs its own pass and a join back. Being a
  * TypedImperativeAggregate it plans as ObjectHashAggregate: no
  * whole-stage codegen for the agg itself, a trade that wins whenever
  * rows-per-group ≫ k (the 100-TB case; at k ≈ group size a window is
