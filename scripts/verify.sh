@@ -1,7 +1,7 @@
 #!/bin/bash
 # Dev helper: package the lib once, then run graft.Verify on the raw
 # classpath (much faster than `sbt run` per iteration).
-# Usage: scripts/verify.sh [sfDir] [outDir]
+# Usage: scripts/verify.sh [sfDir] [outDir] [queryFilter]
 set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.001}
@@ -11,4 +11,4 @@ JAR=$(ls target/scala-2.13/*.jar | grep -v -- '-tests' | head -1)
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 rm -rf "$OUT"
 java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF" "$OUT"
+  -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF" "$OUT" ${3:+"$3"}

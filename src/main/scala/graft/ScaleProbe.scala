@@ -309,6 +309,12 @@ object ScaleProbe {
       d.select(col("doc_id"), length(col("text")).cast("long").as("len"),
         (col("doc_id") * 2654435761L % 1000).as("m")),
       Seq("len", "m")))
+    run("compaction_plan")(d => graft.fs.CompactionPlanner.planSummary(
+      d.select(concat(lit("d_"), (col("doc_id") % 500).cast("string"))
+          .as("dir"),
+        col("doc_id").cast("string").as("rel_path"),
+        length(col("text")).cast("long").as("size")),
+      targetBytes = 50000L))
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup

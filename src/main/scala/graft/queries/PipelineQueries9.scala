@@ -4,9 +4,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKAgg
+import graft.fs.CompactionPlanner
 import graft.operators.{RangeJoin, Scd2}
 import graft.pipeline.CorpusWriter
-import graft.sim.{WarehouseSim => W}
+import graft.sim.{OracleCtes => C, WarehouseSim => W}
 
 /**
  * Round-8 third batch: the bucketized interval join (`j9`), the SCD2
@@ -26,6 +27,7 @@ object PipelineQueries9 {
   private val rjBucketSeconds = winMinutes * 60L / 2
   private val topK = 3
   private val zBits = 8
+  private val compactTarget = 64000000L
 
   /** DuckDB twin of [[CorpusWriter.mortonValue]]: generated from the
     * identical (bit, dim) enumeration so the two engines interleave
@@ -154,6 +156,25 @@ object PipelineQueries9 {
             length(regexp_replace(col("text"), "\n", "")) + 1)
             .cast("long").as("n_lines"))
       CorpusWriter.zorderValue(d, Seq("n_chars", "n_lines"), zBits)
+    },
+
+    // O6 — small-files compaction plan: contiguous-fill binning of the
+    // source manifest at a 64 MB target (fs/CompactionPlanner). The
+    // oracle replays the running-sum window + integer division exactly.
+    QueryDef("o6_compaction_plan",
+      C.withCtes(C.srcFiles)(
+        s"""SELECT dir, bin, count(*) AS n_files,
+           |  CAST(sum(size) AS BIGINT) AS bytes,
+           |  min(rel_path) AS first_file, max(rel_path) AS last_file
+           |FROM (
+           |  SELECT dir, rel_path, size,
+           |    CAST(coalesce(sum(size) OVER (PARTITION BY dir
+           |      ORDER BY rel_path
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      // $compactTarget AS BIGINT) AS bin
+           |  FROM src_files)
+           |GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
+      CompactionPlanner.planSummary(W.srcFiles(s, dir), compactTarget)
     }
   )
 }
