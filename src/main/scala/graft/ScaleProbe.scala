@@ -315,6 +315,18 @@ object ScaleProbe {
         col("doc_id").cast("string").as("rel_path"),
         length(col("text")).cast("long").as("size")),
       targetBytes = 50000L))
+    run("source_venn_exact")(d => graft.pipeline.Dedup.sourceVenn(d))
+    run("source_venn_sketch")(d => graft.pipeline.Dedup.sourceVennSketch(d))
+    run("card_incremental")(d => {
+      val dl = d.withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      graft.pipeline.CorpusReport.renderState(
+        graft.pipeline.CorpusReport.mergeStatsState(
+          graft.pipeline.CorpusReport.statsState(
+            dl.filter(col("doc_id") % 3 =!= 0)),
+          graft.pipeline.CorpusReport.statsState(
+            dl.filter(col("doc_id") % 3 === 0))))
+    })
     spark.stop()
   }
   private val Dedup = graft.pipeline.Dedup

@@ -169,4 +169,57 @@ object CorpusReport {
       round(log(col("vocab").cast("double")) /
         log(col("n_tokens_total").cast("double")), 6).as("heaps_beta"))
   }
+
+  // ---- incremental (mergeable) data card ----------------------------------
+
+  /**
+   * Mergeable sufficient-statistics STATE per (lang, source) cell: the
+   * additive columns (counts, sums, min/max) plus a DataSketches HLL
+   * sketch of the content fingerprints standing in for the
+   * non-additive distinct count. `merge(statsState(A), statsState(B))`
+   * renders the same card as `statsState(A ∪ B)` — bit-equal on every
+   * additive column (oracle-certified by `report_card_incremental`),
+   * sketch-estimate within rsd on the distinct (CorpusReportSpec).
+   *
+   * This is the 100-TB maintenance story for [[dataCard]]: a corpus
+   * that ingests daily never re-scans history — each batch reduces to
+   * its cells-sized state (kilobytes), and the release card is a
+   * cells-sized merge. The same state powers corpus DIFFERENCE cards
+   * (what did this month add) without touching the old data.
+   */
+  def statsState(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+        col("n_chars"),
+        TextAnalysis.fingerprint(col("text")).as("fpr"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        hll_sketch_agg(col("fpr"), lit(lgK)).as("fpr_sketch"))
+
+  /** Merge two (or, folded, any number of) stats states cell-wise:
+    * sums add, min/max fold, HLL sketches union. Cost: a cells-sized
+    * aggregate — the corpus is never touched. */
+  def mergeStatsState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("lang", "source")
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("min_chars")).as("min_chars"),
+        max(col("max_chars")).as("max_chars"),
+        hll_union_agg(col("fpr_sketch")).as("fpr_sketch"))
+
+  /** Render a state as the card: estimate the distinct, drop the
+    * binary sketch. */
+  def renderState(state: DataFrame): DataFrame =
+    state.select(col("lang"), col("source"), col("n_docs"),
+      hll_sketch_estimate(col("fpr_sketch")).as("n_unique_approx"),
+      col("n_tokens"), col("n_chars"), col("min_chars"), col("max_chars"))
 }

@@ -856,6 +856,71 @@ object Dedup {
   }
 
   /**
+   * Exact source Venn: for every ordered source pair, the distinct-
+   * content counts |A|, |B|, |A∩B|, |A\B|, |B\A| over normalized
+   * fingerprints — the overlap matrix a mixture designer reads before
+   * weighting sources (how much of B is already in A). Distinct
+   * fingerprint+source projection, one fpr equi-join for the
+   * intersections, totals cross-paired (sources × sources is tiny).
+   * Pairs with zero overlap still appear (left join), so the matrix is
+   * complete. Cost class: the fingerprint distinct shuffle + one
+   * fpr-keyed join — same as corpus diff; the certified-exact path.
+   * [[sourceVennSketch]] is the scan-speed twin for 100 TB.
+   */
+  def sourceVenn(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val fs = docs.select(
+      graft.pipeline.TextAnalysis.fingerprint(col(textCol)).as("fpr"),
+      col(srcCol).as("src")).distinct()
+    val totals = fs.groupBy("src").agg(count(lit(1)).as("n"))
+    val common = fs.select(col("fpr"), col("src").as("src_a"))
+      .join(fs.select(col("fpr"), col("src").as("src_b")), "fpr")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    totals.select(col("src").as("src_a"), col("n").as("n_a"))
+      .join(totals.select(col("src").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+      .join(common, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (col("n_a") - coalesce(col("n_common"), lit(0L))).as("n_only_a"),
+        (col("n_b") - coalesce(col("n_common"), lit(0L))).as("n_only_b"))
+  }
+
+  /**
+   * Theta-sketch source Venn — the 100-TB twin of [[sourceVenn]]: ONE
+   * scan reduces each source to a theta sketch of its fingerprints
+   * (map-side mergeable, sources-sized result); intersections and
+   * differences are then SKETCH set-operations on the tiny per-source
+   * frame — no distinct shuffle, no fingerprint join, cost independent
+   * of overlap structure. Theta (not HLL) because HLL unions only;
+   * intersection/difference need theta's retained-sample form
+   * (DataSketches). Estimates land within the sketch rsd of the exact
+   * matrix (CorpusReportSpec pins the envelope on the corpus); the
+   * exact op remains the certification path.
+   */
+  def sourceVennSketch(docs: DataFrame, lgK: Int = 12,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sk = docs.select(
+        graft.pipeline.TextAnalysis.fingerprint(col(textCol)).as("fpr"),
+        col(srcCol).as("src"))
+      .groupBy("src")
+      .agg(theta_sketch_agg(col("fpr"), lgK).as("sk"))
+    sk.select(col("src").as("src_a"), col("sk").as("sk_a"))
+      .join(sk.select(col("src").as("src_b"), col("sk").as("sk_b")),
+        col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        theta_sketch_estimate(col("sk_a")).as("n_a_est"),
+        theta_sketch_estimate(col("sk_b")).as("n_b_est"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .as("n_common_est"),
+        theta_sketch_estimate(theta_difference(col("sk_a"), col("sk_b")))
+          .as("n_only_a_est"),
+        theta_sketch_estimate(theta_difference(col("sk_b"), col("sk_a")))
+          .as("n_only_b_est"))
+  }
+
+  /**
    * Connected components over near-dup pairs → `(doc_id, cluster_id)`
    * with `cluster_id` = the minimum doc id reachable. This is the step
    * that turns pairwise dedup output into actionable *clusters* (keep one

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TopKAgg
 import graft.fs.CompactionPlanner
 import graft.operators.{RangeJoin, Scd2}
-import graft.pipeline.CorpusWriter
+import graft.pipeline.{CorpusReport, CorpusWriter}
 import graft.sim.{OracleCtes => C, WarehouseSim => W}
 
 /**
@@ -175,6 +175,77 @@ object PipelineQueries9 {
            |  FROM src_files)
            |GROUP BY 1, 2""".stripMargin)) { (s, dir) =>
       CompactionPlanner.planSummary(W.srcFiles(s, dir), compactTarget)
+    },
+
+    // Incremental data card: the corpus split into an "old" slice and a
+    // "delta" batch, each reduced to its mergeable stats STATE, states
+    // merged, card rendered. The oracle is the single-pass groupBy over
+    // the full corpus — the hash-match IS the mergeability theorem
+    // (merge(state(A), state(B)) = state(A ∪ B)) for every additive
+    // column; the HLL distinct column rides the same state and is
+    // envelope-pinned in CorpusReportSpec (sketches are engine-specific).
+    QueryDef("report_card_incremental",
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+        |    AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 3 =!= 0)
+      val delta = docs.filter(col("doc_id") % 3 === 0)
+      CorpusReport.renderState(CorpusReport.mergeStatsState(
+          CorpusReport.statsState(old), CorpusReport.statsState(delta)))
+        .drop("n_unique_approx")
+    },
+
+    // Exact source Venn matrix: |A|, |B|, |A∩B|, |A\B|, |B\A| over
+    // distinct content fingerprints for every ordered source pair —
+    // the overlap table a mixture designer reads. The theta-sketch
+    // twin (Dedup.sourceVennSketch) is envelope-pinned in
+    // CorpusReportSpec; this exact path is the certification.
+    QueryDef("dedup_source_venn",
+      """WITH fs AS (
+        |  SELECT DISTINCT
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fpr,
+        |    source AS src
+        |  FROM documents),
+        |t AS (SELECT src, count(*) AS n FROM fs GROUP BY 1),
+        |c AS (
+        |  SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+        |  FROM fs a JOIN fs b ON a.fpr = b.fpr AND a.src < b.src
+        |  GROUP BY 1, 2)
+        |SELECT ta.src AS src_a, tb.src AS src_b, ta.n AS n_a, tb.n AS n_b,
+        |  coalesce(c.n_common, 0) AS n_common,
+        |  ta.n - coalesce(c.n_common, 0) AS n_only_a,
+        |  tb.n - coalesce(c.n_common, 0) AS n_only_b
+        |FROM t ta JOIN t tb ON ta.src < tb.src
+        |LEFT JOIN c ON c.src_a = ta.src AND c.src_b = tb.src""".stripMargin) {
+      (s, dir) => graft.pipeline.Dedup.sourceVenn(W.read(s, dir, "documents"))
+    },
+
+    // §2.5 window family, time-RANGE frame: trailing-hour activity per
+    // user (count + value sum over RANGE 1h PRECEDING). Rows-frames
+    // (w1) order peers arbitrarily within ties; a RANGE frame is the
+    // event-time-correct sliding window — peers at the same timestamp
+    // see the same frame in both engines.
+    QueryDef("w3_trailing_hour",
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER tw AS BIGINT) AS n_1h,
+        |  round(sum(value) OVER tw, 6) AS sum_1h
+        |FROM (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+        |WINDOW tw AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""".stripMargin) {
+      (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("us"))
+          .rangeBetween(-3599999999L, 0L)
+        W.read(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("us"))
+          .select(col("user_id"), col("event_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            round(sum("value").over(w), 6).as("sum_1h"))
     }
   )
 }

@@ -91,4 +91,57 @@ class CorpusReportSpec extends TestBase {
         s"cell $k approx ${a.getLong(3)} vs exact $ex")
     }
   }
+
+  test("statsState merge: additive columns bit-equal to the one-shot card, " +
+      "HLL estimate inside the envelope, merge associative") {
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val c = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    def st(d: org.apache.spark.sql.DataFrame) = CorpusReport.statsState(d)
+    val merged = CorpusReport.mergeStatsState(
+      CorpusReport.mergeStatsState(st(a), st(b)), st(c))
+    val oneShot = CorpusReport.statsState(docs)
+
+    val m = CorpusReport.renderState(merged).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    val o = CorpusReport.renderState(oneShot).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    assert(m.keySet === o.keySet)
+    m.keys.foreach { k =>
+      // additive columns (all but the index-3 estimate) bit-equal
+      Seq(2, 4, 5, 6, 7).foreach(i =>
+        assert(m(k)(i) === o(k)(i), s"cell $k col $i"))
+      // merged-sketch estimate within the envelope of the exact distinct
+      val exact = docs.filter(col("lang") === k._1 && col("source") === k._2)
+        .select(graft.pipeline.TextAnalysis.fingerprint(col("text")))
+        .distinct().count().toDouble
+      assert(math.abs(m(k)(3).asInstanceOf[Long] - exact)
+        <= math.max(1.0, 0.2 * exact), s"cell $k est ${m(k)(3)} vs $exact")
+    }
+    // associativity: the other grouping renders the same card
+    val merged2 = CorpusReport.mergeStatsState(
+      st(a), CorpusReport.mergeStatsState(st(b), st(c)))
+    val m2 = CorpusReport.renderState(merged2).collect()
+      .map(r => key(r) -> r.toSeq).toMap
+    assert(m === m2)
+  }
+
+  test("sourceVennSketch lands inside the envelope of the exact venn") {
+    import graft.pipeline.Dedup
+    val exact = Dedup.sourceVenn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    val est = Dedup.sourceVennSketch(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (2 to 6).map(r.getLong)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (k, e) =>
+      exact(k).zip(e).zipWithIndex.foreach { case ((ex, ap), i) =>
+        assert(math.abs(ap - ex) <= math.max(2.0, 0.2 * ex),
+          s"pair $k col $i est $ap vs exact $ex")
+      }
+    }
+  }
 }
