@@ -315,6 +315,10 @@ object ScaleProbe {
         col("doc_id").cast("string").as("rel_path"),
         length(col("text")).cast("long").as("size")),
       targetBytes = 50000L))
+    run("session_window_native")(d => eventish(d)
+      .groupBy(col("kk"),
+        session_window(timestamp_seconds(col("t")), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
     run("source_venn_exact")(d => graft.pipeline.Dedup.sourceVenn(d))
     run("source_venn_sketch")(d => graft.pipeline.Dedup.sourceVennSketch(d))
     run("card_incremental")(d => {

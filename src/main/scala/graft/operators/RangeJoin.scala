@@ -82,4 +82,27 @@ object RangeJoin {
       .filter(us(leftTs) >= col("_s_us") && us(leftTs) < col("_e_us"))
       .drop("_rjb", "_s_us", "_e_us")
   }
+
+  /**
+   * Derive `bucketSeconds` from the interval-length distribution: the
+   * chosen quantile of `end - start` (sketch aggregate, one tiny
+   * collect), so a typical interval explodes to ~`1/q`+1 bucket rows.
+   * Join OUTPUT is bucket-width-independent (the exact predicate
+   * re-filters); only the candidate volume changes — so auto-sizing is
+   * always safe, just not always optimal. Returns 1s for empty/
+   * degenerate inputs.
+   */
+  def autoBucketSeconds(right: DataFrame, startCol: String, endCol: String,
+      quantile: Double = 0.75): Long = {
+    require(quantile > 0 && quantile <= 1, s"quantile in (0,1], got $quantile")
+    val r = right
+      .select(((unix_micros(col(endCol).cast(TimestampType)) -
+        unix_micros(col(startCol).cast(TimestampType))) / 1000000L)
+        .as("len"))
+      .filter(col("len") > 0)
+      .agg(percentile_approx(col("len"), lit(quantile), lit(10000)))
+      .collect()
+    if (r.isEmpty || r.head.isNullAt(0)) 1L
+    else math.max(1L, math.round(r.head.getDouble(0)))
+  }
 }

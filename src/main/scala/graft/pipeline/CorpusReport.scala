@@ -200,11 +200,13 @@ object CorpusReport {
         sum(col("n_chars")).as("n_chars"),
         min(col("n_chars")).as("min_chars"),
         max(col("n_chars")).as("max_chars"),
-        hll_sketch_agg(col("fpr"), lit(lgK)).as("fpr_sketch"))
+        hll_sketch_agg(col("fpr"), lit(lgK)).as("fpr_sketch"),
+        kll_sketch_agg_bigint(col("n_chars")).as("chars_kll"))
 
   /** Merge two (or, folded, any number of) stats states cell-wise:
-    * sums add, min/max fold, HLL sketches union. Cost: a cells-sized
-    * aggregate — the corpus is never touched. */
+    * sums add, min/max fold, sketches union (HLL for the distinct, KLL
+    * for the length distribution). Cost: a cells-sized aggregate — the
+    * corpus is never touched. */
   def mergeStatsState(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b)
       .groupBy("lang", "source")
@@ -214,12 +216,20 @@ object CorpusReport {
         sum(col("n_chars")).as("n_chars"),
         min(col("min_chars")).as("min_chars"),
         max(col("max_chars")).as("max_chars"),
-        hll_union_agg(col("fpr_sketch")).as("fpr_sketch"))
+        hll_union_agg(col("fpr_sketch")).as("fpr_sketch"),
+        kll_merge_agg_bigint(col("chars_kll")).as("chars_kll"))
 
-  /** Render a state as the card: estimate the distinct, drop the
-    * binary sketch. */
+  /** Render a state as the card: estimate distinct + length quantiles,
+    * drop the binary sketches. The KLL columns make the incremental
+    * card distribution-aware — median/p90 lengths maintained without
+    * ever re-scanning history (exact percentile needs the raw data;
+    * KLL is the mergeable form, same trade as HLL vs countDistinct). */
   def renderState(state: DataFrame): DataFrame =
     state.select(col("lang"), col("source"), col("n_docs"),
       hll_sketch_estimate(col("fpr_sketch")).as("n_unique_approx"),
-      col("n_tokens"), col("n_chars"), col("min_chars"), col("max_chars"))
+      col("n_tokens"), col("n_chars"), col("min_chars"), col("max_chars"),
+      kll_sketch_get_quantile_bigint(col("chars_kll"), lit(0.5))
+        .as("p50_chars"),
+      kll_sketch_get_quantile_bigint(col("chars_kll"), lit(0.9))
+        .as("p90_chars"))
 }

@@ -196,7 +196,10 @@ object PipelineQueries9 {
       val delta = docs.filter(col("doc_id") % 3 === 0)
       CorpusReport.renderState(CorpusReport.mergeStatsState(
           CorpusReport.statsState(old), CorpusReport.statsState(delta)))
-        .drop("n_unique_approx")
+        // sketch-derived columns (distinct estimate, KLL quantiles) are
+        // engine-specific — spec-certified, not oracle-compared
+        .select("lang", "source", "n_docs", "n_tokens", "n_chars",
+          "min_chars", "max_chars")
     },
 
     // Exact source Venn matrix: |A|, |B|, |A∩B|, |A\B|, |B\A| over
@@ -246,6 +249,41 @@ object PipelineQueries9 {
           .select(col("user_id"), col("event_id"),
             count(lit(1)).over(w).as("n_1h"),
             round(sum("value").over(w), 6).as("sum_1h"))
+    },
+
+    // §2.5, session windows via Spark's native session_window (the
+    // merging event-time session Structured Streaming uses, run in
+    // batch mode): per (user, session) bounds + volumes. The oracle
+    // replays the gap-merge with the islands construction (a new
+    // session starts when the gap from the previous event EXCEEDS 1h —
+    // an event exactly at the previous session's end merges into it,
+    // pinned by the CrossCheckSpec boundary fixture; end = last event
+    // + gap). w2 certifies the lag-based count; this certifies the
+    // native operator's full window bounds.
+    QueryDef("w4_session_window",
+      """WITH x AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM x)
+        |SELECT user_id, min(us) AS start_us, max(us) + 3600000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      W.read(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 6).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          unix_micros(col("sw.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
     }
   )
 }

@@ -118,6 +118,17 @@ class CorpusReportSpec extends TestBase {
         .distinct().count().toDouble
       assert(math.abs(m(k)(3).asInstanceOf[Long] - exact)
         <= math.max(1.0, 0.2 * exact), s"cell $k est ${m(k)(3)} vs $exact")
+      // merged KLL p50 is an ORDER STATISTIC (no interpolation): it
+      // must be an actual cell value whose rank sits at the median
+      // within the sketch tolerance (±1 for the tiny sf0.001 cells)
+      val vals = docs.filter(col("lang") === k._1 && col("source") === k._2)
+        .select("n_chars").collect().map(_.getLong(0)).sorted
+      val p50 = m(k)(8).asInstanceOf[Long]
+      assert(vals.contains(p50), s"cell $k p50 $p50 not a data value")
+      val rank = vals.count(_ <= p50)
+      val tol = math.max(1.0, 0.02 * vals.length)
+      assert(math.abs(rank - 0.5 * vals.length) <= tol + 1,
+        s"cell $k p50 $p50 rank $rank of ${vals.length}")
     }
     // associativity: the other grouping renders the same card
     val merged2 = CorpusReport.mergeStatsState(

@@ -573,4 +573,25 @@ class CrossCheckSpec extends TestBase {
       s"native/exploded divergence on docs ${diffs.take(3).toList}: " +
         diffs.take(1).toList.map(k => s"${a(k)} vs ${c(k)}").mkString)
   }
+
+  test("session_window boundary: gap-equal spacing merges, gap+1 splits") {
+    // pins the semantics the w4 oracle encodes (a new session starts
+    // only when the gap EXCEEDS the window gap — an event exactly at
+    // the previous session's end merges; end = last event + gap) on
+    // the exact boundary the corpus never hits
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 3600000000L),       // gap-equal -> merge
+      (2L, 0L), (2L, 3599999999L),                  // gap-1 -> merge
+      (3L, 0L), (3L, 3600000001L))                  // gap+1 -> split
+      .toDF("uid", "us").withColumn("ts", timestamp_micros(col("us")))
+    val sessions = df
+      .groupBy(col("uid"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("uid"), unix_micros(col("sw.end")).as("end_us"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sessions === Set(
+      (1L, 7200000000L, 2L),
+      (2L, 3599999999L + 3600000000L, 2L),
+      (3L, 3600000000L, 1L), (3L, 7200000001L, 1L)))
+  }
 }

@@ -22,9 +22,15 @@ class PlanAuditSpec extends TestBase {
   //  - report_zipf / report_embedding_health: same 1-row × 1-row shape
   //    (regression-sum frame × totals frame; count frame × quantized
   //    norm-sum frame) — the crossJoin is of two scalar aggregates.
+  //  - pack_zorder: crossJoin of the broadcast 1-row global-bounds
+  //    frame (the nllTiersApprox pattern) — constant cost at any size;
+  //  - dedup_source_venn: the totals pair frame is #sources × #sources
+  //    (an inequality join on a catalog-sized aggregate, never the
+  //    corpus); the corpus-sized work is the fpr equi-join.
   private val cartesianExempt =
     Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning",
-      "report_zipf", "report_embedding_health")
+      "report_zipf", "report_embedding_health", "pack_zorder",
+      "dedup_source_venn")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted

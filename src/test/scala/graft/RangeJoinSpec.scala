@@ -73,6 +73,19 @@ class RangeJoinSpec extends TestBase {
     assert(e.getMessage.contains("maxBucketsPerInterval"))
   }
 
+  test("autoBucketSeconds sizes from the interval-length quantile; " +
+      "auto-sized join equals the fixed-bucket join") {
+    val w = RangeJoin.autoBucketSeconds(intervals, "s", "e")
+    // interval lengths are (i % 5) * 300 in [0, 1200]; p75 of the
+    // positive ones is 900 (lengths 300/600/900/1200 uniformly)
+    assert(w >= 300L && w <= 1200L, s"auto width $w")
+    val auto = RangeJoin.overlapJoin(events, intervals, Seq("k"),
+        "t", "s", "e", bucketSeconds = w)
+      .select(col("event_id"), col("iid"))
+      .as[(Long, Long)].collect().toSet
+    assert(auto === naive)
+  }
+
   test("plan is an equi-join — no nested loop, no cartesian product") {
     val plan = RangeJoin.overlapJoin(events, intervals, Seq("k"),
         "t", "s", "e", 300L)

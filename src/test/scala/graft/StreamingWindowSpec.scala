@@ -46,6 +46,45 @@ class StreamingWindowSpec extends TestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("native session_window aggregation streams to the batch result") {
+    import spark.implicits._
+    val stage = tmpDir("stream-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      stage.resolve("events.parquet"))
+    val path = stage.toUri.toString
+    val schema = spark.read.parquet(path).schema
+
+    // the same merging event-time session w4_session_window certifies in
+    // batch, run through Structured Streaming's stateful session operator
+    val stream = graft.sim.WarehouseSim.normalizeTimestamps(
+        spark.readStream.schema(schema).parquet(path))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"))
+
+    val qName = s"sess_${System.nanoTime()}"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qName).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table(qName)
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("e"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    val batch = graft.sim.WarehouseSim
+      .read(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("s"),
+        unix_micros(col("sw.end")).as("e"), col("n"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch, s"stream=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful sessionization carries open sessions across micro-batches") {
     import graft.streaming._
     import spark.implicits._
