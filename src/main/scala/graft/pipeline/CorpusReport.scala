@@ -224,6 +224,32 @@ object CorpusReport {
     * card distribution-aware — median/p90 lengths maintained without
     * ever re-scanning history (exact percentile needs the raw data;
     * KLL is the mergeable form, same trade as HLL vs countDistinct). */
+  /**
+   * Join/shuffle skew diagnosis for a key column: per-key row counts
+   * rolled into the numbers an operator-tuning decision needs — max vs
+   * mean key size (the skew factor), the p99, and the salt factor that
+   * would level the hottest key to the average (what a manual salting
+   * pass would use; AQE's skew-join split consumes the same signal at
+   * runtime). Two aggregates: one keyed count (map-side combined), one
+   * keys-sized rollup — diagnosis never costs more than the groupBy it
+   * diagnoses.
+   */
+  def joinSkewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(keyCol).agg(count(lit(1)).as("c"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_rows"),
+        round(avg(col("c")), 6).as("avg_key_rows"),
+        round(expr("percentile(c, 0.99)"), 6).as("p99_key_rows"))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"),
+        col("avg_key_rows"), col("p99_key_rows"),
+        round(col("max_key_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 6)
+          .as("skew_factor"),
+        ceil(col("max_key_rows").cast("double") * col("n_keys").cast("double")
+          / col("n_rows").cast("double")).cast("long").as("suggested_salt"))
+
   def renderState(state: DataFrame): DataFrame =
     state.select(col("lang"), col("source"), col("n_docs"),
       hll_sketch_estimate(col("fpr_sketch")).as("n_unique_approx"),

@@ -212,6 +212,33 @@ object Sampling {
       .drop("rn")
   }
 
+  /**
+   * [[stratifiedSample]]'s skew-proof twin: the same selection rule
+   * (n smallest id-hashes per stratum, id tie-break — bit-identical
+   * output, SamplingSpec pins it) computed with the bounded-heap
+   * aggregate [[graft.functions.TopKAgg]] instead of a row_number
+   * window. Each map task reduces its slice to ≤n candidates per
+   * stratum BEFORE the shuffle and no per-stratum sort ever runs, so
+   * a skewed stratum costs O(n) state instead of one giant window
+   * partition — this removes the "cap input first" caveat on the
+   * window form. TopKAgg keeps the LARGEST values, so the struct
+   * negates (hash, id); ids are recovered from the payload and joined
+   * back for the full rows (requires unique `idCol`, the corpus
+   * invariant).
+   */
+  def stratifiedSampleAgg(df: DataFrame, stratumCol: String, n: Int,
+      idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
+    val ids = df
+      .select(col(stratumCol).as("_st"), col(idCol).as("_id"))
+      .groupBy("_st")
+      .agg(graft.functions.TopKAgg.topk(df.sparkSession,
+        struct((-hash32(col("_id"), salt)).as("nh"), (-col("_id")).as("nid")),
+        n).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select((-col("t.nid")).as(idCol))
+    df.join(ids, idCol)
+  }
+
   /** Uniform 32-bit hash of an arbitrary string column (same
     * construction as [[hash32]], which hashes a row ID). */
   def hash32Str(s: Column, salt: String): Column =

@@ -925,6 +925,28 @@ object TextAnalysis {
    * combined, ≤ dim rows per doc) → one doc-keyed densify. No driver
    * state, no vocabulary table — the point of hashing.
    */
+  /**
+   * Global label (categorical) encoding: each distinct value of
+   * `labelCol` gets a dense 0-based code in lexicographic order —
+   * feature prep's exact sibling to [[hashedVectors]] (exact codes
+   * when the vocabulary is bounded; hashing when it is not). The
+   * codebook is a distinct aggregate + ONE unpartitioned row_number
+   * window bounded by label cardinality (the [[CorpusReport
+   * .zipfReport]] bounded-window discipline), broadcast back for the
+   * encode join — corpus rows are scanned once, never sorted.
+   * Lexicographic assignment makes codes reproducible across runs and
+   * engines, unlike first-seen order.
+   */
+  def labelEncode(df: DataFrame, labelCol: String,
+      codeCol: String = ""): DataFrame = {
+    val out = if (codeCol.nonEmpty) codeCol else s"${labelCol}_code"
+    val codebook = df.select(col(labelCol)).distinct()
+      .withColumn(out,
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col(labelCol))) - 1).cast("long"))
+    df.join(broadcast(codebook), labelCol)
+  }
+
   def hashedVectors(docs: DataFrame, dim: Int = 16,
       salt: String = "feathash", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

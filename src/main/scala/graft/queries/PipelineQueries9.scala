@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TopKAgg
 import graft.fs.CompactionPlanner
 import graft.operators.{RangeJoin, Scd2}
-import graft.pipeline.{CorpusReport, CorpusWriter}
+import graft.pipeline.{CorpusReport, CorpusWriter, TextAnalysis}
 import graft.sim.{OracleCtes => C, WarehouseSim => W}
 
 /**
@@ -28,6 +28,8 @@ object PipelineQueries9 {
   private val topK = 3
   private val zBits = 8
   private val compactTarget = 64000000L
+  private val aggStratN = 7
+  private val aggSalt = "stratAgg"
 
   /** DuckDB twin of [[CorpusWriter.mortonValue]]: generated from the
     * identical (bit, dim) enumeration so the two engines interleave
@@ -284,6 +286,57 @@ object PipelineQueries9 {
           unix_micros(col("sw.start")).as("start_us"),
           unix_micros(col("sw.end")).as("end_us"),
           col("n_events"), col("sum_value"))
+    },
+
+    // Skew-proof stratified sample: the SAME selection rule as
+    // samp_stratified (n smallest id-hashes per stratum) computed with
+    // the bounded-heap TopKAgg instead of a row_number window — each
+    // map task carries <=n candidates per stratum into the shuffle, so
+    // a skewed stratum never becomes one giant window partition. Same
+    // oracle formulation; SamplingSpec pins window==heap bit-equality.
+    QueryDef("samp_stratified_agg",
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${PipelineQueries2.duckHash32(aggSalt)}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $aggStratN""".stripMargin) { (s, dir) =>
+      graft.pipeline.Sampling.stratifiedSampleAgg(
+          W.read(s, dir, "documents"), "source", aggStratN, "doc_id", aggSalt)
+        .select("doc_id", "source")
+    },
+
+    // Global label encoding: dense lexicographic codes via a
+    // cardinality-bounded codebook + broadcast join-back (the exact
+    // sibling of feature hashing). Oracle: dense_rank - 1 over the
+    // label ordering — identical assignment, no codebook join needed
+    // at DuckDB's scale.
+    QueryDef("t_label_encode",
+      """SELECT doc_id, source,
+        |  CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT)
+        |    AS source_code
+        |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.labelEncode(W.read(s, dir, "documents"), "source")
+        .select("doc_id", "source", "source_code")
+    },
+
+    // Join/shuffle skew diagnosis over the events' user key: max/mean
+    // skew factor, p99 key size, and the salt factor a manual
+    // skew-leveling pass would use (AQE consumes the same signal at
+    // runtime). Oracle replays both aggregates and the derived-column
+    // arithmetic exactly.
+    QueryDef("report_join_skew",
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys, max(c) AS max_key_rows,
+        |  round(avg(c), 6) AS avg_key_rows,
+        |  round(quantile_cont(c, 0.99), 6) AS p99_key_rows,
+        |  round(CAST(max(c) AS DOUBLE) /
+        |    (CAST(sum(c) AS DOUBLE) / count(*)), 6) AS skew_factor,
+        |  CAST(ceil(CAST(max(c) AS DOUBLE) * count(*) /
+        |    CAST(sum(c) AS DOUBLE)) AS BIGINT) AS suggested_salt
+        |FROM c""".stripMargin) { (s, dir) =>
+      CorpusReport.joinSkewReport(W.read(s, dir, "events"), "user_id")
     }
   )
 }

@@ -216,4 +216,18 @@ class SamplingSpec extends TestBase {
     assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-4,
       s"weights must sum to ~1: ${out.values.map(_._3).sum}")
   }
+
+  test("stratifiedSampleAgg selects bit-identically to the window form") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sim.WarehouseSim
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .repartition(13) // force the heap's serialize/merge partial path
+    for (n <- Seq(1, 5, 10000)) { // incl. n > every stratum size
+      val win = Sampling.stratifiedSample(docs, "source", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val agg = Sampling.stratifiedSampleAgg(docs, "source", n)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(agg === win, s"window/heap divergence at n=$n")
+    }
+  }
 }

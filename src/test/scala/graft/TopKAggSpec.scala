@@ -63,6 +63,25 @@ class TopKAggSpec extends TestBase {
     assert(got === Seq(5L, 5L, 5L))
   }
 
+  test("topk aggregates a stream (complete mode) to the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val agg = input.toDF().toDF("g", "v")
+      .groupBy("g").agg(TopKAgg.topk(spark, col("v"), 2).as("t"))
+    val qName = s"topk_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(qName).start()
+    try {
+      input.addData(("a", 1L), ("a", 5L), ("b", 7L))
+      q.processAllAvailable()
+      input.addData(("a", 9L), ("b", 2L), ("b", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qName).as[(String, Seq[Long])].collect().toMap
+    assert(got === Map("a" -> Seq(9L, 5L), "b" -> Seq(7L, 3L)))
+  }
+
   test("plans as ObjectHashAggregate with a partial stage before the exchange") {
     val docs = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
     val plan = docs.groupBy("lang")
