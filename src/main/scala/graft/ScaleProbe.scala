@@ -315,6 +315,10 @@ object ScaleProbe {
         col("doc_id").cast("string").as("rel_path"),
         length(col("text")).cast("long").as("size")),
       targetBytes = 50000L))
+    run("blocklist")(d => graft.pipeline.TextAnalysis.blocklistStats(
+      d, Seq("table scan", "slow join", "batch batch", "dup")))
+    run("length_profile")(d => graft.pipeline.CorpusReport.lengthProfile(
+      d.withColumn("n_chars", length(col("text")).cast("long"))))
     run("session_window_native")(d => eventish(d)
       .groupBy(col("kk"),
         session_window(timestamp_seconds(col("t")), "1 hour").as("sw"))

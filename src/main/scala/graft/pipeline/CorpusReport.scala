@@ -234,6 +234,25 @@ object CorpusReport {
    * keys-sized rollup — diagnosis never costs more than the groupBy it
    * diagnoses.
    */
+  /**
+   * Per-source length-distribution profile: exact quartiles + p90 of
+   * `n_chars` and the mean, one row per source — the distribution
+   * table the data card's min/max bracket can't show (is a source
+   * short-snippet-heavy? bimodal after filtering?). Exact `percentile`
+   * is a per-group sort-based aggregate — the certified path; at
+   * 100 TB swap `percentile_approx` (mergeable sketch, no sort) or
+   * read the KLL quantiles already riding [[statsState]].
+   */
+  def lengthProfile(docs: DataFrame): DataFrame =
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        round(expr("percentile(n_chars, 0.25)"), 6).as("p25_chars"),
+        round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.75)"), 6).as("p75_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
+
   def joinSkewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(keyCol).agg(count(lit(1)).as("c"))
       .agg(

@@ -937,6 +937,30 @@ object TextAnalysis {
    * Lexicographic assignment makes codes reproducible across runs and
    * engines, unlike first-seen order.
    */
+  /**
+   * Blocklist phrase screening (the C4 "bad words" curation rule, with
+   * the phrase list as data): per-document hit count over a
+   * word-boundary-anchored alternation of the phrases, plus the
+   * blocked verdict. ONE compiled regex evaluated per row inside
+   * whole-stage codegen — scan speed, no explode, no join; the phrase
+   * list compiles into the plan, so at 100 TB the cost is the corpus
+   * scan the gate shares with every other per-doc rule. Phrases are
+   * matched case-insensitively (text lowered; supply lowercase
+   * phrases) and must be regex-literal (no metacharacters) — enforced
+   * loudly, since a quoting bug here silently blocks nothing.
+   */
+  def blocklistStats(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty, "blocklist must not be empty")
+    val bad = phrases.filter(_.exists(c => !c.isLetterOrDigit && c != ' '))
+    require(bad.isEmpty, s"phrases must be word characters/spaces only: $bad")
+    val pattern = phrases.mkString("\\b(", "|", ")\\b")
+    docs.select(col(idCol).as("doc_id"),
+      size(regexp_extract_all(lower(col(textCol)), lit(pattern), lit(1)))
+        .cast("long").as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0)
+  }
+
   def labelEncode(df: DataFrame, labelCol: String,
       codeCol: String = ""): DataFrame = {
     val out = if (codeCol.nonEmpty) codeCol else s"${labelCol}_code"

@@ -30,6 +30,11 @@ object PipelineQueries9 {
   private val compactTarget = 64000000L
   private val aggStratN = 7
   private val aggSalt = "stratAgg"
+  private val blockPhrases =
+    Seq("table scan", "slow join", "batch batch", "dup")
+  /** The identical regex both engines compile (RE2 ∩ java.util.regex
+    * semantics for \b + literal alternation). */
+  private val blockPattern = blockPhrases.mkString("\\b(", "|", ")\\b")
 
   /** DuckDB twin of [[CorpusWriter.mortonValue]]: generated from the
     * identical (bit, dim) enumeration so the two engines interleave
@@ -337,6 +342,34 @@ object PipelineQueries9 {
         |    CAST(sum(c) AS DOUBLE)) AS BIGINT) AS suggested_salt
         |FROM c""".stripMargin) { (s, dir) =>
       CorpusReport.joinSkewReport(W.read(s, dir, "events"), "user_id")
+    },
+
+    // Blocklist phrase screening (C4 bad-words rule as data): one
+    // compiled word-boundary alternation per row, codegen'd — the
+    // oracle runs the IDENTICAL regex through DuckDB's RE2.
+    QueryDef("t_blocklist",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '$blockPattern', 1)) AS BIGINT) AS n_hits,
+         |  len(regexp_extract_all(lower(text), '$blockPattern', 1)) > 0
+         |    AS blocked
+         |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.blocklistStats(W.read(s, dir, "documents"), blockPhrases)
+    },
+
+    // Per-source length-distribution profile: exact quartiles + p90 +
+    // mean — the distribution table the data card's min/max bracket
+    // can't show. Exact percentile is the certified path; statsState's
+    // KLL quantiles are the mergeable 100-TB form.
+    QueryDef("report_length_profile",
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS mean_chars,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25_chars,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75_chars,
+        |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+        |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
+      CorpusReport.lengthProfile(W.read(s, dir, "documents"))
     }
   )
 }
