@@ -317,6 +317,16 @@ object ScaleProbe {
       targetBytes = 50000L))
     run("blocklist")(d => graft.pipeline.TextAnalysis.blocklistStats(
       d, Seq("table scan", "slow join", "batch batch", "dup")))
+    // the regex-vs-automaton separation at curation-list size: same 400
+    // two-word phrases through both shapes
+    val vocab400 = Seq("spark", "hash", "stream", "merge", "sort", "filter",
+      "window", "batch", "query", "scan", "group", "order", "line", "value",
+      "column", "table", "data", "part", "key", "row")
+    val phrases400 = (for (a <- vocab400; b <- vocab400) yield s"$a $b")
+    run("blocklist_re400")(d =>
+      graft.pipeline.TextAnalysis.blocklistStats(d, phrases400))
+    run("blocklist_ac400")(d =>
+      graft.pipeline.TextAnalysis.blocklistStatsAc(d, phrases400))
     run("length_profile")(d => graft.pipeline.CorpusReport.lengthProfile(
       d.withColumn("n_chars", length(col("text")).cast("long"))))
     run("session_window_native")(d => eventish(d)

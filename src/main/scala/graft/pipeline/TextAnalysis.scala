@@ -961,6 +961,23 @@ object TextAnalysis {
       .withColumn("blocked", col("n_hits") > 0)
   }
 
+  /**
+   * [[blocklistStats]]' scale twin: the same count (bit-equal,
+   * MultiMatchSpec) from ONE Aho–Corasick pass per row
+   * ([[graft.functions.MultiMatch]]) instead of the regex alternation
+   * — flat in phrase-list size where the backtracking alternation
+   * grows with it. Use this form for curation-scale lists (thousands
+   * of phrases); the regex form stays the oracle-replayable
+   * certification path. Phrases must be lowercase, word-charactered,
+   * and prefix-free (enforced loudly).
+   */
+  def blocklistStatsAc(docs: DataFrame, phrases: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.MultiMatch.matchCount(docs.sparkSession,
+        lower(col(textCol)), phrases).as("n_hits"))
+      .withColumn("blocked", col("n_hits") > 0)
+
   def labelEncode(df: DataFrame, labelCol: String,
       codeCol: String = ""): DataFrame = {
     val out = if (codeCol.nonEmpty) codeCol else s"${labelCol}_code"

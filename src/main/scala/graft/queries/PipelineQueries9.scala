@@ -357,6 +357,22 @@ object PipelineQueries9 {
       TextAnalysis.blocklistStats(W.read(s, dir, "documents"), blockPhrases)
     },
 
+    // The Aho–Corasick shape of the same screening (functions/
+    // MultiMatch, one automaton pass per row, flat in phrase-list
+    // size) — SAME oracle as t_blocklist, so the driver gate
+    // certifies the automaton's count end to end; MultiMatchSpec
+    // separately pins bit-equality and boundary semantics.
+    QueryDef("t_blocklist_ac",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    '$blockPattern', 1)) AS BIGINT) AS n_hits,
+         |  len(regexp_extract_all(lower(text), '$blockPattern', 1)) > 0
+         |    AS blocked
+         |FROM documents""".stripMargin) { (s, dir) =>
+      TextAnalysis.blocklistStatsAc(W.read(s, dir, "documents"),
+        blockPhrases)
+    },
+
     // Per-source length-distribution profile: exact quartiles + p90 +
     // mean — the distribution table the data card's min/max bracket
     // can't show. Exact percentile is the certified path; statsState's
@@ -370,6 +386,42 @@ object PipelineQueries9 {
         |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
         |FROM documents GROUP BY 1""".stripMargin) { (s, dir) =>
       CorpusReport.lengthProfile(W.read(s, dir, "documents"))
+    },
+
+    // J11 — group-limited range join: each event resolved to ONE
+    // containing window (the most recently opened; id tie-break) — the
+    // overlapJoin composed with a max-struct argmax instead of keeping
+    // every overlap. The composition stays two shuffles: the
+    // (keys, bucket) equi-join + the per-event argmax aggregate; no
+    // window function, no row explosion survives the argmax.
+    QueryDef("j11_range_top1",
+      s"""WITH incidents AS (
+         |  SELECT event_type, event_id AS incident_id,
+         |    ts AS s_ts, ts + INTERVAL $winMinutes MINUTE AS e_ts
+         |  FROM events WHERE value > 200),
+         |m AS (
+         |  SELECT e.event_id, e.event_type,
+         |    i.incident_id, epoch_us(i.s_ts) AS s_us,
+         |    row_number() OVER (PARTITION BY e.event_id
+         |      ORDER BY i.s_ts DESC, i.incident_id DESC) AS rn
+         |  FROM events e JOIN incidents i
+         |    ON e.event_type = i.event_type
+         |   AND e.ts >= i.s_ts AND e.ts < i.e_ts)
+         |SELECT event_id, event_type, incident_id, s_us
+         |FROM m WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val ev = W.read(s, dir, "events")
+      val incidents = ev.filter(col("value") > 200)
+        .select(col("event_type"), col("event_id").as("incident_id"),
+          col("ts").as("s_ts"),
+          (col("ts") + expr(s"INTERVAL $winMinutes MINUTES")).as("e_ts"))
+      RangeJoin.overlapJoin(ev.select("event_id", "ts", "event_type"),
+          incidents, Seq("event_type"), "ts", "s_ts", "e_ts",
+          bucketSeconds = rjBucketSeconds)
+        .groupBy("event_id", "event_type")
+        .agg(max(struct(unix_micros(col("s_ts")).as("s_us"),
+          col("incident_id"))).as("w"))
+        .select(col("event_id"), col("event_type"),
+          col("w.incident_id").as("incident_id"), col("w.s_us").as("s_us"))
     }
   )
 }

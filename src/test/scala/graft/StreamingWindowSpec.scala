@@ -85,6 +85,40 @@ class StreamingWindowSpec extends TestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode session_window emits only watermark-closed sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("uid", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+
+    val agg = events.withWatermark("ts", "0 seconds")
+      .groupBy(col("uid"), session_window(col("ts"), "1 hour").as("sw"))
+      .agg(count(lit(1)).as("n"))
+    val qName = s"sessapp_${System.nanoTime()}"
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(qName).start()
+    def emitted() = spark.table(qName)
+      .select(col("uid"), unix_micros(col("sw.start")).as("s"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    try {
+      // one session for uid 1, then an event far ahead that pushes the
+      // watermark past that session's end -> the session must CLOSE and
+      // emit; the new event's own session stays open (not emitted)
+      input.addData((1L, 0L), (1L, 1000000L))
+      q.processAllAvailable()
+      assert(emitted().isEmpty, "open session must not emit in append mode")
+      input.addData((2L, 100L * 3600000000L))
+      q.processAllAvailable()
+      // watermark only advances at batch END; one more batch finalizes
+      input.addData((2L, 100L * 3600000000L + 1L))
+      q.processAllAvailable()
+      assert(emitted() === Set((1L, 0L, 2L)),
+        s"closed session expected, got ${emitted()}")
+    } finally q.stop()
+  }
+
   test("stateful sessionization carries open sessions across micro-batches") {
     import graft.streaming._
     import spark.implicits._
