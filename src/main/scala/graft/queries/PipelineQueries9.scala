@@ -422,6 +422,48 @@ object PipelineQueries9 {
           col("incident_id"))).as("w"))
         .select(col("event_id"), col("event_type"),
           col("w.incident_id").as("incident_id"), col("w.s_us").as("s_us"))
+    },
+
+    // J12 — warehouse drift report: the J1 table diff and J2 partition
+    // diff rolled into one per-db action summary (what an operator
+    // reads before kicking a replication cycle: how much copy/update/
+    // drop work per database, at both granularities). Pure composition
+    // of the two certified diffs — one extra keyed aggregate each.
+    QueryDef("j12_drift_report",
+      C.withCtes(C.srcTables, C.destTables, C.srcPartitions,
+        C.destPartitions)(
+        """SELECT db, level, action, count(*) AS n
+          |FROM (
+          |  SELECT coalesce(s.db, d.db) AS db, 'table' AS level,
+          |    CASE
+          |      WHEN d.tldt IS NULL AND s.tldt IS NOT NULL THEN
+          |        CASE WHEN s.partitioned THEN 'COPY_PARTITIONED_TABLE'
+          |             ELSE 'COPY_UNPARTITIONED_TABLE' END
+          |      WHEN s.tldt IS NULL THEN 'DROP_TABLE'
+          |      WHEN s.tldt > d.tldt THEN 'COPY_METADATA'
+          |      ELSE 'NO_OP' END AS action
+          |  FROM src_tables s FULL OUTER JOIN dest_tables d
+          |    ON s.db = d.db AND s.tbl = d.tbl
+          |  UNION ALL
+          |  SELECT coalesce(s.db, d.db) AS db, 'partition' AS level,
+          |    CASE
+          |      WHEN d.tldt IS NULL AND s.tldt IS NOT NULL THEN 'COPY_PARTITION'
+          |      WHEN s.tldt IS NULL THEN 'DROP_PARTITION'
+          |      WHEN s.nfiles <> d.nfiles OR s.bytes <> d.bytes
+          |        THEN 'COPY_PARTITION'
+          |      WHEN s.tldt > d.tldt THEN 'COPY_METADATA'
+          |      ELSE 'NO_OP' END AS action
+          |  FROM src_parts s FULL OUTER JOIN dest_parts d
+          |    ON s.db = d.db AND s.tbl = d.tbl AND s.part_name = d.part_name)
+          |GROUP BY 1, 2, 3""".stripMargin)) { (s, dir) =>
+      val td = graft.operators.ReplicationOps
+        .tableDiff(W.srcTables(s, dir), W.destTables(s, dir))
+        .select(col("db"), lit("table").as("level"), col("action"))
+      val pd = graft.operators.ReplicationOps
+        .partitionDiff(W.srcPartitions(s, dir), W.destPartitions(s, dir))
+        .select(col("db"), lit("partition").as("level"), col("action"))
+      td.unionAll(pd).groupBy("db", "level", "action")
+        .agg(count(lit(1)).as("n"))
     }
   )
 }

@@ -63,6 +63,29 @@ class TopKAggSpec extends TestBase {
     assert(got === Seq(5L, 5L, 5L))
   }
 
+  test("property: topk == sorted-take for arbitrary groups, values, k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dataGen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      } yield (s"g$g", v))
+    } yield rows
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(dataGen, Gen.choose(1, 12)) { (rows, k) =>
+        val got = rows.toDF("g", "v").repartition(5)
+          .groupBy("g").agg(TopKAgg.topk(spark, col("v"), k).as("t"))
+          .as[(String, Seq[Long])].collect().toMap
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(_._2).sorted(Ordering[Long].reverse).take(k)
+        }
+        Prop(got == want).label(s"k=$k n=${rows.size}")
+      })
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("topk aggregates a stream (complete mode) to the batch result") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
