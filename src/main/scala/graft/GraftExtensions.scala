@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayDistinct, ArrayIntersect, EvalMode, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Size, SortArray, Subtract, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, ArrayDistinct, ArrayIntersect, Cast, EvalMode, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, RegExpExtractAll, Size, SortArray, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.functions.{MinHashSig, SortedIntersectCount, VecDot, VecDotLong, VecSqDist}
 
@@ -121,6 +121,61 @@ object VecFoldRewrite extends Rule[LogicalPlan] {
 }
 
 /**
+ * Cost-based optimizer rule: a blocklist-shaped regex count —
+ * `size(regexp_extract_all(text, '\b(p1|p2|…)\b', 1))` over a LITERAL
+ * word-boundary alternation of plain phrases — rewrites to the native
+ * Aho–Corasick [[graft.functions.MultiMatch]] when the list is large
+ * enough to matter (≥ [[BlocklistRewrite.minAlternatives]]
+ * alternatives). Small lists stay on the regex path (cheap enough,
+ * and the plan stays vanilla); users with curation-scale lists get
+ * the O(text)-per-row automaton without knowing it exists — the
+ * [[IntersectCountRewrite]] philosophy applied to text screening.
+ *
+ * Soundness: the rewrite fires only when the pattern is EXACTLY the
+ * canonical shape with regex-literal phrases (letters/digits/spaces —
+ * no metacharacters), distinct and prefix-free. Under prefix-freedom,
+ * leftmost-first (java.util.regex) and leftmost-longest (RE2)
+ * alternation agree, and MultiMatch's non-overlapping boundary-
+ * anchored scan reproduces `Matcher.find` exactly (MultiMatchSpec
+ * pins bit-equality). `legacySizeOfNull` must be false so a null
+ * text maps to null on both paths.
+ */
+object BlocklistRewrite extends Rule[LogicalPlan] {
+  val minAlternatives = 16
+
+  private val shape = """^\\b\(([^()\\]+)\)\\b$""".r
+
+  private[graft] def phrasesOf(pattern: String): Option[Seq[String]] =
+    pattern match {
+      case shape(alts) =>
+        val ps = alts.split("\\|", -1).toSeq
+        val literal = ps.forall(p => p.nonEmpty &&
+          p.forall(c => (c.isLetterOrDigit && c < 128) || c == ' '))
+        val prefixFree = ps.sorted.sliding(2).forall {
+          case Seq(a, b) => !b.startsWith(a)
+          case _ => true
+        }
+        if (literal && ps.distinct == ps && prefixFree) Some(ps) else None
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case s @ Size(RegExpExtractAll(subject,
+            Literal(pat: org.apache.spark.unsafe.types.UTF8String, StringType),
+            Literal(1, IntegerType)), false) =>
+        phrasesOf(pat.toString) match {
+          case Some(ps) if ps.size >= minAlternatives =>
+            // size() is INT; preserve the expression's resolved type
+            // (the count is bounded by text length, the cast never
+            // truncates)
+            Cast(graft.functions.MultiMatch(subject, ps), IntegerType)
+          case _ => s
+        }
+    }
+}
+
+/**
  * Session extensions registering graft's native expressions for SQL use:
  *
  * {{{
@@ -134,6 +189,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => IntersectCountRewrite)
     e.injectOptimizerRule(_ => VecFoldRewrite)
+    e.injectOptimizerRule(_ => BlocklistRewrite)
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
@@ -190,6 +246,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(VecFoldRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ VecFoldRewrite
+    if (!spark.experimental.extraOptimizations.contains(BlocklistRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ BlocklistRewrite
     MinHashSig.register(spark)
     SortedIntersectCount.register(spark)
     graft.functions.VecFold.register(spark)
@@ -199,5 +258,6 @@ object GraftExtensions {
   def uninstall(spark: SparkSession): Unit =
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
-        .filterNot(r => r == IntersectCountRewrite || r == VecFoldRewrite)
+        .filterNot(r => r == IntersectCountRewrite || r == VecFoldRewrite ||
+          r == BlocklistRewrite)
 }

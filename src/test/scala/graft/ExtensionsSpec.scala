@@ -55,6 +55,42 @@ class ExtensionsSpec extends TestBase {
     } finally GraftExtensions.install(spark) // restore constructed-session state
   }
 
+  test("blocklist rewrite: large literal alternations become multi_match, " +
+      "small/unsafe patterns stay regex") {
+    // parquet-backed source so ConvertToLocalRelation can't fold the
+    // expression away before the plan is inspectable
+    val docs = graft.sim.WarehouseSim
+      .read(spark, "/root/testdata/sf0.001", "documents")
+    def pat(ps: Seq[String]) = ps.mkString("\\b(", "|", ")\\b")
+    def q(pattern: String) = docs.select(
+      size(regexp_extract_all(lower(col("text")), lit(pattern), lit(1)))
+        .as("n"))
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("n")).collect().head.getLong(0)
+
+    // 20 distinct prefix-free phrases (>= threshold) -> rewritten
+    val big = (0 until 18).map(i => s"zz$i w") ++
+      Seq("table scan", "slow join")
+    val rewritten = q(pat(big))
+    assert(rewritten.queryExecution.executedPlan.toString
+      .contains("multi_match"), "expected the AC rewrite to fire")
+
+    // below the threshold -> stays regex; same totals either way
+    val small = q(pat(Seq("table scan", "slow join")))
+    assert(!small.queryExecution.executedPlan.toString
+      .contains("multi_match"))
+    assert(total(rewritten) === total(small),
+      "rewritten count must equal the regex path (zz* phrases never hit)")
+    assert(total(small) > 0)
+
+    // metacharacters / prefix pairs -> never rewritten
+    val meta = q(pat(big.dropRight(1) :+ "a.c"))
+    assert(!meta.queryExecution.executedPlan.toString.contains("multi_match"))
+    val prefixy = q(pat(big :+ "table scan extended"))
+    assert(!prefixy.queryExecution.executedPlan.toString
+      .contains("multi_match"))
+  }
+
   test("withExtensions wiring registers the rule and minhash_sig at session build") {
     // the class-based path used by spark.sql.extensions deployments
     val e = new org.apache.spark.sql.SparkSessionExtensions
