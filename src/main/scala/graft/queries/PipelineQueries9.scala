@@ -464,6 +464,43 @@ object PipelineQueries9 {
         .select(col("db"), lit("partition").as("level"), col("action"))
       td.unionAll(pd).groupBy("db", "level", "action")
         .agg(count(lit(1)).as("n"))
+    },
+
+    // O7 — backfill range planner: missing partitions (dest-absent in
+    // the certified J2 diff) folded into contiguous date ranges per
+    // table — the catch-up plan an operator actually schedules (one
+    // backfill job per RANGE, not per day). Gaps-and-islands: ds minus
+    // its per-table row_number is constant within a run.
+    QueryDef("o7_backfill_ranges",
+      C.withCtes(C.srcPartitions, C.destPartitions)(
+        """SELECT db, tbl,
+          |  strftime(min(ds), '%Y-%m-%d') AS start_ds,
+          |  strftime(max(ds), '%Y-%m-%d') AS end_ds,
+          |  count(*) AS n_days
+          |FROM (
+          |  SELECT db, tbl, ds,
+          |    ds - CAST(row_number() OVER (PARTITION BY db, tbl
+          |      ORDER BY ds) AS INT) AS grp
+          |  FROM (
+          |    SELECT s.db, s.tbl, CAST(substr(s.part_name, 4) AS DATE) AS ds
+          |    FROM src_parts s LEFT JOIN dest_parts d
+          |      ON s.db = d.db AND s.tbl = d.tbl
+          |     AND s.part_name = d.part_name
+          |    WHERE d.tldt IS NULL))
+          |GROUP BY db, tbl, grp""".stripMargin)) { (s, dir) =>
+      val missing = graft.operators.ReplicationOps
+        .partitionDiff(W.srcPartitions(s, dir), W.destPartitions(s, dir))
+        .filter(col("dest_tldt").isNull && col("src_tldt").isNotNull)
+        .select(col("db"), col("tbl"),
+          to_date(substring(col("part_name"), 4, 10)).as("ds"))
+      val w = Window.partitionBy("db", "tbl").orderBy("ds")
+      missing
+        .withColumn("grp", date_sub(col("ds"), row_number().over(w)))
+        .groupBy("db", "tbl", "grp")
+        .agg(date_format(min("ds"), "yyyy-MM-dd").as("start_ds"),
+          date_format(max("ds"), "yyyy-MM-dd").as("end_ds"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
     }
   )
 }

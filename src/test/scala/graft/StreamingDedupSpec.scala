@@ -31,4 +31,44 @@ class StreamingDedupSpec extends TestBase {
         Set(KeptDoc("fp1", 3), KeptDoc("fp2", 5), KeptDoc("fp3", 9)))
     } finally q.stop()
   }
+
+  test("native dropDuplicatesWithinWatermark bounds state like the TTL form") {
+    // coverage of Spark's own event-time dedup next to the custom
+    // flatMapGroupsWithState paths: in-watermark duplicates drop; a
+    // duplicate arriving after the watermark expired its key's state
+    // re-emits — the same trade StreamingDedup's processing-time TTL
+    // documents
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val qName = s"ddww_${System.nanoTime()}"
+    val q = input.toDF().toDF("fp", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp", "us")
+      .writeStream.outputMode("append").format("memory").queryName(qName)
+      .start()
+    def rows() = spark.table(qName).as[(String, Long)].collect().toSeq
+    try {
+      input.addData(("a", 0L), ("a", 1000L), ("b", 5L))
+      q.processAllAvailable()
+      assert(rows().map(_._1).sorted == Seq("a", "b"),
+        s"in-batch duplicate must drop: ${rows()}")
+      // duplicate inside the watermark window: dropped
+      input.addData(("a", 2000L))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == "a") == 1)
+      // advance event time far beyond watermark + gap; the expired key
+      // re-admits (bounded state, the documented trade)
+      input.addData(("c", 100L * 3600000000L))
+      q.processAllAvailable()
+      input.addData(("a", 100L * 3600000000L + 5L))
+      q.processAllAvailable()
+      assert(rows().count(_._1 == "a") == 2,
+        s"expired key must re-admit: ${rows()}")
+    } finally q.stop()
+  }
 }
