@@ -501,6 +501,31 @@ object PipelineQueries9 {
           date_format(max("ds"), "yyyy-MM-dd").as("end_ds"),
           count(lit(1)).as("n_days"))
         .drop("grp")
+    },
+
+    // J13 — CDC snapshot apply: the events change log folded into the
+    // latest-wins state with 'error' events as delete tombstones — one
+    // max-struct aggregate decides presence AND payload atomically
+    // (operators/CdcApply). Completes the state-shape trio: AsOfJoin
+    // (state at T), Scd2 (full history), CdcApply (current snapshot).
+    QueryDef("j13_cdc_apply",
+      """WITH latest AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    event_type AS state, round(value, 6) AS value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, us, event_id, op, state, value
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin) { (s, dir) =>
+      val changes = W.read(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+            .as("op"),
+          col("event_type").as("state"), round(col("value"), 6).as("value"))
+      graft.operators.CdcApply.snapshot(changes, Seq("user_id"),
+        "us", "event_id", "op", "D")
     }
   )
 }
