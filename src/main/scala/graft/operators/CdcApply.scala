@@ -27,8 +27,15 @@ object CdcApply {
    * change) for every key whose LATEST change is not a tombstone.
    * `tieBreak` resolves same-timestamp changes (max wins).
    */
-  def snapshot(changes: DataFrame, keys: Seq[String], tsCol: String,
-      tieBreak: String, opCol: String, deleteOp: String): DataFrame = {
+  /**
+   * Latest change per key, tombstones INCLUDED — the fold state an
+   * incremental apply must keep: dropping tombstones would let a late
+   * pre-delete upsert resurrect a deleted key
+   * ([[graft.streaming.StreamingCdc]] folds THIS and filters only on
+   * read; StreamingCdcSpec pins the resurrection case).
+   */
+  def latestState(changes: DataFrame, keys: Seq[String], tsCol: String,
+      tieBreak: String, opCol: String): DataFrame = {
     val payload = changes.columns.toSeq.filterNot(keys.contains)
     require(payload.contains(tsCol) && payload.contains(tieBreak) &&
       payload.contains(opCol),
@@ -37,8 +44,13 @@ object CdcApply {
       payload.filterNot(c => c == tsCol || c == tieBreak)
     changes.groupBy(keys.map(col): _*)
       .agg(max(struct(ordered.map(col): _*)).as("_w"))
-      .filter(col(s"_w.$opCol") =!= deleteOp)
       .select(keys.map(col) ++
         payload.map(c => col(s"_w.$c").as(c)): _*)
   }
+
+  /** The SERVED snapshot: [[latestState]] minus tombstoned keys. */
+  def snapshot(changes: DataFrame, keys: Seq[String], tsCol: String,
+      tieBreak: String, opCol: String, deleteOp: String): DataFrame =
+    latestState(changes, keys, tsCol, tieBreak, opCol)
+      .filter(col(opCol) =!= deleteOp)
 }
