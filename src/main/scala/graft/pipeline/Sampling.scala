@@ -575,4 +575,59 @@ object Sampling {
       .withColumn("kept", hash32(col("doc_id"), salt) <
         round(col("weight") * lit(HashSpace.toDouble)).cast("long"))
   }
+
+  /**
+   * Token-budget data selection: keep the highest-quality documents
+   * whose token counts fit a global budget — "give me the best B
+   * tokens" — WITHOUT a global sort. The naive formulation (order all
+   * docs by quality, running-sum tokens, cut at B) is a single-
+   * partition window over the corpus; this is the scalable two-phase
+   * equivalent:
+   *
+   *   1. value-quantize quality into `buckets` levels (pure column
+   *      math — quality is a bounded [0,1] score, so no rank pass and
+   *      no bounds broadcast needed);
+   *   2. one bucket-keyed aggregate -> per-bucket token sums, then a
+   *      BUCKETS-sized window computes each bucket's tokens-above;
+   *      every bucket strictly above the crossing point keeps ALL its
+   *      docs, every bucket below drops — scan-speed verdicts for
+   *      (buckets-1)/buckets of the corpus;
+   *   3. only the single BOUNDARY bucket (~1/buckets of the data)
+   *      runs the exact (quality desc, id) running-sum cut for the
+   *      remaining budget.
+   *
+   * Whole-doc granularity (no partial documents); deterministic
+   * (quality ties inside the boundary bucket break by id). The oracle
+   * replays all three phases with the identical quantization.
+   */
+  def tokenBudgetSelect(scored: DataFrame, budget: Long, buckets: Int = 1024,
+      idCol: String = "doc_id", qCol: String = "quality",
+      tokCol: String = "n_tokens"): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(buckets > 0, "buckets must be positive")
+    val d = scored.withColumn("bkt",
+      least(floor(col(qCol) * buckets).cast("long"), lit(buckets - 1L)))
+    val perBucket = d.groupBy("bkt")
+      .agg(sum(col(tokCol)).as("btoks"))
+    val wAbove = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // buckets-sized frame: the unpartitioned window is bounded by the
+    // bucket count, the zipfReport discipline
+    val marked = perBucket
+      .withColumn("above", coalesce(sum(col("btoks")).over(wAbove), lit(0L)))
+    val cutRow = marked
+      .filter(col("above") < budget && col("above") + col("btoks") >= budget)
+      .select(col("bkt").as("cut_b"), (lit(budget) - col("above")).as("rem"))
+    val fullKeep = marked.filter(col("above") + col("btoks") < budget)
+      .select(col("bkt"))
+    val keptWhole = d.join(fullKeep, "bkt")
+    // boundary bucket: exact running-sum cut over ~corpus/buckets rows
+    val wIn = Window.orderBy(col(qCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = d.join(broadcast(cutRow), col("bkt") === col("cut_b"))
+      .withColumn("cum", sum(col(tokCol)).over(wIn))
+      .filter(col("cum") <= col("rem"))
+      .drop("cut_b", "rem", "cum")
+    keptWhole.unionByName(keptBoundary)
+  }
 }

@@ -30,6 +30,8 @@ object PipelineQueries9 {
   private val compactTarget = 64000000L
   private val aggStratN = 7
   private val aggSalt = "stratAgg"
+  private val tokenBudget = 20000L
+  private val budgetBuckets = 256
   private val blockPhrases =
     Seq("table scan", "slow join", "batch batch", "dup")
   /** The identical regex both engines compile (RE2 ∩ java.util.regex
@@ -526,6 +528,55 @@ object PipelineQueries9 {
           col("event_type").as("state"), round(col("value"), 6).as("value"))
       graft.operators.CdcApply.snapshot(changes, Seq("user_id"),
         "us", "event_id", "op", "D")
+    },
+
+    // Token-budget data selection: the best ~B tokens by quality score
+    // WITHOUT a global sort — value-quantized quality buckets, whole
+    // buckets decided at scan speed, the exact running-sum cut only
+    // inside the single boundary bucket. The oracle replays all three
+    // phases with the identical quantization and window arithmetic.
+    QueryDef("samp_budget_select", {
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |      AS BIGINT) AS n_tokens,
+         |    round(0.5 * least(1.0,
+         |        CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+         |          AS DOUBLE) / 100.0)
+         |      + 0.5 * (CAST(len(regexp_extract_all(lower(text), '[a-z]'))
+         |          AS DOUBLE) / CAST(n_chars AS DOUBLE)), 6) AS quality
+         |  FROM documents),
+         |d AS (
+         |  SELECT *, least(CAST(floor(quality * $budgetBuckets) AS BIGINT),
+         |    ${budgetBuckets - 1}) AS bkt FROM scored),
+         |pb AS (SELECT bkt, sum(n_tokens) AS btoks FROM d GROUP BY 1),
+         |mk AS (
+         |  SELECT bkt, btoks,
+         |    coalesce(sum(btoks) OVER (ORDER BY bkt DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+         |  FROM pb),
+         |cut AS (
+         |  SELECT bkt AS cut_b, $tokenBudget - above AS rem FROM mk
+         |  WHERE above < $tokenBudget AND above + btoks >= $tokenBudget)
+         |SELECT doc_id, bkt, quality, n_tokens FROM d
+         |WHERE bkt IN (SELECT bkt FROM mk WHERE above + btoks < $tokenBudget)
+         |UNION ALL
+         |SELECT doc_id, bkt, quality, n_tokens FROM (
+         |  SELECT d.*, sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, rem
+         |  FROM d JOIN cut ON d.bkt = cut.cut_b)
+         |WHERE cum <= rem""".stripMargin
+    }) { (s, dir) =>
+      val scored = W.read(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          round(lit(0.5) * least(lit(1.0),
+              size(TextAnalysis.tokens(col("text"))).cast("double") / 100.0)
+            + lit(0.5) * (regexp_count(lower(col("text")), lit("[a-z]"))
+              .cast("double") / col("n_chars").cast("double")), 6)
+            .as("quality"))
+      graft.pipeline.Sampling.tokenBudgetSelect(scored, tokenBudget,
+        budgetBuckets)
     }
   )
 }

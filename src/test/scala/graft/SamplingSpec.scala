@@ -217,6 +217,49 @@ class SamplingSpec extends TestBase {
       s"weights must sum to ~1: ${out.values.map(_._3).sum}")
   }
 
+  test("tokenBudgetSelect: budget respected, higher buckets kept whole, " +
+      "boundary cut is a greedy prefix") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (0 until 300).map(i =>
+      (i.toLong, ((i * 37 % 100) / 100.0), (10L + i % 50)))
+      .toDF("doc_id", "quality", "n_tokens")
+    val budget = 2000L
+    val kept = Sampling.tokenBudgetSelect(docs, budget, buckets = 16)
+      .select("doc_id", "quality", "n_tokens", "bkt")
+      .as[(Long, Double, Long, Long)].collect()
+    val keptIds = kept.map(_._1).toSet
+    assert(kept.map(_._3).sum <= budget)
+    // buckets strictly above the lowest kept bucket are kept in full
+    val minKeptB = kept.map(_._4).min
+    val all = docs.withColumn("bkt",
+        least(floor(col("quality") * 16).cast("long"), lit(15L)))
+      .as[(Long, Double, Long, Long)].collect()
+    all.filter(_._4 > minKeptB).foreach(d =>
+      assert(keptIds.contains(d._1), s"doc ${d._1} in higher bucket dropped"))
+    // within the boundary bucket the kept set is the strict running-sum
+    // PREFIX of the (q desc, id) order: everything before the first
+    // overflow kept, everything from it on dropped (prefix cut, not
+    // first-fit — whole-doc granularity, documented)
+    val boundary = all.filter(_._4 == minKeptB)
+      .sortBy(d => (-d._2, d._1))
+    val keptTokensInBoundary = kept.filter(_._4 == minKeptB).map(_._3).sum
+    val rem = budget - all.filter(_._4 > minKeptB).map(_._3).sum
+    val cums = boundary.scanLeft(0L)(_ + _._3).tail
+    val prefix = boundary.zip(cums).takeWhile(_._2 <= rem).map(_._1)
+    boundary.foreach { d =>
+      val expect = prefix.exists(_._1 == d._1)
+      assert(keptIds.contains(d._1) == expect,
+        s"boundary doc ${d._1}: kept=${keptIds.contains(d._1)} expect=$expect")
+    }
+    assert(prefix.map(_._3).sum === keptTokensInBoundary)
+
+    // degenerate budgets
+    assert(Sampling.tokenBudgetSelect(docs, 0L, 16).count() === 0)
+    val total = docs.agg(sum("n_tokens")).collect().head.getLong(0)
+    assert(Sampling.tokenBudgetSelect(docs, total, 16).count() === 300)
+  }
+
   test("stratifiedSampleAgg selects bit-identically to the window form") {
     import org.apache.spark.sql.functions._
     val docs = graft.sim.WarehouseSim
