@@ -14,6 +14,7 @@ object ScaleProbe {
     val only: Option[String] = if (args.length > 1) Some(args(1)) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-scale-probe")
+    import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
     val docs1 = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
       .select("doc_id", "text", "source")
@@ -333,6 +334,29 @@ object ScaleProbe {
       .groupBy(col("kk"),
         session_window(timestamp_seconds(col("t")), "1 hour").as("sw"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv")))
+    run("cdc_apply")(d => graft.operators.CdcApply.snapshot(
+      eventish(d).select(col("kk"), col("t"), col("event_id"),
+        when(col("event_id") % 7 === 0, lit("D")).otherwise(lit("U"))
+          .as("op"), col("v")),
+      Seq("kk"), "t", "event_id", "op", "D"))
+    run("budget_select")(d => graft.pipeline.Sampling.tokenBudgetSelect(
+      d.select(col("doc_id"),
+        size(graft.pipeline.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        ((col("doc_id") * 37 % 1000) / 1000.0).as("quality")),
+      budget = 100000L, buckets = 256))
+    // AQE skew handling: 80% of the left rows share ONE key; the join
+    // must still finish near-linearly (skew-split at runtime)
+    run("skew_join")(d => {
+      val skewed = d.select(
+        when(col("doc_id") % 5 =!= 0, lit("HOT"))
+          .otherwise(concat(lit("k"), (col("doc_id") % 97).cast("string")))
+          .as("jk"),
+        col("doc_id"))
+      val dim = (0 until 97).map(i => (s"k$i", i)).toDF("jk", "payload")
+        .unionAll(Seq(("HOT", -1)).toDF("jk", "payload"))
+      skewed.join(dim, "jk")
+    })
     run("source_venn_exact")(d => graft.pipeline.Dedup.sourceVenn(d))
     run("source_venn_sketch")(d => graft.pipeline.Dedup.sourceVennSketch(d))
     run("card_incremental")(d => {
