@@ -528,6 +528,62 @@ object Similarity {
   }
 
   /**
+   * Binary (1-bit sign) sketch ANN — the fourth compressed-candidate
+   * family member after SQ8, PQ, and JL/RP: each vector reduces to ONE
+   * 64-bit word of coordinate signs (`v[d] > 0`; zero counts negative,
+   * deterministically), candidates pre-rank by HAMMING distance of the
+   * sketches (`bit_count(xor)` — two codegen'd instructions per pair,
+   * the cheapest compare in the family; sign-bit Hamming estimates
+   * angular distance, Charikar 2002's SRP-LSH with coordinate planes),
+   * and only the top `candMult·k` survivors pay the exact cosine.
+   * Exactness argument shared with multi-probe: the pre-rank only
+   * PRUNES — with `candMult·k` ≥ cell size it equals the cell-exact
+   * IVF ranking (CrossCheckSpec pins it); `candMult` is the recall
+   * knob.
+   *
+   * At 100 TB: the sketch is ONE long riding the scan (or a sidecar
+   * column — 64× smaller than fp64 vectors, 8× smaller than SQ8), the
+   * candidate join stays a cell-id equi-join, and full-width vectors
+   * are touched for `candMult·k` rows per query. Requires dim ≤ 64
+   * (one word) — multi-word packing is a mechanical extension, refused
+   * loudly rather than silently truncated.
+   */
+  def binaryTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      candMult: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding", cellCol: String = "label"): DataFrame = {
+    val dim = candidates.select(size(asDouble(col(vecCol))).as("d"))
+      .filter(col("d") > 0).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    require(dim <= 64,
+      s"binaryTopK packs signs into one 64-bit word; dim=$dim needs " +
+        "multi-word packing")
+    def sketch(v: Column): Column = (0 until dim).map(d =>
+      when(element_at(v, d + 1) > 0, lit(1L << d)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("cell"),
+        asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0) // zero-norm guard, as in sq8TopK
+      .withColumn("q_sk", sketch(col("q_v")))
+    val c = candidates.select(col(idCol).as("c_id"), col(cellCol).as("cell"),
+        asDouble(col(vecCol)).as("c_v"))
+      .withColumn("c_nrm", norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+      .withColumn("c_sk", sketch(col("c_v")))
+    val cw = Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))
+    val cand = q.join(c, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("ham", bit_count(col("q_sk").bitwiseXOR(col("c_sk"))))
+      .withColumn("crk", row_number().over(cw))
+      .filter(col("crk") <= candMult * k)
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    cand.select(col("q_id"), col("cell"), col("c_id"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /**
    * ANN recall report — the evaluation harness every approximate index
    * ships with: per (method, query), how many of the exact top-k the
    * approximate method returned. Takes the EXACT top-k frame and the

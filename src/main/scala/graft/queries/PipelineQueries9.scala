@@ -31,6 +31,8 @@ object PipelineQueries9 {
   private val aggStratN = 7
   private val aggSalt = "stratAgg"
   private val tokenBudget = 20000L
+  private val binK = 5
+  private val binCandMult = 8
   private val budgetBuckets = 256
   private val blockPhrases =
     Seq("table scan", "slow join", "batch batch", "dup")
@@ -577,6 +579,53 @@ object PipelineQueries9 {
             .as("quality"))
       graft.pipeline.Sampling.tokenBudgetSelect(scored, tokenBudget,
         budgetBuckets)
+    },
+
+    // Binary sign-sketch ANN (Charikar SRP with coordinate planes):
+    // one 64-bit word per vector, Hamming pre-rank, exact rescore of
+    // the candMult*k survivors. The oracle builds the IDENTICAL
+    // bit-packing (1<<d terms generated from the same loop) and
+    // replays pre-rank + rescore end to end.
+    QueryDef("sim_topk_binary", {
+      val packTerms = (0 until 64).map { d =>
+        // DuckDB's checked shift refuses 1<<63; the sign bit is written
+        // as the explicit two's-complement literal (== Spark's 1L<<63)
+        val bit = if (d == 63) "(-9223372036854775807 - 1)"
+          else s"(CAST(1 AS BIGINT) << $d)"
+        s"CASE WHEN v[${d + 1}] > 0 THEN $bit ELSE 0 END"
+      }.mkString(" | ")
+      val dcos = "list_sum(list_transform(generate_series(1, len(q.v)), " +
+        "i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm)"
+      s"""WITH e AS (
+         |  SELECT vec_id, label, v,
+         |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+         |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |        FROM embeddings)),
+         |ben AS (SELECT vec_id, label, v, nrm FROM e WHERE nrm > 0),
+         |bsk AS (SELECT vec_id, ($packTerms) AS sk FROM ben),
+         |bcand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY bit_count(xor(qs.sk, cs.sk)), c.vec_id) AS crk
+         |    FROM (SELECT * FROM ben WHERE vec_id < 8) q
+         |    JOIN ben c ON c.label = q.label AND c.vec_id <> q.vec_id
+         |    JOIN bsk qs ON qs.vec_id = q.vec_id
+         |    JOIN bsk cs ON cs.vec_id = c.vec_id)
+         |  WHERE crk <= ${binCandMult * binK})
+         |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT bcand.q_id, bcand.c_id,
+         |    round($dcos, 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY bcand.q_id
+         |      ORDER BY round($dcos, 6) DESC, bcand.c_id) AS rank
+         |  FROM bcand JOIN ben q ON q.vec_id = bcand.q_id
+         |             JOIN ben c ON c.vec_id = bcand.c_id)
+         |WHERE rank <= $binK""".stripMargin
+    }) { (s, dir) =>
+      val e = W.read(s, dir, "embeddings")
+      graft.pipeline.Similarity.binaryTopK(
+          e.filter(col("vec_id") < 8), e, binK, binCandMult)
+        .select("q_id", "c_id", "cos_sim", "rank")
     }
   )
 }

@@ -339,6 +339,33 @@ class CrossCheckSpec extends TestBase {
     assert(r2 >= r1, s"recall must be monotone in nprobe: $r1 -> $r2")
   }
 
+  test("binary sign-sketch ANN: unbounded candMult equals cell-exact IVF; " +
+      "recall is monotone in candMult") {
+    import spark.implicits._
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    // candMult*k >= any cell size => the Hamming pre-rank prunes nothing
+    // and the ranking must EXACTLY equal the cell-exact IVF top-k
+    val maxCell = e.groupBy("label").count()
+      .agg(max("count")).collect().head.getLong(0).toInt
+    val all = Similarity.binaryTopK(q, e, 5, candMult = maxCell)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, e, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(all == ivf, s"unpruned binary must equal cell-exact IVF; " +
+      s"diff: ${(all diff ivf).take(5)} / ${(ivf diff all).take(5)}")
+    // recall against the cell-exact ranking is monotone in candMult
+    def recall(m: Int): Double = {
+      val got = Similarity.binaryTopK(q, e, 5, candMult = m)
+        .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+      val want = ivf.map(t => (t._1, t._2))
+      got.intersect(want).size.toDouble / want.size
+    }
+    val r2 = recall(2); val r8 = recall(8)
+    assert(r8 >= r2, s"recall must be monotone in candMult: $r2 -> $r8")
+    assert(r8 >= 0.5, s"candMult=8 recall floor: $r8")
+  }
+
   test("LSH top-k holds a recall floor against brute force on real embeddings") {
     val e = WarehouseSim.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 8)
