@@ -119,6 +119,47 @@ class StreamingWindowSpec extends TestBase {
     } finally q.stop()
   }
 
+  test("streaming trending top-k: chained stateful aggregations " +
+      "(windowed counts -> TopKAgg) emit finalized windows") {
+    // Spark 4's multiple-stateful-operator support composed with the
+    // custom bounded-heap aggregate: tumbling-window per-type counts
+    // feed a per-window top-k, all in append mode — the continuously-
+    // maintained "trending terms" report. Each chained stage finalizes
+    // one watermark advance later, so closures ripple over batches.
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    implicit val sc = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ev = input.toDF().toDF("us", "etype")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val trending = ev.withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("etype")).count()
+      .groupBy(col("w"))
+      .agg(TopKAgg.topk(spark, struct(col("count"), col("etype")), 2)
+        .as("top"))
+    val qName = s"trend_${System.nanoTime()}"
+    val q = trending.writeStream.outputMode("append")
+      .format("memory").queryName(qName).start()
+    try {
+      input.addData((0L, "a"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "c"),
+        (5L, "c"))
+      q.processAllAvailable()
+      // two watermark advances ripple the first window through BOTH
+      // stateful operators
+      input.addData((100L * 3600000000L, "z"))
+      q.processAllAvailable()
+      input.addData((200L * 3600000000L, "y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(qName)
+      .select(unix_micros(col("w.start")).as("s"), col("top"))
+      .as[(Long, Seq[(Long, String)])].collect().toMap
+    assert(got(0L) === Seq((3L, "c"), (2L, "a")),
+      s"trending for window 0: ${got.get(0L)}")
+    assert(got.contains(100L * 3600000000L))
+  }
+
   test("stateful sessionization carries open sessions across micro-batches") {
     import graft.streaming._
     import spark.implicits._
