@@ -607,27 +607,39 @@ object Sampling {
     require(buckets > 0, "buckets must be positive")
     val d = scored.withColumn("bkt",
       least(floor(col(qCol) * buckets).cast("long"), lit(buckets - 1L)))
-    val perBucket = d.groupBy("bkt")
-      .agg(sum(col(tokCol)).as("btoks"))
-    val wAbove = Window.orderBy(col("bkt").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // buckets-sized frame: the unpartitioned window is bounded by the
-    // bucket count, the zipfReport discipline
-    val marked = perBucket
-      .withColumn("above", coalesce(sum(col("btoks")).over(wAbove), lit(0L)))
-    val cutRow = marked
-      .filter(col("above") < budget && col("above") + col("btoks") >= budget)
-      .select(col("bkt").as("cut_b"), (lit(budget) - col("above")).as("rem"))
-    val fullKeep = marked.filter(col("above") + col("btoks") < budget)
-      .select(col("bkt"))
-    val keptWhole = d.join(fullKeep, "bkt")
+    // per-bucket token sums to the driver: ≤ `buckets` rows (a bounded
+    // parameter, the centroid-collect discipline). Inlining the bucket
+    // verdicts as plan literals keeps the corpus at exactly TWO scans —
+    // the whole-keep isin filter and the boundary window, whose bucket
+    // predicate pushes down to the parquet scan. (A pure-DataFrame
+    // formulation re-executed the bucket-stats lineage once per
+    // consumer: four corpus scans, plan-audited.)
+    val perBucket = d.groupBy("bkt").agg(sum(col(tokCol)).as("btoks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .sortBy(-_._1)
+    var above = 0L
+    val fullKeepBuckets = Seq.newBuilder[Long]
+    var cut: Option[(Long, Long)] = None // (bucket, remaining budget)
+    perBucket.foreach { case (b, toks) =>
+      if (above + toks < budget) fullKeepBuckets += b
+      else if (above < budget && cut.isEmpty) cut = Some((b, budget - above))
+      above += toks
+    }
+    val whole = fullKeepBuckets.result()
+    val keptWhole =
+      if (whole.isEmpty) d.filter(lit(false))
+      else d.filter(col("bkt").isin(whole: _*))
     // boundary bucket: exact running-sum cut over ~corpus/buckets rows
     val wIn = Window.orderBy(col(qCol).desc, col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val keptBoundary = d.join(broadcast(cutRow), col("bkt") === col("cut_b"))
-      .withColumn("cum", sum(col(tokCol)).over(wIn))
-      .filter(col("cum") <= col("rem"))
-      .drop("cut_b", "rem", "cum")
+    val keptBoundary = cut match {
+      case Some((b, rem)) =>
+        d.filter(col("bkt") === b)
+          .withColumn("cum", sum(col(tokCol)).over(wIn))
+          .filter(col("cum") <= rem)
+          .drop("cum")
+      case None => d.filter(lit(false))
+    }
     keptWhole.unionByName(keptBoundary)
   }
 }
