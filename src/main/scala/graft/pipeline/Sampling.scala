@@ -610,10 +610,11 @@ object Sampling {
     // per-bucket token sums to the driver: ≤ `buckets` rows (a bounded
     // parameter, the centroid-collect discipline). Inlining the bucket
     // verdicts as plan literals keeps the corpus at exactly TWO scans —
-    // the whole-keep isin filter and the boundary window, whose bucket
-    // predicate pushes down to the parquet scan. (A pure-DataFrame
-    // formulation re-executed the bucket-stats lineage once per
-    // consumer: four corpus scans, plan-audited.)
+    // the whole-keep isin filter and the boundary window. (The bucket
+    // predicate is computed from the quality column, so it filters
+    // in-stage, not via parquet pushdown. A pure-DataFrame formulation
+    // re-executed the bucket-stats lineage once per consumer: four
+    // corpus scans, plan-audited.)
     val perBucket = d.groupBy("bkt").agg(sum(col(tokCol)).as("btoks"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
       .sortBy(-_._1)
