@@ -135,10 +135,12 @@ object VecFoldRewrite extends Rule[LogicalPlan] {
  * canonical shape with regex-literal phrases (letters/digits/spaces —
  * no metacharacters), distinct and prefix-free. Under prefix-freedom,
  * leftmost-first (java.util.regex) and leftmost-longest (RE2)
- * alternation agree, and MultiMatch's non-overlapping boundary-
- * anchored scan reproduces `Matcher.find` exactly (MultiMatchSpec
- * pins bit-equality). `legacySizeOfNull` must be false so a null
- * text maps to null on both paths.
+ * alternation agree, and MultiMatch's leftmost-START non-overlapping
+ * boundary-anchored scan reproduces `Matcher.find` exactly —
+ * including suffix-nested phrase pairs like "click here"/"here"
+ * (MultiMatchSpec pins bit-equality on suffix, nested, and randomized
+ * fixtures). `legacySizeOfNull` must be false so a null text maps to
+ * null on both paths.
  */
 object BlocklistRewrite extends Rule[LogicalPlan] {
   val minAlternatives = 16

@@ -24,13 +24,21 @@ import org.apache.spark.sql.types._
  * Semantics contract (pinned bit-equal to the regex twin in
  * MultiMatchSpec): matches anchor on ASCII word boundaries
  * (`[A-Za-z0-9_]` on either side blocks — RE2's and java.util.regex's
- * shared default `\b`); scanning is leftmost non-overlapping (the
- * scan resumes AFTER each counted match, exactly like repeated
- * `Matcher.find`). Phrases must be non-empty, distinct, and
+ * shared default `\b`); counting is leftmost non-overlapping exactly
+ * like repeated `Matcher.find` — each counted match is the one with
+ * the SMALLEST START at or after the previous match's end, not the
+ * smallest end. The automaton discovers matches end-first, so ends
+ * are buffered briefly and committed in start order once no
+ * longer-spanning match can still precede them (see countMatches);
+ * this is what makes suffix phrases ("slow join"/"join") and
+ * boundary-blocked long matches shadowing valid short ones agree
+ * with the regex. Phrases must be non-empty, distinct, and
  * PREFIX-FREE: prefix-freedom means at most one phrase can match at
  * a given start, so leftmost-FIRST (java.util.regex) and
  * leftmost-LONGEST (POSIX/RE2) alternation semantics coincide and
  * the count is engine-unambiguous — enforced loudly at construction.
+ * Suffix-nested phrases ARE allowed (real blocklists carry pairs
+ * like "click here"/"here").
  *
  * The automaton builds once per (JVM × phrase list) — ~Σ|phrase|
  * nodes, transitions in one primitive-keyed hash map — and is shared
@@ -78,8 +86,12 @@ final class AcAutomaton(phrases: Array[String]) extends Serializable {
   // and a miss is an O(1) probe during the fail-walk
   private val trans = new java.util.HashMap[java.lang.Long, Integer]()
   private val maxNodes = phrases.map(_.length).sum + 1
-  private val hit = new Array[Int](maxNodes) // matched length, 0 = none
+  private val term = new Array[Int](maxNodes) // own phrase length, 0 = none
   private val fail = new Array[Int](maxNodes)
+  // output link: nearest fail-chain ancestor that is a terminal (0 = none),
+  // so the per-char suffix-phrase walk only visits actual terminals
+  private val out = new Array[Int](maxNodes)
+  private val maxLen = phrases.map(_.length).max
   private var nNodes = 1
 
   private def key(s: Int, c: Char): java.lang.Long =
@@ -98,7 +110,7 @@ final class AcAutomaton(phrases: Array[String]) extends Serializable {
         else { val n = nNodes; nNodes += 1; trans.put(k, n); n }
         i += 1
       }
-      hit(s) = p.length
+      term(s) = p.length
     }
     // BFS fail links
     val children = new java.util.HashMap[Integer, java.util.ArrayList[Character]]()
@@ -119,10 +131,12 @@ final class AcAutomaton(phrases: Array[String]) extends Serializable {
         var t = trans.get(key(f, c))
         while (f != 0 && t == null) { f = fail(f); t = trans.get(key(f, c)) }
         fail(child) = if (t != null && t.intValue() != child) t.intValue() else 0
-        // a phrase ending as a proper suffix of this path also ends here;
-        // own terminal wins (earlier start = the leftmost match)
-        if (hit(child) == 0 && hit(fail(child)) > 0)
-          hit(child) = hit(fail(child))
+        // phrases ending as proper suffixes of this path also end here;
+        // chain them via output links so the scan can enumerate EVERY
+        // phrase length ending at a position (a boundary-blocked long
+        // match must not shadow a boundary-valid short one)
+        out(child) =
+          if (term(fail(child)) > 0) fail(child) else out(fail(child))
         q.add(child)
       }
     }
@@ -141,24 +155,59 @@ final class AcAutomaton(phrases: Array[String]) extends Serializable {
 
   /** Non-overlapping leftmost count with ASCII-`\b` anchoring. The
     * caller lowercases text iff the phrase list is lowercase (the
-    * regex twin's `lower(text)` convention). */
+    * regex twin's `lower(text)` convention).
+    *
+    * `Matcher.find` counts the boundary-valid match with the SMALLEST
+    * START at or after the previous match's end; the automaton sees
+    * matches in END order, and a longer phrase (earlier start) ends
+    * later than a shorter one it contains. So boundary-valid
+    * candidates go into a tiny start-ordered buffer and commit only
+    * once no still-unseen match can start earlier — i.e. when
+    * `start <= i + 1 - maxLen` (a match ending past `i` starts at
+    * `>= i + 2 - maxLen`). Committing advances the resume point and
+    * discards buffered overlaps, exactly regex's skip. The buffer is
+    * null for the (dominant) no-match rows and holds at most a
+    * handful of entries otherwise — the scan stays O(text). */
   def countMatches(text: String): Long = {
     var count = 0L
     var state = 0
+    var pos = 0 // next allowed match start — regex's resume point
+    var pending: java.util.TreeMap[Integer, Integer] = null // start -> len
     var i = 0
     val n = text.length
     while (i < n) {
       state = step(state, text.charAt(i))
-      val len = if (state == 0) 0 else hit(state)
-      if (len > 0) {
+      // every phrase ending at i: the node's own terminal, then the
+      // output-link chain (longest first = start ascending)
+      var w = if (term(state) > 0) state else out(state)
+      while (w != 0) {
+        val len = term(w)
         val start = i - len + 1
-        if ((start == 0 || !isWordChar(text.charAt(start - 1))) &&
+        if (start >= pos &&
+            (start == 0 || !isWordChar(text.charAt(start - 1))) &&
             (i + 1 >= n || !isWordChar(text.charAt(i + 1)))) {
-          count += 1
-          state = 0 // resume AFTER the match — non-overlapping scan
+          if (pending == null)
+            pending = new java.util.TreeMap[Integer, Integer]()
+          pending.put(start, len) // prefix-freedom: one phrase per start
+        }
+        w = out(w)
+      }
+      if (pending != null) {
+        var e = pending.firstEntry()
+        while (e != null && e.getKey <= i + 1 - maxLen) {
+          pending.pollFirstEntry()
+          if (e.getKey >= pos) { count += 1; pos = e.getKey + e.getValue }
+          e = pending.firstEntry()
         }
       }
       i += 1
+    }
+    if (pending != null) {
+      var e = pending.pollFirstEntry()
+      while (e != null) {
+        if (e.getKey >= pos) { count += 1; pos = e.getKey + e.getValue }
+        e = pending.pollFirstEntry()
+      }
     }
     count
   }

@@ -48,15 +48,21 @@ import org.apache.spark.sql.types._
  * child type (atomic, struct, nested) works unchanged. Nulls are
  * ignored (SQL aggregate convention).
  */
-case class TopKAgg(child: Expression, k: Int,
+case class TopKAgg(child: Expression, k: Int, smallest: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[JPriorityQueue[Any]]
   with UnaryLike[Expression] {
 
   require(k > 0, s"topk requires k > 0, got $k")
 
-  @transient private lazy val ord: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  // smallest=true is `bottomk`: keep the k SMALLEST, return ascending —
+  // same heap under the reversed ordering. This exists so callers never
+  // have to negate columns to flip direction (negation breaks on
+  // non-numeric types and overflows at Long.MinValue).
+  @transient private lazy val ord: Ordering[Any] = {
+    val natural = TypeUtils.getInterpretedOrdering(child.dataType)
+    if (smallest) natural.reverse else natural
+  }
 
   @transient private lazy val ser: UnsafeProjection =
     UnsafeProjection.create(Array[DataType](ArrayType(child.dataType)))
@@ -66,7 +72,7 @@ case class TopKAgg(child: Expression, k: Int,
 
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def nullable: Boolean = false
-  override def prettyName: String = "topk"
+  override def prettyName: String = if (smallest) "bottomk" else "topk"
 
   override def createAggregationBuffer(): JPriorityQueue[Any] =
     new JPriorityQueue[Any](k + 1, ord)
@@ -123,26 +129,46 @@ case class TopKAgg(child: Expression, k: Int,
 
 object TopKAgg {
 
-  /** Register `topk(expr, k)` (idempotent; k must be a literal int). */
-  def register(spark: SparkSession): Unit =
+  private def literalK(kExpr: Expression, name: String): Int =
+    kExpr.eval(null) match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name k must be an integer literal, got $other")
+    }
+
+  /** Register `topk(expr, k)` and `bottomk(expr, k)` (idempotent; k must
+    * be a literal int). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk",
       (exprs: Seq[Expression]) => exprs match {
         case Seq(e, kExpr) =>
-          val k = kExpr.eval(null) match {
-            case i: Int => i
-            case l: Long => l.toInt
-            case other => throw new IllegalArgumentException(
-              s"topk k must be an integer literal, got $other")
-          }
-          TopKAgg(e, k).toAggregateExpression()
+          TopKAgg(e, literalK(kExpr, "topk")).toAggregateExpression()
         case _ => throw new IllegalArgumentException("topk(expr, k)")
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottomk",
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(e, kExpr) =>
+          TopKAgg(e, literalK(kExpr, "bottomk"), smallest = true)
+            .toAggregateExpression()
+        case _ => throw new IllegalArgumentException("bottomk(expr, k)")
+      },
+      "built-in")
+  }
 
   /** `topk(value, k)` as a typed Column aggregate. */
   def topk(spark: SparkSession, value: Column, k: Int): Column = {
     register(spark)
     call_function("topk", value, org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** `bottomk(value, k)`: the k SMALLEST values, ascending — flip
+    * direction without negating columns. */
+  def bottomk(spark: SparkSession, value: Column, k: Int): Column = {
+    register(spark)
+    call_function("bottomk", value, org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -68,19 +68,31 @@ class ExtensionsSpec extends TestBase {
     def total(df: org.apache.spark.sql.DataFrame): Long =
       df.agg(sum("n")).collect().head.getLong(0)
 
-    // 20 distinct prefix-free phrases (>= threshold) -> rewritten
+    // 22 distinct prefix-free phrases (>= threshold), INCLUDING suffix
+    // pairs ("slow join"/"join", "table scan"/"scan" — the shape the
+    // round-8 advice showed the old matcher undercounting) -> rewritten,
+    // and the rewrite must not change results
     val big = (0 until 18).map(i => s"zz$i w") ++
-      Seq("table scan", "slow join")
+      Seq("table scan", "slow join", "join", "scan")
     val rewritten = q(pat(big))
     assert(rewritten.queryExecution.executedPlan.toString
       .contains("multi_match"), "expected the AC rewrite to fire")
+    val acTotal = total(rewritten)
+    // same query with the rule removed = the genuine regex path
+    GraftExtensions.uninstall(spark)
+    val regexPath = q(pat(big))
+    assert(!regexPath.queryExecution.executedPlan.toString
+      .contains("multi_match"))
+    val reTotal = total(regexPath)
+    GraftExtensions.install(spark)
+    assert(acTotal === reTotal,
+      s"rewrite changed results: ac $acTotal vs regex $reTotal")
+    assert(reTotal > 0)
 
-    // below the threshold -> stays regex; same totals either way
+    // below the threshold -> stays regex
     val small = q(pat(Seq("table scan", "slow join")))
     assert(!small.queryExecution.executedPlan.toString
       .contains("multi_match"))
-    assert(total(rewritten) === total(small),
-      "rewritten count must equal the regex path (zz* phrases never hit)")
     assert(total(small) > 0)
 
     // metacharacters / prefix pairs -> never rewritten
