@@ -151,8 +151,13 @@ object BlocklistRewrite extends Rule[LogicalPlan] {
     pattern match {
       case shape(alts) =>
         val ps = alts.split("\\|", -1).toSeq
+        // word-char edges required: a space-edged phrase inverts \b
+        // semantics vs the scanner (regex \b(join )\b matches "a join b";
+        // the AC boundary check would not) — such patterns stay on the
+        // regex path instead of being silently rewritten
         val literal = ps.forall(p => p.nonEmpty &&
-          p.forall(c => (c.isLetterOrDigit && c < 128) || c == ' '))
+          p.forall(c => (c.isLetterOrDigit && c < 128) || c == ' ') &&
+          graft.functions.MultiMatch.isWordEdged(p))
         val prefixFree = ps.sorted.sliding(2).forall {
           case Seq(a, b) => !b.startsWith(a)
           case _ => true

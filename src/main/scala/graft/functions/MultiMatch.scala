@@ -215,9 +215,25 @@ final class AcAutomaton(phrases: Array[String]) extends Serializable {
 
 object MultiMatch {
 
+  // mirrors the scanner's ASCII-\b definition (AcAutomaton.isWordChar)
+  private def isWordEdgeChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  private[graft] def isWordEdged(p: String): Boolean =
+    p.nonEmpty && isWordEdgeChar(p.head) && isWordEdgeChar(p.last)
+
   private[functions] def validate(phrases: Seq[String]): Unit = {
     require(phrases.nonEmpty, "phrase list must not be empty")
     require(phrases.forall(_.nonEmpty), "phrases must be non-empty")
+    // \b anchoring assumes a phrase's edge chars are word chars: a
+    // space-edged phrase INVERTS boundary semantics vs the regex twin
+    // (\b(join )\b on "a join b": regex 1, naive AC 0) — reject loudly
+    // rather than silently diverge.
+    val badEdge = phrases.filterNot(isWordEdged)
+    require(badEdge.isEmpty,
+      s"phrase edges must be word characters ([A-Za-z0-9_]) for \\b " +
+        s"anchoring to match the regex twin; offending: $badEdge")
     val dups = phrases.diff(phrases.distinct)
     require(dups.isEmpty, s"duplicate phrases: $dups")
     phrases.sorted.sliding(2).foreach {

@@ -223,6 +223,14 @@ final class StatusServer(state: StateStore, watermark: Watermark,
       n.put("table", s"${j.db}.${j.table}")
       if (j.partitions.nonEmpty)
         n.put("partitions", j.partitions.mkString(","))
+      // the reference jobs page renders these per-row (jobs.html:
+      // Rename to DB / Rename to Table / Extras) — serve them so the
+      // dashboard can, too
+      j.renameToDb.foreach(n.put("renameToDb", _))
+      j.renameToTable.foreach(n.put("renameToTable", _))
+      if (j.extras.nonEmpty)
+        n.put("extras", j.extras.map { case (k, v) => s"$k=$v" }
+          .mkString(","))
     }
     mapper.writeValueAsString(arr)
   }
@@ -281,24 +289,71 @@ final class StatusServer(state: StateStore, watermark: Watermark,
 }
 
 object StatusServer {
-  /** One-file dashboard polling /status every 10 s (the reference refreshes
-    * its progress page on the same cadence as the server's poll sleep). */
+  /** Terminal statuses — the reference's "retired" set (everything a
+    * job can end in; PENDING/RUNNING are "active"). */
+  private[observability] val RetiredStatuses: Set[String] = Set(
+    JobStatus.Successful, JobStatus.Failed, JobStatus.NotCompletable,
+    JobStatus.Aborted, JobStatus.DestNewer)
+
+  /** One-file dashboard polling every 10 s (the reference refreshes its
+    * progress page on the same cadence as the server's poll sleep).
+    * Renders the reference web UI's jobs page (`WebServer.java:74-117`,
+    * `templates/jobs.html`): lag header, then per-job rows split into
+    * an Active Jobs section (PENDING/RUNNING, with a live duration
+    * column from createTime) and a last-200 Retired Jobs section —
+    * columns ID / Create Time / Operation / Status / Table /
+    * Partitions ('Many' beyond one, like the reference) / Rename to /
+    * Extras. Data comes from the same `/jobs` JSON the API serves. */
   val IndexHtml: String =
     """<!doctype html><html><head><title>graft replication status</title>
       |<style>body{font-family:monospace;margin:2em}table{border-collapse:collapse}
       |td,th{border:1px solid #999;padding:4px 10px;text-align:right}
-      |th{text-align:left}</style></head><body>
+      |th{text-align:left}td.sec{background:#ddd;text-align:left}</style></head><body>
       |<h2>graft replication status</h2>
-      |<table id="jobs"></table><p id="meta"></p>
+      |<p id="meta"></p>
+      |<table id="rollup"></table>
+      |<h3 id="counts"></h3>
+      |<table id="jobs"></table>
       |<script>
+      |const RETIRED = new Set(['SUCCESSFUL','FAILED','NOT_COMPLETABLE',
+      |  'ABORTED','DEST_IS_NEWER']);
+      |const esc = x => String(x ?? '').replace(/[&<>"]/g,
+      |  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
+      |function jobRow(j, now){
+      |  const parts = (j.partitions ?? '').split(',').filter(x => x);
+      |  const dur = RETIRED.has(j.status) ? ''
+      |    : Math.max(0, Math.round((now - j.createTime)/1000)) + 's';
+      |  return `<tr><td>${j.id}</td>` +
+      |    `<td>${new Date(j.createTime).toISOString()}</td>` +
+      |    `<td>${esc(j.operation)}</td><td>${esc(j.status)}</td>` +
+      |    `<td>${esc(j.table)}</td>` +
+      |    `<td>${parts.length > 1 ? 'Many' : esc(parts[0] ?? '')}</td>` +
+      |    `<td>${esc(j.renameToDb ?? '')}${j.renameToTable ? '.' + esc(j.renameToTable) : ''}</td>` +
+      |    `<td>${esc(j.extras ?? '')}</td><td>${dur}</td></tr>`;
+      |}
       |async function refresh(){
       |  const s = await (await fetch('status')).json();
-      |  const rows = Object.entries(s.jobs)
-      |    .map(([k,v]) => `<tr><th>${k}</th><td>${v}</td></tr>`).join('');
-      |  document.getElementById('jobs').innerHTML = rows;
+      |  const rollup = Object.entries(s.jobs)
+      |    .map(([k,v]) => `<tr><th>${esc(k)}</th><td>${v}</td></tr>`).join('');
+      |  document.getElementById('rollup').innerHTML = rollup;
       |  document.getElementById('meta').textContent =
       |    `watermark=${s.watermark ?? '-'} lag=${s.lagSeconds ?? 0}s ` +
-      |    `bucket=${s.lagBucket ?? 0}`;
+      |    `(${Math.round((s.lagSeconds ?? 0)/60)} min) bucket=${s.lagBucket ?? 0}`;
+      |  const all = await (await fetch('jobs?limit=500')).json();
+      |  const now = Date.now();
+      |  const active = all.filter(j => !RETIRED.has(j.status));
+      |  const retired = all.filter(j => RETIRED.has(j.status)).slice(0, 200);
+      |  document.getElementById('counts').textContent =
+      |    `Jobs: ${active.length} Active`;
+      |  const head = '<tr><th>ID</th><th>Create Time</th><th>Operation</th>' +
+      |    '<th>Status</th><th>Table</th><th>Partitions</th>' +
+      |    '<th>Rename to</th><th>Extras</th><th>Duration</th></tr>';
+      |  const sec = t => `<tr><td class="sec" colspan="9">${t}</td></tr>`;
+      |  document.getElementById('jobs').innerHTML = head +
+      |    (active.length ? sec('Active Jobs') : '') +
+      |    active.map(j => jobRow(j, now)).join('') +
+      |    (retired.length ? sec('Retired Jobs') : '') +
+      |    retired.map(j => jobRow(j, now)).join('');
       |}
       |refresh(); setInterval(refresh, 10000);
       |</script></body></html>""".stripMargin

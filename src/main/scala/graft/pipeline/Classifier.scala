@@ -182,7 +182,7 @@ object Classifier {
     val exb = featurize(docs, dims, labelCol, idCol, textCol)
       .select(col("doc_id"), col("y"),
         explode(concat(col("js"), array(lit(-1L)))).as("j"))
-      .localCheckpoint()
+      .transform(Lineage.cut)
     val n = exb.filter(col("j") === -1L).count().toDouble
     require(n > 0, "empty corpus")
 

@@ -934,11 +934,18 @@ object Dedup {
    * candidate generation), so rounds stay single-digit; for adversarially
    * deep graphs the large-star/small-star variant bounds rounds at
    * O(log n), at the cost of two joins per round — not needed for dedup
-   * shapes. Labels are `localCheckpoint`ed per round so the plan does not
-   * grow with the iteration count.
+   * shapes. Labels are checkpointed per round (via [[cutLineage]] —
+   * executor-local by default, reliable under
+   * `spark.graft.checkpointDir`) so the plan does not grow with the
+   * iteration count.
    */
   /** Rounds the last [[connectedComponents]] call took (diagnostics). */
   @volatile private[graft] var lastCcRounds: Int = 0
+
+  /** Per-round lineage cut for the iterative graph family — see
+    * [[Lineage.cut]]: executor-local by default, reliable when
+    * `spark.graft.checkpointDir` is set. */
+  private def cutLineage(df: DataFrame): DataFrame = Lineage.cut(df)
 
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
@@ -960,7 +967,7 @@ object Dedup {
     undirected.count()
     undirected0.unpersist(blocking = false)
     var labels = undirected.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+      .withColumn("lbl", col("id")).transform(cutLineage)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -974,7 +981,7 @@ object Dedup {
         .join(nbrMin.as("n"), Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(cutLineage)
       // pointer jump: also adopt the label OF the label (every label value
       // is itself a node id, so `step` doubles as the lookup). Halves the
       // hop distance per round — chain-shaped components converge in
@@ -985,7 +992,7 @@ object Dedup {
           Seq("lbl"), "left")
         .select(col("id"), col("old"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .transform(cutLineage)
       changed = jumped.filter(col("lbl") < col("old")).count()
       labels = jumped.select(col("id"), col("lbl"))
       iter += 1
@@ -1084,7 +1091,7 @@ object Dedup {
         least(col("a"), col("b")).as("dst"))
     val nodes = edges0.select(col("src").as("id"))
       .unionAll(edges0.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true)
+      .transform(cutLineage)
     // emit (v, m(u)) for every neighbor v > u; m = min(N(u) ∪ u)
     def largeStar(e: DataFrame): DataFrame = {
       // e is directed distinct, so the two directions cannot collide
@@ -1107,15 +1114,15 @@ object Dedup {
       .join(e.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("mn"), col("id")).as("lbl"))
-    var e = edges0.distinct().localCheckpoint(true)
-    var prev = labelsOf(e).localCheckpoint(true)
+    var e = cutLineage(edges0.distinct())
+    var prev = cutLineage(labelsOf(e))
     // (smallStar output keeps src > dst: it links nodes to a strictly
     // smaller group minimum, so the directed-distinct invariant holds)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      val cur = labelsOf(e).localCheckpoint(true)
+      e = cutLineage(smallStar(largeStar(e)))
+      val cur = cutLineage(labelsOf(e))
       changed = cur.as("c")
         .join(prev.as("p"), Seq("id"))
         .filter(col("c.lbl") =!= col("p.lbl")).count()

@@ -221,21 +221,24 @@ object Sampling {
    * stratum BEFORE the shuffle and no per-stratum sort ever runs, so
    * a skewed stratum costs O(n) state instead of one giant window
    * partition — this removes the "cap input first" caveat on the
-   * window form. TopKAgg keeps the LARGEST values, so the struct
-   * negates (hash, id); ids are recovered from the payload and joined
-   * back for the full rows (requires unique `idCol`, the corpus
-   * invariant).
+   * window form. Selection uses `bottomk` (smallest values, natural
+   * ascending struct ordering), so the (hash, id) struct is passed
+   * AS-IS: the id tie-break works for any orderable id type — string
+   * doc_ids included — with no negation (which would silently break
+   * non-numeric ids and overflow at Long.MinValue). Ids are recovered
+   * from the payload and joined back for the full rows (requires
+   * unique `idCol`, the corpus invariant).
    */
   def stratifiedSampleAgg(df: DataFrame, stratumCol: String, n: Int,
       idCol: String = "doc_id", salt: String = "strat"): DataFrame = {
     val ids = df
       .select(col(stratumCol).as("_st"), col(idCol).as("_id"))
       .groupBy("_st")
-      .agg(graft.functions.TopKAgg.topk(df.sparkSession,
-        struct((-hash32(col("_id"), salt)).as("nh"), (-col("_id")).as("nid")),
-        n).as("top"))
-      .select(explode(col("top")).as("t"))
-      .select((-col("t.nid")).as(idCol))
+      .agg(graft.functions.TopKAgg.bottomk(df.sparkSession,
+        struct(hash32(col("_id"), salt).as("h"), col("_id").as("id")),
+        n).as("keep"))
+      .select(explode(col("keep")).as("t"))
+      .select(col("t.id").as(idCol))
     df.join(ids, idCol)
   }
 

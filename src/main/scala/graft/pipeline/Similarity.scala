@@ -380,7 +380,7 @@ object Similarity {
     // training iteration and the encode pass
     val sub = all.select(col("vec_id"), subspaces(col("v")).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.subv").as("subv"))
-      .localCheckpoint()
+      .transform(Lineage.cut)
 
     def sqd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),

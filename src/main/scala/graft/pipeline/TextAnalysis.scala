@@ -288,7 +288,7 @@ object TextAnalysis {
       .filter(col("w").rlike("^[a-z0-9]+$"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("seg", regexp_replace(col("w"), "(.)", "<$1>"))
-      .localCheckpoint()
+      .transform(Lineage.cut)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (step <- 1 to nMerges) {
       val syms = split(expr("substring(seg, 2, length(seg) - 2)"), "><")
@@ -309,7 +309,7 @@ object TextAnalysis {
       words = words.withColumn("seg",
           regexp_replace(col("seg"),
             lit(java.util.regex.Pattern.quote(pat)), lit(merged)))
-        .localCheckpoint()
+        .transform(Lineage.cut)
     }
     (merges.result(), words)
   }
@@ -458,15 +458,16 @@ object TextAnalysis {
    * (deliberately) stops filter/projection pushdown, so a pipeline that
    * consumes the gate from k branches (e.g. span-removal's window-count
    * + rewrite passes) re-runs the whole signal computation k times —
-   * `localCheckpoint` cuts that to 1 by writing the frame to executor
-   * block storage and truncating lineage. The frame is narrow (6 columns
+   * [[Lineage.cut]] cuts that to 1 by writing the frame to executor
+   * block storage (or the reliable `spark.graft.checkpointDir` when
+   * set) and truncating lineage. The frame is narrow (6 columns
    * per doc, no text), so the stored size is a rounding error next to
    * the corpus; blocks free with the frame's RDD via the context
    * cleaner, so no session-lifetime cache is held by the library —
    * lifetime is the caller's reference, which is the contract that kept
    * Dedup's internal-cache registry bounded.
    */
-  def materializeGate(gate: DataFrame): DataFrame = gate.localCheckpoint()
+  def materializeGate(gate: DataFrame): DataFrame = Lineage.cut(gate)
 
   /**
    * Interpolated bigram-LM scoring — one order up from [[unigramNll]]:

@@ -621,4 +621,43 @@ class CrossCheckSpec extends TestBase {
       (2L, 3599999999L + 3600000000L, 2L),
       (3L, 3600000000L, 1L), (3L, 7200000001L, 1L)))
   }
+
+  test("reliable-checkpoint mode (spark.graft.checkpointDir) produces " +
+      "identical CC labels and ranks to localCheckpoint mode") {
+    import spark.implicits._
+    val real = Dedup.simhashPairs(WarehouseSim.read(spark, sfDir, "documents"))
+      .select("doc_a", "doc_b").localCheckpoint()
+    // default mode (executor-local checkpoints)
+    val ccLocal = Dedup.connectedComponents(real)
+      .as[(Long, Long)].collect().toMap
+    val altLocal = Dedup.connectedComponentsAlternating(real)
+      .as[(Long, Long)].collect().toMap
+    val rankLocal = Dedup.graphRank(real)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    try {
+      spark.conf.set("spark.graft.checkpointDir", dir)
+      val ccRel = Dedup.connectedComponents(real)
+        .as[(Long, Long)].collect().toMap
+      val altRel = Dedup.connectedComponentsAlternating(real)
+        .as[(Long, Long)].collect().toMap
+      val rankRel = Dedup.graphRank(real)
+        .as[(Long, Long)].collect().toMap
+      assert(ccRel == ccLocal, "min-label CC labels diverge across modes")
+      assert(altRel == altLocal, "alternating CC labels diverge across modes")
+      assert(rankRel == rankLocal, "graphRank diverges across modes")
+      // the reliable mode must actually have written checkpoint state
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable mode wrote no checkpoint files")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      // the SparkContext-level dir sticks for the session; harmless for
+      // other tests (Lineage.cut only checkpoints reliably when the
+      // graft conf is set), but delete the files
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(dir))
+    }
+  }
 }

@@ -78,16 +78,27 @@ class ExtensionsSpec extends TestBase {
     assert(rewritten.queryExecution.executedPlan.toString
       .contains("multi_match"), "expected the AC rewrite to fire")
     val acTotal = total(rewritten)
-    // same query with the rule removed = the genuine regex path
-    GraftExtensions.uninstall(spark)
-    val regexPath = q(pat(big))
-    assert(!regexPath.queryExecution.executedPlan.toString
-      .contains("multi_match"))
-    val reTotal = total(regexPath)
-    GraftExtensions.install(spark)
+    // same query with the rule removed = the genuine regex path.
+    // try/finally: an assertion failure mid-comparison must not leave the
+    // shared session uninstalled and cascade into unrelated tests.
+    val reTotal =
+      try {
+        GraftExtensions.uninstall(spark)
+        val regexPath = q(pat(big))
+        assert(!regexPath.queryExecution.executedPlan.toString
+          .contains("multi_match"))
+        total(regexPath)
+      } finally GraftExtensions.install(spark)
     assert(acTotal === reTotal,
       s"rewrite changed results: ac $acTotal vs regex $reTotal")
     assert(reTotal > 0)
+
+    // space-edged phrase -> \b semantics invert vs the scanner; must
+    // never be rewritten (stays on the regex path). " scan" keeps the
+    // list distinct and prefix-free so only the edge guard is tested.
+    val spaceEdged = q(pat(big.dropRight(1) :+ " scan"))
+    assert(!spaceEdged.queryExecution.executedPlan.toString
+      .contains("multi_match"))
 
     // below the threshold -> stays regex
     val small = q(pat(Seq("table scan", "slow join")))

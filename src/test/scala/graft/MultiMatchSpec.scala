@@ -154,5 +154,9 @@ class MultiMatchSpec extends TestBase {
     }
     intercept[IllegalArgumentException] { MultiMatch.automaton(Seq.empty) }
     intercept[IllegalArgumentException] { MultiMatch.automaton(Seq("a", "a")) }
+    // space-edged phrases invert \b semantics vs the regex twin
+    // (\b(join )\b on "a join b": regex 1, AC 0) — rejected loudly
+    intercept[IllegalArgumentException] { MultiMatch.automaton(Seq("join ")) }
+    intercept[IllegalArgumentException] { MultiMatch.automaton(Seq(" scan")) }
   }
 }

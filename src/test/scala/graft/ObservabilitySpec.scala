@@ -61,7 +61,16 @@ class ObservabilitySpec extends TestBase {
         finally conn.disconnect()
       }
       assert(get("/health").contains("\"ok\":true"))
-      assert(get("/").contains("graft replication status")) // dashboard
+      // dashboard renders the reference jobs page (WebServer.java:74-117,
+      // templates/jobs.html): per-job columns, Active/Retired sections,
+      // 'Many' partition collapse, lag-in-minutes header
+      val html = get("/")
+      assert(html.contains("graft replication status"))
+      for (f <- Seq("Active Jobs", "Retired Jobs", "<th>ID</th>",
+          "<th>Create Time</th>", "<th>Operation</th>", "<th>Status</th>",
+          "<th>Table</th>", "<th>Partitions</th>", "<th>Rename to</th>",
+          "<th>Extras</th>", "<th>Duration</th>", "'Many'", "min)"))
+        assert(html.contains(f), s"dashboard missing reference field: $f")
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val status = mapper.readTree(get("/status"))
       assert(status.get("jobs").get(JobStatus.Successful).asLong == 1L)
@@ -105,7 +114,8 @@ class ObservabilitySpec extends TestBase {
       JobState(1, 1700000000000L, "COPY_TABLE", JobStatus.Successful,
         "db", "t1", Seq.empty, None, None, None, Map.empty),
       JobState(2, 1700000000000L, "COPY_PARTITION", JobStatus.Pending,
-        "db", "t2", Seq("ds=1"), None, None, None, Map.empty)))
+        "db", "t2", Seq("ds=1"), None, Some("db2"), Some("t2r"),
+        Map("k" -> "v"))))
 
     val recv = new java.net.DatagramSocket(0)
     recv.setSoTimeout(10000)
@@ -135,6 +145,10 @@ class ObservabilitySpec extends TestBase {
       assert(pending.size() == 1 && pending.get(0).get("table").asText == "db.t2",
         s"got $pending")
       assert(pending.get(0).get("partitions").asText == "ds=1")
+      // reference jobs-page fields (jobs.html: Rename to DB/Table, Extras)
+      assert(pending.get(0).get("renameToDb").asText == "db2")
+      assert(pending.get(0).get("renameToTable").asText == "t2r")
+      assert(pending.get(0).get("extras").asText == "k=v")
       val all = mapper.readTree(get("/jobs"))
       assert(all.size() == 2 && all.get(0).get("id").asLong == 2L,
         s"newest first: $all")

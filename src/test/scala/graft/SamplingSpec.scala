@@ -273,4 +273,23 @@ class SamplingSpec extends TestBase {
       assert(agg === win, s"window/heap divergence at n=$n")
     }
   }
+
+  test("stratifiedSampleAgg handles string doc_ids (no numeric-id assumption)") {
+    // The heap form must not require a numeric idCol: the selection rule
+    // (smallest salted hash, native id tie-break) is type-agnostic via
+    // bottomk's natural struct ordering. Pin window/heap equality on a
+    // string id column, including hash-collision tie-breaks on the id.
+    import org.apache.spark.sql.functions._
+    val docs = graft.sim.WarehouseSim
+      .read(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("sid", concat(lit("doc-"), col("doc_id")))
+      .repartition(13)
+    for (n <- Seq(1, 7)) {
+      val win = Sampling.stratifiedSample(docs, "source", n, idCol = "sid")
+        .select("sid").collect().map(_.getString(0)).toSet
+      val agg = Sampling.stratifiedSampleAgg(docs, "source", n, idCol = "sid")
+        .select("sid").collect().map(_.getString(0)).toSet
+      assert(agg === win, s"window/heap divergence at n=$n on string ids")
+    }
+  }
 }

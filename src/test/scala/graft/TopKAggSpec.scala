@@ -86,6 +86,56 @@ class TopKAggSpec extends TestBase {
     assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
   }
 
+  test("bottomk(struct) matches the ascending row_number window on the corpus") {
+    val docs = graft.sim.WarehouseSim.read(spark, sfDir, "documents")
+      .repartition(13) // force the serialize/merge partial path
+    val got = docs.groupBy("lang")
+      .agg(TopKAgg.bottomk(spark, struct(col("n_chars"), col("doc_id")), 5)
+        .as("bot"))
+      .select(col("lang"), posexplode(col("bot")))
+      .select(col("lang"), (col("pos") + 1).as("rnk"),
+        col("col.n_chars"), col("col.doc_id"))
+      .as[(String, Int, Long, Long)].collect().toSet
+    val w = Window.partitionBy("lang")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val want = docs.select(col("lang"), row_number().over(w).as("rnk"),
+        col("n_chars"), col("doc_id"))
+      .filter(col("rnk") <= 5)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got === want)
+  }
+
+  test("bottomk returns ascending order and ignores nulls") {
+    val df = Seq(("g", Some(3L)), ("g", Some(1L)), ("g", None),
+      ("g", Some(2L)), ("h", None)).toDF("g", "v").repartition(4)
+    val got = df.groupBy("g").agg(TopKAgg.bottomk(spark, col("v"), 2).as("t"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got === Map("g" -> Seq(1L, 2L), "h" -> Seq.empty))
+  }
+
+  test("property: bottomk == sorted-take ascending (multi-partition merge)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dataGen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.choose(0, 4)
+        v <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      } yield (s"g$g", v))
+    } yield rows
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12),
+      Prop.forAll(dataGen, Gen.choose(1, 12)) { (rows, k) =>
+        val got = rows.toDF("g", "v").repartition(5)
+          .groupBy("g").agg(TopKAgg.bottomk(spark, col("v"), k).as("t"))
+          .as[(String, Seq[Long])].collect().toMap
+        val want = rows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(_._2).sorted.take(k)
+        }
+        Prop(got == want).label(s"k=$k n=${rows.size}")
+      })
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("topk aggregates a stream (complete mode) to the batch result") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
