@@ -237,6 +237,11 @@ object ScaleProbe {
     run("bbit")(d => Dedup.minhashBbitPairs(d))
     run("graph_rank")(d => Dedup.graphRank(
       Dedup.simhashPairs(d).select(col("doc_a"), col("doc_b"))))
+    // the full dedup_rank_keepers composition: pair mining once, then
+    // PageRank + connected components sharing the persisted pair frame,
+    // keeper window per cluster — the most expensive artifact line
+    run("rank_keepers")(d => Dedup.rankKeepers(
+      Dedup.simhashPairs(d).select(col("doc_a"), col("doc_b"))))
 
     // incremental SemDeDup: fixed admission batch, k× corpus — measures
     // the cell-growth axis (candidates per new row ∝ cell_corpus); the
