@@ -6,6 +6,27 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line (driver contract). A small warmup query first
   * absorbs JVM/codegen startup so per-query numbers measure the plans. */
 object Bench {
+
+  /** Recorded sf0.1 baselines from a BASELINE.md-format file: for each
+    * query the LAST matching `| name | 0.1 | value |` table line wins —
+    * the same resolution the round gate applies, so re-records
+    * supersede older lines without rewriting history. Unreadable file →
+    * empty map (the stall-escape loop silently disables). BenchSpec
+    * pins this against the real BASELINE.md. */
+  private[graft] def parseBaselines(path: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isReadable(p)) Map.empty
+    else {
+      val pat = """\|\s*([a-z0-9_]+)\s*\|\s*0\.1\s*\|\s*([0-9.]+)\s*\|?.*""".r
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().foreach {
+        case pat(name, v) => m(name) = v.toDouble
+        case _            => ()
+      }
+      m.toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -32,20 +53,8 @@ object Bench {
     // Recorded baselines (last table line per query in BASELINE.md wins —
     // the same resolution the judge applies). Used ONLY by the stall-escape
     // loop below; absent file → empty map → loop disabled.
-    val baselines: Map[String, Double] = {
-      val path = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
-      if (!java.nio.file.Files.isReadable(path)) Map.empty
-      else {
-        val pat = """\|\s*([a-z0-9_]+)\s*\|\s*0\.1\s*\|\s*([0-9.]+)\s*\|?.*""".r
-        val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        scala.io.Source.fromFile(path.toFile, "UTF-8").getLines().foreach {
-          case pat(name, v) => m(name) = v.toDouble
-          case _            => ()
-        }
-        m.toMap
-      }
-    }
+    val baselines: Map[String, Double] = parseBaselines(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stallRetries = scala.collection.mutable.LinkedHashMap.empty[String, Int]
