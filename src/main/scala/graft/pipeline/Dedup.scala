@@ -1251,4 +1251,59 @@ object Dedup {
           round(col("tp").cast("double") / col("n_true").cast("double"), 6))
           .otherwise(lit(0.0)).as("recall"))
   }
+
+  /**
+   * URL canonicalization — the key function behind URL-level dedup, the
+   * standard FIRST stage of a web-corpus pipeline (run before any
+   * content hashing: it needs no text scan and collapses the bulk of
+   * recrawl duplicates). Rules, chosen to be exactly replayable in
+   * ANSI-ish SQL so the oracle can certify them:
+   *
+   *  - scheme and host lowercase; path case is preserved
+   *  - leading `www.` stripped from the host
+   *  - default ports stripped (`:80` for http, `:443` for https)
+   *  - fragment (`#…`) dropped
+   *  - query: `utm_*` tracking params dropped, the rest sorted by
+   *    byte order and re-joined; an emptied query drops its `?`
+   *  - trailing slashes stripped from the path
+   *
+   * All column math (regexp splits + one array sort over query params —
+   * bounded by the param count), codegen-friendly, scan-speed at any
+   * corpus size.
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]+)", 1))
+    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host0, ":443$", ""))
+      .otherwise(host0)
+    val tail0 = regexp_replace(rest, "^[^/?#]+", "")
+    val tail = regexp_replace(tail0, "#.*$", "") // fragment off
+    val path = regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(tail, "\\?(.*)$", 1)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /**
+   * URL-level dedup: one row per document — its canonical URL and the
+   * keeper (smallest id sharing the canonical form). One map-side-
+   * combined groupBy on the canonical key + a join back for per-doc
+   * provenance; at 100 TB this runs before any text is read (URL
+   * columns only) and typically removes the recrawl bulk for free.
+   */
+  def urlDedup(docs: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val canon = docs.select(col(idCol),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val keepers = canon.groupBy("canonical_url")
+      .agg(min(col(idCol)).as("keeper_id"))
+    canon.join(keepers, "canonical_url")
+      .select(col(idCol), col("canonical_url"), col("keeper_id"))
+  }
 }

@@ -188,6 +188,51 @@ object PipelineQueries10 {
           coalesce(col("n_copy"), lit(0L)).as("n_copy"),
           coalesce(col("n_drop"), lit(0L)).as("n_drop"),
           coalesce(col("n_noop"), lit(0L)).as("n_noop"))
+    },
+
+    // URL-level dedup — the pipeline stage that runs BEFORE any text
+    // scan: canonicalize crawl URLs (case, www, default port, utm_*,
+    // param order, trailing slash, fragment) and assign keepers by
+    // smallest id per canonical form. The oracle replays every
+    // canonicalization rule with the same regex/list operations.
+    QueryDef("dedup_url",
+      C.withCtes(C.urlDocs,
+        """canon AS (
+          |  SELECT doc_id,
+          |    scheme || '://' || host || path ||
+          |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+          |      AS canonical_url
+          |  FROM (
+          |    SELECT doc_id, scheme,
+          |      CASE WHEN scheme = 'http'
+          |             THEN regexp_replace(host0, ':80$', '')
+          |           WHEN scheme = 'https'
+          |             THEN regexp_replace(host0, ':443$', '')
+          |           ELSE host0 END AS host,
+          |      regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+          |        '/+$', '') AS path,
+          |      array_to_string(list_sort(list_filter(
+          |        string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+          |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+          |        AS kept
+          |    FROM (
+          |      SELECT doc_id,
+          |        lower(regexp_extract(url,
+          |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |        regexp_replace(lower(regexp_extract(
+          |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+          |          '^([^/?#]+)', 1)), '^www\.', '') AS host0,
+          |        regexp_replace(regexp_replace(
+          |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+          |          '^[^/?#]+', ''), '#.*$', '') AS tail
+          |      FROM url_docs)))""".stripMargin)(
+        """SELECT c.doc_id, c.canonical_url, k.keeper_id
+          |FROM canon c JOIN (
+          |  SELECT canonical_url, min(doc_id) AS keeper_id
+          |  FROM canon GROUP BY 1) k
+          |  ON c.canonical_url = k.canonical_url""".stripMargin)) {
+      (s, dir) =>
+        graft.pipeline.Dedup.urlDedup(W.urlDocs(s, dir))
     }
   )
 }

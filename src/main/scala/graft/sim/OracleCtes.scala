@@ -144,6 +144,24 @@ object OracleCtes {
       |  FROM audit_log
       |  WHERE command_type NOT IN ('QUERY', 'SHOWTABLES'))""".stripMargin
 
+  val urlDocs: String =
+    """url_docs AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN 'http://example' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |        || '.com/Page/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+      |      WHEN 1 THEN 'HTTP://WWW.EXAMPLE' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |        || '.COM:80/Page/' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '/?b=2&a=1&utm_medium=email'
+      |      WHEN 2 THEN 'http://example' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |        || '.com/Page/' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?a=1&utm_source=feed&b=2'
+      |      ELSE 'http://example' || CAST((doc_id // 4) % 50 AS VARCHAR)
+      |        || '.com:80/Page/' || CAST(doc_id // 4 AS VARCHAR)
+      |        || '?b=2&a=1#frag'
+      |    END AS url
+      |  FROM documents)""".stripMargin
+
   /** Compose a full query: `with(cteA, cteB)("SELECT ...")`. */
   def withCtes(ctes: String*)(select: String): String =
     "WITH " + ctes.mkString(",\n") + "\n" + select

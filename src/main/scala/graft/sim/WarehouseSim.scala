@@ -221,4 +221,27 @@ object WarehouseSim {
         concat(col("db"), lit("."), col("tbl")).as("name"))
     parts.unionAll(refs).unionAll(tables)
   }
+
+  /** Per-document crawl URLs: four deterministic variants per base page
+    * (doc_id div 4), together exercising every canonicalization rule —
+    * scheme/host case, `www.`, default port, `utm_*` params, param
+    * order, trailing slash, fragment. All four variants of a base
+    * canonicalize to the same URL, so URL dedup finds 4-groups. */
+  def urlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = expr("doc_id div 4").cast("string")
+    val site = expr("(doc_id div 4) % 50").cast("string")
+    read(spark, sfDir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("http://example"), site, lit(".com/Page/"), b,
+          lit("?a=1&b=2")))
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("HTTP://WWW.EXAMPLE"), site, lit(".COM:80/Page/"), b,
+            lit("/?b=2&a=1&utm_medium=email")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("http://example"), site, lit(".com/Page/"), b,
+            lit("?a=1&utm_source=feed&b=2")))
+        .otherwise(
+          concat(lit("http://example"), site, lit(".com:80/Page/"), b,
+            lit("?b=2&a=1#frag"))).as("url"))
+  }
 }

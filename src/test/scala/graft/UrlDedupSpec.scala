@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Dedup
+
+/** URL canonicalization rules, one fixture per rule, plus keeper
+  * assignment and the sim 4-variant collapse. */
+class UrlDedupSpec extends TestBase {
+  import spark.implicits._
+
+  private def canon(url: String): String =
+    Seq(url).toDF("u").select(Dedup.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().head
+
+  test("each canonicalization rule, in isolation") {
+    // scheme + host lowercase; path case preserved
+    assert(canon("HTTP://ExAmple.COM/CaseD/Path") ===
+      "http://example.com/CaseD/Path")
+    // www. stripped
+    assert(canon("http://www.example.com/a") === "http://example.com/a")
+    // default ports stripped per scheme; non-default kept
+    assert(canon("http://example.com:80/a") === "http://example.com/a")
+    assert(canon("https://example.com:443/a") === "https://example.com/a")
+    assert(canon("http://example.com:8080/a") === "http://example.com:8080/a")
+    assert(canon("https://example.com:80/a") === "https://example.com:80/a")
+    // fragment dropped
+    assert(canon("http://example.com/a#sec-2") === "http://example.com/a")
+    // utm_* params dropped; the rest sorted; emptied query drops '?'
+    assert(canon("http://example.com/a?utm_source=x&utm_medium=y") ===
+      "http://example.com/a")
+    assert(canon("http://example.com/a?b=2&a=1") ===
+      "http://example.com/a?a=1&b=2")
+    assert(canon("http://example.com/a?b=2&utm_source=x&a=1") ===
+      "http://example.com/a?a=1&b=2")
+    // trailing slashes stripped
+    assert(canon("http://example.com/a/") === "http://example.com/a")
+    assert(canon("http://example.com/a///") === "http://example.com/a")
+    // bare host: no path, no query
+    assert(canon("http://example.com") === "http://example.com")
+    assert(canon("http://example.com/") === "http://example.com")
+  }
+
+  test("urlDedup: keeper is the smallest id per canonical form") {
+    val docs = Seq(
+      (10L, "http://example.com/a?b=2&a=1"),
+      (3L, "HTTP://WWW.Example.COM:80/a/?a=1&b=2&utm_source=x#f"),
+      (7L, "http://example.com/a?a=1&b=2"),
+      (5L, "http://other.com/z")
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedup(docs)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got === Set(
+      (10L, "http://example.com/a?a=1&b=2", 3L),
+      (3L, "http://example.com/a?a=1&b=2", 3L),
+      (7L, "http://example.com/a?a=1&b=2", 3L),
+      (5L, "http://other.com/z", 5L)))
+  }
+
+  test("sim variants: all four URL forms of a base page collapse") {
+    val dedup = Dedup.urlDedup(
+      graft.sim.WarehouseSim.urlDocs(spark, "/root/testdata/sf0.001"))
+    val groups = dedup.groupBy("canonical_url")
+      .agg(countDistinct("doc_id").as("n"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(groups.nonEmpty)
+    // full 4-groups collapse exactly the div-4 block; keeper = min id
+    groups.filter(_._2 == 4).foreach { case (u, _, lo, hi) =>
+      assert(hi - lo === 3, s"$u spans ids $lo..$hi")
+      assert(lo % 4 === 0)
+    }
+    assert(groups.forall(_._2 <= 4))
+  }
+}
