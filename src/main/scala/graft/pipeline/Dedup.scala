@@ -40,11 +40,16 @@ object Dedup {
   private val internalCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def persistInternal(key0: String, df: DataFrame): DataFrame = {
+  private def persistInternal(key0: String, df: DataFrame): DataFrame =
+    persistInternal(key0, df,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private def persistInternal(key0: String, df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame = {
     // key includes the session so two sessions in one JVM never evict
     // each other's caches
     val key = s"${System.identityHashCode(df.sparkSession)}-$key0"
-    val cached = df.persist()
+    val cached = df.persist(level)
     val prev = internalCaches.put(key, cached)
     if (prev != null &&
         !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {
@@ -392,9 +397,19 @@ object Dedup {
     containmentLshImpl(docs, threshold, k, idCol, textCol, bucketCap,
       parityHash, isNew = Some(isNew))
 
+  /** Candidate stage of [[containmentLshImpl]] exposed for profiling
+    * (ContainmentProbe): the banded join BEFORE exact verification. */
+  private[graft] def containmentLshCandidates(docs: DataFrame,
+      threshold: Double, k: Int = 16, idCol: String = "doc_id",
+      textCol: String = "text",
+      bucketCap: Option[Int] = Some(256)): DataFrame =
+    containmentLshImpl(docs, threshold, k, idCol, textCol, bucketCap,
+      parityHash = false, isNew = None, candidatesOnly = true)
+
   private def containmentLshImpl(docs: DataFrame, threshold: Double, k: Int,
       idCol: String, textCol: String, bucketCap: Option[Int],
-      parityHash: Boolean, isNew: Option[Column => Column]): DataFrame = {
+      parityHash: Boolean, isNew: Option[Column => Column],
+      candidatesOnly: Boolean = false): DataFrame = {
     require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
     val spark = docs.sparkSession
     val toksDf = docs.select(
@@ -419,7 +434,11 @@ object Dedup {
     // int per doc. The full token arrays are corpus-sized; pinning them in
     // the session-lifetime cache registry would hold ~the whole corpus in
     // block storage between calls. Tokens are recomputed (one extra scan
-    // per verify side) for the exact-verify join instead.
+    // per verify side) for the exact-verify join instead — profiled
+    // (tools/ContainmentProbe): tokenize+sort is 0.3 s of the ~8 s query
+    // at sf0.1, and a MEMORY_AND_DISK_SER token cache measured ZERO
+    // speedup; the banded candidate join dominates (7.9 s of 8.6,
+    // 840k candidates from 5k docs), so the memory-safe recompute stays.
     val base = persistInternal("containment_lsh_sig", toksDf
       .withColumn("tier", floor(log2(size(col("toks")))).cast("int"))
       .withColumn("sig", sigCol)
@@ -479,6 +498,7 @@ object Dedup {
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
           .distinct()
     }
+    if (candidatesOnly) return cand
     val t = toksDf
     cand.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
