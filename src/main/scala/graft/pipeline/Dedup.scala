@@ -1326,4 +1326,29 @@ object Dedup {
     canon.join(keepers, "canonical_url")
       .select(col(idCol), col("canonical_url"), col("keeper_id"))
   }
+
+  /**
+   * New-vs-corpus URL admission — the URL member of the incremental
+   * family ([[exactIncremental]], [[minhashLshPairsIncremental]],
+   * [[containmentPairsLshIncremental]]): a crawl batch is admitted
+   * against the standing corpus by canonical-URL anti-join (URLs
+   * already crawled are dropped without touching any text), then
+   * within-batch duplicates collapse to the smallest id. One distinct
+   * over corpus canonicals + one key-partitioned anti-join, both
+   * map-side combined; old×old is never enumerated. At steady state
+   * the corpus side is a pre-materialized canonical-URL table, making
+   * the per-batch cost independent of corpus text size — this is why
+   * URL dedup runs FIRST in a recrawl pipeline.
+   */
+  def urlDedupIncremental(newDocs: DataFrame, corpus: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id"): DataFrame = {
+    val nf = newDocs.select(col(idCol).as("doc_id"),
+      canonicalizeUrl(col(urlCol)).as("canonical_url"))
+    val seen = corpus
+      .select(canonicalizeUrl(col(urlCol)).as("canonical_url")).distinct()
+    nf.join(seen, Seq("canonical_url"), "left_anti")
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_dups"))
+  }
 }

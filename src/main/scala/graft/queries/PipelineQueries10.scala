@@ -25,6 +25,40 @@ import graft.sim.{OracleCtes => C, WarehouseSim => W}
  */
 object PipelineQueries10 {
 
+  /** DuckDB replay of [[graft.pipeline.Dedup.canonicalizeUrl]] over the
+    * `url_docs` CTE — shared by the full and incremental URL-dedup
+    * oracles. */
+  private val urlCanonCte: String =
+    """canon AS (
+          |  SELECT doc_id,
+          |    scheme || '://' || host || path ||
+          |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+          |      AS canonical_url
+          |  FROM (
+          |    SELECT doc_id, scheme,
+          |      CASE WHEN scheme = 'http'
+          |             THEN regexp_replace(host0, ':80$', '')
+          |           WHEN scheme = 'https'
+          |             THEN regexp_replace(host0, ':443$', '')
+          |           ELSE host0 END AS host,
+          |      regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
+          |        '/+$', '') AS path,
+          |      array_to_string(list_sort(list_filter(
+          |        string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
+          |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+          |        AS kept
+          |    FROM (
+          |      SELECT doc_id,
+          |        lower(regexp_extract(url,
+          |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+          |        regexp_replace(lower(regexp_extract(
+          |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+          |          '^([^/?#]+)', 1)), '^www\.', '') AS host0,
+          |        regexp_replace(regexp_replace(
+          |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+          |          '^[^/?#]+', ''), '#.*$', '') AS tail
+          |      FROM url_docs)))""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("pipe_incremental_e2e",
@@ -196,36 +230,7 @@ object PipelineQueries10 {
     // smallest id per canonical form. The oracle replays every
     // canonicalization rule with the same regex/list operations.
     QueryDef("dedup_url",
-      C.withCtes(C.urlDocs,
-        """canon AS (
-          |  SELECT doc_id,
-          |    scheme || '://' || host || path ||
-          |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
-          |      AS canonical_url
-          |  FROM (
-          |    SELECT doc_id, scheme,
-          |      CASE WHEN scheme = 'http'
-          |             THEN regexp_replace(host0, ':80$', '')
-          |           WHEN scheme = 'https'
-          |             THEN regexp_replace(host0, ':443$', '')
-          |           ELSE host0 END AS host,
-          |      regexp_replace(regexp_extract(tail, '^([^?]*)', 1),
-          |        '/+$', '') AS path,
-          |      array_to_string(list_sort(list_filter(
-          |        string_split(regexp_extract(tail, '\?(.*)$', 1), '&'),
-          |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
-          |        AS kept
-          |    FROM (
-          |      SELECT doc_id,
-          |        lower(regexp_extract(url,
-          |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-          |        regexp_replace(lower(regexp_extract(
-          |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-          |          '^([^/?#]+)', 1)), '^www\.', '') AS host0,
-          |        regexp_replace(regexp_replace(
-          |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-          |          '^[^/?#]+', ''), '#.*$', '') AS tail
-          |      FROM url_docs)))""".stripMargin)(
+      C.withCtes(C.urlDocs, urlCanonCte)(
         """SELECT c.doc_id, c.canonical_url, k.keeper_id
           |FROM canon c JOIN (
           |  SELECT canonical_url, min(doc_id) AS keeper_id
@@ -233,6 +238,31 @@ object PipelineQueries10 {
           |  ON c.canonical_url = k.canonical_url""".stripMargin)) {
       (s, dir) =>
         graft.pipeline.Dedup.urlDedup(W.urlDocs(s, dir))
+    },
+
+    // incremental URL admission: a crawl batch against the standing
+    // corpus by canonical-URL anti-join. The new set mixes whole-block
+    // increments (base % 7 = 0 — every variant new, admitted with the
+    // within-batch collapse) and partial-block ids (doc_id % 10 < 2 —
+    // the corpus holds sibling variants, so the anti-join rejects
+    // them), exercising both admission outcomes.
+    QueryDef("dedup_url_incremental",
+      C.withCtes(C.urlDocs, urlCanonCte)(
+        """SELECT canonical_url,
+          |  CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+          |  CAST(count(*) AS BIGINT) AS n_dups
+          |FROM canon
+          |WHERE ((doc_id // 4) % 7 = 0 OR doc_id % 10 < 2)
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM canon c
+          |    WHERE NOT ((c.doc_id // 4) % 7 = 0 OR c.doc_id % 10 < 2)
+          |      AND c.canonical_url = canon.canonical_url)
+          |GROUP BY canonical_url""".stripMargin)) { (s, dir) =>
+      val docs = W.urlDocs(s, dir)
+      val isNew = (expr("doc_id div 4") % 7 === 0) ||
+        (col("doc_id") % 10 < 2)
+      graft.pipeline.Dedup.urlDedupIncremental(
+        docs.filter(isNew), docs.filter(!isNew))
     }
   )
 }

@@ -57,6 +57,23 @@ class UrlDedupSpec extends TestBase {
       (5L, "http://other.com/z", 5L)))
   }
 
+  test("urlDedupIncremental: already-crawled canonicals rejected, " +
+      "new ones admitted with within-batch collapse") {
+    val corpus = Seq(
+      (1L, "http://example.com/a"),
+      (2L, "http://example.com/b?x=1")
+    ).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, "HTTP://WWW.Example.com:80/a/"), // canonical dup of corpus 1
+      (11L, "http://example.com/c"),          // new
+      (12L, "http://example.com/c?utm_source=x"), // same canonical as 11
+      (13L, "http://example.com/b?x=1&utm_medium=m") // dup of corpus 2
+    ).toDF("doc_id", "url")
+    val got = Dedup.urlDedupIncremental(batch, corpus)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("http://example.com/c", 11L, 2L)))
+  }
+
   test("sim variants: all four URL forms of a base page collapse") {
     val dedup = Dedup.urlDedup(
       graft.sim.WarehouseSim.urlDocs(spark, "/root/testdata/sf0.001"))
