@@ -277,4 +277,30 @@ object CorpusReport {
         .as("p50_chars"),
       kll_sketch_get_quantile_bigint(col("chars_kll"), lit(0.9))
         .as("p90_chars"))
+
+  /**
+   * Per-domain crawl profile — the rollup behind domain-level curation
+   * decisions (domain allow/deny lists, per-domain crawl budgets): for
+   * each host of the CANONICAL url ([[Dedup.canonicalizeUrl]], so URL
+   * variants of one page count as one page), the document count,
+   * distinct-page count, the recrawl duplication ratio those two imply,
+   * and mean document size. Input needs (`urlCol`, `n_chars`); one
+   * host-keyed aggregate with map-side combine — domains are the
+   * textbook skewed key (a crawler's biggest host can be 1000× the
+   * median), and count-distinct of canonicals inside the aggregate
+   * handles that without a second shuffle.
+   */
+  def domainProfile(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val canon = Dedup.canonicalizeUrl(col(urlCol))
+    docs
+      .select(regexp_extract(canon, "^[a-z0-9+.-]+://([^/?#]+)", 1)
+          .as("domain"),
+        canon.as("canonical_url"), col("n_chars"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("canonical_url")).as("n_pages"),
+        round(lit(1.0) - countDistinct(col("canonical_url")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("dup_ratio"),
+        round(avg(col("n_chars")), 6).as("mean_chars"))
+  }
 }

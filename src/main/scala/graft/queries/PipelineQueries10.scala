@@ -263,6 +263,27 @@ object PipelineQueries10 {
         (col("doc_id") % 10 < 2)
       graft.pipeline.Dedup.urlDedupIncremental(
         docs.filter(isNew), docs.filter(!isNew))
+    },
+
+    // per-domain crawl profile over canonical URLs: doc count, distinct
+    // pages, the recrawl dup ratio they imply, mean document size —
+    // the rollup behind domain allow/deny and crawl-budget decisions
+    QueryDef("report_domain_profile",
+      C.withCtes(C.urlDocs, urlCanonCte)(
+        """SELECT
+          |  regexp_extract(c.canonical_url,
+          |    '^[a-z0-9+.-]+://([^/?#]+)', 1) AS domain,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(count(DISTINCT c.canonical_url) AS BIGINT) AS n_pages,
+          |  round(1.0 - CAST(count(DISTINCT c.canonical_url) AS DOUBLE)
+          |    / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+          |  round(avg(CAST(d.n_chars AS DOUBLE)), 6) AS mean_chars
+          |FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+          |GROUP BY 1""".stripMargin)) { (s, dir) =>
+      graft.pipeline.CorpusReport.domainProfile(
+        W.urlDocs(s, dir).join(
+          W.read(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id"))
     }
   )
 }
