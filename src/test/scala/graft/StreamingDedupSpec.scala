@@ -71,4 +71,48 @@ class StreamingDedupSpec extends TestBase {
         s"expired key must re-admit: ${rows()}")
     } finally q.stop()
   }
+
+  test("streaming URL dedup: canonical URL as the fingerprint matches " +
+      "the batch keeper set") {
+    // composition, one code path both modes: canonicalizeUrl is plain
+    // column math, so the streaming crawl-feed dedup is just
+    // StreamingDedup.firstSeen keyed on the canonical form — pin that
+    // a single batch reproduces batch urlDedup's keeper set exactly,
+    // and that a cross-batch recrawl variant of a seen page emits
+    // nothing even when its URL string differs
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val urls = Seq(
+      (10L, "HTTP://WWW.Example.com:80/a/"),
+      (11L, "http://example.com/a?utm_source=x"),
+      (12L, "http://example.com/b?y=2&x=1"),
+      (13L, "http://example.com/b?x=1&y=2#frag"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val qName = s"urldedup_${System.nanoTime()}"
+    val q = input.toDF().toDF("doc_id", "url")
+      .select(col("doc_id"),
+        graft.pipeline.Dedup.canonicalizeUrl(col("url")).as("fingerprint"))
+      .as[StreamDoc]
+      .transform(StreamingDedup.firstSeen(_))
+      .writeStream.outputMode("append").format("memory").queryName(qName)
+      .start()
+    try {
+      input.addData(urls: _*)
+      q.processAllAvailable()
+      val streamed = spark.table(qName).as[KeptDoc].collect()
+        .map(k => (k.fingerprint, k.keep_doc_id)).toSet
+      val batch = graft.pipeline.Dedup
+        .urlDedup(urls.toDF("doc_id", "url"))
+        .select("canonical_url", "keeper_id").distinct()
+        .as[(String, Long)].collect().toSet
+      assert(streamed === batch,
+        s"stream/batch keeper divergence: $streamed vs $batch")
+      // recrawl of a seen page under yet another URL spelling: silent
+      input.addData((99L, "http://example.com/a/"))
+      q.processAllAvailable()
+      assert(spark.table(qName).count() === 2)
+    } finally q.stop()
+  }
 }
