@@ -23,6 +23,39 @@ object TextAnalysis {
   /** Stable document fingerprint = md5 of normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text))
 
+  /**
+   * Production text normalization — the cleanup pass a web corpus runs
+   * BEFORE any hashing/fingerprinting so near-identical renderings
+   * (curly vs straight quotes, NBSP vs space, zero-width junk) hash
+   * identically. Case is PRESERVED — this cleans content, it is not a
+   * dedup key ([[normText]] remains the lowercased hashing key; run
+   * this first when both are wanted). Rules, each SQL-replayable:
+   *
+   *  - zero-width characters (ZWSP/ZWNJ/ZWJ), BOM, and soft hyphens
+   *    are removed
+   *  - NBSP and thin/narrow spaces become plain spaces
+   *  - typographic single/double quotes become straight `'` / `"`
+   *  - en/em dashes and horizontal bar become `-`; ellipsis `…`
+   *    becomes `...`
+   *  - remaining C0/C1 control characters become spaces
+   *  - whitespace collapses to single spaces; ends trimmed
+   *
+   * Everything is `translate` (1:1 maps) + three `regexp_replace`
+   * passes — scan-stage column math, codegen'd, no UDF. Accent folding
+   * (NFD/NFKC) is deliberately out of scope: Spark SQL has no native
+   * unicode normalizer and a JVM UDF would break both codegen and the
+   * DuckDB replay.
+   */
+  def normalizeUnicode(text: Column): Column = {
+    val noZw = regexp_replace(text, "[\u200B\u200C\u200D\uFEFF\u00AD]", "")
+    val mapped = translate(noZw,
+      "\u00A0\u2009\u202F\u2018\u2019\u201A\u201C\u201D\u201E\u2013\u2014\u2015",
+      "   '''\"\"\"---")
+    val dots = regexp_replace(mapped, "\u2026", "...")
+    val noCtl = regexp_replace(dots, "\\p{Cc}", " ")
+    regexp_replace(trim(noCtl), "\\s+", " ")
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
   def bpeTokenCount(text: Column): Column =
     regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))

@@ -284,6 +284,55 @@ object PipelineQueries10 {
         W.urlDocs(s, dir).join(
           W.read(s, dir, "documents").select("doc_id", "n_chars"),
           "doc_id"))
+    },
+
+    // production unicode normalization: sim text decorated with
+    // typographic quotes / dashes / ellipsis / zero-width / NBSP /
+    // control chars (deterministic per doc_id, built from chr() codes
+    // on the oracle side so no literal survives JSON transport), then
+    // normalized; the oracle replays every rule and the full cleaned
+    // TEXT must hash-match, not just lengths
+    QueryDef("t_normalize",
+      """SELECT doc_id,
+        |  regexp_replace(trim(noctl), '\s+', ' ', 'g') AS norm_text
+        |FROM (
+        |  SELECT doc_id, regexp_replace(dots, '\p{Cc}', ' ', 'g') AS noctl
+        |  FROM (
+        |    SELECT doc_id, replace(mapped, chr(8230), '...') AS dots
+        |    FROM (
+        |      SELECT doc_id, translate(nozw,
+        |          chr(160)||chr(8201)||chr(8239)||chr(8216)||chr(8217)
+        |            ||chr(8218)||chr(8220)||chr(8221)||chr(8222)
+        |            ||chr(8211)||chr(8212)||chr(8213),
+        |          '   ' || repeat(chr(39), 3) || repeat(chr(34), 3)
+        |            || '---') AS mapped
+        |      FROM (
+        |        SELECT doc_id, regexp_replace(deco,
+        |            '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g')
+        |          AS nozw
+        |        FROM (
+        |          SELECT doc_id,
+        |            CASE WHEN doc_id % 5 = 0 THEN
+        |              chr(8220)||'intro'||chr(8221)||chr(8212)||' '
+        |              ELSE '' END
+        |            || text
+        |            || CASE WHEN doc_id % 3 = 0 THEN ' tail'||chr(8230)
+        |               ELSE '' END
+        |            || CASE WHEN doc_id % 7 = 0 THEN
+        |               chr(8203)||chr(160)||'x'||chr(9)||'y' ELSE '' END
+        |            AS deco
+        |          FROM documents)))))""".stripMargin) { (s, dir) =>
+      val deco = concat(
+        when(col("doc_id") % 5 === 0, lit("\u201Cintro\u201D\u2014 "))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit(" tail\u2026")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\u200B\u00A0x\ty"))
+          .otherwise(lit("")))
+      W.read(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.pipeline.TextAnalysis.normalizeUnicode(deco)
+            .as("norm_text"))
     }
   )
 }
