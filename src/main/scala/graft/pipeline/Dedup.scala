@@ -1280,7 +1280,9 @@ object Dedup {
    * ANSI-ish SQL so the oracle can certify them:
    *
    *  - scheme and host lowercase; path case is preserved
-   *  - leading `www.` stripped from the host
+   *  - leading `www.` prefixes stripped from the host (repeated, so
+   *    the canonical form is a FIXED POINT — idempotence is property-
+   *    tested in UrlDedupSpec)
    *  - default ports stripped (`:80` for http, `:443` for https)
    *  - fragment (`#…`) dropped
    *  - query: `utm_*` tracking params dropped, the rest sorted by
@@ -1295,7 +1297,7 @@ object Dedup {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val hostport = lower(regexp_extract(rest, "^([^/?#]+)", 1))
-    val host0 = regexp_replace(hostport, "^www\\.", "")
+    val host0 = regexp_replace(hostport, "^(www\\.)+", "")
     val host = when(scheme === "http", regexp_replace(host0, ":80$", ""))
       .when(scheme === "https", regexp_replace(host0, ":443$", ""))
       .otherwise(host0)

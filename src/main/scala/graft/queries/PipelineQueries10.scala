@@ -53,7 +53,7 @@ object PipelineQueries10 {
           |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
           |        regexp_replace(lower(regexp_extract(
           |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
-          |          '^([^/?#]+)', 1)), '^www\.', '') AS host0,
+          |          '^([^/?#]+)', 1)), '^(www\.)+', '') AS host0,
           |        regexp_replace(regexp_replace(
           |          regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
           |          '^[^/?#]+', ''), '#.*$', '') AS tail

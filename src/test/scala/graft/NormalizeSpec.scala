@@ -34,6 +34,28 @@ class NormalizeSpec extends TestBase {
     assert(norm("MiXeD Case") === "MiXeD Case")
   }
 
+  test("property: normalization is idempotent over special-char strings") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val pool: Seq[Char] = "abC 19.,!-'\"" ++
+      "​‌﻿­  ‘’“”" ++
+      "–—…\t\n"
+    val strGen = Gen.choose(0, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(pool)).map(_.mkString))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(Gen.listOfN(50, strGen)) { ss =>
+        import org.apache.spark.sql.functions._
+        val rows = ss.toDF("t")
+          .select(TextAnalysis.normalizeUnicode(col("t")).as("n1"))
+          .select(col("n1"),
+            TextAnalysis.normalizeUnicode(col("n1")).as("n2"))
+          .as[(String, String)].collect()
+        Prop(rows.forall { case (a, b) => a == b })
+          .label(rows.find { case (a, b) => a != b }.toString)
+      })
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("composes with the hashing key: variant renderings fingerprint equal") {
     val plain = "He said \"stop\" - wait..."
     val fancy = "He said “stop” — wait…​"

@@ -57,6 +57,36 @@ class UrlDedupSpec extends TestBase {
       (5L, "http://other.com/z", 5L)))
   }
 
+  test("property: canonicalization is idempotent (canonical form is a " +
+      "fixed point)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "ftp")
+      wwws <- Gen.choose(0, 2)
+      host <- Gen.oneOf("Example.com", "a-b.ORG", "x.co")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.listOfN(2, Gen.oneOf("A", "b", "Path7"))
+      slashes <- Gen.oneOf("", "/", "//")
+      params <- Gen.someOf(Seq("b=2", "a=1", "utm_source=x", "z=", "q=Mix"))
+      frag <- Gen.oneOf("", "#sec", "#x/y?z")
+    } yield scheme + "://" + ("www." * wwws) + host + port +
+      "/" + segs.mkString("/") + slashes +
+      (if (params.isEmpty) "" else "?" + params.mkString("&")) + frag
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(30),
+      Prop.forAll(Gen.listOfN(40, urlGen)) { urls =>
+        import org.apache.spark.sql.functions._
+        val rows = urls.toDF("u")
+          .select(Dedup.canonicalizeUrl(col("u")).as("c1"))
+          .select(col("c1"),
+            Dedup.canonicalizeUrl(col("c1")).as("c2"))
+          .as[(String, String)].collect()
+        Prop(rows.forall { case (c1, c2) => c1 == c2 })
+          .label(rows.find { case (c1, c2) => c1 != c2 }.toString)
+      })
+    assert(res.passed, org.scalacheck.util.Pretty.pretty(res))
+  }
+
   test("urlDedupIncremental: already-crawled canonicals rejected, " +
       "new ones admitted with within-batch collapse") {
     val corpus = Seq(
