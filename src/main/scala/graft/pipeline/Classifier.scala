@@ -270,4 +270,42 @@ object Classifier {
             (col("precision") + col("recall")), 6)))
       .orderBy("thr")
   }
+
+  /**
+   * Reliability (calibration) buckets over the trained scores — the
+   * diagram behind "is score 0.8 actually right 80% of the time?",
+   * which [[lrEval]]'s threshold sweep cannot answer: per decile
+   * bucket of the predicted score, the count, positive count, mean
+   * predicted score, observed positive rate, and their gap (the
+   * per-bucket term of expected calibration error; ECE is the
+   * n-weighted mean of `gap`).
+   *
+   * Determinism: scores are already 6-dp-quantized, so each becomes an
+   * EXACT integer of micro-units and per-bucket sums are exact integer
+   * math in any partial-aggregation order; each reported mean divides
+   * two exact numbers once (the [[TextAnalysis.unigramNll]]
+   * discipline). One groupBy over `buckets` rows of state.
+   */
+  def lrCalibration(docs: DataFrame, dims: Int = 256, iters: Int = 8,
+      lr: Double = 0.02, beta: Double = 0.9,
+      labelCol: Column = col("lang") === "en",
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 10): DataFrame = {
+    val scores = lrScores(docs, dims, iters, lr, beta,
+      labelCol, idCol, textCol)
+    scores
+      .select(col("label"),
+        least(floor(col("score") * buckets).cast("int"),
+          lit(buckets - 1)).as("bucket"),
+        round(col("score") * 1e6).cast("long").as("smicro"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("pos"),
+        sum(col("smicro")).as("ssm"))
+      .select(col("bucket"), col("n"), col("pos"),
+        round(col("ssm").cast("double") / 1e6 / col("n"), 6)
+          .as("mean_score"),
+        round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
+        round(abs(col("ssm").cast("double") / 1e6 / col("n")
+          - col("pos").cast("double") / col("n")), 6).as("gap"))
+  }
 }

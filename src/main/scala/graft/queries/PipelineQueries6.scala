@@ -252,6 +252,29 @@ object PipelineQueries6 {
           dims = lrDims, iters = lrIters, lr = lrRate, beta = lrBeta)
     },
 
+    // reliability buckets (calibration diagram + per-bucket ECE term):
+    // per score decile, count / positives / exact-integer mean score /
+    // observed rate / gap — the readout lrEval's threshold sweep can't
+    // give ("is 0.8 right 80% of the time?")
+    QueryDef("t_classifier_calibration",
+      s"""WITH ${lrCtes(lrIters)}
+         |SELECT bucket, n, pos,
+         |  round(CAST(ssm AS DOUBLE) / 1000000.0 / n, 6) AS mean_score,
+         |  round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+         |  round(abs(CAST(ssm AS DOUBLE) / 1000000.0 / n
+         |    - CAST(pos AS DOUBLE) / n), 6) AS gap
+         |FROM (
+         |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(y) AS BIGINT) AS pos,
+         |    CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT)
+         |      AS ssm
+         |  FROM scores GROUP BY 1)""".stripMargin) {
+      (s, dir) =>
+        Classifier.lrCalibration(W.read(s, dir, "documents"),
+          dims = lrDims, iters = lrIters, lr = lrRate, beta = lrBeta)
+    },
+
     // windowed ingest-quality rollup, batch twin of the streaming
     // monitor (StreamingQualitySpec covers watermark/late-data); window
     // keys as epoch seconds dodge timestamp-serialization skew between

@@ -127,4 +127,29 @@ class ClassifierSpec extends TestBase {
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
       s"recall not monotone: ${recalls.toSeq}")
   }
+
+  test("calibration buckets: cover the corpus, agree with the raw scores") {
+    val scores = Classifier.lrScores(docs, iters = 3).collect()
+    val cal = Classifier.lrCalibration(docs, iters = 3).collect()
+    // every doc lands in exactly one bucket
+    assert(cal.map(_.getAs[Long]("n")).sum == scores.length)
+    assert(cal.map(_.getAs[Long]("pos")).sum ==
+      scores.count(_.getAs[Int]("label") == 1))
+    cal.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      assert(b >= 0 && b <= 9)
+      // bucket stats recompute exactly from the per-doc scores
+      val in = scores.filter { s =>
+        math.min((s.getAs[Double]("score") * 10).floor.toInt, 9) == b
+      }
+      assert(r.getAs[Long]("n") == in.length, s"bucket $b count")
+      val meanMicro = in.map(s =>
+        math.round(s.getAs[Double]("score") * 1e6)).sum
+      assert(r.getAs[Double]("mean_score") ==
+        BigDecimal(meanMicro / 1e6 / in.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"bucket $b mean")
+      assert(r.getAs[Double]("gap") >= 0.0 && r.getAs[Double]("gap") <= 1.0)
+    }
+  }
 }
