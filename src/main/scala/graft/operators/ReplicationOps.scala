@@ -186,4 +186,48 @@ object ReplicationOps {
       .withColumn("task_type",
         when(col("n_parts") > 1, TaskType.CopyPartitions)
           .otherwise(TaskType.CopyPartition))
+
+  /**
+   * Declarative latest-wins replay of a routed audit stream — the
+   * warehouse state the incremental server's sequential job execution
+   * converges to (reference loop `incremental/ReplicationServer.java:
+   * 348-506`), computed as two keyed aggregates instead of N ordered
+   * jobs:
+   *
+   *  - a table is live iff the entry with the HIGHEST audit id touching
+   *    it is not a DROP (a partition write after a table drop re-creates
+   *    the table — dynamic-partition insert semantics);
+   *  - a partition is live iff its last touch outlives the table's last
+   *    DROP (sequential-replay semantics).
+   *
+   * Inputs: `routed` = (id, db, tbl, op_type) with IGNORE already
+   * filtered (see [[routeOpType]]); `partTouches` = (id, db, tbl,
+   * part_name) OUTPUT-partition objects. Returns (liveTables =
+   * (db, tbl, id), livePartitions = (db, tbl, part_name, last_id)).
+   * Rename entries are modeled as touches of their OUTPUT name —
+   * renameFrom bookkeeping (dropping the old name) is the server's
+   * job-execution concern, not part of this state model.
+   *
+   * The `pipe_incremental_e2e` oracle hash-certifies this computation
+   * against a DuckDB window replay; IncrementalSpec's bridge test
+   * additionally pins it against the ACTUAL server's converged dest
+   * catalog on a randomized entry stream.
+   */
+  def replayAuditState(routed: DataFrame,
+      partTouches: DataFrame): (DataFrame, DataFrame) = {
+    val tableState = graft.operators.CdcApply.snapshot(
+      routed.select(col("db"), col("tbl"), col("id"),
+        when(col("op_type") === "DROP", lit("D")).otherwise(lit("U"))
+          .as("op")),
+      Seq("db", "tbl"), "id", "op", "op", "D")
+      .select(col("db"), col("tbl"), col("id"))
+    val lastDrop = routed.filter(col("op_type") === "DROP")
+      .groupBy("db", "tbl").agg(max("id").as("drop_id"))
+    val liveParts = partTouches
+      .groupBy("db", "tbl", "part_name").agg(max("id").as("last_id"))
+      .join(lastDrop, Seq("db", "tbl"), "left")
+      .filter(col("last_id") > coalesce(col("drop_id"), lit(-1L)))
+      .select(col("db"), col("tbl"), col("part_name"), col("last_id"))
+    (tableState, liveParts)
+  }
 }

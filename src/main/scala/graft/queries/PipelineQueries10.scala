@@ -168,23 +168,12 @@ object PipelineQueries10 {
           split_part(col("name"), lit("/"), lit(2)).as("part_name"))
       val partJobs = ReplicationOps.compactPartitionJobs(partObjs)
 
-      // CDC latest-wins apply at table granularity: the entry with the
-      // highest audit id decides existence (DROP = tombstone; a later
-      // partition write re-creates the table — dynamic-partition insert)
-      val tableState = CdcApply.snapshot(
-        routed.select(col("db"), col("tbl"), col("id"),
-          when(col("op_type") === "DROP", lit("D")).otherwise(lit("U"))
-            .as("op")),
-        Seq("db", "tbl"), "id", "op", "op", "D")
-
-      // partition granularity: a partition survives iff its last touch
-      // outlives the table's last DROP (sequential-replay semantics)
-      val lastDrop = routed.filter(col("op_type") === "DROP")
-        .groupBy("db", "tbl").agg(max("id").as("drop_id"))
-      val livePartsByTbl = partObjs
-        .groupBy("db", "tbl", "part_name").agg(max("id").as("last_id"))
-        .join(lastDrop, Seq("db", "tbl"), "left")
-        .filter(col("last_id") > coalesce(col("drop_id"), lit(-1L)))
+      // CDC latest-wins replay at table + partition granularity — the
+      // shared declarative model (ReplicationOps.replayAuditState),
+      // bridge-certified against the actual server in IncrementalSpec
+      val (tableState, liveParts) =
+        ReplicationOps.replayAuditState(routed, partObjs)
+      val livePartsByTbl = liveParts
         .groupBy("db", "tbl").agg(count(lit(1)).as("n_live_parts"))
 
       // J1-shape drift report: replayed live state vs the dest catalog

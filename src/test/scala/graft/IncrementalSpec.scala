@@ -681,6 +681,112 @@ class IncrementalSpec extends TestBase {
     assert(destConn.connect().getTable("db1", "t_stream").isDefined)
     assert(server.watermark.get().contains(1L))
   }
+
+  test("bridge: declarative replayAuditState matches the server's " +
+      "converged dest catalog on a randomized entry stream") {
+    // The pipe_incremental_e2e oracle certifies the declarative replay
+    // against DuckDB; THIS certifies it against the actual server: a
+    // seeded stream of create/partition-write/drop/noise entries is
+    // executed by the real job loop (three batches, cross-batch state,
+    // per-key id order), and the dest catalog's final table+partition
+    // inventory must equal ReplicationOps.replayAuditState's answer.
+    // Generator discipline matching the model's domain: CREATETABLE
+    // targets unpartitioned tables only (on partitioned tables the
+    // server replicates ALL src partitions — T8 — which a touch-based
+    // model deliberately does not track), partitioned tables are
+    // touched via QUERY partition writes, DROPTABLE only targets
+    // currently-live tables (dest-missing drops are out of scope), and
+    // renames are excluded (renameFrom bookkeeping is job-execution
+    // semantics, not state replay).
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val (server, srcConn, destConn, srcWh, _) = newServer("bridge")
+    val src = srcConn.connect()
+    (0 to 2).foreach(i =>
+      src.createTable(unpartitionedTable("db1", s"t$i", srcWh)))
+    (3 to 5).foreach { i =>
+      val t = partitionedTable("db1", s"t$i", srcWh)
+      src.createTable(t)
+      (1 to 3).foreach(d => src.addPartition(partition(t, s"ds=$d")))
+    }
+
+    val rnd = new scala.util.Random(42)
+    val live = scala.collection.mutable.Set.empty[Int]
+    val entries = (1 to 48).map { id =>
+      rnd.nextInt(10) match {
+        case 0 | 1 if live.nonEmpty =>
+          val k = live.toSeq.sorted.apply(rnd.nextInt(live.size))
+          live -= k
+          entry(id, "DROPTABLE", outTables = Seq(s"db1.t$k"))
+        case 2 | 3 =>
+          val k = rnd.nextInt(3) // unpartitioned only (see above)
+          live += k
+          entry(id, "CREATETABLE", outTables = Seq(s"db1.t$k"))
+        case 4 | 5 | 6 | 7 =>
+          val k = 3 + rnd.nextInt(3)
+          live += k
+          val parts = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextInt(3))
+            .distinct
+          entry(id, "QUERY", outParts = parts.map(d => s"db1.t$k/ds=$d"))
+        case _ => entry(id, "SHOWTABLES")
+      }
+    }
+
+    entries.grouped(16).foreach { b =>
+      val rs = server.processBatch(spark.createDataset(b))
+      assert(rs.forall(_._2 == JobStatus.Successful),
+        s"non-successful jobs: ${rs.filter(_._2 != JobStatus.Successful)
+          .map(r => (r._1.id, r._1.operation, r._2))}")
+    }
+
+    // the declarative model over the SAME entries
+    val touches = entries.flatMap { e =>
+      val tb = e.outputTables.map { t =>
+        val Array(d, n) = t.split('.'); (d, n)
+      }
+      val pb = e.outputPartitions.map { p =>
+        val d = p.substring(0, p.indexOf('.'))
+        val rest = p.substring(p.indexOf('.') + 1)
+        (d, rest.substring(0, rest.indexOf('/')))
+      }
+      (tb ++ pb).distinct.map { case (d, n) => (e.id, e.commandType, d, n) }
+    }.toDF("id", "command_type", "db", "tbl")
+    val routed = touches.select(col("id"), col("db"), col("tbl"),
+        graft.operators.ReplicationOps.routeOpType(col("command_type"))
+          .as("op_type"))
+      .filter(col("op_type") =!= "IGNORE")
+    val partTouches = entries.flatMap { e =>
+      e.outputPartitions.map { p =>
+        val d = p.substring(0, p.indexOf('.'))
+        val rest = p.substring(p.indexOf('.') + 1)
+        (e.id, d, rest.substring(0, rest.indexOf('/')),
+          rest.substring(rest.indexOf('/') + 1))
+      }
+    }.toDF("id", "db", "tbl", "part_name")
+    val (liveTables, liveParts) =
+      graft.operators.ReplicationOps.replayAuditState(routed, partTouches)
+
+    val dest = destConn.connect()
+    val modelTables = liveTables.select("db", "tbl")
+      .as[(String, String)].collect().toSet
+    val destTables = (0 to 5).map(i => ("db1", s"t$i"))
+      .filter { case (d, n) => dest.getTable(d, n).isDefined }.toSet
+    assert(destTables === modelTables,
+      s"table inventory diverged: server-only ${destTables diff modelTables}, " +
+        s"model-only ${modelTables diff destTables}")
+    val modelParts = liveParts.select("db", "tbl", "part_name")
+      .as[(String, String, String)].collect().toSet
+    val destParts = (3 to 5).map(i => s"t$i")
+      .filter(n => dest.getTable("db1", n).isDefined)
+      .flatMap(n => dest.listPartitionNames("db1", n)
+        .map(p => ("db1", n, p))).toSet
+    assert(destParts === modelParts,
+      s"partition inventory diverged: server-only ${destParts diff modelParts}, " +
+        s"model-only ${modelParts diff destParts}")
+    // sanity: the stream actually exercised drops and re-creates
+    assert(entries.count(_.commandType == "DROPTABLE") >= 3)
+    assert(modelTables.nonEmpty && modelParts.nonEmpty)
+  }
 }
 
 object IncrementalSpec {
