@@ -213,4 +213,28 @@ object CorpusWriter {
       .sortWithinPartitions(col("z_value"), col(idCol))
       .write.mode(mode).parquet(outDir)
   }
+
+  /**
+   * Shard-balance audit for [[shardId]]'s deterministic assignment —
+   * the operational check run BEFORE a training epoch: per shard, the
+   * document count, total weight (bytes/tokens), and the balance
+   * factor (shard weight ÷ ideal equal share). A factor near 1.0
+   * everywhere means workers finish together; a hot shard (> ~1.2)
+   * means the weight column, not the doc count, should drive a
+   * different `shards` choice. One hash-keyed aggregate to `shards`
+   * rows; the global-total window runs over those `shards` rows, not
+   * the corpus.
+   */
+  def shardBalanceReport(df: DataFrame, shards: Int,
+      idCol: String = "doc_id", weightCol: String = "n_chars"): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    df.select(shardId(col(idCol), shards).as("shard"),
+        col(weightCol).cast("long").as("wt"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("wt")).as("weight"))
+      .withColumn("balance",
+        round(col("weight").cast("double") * shards /
+          sum(col("weight")).over(all), 6))
+  }
 }

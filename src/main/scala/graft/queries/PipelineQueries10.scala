@@ -322,6 +322,36 @@ object PipelineQueries10 {
         .select(col("doc_id"),
           graft.pipeline.TextAnalysis.normalizeUnicode(deco)
             .as("norm_text"))
+    },
+
+    // shard-balance audit over the writer's deterministic xxhash64
+    // shard assignment: per shard, docs / weight / balance factor. The
+    // oracle replays Spark's xxhash64(long) bit-exactly via the XXH64
+    // long-fold chain (seed 42), so the hash certifies the ASSIGNMENT,
+    // not just the rollup. doc_ids are non-negative in the sim, so the
+    // unsigned bit pattern is the value itself.
+    QueryDef("report_shard_balance",
+      C.withCtes(
+        """shin AS MATERIALIZED (
+          |  SELECT doc_id, n_chars, CAST(doc_id AS HUGEINT) AS v1
+          |  FROM documents)""".stripMargin,
+        graft.queries.XxhSql.longFoldChain("sh", "shin",
+          Seq("doc_id", "n_chars"), 1),
+        s"""per AS (
+           |  SELECT ((band_hash % $balShards) + $balShards) % $balShards
+           |      AS shard,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS weight
+           |  FROM shf GROUP BY 1)""".stripMargin)(
+        s"""SELECT shard, n_docs, weight,
+           |  round(CAST(weight AS DOUBLE) * $balShards
+           |    / CAST(sum(weight) OVER () AS DOUBLE), 6) AS balance
+           |FROM per""".stripMargin)) { (s, dir) =>
+      graft.pipeline.CorpusWriter.shardBalanceReport(
+        W.read(s, dir, "documents"), balShards)
     }
   )
+
+  /** Shard count for the balance audit (output files at sf scale). */
+  private val balShards = 16
 }
