@@ -682,6 +682,100 @@ class IncrementalSpec extends TestBase {
     assert(server.watermark.get().contains(1L))
   }
 
+  /** Seeded randomized audit stream for the bridge tests, restricted to
+    * the declarative model's domain (see the batch bridge test for the
+    * discipline rationale): CREATETABLE on unpartitioned t0..t2,
+    * partition QUERYs on t3..t5, DROPTABLE only on currently-live
+    * tables, SHOWTABLES noise. */
+  private def bridgeEntries(seed: Long, n: Int): Seq[AuditLogEntry] = {
+    val rnd = new scala.util.Random(seed)
+    val live = scala.collection.mutable.Set.empty[Int]
+    (1 to n).map { id =>
+      rnd.nextInt(10) match {
+        case 0 | 1 if live.nonEmpty =>
+          val k = live.toSeq.sorted.apply(rnd.nextInt(live.size))
+          live -= k
+          entry(id, "DROPTABLE", outTables = Seq(s"db1.t$k"))
+        case 2 | 3 =>
+          val k = rnd.nextInt(3) // unpartitioned only
+          live += k
+          entry(id, "CREATETABLE", outTables = Seq(s"db1.t$k"))
+        case 4 | 5 | 6 | 7 =>
+          val k = 3 + rnd.nextInt(3)
+          live += k
+          val parts = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextInt(3))
+            .distinct
+          entry(id, "QUERY", outParts = parts.map(d => s"db1.t$k/ds=$d"))
+        case _ => entry(id, "SHOWTABLES")
+      }
+    }
+  }
+
+  /** Src-side fixtures shared by the bridge tests: t0..t2 unpartitioned,
+    * t3..t5 partitioned with ds=1..3 (src holds the full current state;
+    * entries drive what reaches dest). */
+  private def bridgeFixtures(src: graft.catalog.CatalogClient,
+      srcWh: java.nio.file.Path): Unit = {
+    (0 to 2).foreach(i =>
+      src.createTable(unpartitionedTable("db1", s"t$i", srcWh)))
+    (3 to 5).foreach { i =>
+      val t = partitionedTable("db1", s"t$i", srcWh)
+      src.createTable(t)
+      (1 to 3).foreach(d => src.addPartition(partition(t, s"ds=$d")))
+    }
+  }
+
+  /** The declarative model's (liveTables, liveParts) over bridge
+    * entries, plus the dest-catalog inventory to compare against. */
+  private def assertBridgeConvergence(entries: Seq[AuditLogEntry],
+      dest: graft.catalog.CatalogClient): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val touches = entries.flatMap { e =>
+      val tb = e.outputTables.map { t =>
+        val Array(d, nm) = t.split('.'); (d, nm)
+      }
+      val pb = e.outputPartitions.map { p =>
+        val d = p.substring(0, p.indexOf('.'))
+        val rest = p.substring(p.indexOf('.') + 1)
+        (d, rest.substring(0, rest.indexOf('/')))
+      }
+      (tb ++ pb).distinct.map { case (d, nm) => (e.id, e.commandType, d, nm) }
+    }.toDF("id", "command_type", "db", "tbl")
+    val routed = touches.select(col("id"), col("db"), col("tbl"),
+        graft.operators.ReplicationOps.routeOpType(col("command_type"))
+          .as("op_type"))
+      .filter(col("op_type") =!= "IGNORE")
+    val partTouches = entries.flatMap { e =>
+      e.outputPartitions.map { p =>
+        val d = p.substring(0, p.indexOf('.'))
+        val rest = p.substring(p.indexOf('.') + 1)
+        (e.id, d, rest.substring(0, rest.indexOf('/')),
+          rest.substring(rest.indexOf('/') + 1))
+      }
+    }.toDF("id", "db", "tbl", "part_name")
+    val (liveTables, liveParts) =
+      graft.operators.ReplicationOps.replayAuditState(routed, partTouches)
+
+    val modelTables = liveTables.select("db", "tbl")
+      .as[(String, String)].collect().toSet
+    val destTables = (0 to 5).map(i => ("db1", s"t$i"))
+      .filter { case (d, nm) => dest.getTable(d, nm).isDefined }.toSet
+    assert(destTables === modelTables,
+      s"table inventory diverged: server-only ${destTables diff modelTables}, " +
+        s"model-only ${modelTables diff destTables}")
+    val modelParts = liveParts.select("db", "tbl", "part_name")
+      .as[(String, String, String)].collect().toSet
+    val destParts = (3 to 5).map(i => s"t$i")
+      .filter(nm => dest.getTable("db1", nm).isDefined)
+      .flatMap(nm => dest.listPartitionNames("db1", nm)
+        .map(p => ("db1", nm, p))).toSet
+    assert(destParts === modelParts,
+      s"partition inventory diverged: server-only ${destParts diff modelParts}, " +
+        s"model-only ${modelParts diff destParts}")
+    assert(modelTables.nonEmpty && modelParts.nonEmpty)
+  }
+
   test("bridge: declarative replayAuditState matches the server's " +
       "converged dest catalog on a randomized entry stream") {
     // The pipe_incremental_e2e oracle certifies the declarative replay
@@ -699,38 +793,11 @@ class IncrementalSpec extends TestBase {
     // renames are excluded (renameFrom bookkeeping is job-execution
     // semantics, not state replay).
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     val (server, srcConn, destConn, srcWh, _) = newServer("bridge")
-    val src = srcConn.connect()
-    (0 to 2).foreach(i =>
-      src.createTable(unpartitionedTable("db1", s"t$i", srcWh)))
-    (3 to 5).foreach { i =>
-      val t = partitionedTable("db1", s"t$i", srcWh)
-      src.createTable(t)
-      (1 to 3).foreach(d => src.addPartition(partition(t, s"ds=$d")))
-    }
-
-    val rnd = new scala.util.Random(42)
-    val live = scala.collection.mutable.Set.empty[Int]
-    val entries = (1 to 48).map { id =>
-      rnd.nextInt(10) match {
-        case 0 | 1 if live.nonEmpty =>
-          val k = live.toSeq.sorted.apply(rnd.nextInt(live.size))
-          live -= k
-          entry(id, "DROPTABLE", outTables = Seq(s"db1.t$k"))
-        case 2 | 3 =>
-          val k = rnd.nextInt(3) // unpartitioned only (see above)
-          live += k
-          entry(id, "CREATETABLE", outTables = Seq(s"db1.t$k"))
-        case 4 | 5 | 6 | 7 =>
-          val k = 3 + rnd.nextInt(3)
-          live += k
-          val parts = Seq.fill(1 + rnd.nextInt(3))(1 + rnd.nextInt(3))
-            .distinct
-          entry(id, "QUERY", outParts = parts.map(d => s"db1.t$k/ds=$d"))
-        case _ => entry(id, "SHOWTABLES")
-      }
-    }
+    bridgeFixtures(srcConn.connect(), srcWh)
+    val entries = bridgeEntries(seed = 42, n = 48)
+    // sanity: the stream actually exercises drops and re-creates
+    assert(entries.count(_.commandType == "DROPTABLE") >= 3)
 
     entries.grouped(16).foreach { b =>
       val rs = server.processBatch(spark.createDataset(b))
@@ -738,54 +805,51 @@ class IncrementalSpec extends TestBase {
         s"non-successful jobs: ${rs.filter(_._2 != JobStatus.Successful)
           .map(r => (r._1.id, r._1.operation, r._2))}")
     }
+    assertBridgeConvergence(entries, destConn.connect())
+  }
 
-    // the declarative model over the SAME entries
-    val touches = entries.flatMap { e =>
-      val tb = e.outputTables.map { t =>
-        val Array(d, n) = t.split('.'); (d, n)
-      }
-      val pb = e.outputPartitions.map { p =>
-        val d = p.substring(0, p.indexOf('.'))
-        val rest = p.substring(p.indexOf('.') + 1)
-        (d, rest.substring(0, rest.indexOf('/')))
-      }
-      (tb ++ pb).distinct.map { case (d, n) => (e.id, e.commandType, d, n) }
-    }.toDF("id", "command_type", "db", "tbl")
-    val routed = touches.select(col("id"), col("db"), col("tbl"),
-        graft.operators.ReplicationOps.routeOpType(col("command_type"))
-          .as("op_type"))
-      .filter(col("op_type") =!= "IGNORE")
-    val partTouches = entries.flatMap { e =>
-      e.outputPartitions.map { p =>
-        val d = p.substring(0, p.indexOf('.'))
-        val rest = p.substring(p.indexOf('.') + 1)
-        (e.id, d, rest.substring(0, rest.indexOf('/')),
-          rest.substring(rest.indexOf('/') + 1))
-      }
-    }.toDF("id", "db", "tbl", "part_name")
-    val (liveTables, liveParts) =
-      graft.operators.ReplicationOps.replayAuditState(routed, partTouches)
+  test("streaming bridge: JSON audit stream with a mid-stream server " +
+      "restart converges to the declarative model") {
+    // Same certification through the PRODUCTION delivery path: entries
+    // arrive as JSON files via server.start (file source + checkpoint),
+    // the server is stopped after wave 1 and a NEW server instance on
+    // the same state/watermark/checkpoint dirs resumes wave 2 — restart
+    // must neither re-apply wave 1 (checkpoint) nor miss wave 2, and
+    // the converged dest must equal replayAuditState's answer.
+    import spark.implicits._
+    val srcConn = freshCatalog("sbridge-src")
+    val destConn = freshCatalog("sbridge-dest")
+    val srcWh = tmpDir("sbridge-src-wh")
+    val destWh = tmpDir("sbridge-dest-wh")
+    val stateDir = tmpDir("sbridge-state")
+    val cfg = IncrementalConfig(srcConn, destConn,
+      srcWh.toUri.toString.stripSuffix("/"),
+      destWh.toUri.toString.stripSuffix("/"),
+      stateDir.toUri.toString + "jobs",
+      stateDir.toUri.toString + "watermark", workers = 4)
+    bridgeFixtures(srcConn.connect(), srcWh)
+    val entries = bridgeEntries(seed = 7, n = 36)
+    val (wave1, wave2) = entries.splitAt(18)
+    val auditDir = tmpDir("sbridge-audit")
+    val ckpt = tmpDir("sbridge-ckpt")
 
-    val dest = destConn.connect()
-    val modelTables = liveTables.select("db", "tbl")
-      .as[(String, String)].collect().toSet
-    val destTables = (0 to 5).map(i => ("db1", s"t$i"))
-      .filter { case (d, n) => dest.getTable(d, n).isDefined }.toSet
-    assert(destTables === modelTables,
-      s"table inventory diverged: server-only ${destTables diff modelTables}, " +
-        s"model-only ${modelTables diff destTables}")
-    val modelParts = liveParts.select("db", "tbl", "part_name")
-      .as[(String, String, String)].collect().toSet
-    val destParts = (3 to 5).map(i => s"t$i")
-      .filter(n => dest.getTable("db1", n).isDefined)
-      .flatMap(n => dest.listPartitionNames("db1", n)
-        .map(p => ("db1", n, p))).toSet
-    assert(destParts === modelParts,
-      s"partition inventory diverged: server-only ${destParts diff modelParts}, " +
-        s"model-only ${modelParts diff destParts}")
-    // sanity: the stream actually exercised drops and re-creates
-    assert(entries.count(_.commandType == "DROPTABLE") >= 3)
-    assert(modelTables.nonEmpty && modelParts.nonEmpty)
+    spark.createDataset(wave1).write.mode("append")
+      .json(auditDir.toUri.toString)
+    val s1 = new IncrementalServer(spark, cfg)
+    s1.recover()
+    val q1 = s1.start(auditDir.toUri.toString, ckpt.toUri.toString)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(s1.watermark.get().contains(wave1.map(_.id).max))
+
+    spark.createDataset(wave2).write.mode("append")
+      .json(auditDir.toUri.toString)
+    val s2 = new IncrementalServer(spark, cfg) // fresh instance = restart
+    s2.recover()
+    val q2 = s2.start(auditDir.toUri.toString, ckpt.toUri.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(s2.watermark.get().contains(entries.map(_.id).max))
+
+    assertBridgeConvergence(entries, destConn.connect())
   }
 }
 
