@@ -19,10 +19,13 @@ object Bench {
     else {
       val pat = """\|\s*([a-z0-9_]+)\s*\|\s*0\.1\s*\|\s*([0-9.]+)\s*\|?.*""".r
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-      scala.io.Source.fromFile(p.toFile, "UTF-8").getLines().foreach {
-        case pat(name, v) => m(name) = v.toDouble
+      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+      try src.getLines().foreach {
+        // toDoubleOption: a malformed hand-edited value ("1.2.3") must
+        // silently skip its line, not kill the whole bench run
+        case pat(name, v) => v.toDoubleOption.foreach(m(name) = _)
         case _            => ()
-      }
+      } finally src.close()
       m.toMap
     }
   }
@@ -52,9 +55,13 @@ object Bench {
 
     // Recorded baselines (last table line per query in BASELINE.md wins —
     // the same resolution the judge applies). Used ONLY by the stall-escape
-    // loop below; absent file → empty map → loop disabled.
-    val baselines: Map[String, Double] = parseBaselines(
-      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
+    // loop below; absent file → empty map → loop disabled. The table is
+    // sf0.1-only, so at any OTHER scale factor the loop must stay off:
+    // every query would legitimately exceed 2× and mass-retry.
+    val baselines: Map[String, Double] =
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1")) Map.empty
+      else parseBaselines(
+        sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stallRetries = scala.collection.mutable.LinkedHashMap.empty[String, Int]

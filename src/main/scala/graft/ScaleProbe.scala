@@ -245,23 +245,8 @@ object ScaleProbe {
     // URL family: canonicalization is scan-stage column math; dedup is
     // one canonical-key groupBy + join-back (urls derived per doc, the
     // urlDocs 4-variant pattern)
-    def withUrl(d: DataFrame): DataFrame = {
-      val b = expr("doc_id div 4").cast("string")
-      val site = expr("(doc_id div 4) % 50").cast("string")
-      d.select(col("doc_id"),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("http://example"), site, lit(".com/Page/"), b,
-            lit("?a=1&b=2")))
-          .when(col("doc_id") % 4 === 1,
-            concat(lit("HTTP://WWW.EXAMPLE"), site, lit(".COM:80/Page/"),
-              b, lit("/?b=2&a=1&utm_medium=email")))
-          .when(col("doc_id") % 4 === 2,
-            concat(lit("http://example"), site, lit(".com/Page/"), b,
-              lit("?a=1&utm_source=feed&b=2")))
-          .otherwise(
-            concat(lit("http://example"), site, lit(".com:80/Page/"), b,
-              lit("?b=2&a=1#frag"))).as("url"))
-    }
+    def withUrl(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), graft.sim.WarehouseSim.urlColumn)
     run("url_dedup")(d => Dedup.urlDedup(withUrl(d)))
 
     // incremental SemDeDup: fixed admission batch, k× corpus — measures

@@ -20,8 +20,9 @@ import graft.model.JobStatus
  *    and any collected `observe` counters (A7/A8).
  *  - `GET /jobs?status=S&limit=N` → newest-first job rows for drill-down
  *    (the reference web UI's per-job detail page). Bounded by `limit`
- *    (default 50, max 500); runs one small Spark job per request — an
- *    on-demand page, unlike /status which serves from the cached rollup.
+ *    (default 50, max 500); cached per state-log version like the
+ *    rollup, so the dashboard's 10 s poll costs one Spark job per state
+ *    BATCH, not per poll or per viewer.
  *  - `GET /job?id=N` → full detail for ONE job (every state field incl.
  *    rename targets and extras) plus its execution history from the
  *    [[JobStatsLog]] sidecar when `statsDir` is configured — per-attempt
@@ -201,8 +202,35 @@ final class StatusServer(state: StateStore, watermark: Watermark,
   }
 
   /** Newest-first job rows, optionally filtered by status; bounded. */
+  // /jobs responses cached per (state version, query string): the
+  // dashboard polls `jobs?limit=500` every 10 s, and without this each
+  // open tab would run one latest-wins scan + sort on the driver per
+  // poll (the exact load the rollup cache exists to prevent). One
+  // entry per distinct query string; cleared whenever the version
+  // moves, so drill-down filters stay correct.
+  @volatile private var jobsCache: (Long, Map[String, String]) =
+    (-1L, Map.empty)
+
   private[observability] def jobsJson(query: String): String = {
-    val params = Option(query).getOrElse("").split('&').iterator
+    val key = Option(query).getOrElse("")
+    val v = state.version
+    val cached = jobsCache
+    if (cached._1 == v) cached._2.get(key) match {
+      case Some(body) => return body
+      case None => ()
+    }
+    val body = jobsJsonUncached(key)
+    jobsCache.synchronized {
+      val cur = jobsCache
+      jobsCache =
+        if (cur._1 == v) (v, cur._2 + (key -> body))
+        else (v, Map(key -> body))
+    }
+    body
+  }
+
+  private def jobsJsonUncached(query: String): String = {
+    val params = query.split('&').iterator
       .map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }.toMap
     val limit = math.min(params.get("limit").flatMap(_.toIntOption)
       .getOrElse(50), 500)
@@ -315,8 +343,7 @@ object StatusServer {
       |<h3 id="counts"></h3>
       |<table id="jobs"></table>
       |<script>
-      |const RETIRED = new Set(['SUCCESSFUL','FAILED','NOT_COMPLETABLE',
-      |  'ABORTED','DEST_IS_NEWER']);
+      |const RETIRED = new Set([@RETIRED@]);
       |const esc = x => String(x ?? '').replace(/[&<>"]/g,
       |  c => ({'&':'&amp;','<':'&lt;','>':'&gt;','"':'&quot;'}[c]));
       |function jobRow(j, now){
@@ -357,4 +384,9 @@ object StatusServer {
       |}
       |refresh(); setInterval(refresh, 10000);
       |</script></body></html>""".stripMargin
+      // single source of truth: the JS retired set is generated from
+      // RetiredStatuses so a new terminal JobStatus cannot silently
+      // stay "Active" in the dashboard
+      .replace("@RETIRED@",
+        RetiredStatuses.toSeq.sorted.map("'" + _ + "'").mkString(","))
 }

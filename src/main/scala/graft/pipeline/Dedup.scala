@@ -40,16 +40,11 @@ object Dedup {
   private val internalCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def persistInternal(key0: String, df: DataFrame): DataFrame =
-    persistInternal(key0, df,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-  private def persistInternal(key0: String, df: DataFrame,
-      level: org.apache.spark.storage.StorageLevel): DataFrame = {
+  private def persistInternal(key0: String, df: DataFrame): DataFrame = {
     // key includes the session so two sessions in one JVM never evict
     // each other's caches
     val key = s"${System.identityHashCode(df.sparkSession)}-$key0"
-    val cached = df.persist(level)
+    val cached = df.persist()
     val prev = internalCaches.put(key, cached)
     if (prev != null &&
         !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {

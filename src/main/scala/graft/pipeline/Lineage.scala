@@ -24,6 +24,16 @@ import org.apache.spark.sql.DataFrame
  */
 object Lineage {
 
+  // The dir we last passed to setCheckpointDir, per SparkContext.
+  // getCheckpointDir cannot be compared against the conf value: Spark
+  // stores a FULLY QUALIFIED fresh UUID subdir (file:/dir/<uuid>), so a
+  // bare startsWith never matches and every cut would re-run
+  // setCheckpointDir — one fs.mkdirs round trip and a new scattered
+  // UUID directory per iteration round.
+  private val lastSet =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, String]()
+
   /** Cut lineage eagerly: reliable checkpoint when
     * `spark.graft.checkpointDir` is set, else `localCheckpoint`. */
   def cut(df: DataFrame): DataFrame = {
@@ -32,8 +42,10 @@ object Lineage {
         .filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        if (lastSet.get(sc) != dir) {
           sc.setCheckpointDir(dir)
+          lastSet.put(sc, dir)
+        }
         df.checkpoint(eager = true)
       case None => df.localCheckpoint(true)
     }

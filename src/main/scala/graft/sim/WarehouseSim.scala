@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -227,21 +227,26 @@ object WarehouseSim {
     * scheme/host case, `www.`, default port, `utm_*` params, param
     * order, trailing slash, fragment. All four variants of a base
     * canonicalize to the same URL, so URL dedup finds 4-groups. */
-  def urlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  def urlDocs(spark: SparkSession, sfDir: String): DataFrame =
+    read(spark, sfDir, "documents").select(col("doc_id"), urlColumn)
+
+  /** The 4-variant URL expression over a `doc_id` column — shared by
+    * [[urlDocs]] and ScaleProbe so the probed shape cannot drift from
+    * the certified one. */
+  def urlColumn: Column = {
     val b = expr("doc_id div 4").cast("string")
     val site = expr("(doc_id div 4) % 50").cast("string")
-    read(spark, sfDir, "documents").select(col("doc_id"),
-      when(col("doc_id") % 4 === 0,
+    when(col("doc_id") % 4 === 0,
+      concat(lit("http://example"), site, lit(".com/Page/"), b,
+        lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("HTTP://WWW.EXAMPLE"), site, lit(".COM:80/Page/"), b,
+          lit("/?b=2&a=1&utm_medium=email")))
+      .when(col("doc_id") % 4 === 2,
         concat(lit("http://example"), site, lit(".com/Page/"), b,
-          lit("?a=1&b=2")))
-        .when(col("doc_id") % 4 === 1,
-          concat(lit("HTTP://WWW.EXAMPLE"), site, lit(".COM:80/Page/"), b,
-            lit("/?b=2&a=1&utm_medium=email")))
-        .when(col("doc_id") % 4 === 2,
-          concat(lit("http://example"), site, lit(".com/Page/"), b,
-            lit("?a=1&utm_source=feed&b=2")))
-        .otherwise(
-          concat(lit("http://example"), site, lit(".com:80/Page/"), b,
-            lit("?b=2&a=1#frag"))).as("url"))
+          lit("?a=1&utm_source=feed&b=2")))
+      .otherwise(
+        concat(lit("http://example"), site, lit(".com:80/Page/"), b,
+          lit("?b=2&a=1#frag"))).as("url")
   }
 }
