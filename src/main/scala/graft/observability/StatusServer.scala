@@ -220,12 +220,13 @@ final class StatusServer(state: StateStore, watermark: Watermark,
       case None => ()
     }
     val body = jobsJsonUncached(key)
-    jobsCache.synchronized {
-      val cur = jobsCache
-      jobsCache =
-        if (cur._1 == v) (v, cur._2 + (key -> body))
-        else (v, Map(key -> body))
-    }
+    // benign race on the volatile: a concurrent writer may drop this
+    // entry (one extra recompute on a later poll), never serve stale
+    // data — entries are only valid for the version they were read at
+    val cur = jobsCache
+    jobsCache =
+      if (cur._1 == v) (v, cur._2 + (key -> body))
+      else (v, Map(key -> body))
     body
   }
 
