@@ -10,7 +10,20 @@ const src = fs.readFileSync(
   'src/main/scala/graft/observability/StatusServer.scala', 'utf8');
 const block = /val IndexHtml: String =\s*"""([\s\S]*?)""".stripMargin/
   .exec(src)[1];
-const html = block.split('\n').map(l => l.replace(/^\s*\|/, '')).join('\n');
+// apply the same substitution the Scala code does: the retired-status
+// set is generated from the RetiredStatuses constant
+const retired = /RetiredStatuses: Set\[String\] = Set\(([\s\S]*?)\)/
+  .exec(src)[1].split(',').map(s => {
+    const m = /JobStatus\.(\w+)/.exec(s.trim());
+    return m[1];
+  });
+const statusValues = {Successful: 'SUCCESSFUL', Failed: 'FAILED',
+  NotCompletable: 'NOT_COMPLETABLE', Aborted: 'ABORTED',
+  DestNewer: 'DEST_IS_NEWER'};
+const retiredJs = retired.map(n => "'" + statusValues[n] + "'")
+  .sort().join(',');
+const html = block.split('\n').map(l => l.replace(/^\s*\|/, '')).join('\n')
+  .replace('@RETIRED@', retiredJs);
 const js = /<script>([\s\S]*?)<\/script>/.exec(html)[1]
   .replace(/refresh\(\); setInterval[\s\S]*$/, '');
 
