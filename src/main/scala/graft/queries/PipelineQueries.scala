@@ -501,6 +501,36 @@ object PipelineQueries {
           Dedup.simhashPairs(W.read(s, dir, "documents")))
     },
 
+    // cluster-size histogram over the certified CC labeling (singletons
+    // included as size-1): the distribution an operator reads before
+    // picking a dedup policy — a fat tail of giant clusters means
+    // near-dup removal will cut deeply; all-small means exact dedup
+    // already did the work. One extra keyed aggregate pair over the
+    // pair-graph-sized labels; the corpus enters only as the singleton
+    // left join.
+    QueryDef("report_cluster_sizes",
+      "WITH RECURSIVE " + ccCtes + ",\n" +
+        """clus AS (
+          |  SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+          |  FROM reach GROUP BY id),
+          |mem AS (
+          |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+          |  FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id),
+          |sz AS (SELECT cluster_id, count(*) AS cluster_size
+          |       FROM mem GROUP BY 1)
+          |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+          |  CAST(count(*) AS BIGINT) AS n_clusters
+          |FROM sz GROUP BY 1""".stripMargin) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+      val clusters = Dedup.connectedComponents(Dedup.simhashPairs(docs))
+      docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+
     // Cluster-balanced sampling: keep each doc w.p. 1/|cluster| via exact
     // integer hash math (hash32(id) * size < 2^32) — every content
     // cluster contributes ~1 doc in expectation; singletons always keep.
