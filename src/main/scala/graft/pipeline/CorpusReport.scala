@@ -303,4 +303,47 @@ object CorpusReport {
           / count(lit(1)).cast("double"), 6).as("dup_ratio"),
         round(avg(col("n_chars")), 6).as("mean_chars"))
   }
+
+  /**
+   * Robust per-language length-outlier report: median / MAD (median
+   * absolute deviation) over per-document token counts, and how many
+   * documents fall outside median ± z·MAD. The robust statistics make
+   * this the screen a curation pass runs BEFORE hard length cutoffs —
+   * unlike mean/stddev, a tail of giant concatenation-bug documents
+   * cannot drag the fence toward itself.
+   *
+   * Determinism: token counts are integers, `percentile` at 0.5 is the
+   * same linear-interpolation rule as DuckDB's quantile_cont, so medians
+   * and MADs land on exact binary fractions (k/2) and every fence
+   * comparison is exact in both engines.
+   *
+   * Scale shape: two grouped exact percentiles over (langs) groups plus
+   * a broadcast of the per-lang bounds frame (|langs| rows). At 100 TB
+   * swap `percentile` for `percentile_approx` (KLL-style sketch, one
+   * pass, mergeable); the exact form here is the oracle-checkable path.
+   */
+  def qualityOutlierReport(docs: DataFrame, z: Double = 3.0,
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val nt = docs.select(col(langCol).as("lang"),
+      size(TextAnalysis.tokens(col(textCol))).cast("double").as("nt"))
+    val med = nt.groupBy("lang").agg(expr("percentile(nt, 0.5)").as("med_nt"))
+    val mad = nt.join(broadcast(med), "lang")
+      .select(col("lang"), abs(col("nt") - col("med_nt")).as("dev"))
+      .groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad_nt"))
+    val bounds = med.join(mad, "lang")
+    nt.join(broadcast(bounds), "lang")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(min(col("med_nt")), 6).as("med_nt"),
+        round(min(col("mad_nt")), 6).as("mad_nt"),
+        sum(when(col("nt") < col("med_nt") - lit(z) * col("mad_nt"), 1L)
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("nt") > col("med_nt") + lit(z) * col("mad_nt"), 1L)
+          .otherwise(0L)).as("n_high"))
+      .select(col("lang"), col("n_docs"), col("med_nt"), col("mad_nt"),
+        col("n_low"), col("n_high"),
+        round((col("n_low") + col("n_high")).cast("double") /
+          col("n_docs").cast("double"), 6).as("outlier_frac"))
+  }
 }

@@ -1320,4 +1320,106 @@ object TextAnalysis {
           .as(s"cov$n")): _*)
     assembleGopherFracs(raw)
   }
+
+  // ---- lexical diversity: per-document token entropy ----------------------
+
+  /**
+   * Per-document token-distribution statistics: token count, type count,
+   * type-token ratio, and the Shannon entropy (bits) of the within-doc
+   * token distribution. Low entropy at a given length means repetitive,
+   * templated, or spam-like text — a standard corpus-quality signal that
+   * complements the Gopher repetition fractions ([[gopherRepetition]]),
+   * which measure *contiguous* repeats while entropy measures global
+   * distributional collapse.
+   *
+   * Numeric discipline (same as [[unigramNll]]): the only cross-row float
+   * sum — Σ over types of c·log2(c) — is quantized to integer micro-units
+   * per type BEFORE the sum, so the result is independent of partition /
+   * scan order:  H = log2(n) − (Σ round(c·log2(c)·1e6)) / (n·1e6).
+   *
+   * Scale shape: explode → (doc, tok) count → doc-keyed agg. Two
+   * map-side-combined shuffles, no join, output = one row per document.
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"),
+        round(col("c").cast("double") * log2(col("c").cast("double")) * 1e6)
+          .cast("long").as("h_micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
+        sum(col("h_micro")).as("h_micro_sum"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tok").cast("double"), 6)
+          .as("ttr"),
+        round(log2(col("n_tok").cast("double")) -
+          col("h_micro_sum").cast("double") /
+            (col("n_tok").cast("double") * 1e6), 6).as("entropy"))
+
+  // ---- collocation mining: PMI -------------------------------------------
+
+  /**
+   * Corpus-level collocation mining: the top-k adjacent token pairs by
+   * pointwise mutual information,
+   * PMI = log2(p(xy) / (p(x)·p(y))), with p(xy) over bigram positions and
+   * p(x) over token positions, restricted to pairs seen ≥ minCount times
+   * (the classic guard against low-count PMI blowup). The output is the
+   * multi-word-expression lexicon a tokenizer/phrase-normalization pass
+   * consumes.
+   *
+   * Scale shape: two counting aggregates (bigram, unigram); the minCount
+   * filter shrinks the bigram side BEFORE the two word-key equi-joins; the
+   * final top-k is hierarchical (top-k per hash bucket, then one window
+   * over ≤ 64·k survivors) so no partition ever sorts the whole
+   * collocation table. PMI is computed per row from integer counts and a
+   * 2-value totals frame — no cross-row float arithmetic anywhere, and the
+   * rank order is on the integer micro-PMI.
+   */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5, k: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      tokens(col(textCol)).as("toks"))
+    // one scan for both totals; a single bounded (2-value) driver row
+    val totRow = toks.agg(
+      sum(size(col("toks"))).as("n1"),
+      sum(greatest(size(col("toks")) - 1, lit(0))).as("n2")).head()
+    val n1 = totRow.getLong(0).toDouble
+    val n2 = totRow.getLong(1).toDouble
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toks.select(explode(bigrams(col("toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .withColumn("wl", split(col("bigram"), " ").getItem(0))
+      .withColumn("wr", split(col("bigram"), " ").getItem(1))
+    val joined = bi
+      .join(uni.withColumnRenamed("w", "wl").withColumnRenamed("cw", "c_left"),
+        "wl")
+      .join(uni.withColumnRenamed("w", "wr").withColumnRenamed("cw", "c_right"),
+        "wr")
+      .withColumn("pmi_micro",
+        // association order mirrors the oracle exactly:
+        // ((cxy·n1)·n1) / ((n2·c_left)·c_right)
+        round(log2(col("cxy").cast("double") * n1 * n1 /
+          (lit(n2) * col("c_left").cast("double") *
+            col("c_right").cast("double")))
+          * 1e6).cast("long"))
+    // hierarchical top-k (see the t_top_ngrams note): bucket first so the
+    // global sort only sees ≤ 64·k survivors
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("pmi_micro").desc, col("bigram"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("pmi_micro").desc, col("bigram"))
+    joined
+      .withColumn("bkt", pmod(xxhash64(col("bigram")), lit(64)))
+      .withColumn("rk0", row_number().over(wBucket))
+      .filter(col("rk0") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col("bigram"),
+        col("cxy"), col("c_left"), col("c_right"),
+        round(col("pmi_micro").cast("double") / 1e6, 6).as("pmi"))
+  }
 }

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusReport, TextAnalysis}
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-10 continuation batch: lexical-diversity and collocation
+ * statistics plus a robust length-outlier screen.
+ *
+ *  - `t_token_entropy` — per-document Shannon entropy of the token
+ *    distribution (bits) + type-token ratio; the global-distributional
+ *    twin of the Gopher contiguous-repetition fractions.
+ *  - `t_pmi_collocations` — top-k adjacent-pair collocations by PMI with
+ *    a min-count guard; the multi-word-expression lexicon.
+ *  - `report_quality_outliers` — per-language median/MAD token-count
+ *    fences and outlier counts; the robust screen run before hard length
+ *    cutoffs.
+ *
+ * All three follow the repo's float discipline: any cross-row float sum
+ * is quantized to integer micro-units first; medians interpolate
+ * integers (exact binary fractions); PMI/entropy doubles are derived per
+ * row from integer counts so Spark and DuckDB agree bit-for-bit.
+ */
+object PipelineQueries11 {
+
+  import PipelineQueries.{tokDocs, withC}
+
+  private val pmiMinCount = 5
+  private val pmiK = 50
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("t_token_entropy",
+      withC(tokDocs + ",\n" +
+        """tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+          |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+          |hd AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+          |    CAST(count(*) AS BIGINT) AS n_types,
+          |    CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1e6)
+          |      AS BIGINT)) AS BIGINT) AS s_micro
+          |  FROM tc GROUP BY 1)""".stripMargin)(
+        """SELECT doc_id, n_tok, n_types,
+          |  round(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS ttr,
+          |  round(log2(CAST(n_tok AS DOUBLE)) -
+          |    CAST(s_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1e6), 6)
+          |    AS entropy
+          |FROM hd""".stripMargin)) {
+      (s, dir) => TextAnalysis.tokenEntropy(W.read(s, dir, "documents"))
+    },
+
+    QueryDef("t_pmi_collocations",
+      withC(tokDocs + ",\n" +
+        s"""tot AS (
+           |  SELECT CAST(sum(len(toks)) AS DOUBLE) AS n1,
+           |    CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n2
+           |  FROM tok_docs),
+           |uni AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS cw
+           |  FROM (SELECT unnest(toks) AS tok FROM tok_docs) GROUP BY 1),
+           |bic AS (
+           |  SELECT bigram, CAST(count(*) AS BIGINT) AS cxy FROM (
+           |    SELECT unnest(list_transform(
+           |      generate_series(1, greatest(len(toks) - 1, 0)),
+           |      i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           |    FROM tok_docs)
+           |  GROUP BY 1 HAVING count(*) >= $pmiMinCount),
+           |j AS (
+           |  SELECT b.bigram, b.cxy, ul.cw AS c_left, ur.cw AS c_right
+           |  FROM bic b
+           |  JOIN uni ul ON ul.tok = string_split(b.bigram, ' ')[1]
+           |  JOIN uni ur ON ur.tok = string_split(b.bigram, ' ')[2]),
+           |p AS (
+           |  SELECT bigram, cxy, c_left, c_right,
+           |    CAST(round(log2(cxy * n1 * n1 /
+           |      (n2 * c_left * c_right)) * 1e6) AS BIGINT) AS pmi_micro
+           |  FROM j, tot)""".stripMargin)(
+        s"""SELECT CAST(rk AS INT) AS rank, bigram, cxy, c_left, c_right,
+           |  round(CAST(pmi_micro AS DOUBLE) / 1e6, 6) AS pmi
+           |FROM (SELECT *,
+           |    row_number() OVER (ORDER BY pmi_micro DESC, bigram) AS rk
+           |  FROM p)
+           |WHERE rk <= $pmiK""".stripMargin)) {
+      (s, dir) => TextAnalysis.pmiCollocations(W.read(s, dir, "documents"),
+        minCount = pmiMinCount, k = pmiK)
+    },
+
+    QueryDef("report_quality_outliers",
+      """WITH dn AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS DOUBLE) AS nt
+        |  FROM documents),
+        |med AS (SELECT lang, quantile_cont(nt, 0.5) AS med_nt
+        |        FROM dn GROUP BY 1),
+        |mad AS (SELECT d.lang, quantile_cont(abs(d.nt - m.med_nt), 0.5)
+        |          AS mad_nt
+        |        FROM dn d JOIN med m USING (lang) GROUP BY 1),
+        |b AS (SELECT m.lang, m.med_nt, a.mad_nt
+        |      FROM med m JOIN mad a USING (lang))
+        |SELECT d.lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(min(b.med_nt), 6) AS med_nt,
+        |  round(min(b.mad_nt), 6) AS mad_nt,
+        |  CAST(sum(CASE WHEN d.nt < b.med_nt - 3.0 * b.mad_nt
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN d.nt > b.med_nt + 3.0 * b.mad_nt
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  round(CAST(sum(CASE WHEN d.nt < b.med_nt - 3.0 * b.mad_nt
+        |      OR d.nt > b.med_nt + 3.0 * b.mad_nt THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS outlier_frac
+        |FROM dn d JOIN b USING (lang) GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        CorpusReport.qualityOutlierReport(W.read(s, dir, "documents"), z = 3.0)
+    })
+}

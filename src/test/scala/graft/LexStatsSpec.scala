@@ -1,0 +1,93 @@
+package graft
+
+import graft.pipeline.{CorpusReport, TextAnalysis}
+
+/** Fixture-level pins for the round-10 lexical-stat operators: token
+  * entropy, PMI collocations, and the median/MAD outlier screen. The
+  * oracle twins verify exact values at sf0.01; these pin the closed-form
+  * cases where the right answer is known analytically. */
+class LexStatsSpec extends TestBase {
+
+  import spark.implicits._
+
+  test("tokenEntropy: all-identical tokens -> H=0; uniform -> log2(n)") {
+    val docs = Seq(
+      (1L, "a a a a a a a a"),            // 8 copies of one type: H = 0
+      (2L, "a b c d e f g h"),            // 8 distinct: H = log2(8) = 3
+      (3L, "x x y y"),                    // 2+2: H = 1
+      (4L, "w")                           // single token: H = 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((8L, 1L, 0.125, 0.0)))
+    assert(got(2L) == ((8L, 8L, 1.0, 3.0)))
+    assert(got(3L) == ((4L, 2L, 0.5, 1.0)))
+    assert(got(4L) == ((1L, 1L, 1.0, 0.0)))
+  }
+
+  test("tokenEntropy: skewed distribution matches the closed form") {
+    // 3 of 'a', 1 of 'b': H = log2(4) - (3*log2(3))/4 = 2 - 0.75*log2(3)
+    val docs = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val h = TextAnalysis.tokenEntropy(docs).collect().head.getDouble(4)
+    val expect = BigDecimal(2.0 - 3.0 * (math.log(3.0) / math.log(2.0)) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(h - expect) < 2e-6, s"got $h expected ~$expect")
+  }
+
+  test("pmiCollocations: perfect collocation outranks independent pair") {
+    // 'alpha beta' always co-occur (PMI high); 'x' and 'y' appear widely
+    // but pair up rarely relative to their marginals (PMI lower).
+    val glue = (1 to 8).map(i => (i.toLong, "alpha beta"))
+    val noise = (9 to 16).map(i =>
+      (i.toLong, "x y x q y q x p y p x r y r"))
+    val docs = (glue ++ noise).toDF("doc_id", "text")
+    val rows = TextAnalysis.pmiCollocations(docs, minCount = 5, k = 10)
+      .collect()
+    assert(rows.nonEmpty)
+    val byRank = rows.map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(byRank(1) == "alpha beta",
+      s"the glued pair must rank first, got ${byRank(1)}")
+    // rank column is dense 1..n and pmi is non-increasing
+    val pmis = rows.sortBy(_.getInt(0)).map(_.getDouble(5))
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to rows.length),
+      "ranks must be dense")
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "pmi must be non-increasing in rank")
+  }
+
+  test("pmiCollocations: minCount guard drops rare pairs") {
+    val docs = (1 to 4).map(i => (i.toLong, "rare pair"))
+      .toDF("doc_id", "text")
+    // pair count 4 < minCount 5 -> empty result
+    assert(TextAnalysis.pmiCollocations(docs, minCount = 5, k = 10)
+      .collect().isEmpty)
+  }
+
+  test("qualityOutlierReport: known median/MAD and fence counts") {
+    // lang 'en': token counts 1..7 plus one 100-token doc.
+    // median of (1,2,3,4,5,6,7,100) = 4.5; |x-med| = (3.5,2.5,1.5,0.5,
+    // 0.5,1.5,2.5,95.5) -> MAD = median = 2.0. Fence: 4.5 ± 6 ->
+    // [-1.5, 10.5]: only the 100-token doc is out (high).
+    val en = Seq.tabulate(7)(i => (i.toLong, "en",
+      (1 to (i + 1)).map(_ => "w").mkString(" "))) :+
+      (7L, "en", (1 to 100).map(_ => "w").mkString(" "))
+    val docs = en.toDF("doc_id", "lang", "text")
+    val r = CorpusReport.qualityOutlierReport(docs, z = 3.0).collect().head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 4.5)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getLong(4) == 0L, "no low outliers")
+    assert(r.getLong(5) == 1L, "exactly the 100-token doc is high")
+    assert(r.getDouble(6) == 0.125)
+  }
+
+  test("qualityOutlierReport: uniform lengths flag nothing") {
+    val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
+      .toDF("doc_id", "lang", "text")
+    val r = CorpusReport.qualityOutlierReport(docs, z = 3.0).collect().head
+    assert((r.getLong(4), r.getLong(5)) == ((0L, 0L)))
+    assert(r.getDouble(3) == 0.0, "MAD of constant lengths is 0")
+  }
+}
