@@ -253,6 +253,52 @@ object CorpusReport {
         round(expr("percentile(n_chars, 0.75)"), 6).as("p75_chars"),
         round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"))
 
+  /**
+   * Vocabulary coverage curve: for each cutoff N, what fraction of all
+   * token OCCURRENCES the N most frequent token types cover — the curve
+   * a tokenizer-vocabulary sizing decision reads (e.g. "32k types cover
+   * 97.1% of tokens").
+   *
+   * Scale design: computed from the count-of-counts histogram, NOT a
+   * global sort of the vocabulary. Types tied at the same frequency are
+   * interchangeable for coverage, so coverage(N) is exactly: all
+   * frequency classes wholly above the cutoff plus a partial slice of
+   * the boundary class — Σ c·clamp(N − prev_types, 0, nt) over histogram
+   * rows. The only unpartitioned window runs over the histogram, whose
+   * row count is O(√total-tokens) by the standard count-of-counts bound
+   * (distinct frequencies c₁>c₂>… satisfy Σcᵢ ≤ T, so at most ~√(2T)
+   * of them) — bounded even at 100 TB. The cutoffs frame (|cutoffs|
+   * rows) is broadcast; the cross join is constant-size, never
+   * corpus-sized.
+   */
+  def vocabCoverage(docs: DataFrame,
+      cutoffs: Seq[Long] = Seq(10L, 100L, 1000L, 10000L)): DataFrame = {
+    val hist = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("nt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val withPrev = hist.withColumn("prev_types",
+      coalesce(sum(col("nt")).over(w), lit(0L)))
+    import docs.sparkSession.implicits._
+    val cuts = cutoffs.toDF("cutoff")
+    val used = least(col("nt"),
+      greatest(col("cutoff") - col("prev_types"), lit(0L)))
+    withPrev.crossJoin(broadcast(cuts))
+      .groupBy("cutoff")
+      .agg(
+        sum(used).as("n_types_used"),
+        sum(col("c") * used).as("covered_tokens"),
+        sum(col("c") * col("nt")).as("total_tokens"))
+      .select(col("cutoff"), col("n_types_used"), col("covered_tokens"),
+        col("total_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("coverage"))
+  }
+
   def joinSkewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(keyCol).agg(count(lit(1)).as("c"))
       .agg(

@@ -176,6 +176,32 @@ object TextAnalysis {
   }
 
   /**
+   * Language-ID evaluation: the confusion matrix of [[withLangId]]'s
+   * marker-argmax prediction against the corpus's labeled `lang` column,
+   * with each cell's share of its labeled row (the diagonal cells' shares
+   * are per-class recall). This is the report a curation pass reads
+   * before trusting a language filter — systematic off-diagonal mass
+   * means the filter silently drops a language.
+   *
+   * Scale shape: the prediction is a scan-speed column expression; the
+   * matrix is one (labeled, predicted) count whose output is ≤ |langs|²
+   * rows, and the row-totals join broadcasts that frame.
+   */
+  def langidConfusion(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val conf = withLangId(
+      docs.select(col(langCol).as("labeled_lang"), col(textCol)), textCol)
+      .groupBy("labeled_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = conf.groupBy("labeled_lang")
+      .agg(sum(col("n_docs")).as("n_label"))
+    conf.join(broadcast(totals), "labeled_lang")
+      .select(col("labeled_lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_label").cast("double"), 6)
+          .as("frac_of_label"))
+  }
+
+  /**
    * Quality features + composite score:
    * stopword ratio, alpha-char ratio, length saturation, mean token length.
    * All integer counts per row; ratios are single double divisions (bit-

@@ -30,6 +30,35 @@ object PipelineQueries11 {
   private val pmiMinCount = 5
   private val pmiK = 50
 
+  /** DuckDB replay of [[TextAnalysis.withLangId]], generated from the
+    * same `langMarkers` table the Spark side reads — one source of
+    * truth for markers AND the argmax priority order. */
+  private val langidCte: String = {
+    def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+    val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
+      s"CAST(len(list_filter(toks, x -> list_contains(${sqlList(ws)}, x))) AS BIGINT) AS score_$l"
+    }.mkString(",\n      ")
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val arms = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = best AND best > 0 THEN '$l'"
+    }.mkString("\n        ")
+    s"""lid AS (
+       |  SELECT labeled_lang,
+       |    CASE $arms
+       |      ELSE 'und' END AS predicted_lang
+       |  FROM (
+       |    SELECT labeled_lang, $best AS best,
+       |      ${TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+            .mkString(", ")}
+       |    FROM (
+       |      SELECT d.lang AS labeled_lang,
+       |      $scores
+       |      FROM tok_docs t JOIN documents d USING (doc_id))))""".stripMargin
+  }
+
+  private val coverageCutoffs = Seq(10L, 100L, 1000L, 10000L)
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("t_token_entropy",
@@ -85,6 +114,48 @@ object PipelineQueries11 {
            |WHERE rk <= $pmiK""".stripMargin)) {
       (s, dir) => TextAnalysis.pmiCollocations(W.read(s, dir, "documents"),
         minCount = pmiMinCount, k = pmiK)
+    },
+
+    QueryDef("t_langid_confusion",
+      withC(tokDocs + ",\n" + langidCte + ",\n" +
+        """conf AS (
+          |  SELECT labeled_lang, predicted_lang,
+          |    CAST(count(*) AS BIGINT) AS n_docs
+          |  FROM lid GROUP BY 1, 2)""".stripMargin)(
+        """SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+          |  round(CAST(c.n_docs AS DOUBLE) / CAST(t.n_label AS DOUBLE), 6)
+          |    AS frac_of_label
+          |FROM conf c JOIN (
+          |  SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_label
+          |  FROM conf GROUP BY 1) t USING (labeled_lang)""".stripMargin)) {
+      (s, dir) => TextAnalysis.langidConfusion(W.read(s, dir, "documents"))
+    },
+
+    QueryDef("report_vocab_coverage",
+      withC(tokDocs + ",\n" +
+        s"""cnt AS (
+           |  SELECT tok, count(*) AS c
+           |  FROM (SELECT unnest(toks) AS tok FROM tok_docs) GROUP BY 1),
+           |hist AS (SELECT c, CAST(count(*) AS BIGINT) AS nt
+           |         FROM cnt GROUP BY 1),
+           |hp AS (
+           |  SELECT c, nt, CAST(coalesce(sum(nt) OVER (ORDER BY c DESC
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS BIGINT) AS prev_types
+           |  FROM hist),
+           |cuts AS (SELECT unnest([${coverageCutoffs.mkString(", ")}])
+           |  AS cutoff)""".stripMargin)(
+        """SELECT CAST(cutoff AS BIGINT) AS cutoff,
+          |  CAST(sum(least(nt, greatest(cutoff - prev_types, 0)))
+          |    AS BIGINT) AS n_types_used,
+          |  CAST(sum(c * least(nt, greatest(cutoff - prev_types, 0)))
+          |    AS BIGINT) AS covered_tokens,
+          |  CAST(sum(c * nt) AS BIGINT) AS total_tokens,
+          |  round(CAST(sum(c * least(nt, greatest(cutoff - prev_types, 0)))
+          |      AS DOUBLE) / CAST(sum(c * nt) AS DOUBLE), 6) AS coverage
+          |FROM hp, cuts GROUP BY 1""".stripMargin)) {
+      (s, dir) => CorpusReport.vocabCoverage(W.read(s, dir, "documents"),
+        cutoffs = coverageCutoffs)
     },
 
     QueryDef("report_quality_outliers",

@@ -83,6 +83,45 @@ class LexStatsSpec extends TestBase {
     assert(r.getDouble(6) == 0.125)
   }
 
+  test("langidConfusion: shares sum to 1 per label; perfect docs hit diagonal") {
+    val docs = Seq(
+      (1L, "en", "the cat is of the house and a dog"),
+      (2L, "en", "the a of and is"),
+      (3L, "es", "el la de que los"),
+      (4L, "de", "der die das und ist"),
+      (5L, "de", "nothing recognizable here")   // -> 'und'
+    ).toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.langidConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(rows(("en", "en")) == ((2L, 1.0)))
+    assert(rows(("es", "es")) == ((1L, 1.0)))
+    assert(rows(("de", "de")) == ((1L, 0.5)))
+    assert(rows(("de", "und")) == ((1L, 0.5)))
+    // shares sum to 1 within every labeled row
+    rows.keys.map(_._1).toSeq.distinct.foreach { l =>
+      val s = rows.collect { case ((`l`, _), (_, f)) => f }.sum
+      assert(math.abs(s - 1.0) < 1e-9, s"label $l shares must sum to 1")
+    }
+  }
+
+  test("vocabCoverage: histogram slice math matches the direct sort") {
+    // frequencies: a:5 b:4 c:3 d:3 e:1 f:1 g:1  (total 18)
+    val text = (Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(3)("d") ++ Seq("e", "f", "g")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val cov = graft.pipeline.CorpusReport
+      .vocabCoverage(docs, cutoffs = Seq(1L, 2L, 3L, 4L, 100L)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(cov(1L) == ((1L, 5L, 18L, BigDecimal(5.0 / 18)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(cov(2L)._2 == 9L)     // a+b
+    assert(cov(3L)._2 == 12L)    // a+b+ one of the tied 3s
+    assert(cov(4L)._2 == 15L)    // both tied 3s — tie-invariant
+    assert(cov(100L) == ((7L, 18L, 18L, 1.0)))
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")

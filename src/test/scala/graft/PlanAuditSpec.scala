@@ -27,10 +27,13 @@ class PlanAuditSpec extends TestBase {
   //  - dedup_source_venn: the totals pair frame is #sources × #sources
   //    (an inequality join on a catalog-sized aggregate, never the
   //    corpus); the corpus-sized work is the fpr equi-join.
+  //  - report_vocab_coverage: crossJoin of the broadcast |cutoffs|-row
+  //    (=4) frame against the count-of-counts histogram (O(√tokens)
+  //    rows) — both sides bounded, never the corpus.
   private val cartesianExempt =
     Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning",
       "report_zipf", "report_embedding_health", "pack_zorder",
-      "dedup_source_venn")
+      "dedup_source_venn", "report_vocab_coverage")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
