@@ -370,6 +370,9 @@ object ScaleProbe {
     })
     run("source_venn_exact")(d => graft.pipeline.Dedup.sourceVenn(d))
     run("source_venn_sketch")(d => graft.pipeline.Dedup.sourceVennSketch(d))
+    run("pmi_collocations")(d => TextAnalysis.pmiCollocations(d))
+    run("token_entropy")(d => TextAnalysis.tokenEntropy(d))
+    run("vocab_coverage")(d => graft.pipeline.CorpusReport.vocabCoverage(d))
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))
