@@ -1407,14 +1407,17 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       tokens(col(textCol)).as("toks"))
-    // one scan for both totals; a single bounded (2-value) driver row
-    val totRow = toks.agg(
-      sum(size(col("toks"))).as("n1"),
-      sum(greatest(size(col("toks")) - 1, lit(0))).as("n2")).head()
-    val n1 = totRow.getLong(0).toDouble
-    val n2 = totRow.getLong(1).toDouble
+    // ONE text scan builds the unigram table; it is persisted because it
+    // is read three more times (the n1 total + both word-side joins) and
+    // is vocab-sized, far below the corpus. Bench/Verify clear it via
+    // spark.catalog.clearCache between queries.
     val uni = toks.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .groupBy("w").agg(count(lit(1)).as("cw")).persist()
+    val n1 = uni.agg(sum(col("cw"))).head().getLong(0).toDouble
+    // the tokenizer never yields an empty array (split("") = [""]), so
+    // Σ max(len−1, 0) = Σ len − #docs — and #docs is a parquet
+    // footer count, not another text scan
+    val n2 = n1 - docs.count().toDouble
     val bi = toks.select(explode(bigrams(col("toks"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= minCount)
