@@ -371,6 +371,8 @@ object ScaleProbe {
     run("source_venn_exact")(d => graft.pipeline.Dedup.sourceVenn(d))
     run("source_venn_sketch")(d => graft.pipeline.Dedup.sourceVennSketch(d))
     run("pmi_collocations")(d => TextAnalysis.pmiCollocations(d))
+    run("embedding_pca")(d => graft.pipeline.Semantic.embeddingPca(
+      TextAnalysis.hashedVectors(d, dim = 32, salt = "pcaprobe"), iters = 8))
     run("token_entropy")(d => TextAnalysis.tokenEntropy(d))
     run("vocab_coverage")(d => graft.pipeline.CorpusReport.vocabCoverage(d))
     run("card_incremental")(d => {

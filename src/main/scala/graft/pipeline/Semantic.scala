@@ -269,4 +269,103 @@ object Semantic {
     na.select("vec_id", "cluster_id")
       .join(dominated, Seq("vec_id"), "left_anti")
   }
+
+  /**
+   * Embedding-collapse report: the top principal component of the
+   * (mean-centered) embedding covariance, found by fixed-round power
+   * iteration, with the share of total variance it explains. A healthy
+   * embedding space spreads variance across dimensions; `explained_frac`
+   * near 1 means the space has collapsed onto a line (anisotropy — the
+   * classic failure mode of degenerate embedding models), at which point
+   * every cosine-based dedup/ANN operator upstream is running on noise.
+   *
+   * Determinism, the same discipline as the k-means family:
+   *  - the mean and every Gram entry are integer micro-sums
+   *    (`round(x·1e6)` per ROW, summed exactly) divided out once, so
+   *    both engines hold bit-identical G;
+   *  - power iteration runs the same fixed `iters` rounds from the same
+   *    deterministic init (uniform 1/√d), every iterate rounded to the
+   *    1e-9 grid so an engine-level ulp in a fold cannot compound;
+   *  - the sign convention (component with the largest |loading| is
+   *    positive, ties to the lowest index) pins the eigenvector's
+   *    orientation.
+   *
+   * Scale shape: two corpus scans (means, then centered outer products
+   * — the d² explode is map-side combined to d² rows per task before
+   * the one shuffle), and the driver holds only μ (d) and G (d²) —
+   * bounded at any corpus size. The O(d²) per-row outer-product work is
+   * inherent to covariance; at very large d, subsample rows for G (the
+   * estimate converges at √n) — the exact path here is the
+   * oracle-checkable one.
+   */
+  def embeddingPca(embs: DataFrame, iters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = embs.sparkSession
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val e = embs.select(
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val d = e.select(size(col("v"))).head().getInt(0)
+    val n = embs.count()
+    val idx = explode(sequence(lit(1), lit(d)))
+    // pass 1: per-component integer micro-sums -> rounded means
+    val mu: Array[Double] = e
+      .select(col("v"), idx.as("i"))
+      .select(col("i"),
+        round(element_at(col("v"), col("i")) * 1e6).cast("long").as("m"))
+      .groupBy("i").agg(sum(col("m")).as("s"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => round6(r.getLong(1).toDouble / (n * 1e6)))
+    val muLit = array(mu.map(lit).toIndexedSeq: _*)
+    // pass 2: centered outer products, micro-quantized per row, one
+    // (i, j)-keyed shuffle of d² rows per task
+    val gRows = e
+      .select(col("v"), idx.as("i"))
+      .select(col("v"), col("i"), explode(sequence(lit(1), lit(d))).as("j"))
+      .select(col("i"), col("j"),
+        round((element_at(col("v"), col("i")) -
+            element_at(muLit, col("i"))) *
+          (element_at(col("v"), col("j")) -
+            element_at(muLit, col("j"))) * 1e6).cast("long").as("p"))
+      .groupBy("i", "j").agg(sum(col("p")).as("s"))
+      .collect()
+    val g = Array.ofDim[Double](d, d)
+    gRows.foreach { r =>
+      g(r.getInt(0) - 1)(r.getInt(1) - 1) =
+        round6(r.getLong(2).toDouble / (n * 1e6))
+    }
+    // fixed-round power iteration on the driver-held d×d matrix; every
+    // arithmetic step (ascending-index folds, 1e-9 grid) is replayed
+    // verbatim by the DuckDB oracle's recursive CTE
+    def matVec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += g(i)(j) * v(j); j += 1 }; s
+      }
+    // BigDecimal.valueOf = Double.toString semantics — the exact rule
+    // Spark's Round expression uses, empirically DuckDB-round-compatible
+    // across the whole certified surface
+    def round9(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    var v = Array.fill(d)(round9(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val w = matVec(v)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > 0) v = w.map(x => round9(x / nrm))
+    }
+    // sign convention: largest |loading| positive, ties -> lowest index
+    val pivot = v.indices.minBy(i => (-math.abs(v(i)), i))
+    if (v(pivot) < 0) v = v.map(-_)
+    val w = matVec(v)
+    val lambda1 = round6(v.zip(w).map { case (a, b) => a * b }.sum)
+    val trace = round6(Array.tabulate(d)(i => g(i)(i)).sum)
+    val explained = if (trace > 0) round6(lambda1 / trace) else 0.0
+    import spark.implicits._
+    (1 to d).map(i =>
+        (i, mu(i - 1), round6(v(i - 1)), lambda1, trace, explained))
+      .toDF("dim_idx", "mean_c", "pc1_loading", "lambda1", "trace_g",
+        "explained_frac")
+  }
 }

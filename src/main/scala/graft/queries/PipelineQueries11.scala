@@ -59,6 +59,80 @@ object PipelineQueries11 {
 
   private val coverageCutoffs = Seq(10L, 100L, 1000L, 10000L)
 
+  private val pcaIters = 8
+
+  /** DuckDB replay of [[graft.pipeline.Semantic.embeddingPca]]: same
+    * micro-quantized mean/Gram accumulation, same fixed-round power
+    * iteration on the 1e-9 grid, same sign convention — the whole
+    * numeric path is recomputed, not just the result shape. */
+  private val pcaOracle: String =
+    s"""WITH RECURSIVE
+       |e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |nd AS (SELECT (SELECT len(v) FROM e LIMIT 1) AS d,
+       |              (SELECT count(*) FROM e) AS n),
+       |ii AS (SELECT unnest(generate_series(1, (SELECT d FROM nd))) AS i),
+       |mu0 AS (
+       |  SELECT i, CAST(sum(CAST(round(v[i] * 1e6) AS BIGINT)) AS BIGINT)
+       |    AS s
+       |  FROM e, ii GROUP BY i),
+       |mu AS (SELECT list(round(CAST(s AS DOUBLE) /
+       |    ((SELECT n FROM nd) * 1e6), 6) ORDER BY i) AS m FROM mu0),
+       |g0 AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    CAST(sum(CAST(round((e.v[i.i] - mu.m[i.i]) *
+       |      (e.v[j.j] - mu.m[j.j]) * 1e6) AS BIGINT)) AS BIGINT) AS s
+       |  FROM e, mu, ii i, (SELECT i AS j FROM ii) j
+       |  GROUP BY 1, 2),
+       |gm AS (SELECT list(gv ORDER BY i) AS g FROM (
+       |  SELECT i, list(round(CAST(s AS DOUBLE) /
+       |      ((SELECT n FROM nd) * 1e6), 6) ORDER BY j) AS gv
+       |  FROM g0 GROUP BY i)),
+       |it AS (
+       |  SELECT 0 AS t,
+       |    list_transform(generate_series(1, d),
+       |      x -> round(1.0 / sqrt(CAST(d AS DOUBLE)), 9)) AS vv
+       |  FROM nd
+       |  UNION ALL
+       |  SELECT t + 1,
+       |    CASE WHEN nrm > 0
+       |      THEN list_transform(w, x -> round(x / nrm, 9)) ELSE vv END
+       |  FROM (
+       |    SELECT t, vv, w,
+       |      sqrt(list_sum(list_transform(w, x -> x * x))) AS nrm
+       |    FROM (
+       |      SELECT t, vv,
+       |        list_transform(generate_series(1, len(vv)), i ->
+       |          list_sum(list_transform(generate_series(1, len(vv)),
+       |            j -> g[i][j] * vv[j]))) AS w
+       |      FROM it, gm))
+       |  WHERE t < $pcaIters),
+       |vf0 AS (SELECT vv FROM it WHERE t = $pcaIters),
+       |piv AS (SELECT i FROM ii, vf0 ORDER BY abs(vv[i]) DESC, i LIMIT 1),
+       |vf AS (SELECT CASE WHEN vv[(SELECT i FROM piv)] < 0
+       |         THEN list_transform(vv, x -> -x) ELSE vv END AS vv
+       |       FROM vf0),
+       |fin AS (
+       |  SELECT vv,
+       |    list_transform(generate_series(1, len(vv)), i ->
+       |      list_sum(list_transform(generate_series(1, len(vv)),
+       |        j -> g[i][j] * vv[j]))) AS w,
+       |    round(list_sum(list_transform(generate_series(1, len(g)),
+       |      i -> g[i][i])), 6) AS trace_g
+       |  FROM vf, gm),
+       |sums AS (
+       |  SELECT vv,
+       |    round(list_sum(list_transform(generate_series(1, len(vv)),
+       |      i -> vv[i] * w[i])), 6) AS lambda1,
+       |    trace_g
+       |  FROM fin)
+       |SELECT CAST(ii.i AS INT) AS dim_idx,
+       |  mu.m[ii.i] AS mean_c,
+       |  round(vv[ii.i], 6) AS pc1_loading,
+       |  lambda1, trace_g,
+       |  CASE WHEN trace_g > 0 THEN round(lambda1 / trace_g, 6)
+       |    ELSE 0.0 END AS explained_frac
+       |FROM sums, mu, ii""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("t_token_entropy",
@@ -156,6 +230,12 @@ object PipelineQueries11 {
           |FROM hp, cuts GROUP BY 1""".stripMargin)) {
       (s, dir) => CorpusReport.vocabCoverage(W.read(s, dir, "documents"),
         cutoffs = coverageCutoffs)
+    },
+
+    QueryDef("report_embedding_pca", pcaOracle) {
+      (s, dir) =>
+        graft.pipeline.Semantic.embeddingPca(W.read(s, dir, "embeddings"),
+          iters = pcaIters)
     },
 
     QueryDef("report_quality_outliers",

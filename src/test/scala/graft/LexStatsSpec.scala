@@ -122,6 +122,35 @@ class LexStatsSpec extends TestBase {
     assert(cov(100L) == ((7L, 18L, 18L, 1.0)))
   }
 
+  test("embeddingPca: collinear cloud -> explained_frac 1, diagonal loading") {
+    // points on the line y = x: all variance on one component
+    val embs = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(-1.0f, -1.0f)),
+      (3L, Seq(2.0f, 2.0f)), (4L, Seq(-2.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = graft.pipeline.Semantic.embeddingPca(embs).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    val r = rows.head
+    assert(r.getDouble(1) == 0.0, "mean is zero")
+    assert(rows.forall(_.getDouble(2) == 0.707107),
+      "pc1 = (1,1)/sqrt(2) with the positive sign convention")
+    assert(r.getDouble(3) == 5.0, "lambda1 = full variance")
+    assert(r.getDouble(4) == 5.0, "trace")
+    assert(r.getDouble(5) == 1.0, "fully collapsed onto one line")
+  }
+
+  test("embeddingPca: isotropic cloud -> explained_frac 0.5") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.pipeline.Semantic.embeddingPca(embs).collect().head
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 0.5,
+      "equal variance in both dims: top component explains half")
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")
