@@ -301,9 +301,27 @@ object Semantic {
   def embeddingPca(embs: DataFrame, iters: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = embs.sparkSession
-    def round6(x: Double): Double =
-      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+    val core = pcaCore(embs, iters, vecCol)
+    import spark.implicits._
+    (1 to core.d).map(i =>
+        (i, core.mu(i - 1), round6(core.u(i - 1)), core.lambda1,
+          core.trace, core.explained))
+      .toDF("dim_idx", "mean_c", "pc1_loading", "lambda1", "trace_g",
+        "explained_frac")
+  }
+
+  /** Driver-held result of the deterministic PCA core: rounded means,
+    * the sign-fixed 1e-9-grid top eigenvector, and the variance summary
+    * — shared by [[embeddingPca]] and [[abttProject]]. */
+  final case class PcaCore(d: Int, mu: Array[Double], u: Array[Double],
+      lambda1: Double, trace: Double, explained: Double)
+
+  private def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  private def pcaCore(embs: DataFrame, iters: Int,
+      vecCol: String): PcaCore = {
     val e = embs.select(
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val d = e.select(size(col("v"))).head().getInt(0)
@@ -362,10 +380,42 @@ object Semantic {
     val lambda1 = round6(v.zip(w).map { case (a, b) => a * b }.sum)
     val trace = round6(Array.tabulate(d)(i => g(i)(i)).sum)
     val explained = if (trace > 0) round6(lambda1 / trace) else 0.0
-    import spark.implicits._
-    (1 to d).map(i =>
-        (i, mu(i - 1), round6(v(i - 1)), lambda1, trace, explained))
-      .toDF("dim_idx", "mean_c", "pc1_loading", "lambda1", "trace_g",
-        "explained_frac")
+    PcaCore(d, mu, v, lambda1, trace, explained)
+  }
+
+  /**
+   * All-But-The-Top projection report (Mu & Viswanath 2018,
+   * arXiv:1702.01417): per vector, the coordinate along the corpus's
+   * top principal component and the centered norm before/after removing
+   * that component. When [[embeddingPca]] flags anisotropy, this is the
+   * repair — cosine structure concentrates in the residual — and the
+   * per-vector table is the audit trail showing how much of each
+   * vector the dominant direction was carrying.
+   *
+   * The PCA core (μ, u) is the same deterministic driver-held result;
+   * the projection itself is a pure scan against the μ/u literals —
+   * per-row index-order folds (the [[Similarity.dot]] convention), the
+   * PC1 coordinate rounded to 1e-6 BEFORE the subtraction so both
+   * engines subtract the identical projection.
+   */
+  def abttProject(embs: DataFrame, iters: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val core = pcaCore(embs, iters, vecCol)
+    val muLit = array(core.mu.map(lit).toIndexedSeq: _*)
+    val uLit = array(core.u.map(lit).toIndexedSeq: _*)
+    embs
+      .select(col(idCol).as("vec_id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .select(col("vec_id"),
+        zip_with(col("v"), muLit, (x, m) => x - m).as("cv"))
+      .select(col("vec_id"), col("cv"),
+        round(Similarity.dot(col("cv"), uLit), 6).as("pc1_coord"))
+      .select(col("vec_id"), col("pc1_coord"),
+        round(sqrt(Similarity.dot(col("cv"), col("cv"))), 6)
+          .as("norm_before"),
+        round(sqrt(Similarity.dot(
+          zip_with(col("cv"), uLit, (x, u) => x - col("pc1_coord") * u),
+          zip_with(col("cv"), uLit, (x, u) => x - col("pc1_coord") * u))), 6)
+          .as("norm_after"))
   }
 }

@@ -61,13 +61,13 @@ object PipelineQueries11 {
 
   private val pcaIters = 8
 
-  /** DuckDB replay of [[graft.pipeline.Semantic.embeddingPca]]: same
-    * micro-quantized mean/Gram accumulation, same fixed-round power
+  /** DuckDB replay of [[graft.pipeline.Semantic.embeddingPca]]'s core:
+    * same micro-quantized mean/Gram accumulation, same fixed-round power
     * iteration on the 1e-9 grid, same sign convention — the whole
-    * numeric path is recomputed, not just the result shape. */
-  private val pcaOracle: String =
-    s"""WITH RECURSIVE
-       |e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    * numeric path is recomputed, not just the result shape. Shared by
+    * the PCA report and the ABTT projection oracle. */
+  private val pcaCtes: String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |nd AS (SELECT (SELECT len(v) FROM e LIMIT 1) AS d,
        |              (SELECT count(*) FROM e) AS n),
        |ii AS (SELECT unnest(generate_series(1, (SELECT d FROM nd))) AS i),
@@ -124,7 +124,11 @@ object PipelineQueries11 {
        |    round(list_sum(list_transform(generate_series(1, len(vv)),
        |      i -> vv[i] * w[i])), 6) AS lambda1,
        |    trace_g
-       |  FROM fin)
+       |  FROM fin)""".stripMargin
+
+  private val pcaOracle: String =
+    s"""WITH RECURSIVE
+       |$pcaCtes
        |SELECT CAST(ii.i AS INT) AS dim_idx,
        |  mu.m[ii.i] AS mean_c,
        |  round(vv[ii.i], 6) AS pc1_loading,
@@ -132,6 +136,31 @@ object PipelineQueries11 {
        |  CASE WHEN trace_g > 0 THEN round(lambda1 / trace_g, 6)
        |    ELSE 0.0 END AS explained_frac
        |FROM sums, mu, ii""".stripMargin
+
+  /** ABTT oracle: the same PCA core, then a per-vector projection
+    * replay — centered vector, 1e-6-rounded PC1 coordinate, residual
+    * norm with the ROUNDED coordinate subtracted (mirroring the Spark
+    * column expressions exactly). */
+  private val abttOracle: String =
+    s"""WITH RECURSIVE
+       |$pcaCtes,
+       |cvx AS (
+       |  SELECT vec_id,
+       |    list_transform(generate_series(1, len(v)), i -> v[i] - m[i])
+       |      AS cv
+       |  FROM e, mu),
+       |pc AS (
+       |  SELECT vec_id, cv,
+       |    round(list_sum(list_transform(generate_series(1, len(cv)),
+       |      i -> cv[i] * vv[i])), 6) AS pc1_coord
+       |  FROM cvx, vf)
+       |SELECT vec_id, pc1_coord,
+       |  round(sqrt(list_sum(list_transform(cv, x -> x * x))), 6)
+       |    AS norm_before,
+       |  round(sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+       |    i -> (cv[i] - pc1_coord * vv[i]) *
+       |         (cv[i] - pc1_coord * vv[i])))), 6) AS norm_after
+       |FROM pc, vf""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -235,6 +264,12 @@ object PipelineQueries11 {
     QueryDef("report_embedding_pca", pcaOracle) {
       (s, dir) =>
         graft.pipeline.Semantic.embeddingPca(W.read(s, dir, "embeddings"),
+          iters = pcaIters)
+    },
+
+    QueryDef("report_embedding_abtt", abttOracle) {
+      (s, dir) =>
+        graft.pipeline.Semantic.abttProject(W.read(s, dir, "embeddings"),
           iters = pcaIters)
     },
 

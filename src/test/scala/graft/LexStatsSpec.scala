@@ -151,6 +151,23 @@ class LexStatsSpec extends TestBase {
       "equal variance in both dims: top component explains half")
   }
 
+  test("abttProject: removing PC1 from a collinear cloud leaves ~zero") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(-1.0f, -1.0f)),
+      (3L, Seq(2.0f, 2.0f)), (4L, Seq(-2.0f, -2.0f))
+    ).toDF("vec_id", "embedding")
+    val rows = graft.pipeline.Semantic.abttProject(embs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(1L)._2 == 1.414214 && rows(3L)._2 == 2.828427,
+      "centered norms are |v|·sqrt(2)")
+    rows.values.foreach { case (c, nb, na) =>
+      assert(math.abs(math.abs(c) - nb) < 1e-5,
+        "PC1 carries the whole vector")
+      assert(na <= 1e-5, s"residual after ABTT must vanish, got $na")
+    }
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")
