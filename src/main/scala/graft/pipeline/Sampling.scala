@@ -646,4 +646,38 @@ object Sampling {
     }
     keptWhole.unionByName(keptBoundary)
   }
+
+  /**
+   * Information-gain selection: score each document by how much
+   * left-context helps predict it — mean unigram NLL minus mean
+   * interpolated-bigram NLL ([[TextAnalysis.unigramNll]] /
+   * [[TextAnalysis.bigramNll]], both individually oracle-certified).
+   * Structured prose has high gain (context is predictive); shuffled or
+   * keyword-stuffed text has near-zero gain even when its unigram
+   * perplexity looks normal — which is exactly the spam class a pure
+   * perplexity filter misses. `selected` keeps documents at or above
+   * `thr` nats of gain.
+   *
+   * Both scorers are corpus-self-trained scans + vocab-keyed joins; the
+   * composition adds one doc-keyed join. All means are micro-quantized
+   * sums divided once, and the gain is a difference of the two rounded
+   * means, so the select decision is bit-stable across engines.
+   */
+  def infoGainSelect(docs: DataFrame, lambda: Double = 0.9,
+      thr: Double = 0.5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val u = TextAnalysis.unigramNll(docs, idCol, textCol)
+      .select(col("doc_id"), col("n_tok"), col("mean_nll").as("mean_unll"))
+    val b = TextAnalysis.bigramNll(docs, lambda, idCol, textCol)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("mean_nll").as("mean_bnll"))
+    u.join(b, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_bigrams"),
+        col("mean_unll"), col("mean_bnll"),
+        when(col("n_bigrams") > 0,
+          round(col("mean_unll") - col("mean_bnll"), 6))
+          .otherwise(lit(0.0)).as("info_gain"))
+      .withColumn("selected",
+        col("n_bigrams") > 0 && col("info_gain") >= thr)
+  }
 }

@@ -61,6 +61,12 @@ object PipelineQueries11 {
 
   private val pcaIters = 8
 
+  private val igLambda = 0.9   // bigram interpolation weight (= t_bigram_nll)
+  // nats of context gain to keep a doc — calibrated so the synthetic
+  // corpus (whose text is near-contextless by construction) actually
+  // splits; real prose sits far above this
+  private val igThr = 0.02
+
   /** DuckDB replay of [[graft.pipeline.Semantic.embeddingPca]]'s core:
     * same micro-quantized mean/Gram accumulation, same fixed-round power
     * iteration on the 1e-9 grid, same sign convention — the whole
@@ -271,6 +277,61 @@ object PipelineQueries11 {
       (s, dir) =>
         graft.pipeline.Semantic.abttProject(W.read(s, dir, "embeddings"),
           iters = pcaIters)
+    },
+
+    QueryDef("samp_info_gain",
+      withC(tokDocs + ",\n" +
+        s"""tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+           |ucnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+           |unll AS (
+           |  SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE) /
+           |    (SELECT CAST(sum(c) AS DOUBLE) FROM ucnt)) * 1e6) AS BIGINT)
+           |    AS nll_micro
+           |  FROM ucnt),
+           |pu AS (
+           |  SELECT doc_id, count(*) AS n_tok,
+           |    CAST(sum(nll_micro) AS BIGINT) AS su
+           |  FROM tok JOIN unll USING (tok) GROUP BY doc_id),
+           |bg AS (
+           |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           |  FROM (SELECT doc_id, toks,
+           |      unnest(generate_series(1, len(toks) - 1)) AS i
+           |    FROM tok_docs)),
+           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ucnt),
+           |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+           |bnll AS (
+           |  SELECT bc.w1, bc.w2,
+           |    CAST(round(-ln(
+           |      $igLambda * CAST(cb AS DOUBLE) / CAST(u1.c AS DOUBLE)
+           |      + ${1.0 - igLambda} * CAST(u2.c AS DOUBLE) /
+           |        (SELECT n FROM tot)) * 1e6) AS BIGINT) AS nll_micro
+           |  FROM bc JOIN ucnt u1 ON bc.w1 = u1.tok
+           |  JOIN ucnt u2 ON bc.w2 = u2.tok),
+           |pb AS (
+           |  SELECT doc_id, count(*) AS n_bigrams,
+           |    CAST(sum(nll_micro) AS BIGINT) AS sb
+           |  FROM bg JOIN bnll USING (w1, w2) GROUP BY doc_id),
+           |m AS (
+           |  SELECT u.doc_id, u.n_tok, coalesce(b.n_bigrams, 0)
+           |      AS n_bigrams,
+           |    round(CAST(u.su AS DOUBLE) / (u.n_tok * 1e6), 6)
+           |      AS mean_unll,
+           |    CASE WHEN coalesce(b.n_bigrams, 0) > 0
+           |      THEN round(CAST(b.sb AS DOUBLE) / (b.n_bigrams * 1e6), 6)
+           |      ELSE 0.0 END AS mean_bnll
+           |  FROM pu u LEFT JOIN pb b USING (doc_id))""".stripMargin)(
+        s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           |  mean_unll, mean_bnll,
+           |  CASE WHEN n_bigrams > 0
+           |    THEN round(mean_unll - mean_bnll, 6) ELSE 0.0 END
+           |    AS info_gain,
+           |  (n_bigrams > 0 AND CASE WHEN n_bigrams > 0
+           |    THEN round(mean_unll - mean_bnll, 6) ELSE 0.0 END
+           |    >= $igThr) AS selected
+           |FROM m""".stripMargin)) {
+      (s, dir) => graft.pipeline.Sampling.infoGainSelect(
+        W.read(s, dir, "documents"), lambda = igLambda, thr = igThr)
     },
 
     QueryDef("report_quality_outliers",

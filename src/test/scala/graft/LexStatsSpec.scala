@@ -168,6 +168,25 @@ class LexStatsSpec extends TestBase {
     }
   }
 
+  test("infoGainSelect: repeated word order gains more than shuffled") {
+    // same unigram multiset everywhere; docs 1-3 repeat one bigram
+    // pattern (context predicts), docs 4-6 scramble it differently
+    val structured = "a b c d a b c d a b c d"
+    val docs = Seq(
+      (1L, structured), (2L, structured), (3L, structured),
+      (4L, "a d b c b d a c c a d b"),
+      (5L, "b a d c a c b d d b c a"),
+      (6L, "c b a d d a c b b d a c")
+    ).toDF("doc_id", "text")
+    val g = graft.pipeline.Sampling.infoGainSelect(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(g(1L) == g(2L) && g(2L) == g(3L))
+    Seq(4L, 5L, 6L).foreach { id =>
+      assert(g(1L) > g(id),
+        s"structured gain ${g(1L)} must beat shuffled doc $id's ${g(id)}")
+    }
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")
