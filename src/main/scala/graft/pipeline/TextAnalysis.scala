@@ -1358,31 +1358,56 @@ object TextAnalysis {
    * which measure *contiguous* repeats while entropy measures global
    * distributional collapse.
    *
-   * Numeric discipline (same as [[unigramNll]]): the only cross-row float
-   * sum — Σ over types of c·log2(c) — is quantized to integer micro-units
-   * per type BEFORE the sum, so the result is independent of partition /
-   * scan order:  H = log2(n) − (Σ round(c·log2(c)·1e6)) / (n·1e6).
+   * Numeric discipline (same as [[unigramNll]]): each type's c·log2(c)
+   * term is quantized to integer micro-units, and integer terms sum
+   * identically in ANY order:
+   * H = log2(n) − (Σ round(c·log2(c)·1e6)) / (n·1e6).
    *
-   * Scale shape: explode → (doc, tok) count → doc-keyed agg. Two
-   * map-side-combined shuffles, no join, output = one row per document.
+   * Scale shape: a PURE SCAN — zero shuffles. The per-doc type counts
+   * are run lengths of the sorted token array (the [[gopherRepetition]]
+   * runStats trick), folded in one pass per row; a (doc, token)
+   * explode-and-aggregate would shuffle the entire token stream at
+   * 100 TB just to compute a per-document statistic. The order
+   * independence of the integer terms is exactly why the groupBy-typed
+   * DuckDB oracle still hash-matches this run-length form.
    */
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        explode(tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("c"),
-        round(col("c").cast("double") * log2(col("c").cast("double")) * 1e6)
-          .cast("long").as("h_micro"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tok"), count(lit(1)).as("n_types"),
-        sum(col("h_micro")).as("h_micro_sum"))
-      .select(col("doc_id"), col("n_tok"), col("n_types"),
-        round(col("n_types").cast("double") / col("n_tok").cast("double"), 6)
+      textCol: String = "text"): DataFrame = {
+    def term(c: Column): Column =
+      round(c.cast("double") * log2(c.cast("double")) * 1e6).cast("long")
+    val zero = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("s"), lit(0L).as("types"))
+    def folded(sorted: Column): Column = aggregate(sorted, zero,
+      (acc, t) => {
+        val same = t === acc.getField("prev")
+        val keep = same || acc.getField("run") === 0L
+        struct(t.as("prev"),
+          when(same, acc.getField("run") + 1L).otherwise(lit(1L)).as("run"),
+          when(keep, acc.getField("s"))
+            .otherwise(acc.getField("s") + term(acc.getField("run")))
+            .as("s"),
+          when(keep, acc.getField("types"))
+            .otherwise(acc.getField("types") + 1L).as("types"))
+      },
+      acc => struct(
+        (acc.getField("s") + when(acc.getField("run") > 0L,
+          term(acc.getField("run"))).otherwise(lit(0L))).as("s"),
+        (acc.getField("types") + when(acc.getField("run") > 0L, 1L)
+          .otherwise(0L)).as("types")))
+    docs
+      // project tokens BEFORE the fold — inlining would re-tokenize per
+      // element (see the t_top_ngrams note)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
+        folded(array_sort(col("tk"))).as("f"))
+      .select(col("doc_id"), col("n_tok"),
+        col("f.types").as("n_types"),
+        round(col("f.types").cast("double") / col("n_tok").cast("double"), 6)
           .as("ttr"),
         round(log2(col("n_tok").cast("double")) -
-          col("h_micro_sum").cast("double") /
-            (col("n_tok").cast("double") * 1e6), 6).as("entropy"))
+          col("f.s").cast("double") / (col("n_tok").cast("double") * 1e6), 6)
+          .as("entropy"))
+  }
 
   // ---- collocation mining: PMI -------------------------------------------
 
