@@ -1372,7 +1372,7 @@ object TextAnalysis {
    * DuckDB oracle still hash-matches this run-length form.
    */
   def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", carryCols: Seq[String] = Nil): DataFrame = {
     def term(c: Column): Column =
       round(c.cast("double") * log2(c.cast("double")) * 1e6).cast("long")
     val zero = struct(lit("").as("prev"), lit(0L).as("run"),
@@ -1394,19 +1394,21 @@ object TextAnalysis {
           term(acc.getField("run"))).otherwise(lit(0L))).as("s"),
         (acc.getField("types") + when(acc.getField("run") > 0L, 1L)
           .otherwise(0L)).as("types")))
+    val carried = carryCols.map(col)
     docs
       // project tokens BEFORE the fold — inlining would re-tokenize per
       // element (see the t_top_ngrams note)
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"),
-        folded(array_sort(col("tk"))).as("f"))
-      .select(col("doc_id"), col("n_tok"),
-        col("f.types").as("n_types"),
+      .select(col(idCol).as("doc_id") +: tokens(col(textCol)).as("tk") +:
+        carried: _*)
+      .select(col("doc_id") +: size(col("tk")).cast("long").as("n_tok") +:
+        folded(array_sort(col("tk"))).as("f") +: carried: _*)
+      .select(col("doc_id") +: col("n_tok") +:
+        col("f.types").as("n_types") +:
         round(col("f.types").cast("double") / col("n_tok").cast("double"), 6)
-          .as("ttr"),
+          .as("ttr") +:
         round(log2(col("n_tok").cast("double")) -
           col("f.s").cast("double") / (col("n_tok").cast("double") * 1e6), 6)
-          .as("entropy"))
+          .as("entropy") +: carried: _*)
   }
 
   // ---- collocation mining: PMI -------------------------------------------

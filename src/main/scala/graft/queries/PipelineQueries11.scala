@@ -67,6 +67,10 @@ object PipelineQueries11 {
   // splits; real prose sits far above this
   private val igThr = 0.02
 
+  private val entEpoch = 1700000000L   // = st_quality_monitor's epoch
+  private val entSpreadS = 7200L
+  private val entLowThr = 2.0
+
   /** DuckDB replay of [[graft.pipeline.Semantic.embeddingPca]]'s core:
     * same micro-quantized mean/Gram accumulation, same fixed-round power
     * iteration on the 1e-9 grid, same sign convention — the whole
@@ -332,6 +336,45 @@ object PipelineQueries11 {
            |FROM m""".stripMargin)) {
       (s, dir) => graft.pipeline.Sampling.infoGainSelect(
         W.read(s, dir, "documents"), lambda = igLambda, thr = igThr)
+    },
+
+    // batch twin of the streaming entropy monitor (StreamingQualitySpec
+    // covers watermark/parity); epoch window keys and the synthesized
+    // ingest_ts follow the st_quality_monitor convention
+    QueryDef("st_entropy_monitor",
+      withC(tokDocs + ",\n" +
+        s"""tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
+           |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+           |hd AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+           |    CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1e6)
+           |      AS BIGINT)) AS BIGINT) AS s_micro
+           |  FROM tc GROUP BY 1),
+           |w AS (
+           |  SELECT 3600 * (($entEpoch + (doc_id * 37) % $entSpreadS)
+           |      // 3600) AS w_start_epoch,
+           |    round(log2(CAST(n_tok AS DOUBLE)) -
+           |      CAST(s_micro AS DOUBLE) / (CAST(n_tok AS DOUBLE) * 1e6), 6)
+           |      AS entropy
+           |  FROM hd)""".stripMargin)(
+        s"""SELECT w_start_epoch,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  round(CAST(sum(CAST(round(entropy * 1e6) AS BIGINT))
+           |    AS DOUBLE) / (count(*) * 1e6), 6) AS avg_entropy,
+           |  CAST(sum(CASE WHEN entropy < $entLowThr THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_low,
+           |  round(CAST(sum(CASE WHEN entropy < $entLowThr THEN 1 ELSE 0
+           |    END) AS DOUBLE) / count(*), 6) AS low_frac
+           |FROM w GROUP BY 1""".stripMargin)) {
+      (s, dir) =>
+        graft.streaming.QualityMonitor.entropyRollup(
+            W.read(s, dir, "documents").withColumn("ingest_ts",
+              timestamp_seconds(
+                lit(entEpoch) + (col("doc_id") * 37) % entSpreadS)),
+            lowThr = entLowThr)
+          .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
+            col("n_docs"), col("avg_entropy"), col("n_low"),
+            col("low_frac"))
     },
 
     QueryDef("report_quality_outliers",

@@ -56,6 +56,34 @@ object QualityMonitor {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("verdict"), col("n"))
 
+  /** Per-window lexical-diversity rollup: mean token entropy and the
+    * low-entropy share — the live spam-burst detector ([[TextAnalysis
+    * .tokenEntropy]] is a pure scan fold, so it rides the stream at
+    * scan speed; the only shuffle is the window aggregate). The
+    * per-window mean is an integer micro-sum of the per-doc rounded
+    * entropies, so batch and DuckDB replays agree bit-for-bit. */
+  def entropyRollup(docs: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes", lowThr: Double = 2.0,
+      tsCol: String = "ingest_ts", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val src =
+      if (docs.isStreaming) docs.withWatermark(tsCol, lateness) else docs
+    TextAnalysis.tokenEntropy(src, idCol = idCol, textCol = textCol,
+        carryCols = Seq(tsCol))
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(round(col("entropy") * 1e6).cast("long")).as("ent_micro"),
+        sum(when(col("entropy") < lowThr, 1L).otherwise(0L)).as("n_low"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n_docs"),
+        round(col("ent_micro").cast("double") /
+          (col("n_docs").cast("double") * 1e6), 6).as("avg_entropy"),
+        col("n_low"),
+        round(col("n_low").cast("double") / col("n_docs").cast("double"), 6)
+          .as("low_frac"))
+  }
+
   private def gated(docs: DataFrame, lateness: String, tsCol: String,
       idCol: String, textCol: String): DataFrame = {
     val src =
