@@ -1411,6 +1411,46 @@ object TextAnalysis {
           .as("entropy") +: carried: _*)
   }
 
+  /**
+   * Per-source distributional distinctiveness: KL(source ‖ corpus) in
+   * bits over unigram distributions — Σ_t p_s(t)·log2(p_s(t)/q(t)),
+   * summed over the tokens the source actually uses (p=0 terms vanish
+   * and q(t)>0 because the corpus contains the source). High KL =
+   * domain-specific vocabulary (code, legalese); near-zero KL = generic
+   * text — the distribution-level signal a mixing/reweighting decision
+   * (DoReMi, DSIR) reads at the SOURCE granularity instead of per-doc.
+   *
+   * Every term is computed from four integer counts and micro-quantized
+   * before the per-source sum, so the result is order-independent:
+   * term(t) = round(c_st·log2((c_st·N)/(N_s·C_t))·1e6).
+   *
+   * Scale shape: one (source, token) count, one token-total count
+   * derived FROM it (vocab-sized input, not a second corpus scan), one
+   * token-keyed join, one |sources|-row rollup.
+   */
+  def sourceKl(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val st = docs.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val tot = st.groupBy("tok").agg(sum(col("c")).as("ct"))
+    val n = st.agg(sum(col("c"))).head().getLong(0).toDouble
+    val perSrc = st.groupBy("source").agg(sum(col("c")).as("ns"))
+    st.join(tot, "tok")
+      .join(broadcast(perSrc), "source")
+      .select(col("source"), col("ns"),
+        round(col("c").cast("double") *
+          log2(col("c").cast("double") * n /
+            (col("ns").cast("double") * col("ct").cast("double"))) * 1e6)
+          .cast("long").as("kl_micro"))
+      .groupBy("source")
+      .agg(min(col("ns")).as("n_tokens"), count(lit(1)).as("vocab_s"),
+        sum(col("kl_micro")).as("s_micro"))
+      .select(col("source"), col("n_tokens"), col("vocab_s"),
+        round(col("s_micro").cast("double") /
+          (col("n_tokens").cast("double") * 1e6), 6).as("kl_bits"))
+  }
+
   // ---- collocation mining: PMI -------------------------------------------
 
   /**

@@ -338,6 +338,32 @@ object PipelineQueries11 {
         W.read(s, dir, "documents"), lambda = igLambda, thr = igThr)
     },
 
+    QueryDef("t_source_kl",
+      withC(tokDocs + ",\n" +
+        """st AS (
+          |  SELECT source, tok, count(*) AS c
+          |  FROM (SELECT source, unnest(toks) AS tok FROM tok_docs)
+          |  GROUP BY 1, 2),
+          |tot AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+          |        FROM st GROUP BY 1),
+          |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM st),
+          |ps AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns
+          |       FROM st GROUP BY 1),
+          |kt AS (
+          |  SELECT st.source, ps.ns,
+          |    CAST(round(CAST(c AS DOUBLE) *
+          |      log2(CAST(c AS DOUBLE) * n /
+          |        (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE))) * 1e6)
+          |      AS BIGINT) AS kl_micro
+          |  FROM st JOIN tot USING (tok) JOIN ps USING (source), nn)""".stripMargin)(
+        """SELECT source, CAST(min(ns) AS BIGINT) AS n_tokens,
+          |  CAST(count(*) AS BIGINT) AS vocab_s,
+          |  round(CAST(sum(kl_micro) AS DOUBLE) /
+          |    (CAST(min(ns) AS DOUBLE) * 1e6), 6) AS kl_bits
+          |FROM kt GROUP BY 1""".stripMargin)) {
+      (s, dir) => TextAnalysis.sourceKl(W.read(s, dir, "documents"))
+    },
+
     // batch twin of the streaming entropy monitor (StreamingQualitySpec
     // covers watermark/parity); epoch window keys and the synthesized
     // ingest_ts follow the st_quality_monitor convention

@@ -187,6 +187,24 @@ class LexStatsSpec extends TestBase {
     }
   }
 
+  test("sourceKl: disjoint vocabularies give log2(N/Ns); identical give 0") {
+    val docs = Seq(
+      (1L, "A", "a b c d"), (2L, "A", "a b c d"),
+      (3L, "B", "x y z w"), (4L, "B", "x y z w")
+    ).toDF("doc_id", "source", "text")
+    val kl = TextAnalysis.sourceKl(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // each source owns half the corpus mass exclusively: KL = log2(2)
+    assert(kl("A") == 1.0 && kl("B") == 1.0, s"got $kl")
+
+    val same = Seq((1L, "A", "a b"), (2L, "B", "a b"))
+      .toDF("doc_id", "source", "text")
+    val kl0 = TextAnalysis.sourceKl(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(kl0.values.forall(_ == 0.0),
+      s"identical distributions must have zero divergence: $kl0")
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")
