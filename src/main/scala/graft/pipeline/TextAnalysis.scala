@@ -1451,6 +1451,49 @@ object TextAnalysis {
           (col("n_tokens").cast("double") * 1e6), 6).as("kl_bits"))
   }
 
+  /**
+   * Token burstiness (Church & Gale 1995): the variance-to-mean ratio
+   * of a token's per-document counts, over the documents that contain
+   * it. Content words are bursty (VMR ≫ 1 — they pile up in the few
+   * docs about their topic); function words are Poisson-ish (VMR ≈ 1);
+   * the extreme tail is boilerplate/template tokens that repeat
+   * mechanically inside documents. Output = the top-k burstiest tokens
+   * at df ≥ minDf — the screen that finds template contamination exact
+   * dedup misses because the surrounding text varies.
+   *
+   * Exactness: VMR = (df·Σc² − (Σc)²) / (df·Σc) is computed entirely in
+   * 64-bit integer arithmetic and divided ONCE, so there is no float
+   * summation anywhere; the micro-quantized quotient orders the top-k.
+   *
+   * Scale shape: (doc, token) count → token-keyed moment aggregate
+   * (both map-side combined), then the bucketed top-k — no global sort.
+   */
+  def burstiness(docs: DataFrame, minDf: Long = 10, k: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val per = docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(count(lit(1)).as("df"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .filter(col("df") >= minDf)
+      .withColumn("vmr_micro",
+        round((col("df") * col("sc2") - col("sc") * col("sc")).cast("double")
+          / (col("df") * col("sc")).cast("double") * 1e6).cast("long"))
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("vmr_micro").desc, col("tok"))
+    val wFinal = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("vmr_micro").desc, col("tok"))
+    per
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(64)))
+      .withColumn("rk0", row_number().over(wBucket))
+      .filter(col("rk0") <= k)
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("int").as("rank"), col("tok"), col("df"),
+        col("sc").as("total_c"),
+        round(col("vmr_micro").cast("double") / 1e6, 6).as("vmr"))
+  }
+
   // ---- collocation mining: PMI -------------------------------------------
 
   /**

@@ -71,6 +71,9 @@ object PipelineQueries11 {
   private val entSpreadS = 7200L
   private val entLowThr = 2.0
 
+  private val burstMinDf = 10L
+  private val burstK = 50
+
   /** DuckDB replay of [[graft.pipeline.Semantic.embeddingPca]]'s core:
     * same micro-quantized mean/Gram accumulation, same fixed-round power
     * iteration on the 1e-9 grid, same sign convention — the whole
@@ -336,6 +339,32 @@ object PipelineQueries11 {
            |FROM m""".stripMargin)) {
       (s, dir) => graft.pipeline.Sampling.infoGainSelect(
         W.read(s, dir, "documents"), lambda = igLambda, thr = igThr)
+    },
+
+    QueryDef("t_burstiness",
+      withC(tokDocs + ",\n" +
+        s"""tc AS (
+           |  SELECT doc_id, tok, count(*) AS c
+           |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs)
+           |  GROUP BY 1, 2),
+           |per AS (
+           |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+           |    CAST(sum(c) AS BIGINT) AS sc,
+           |    CAST(sum(c * c) AS BIGINT) AS sc2
+           |  FROM tc GROUP BY 1 HAVING count(*) >= $burstMinDf),
+           |vm AS (
+           |  SELECT tok, df, sc,
+           |    CAST(round(CAST(df * sc2 - sc * sc AS DOUBLE) /
+           |      CAST(df * sc AS DOUBLE) * 1e6) AS BIGINT) AS vmr_micro
+           |  FROM per)""".stripMargin)(
+        s"""SELECT CAST(rk AS INT) AS rank, tok, df, sc AS total_c,
+           |  round(CAST(vmr_micro AS DOUBLE) / 1e6, 6) AS vmr
+           |FROM (SELECT *,
+           |    row_number() OVER (ORDER BY vmr_micro DESC, tok) AS rk
+           |  FROM vm)
+           |WHERE rk <= $burstK""".stripMargin)) {
+      (s, dir) => TextAnalysis.burstiness(W.read(s, dir, "documents"),
+        minDf = burstMinDf, k = burstK)
     },
 
     QueryDef("t_source_kl",

@@ -205,6 +205,20 @@ class LexStatsSpec extends TestBase {
       s"identical distributions must have zero divergence: $kl0")
   }
 
+  test("burstiness: piled-up counts out-rank uniform ones, exact VMR") {
+    // 'x': counts (5, 1) across its two docs -> VMR = (2*26-36)/(2*6)
+    // = 4/3; 'y': counts (1, 1) -> VMR = 0
+    val docs = Seq(
+      (1L, "x x x x x y"),
+      (2L, "x y")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.burstiness(docs, minDf = 2, k = 10).collect()
+      .map(r => r.getString(1) ->
+        (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(rows("x") == ((1, 2L, 6L, 1.333333)), s"got $rows")
+    assert(rows("y") == ((2, 2L, 2L, 0.0)), s"got $rows")
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")
