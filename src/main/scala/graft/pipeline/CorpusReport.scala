@@ -299,6 +299,50 @@ object CorpusReport {
           col("total_tokens").cast("double"), 6).as("coverage"))
   }
 
+  /**
+   * Exact two-sample Kolmogorov–Smirnov drift statistic between two
+   * corpus slices over an integer-valued per-row statistic (token
+   * count here): KS = max over values of |F_a(v) − F_b(v)|, with the
+   * value attaining it. The refresh-time alarm — "did this snapshot's
+   * length distribution move?" — with an exact statistic instead of a
+   * binned histogram diff.
+   *
+   * Exactness: the max is taken over the INTEGER cross-multiplied form
+   * |cumA·n_b − cumB·n_a| (ties to the lowest value), so ranking never
+   * touches a float; the single division happens once at the end.
+   *
+   * Scale shape: each side collapses to (value, count) at scan speed
+   * (map-side combined); the one unpartitioned cumulative window runs
+   * over the DISTINCT VALUES of the statistic — token counts, a frame
+   * bounded by the longest document, not the corpus.
+   */
+  def ksDrift(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counted(df: DataFrame, side: String) = df
+      .select(size(TextAnalysis.tokens(col(textCol))).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as(side))
+    val merged = counted(a, "ca").join(counted(b, "cb"), Seq("v"), "full")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        0)
+    val cum = merged
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("na"), col("nb"),
+        abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+          .as("xdiff"))
+      .orderBy(col("xdiff").desc, col("v")).limit(1)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("xdiff").cast("double") /
+          (col("na").cast("double") * col("nb").cast("double")), 6)
+          .as("ks_stat"),
+        col("v").as("at_value"))
+  }
+
   def joinSkewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(keyCol).agg(count(lit(1)).as("c"))
       .agg(

@@ -341,6 +341,45 @@ object PipelineQueries11 {
         W.read(s, dir, "documents"), lambda = igLambda, thr = igThr)
     },
 
+    // slice convention (id % 3) matches report_card_incremental's
+    // old/delta split, so the two reports read as one refresh story
+    QueryDef("report_length_drift",
+      withC(tokDocs + ",\n" +
+        """nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS v
+          |       FROM tok_docs),
+          |ga AS (SELECT v, CAST(count(*) AS BIGINT) AS ca FROM nt
+          |       WHERE doc_id % 3 <> 0 GROUP BY 1),
+          |gb AS (SELECT v, CAST(count(*) AS BIGINT) AS cb FROM nt
+          |       WHERE doc_id % 3 = 0 GROUP BY 1),
+          |m AS (
+          |  SELECT v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          |  FROM ga FULL JOIN gb USING (v)),
+          |c AS (
+          |  SELECT v,
+          |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS cum_a,
+          |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+          |      AND CURRENT ROW) AS cum_b
+          |  FROM m),
+          |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+          |        CAST(sum(cb) AS BIGINT) AS nb FROM m)""".stripMargin)(
+        """SELECT na AS n_a, nb AS n_b,
+          |  round(CAST(xdiff AS DOUBLE) /
+          |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat,
+          |  v AS at_value
+          |FROM (
+          |  SELECT v, na, nb, abs(cum_a * nb - cum_b * na) AS xdiff,
+          |    row_number() OVER (ORDER BY abs(cum_a * nb - cum_b * na)
+          |      DESC, v) AS rk
+          |  FROM c, t)
+          |WHERE rk = 1""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        CorpusReport.ksDrift(docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0))
+      }
+    },
+
     QueryDef("t_burstiness",
       withC(tokDocs + ",\n" +
         s"""tc AS (

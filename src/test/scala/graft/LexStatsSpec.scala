@@ -219,6 +219,19 @@ class LexStatsSpec extends TestBase {
     assert(rows("y") == ((2, 2L, 2L, 0.0)), s"got $rows")
   }
 
+  test("ksDrift: identical slices give 0, disjoint supports give 1") {
+    val a = Seq((1L, "w"), (2L, "w w")).toDF("doc_id", "text")
+    val same = graft.pipeline.CorpusReport.ksDrift(a, a).collect().head
+    assert(same.getDouble(2) == 0.0 && same.getLong(3) == 1L)
+
+    val b = Seq((3L, "w w w w w"), (4L, "w w w w w")).toDF("doc_id", "text")
+    val far = graft.pipeline.CorpusReport.ksDrift(a, b).collect().head
+    assert(far.getDouble(2) == 1.0,
+      "disjoint length supports must give the maximal statistic")
+    assert(far.getLong(3) == 2L,
+      "the gap is maximal once all of A has accumulated (v=2)")
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")

@@ -30,10 +30,13 @@ class PlanAuditSpec extends TestBase {
   //  - report_vocab_coverage: crossJoin of the broadcast |cutoffs|-row
   //    (=4) frame against the count-of-counts histogram (O(√tokens)
   //    rows) — both sides bounded, never the corpus.
+  //  - report_length_drift: crossJoin of the broadcast 1-row totals
+  //    frame against the distinct-values frame (the pack_zorder
+  //    bounds pattern).
   private val cartesianExempt =
     Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning",
       "report_zipf", "report_embedding_health", "pack_zorder",
-      "dedup_source_venn", "report_vocab_coverage")
+      "dedup_source_venn", "report_vocab_coverage", "report_length_drift")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
