@@ -371,6 +371,11 @@ object ScaleProbe {
     run("source_venn_exact")(d => graft.pipeline.Dedup.sourceVenn(d))
     run("source_venn_sketch")(d => graft.pipeline.Dedup.sourceVennSketch(d))
     run("pmi_collocations")(d => TextAnalysis.pmiCollocations(d))
+    run("source_kl")(d => TextAnalysis.sourceKl(d))
+    run("burstiness")(d => TextAnalysis.burstiness(d))
+    run("info_gain")(d => graft.pipeline.Sampling.infoGainSelect(d))
+    run("length_drift")(d => graft.pipeline.CorpusReport.ksDrift(
+      d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0)))
     run("embedding_pca")(d => graft.pipeline.Semantic.embeddingPca(
       TextAnalysis.hashedVectors(d, dim = 32, salt = "pcaprobe"), iters = 8))
     run("token_entropy")(d => TextAnalysis.tokenEntropy(d))

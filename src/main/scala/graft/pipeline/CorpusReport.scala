@@ -307,9 +307,12 @@ object CorpusReport {
    * length distribution move?" — with an exact statistic instead of a
    * binned histogram diff.
    *
-   * Exactness: the max is taken over the INTEGER cross-multiplied form
-   * |cumA·n_b − cumB·n_a| (ties to the lowest value), so ranking never
-   * touches a float; the single division happens once at the end.
+   * Exactness: the max is taken over the cross-multiplied form
+   * |cumA·n_b − cumB·n_a| (ties to the lowest value) with the products
+   * in DOUBLE — exact below 2⁵³ and correctly-rounded above, the same
+   * IEEE ops in both engines (64-bit integer products would silently
+   * wrap once a slice passes ~3e9 rows); the single division happens
+   * once at the end.
    *
    * Scale shape: each side collapses to (value, count) at scan speed
    * (map-side combined); the one unpartitioned cumulative window runs
@@ -333,11 +336,12 @@ object CorpusReport {
     val tot = cum.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     cum.crossJoin(broadcast(tot))
       .select(col("v"), col("na"), col("nb"),
-        abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+        abs(col("cum_a").cast("double") * col("nb").cast("double") -
+          col("cum_b").cast("double") * col("na").cast("double"))
           .as("xdiff"))
       .orderBy(col("xdiff").desc, col("v")).limit(1)
       .select(col("na").as("n_a"), col("nb").as("n_b"),
-        round(col("xdiff").cast("double") /
+        round(col("xdiff") /
           (col("na").cast("double") * col("nb").cast("double")), 6)
           .as("ks_stat"),
         col("v").as("at_value"))

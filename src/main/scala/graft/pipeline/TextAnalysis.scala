@@ -1430,9 +1430,13 @@ object TextAnalysis {
    */
   def sourceKl(docs: DataFrame, srcCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    // ONE text scan: the (source, token) table is persisted and reused
+    // by the totals, the per-source sums, and the main join (the
+    // pmiCollocations discipline); Bench/Verify clear it between
+    // queries via spark.catalog.clearCache
     val st = docs.select(col(srcCol).as("source"),
         explode(tokens(col(textCol))).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c")).persist()
     val tot = st.groupBy("tok").agg(sum(col("c")).as("ct"))
     val n = st.agg(sum(col("c"))).head().getLong(0).toDouble
     val perSrc = st.groupBy("source").agg(sum(col("c")).as("ns"))
@@ -1444,8 +1448,11 @@ object TextAnalysis {
             (col("ns").cast("double") * col("ct").cast("double"))) * 1e6)
           .cast("long").as("kl_micro"))
       .groupBy("source")
+      // the per-SOURCE micro-sum can exceed 2^63 on a multi-TB source
+      // (~3e12 tokens at ~3 bits); decimal(38,0) keeps it an exact
+      // integer sum at any scale (DuckDB's HUGEINT sum is its mirror)
       .agg(min(col("ns")).as("n_tokens"), count(lit(1)).as("vocab_s"),
-        sum(col("kl_micro")).as("s_micro"))
+        sum(col("kl_micro").cast("decimal(38,0)")).as("s_micro"))
       .select(col("source"), col("n_tokens"), col("vocab_s"),
         round(col("s_micro").cast("double") /
           (col("n_tokens").cast("double") * 1e6), 6).as("kl_bits"))
@@ -1461,9 +1468,12 @@ object TextAnalysis {
    * at df ≥ minDf — the screen that finds template contamination exact
    * dedup misses because the surrounding text varies.
    *
-   * Exactness: VMR = (df·Σc² − (Σc)²) / (df·Σc) is computed entirely in
-   * 64-bit integer arithmetic and divided ONCE, so there is no float
-   * summation anywhere; the micro-quantized quotient orders the top-k.
+   * Exactness: VMR = (df·Σc² − (Σc)²) / (df·Σc) involves no float SUM
+   * anywhere — the moments are integer aggregates; the per-row products
+   * are taken in DOUBLE (exact below 2⁵³, correctly-rounded above, the
+   * same IEEE ops in both engines — a 64-bit integer product would
+   * silently wrap on any stopword once Σc passes ~3e9) and divided
+   * once; the micro-quantized quotient orders the top-k.
    *
    * Scale shape: (doc, token) count → token-keyed moment aggregate
    * (both map-side combined), then the bucketed top-k — no global sort.
@@ -1477,20 +1487,13 @@ object TextAnalysis {
         sum(col("c") * col("c")).as("sc2"))
       .filter(col("df") >= minDf)
       .withColumn("vmr_micro",
-        round((col("df") * col("sc2") - col("sc") * col("sc")).cast("double")
-          / (col("df") * col("sc")).cast("double") * 1e6).cast("long"))
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bkt")).orderBy(col("vmr_micro").desc, col("tok"))
-    val wFinal = org.apache.spark.sql.expressions.Window
-      .partitionBy().orderBy(col("vmr_micro").desc, col("tok"))
-    per
-      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(64)))
-      .withColumn("rk0", row_number().over(wBucket))
-      .filter(col("rk0") <= k)
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= k)
-      .select(col("rank").cast("int").as("rank"), col("tok"), col("df"),
-        col("sc").as("total_c"),
+        round((col("df").cast("double") * col("sc2").cast("double") -
+            col("sc").cast("double") * col("sc").cast("double"))
+          / (col("df").cast("double") * col("sc").cast("double")) * 1e6)
+          .cast("long"))
+    graft.operators.BucketedTopK.rank(per, Nil,
+        Seq(col("vmr_micro").desc, col("tok")), col("tok"), k)
+      .select(col("rank"), col("tok"), col("df"), col("sc").as("total_c"),
         round(col("vmr_micro").cast("double") / 1e6, 6).as("vmr"))
   }
 
@@ -1524,10 +1527,12 @@ object TextAnalysis {
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw")).persist()
     val n1 = uni.agg(sum(col("cw"))).head().getLong(0).toDouble
-    // the tokenizer never yields an empty array (split("") = [""]), so
-    // Σ max(len−1, 0) = Σ len − #docs — and #docs is a parquet
-    // footer count, not another text scan
-    val n2 = n1 - docs.count().toDouble
+    // the tokenizer never yields an empty array for non-null text
+    // (split("") = [""]), so Σ max(len−1, 0) = Σ len − #non-null-docs —
+    // a count-only job, not another text scan. NULL-text rows contribute
+    // zero tokens (explode drops them) and must not enter the count, or
+    // n2 would undercount and diverge from the oracle's len() sum.
+    val n2 = n1 - docs.filter(col(textCol).isNotNull).count().toDouble
     val bi = toks.select(explode(bigrams(col("toks"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cxy"))
       .filter(col("cxy") >= minCount)
@@ -1545,19 +1550,9 @@ object TextAnalysis {
           (lit(n2) * col("c_left").cast("double") *
             col("c_right").cast("double")))
           * 1e6).cast("long"))
-    // hierarchical top-k (see the t_top_ngrams note): bucket first so the
-    // global sort only sees ≤ 64·k survivors
-    val wBucket = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bkt")).orderBy(col("pmi_micro").desc, col("bigram"))
-    val wFinal = org.apache.spark.sql.expressions.Window
-      .partitionBy().orderBy(col("pmi_micro").desc, col("bigram"))
-    joined
-      .withColumn("bkt", pmod(xxhash64(col("bigram")), lit(64)))
-      .withColumn("rk0", row_number().over(wBucket))
-      .filter(col("rk0") <= k)
-      .withColumn("rank", row_number().over(wFinal))
-      .filter(col("rank") <= k)
-      .select(col("rank").cast("int").as("rank"), col("bigram"),
+    graft.operators.BucketedTopK.rank(joined, Nil,
+        Seq(col("pmi_micro").desc, col("bigram")), col("bigram"), k)
+      .select(col("rank"), col("bigram"),
         col("cxy"), col("c_left"), col("c_right"),
         round(col("pmi_micro").cast("double") / 1e6, 6).as("pmi"))
   }

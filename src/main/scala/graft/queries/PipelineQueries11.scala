@@ -368,9 +368,13 @@ object PipelineQueries11 {
           |    (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS ks_stat,
           |  v AS at_value
           |FROM (
-          |  SELECT v, na, nb, abs(cum_a * nb - cum_b * na) AS xdiff,
-          |    row_number() OVER (ORDER BY abs(cum_a * nb - cum_b * na)
-          |      DESC, v) AS rk
+          |  SELECT v, na, nb,
+          |    abs(CAST(cum_a AS DOUBLE) * CAST(nb AS DOUBLE) -
+          |        CAST(cum_b AS DOUBLE) * CAST(na AS DOUBLE)) AS xdiff,
+          |    row_number() OVER (ORDER BY
+          |      abs(CAST(cum_a AS DOUBLE) * CAST(nb AS DOUBLE) -
+          |          CAST(cum_b AS DOUBLE) * CAST(na AS DOUBLE)) DESC, v)
+          |      AS rk
           |  FROM c, t)
           |WHERE rk = 1""".stripMargin)) {
       (s, dir) => {
@@ -393,8 +397,10 @@ object PipelineQueries11 {
            |  FROM tc GROUP BY 1 HAVING count(*) >= $burstMinDf),
            |vm AS (
            |  SELECT tok, df, sc,
-           |    CAST(round(CAST(df * sc2 - sc * sc AS DOUBLE) /
-           |      CAST(df * sc AS DOUBLE) * 1e6) AS BIGINT) AS vmr_micro
+           |    CAST(round((CAST(df AS DOUBLE) * CAST(sc2 AS DOUBLE) -
+           |        CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)) /
+           |      (CAST(df AS DOUBLE) * CAST(sc AS DOUBLE)) * 1e6)
+           |      AS BIGINT) AS vmr_micro
            |  FROM per)""".stripMargin)(
         s"""SELECT CAST(rk AS INT) AS rank, tok, df, sc AS total_c,
            |  round(CAST(vmr_micro AS DOUBLE) / 1e6, 6) AS vmr

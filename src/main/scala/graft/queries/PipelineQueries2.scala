@@ -323,19 +323,10 @@ object PipelineQueries2 {
           |    GROUP BY 1, 2))
           |WHERE rk <= 10""".stripMargin)) {
       (s, dir) => {
-        // hierarchical top-k: a single per-source window would sort the
-        // whole (mostly unique) bigram vocabulary in #sources partitions —
-        // the classic top-k skew. Instead take top-10 per (source,
-        // hash-bucket) — 64× more, much smaller sort partitions — then a
-        // final window over ≤ 640 survivors per source. Exact: under the
-        // total order (n desc, bigram), any global top-10 row is top-10
-        // in its own bucket.
-        val wBucket = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source"), col("bkt"))
-          .orderBy(col("n").desc, col("bigram"))
-        val wFinal = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("n").desc, col("bigram"))
-        W.read(s, dir, "documents")
+        // hierarchical top-k (BucketedTopK): a single per-source window
+        // would sort the whole (mostly unique) bigram vocabulary in
+        // #sources partitions — the classic top-k skew.
+        val counts = W.read(s, dir, "documents")
           // tokens MUST be projected before the bigram lambda — inlining
           // the tokenizer would re-split the text inside every element_at
           // call, O(len²) per document (see Dedup.shinglesFromTokens)
@@ -343,13 +334,9 @@ object PipelineQueries2 {
           .select(col("source"),
             explode(TextAnalysis.bigrams(col("toks"))).as("bigram"))
           .groupBy("source", "bigram").agg(count(lit(1)).as("n"))
-          .withColumn("bkt", pmod(xxhash64(col("bigram")), lit(64)))
-          .withColumn("rk0", row_number().over(wBucket))
-          .filter(col("rk0") <= 10)
-          .withColumn("rank", row_number().over(wFinal))
-          .filter(col("rank") <= 10)
-          .select(col("source"), col("bigram"), col("n"),
-            col("rank").cast("int").as("rank"))
+        graft.operators.BucketedTopK.rank(counts, Seq(col("source")),
+            Seq(col("n").desc, col("bigram")), col("bigram"), 10)
+          .select(col("source"), col("bigram"), col("n"), col("rank"))
       }
     },
 
