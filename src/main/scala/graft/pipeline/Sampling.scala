@@ -680,4 +680,48 @@ object Sampling {
       .withColumn("selected",
         col("n_bigrams") > 0 && col("info_gain") >= thr)
   }
+
+  /**
+   * Composed lexical screen: the per-language curation funnel of three
+   * independent verdicts — the median/MAD length fence
+   * ([[CorpusReport.qualityOutlierReport]]'s rule), the token-entropy
+   * floor ([[TextAnalysis.tokenEntropy]]), and the information-gain
+   * floor ([[infoGainSelect]]) — with per-flag counts and the kept
+   * rate. The COMPOSITION is what gets certified: the oracle replays
+   * all three stages over the same corpus and the funnel must
+   * hash-match, the same discipline as `pipe_quality_chain`.
+   *
+   * Scale shape: entropy is a scan fold; the fences are two grouped
+   * percentiles + a |langs|-row broadcast; the gain join is doc-keyed;
+   * output is |langs| rows.
+   */
+  def lexicalScreen(docs: DataFrame, z: Double = 3.0,
+      entropyFloor: Double = 2.0, gainFloor: Double = 0.02,
+      langCol: String = "lang"): DataFrame = {
+    val ent = TextAnalysis.tokenEntropy(docs, carryCols = Seq(langCol))
+      .select(col("doc_id"), col(langCol).as("lang"),
+        col("n_tok").cast("double").as("nt"), col("entropy"))
+    val gain = infoGainSelect(docs).select(col("doc_id"), col("info_gain"))
+    val med = ent.groupBy("lang").agg(expr("percentile(nt, 0.5)").as("med_nt"))
+    val mad = ent.join(broadcast(med), "lang")
+      .select(col("lang"), abs(col("nt") - col("med_nt")).as("dev"))
+      .groupBy("lang").agg(expr("percentile(dev, 0.5)").as("mad_nt"))
+    val bounds = med.join(mad, "lang")
+    ent.join(broadcast(bounds), "lang").join(gain, "doc_id")
+      .select(col("lang"),
+        (col("nt") < col("med_nt") - lit(z) * col("mad_nt") ||
+          col("nt") > col("med_nt") + lit(z) * col("mad_nt"))
+          .cast("long").as("f_len"),
+        (col("entropy") < entropyFloor).cast("long").as("f_ent"),
+        (col("info_gain") < gainFloor).cast("long").as("f_gain"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("f_len")).as("n_len_outlier"),
+        sum(col("f_ent")).as("n_low_entropy"),
+        sum(col("f_gain")).as("n_low_gain"),
+        sum(when(col("f_len") + col("f_ent") + col("f_gain") === 0, 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
+  }
 }

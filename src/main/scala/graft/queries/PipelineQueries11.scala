@@ -175,18 +175,68 @@ object PipelineQueries11 {
        |         (cv[i] - pc1_coord * vv[i])))), 6) AS norm_after
        |FROM pc, vf""".stripMargin
 
+  private val tokCte: String =
+    "tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs)"
+
+  /** doc_id → (n_tok, n_types, s_micro): the per-doc entropy sufficient
+    * statistics — shared by t_token_entropy, st_entropy_monitor, and
+    * the composed lexical screen. */
+  private val entTail: String =
+    """tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+      |hd AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+      |    CAST(count(*) AS BIGINT) AS n_types,
+      |    CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1e6)
+      |      AS BIGINT)) AS BIGINT) AS s_micro
+      |  FROM tc GROUP BY 1)""".stripMargin
+
+  /** doc_id → rounded mean unigram/bigram NLLs (CTE `m`) — the
+    * info-gain sufficient statistics, shared by samp_info_gain and the
+    * composed lexical screen. */
+  private val igTail: String =
+    s"""ucnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+       |unll AS (
+       |  SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE) /
+       |    (SELECT CAST(sum(c) AS DOUBLE) FROM ucnt)) * 1e6) AS BIGINT)
+       |    AS nll_micro
+       |  FROM ucnt),
+       |pu AS (
+       |  SELECT doc_id, count(*) AS n_tok,
+       |    CAST(sum(nll_micro) AS BIGINT) AS su
+       |  FROM tok JOIN unll USING (tok) GROUP BY doc_id),
+       |bg AS (
+       |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, toks,
+       |      unnest(generate_series(1, len(toks) - 1)) AS i
+       |    FROM tok_docs)),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ucnt),
+       |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |bnll AS (
+       |  SELECT bc.w1, bc.w2,
+       |    CAST(round(-ln(
+       |      $igLambda * CAST(cb AS DOUBLE) / CAST(u1.c AS DOUBLE)
+       |      + ${1.0 - igLambda} * CAST(u2.c AS DOUBLE) /
+       |        (SELECT n FROM tot)) * 1e6) AS BIGINT) AS nll_micro
+       |  FROM bc JOIN ucnt u1 ON bc.w1 = u1.tok
+       |  JOIN ucnt u2 ON bc.w2 = u2.tok),
+       |pb AS (
+       |  SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(nll_micro) AS BIGINT) AS sb
+       |  FROM bg JOIN bnll USING (w1, w2) GROUP BY doc_id),
+       |m AS (
+       |  SELECT u.doc_id, u.n_tok, coalesce(b.n_bigrams, 0)
+       |      AS n_bigrams,
+       |    round(CAST(u.su AS DOUBLE) / (u.n_tok * 1e6), 6)
+       |      AS mean_unll,
+       |    CASE WHEN coalesce(b.n_bigrams, 0) > 0
+       |      THEN round(CAST(b.sb AS DOUBLE) / (b.n_bigrams * 1e6), 6)
+       |      ELSE 0.0 END AS mean_bnll
+       |  FROM pu u LEFT JOIN pb b USING (doc_id))""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("t_token_entropy",
-      withC(tokDocs + ",\n" +
-        """tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
-          |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-          |hd AS (
-          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-          |    CAST(count(*) AS BIGINT) AS n_types,
-          |    CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1e6)
-          |      AS BIGINT)) AS BIGINT) AS s_micro
-          |  FROM tc GROUP BY 1)""".stripMargin)(
+      withC(tokDocs + ",\n" + tokCte + ",\n" + entTail)(
         """SELECT doc_id, n_tok, n_types,
           |  round(CAST(n_types AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS ttr,
           |  round(log2(CAST(n_tok AS DOUBLE)) -
@@ -287,46 +337,7 @@ object PipelineQueries11 {
     },
 
     QueryDef("samp_info_gain",
-      withC(tokDocs + ",\n" +
-        s"""tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
-           |ucnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
-           |unll AS (
-           |  SELECT tok, CAST(round(-ln(CAST(c AS DOUBLE) /
-           |    (SELECT CAST(sum(c) AS DOUBLE) FROM ucnt)) * 1e6) AS BIGINT)
-           |    AS nll_micro
-           |  FROM ucnt),
-           |pu AS (
-           |  SELECT doc_id, count(*) AS n_tok,
-           |    CAST(sum(nll_micro) AS BIGINT) AS su
-           |  FROM tok JOIN unll USING (tok) GROUP BY doc_id),
-           |bg AS (
-           |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-           |  FROM (SELECT doc_id, toks,
-           |      unnest(generate_series(1, len(toks) - 1)) AS i
-           |    FROM tok_docs)),
-           |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM ucnt),
-           |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
-           |bnll AS (
-           |  SELECT bc.w1, bc.w2,
-           |    CAST(round(-ln(
-           |      $igLambda * CAST(cb AS DOUBLE) / CAST(u1.c AS DOUBLE)
-           |      + ${1.0 - igLambda} * CAST(u2.c AS DOUBLE) /
-           |        (SELECT n FROM tot)) * 1e6) AS BIGINT) AS nll_micro
-           |  FROM bc JOIN ucnt u1 ON bc.w1 = u1.tok
-           |  JOIN ucnt u2 ON bc.w2 = u2.tok),
-           |pb AS (
-           |  SELECT doc_id, count(*) AS n_bigrams,
-           |    CAST(sum(nll_micro) AS BIGINT) AS sb
-           |  FROM bg JOIN bnll USING (w1, w2) GROUP BY doc_id),
-           |m AS (
-           |  SELECT u.doc_id, u.n_tok, coalesce(b.n_bigrams, 0)
-           |      AS n_bigrams,
-           |    round(CAST(u.su AS DOUBLE) / (u.n_tok * 1e6), 6)
-           |      AS mean_unll,
-           |    CASE WHEN coalesce(b.n_bigrams, 0) > 0
-           |      THEN round(CAST(b.sb AS DOUBLE) / (b.n_bigrams * 1e6), 6)
-           |      ELSE 0.0 END AS mean_bnll
-           |  FROM pu u LEFT JOIN pb b USING (doc_id))""".stripMargin)(
+      withC(tokDocs + ",\n" + tokCte + ",\n" + igTail)(
         s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
            |  CAST(n_bigrams AS BIGINT) AS n_bigrams,
            |  mean_unll, mean_bnll,
@@ -412,6 +423,52 @@ object PipelineQueries11 {
         minDf = burstMinDf, k = burstK)
     },
 
+    // the composed funnel: all three stages replayed over the same
+    // corpus, hash-certifying the COMPOSITION (pipe_quality_chain's
+    // discipline); floors = entLowThr / igThr so the three single-stage
+    // queries and the funnel tell one story
+    QueryDef("pipe_lexical_screen",
+      withC(tokDocs + ",\n" + tokCte + ",\n" + entTail + ",\n" + igTail +
+        ",\n" +
+        s"""dn AS (
+           |  SELECT d.lang, h.doc_id, CAST(h.n_tok AS DOUBLE) AS nt,
+           |    round(log2(CAST(h.n_tok AS DOUBLE)) -
+           |      CAST(h.s_micro AS DOUBLE) / (CAST(h.n_tok AS DOUBLE)
+           |      * 1e6), 6) AS entropy
+           |  FROM hd h JOIN documents d USING (doc_id)),
+           |med AS (SELECT lang, quantile_cont(nt, 0.5) AS med_nt
+           |        FROM dn GROUP BY 1),
+           |mad AS (SELECT d.lang, quantile_cont(abs(d.nt - m2.med_nt),
+           |          0.5) AS mad_nt
+           |        FROM dn d JOIN med m2 USING (lang) GROUP BY 1),
+           |b AS (SELECT m2.lang, m2.med_nt, a.mad_nt
+           |      FROM med m2 JOIN mad a USING (lang)),
+           |fl AS (
+           |  SELECT d.lang,
+           |    CASE WHEN d.nt < b.med_nt - 3.0 * b.mad_nt
+           |           OR d.nt > b.med_nt + 3.0 * b.mad_nt
+           |      THEN 1 ELSE 0 END AS f_len,
+           |    CASE WHEN d.entropy < $entLowThr THEN 1 ELSE 0 END
+           |      AS f_ent,
+           |    CASE WHEN (CASE WHEN m.n_bigrams > 0
+           |        THEN round(m.mean_unll - m.mean_bnll, 6)
+           |        ELSE 0.0 END) < $igThr THEN 1 ELSE 0 END AS f_gain
+           |  FROM dn d JOIN b USING (lang) JOIN m USING (doc_id))""".stripMargin)(
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(f_len) AS BIGINT) AS n_len_outlier,
+          |  CAST(sum(f_ent) AS BIGINT) AS n_low_entropy,
+          |  CAST(sum(f_gain) AS BIGINT) AS n_low_gain,
+          |  CAST(sum(CASE WHEN f_len + f_ent + f_gain = 0 THEN 1
+          |    ELSE 0 END) AS BIGINT) AS n_kept,
+          |  round(CAST(sum(CASE WHEN f_len + f_ent + f_gain = 0 THEN 1
+          |    ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+          |    AS kept_frac
+          |FROM fl GROUP BY 1""".stripMargin)) {
+      (s, dir) => graft.pipeline.Sampling.lexicalScreen(
+        W.read(s, dir, "documents"), z = 3.0, entropyFloor = entLowThr,
+        gainFloor = igThr)
+    },
+
     QueryDef("t_source_kl",
       withC(tokDocs + ",\n" +
         """st AS (
@@ -442,15 +499,8 @@ object PipelineQueries11 {
     // covers watermark/parity); epoch window keys and the synthesized
     // ingest_ts follow the st_quality_monitor convention
     QueryDef("st_entropy_monitor",
-      withC(tokDocs + ",\n" +
-        s"""tok AS (SELECT doc_id, unnest(toks) AS tok FROM tok_docs),
-           |tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
-           |hd AS (
-           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
-           |    CAST(sum(CAST(round(c * log2(CAST(c AS DOUBLE)) * 1e6)
-           |      AS BIGINT)) AS BIGINT) AS s_micro
-           |  FROM tc GROUP BY 1),
-           |w AS (
+      withC(tokDocs + ",\n" + tokCte + ",\n" + entTail + ",\n" +
+        s"""w AS (
            |  SELECT 3600 * (($entEpoch + (doc_id * 37) % $entSpreadS)
            |      // 3600) AS w_start_epoch,
            |    round(log2(CAST(n_tok AS DOUBLE)) -

@@ -232,6 +232,26 @@ class LexStatsSpec extends TestBase {
       "the gap is maximal once all of A has accumulated (v=2)")
   }
 
+  test("lexicalScreen: per-flag counts and the kept set, hand-computed") {
+    // doc k has k distinct tokens -> H = log2(k); plus one 100-token
+    // monotone doc. Lengths (1..7, 100): med 4.5, MAD 2.0, fence
+    // [-1.5, 10.5] -> only the 100-doc is a length outlier. Entropy
+    // floor 2.0 (strict <) flags k = 1, 2, 3 and the monotone doc.
+    val docs = (1 to 7).map(k =>
+      (k.toLong, "en", (1 to k).map(i => s"t$i").mkString(" "))) :+
+      (8L, "en", Seq.fill(100)("w").mkString(" "))
+    val r = graft.pipeline.Sampling.lexicalScreen(
+      docs.toDF("doc_id", "lang", "text"),
+      z = 3.0, entropyFloor = 2.0, gainFloor = -1.0).collect().head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 8L, "n_docs")
+    assert(r.getLong(2) == 1L, "exactly the 100-token doc is length-out")
+    assert(r.getLong(3) == 4L, "H < 2 for k=1,2,3 and the monotone doc")
+    assert(r.getLong(4) == 0L, "gain floor disabled")
+    assert(r.getLong(5) == 4L, "k=4..7 survive both fences")
+    assert(r.getDouble(6) == 0.5)
+  }
+
   test("qualityOutlierReport: uniform lengths flag nothing") {
     val docs = (1 to 10).map(i => (i.toLong, "de", "a b c"))
       .toDF("doc_id", "lang", "text")
