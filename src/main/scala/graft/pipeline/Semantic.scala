@@ -299,9 +299,55 @@ object Semantic {
    * oracle-checkable one.
    */
   def embeddingPca(embs: DataFrame, iters: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = embs.sparkSession
-    val core = pcaCore(embs, iters, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    renderPca(pcaState(embs, vecCol), iters)
+
+  /**
+   * Mergeable PCA sufficient-statistics STATE: one row per (i, j)
+   * carrying the raw-product micro-sum Σ round(xᵢ·xⱼ·1e6), plus (at
+   * j = 1) the component micro-sum Σ round(xᵢ·1e6) and (at i = j = 1)
+   * the vector count. All three columns are exact 64-bit integers —
+   * the per-row summand is bounded by ~1e6·max|x|², so the sum only
+   * approaches 2⁶³ past ~9e12 vectors, two orders beyond the 100-TB
+   * design point (decimal sums were measured 1.5× slower for no
+   * reachable safety) — so states from disjoint slices merge by
+   * ADDITION and
+   * `renderPca(merge(state(A), state(B))) == embeddingPca(A ∪ B)`
+   * bit-for-bit — the incremental-data-card theorem applied to
+   * covariance. A daily embedding-health refresh folds the new batch's
+   * d²-row state into the standing one and never re-scans history.
+   *
+   * ONE corpus scan: the (i, j) explode carries the component sums and
+   * the count along in the same aggregate.
+   */
+  def pcaState(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val e = embs.select(
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val d = e.select(size(col("v"))).head().getInt(0)
+    e.select(col("v"), explode(sequence(lit(1), lit(d))).as("i"))
+      .select(col("v"), col("i"), explode(sequence(lit(1), lit(d))).as("j"))
+      .select(col("i"), col("j"),
+        round(element_at(col("v"), col("i")) *
+          element_at(col("v"), col("j")) * 1e6).cast("long").as("pp"),
+        when(col("j") === 1,
+          round(element_at(col("v"), col("i")) * 1e6).cast("long"))
+          .otherwise(lit(0L)).as("cc"),
+        when(col("i") === 1 && col("j") === 1, 1L).otherwise(0L).as("one"))
+      .groupBy("i", "j")
+      .agg(sum(col("pp")).as("sxx"), sum(col("cc")).as("sx"),
+        sum(col("one")).as("cnt"))
+  }
+
+  /** Additive merge of [[pcaState]] frames (same embedding dim). */
+  def mergePcaState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("i", "j")
+      .agg(sum(col("sxx")).as("sxx"), sum(col("sx")).as("sx"),
+        sum(col("cnt")).as("cnt"))
+
+  /** The [[embeddingPca]] report from a (possibly merged) state. */
+  def renderPca(state: DataFrame, iters: Int = 8): DataFrame = {
+    val spark = state.sparkSession
+    val core = coreFromState(state, iters)
     import spark.implicits._
     (1 to core.d).map(i =>
         (i, core.mu(i - 1), round6(core.u(i - 1)), core.lambda1,
@@ -321,38 +367,32 @@ object Semantic {
       .toDouble
 
   private def pcaCore(embs: DataFrame, iters: Int,
-      vecCol: String): PcaCore = {
-    val e = embs.select(
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val d = e.select(size(col("v"))).head().getInt(0)
-    val n = embs.count()
-    val idx = explode(sequence(lit(1), lit(d)))
-    // pass 1: per-component integer micro-sums -> rounded means
-    val mu: Array[Double] = e
-      .select(col("v"), idx.as("i"))
-      .select(col("i"),
-        round(element_at(col("v"), col("i")) * 1e6).cast("long").as("m"))
-      .groupBy("i").agg(sum(col("m")).as("s"))
-      .collect().sortBy(_.getInt(0))
-      .map(r => round6(r.getLong(1).toDouble / (n * 1e6)))
-    val muLit = array(mu.map(lit).toIndexedSeq: _*)
-    // pass 2: centered outer products, micro-quantized per row, one
-    // (i, j)-keyed shuffle of d² rows per task
-    val gRows = e
-      .select(col("v"), idx.as("i"))
-      .select(col("v"), col("i"), explode(sequence(lit(1), lit(d))).as("j"))
-      .select(col("i"), col("j"),
-        round((element_at(col("v"), col("i")) -
-            element_at(muLit, col("i"))) *
-          (element_at(col("v"), col("j")) -
-            element_at(muLit, col("j"))) * 1e6).cast("long").as("p"))
-      .groupBy("i", "j").agg(sum(col("p")).as("s"))
-      .collect()
-    val g = Array.ofDim[Double](d, d)
-    gRows.foreach { r =>
-      g(r.getInt(0) - 1)(r.getInt(1) - 1) =
-        round6(r.getLong(2).toDouble / (n * 1e6))
+      vecCol: String): PcaCore =
+    coreFromState(pcaState(embs, vecCol), iters)
+
+  private def coreFromState(state: DataFrame, iters: Int): PcaCore = {
+    val rows = state.collect()
+    require(rows.nonEmpty, "pca on an empty state")
+    val d = rows.iterator.map(_.getInt(0)).max
+    val n = rows.find(r => r.getInt(0) == 1 && r.getInt(1) == 1)
+      .map(_.getLong(4)).getOrElse(0L)
+    require(n > 0, "pca state carries no vectors")
+    // long→double rounds to nearest — the same conversion DuckDB
+    // applies casting its (equal-valued) HUGEINT sums to DOUBLE
+    val sx = Array.ofDim[Double](d)
+    val sxx = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      sxx(i)(j) = r.getLong(2).toDouble
+      if (j == 0) sx(i) = r.getLong(3).toDouble
     }
+    val nd = n.toDouble * 1e6
+    val mu = Array.tabulate(d)(i => round6(sx(i) / nd))
+    // centered Gram from raw moments: G = Sxx/(n·1e6) − μμᵀ, rounded —
+    // derivable from the ADDITIVE state, which is what makes the whole
+    // report mergeable
+    val g = Array.tabulate(d, d)((i, j) =>
+      round6(sxx(i)(j) / nd - mu(i) * mu(j)))
     // fixed-round power iteration on the driver-held d×d matrix; every
     // arithmetic step (ascending-index folds, 1e-9 grid) is replayed
     // verbatim by the DuckDB oracle's recursive CTE

@@ -85,21 +85,21 @@ object PipelineQueries11 {
        |              (SELECT count(*) FROM e) AS n),
        |ii AS (SELECT unnest(generate_series(1, (SELECT d FROM nd))) AS i),
        |mu0 AS (
-       |  SELECT i, CAST(sum(CAST(round(v[i] * 1e6) AS BIGINT)) AS BIGINT)
+       |  SELECT i, CAST(sum(CAST(round(v[i] * 1e6) AS BIGINT)) AS DOUBLE)
        |    AS s
        |  FROM e, ii GROUP BY i),
-       |mu AS (SELECT list(round(CAST(s AS DOUBLE) /
+       |mu AS (SELECT list(round(s /
        |    ((SELECT n FROM nd) * 1e6), 6) ORDER BY i) AS m FROM mu0),
        |g0 AS (
        |  SELECT i.i AS i, j.j AS j,
-       |    CAST(sum(CAST(round((e.v[i.i] - mu.m[i.i]) *
-       |      (e.v[j.j] - mu.m[j.j]) * 1e6) AS BIGINT)) AS BIGINT) AS s
-       |  FROM e, mu, ii i, (SELECT i AS j FROM ii) j
+       |    CAST(sum(CAST(round(e.v[i.i] * e.v[j.j] * 1e6) AS BIGINT))
+       |      AS DOUBLE) AS s
+       |  FROM e, ii i, (SELECT i AS j FROM ii) j
        |  GROUP BY 1, 2),
        |gm AS (SELECT list(gv ORDER BY i) AS g FROM (
-       |  SELECT i, list(round(CAST(s AS DOUBLE) /
-       |      ((SELECT n FROM nd) * 1e6), 6) ORDER BY j) AS gv
-       |  FROM g0 GROUP BY i)),
+       |  SELECT g0.i, list(round(s / ((SELECT n FROM nd) * 1e6) -
+       |      mu.m[g0.i] * mu.m[g0.j], 6) ORDER BY g0.j) AS gv
+       |  FROM g0, mu GROUP BY g0.i)),
        |it AS (
        |  SELECT 0 AS t,
        |    list_transform(generate_series(1, d),
@@ -334,6 +334,23 @@ object PipelineQueries11 {
       (s, dir) =>
         graft.pipeline.Semantic.abttProject(W.read(s, dir, "embeddings"),
           iters = pcaIters)
+    },
+
+    // merge-vs-one-shot certification (the report_card_incremental
+    // theorem applied to covariance): the Spark side renders from two
+    // MERGED slice states; the oracle is the one-shot replay — the
+    // hash match certifies the state's additivity end-to-end
+    QueryDef("report_pca_incremental", pcaOracle) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        graft.pipeline.Semantic.renderPca(
+          graft.pipeline.Semantic.mergePcaState(
+            graft.pipeline.Semantic.pcaState(
+              emb.filter(col("vec_id") % 3 =!= 0)),
+            graft.pipeline.Semantic.pcaState(
+              emb.filter(col("vec_id") % 3 === 0))),
+          iters = pcaIters)
+      }
     },
 
     QueryDef("samp_info_gain",

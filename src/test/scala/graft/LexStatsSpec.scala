@@ -151,6 +151,21 @@ class LexStatsSpec extends TestBase {
       "equal variance in both dims: top component explains half")
   }
 
+  test("pcaState: merged slice states render the one-shot report") {
+    import graft.pipeline.Semantic
+    val embs = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(-1.0f, -1.0f)),
+      (3L, Seq(2.0f, 2.0f)), (4L, Seq(-2.0f, -2.0f)),
+      (5L, Seq(0.5f, -0.5f)), (6L, Seq(-0.5f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val oneShot = Semantic.embeddingPca(embs).collect().toSet
+    val merged = Semantic.renderPca(Semantic.mergePcaState(
+      Semantic.pcaState(embs.filter($"vec_id" % 2 === 0)),
+      Semantic.pcaState(embs.filter($"vec_id" % 2 =!= 0)))).collect().toSet
+    assert(merged == oneShot,
+      "additive state must reproduce the one-shot report bit-for-bit")
+  }
+
   test("abttProject: removing PC1 from a collinear cloud leaves ~zero") {
     val embs = Seq(
       (1L, Seq(1.0f, 1.0f)), (2L, Seq(-1.0f, -1.0f)),
