@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.pipeline.CorpusReport
@@ -33,45 +33,20 @@ import graft.pipeline.CorpusReport
  */
 object StreamingCard {
 
-  private def currentPtr(stateDir: String) =
-    new java.io.File(stateDir, "CURRENT")
-
   /** Resolve the current state version dir, if any. */
-  def currentVersion(stateDir: String): Option[String] = {
-    val f = currentPtr(stateDir)
-    if (f.exists()) Some(java.nio.file.Files.readString(f.toPath).trim)
-    else None
-  }
+  def currentVersion(stateDir: String): Option[String] =
+    VersionedStateFold.currentVersion(stateDir)
 
   /** Read the current state (empty-schema None when never written). */
   def readState(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    currentVersion(stateDir).map(v =>
-      spark.read.parquet(s"$stateDir/$v"))
+    VersionedStateFold.readState(spark, stateDir)
 
-  /** Fold one batch into the state: state' = merge(state, state(batch)),
-    * written as version `v<batchId>`, then CURRENT repointed (tmp file +
-    * atomic rename). A replayed batchId overwrites its own version and
-    * repoints to the identical content — convergent, not additive. */
-  def updateState(batch: DataFrame, stateDir: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val delta = CorpusReport.statsState(batch)
-    val merged = readState(spark, stateDir) match {
-      case Some(_) if currentVersion(stateDir).get == s"v$batchId" =>
-        // CURRENT already points at this batch's version: the batch
-        // committed before the crash — replay is a no-op (merging again
-        // would double-count the batch)
-        return
-      case Some(prev) => CorpusReport.mergeStatsState(prev, delta)
-      case None => delta
-    }
-    merged.coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(s"$stateDir/v$batchId")
-    val tmp = new java.io.File(stateDir, s".CURRENT.tmp$batchId")
-    java.nio.file.Files.writeString(tmp.toPath, s"v$batchId")
-    java.nio.file.Files.move(tmp.toPath, currentPtr(stateDir).toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
+  /** Fold one batch into the state (see [[VersionedStateFold.update]]:
+    * versioned write + atomic CURRENT repoint; committed-batch replay
+    * is a no-op). */
+  def updateState(batch: DataFrame, stateDir: String, batchId: Long): Unit =
+    VersionedStateFold.update(batch, stateDir, batchId,
+      CorpusReport.statsState(_), CorpusReport.mergeStatsState)
 
   /** The maintained card right now (None before the first batch). */
   def currentCard(spark: SparkSession, stateDir: String): Option[DataFrame] =
@@ -79,13 +54,7 @@ object StreamingCard {
 
   /** Continuous maintenance over a document stream. */
   def run(docs: DataFrame, stateDir: String,
-      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery = {
-    new java.io.File(stateDir).mkdirs()
-    docs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        updateState(batch, stateDir, batchId)
-      }
-      .trigger(trigger)
-      .start()
-  }
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    VersionedStateFold.run(docs, stateDir,
+      CorpusReport.statsState(_), CorpusReport.mergeStatsState, trigger)
 }
