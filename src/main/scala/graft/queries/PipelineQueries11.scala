@@ -6,22 +6,25 @@ import graft.pipeline.{CorpusReport, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
- * Round-10 continuation batch: lexical-diversity and collocation
- * statistics plus a robust length-outlier screen.
+ * Round-10 continuation batch — the lexical-statistics, selection, and
+ * embedding-geometry surface:
  *
- *  - `t_token_entropy` — per-document Shannon entropy of the token
- *    distribution (bits) + type-token ratio; the global-distributional
- *    twin of the Gopher contiguous-repetition fractions.
- *  - `t_pmi_collocations` — top-k adjacent-pair collocations by PMI with
- *    a min-count guard; the multi-word-expression lexicon.
- *  - `report_quality_outliers` — per-language median/MAD token-count
- *    fences and outlier counts; the robust screen run before hard length
- *    cutoffs.
+ *  - lexical stats: `t_token_entropy` (+ the windowed
+ *    `st_entropy_monitor`), `t_pmi_collocations`, `t_burstiness`,
+ *    `t_source_kl`, `t_langid_confusion`, `report_vocab_coverage`;
+ *  - robust screens: `report_quality_outliers` (median/MAD fences),
+ *    `report_length_drift` (exact two-sample KS), `samp_info_gain`
+ *    (context-gain selection), and the composed `pipe_lexical_screen`;
+ *  - embedding geometry: `report_embedding_pca` / `report_embedding_abtt`
+ *    (recursive-CTE power-iteration replay) and
+ *    `report_pca_incremental` (merge-vs-one-shot additivity).
  *
- * All three follow the repo's float discipline: any cross-row float sum
- * is quantized to integer micro-units first; medians interpolate
- * integers (exact binary fractions); PMI/entropy doubles are derived per
- * row from integer counts so Spark and DuckDB agree bit-for-bit.
+ * All follow the repo's float discipline: cross-row float sums are
+ * quantized to integer micro-units first (or taken as exact-integer /
+ * same-IEEE-op DOUBLE forms); medians interpolate integers; per-row
+ * doubles derive from integer counts — so Spark and DuckDB agree
+ * bit-for-bit, and shared CTE fragments (tokCte/entTail/igTail/pcaCtes)
+ * keep each numeric path single-sourced across its queries.
  */
 object PipelineQueries11 {
 
