@@ -440,4 +440,118 @@ object CorpusReport {
         round((col("n_low") + col("n_high")).cast("double") /
           col("n_docs").cast("double"), 6).as("outlier_frac"))
   }
+
+  /**
+   * Vocabulary-growth (Heaps'-law) curve: vocabulary size after the
+   * first `c` tokens of the corpus stream (documents in `doc_id` order,
+   * tokens in document order), sampled at 20 evenly spaced checkpoints
+   * `c_j = ⌊j·N/20⌋`. A curve that keeps climbing near-linearly means
+   * the corpus keeps contributing novel types (healthy diversity); an
+   * early plateau is the signature of template/boilerplate floods.
+   *
+   * The corpus-stream position is exact WITHOUT a single-partition
+   * window: per-document offsets come from
+   * [[graft.operators.GlobalRank.withRunningTotal]] (range shuffle over
+   * the doc-count-sized frame + one Long per partition on the driver),
+   * token positions are offset + in-document ordinal, and the
+   * first-occurrence position per type is a word-count-shaped min. The
+   * checkpoint rollup broadcasts the 20-row checkpoint table against
+   * the vocab-sized first-occurrence frame; partial aggregation
+   * collapses it to ≤ 20 rows per task before the only small shuffle.
+   */
+  def heapsCurve(docs: DataFrame, checkpoints: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(checkpoints > 0, s"checkpoints must be positive: $checkpoints")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("toks"))
+    val counts = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"))
+    val offs = graft.operators.GlobalRank
+      .withRunningTotal(counts, Seq(col("doc_id")), "n_tok", "cum_tok")
+      .select(col("doc_id"), (col("cum_tok") - col("n_tok")).as("doc_off"))
+    val firstPos = toks.join(offs, "doc_id")
+      .select(posexplode(col("toks")).as(Seq("i", "tok")), col("doc_off"))
+      .select(col("tok"), (col("doc_off") + col("i") + 1L).as("pos"))
+      .groupBy("tok").agg(min(col("pos")).as("first_pos"))
+    val total = counts.agg(sum(col("n_tok"))).head().getLong(0)
+    val cps = (1 to checkpoints).map(j => j.toLong * total / checkpoints)
+      .filter(_ > 0).distinct
+    import spark.implicits._
+    val cpDf = cps.toDF("checkpoint_tokens")
+    firstPos.join(broadcast(cpDf),
+        col("first_pos") <= col("checkpoint_tokens"))
+      .groupBy("checkpoint_tokens")
+      .agg(count(lit(1)).as("vocab"))
+  }
+
+  /**
+   * Token-weighted duplication cost per source: how many documents and
+   * tokens exact dedup ([[Dedup.exact]]'s fingerprint, min-id keeper)
+   * would remove from each source. The document-count dup rate
+   * understates the cost when duplicated documents are long — the token
+   * fraction here is the number that moves a storage/compute budget.
+   *
+   * Scale shape: one fingerprint-keyed aggregate (the exact-dedup
+   * shuffle, map-side combined) + one fingerprint-keyed join back +
+   * one source-keyed rollup. No new cost class over exact dedup itself.
+   */
+  def dupInflation(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+      TextAnalysis.fingerprint(col(textCol)).as("fingerprint"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tok"))
+    val keepers = fp.groupBy("fingerprint")
+      .agg(min(col("doc_id")).as("keep_doc_id"))
+    fp.join(keepers, "fingerprint")
+      .withColumn("is_dup",
+        (col("doc_id") =!= col("keep_doc_id")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("is_dup") * col("n_tok")).as("n_dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("n_tokens"), col("n_dup_tokens"),
+        round(col("n_dup_tokens").cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_token_frac"))
+  }
+
+  /**
+   * Cross-source leakage in near-dup clusters: per source, how many of
+   * its documents sit in a content cluster that spans MORE THAN ONE
+   * source. High leakage means per-source dedup (the cheap, common
+   * setup) would silently keep cross-source copies — the report that
+   * justifies paying for global dedup. `clusters` is any certified
+   * `(doc_id, cluster_id)` labeling (e.g.
+   * [[Dedup.connectedComponents]] over [[Dedup.simhashPairs]]);
+   * unlabeled documents count as singletons of their own id.
+   *
+   * Scale shape: all frames after the left join are pair-graph- or
+   * cluster-sized; the corpus contributes one doc-keyed join and one
+   * source-keyed rollup.
+   */
+  def clusterPurity(docs: DataFrame, clusters: DataFrame,
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val mem = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(clusters.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val span = mem.groupBy("cluster_id")
+      .agg(countDistinct(col("source")).as("n_sources"))
+    mem.join(span, "cluster_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_sources") > 1, 1L).otherwise(0L))
+          .as("n_cross_docs"),
+        countDistinct(when(col("n_sources") > 1, col("cluster_id")))
+          .as("n_cross_clusters"))
+      .select(col("source"), col("n_docs"), col("n_cross_docs"),
+        col("n_cross_clusters"),
+        round(col("n_cross_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("cross_frac"))
+  }
 }

@@ -724,4 +724,45 @@ object Sampling {
       .withColumn("kept_frac",
         round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
   }
+
+  /**
+   * Reciprocal-rank-fusion selection (Cormack et al. 2009): rank the
+   * corpus independently under two quality signals — the heuristic
+   * quality score ([[TextAnalysis.withQuality]], higher = better) and
+   * the unigram-LM negative log-likelihood ([[TextAnalysis.unigramNll]],
+   * lower = more fluent) — and keep the `n` documents with the best
+   * fused score `Σ 1/(k0 + rank)`. RRF needs no score calibration
+   * between the signals, which is why it is the standard way to combine
+   * a classifier with a perplexity filter.
+   *
+   * Exact GLOBAL ranks at scale: both rankings go through
+   * [[graft.operators.GlobalRank.withGlobalRank]] (range shuffle + a
+   * per-partition-count zip), never a single-partition window. The
+   * final top-n is a TakeOrdered (per-partition heaps), not a global
+   * sort. Cross-engine float story: each rank's RRF term is quantized
+   * to integer nanos (`round(1e9/(k0+r))`) before the sum, so the
+   * selection threshold is integer-exact in both engines.
+   */
+  def rrfFusionSelect(docs: DataFrame, n: Int = 100, k0: Int = 60): DataFrame = {
+    require(n > 0 && k0 > 0, s"need n > 0, k0 > 0; got $n, $k0")
+    val q = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val fluency = TextAnalysis.unigramNll(docs)
+      .select(col("doc_id"), col("mean_nll"))
+    val rq = graft.operators.GlobalRank
+      .withGlobalRank(q, Seq(col("quality_score").desc, col("doc_id")),
+        "r_quality")
+      .select("doc_id", "r_quality")
+    val rn = graft.operators.GlobalRank
+      .withGlobalRank(fluency, Seq(col("mean_nll").asc, col("doc_id")),
+        "r_nll")
+      .select("doc_id", "r_nll")
+    rq.join(rn, "doc_id")
+      .withColumn("rrf_nano",
+        (round(lit(1e9) / (lit(k0) + col("r_quality"))) +
+          round(lit(1e9) / (lit(k0) + col("r_nll")))).cast("long"))
+      .withColumn("rrf", round(col("rrf_nano").cast("double") / 1e9, 6))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+      .limit(n)
+  }
 }

@@ -458,4 +458,52 @@ object Semantic {
           zip_with(col("cv"), uLit, (x, u) => x - col("pc1_coord") * u))), 6)
           .as("norm_after"))
   }
+
+  /**
+   * Centroid (simplified/medoid-free) silhouette per cluster — the
+   * standard internal clustering diagnostic at corpus scale, where the
+   * O(n²) pairwise silhouette is off the table: per vector,
+   * `a` = distance to its own centroid, `b` = distance to the nearest
+   * OTHER centroid, `s = (b − a) / max(a, b)` (0 when both distances
+   * are 0). Per cluster: member count, mean silhouette, and how many
+   * members sit closer to a foreign centroid (`s < 0` — the
+   * mis-clustered). Low mean silhouette tells you k is wrong before
+   * you spend a SemDeDup pass on bad clusters.
+   *
+   * Scale shape: centroids ride along as k×dim literals (driver-held,
+   * same as [[assignTo]]), so the whole report is ONE corpus scan plus
+   * a k-row rollup — no join, no extra shuffle. Float discipline:
+   * both squared distances are quantized to the 1e-6 grid BEFORE the
+   * sqrt/division (so `a`/`b` agree bit-for-bit with the oracle's
+   * fold), and per-row silhouettes are quantized to integer micros
+   * before the cross-row mean.
+   */
+  def silhouetteReport(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = kmeansCentroids(emb, k, iters, idCol, vecCol)
+    val e = emb.select(col(idCol).as("vec_id"),
+      asDouble(col(vecCol)).as("v"))
+    val best = nearest(col("v"), centroids)
+    val aSq = round(best.getField("d"), 6)
+    val assigned = best.getField("cid")
+    // nearest foreign centroid on the SAME rounded grid as `a`
+    val bSq = least(centroids.map { case (cid, c) =>
+      when(assigned === cid, lit(null).cast("double"))
+        .otherwise(round(sqDist(col("v"), c), 6))
+    }: _*)
+    val a = sqrt(aSq)
+    val b = sqrt(bSq)
+    val s = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    e.select(assigned.as("cluster_id"),
+        round(s * 1e6).cast("long").as("s_micro"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s_micro")).as("sm"),
+        sum(when(col("s_micro") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("cluster_id"), col("n_members"),
+        round(col("sm").cast("double") /
+          (col("n_members").cast("double") * 1e6), 6).as("avg_silhouette"),
+        col("n_negative"))
+  }
 }

@@ -1556,4 +1556,44 @@ object TextAnalysis {
         col("cxy"), col("c_left"), col("c_right"),
         round(col("pmi_micro").cast("double") / 1e6, 6).as("pmi"))
   }
+
+  /**
+   * OCR/mojibake garbage screen — the character-class heuristics every
+   * web/scan pipeline runs before the statistical filters (they catch
+   * what an LM score can't: binary-as-text, encoding wrecks, OCR noise):
+   *
+   *  - `longtok_frac`: tokens longer than 20 chars (URLs-as-prose,
+   *    un-segmented OCR runs);
+   *  - `consrun_frac`: tokens containing ≥ 5 consecutive ASCII
+   *    consonants (mojibake / keyboard mash — legitimate English has
+   *    almost none);
+   *  - `sym_frac`: characters that are not `[a-z0-9]`, whitespace
+   *    (lowered) — high means markup bleed or binary contamination;
+   *  - `is_garbage`: any of the three past its trip point
+   *    (`sym > 0.2 ∨ consrun > 0.1 ∨ longtok > 0.05`).
+   *
+   * Pure per-row column expressions (integer counts → single rounded
+   * divisions, the [[withQuality]] float discipline): evaluates at scan
+   * speed inside whole-stage codegen, no shuffle, filter-pushdown
+   * friendly when used as a gate.
+   */
+  def withGarbageScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nLong = size(filter(toks, x => length(x) > 20))
+    val nCons = size(filter(toks,
+      x => x.rlike("[bcdfghjklmnpqrstvwxyz]{5,}")))
+    val nSym = length(regexp_replace(lower(t), "[a-z0-9\\s]", ""))
+    val nChars = length(t)
+    val longF = round(nLong.cast("double") / nTok.cast("double"), 6)
+    val consF = round(nCons.cast("double") / nTok.cast("double"), 6)
+    val symF = round(nSym.cast("double") / nChars.cast("double"), 6)
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("longtok_frac", longF)
+      .withColumn("consrun_frac", consF)
+      .withColumn("sym_frac", symF)
+      .withColumn("is_garbage",
+        symF > 0.2 || consF > 0.1 || longF > 0.05)
+  }
 }

@@ -22,7 +22,7 @@ object PipelineQueries3 {
   import PipelineQueries.withC
   import PipelineQueries2.duckHash32
 
-  private val kmK = 8
+  private[queries] val kmK = 8
   private val dedupTau = 0.3
   private val tempAlpha = 0.5
   private val tempBudget = 20000L
@@ -33,7 +33,7 @@ object PipelineQueries3 {
 
   /** Sequential-fold squared L2 between `a.v` and `b.v` (index order —
     * the DuckDB twin of [[Semantic]]'s `zip_with` fold). */
-  private def duckSqDist(a: String, b: String): String =
+  private[queries] def duckSqDist(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a.v)), j -> ($a.v[j]-$b.v[j])*($a.v[j]-$b.v[j])))"
 
   /** Assignment CTE: nearest centroid in `cN` per vector (tie → lower
@@ -59,7 +59,7 @@ object PipelineQueries3 {
 
   /** e → c0 → a1 → c1 → a2 → c2 → af: two Lloyd's iterations from the
     * lowest-id init, then the final assignment. */
-  private val kmeansCtes =
+  private[queries] val kmeansCtes =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{CorpusReport, Sampling, Semantic, TextAnalysis}
+
+/** Round-10 batch-3 diagnostics: RRF fusion, Heaps curve, dup
+  * inflation, cluster purity, the garbage screen, and the centroid
+  * silhouette. */
+class CurationDiagnosticsSpec extends TestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+
+  test("rrfFusionSelect equals the window-rank twin and orders by fused rank") {
+    val df = docs((1L to 40L).map(i =>
+      (i, s"the of and token${i} " + ("x " * (i % 7).toInt), "s")): _*)
+    val got = Sampling.rrfFusionSelect(df, n = 10)
+    val q = TextAnalysis.withQuality(df).select(col("doc_id"), col("quality_score"))
+    val nll = TextAnalysis.unigramNll(df).select(col("doc_id"), col("mean_nll"))
+    val want = q.join(nll, "doc_id")
+      .withColumn("r_quality", row_number().over(
+        Window.orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .withColumn("r_nll", row_number().over(
+        Window.orderBy(col("mean_nll").asc, col("doc_id"))).cast("long"))
+      .withColumn("rrf_nano",
+        (round(lit(1e9) / (lit(60) + col("r_quality"))) +
+          round(lit(1e9) / (lit(60) + col("r_nll")))).cast("long"))
+      .orderBy(col("rrf_nano").desc, col("doc_id")).limit(10)
+      .select("doc_id", "r_quality", "r_nll", "rrf_nano")
+    assert(got.select("doc_id", "r_quality", "r_nll", "rrf_nano")
+      .collect().toSet === want.collect().toSet)
+    assert(got.count() === 10)
+  }
+
+  test("heapsCurve: monotone, ends at the full vocabulary, exact positions") {
+    val df = docs(
+      (1L, "a b c", "s"), (2L, "a b d e", "s"), (3L, "f f f", "s"),
+      (4L, "g h a b", "s"))
+    val got = CorpusReport.heapsCurve(df, checkpoints = 7)
+      .orderBy("checkpoint_tokens")
+      .as[(Long, Long)].collect()
+    val total = 3 + 4 + 3 + 4
+    assert(got.map(_._1) ===
+      (1 to 7).map(j => j.toLong * total / 7).distinct.filter(_ > 0).toArray)
+    // vocab is non-decreasing and ends at the distinct-token count (8)
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.toSeq)
+    assert(got.last._2 === 8L)
+    // first checkpoint at 2 tokens has seen exactly {a, b}
+    assert(got.head._1 === 2L && got.head._2 === 2L)
+  }
+
+  test("dupInflation weighs duplicate cost by tokens, per source") {
+    val df = docs(
+      (1L, "x y z w", "web"), (2L, "x y z w", "web"), // dup of 1 (4 tok)
+      (3L, "q r", "web"),
+      (4L, "x  y z W".toLowerCase, "books")) // normalizes to doc 1's text
+    val out = CorpusReport.dupInflation(df)
+      .orderBy("source")
+      .select("source", "n_docs", "n_dup_docs", "n_tokens", "n_dup_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("books", 1L, 1L, 4L, 4L), // doc 4 loses to doc 1 across sources
+      ("web", 3L, 1L, 10L, 4L)))
+  }
+
+  test("clusterPurity flags only clusters spanning several sources") {
+    val d = docs((1L, "t", "a"), (2L, "t", "a"), (3L, "t", "b"),
+      (4L, "t", "b"), (5L, "t", "c"))
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("doc_id", "cluster_id") // {1,2,3} cross; {4} solo; 5 singleton
+    val out = CorpusReport.clusterPurity(d, clusters).orderBy("source")
+      .select("source", "n_docs", "n_cross_docs", "n_cross_clusters")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("a", 2L, 2L, 1L), ("b", 2L, 1L, 1L), ("c", 1L, 0L, 0L)))
+  }
+
+  test("withGarbageScore trips on symbol soup, consonant mash, and run-ons") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "@@@@ #### $$$$ %%%% ^^^^ &&&&"),
+      (3L, "zxcvbnmqwrtp zxcvbnmqwrtp normal words here"),
+      (4L, "supercalifragilisticexpialidocious" * 3)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.withGarbageScore(df)
+      .select("doc_id", "is_garbage").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) === false)
+    assert(out(2L) === true) // sym_frac ≈ 0.69
+    assert(out(3L) === true) // 2/5 tokens have 5+ consonant runs
+    assert(out(4L) === true) // one 102-char token
+  }
+
+  test("silhouetteReport: separated clusters score high, members add up") {
+    // two tight blobs far apart -> silhouette ≈ 1, nothing negative
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 100.0f
+      (i.toLong, Seq(base + (i / 2) * 0.01f, base))
+    }.toDF("vec_id", "embedding")
+    val out = Semantic.silhouetteReport(vecs, k = 2, iters = 2)
+      .select("cluster_id", "n_members", "avg_silhouette", "n_negative")
+      .as[(Int, Long, Double, Long)].collect()
+    assert(out.map(_._2).sum === 20L)
+    assert(out.forall(_._3 > 0.9))
+    assert(out.forall(_._4 === 0L))
+  }
+}

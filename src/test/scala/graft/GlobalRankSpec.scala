@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.GlobalRank
+
+class GlobalRankSpec extends TestBase {
+  import spark.implicits._
+
+  private def sampleDf(n: Int) = {
+    // deliberately skewed scores (many ties) + unique id tie-break
+    (0 until n).map(i => (i.toLong, (i * 7919) % 13, (i % 5 + 1).toLong))
+      .toDF("id", "score", "w")
+      .repartition(7) // multi-partition input, arbitrary placement
+  }
+
+  test("withGlobalRank equals the single-partition window twin") {
+    val df = sampleDf(500)
+    val order = Seq(col("score").desc, col("id"))
+    val got = GlobalRank.withGlobalRank(df, order, partitions = 6)
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("global_rank",
+        row_number().over(Window.orderBy(order: _*)).cast("long"))
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
+
+  test("withGlobalRank is dense, 1-based, and deterministic across runs") {
+    val df = sampleDf(300)
+    val order = Seq(col("score"), col("id").desc)
+    val a = GlobalRank.withGlobalRank(df, order, partitions = 5)
+      .select("id", "global_rank").as[(Long, Long)].collect().sorted
+    val b = GlobalRank.withGlobalRank(df, order, partitions = 11)
+      .select("id", "global_rank").as[(Long, Long)].collect().sorted
+    assert(a === b) // partition count must not change the ranks
+    val ranks = a.map(_._2).sorted
+    assert(ranks === (1L to 300L).toArray)
+  }
+
+  test("withRunningTotal equals the window prefix sum, inclusive") {
+    val df = sampleDf(400)
+    val order = Seq(col("id"))
+    val got = GlobalRank.withRunningTotal(df, order, "w", partitions = 6)
+      .select("id", "running_total").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("running_total",
+        sum(col("w")).over(Window.orderBy(col("id"))))
+      .select("id", "running_total").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    // exclusive prefix of the first row in id order is 0
+    val first = df.orderBy("id").select("id", "w").as[(Long, Long)].head()
+    assert(got(first._1) === first._2)
+  }
+
+  test("withRunningTotal treats null values as zero and rejects non-numerics") {
+    val df = Seq((1L, Some(2L)), (2L, None), (3L, Some(5L)))
+      .toDF("id", "w").repartition(3)
+    val got = GlobalRank.withRunningTotal(df, Seq(col("id")), "w")
+      .select("id", "running_total").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 7L))
+    val bad = Seq((1L, "x")).toDF("id", "w")
+    val ex = intercept[org.apache.spark.SparkException] {
+      GlobalRank.withRunningTotal(bad, Seq(col("id")), "w").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("no single-partition exchange: the plan range-shuffles instead") {
+    val df = sampleDf(100)
+    val ranked = GlobalRank.withGlobalRank(df, Seq(col("score"), col("id")),
+      partitions = 4)
+    // The ranked frame is built from an RDD zip over a range shuffle; a
+    // window twin would show Exchange SinglePartition in its plan.
+    val windowPlan = df.withColumn("r",
+        row_number().over(Window.orderBy(col("score"), col("id"))))
+      .queryExecution.executedPlan.toString
+    assert(windowPlan.contains("SinglePartition"))
+    assert(ranked.rdd.getNumPartitions === 4)
+  }
+}
