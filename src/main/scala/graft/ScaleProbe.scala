@@ -380,6 +380,15 @@ object ScaleProbe {
       TextAnalysis.hashedVectors(d, dim = 32, salt = "pcaprobe"), iters = 8))
     run("token_entropy")(d => TextAnalysis.tokenEntropy(d))
     run("vocab_coverage")(d => graft.pipeline.CorpusReport.vocabCoverage(d))
+    // round-10 batch 3: global-order primitives + diagnostics
+    run("heaps_curve")(d => graft.pipeline.CorpusReport.heapsCurve(d))
+    run("rrf_fusion")(d => graft.pipeline.Sampling.rrfFusionSelect(d))
+    run("dup_inflation")(d => graft.pipeline.CorpusReport.dupInflation(d))
+    run("cluster_purity")(d => graft.pipeline.CorpusReport.clusterPurity(
+      d, Dedup.connectedComponents(Dedup.simhashPairs(d))))
+    run("silhouette")(d => graft.pipeline.Semantic.silhouetteReport(
+      TextAnalysis.hashedVectors(d, dim = 32, salt = "silprobe"),
+      k = 8, iters = 2))
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))
