@@ -519,6 +519,35 @@ object CorpusReport {
   }
 
   /**
+   * Per-source PII exposure profile: document counts, per-type match
+   * totals (email / IPv4 / phone, the [[TextAnalysis.redactPii]]
+   * patterns — one source of truth for detection AND redaction), and
+   * the fraction of documents carrying any PII. The release-review
+   * rollup read before deciding where redaction must run.
+   *
+   * Scale shape: regexp counts are per-row column math at scan speed;
+   * the only shuffle is the |sources|-row rollup (map-side combined).
+   */
+  def piiProfile(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(sourceCol).as("source"),
+        regexp_count(t, lit(TextAnalysis.emailRe)).cast("long").as("ne"),
+        regexp_count(t, lit(TextAnalysis.ipv4Re)).cast("long").as("ni"),
+        regexp_count(t, lit(TextAnalysis.phoneRe)).cast("long").as("np"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") + col("ni") + col("np") > 0, 1L).otherwise(0L))
+          .as("n_docs_with_pii"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("ni")).as("n_ips"),
+        sum(col("np")).as("n_phones"))
+      .withColumn("pii_doc_frac",
+        round(col("n_docs_with_pii").cast("double") /
+          col("n_docs").cast("double"), 6))
+  }
+
+  /**
    * Cross-source leakage in near-dup clusters: per source, how many of
    * its documents sit in a content cluster that spans MORE THAN ONE
    * source. High leakage means per-source dedup (the cheap, common

@@ -40,7 +40,7 @@ object Dedup {
   private val internalCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  private def persistInternal(key0: String, df: DataFrame): DataFrame = {
+  private[pipeline] def persistInternal(key0: String, df: DataFrame): DataFrame = {
     // key includes the session so two sessions in one JVM never evict
     // each other's caches
     val key = s"${System.identityHashCode(df.sparkSession)}-$key0"
@@ -756,11 +756,20 @@ object Dedup {
    */
   def simhash(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      nBits: Int = 16): DataFrame = {
+      nBits: Int = 16): DataFrame =
+    simhashFromFeatures(
+      docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok")),
+      nBits)
+
+  /** The feature-generic SimHash core behind [[simhash]] (token
+    * features) and [[Multimodal.phash]] (byte-shingle features): `feats`
+    * is an exploded `(doc_id, tok)` frame, distinct per doc. */
+  private[pipeline] def simhashFromFeatures(feats: DataFrame,
+      nBits: Int): DataFrame = {
     require(nBits % 4 == 0 && nBits <= 48, "nBits must be a multiple of 4, <= 48")
     val digits = nBits / 4
-    val toks = docs.select(col(idCol).as("doc_id"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val toks = feats
     // v = int value of the first nBits/4 hex digits of md5(tok), digit-by-
     // digit so the DuckDB mirror (strpos-based) is byte-identical.
     val vExpr = (0 until digits).map { i =>
@@ -792,12 +801,21 @@ object Dedup {
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
     // persist: the signature agg otherwise recomputes in every band branch
     // on both join sides (8x); the cache is (doc_id, long) — tiny, and
     // registered so repeat calls hold at most one entry.
-    val sh = persistInternal("simhash_sig",
-      simhash(docs, idCol, textCol, nBits = 32))
+    simhashPairsFromSigs(
+      persistInternal("simhash_sig", simhash(docs, idCol, textCol, nBits = 32)),
+      maxHamming)
+  }
+
+  /** The banded-candidate half of [[simhashPairs]], generic over where
+    * the 32-bit signature came from (token SimHash or [[Multimodal
+    * .phash]]'s byte shingles). `sh` is `(doc_id, simhash)`, persisted
+    * by the caller. */
+  private[pipeline] def simhashPairsFromSigs(sh: DataFrame,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < 4, "4 bands guarantee recall only for hamming <= 3")
     // all 4 bands from ONE pass over the persisted signatures (posexplode)
     // — a 4-branch union costs 4 scans and 4x the codegen stages
     val bands = sh.select(col("doc_id"), col("simhash"), posexplode(array(

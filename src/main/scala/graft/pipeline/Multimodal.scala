@@ -257,4 +257,47 @@ object Multimodal {
       .withColumn("frame_hash",
         md5(concat(col("doc_id").cast("string"), lit(":"),
           col("frame_idx").cast("string"))))
+
+  /**
+   * Perceptual-hash-style signature over the binary media column: a
+   * 32-bit SimHash over the payload's distinct 4-byte shingles (stride
+   * 1), sharing [[Dedup]]'s vote core. Near-identical payloads —
+   * re-encodes with small deltas, trailing-metadata variants — land at
+   * small hamming distance, which is the property a REAL perceptual
+   * hash (pHash DCT over decoded pixels) provides for images; with no
+   * media codecs in this environment the byte-shingle form is the
+   * deterministic stand-in (the [[StubDecoder]] discipline), and a real
+   * decoder would swap in at the feature-extraction step only — the
+   * signature, banding, and verify plumbing are the production shape.
+   *
+   * Payloads shorter than 4 bytes have no shingles and drop out (no
+   * signature — mirrored by the oracle's empty generate_series).
+   */
+  def phash(media: DataFrame, idCol: String = "doc_id",
+      bytesCol: String = "media_bytes"): DataFrame = {
+    val nBytes = octet_length(col(bytesCol))
+    Dedup.simhashFromFeatures(
+      media.select(col(idCol).as("doc_id"),
+          hex(col(bytesCol)).as("hx"), nBytes.as("nb"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            when(col("nb") >= 4,
+              transform(sequence(lit(0), col("nb") - 4),
+                i => col("hx").substr(i * 2 + 1, lit(8))))
+              .otherwise(array().cast("array<string>")))).as("tok")),
+      nBits = 32)
+      .withColumnRenamed("simhash", "phash")
+  }
+
+  /** Near-dup media pairs: [[phash]] signatures through the same
+    * pigeonhole-lossless 4×8-bit band join + hamming-≤3 verify as text
+    * SimHash — shuffle volume O(n·bands), never a cross join. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id",
+      bytesCol: String = "media_bytes"): DataFrame =
+    Dedup.simhashPairsFromSigs(
+      Dedup.persistInternal("phash_sig",
+        phash(media, idCol, bytesCol)
+          .withColumnRenamed("phash", "simhash")),
+      maxHamming)
 }

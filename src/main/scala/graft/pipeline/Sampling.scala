@@ -743,6 +743,34 @@ object Sampling {
    * to integer nanos (`round(1e9/(k0+r))`) before the sum, so the
    * selection threshold is integer-exact in both engines.
    */
+  /**
+   * Exact global-percentile quality gate: keep the top `p` FRACTION of
+   * the corpus by quality score — the budget form of selection when the
+   * budget is relative ("best 20%") rather than absolute (use
+   * TakeOrdered top-n for that). Hash-rate sampling can't express this
+   * (it keeps a random p, not the best p); an exact quantile cut needs
+   * the true rank, which [[graft.operators.GlobalRank]] provides
+   * without a single-partition window. The count and the ceil'd cutoff
+   * are exact integers, so the kept SET is deterministic and
+   * engine-identical (quality ties broken by doc_id inside the rank).
+   *
+   * Scale shape: one counting aggregate + one GlobalRank job (range
+   * shuffle, one Long per partition on the driver) + a scan filter.
+   */
+  def percentileGate(docs: DataFrame, p: Double = 0.2): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1], got $p")
+    val q = TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val n = q.count()
+    val cutoff = math.ceil(p * n).toLong
+    graft.operators.GlobalRank
+      .withGlobalRank(q, Seq(col("quality_score").desc, col("doc_id")),
+        "q_rank")
+      .filter(col("q_rank") <= cutoff)
+      .select(col("doc_id"), col("quality_score"), col("q_rank"),
+        round(col("q_rank").cast("double") / n.toDouble, 6).as("pct_rank"))
+  }
+
   def rrfFusionSelect(docs: DataFrame, n: Int = 100, k0: Int = 60): DataFrame = {
     require(n > 0 && k0 > 0, s"need n > 0, k0 > 0; got $n, $k0")
     val q = TextAnalysis.withQuality(docs)

@@ -140,7 +140,7 @@ object PipelineQueries {
 
   /** 32-bit sim CTE for pairing resolution (one md5 hex digit per 4 bits,
     * BIGINT terms — top-digit products overflow INTEGER). */
-  private val simhash32V = (0 until 8).map { i =>
+  private[queries] val simhash32V = (0 until 8).map { i =>
     val mult = 1L << (4 * (7 - i))
     s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
   }.mkString("\n        + ")

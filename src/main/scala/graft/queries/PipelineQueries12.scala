@@ -33,6 +33,20 @@ object PipelineQueries12 {
 
   private val rrfK0 = 60
   private val rrfN = 100
+  private val gateP = 0.2
+  private val gmEpoch = 1700000000L // = st_quality_monitor's epoch
+  private val gmSpreadS = 7200L
+
+  // garbage-screen fragments (shared by t_ocr_garbage + st_garbage_monitor
+  // so the monitor certifies against the same per-doc flags)
+  private val symFracSql =
+    """round(CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)"""
+  private val consFracSql =
+    """round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[bcdfghjklmnpqrstvwxyz]{5,}'))) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)"""
+  private val longFracSql =
+    """round(CAST(len(list_filter(toks, x -> length(x) > 20)) AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6)"""
+  private val isGarbageSql =
+    s"($symFracSql > 0.2 OR $consFracSql > 0.1 OR $longFracSql > 0.05)"
 
   /** Quality-score CTE (the certified `t_quality_score` formula). */
   private val qualityCte =
@@ -156,29 +170,133 @@ object PipelineQueries12 {
 
     QueryDef("t_ocr_garbage",
       withC(tokDocs)(
-        """SELECT doc_id,
-          |  CAST(len(toks) AS BIGINT) AS n_tokens,
-          |  round(CAST(len(list_filter(toks, x -> length(x) > 20)) AS DOUBLE)
-          |    / CAST(len(toks) AS DOUBLE), 6) AS longtok_frac,
-          |  round(CAST(len(list_filter(toks, x ->
-          |      regexp_matches(x, '[bcdfghjklmnpqrstvwxyz]{5,}'))) AS DOUBLE)
-          |    / CAST(len(toks) AS DOUBLE), 6) AS consrun_frac,
-          |  round(CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '',
-          |      'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6)
-          |    AS sym_frac,
-          |  (round(CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '',
-          |      'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) > 0.2
-          |   OR round(CAST(len(list_filter(toks, x ->
-          |        regexp_matches(x, '[bcdfghjklmnpqrstvwxyz]{5,}')))
-          |      AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) > 0.1
-          |   OR round(CAST(len(list_filter(toks, x -> length(x) > 20))
-          |      AS DOUBLE) / CAST(len(toks) AS DOUBLE), 6) > 0.05)
-          |    AS is_garbage
-          |FROM tok_docs""".stripMargin)) {
+        s"""SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  $longFracSql AS longtok_frac,
+           |  $consFracSql AS consrun_frac,
+           |  $symFracSql AS sym_frac,
+           |  $isGarbageSql AS is_garbage
+           |FROM tok_docs""".stripMargin)) {
       (s, dir) =>
         TextAnalysis.withGarbageScore(W.read(s, dir, "documents"))
           .select("doc_id", "n_tokens", "longtok_frac", "consrun_frac",
             "sym_frac", "is_garbage")
+    },
+
+    QueryDef("samp_percentile_gate",
+      withC(tokDocs + ",\n" + qualityCte + ",\n" +
+        """rq AS (
+          |  SELECT doc_id, quality_score, row_number() OVER (
+          |    ORDER BY quality_score DESC, doc_id) AS q_rank FROM q),
+          |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)""".stripMargin)(
+        s"""SELECT doc_id, quality_score, q_rank,
+           |  round(CAST(q_rank AS DOUBLE) / CAST(n AS DOUBLE), 6)
+           |    AS pct_rank
+           |FROM rq, nn
+           |WHERE q_rank <= CAST(ceil($gateP * n) AS BIGINT)""".stripMargin)) {
+      (s, dir) =>
+        Sampling.percentileGate(W.read(s, dir, "documents"), p = gateP)
+    },
+
+    QueryDef("report_pii_profile", {
+      val email = TextAnalysis.emailRe
+      val ip = TextAnalysis.ipv4Re
+      val phone = TextAnalysis.phoneRe
+      s"""WITH pi AS (
+         |  SELECT source,
+         |    CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS ne,
+         |    CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS ni,
+         |    CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS np
+         |  FROM (SELECT source, ${PipelineQueries2.duckInjected} AS t
+         |        FROM documents))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_with_pii,
+         |  CAST(sum(ne) AS BIGINT) AS n_emails,
+         |  CAST(sum(ni) AS BIGINT) AS n_ips,
+         |  CAST(sum(np) AS BIGINT) AS n_phones,
+         |  round(CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS pii_doc_frac
+         |FROM pi GROUP BY 1""".stripMargin
+    }) { (s, dir) =>
+      CorpusReport.piiProfile(
+        W.read(s, dir, "documents")
+          .select(col("source"), PipelineQueries2.sparkInjected.as("t")),
+        textCol = "t")
+    },
+
+    // the monitor certifies against the SAME per-doc flags as
+    // t_ocr_garbage (shared SQL fragments above); epoch-window keys and
+    // the synthesized ingest_ts follow the st_quality_monitor convention
+    QueryDef("st_garbage_monitor",
+      withC(tokDocs + ",\n" +
+        s"""gd AS (
+           |  SELECT 3600 * (($gmEpoch + (doc_id * 37) % $gmSpreadS)
+           |      // 3600) AS w_start_epoch,
+           |    $symFracSql AS sym_frac,
+           |    $isGarbageSql AS is_garbage
+           |  FROM tok_docs)""".stripMargin)(
+        """SELECT w_start_epoch,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN is_garbage THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_garbage,
+          |  round(CAST(sum(CASE WHEN is_garbage THEN 1 ELSE 0 END)
+          |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS garbage_frac,
+          |  round(CAST(sum(CAST(round(sym_frac * 1e6) AS BIGINT)) AS DOUBLE)
+          |    / (count(*) * 1e6), 6) AS avg_sym_frac
+          |FROM gd GROUP BY 1""".stripMargin)) {
+      (s, dir) =>
+        graft.streaming.QualityMonitor.garbageRollup(
+            W.read(s, dir, "documents").withColumn("ingest_ts",
+              timestamp_seconds(
+                lit(gmEpoch) + (col("doc_id") * 37) % gmSpreadS)))
+          .select(unix_timestamp(col("w_start")).as("w_start_epoch"),
+            col("n_docs"), col("n_garbage"), col("garbage_frac"),
+            col("avg_sym_frac"))
+    },
+
+    // pHash-style media near-dup: the oracle rebuilds the byte-shingle
+    // SimHash (hex 4-byte grams, stride 1) with the shared 32-bit vote
+    // replay, then the same pigeonhole band join + hamming verify as
+    // text SimHash — certifying the multimodal signature end-to-end.
+    QueryDef("mm_phash_dedup",
+      s"""WITH mg AS (
+         |  SELECT DISTINCT doc_id, md5(substr(hx, i * 2 + 1, 8)) AS h
+         |  FROM (
+         |    SELECT doc_id, hx, unnest(generate_series(0, nb - 4)) AS i
+         |    FROM (SELECT doc_id, hex(encode(text)) AS hx,
+         |            CAST(octet_length(encode(text)) AS BIGINT) AS nb
+         |          FROM documents))),
+         |ph AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)
+         |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+         |  FROM (
+         |    SELECT doc_id, b,
+         |      sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |    FROM (
+         |      SELECT doc_id,
+         |        ${PipelineQueries.simhash32V} AS v,
+         |        unnest(generate_series(0, 31)) AS b
+         |      FROM mg)
+         |    GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM (SELECT doc_id, simhash, b AS band_idx,
+         |          (simhash >> (b * 8)) & 255 AS band_val
+         |        FROM ph, (SELECT unnest(generate_series(0, 3)) AS b)) a
+         |  JOIN (SELECT doc_id, simhash, b AS band_idx,
+         |          (simhash >> (b * 8)) & 255 AS band_val
+         |        FROM ph, (SELECT unnest(generate_series(0, 3)) AS b)) b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |       AND a.doc_id < b.doc_id)
+         |WHERE hamming <= 3""".stripMargin) {
+      (s, dir) =>
+        graft.pipeline.Multimodal.phashPairs(
+          graft.pipeline.Multimodal.withMediaColumn(
+            W.read(s, dir, "documents")))
     },
 
     QueryDef("sem_silhouette",

@@ -71,14 +71,14 @@ object PipelineQueries2 {
     * every row even though the corpus itself is clean. */
   // single line: this gets interpolated into stripMargin'd oracle SQL,
   // where a line-leading `||` would lose its first pipe to the OUTER strip
-  private val duckInjected = Seq(
+  private[queries] val duckInjected = Seq(
     "text", "' contact user'", "CAST(doc_id AS VARCHAR)",
     "'@example.com or 555-'", "lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')",
     "'-'", "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')",
     "' ip 10.'", "CAST(doc_id % 256 AS VARCHAR)", "'.0.1'"
   ).mkString(" || ")
 
-  private def sparkInjected = concat(col("text"),
+  private[queries] def sparkInjected = concat(col("text"),
     lit(" contact user"), col("doc_id").cast("string"),
     lit("@example.com or 555-"),
     lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),

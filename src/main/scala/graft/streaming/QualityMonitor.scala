@@ -84,6 +84,32 @@ object QualityMonitor {
           .as("low_frac"))
   }
 
+  /** Per-window garbage-rate rollup over [[TextAnalysis
+    * .withGarbageScore]] — the live encoding-wreck detector (a crawler
+    * that starts emitting binary-as-text spikes `garbage_frac` within
+    * one window). The screen is pure scan-speed column math, so the
+    * stream pays only the window aggregate; the per-window mean symbol
+    * fraction sums integer micros of the per-doc rounded values (exact
+    * in any order, DuckDB-replayable). */
+  def garbageRollup(docs: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes", tsCol: String = "ingest_ts",
+      textCol: String = "text"): DataFrame = {
+    val src =
+      if (docs.isStreaming) docs.withWatermark(tsCol, lateness) else docs
+    TextAnalysis.withGarbageScore(src, textCol = textCol)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("is_garbage").cast("long")).as("n_garbage"),
+        sum(round(col("sym_frac") * 1e6).cast("long")).as("sym_micro"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n_docs"), col("n_garbage"),
+        round(col("n_garbage").cast("double") /
+          col("n_docs").cast("double"), 6).as("garbage_frac"),
+        round(col("sym_micro").cast("double") /
+          (col("n_docs").cast("double") * 1e6), 6).as("avg_sym_frac"))
+  }
+
   private def gated(docs: DataFrame, lateness: String, tsCol: String,
       idCol: String, textCol: String): DataFrame = {
     val src =

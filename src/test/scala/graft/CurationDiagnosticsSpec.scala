@@ -94,6 +94,56 @@ class CurationDiagnosticsSpec extends TestBase {
     assert(out(4L) === true) // one 102-char token
   }
 
+  test("percentileGate keeps exactly ceil(p*n) best-quality docs") {
+    val df = docs((1L to 37L).map(i =>
+      (i, "the of and words " + ("filler " * (i % 9).toInt), "s")): _*)
+    val kept = Sampling.percentileGate(df, p = 0.25)
+    assert(kept.count() === math.ceil(0.25 * 37).toLong)
+    // the kept set is the window twin's top segment
+    val want = TextAnalysis.withQuality(df)
+      .select(col("doc_id"), col("quality_score"))
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("quality_score").desc, col("doc_id"))))
+      .filter(col("r") <= math.ceil(0.25 * 37).toLong)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.select("doc_id").as[Long].collect().toSet === want)
+  }
+
+  test("piiProfile counts typed matches and flags carrier docs per source") {
+    val df = Seq(
+      ("web", "mail me at a@b.com or c@d.org"),
+      ("web", "clean text, nothing here"),
+      ("logs", "from 10.0.0.1 call 555-123-4567")
+    ).toDF("source", "text")
+    val out = CorpusReport.piiProfile(df).orderBy("source")
+      .select("source", "n_docs", "n_docs_with_pii", "n_emails", "n_ips",
+        "n_phones")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(out === Array(
+      ("logs", 1L, 1L, 0L, 1L, 1L),
+      ("web", 2L, 1L, 2L, 0L, 0L)))
+  }
+
+  test("phashPairs: identical payloads collide at hamming 0, byte deltas stay near") {
+    import graft.pipeline.Multimodal
+    val media = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (4L, "completely different payload with other bytes entirely xyzzy")
+    ).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.withMediaColumn(media))
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) === 0) // exact byte-equal => identical signature
+    assert(pairs.forall(_._3 <= 3)) // verify bound respected
+    assert(!m.contains((1L, 4L)) || m((1L, 4L)) <= 3)
+    // payloads under 4 bytes produce no signature and no pairs
+    val tiny = Seq((9L, "abc"), (10L, "abc")).toDF("doc_id", "text")
+    assert(Multimodal.phashPairs(Multimodal.withMediaColumn(tiny)).count() === 0)
+  }
+
   test("silhouetteReport: separated clusters score high, members add up") {
     // two tight blobs far apart -> silhouette ≈ 1, nothing negative
     val vecs = (0 until 20).map { i =>

@@ -125,6 +125,45 @@ class StreamingQualitySpec extends TestBase {
     } finally q.stop()
   }
 
+  test("garbage rollup: stream emission equals the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MonDoc]
+    val qName = s"gmon_${System.nanoTime()}"
+    val rollup = QualityMonitor.garbageRollup(input.toDF(),
+      windowLen = "1 minute", lateness = "30 seconds")
+    val q = rollup.writeStream.outputMode("append")
+      .format("memory").queryName(qName).start()
+    try {
+      val docs = Seq(
+        MonDoc(1, "@@@@ #### $$$$ %%%% ^^^^ &&&&", ts(0)), // symbol soup
+        MonDoc(2, goodText, ts(10)),
+        MonDoc(3, goodText, ts(30)))
+      input.addData(docs: _*)
+      input.addData(MonDoc(4, goodText, ts(170))) // flush w0
+      q.processAllAvailable()
+      val got = spark.table(qName)
+        .select(col("w_start").cast("long"), col("n_docs"),
+          col("n_garbage"), col("garbage_frac"))
+        .as[(Long, Long, Long, Double)].collect().toMap2
+      assert(got.contains(base - 20), s"got $got")
+      assert(got(base - 20)._1 == 3L && got(base - 20)._2 == 1L,
+        s"the symbol-soup doc must be the one garbage row: $got")
+      val batch = QualityMonitor.garbageRollup(
+          (docs :+ MonDoc(4, goodText, ts(170)))
+            .toDF("doc_id", "text", "ingest_ts"),
+          windowLen = "1 minute")
+        .select(col("w_start").cast("long"), col("n_docs"),
+          col("n_garbage"), col("garbage_frac"))
+        .as[(Long, Long, Long, Double)].collect().toMap2
+      got.foreach { case (k, v) =>
+        assert(batch(k) == v,
+          s"stream/batch diverge at $k: ${batch(k)} vs $v")
+      }
+    } finally q.stop()
+  }
+
   test("reason drill-down counts verdicts per window") {
     import spark.implicits._
     val docs = Seq(
