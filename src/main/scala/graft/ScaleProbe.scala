@@ -389,6 +389,10 @@ object ScaleProbe {
     run("silhouette")(d => graft.pipeline.Semantic.silhouetteReport(
       TextAnalysis.hashedVectors(d, dim = 32, salt = "silprobe"),
       k = 8, iters = 2))
+    run("phash_pairs")(d => graft.pipeline.Multimodal.phashPairs(
+      graft.pipeline.Multimodal.withMediaColumn(d)))
+    run("percentile_gate")(d =>
+      graft.pipeline.Sampling.percentileGate(d))
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))
