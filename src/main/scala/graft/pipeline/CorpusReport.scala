@@ -460,9 +460,23 @@ object CorpusReport {
    * collapses it to ≤ 20 rows per task before the only small shuffle.
    */
   def heapsCurve(docs: DataFrame, checkpoints: Int = 20,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(checkpoints > 0, s"checkpoints must be positive: $checkpoints")
-    val spark = docs.sparkSession
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    renderHeaps(vocabState(docs, idCol, textCol), checkpoints)
+
+  /**
+   * Mergeable vocabulary-growth state: `(tok, first_pos, n_total)` —
+   * each type's first corpus-stream position plus the stream length
+   * (carried as a constant column so the state is one self-contained
+   * frame, the [[statsState]] convention). [[mergeVocabState]] appends
+   * stream B after stream A by shifting B's positions by A's length and
+   * taking the per-type min — EXACTLY what a one-shot pass over A ++ B
+   * computes, so merge-vs-one-shot is a theorem (certified by
+   * `report_heaps_incremental` against the one-shot oracle). A daily
+   * ingest updates the curve from yesterday's vocab-sized state without
+   * re-scanning history.
+   */
+  def vocabState(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       TextAnalysis.tokens(col(textCol)).as("toks"))
     val counts = toks.select(col("doc_id"),
@@ -470,16 +484,40 @@ object CorpusReport {
     val offs = graft.operators.GlobalRank
       .withRunningTotal(counts, Seq(col("doc_id")), "n_tok", "cum_tok")
       .select(col("doc_id"), (col("cum_tok") - col("n_tok")).as("doc_off"))
-    val firstPos = toks.join(offs, "doc_id")
+    val total = counts.agg(coalesce(sum(col("n_tok")), lit(0L)))
+      .head().getLong(0)
+    toks.join(offs, "doc_id")
       .select(posexplode(col("toks")).as(Seq("i", "tok")), col("doc_off"))
       .select(col("tok"), (col("doc_off") + col("i") + 1L).as("pos"))
       .groupBy("tok").agg(min(col("pos")).as("first_pos"))
-    val total = counts.agg(sum(col("n_tok"))).head().getLong(0)
+      .withColumn("n_total", lit(total))
+  }
+
+  /** Append state `b`'s stream after state `a`'s: shift, union, min. */
+  def mergeVocabState(a: DataFrame, b: DataFrame): DataFrame = {
+    def totalOf(s: DataFrame): Long =
+      s.agg(coalesce(max(col("n_total")), lit(0L))).head().getLong(0)
+    val aTot = totalOf(a)
+    val bTot = totalOf(b)
+    a.select(col("tok"), col("first_pos"))
+      .unionAll(b.select(col("tok"), (col("first_pos") + aTot)
+        .as("first_pos")))
+      .groupBy("tok").agg(min(col("first_pos")).as("first_pos"))
+      .withColumn("n_total", lit(aTot + bTot))
+  }
+
+  /** Checkpoint rollup of a [[vocabState]]: `(checkpoint_tokens,
+    * vocab)` at `⌊j·N/checkpoints⌋`. */
+  def renderHeaps(state: DataFrame, checkpoints: Int = 20): DataFrame = {
+    require(checkpoints > 0, s"checkpoints must be positive: $checkpoints")
+    val spark = state.sparkSession
+    val total = state.agg(coalesce(max(col("n_total")), lit(0L)))
+      .head().getLong(0)
     val cps = (1 to checkpoints).map(j => j.toLong * total / checkpoints)
       .filter(_ > 0).distinct
     import spark.implicits._
     val cpDf = cps.toDF("checkpoint_tokens")
-    firstPos.join(broadcast(cpDf),
+    state.join(broadcast(cpDf),
         col("first_pos") <= col("checkpoint_tokens"))
       .groupBy("checkpoint_tokens")
       .agg(count(lit(1)).as("vocab"))
@@ -561,6 +599,42 @@ object CorpusReport {
    * cluster-sized; the corpus contributes one doc-keyed join and one
    * source-keyed rollup.
    */
+  /**
+   * Per-source curation scorecard — the one table a release review
+   * actually reads, composing four certified components on the `source`
+   * key: volumes and token-weighted exact-dup cost ([[dupInflation]]),
+   * cross-source near-dup leakage ([[clusterPurity]] over the given
+   * cluster labels), the garbage rate ([[TextAnalysis
+   * .withGarbageScore]]), and mean quality ([[TextAnalysis
+   * .withQuality]], integer micro-sum). The COMPOSITION is certified
+   * (`pipe_curation_report` replays all four in one oracle), the same
+   * discipline as `pipe_quality_chain`/`pipe_lexical_screen`.
+   *
+   * Scale shape: each component's own shape (fingerprint shuffle, pair
+   * graph, two scans); the final joins are |sources|-row broadcasts.
+   */
+  def curationScorecard(docs: DataFrame, clusters: DataFrame,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val di = dupInflation(docs, sourceCol, idCol, textCol)
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_token_frac"))
+    val cp = clusterPurity(docs, clusters, sourceCol, idCol)
+      .select(col("source"), col("cross_frac"))
+    val gq = TextAnalysis.withGarbageScore(
+        TextAnalysis.withQuality(docs, textCol), textCol)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_garbage").cast("long")).as("ng"),
+        sum(round(col("quality_score") * 1e6).cast("long")).as("qm"))
+      .select(col("source"),
+        round(col("ng").cast("double") / col("n").cast("double"), 6)
+          .as("garbage_frac"),
+        round(col("qm").cast("double") / (col("n").cast("double") * 1e6), 6)
+          .as("avg_quality"))
+    di.join(cp, "source").join(gq, "source")
+  }
+
   def clusterPurity(docs: DataFrame, clusters: DataFrame,
       sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val mem = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))

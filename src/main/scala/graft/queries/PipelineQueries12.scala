@@ -48,16 +48,43 @@ object PipelineQueries12 {
   private val isGarbageSql =
     s"($symFracSql > 0.2 OR $consFracSql > 0.1 OR $longFracSql > 0.05)"
 
-  /** Quality-score CTE (the certified `t_quality_score` formula). */
-  private val qualityCte =
-    s"""q AS (
-       |  SELECT doc_id,
-       |    round(0.4 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
+  /** The certified `t_quality_score` formula, as an expression over
+    * `tok_docs` columns (shared by the gate, fusion, and scorecard
+    * oracles). */
+  private val qualityScoreSql =
+    s"""round(0.4 * (CAST(len(list_filter(toks, x -> list_contains($stop, x))) AS DOUBLE)
        |          / CAST(len(toks) AS DOUBLE))
        |      + 0.3 * least(1.0, CAST(len(toks) AS DOUBLE) / 100.0)
        |      + 0.3 * (CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS DOUBLE)
-       |          / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+       |          / CAST(length(text) AS DOUBLE)), 6)""".stripMargin
+
+  private val qualityCte =
+    s"""q AS (
+       |  SELECT doc_id, $qualityScoreSql AS quality_score
        |  FROM tok_docs)""".stripMargin
+
+  /** One-shot vocabulary-growth replay — the oracle for BOTH the
+    * one-shot query and the merged-state query (merge-vs-one-shot). */
+  private val heapsOracleSql: String =
+    PipelineQueries.withC(PipelineQueries.tokDocs + ",\n" +
+      """tp AS (
+        |  SELECT doc_id, toks,
+        |    sum(len(toks)) OVER (ORDER BY doc_id) - len(toks) AS doc_off
+        |  FROM tok_docs),
+        |pos AS (
+        |  SELECT toks[i] AS tok, doc_off + i AS pos
+        |  FROM (SELECT doc_id, toks, doc_off,
+        |          unnest(generate_series(1, len(toks))) AS i FROM tp)),
+        |fo AS (SELECT tok, min(pos) AS first_pos FROM pos GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n FROM tok_docs),
+        |cks AS (
+        |  SELECT DISTINCT (j * n) // 20 AS checkpoint_tokens
+        |  FROM (SELECT unnest(generate_series(1, 20)) AS j), tot
+        |  WHERE (j * n) // 20 > 0)""".stripMargin)(
+      """SELECT c.checkpoint_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab
+        |FROM fo f JOIN cks c ON f.first_pos <= c.checkpoint_tokens
+        |GROUP BY 1""".stripMargin)
 
   /** Mean-NLL CTEs (the certified `t_unigram_nll` computation). */
   private val nllCtes =
@@ -98,27 +125,24 @@ object PipelineQueries12 {
           k0 = rrfK0)
     },
 
-    QueryDef("report_heaps_curve",
-      withC(tokDocs + ",\n" +
-        """tp AS (
-          |  SELECT doc_id, toks,
-          |    sum(len(toks)) OVER (ORDER BY doc_id) - len(toks) AS doc_off
-          |  FROM tok_docs),
-          |pos AS (
-          |  SELECT toks[i] AS tok, doc_off + i AS pos
-          |  FROM (SELECT doc_id, toks, doc_off,
-          |          unnest(generate_series(1, len(toks))) AS i FROM tp)),
-          |fo AS (SELECT tok, min(pos) AS first_pos FROM pos GROUP BY 1),
-          |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS n FROM tok_docs),
-          |cks AS (
-          |  SELECT DISTINCT (j * n) // 20 AS checkpoint_tokens
-          |  FROM (SELECT unnest(generate_series(1, 20)) AS j), tot
-          |  WHERE (j * n) // 20 > 0)""".stripMargin)(
-        """SELECT c.checkpoint_tokens,
-          |  CAST(count(*) AS BIGINT) AS vocab
-          |FROM fo f JOIN cks c ON f.first_pos <= c.checkpoint_tokens
-          |GROUP BY 1""".stripMargin)) {
+    QueryDef("report_heaps_curve", heapsOracleSql) {
       (s, dir) => CorpusReport.heapsCurve(W.read(s, dir, "documents"))
+    },
+
+    // merge-vs-one-shot certification of the mergeable vocab-growth
+    // state: the Spark side splits the corpus at max(doc_id)/2, builds
+    // two states, merges (shift + per-type min), and renders — the
+    // oracle is the ONE-SHOT replay, so a hash match IS the
+    // mergeability theorem (the report_pca_incremental discipline).
+    QueryDef("report_heaps_incremental", heapsOracleSql) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        val p = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        CorpusReport.renderHeaps(
+          CorpusReport.mergeVocabState(
+            CorpusReport.vocabState(docs.filter(col("doc_id") <= p)),
+            CorpusReport.vocabState(docs.filter(col("doc_id") > p))))
+      }
     },
 
     QueryDef("report_dup_inflation",
@@ -181,6 +205,87 @@ object PipelineQueries12 {
         TextAnalysis.withGarbageScore(W.read(s, dir, "documents"))
           .select("doc_id", "n_tokens", "longtok_frac", "consrun_frac",
             "sym_frac", "is_garbage")
+    },
+
+    // hopping (sliding-tumbling) window: 1 h length, 15 min slide —
+    // every event lands in exactly 4 windows. Per-row values quantize
+    // to integer micros before the sum, so the overlapping aggregates
+    // are exact in any accumulation order (the w-family discipline).
+    QueryDef("w5_hopping_window",
+      """SELECT w_start_epoch,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6, 6) AS sum_value
+        |FROM (
+        |  SELECT 900 * ((epoch_us(ts) // 900000000) - k) AS w_start_epoch,
+        |    value
+        |  FROM events, (SELECT unnest(generate_series(0, 3)) AS k))
+        |GROUP BY 1""".stripMargin) {
+      (s, dir) =>
+        W.read(s, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 1e6).cast("long")).as("vm"))
+          .select(unix_timestamp(col("w.start")).as("w_start_epoch"),
+            col("n_events"),
+            round(col("vm").cast("double") / 1e6, 6).as("sum_value"))
+    },
+
+    // per-source curation scorecard: dup inflation ⋈ cluster leakage ⋈
+    // garbage rate ⋈ mean quality — the oracle replays all four
+    // certified components and the join, so the COMPOSITION hash-matches
+    // (the pipe_quality_chain discipline).
+    QueryDef("pipe_curation_report",
+      "WITH RECURSIVE " + ccCtes + ",\n" +
+        s"""clus AS (
+           |  SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+           |  FROM reach GROUP BY id),
+           |memq AS (
+           |  SELECT d.doc_id, d.source,
+           |    coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           |  FROM documents d LEFT JOIN clus c USING (doc_id)),
+           |spanq AS (
+           |  SELECT cluster_id, count(DISTINCT source) AS n_sources
+           |  FROM memq GROUP BY 1),
+           |cpq AS (
+           |  SELECT source,
+           |    round(CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+           |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS cross_frac
+           |  FROM memq JOIN spanq USING (cluster_id) GROUP BY 1),
+           |fpq AS (
+           |  SELECT doc_id, source,
+           |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           |      AS fingerprint,
+           |    CAST(len(toks) AS BIGINT) AS n_tok
+           |  FROM tok_docs),
+           |kq AS (SELECT fingerprint, min(doc_id) AS keep
+           |       FROM fpq GROUP BY 1),
+           |diq AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           |    round(CAST(sum(CASE WHEN doc_id <> keep THEN n_tok ELSE 0 END)
+           |      AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE), 6)
+           |      AS dup_token_frac
+           |  FROM fpq JOIN kq USING (fingerprint) GROUP BY 1),
+           |gqq AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN $isGarbageSql THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ng,
+           |    CAST(sum(CAST(round($qualityScoreSql * 1e6) AS BIGINT))
+           |      AS BIGINT) AS qm
+           |  FROM tok_docs GROUP BY 1)
+           |SELECT diq.source, diq.n_docs, diq.n_tokens, diq.dup_token_frac,
+           |  cpq.cross_frac,
+           |  round(CAST(gqq.ng AS DOUBLE) / CAST(gqq.n AS DOUBLE), 6)
+           |    AS garbage_frac,
+           |  round(CAST(gqq.qm AS DOUBLE) / (CAST(gqq.n AS DOUBLE) * 1e6), 6)
+           |    AS avg_quality
+           |FROM diq JOIN cpq USING (source) JOIN gqq USING (source)""".stripMargin) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        CorpusReport.curationScorecard(docs,
+          Dedup.connectedComponents(Dedup.simhashPairs(docs)))
+      }
     },
 
     QueryDef("samp_percentile_gate",

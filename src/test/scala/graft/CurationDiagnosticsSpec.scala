@@ -144,6 +144,51 @@ class CurationDiagnosticsSpec extends TestBase {
     assert(Multimodal.phashPairs(Multimodal.withMediaColumn(tiny)).count() === 0)
   }
 
+  test("vocabState merge equals one-shot and is associative; empty merges are no-ops") {
+    val all = docs(
+      (1L, "a b c", "s"), (2L, "a d", "s"), (3L, "e b f g", "s"),
+      (4L, "h e a", "s"), (5L, "i j", "s"))
+    def curve(st: org.apache.spark.sql.DataFrame) =
+      CorpusReport.renderHeaps(st, checkpoints = 7)
+        .as[(Long, Long)].collect().sorted.toSeq
+    val oneShot = curve(CorpusReport.vocabState(all))
+    val s1 = CorpusReport.vocabState(all.filter(col("doc_id") <= 2))
+    val s2 = CorpusReport.vocabState(
+      all.filter(col("doc_id") > 2 && col("doc_id") <= 4))
+    val s3 = CorpusReport.vocabState(all.filter(col("doc_id") > 4))
+    val leftFold = CorpusReport.mergeVocabState(
+      CorpusReport.mergeVocabState(s1, s2), s3)
+    val rightFold = CorpusReport.mergeVocabState(
+      s1, CorpusReport.mergeVocabState(s2, s3))
+    assert(curve(leftFold) === oneShot)
+    assert(curve(rightFold) === oneShot)
+    val empty = CorpusReport.vocabState(all.filter(col("doc_id") > 99))
+    assert(curve(CorpusReport.mergeVocabState(leftFold, empty)) === oneShot)
+    assert(curve(CorpusReport.mergeVocabState(empty, leftFold)) === oneShot)
+  }
+
+  test("curationScorecard composes the four per-source signals") {
+    val d = docs(
+      (1L, "the of and is a good document with many words", "web"),
+      (2L, "the of and is a good document with many words", "web"), // dup
+      (3L, "@@@@ #### $$$$ %%%% ^^^^ &&&&", "web"),
+      (4L, "another normal the of and text", "books"))
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 1L))
+      .toDF("doc_id", "cluster_id") // web+books share a cluster
+    val out = CorpusReport.curationScorecard(d, clusters)
+      .orderBy("source").collect()
+    assert(out.length === 2)
+    val web = out(1)
+    assert(web.getAs[String]("source") === "web")
+    assert(web.getAs[Long]("n_docs") === 3L)
+    assert(web.getAs[Double]("dup_token_frac") > 0.3) // doc 2 is a dup
+    assert(web.getAs[Double]("garbage_frac") === 0.333333)
+    assert(web.getAs[Double]("cross_frac") === 0.666667) // docs 1,2 cross
+    val books = out(0)
+    assert(books.getAs[Double]("cross_frac") === 1.0) // doc 4 in cluster 1
+    assert(books.getAs[Double]("dup_token_frac") === 0.0)
+  }
+
   test("silhouetteReport: separated clusters score high, members add up") {
     // two tight blobs far apart -> silhouette ≈ 1, nothing negative
     val vecs = (0 until 20).map { i =>
