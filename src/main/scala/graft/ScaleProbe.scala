@@ -393,6 +393,15 @@ object ScaleProbe {
       graft.pipeline.Multimodal.withMediaColumn(d)))
     run("percentile_gate")(d =>
       graft.pipeline.Sampling.percentileGate(d))
+    run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
+      graft.pipeline.CorpusReport.mergeVocabState(
+        graft.pipeline.CorpusReport.vocabState(
+          d.filter(col("doc_id") % 10000000L < 2500)),
+        graft.pipeline.CorpusReport.vocabState(
+          d.filter(col("doc_id") % 10000000L >= 2500)))))
+    run("curation_report")(d => graft.pipeline.CorpusReport
+      .curationScorecard(d,
+        Dedup.connectedComponents(Dedup.simhashPairs(d))))
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))
