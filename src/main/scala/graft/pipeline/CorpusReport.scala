@@ -557,6 +557,37 @@ object CorpusReport {
   }
 
   /**
+   * Quality-vs-volume tradeoff curve: for each threshold on the fixed
+   * 21-point grid `t_j = j/20`, how many documents and tokens survive
+   * `quality_score ≥ t_j` — the table read when CHOOSING a quality
+   * cutoff (every cutoff is a token-budget decision; this shows the
+   * whole frontier instead of one point). Thresholds keyed by the
+   * integer grid index so the output never hashes a float key.
+   *
+   * Scale shape: one quality scan, a 21-row broadcast expansion
+   * collapsed map-side to ≤ 21 rows per task, one tiny shuffle — the
+   * [[heapsCurve]] checkpoint-rollup shape.
+   */
+  def qualityVolumeCurve(docs: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val scored = TextAnalysis.withQuality(docs, textCol)
+      .select(col("quality_score"),
+        col("n_tokens").cast("long").as("n_tok"))
+    val total = scored.agg(coalesce(sum(col("n_tok")), lit(0L)))
+      .head().getLong(0)
+    import spark.implicits._
+    val grid = (0 to 20).map(j => (j.toLong, j.toDouble / 20))
+      .toDF("thr_idx", "thr")
+    scored.join(broadcast(grid), col("quality_score") >= col("thr"))
+      .groupBy("thr_idx", "thr")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_tok")).as("n_tokens_kept"))
+      .withColumn("token_frac",
+        round(col("n_tokens_kept").cast("double") / total.toDouble, 6))
+  }
+
+  /**
    * Per-source PII exposure profile: document counts, per-type match
    * totals (email / IPv4 / phone, the [[TextAnalysis.redactPii]]
    * patterns — one source of truth for detection AND redaction), and

@@ -207,6 +207,27 @@ object PipelineQueries12 {
             "sym_frac", "is_garbage")
     },
 
+    QueryDef("report_quality_volume",
+      withC(tokDocs + ",\n" +
+        s"""qs AS (
+           |  SELECT doc_id, $qualityScoreSql AS quality_score,
+           |    CAST(len(toks) AS BIGINT) AS n_tok
+           |  FROM tok_docs),
+           |tt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM qs),
+           |gr AS (
+           |  SELECT j AS thr_idx, CAST(j AS DOUBLE) / 20 AS thr
+           |  FROM (SELECT unnest(generate_series(0, 20)) AS j))""".stripMargin)(
+        """SELECT thr_idx, thr,
+          |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept,
+          |  round(CAST(sum(n_tok) AS DOUBLE) / CAST(min(total) AS DOUBLE), 6)
+          |    AS token_frac
+          |FROM qs JOIN gr ON quality_score >= thr, tt
+          |GROUP BY 1, 2""".stripMargin)) {
+      (s, dir) =>
+        CorpusReport.qualityVolumeCurve(W.read(s, dir, "documents"))
+    },
+
     // hopping (sliding-tumbling) window: 1 h length, 15 min slide —
     // every event lands in exactly 4 windows. Per-row values quantize
     // to integer micros before the sum, so the overlapping aggregates

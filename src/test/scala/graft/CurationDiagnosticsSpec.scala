@@ -189,6 +189,19 @@ class CurationDiagnosticsSpec extends TestBase {
     assert(books.getAs[Double]("dup_token_frac") === 0.0)
   }
 
+  test("qualityVolumeCurve: zero threshold keeps all, counts fall monotonically") {
+    val df = docs((1L to 30L).map(i =>
+      (i, "the of and is a " + ("zq " * (i % 11).toInt), "s")): _*)
+    val out = CorpusReport.qualityVolumeCurve(df)
+      .orderBy("thr_idx")
+      .select("thr_idx", "n_docs_kept", "n_tokens_kept", "token_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.head._1 === 0L && out.head._2 === 30L)
+    assert(out.head._4 === 1.0) // thr 0 keeps every token
+    assert(out.map(_._2).toSeq === out.map(_._2).sorted.reverse.toSeq)
+    assert(out.map(_._3).toSeq === out.map(_._3).sorted.reverse.toSeq)
+  }
+
   test("silhouetteReport: separated clusters score high, members add up") {
     // two tight blobs far apart -> silhouette ≈ 1, nothing negative
     val vecs = (0 until 20).map { i =>
