@@ -33,10 +33,18 @@ class PlanAuditSpec extends TestBase {
   //  - report_length_drift: crossJoin of the broadcast 1-row totals
   //    frame against the distinct-values frame (the pack_zorder
   //    bounds pattern).
+  //  - report_heaps_curve / report_heaps_incremental /
+  //    report_quality_volume: non-equi join of a broadcast ≤21-row
+  //    checkpoint/threshold grid against the vocab-sized aggregate
+  //    (heaps) or the scored scan (quality_volume) — the
+  //    report_vocab_coverage shape; the expansion partial-aggregates
+  //    to ≤ grid-size rows per task before the only shuffle.
   private val cartesianExempt =
     Set("sim_topk_bruteforce", "sim_recall_report", "dedup_lsh_tuning",
       "report_zipf", "report_embedding_health", "pack_zorder",
-      "dedup_source_venn", "report_vocab_coverage", "report_length_drift")
+      "dedup_source_venn", "report_vocab_coverage", "report_length_drift",
+      "report_heaps_curve", "report_heaps_incremental",
+      "report_quality_volume")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
