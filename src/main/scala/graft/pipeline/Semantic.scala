@@ -480,6 +480,7 @@ object Semantic {
    */
   def silhouetteReport(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 2, s"silhouette needs a foreign centroid: k >= 2, got $k")
     val centroids = kmeansCentroids(emb, k, iters, idCol, vecCol)
     val e = emb.select(col(idCol).as("vec_id"),
       asDouble(col(vecCol)).as("v"))
