@@ -402,6 +402,20 @@ object ScaleProbe {
     run("curation_report")(d => graft.pipeline.CorpusReport
       .curationScorecard(d,
         Dedup.connectedComponents(Dedup.simhashPairs(d))))
+    // doc-derived event stream (the eventish timeline argument: replicas
+    // occupy disjoint time regions at the same per-key density)
+    // 49 keys, not 50: gcd(49, 4) = 1, so each key's id stride cycles
+    // through all four event types (a 50-key probe degenerates to two
+    // types per key and zero completable funnels)
+    run("sequence_funnel")(d => graft.operators.SequenceMatch.funnelMatch(
+      d.select(col("doc_id").as("event_id"),
+        (col("doc_id") % 49).cast("string").as("user_id"),
+        timestamp_seconds(col("doc_id") * 37L).as("ts"),
+        when(col("doc_id") % 4 === 0, "view")
+          .when(col("doc_id") % 4 === 1, "click")
+          .when(col("doc_id") % 4 === 2, "purchase")
+          .otherwise("error").as("event_type")),
+      Seq("view", "click", "purchase"), withinSeconds = 86400L))
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))

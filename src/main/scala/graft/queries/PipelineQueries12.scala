@@ -228,6 +228,36 @@ object PipelineQueries12 {
         CorpusReport.qualityVolumeCurve(W.read(s, dir, "documents"))
     },
 
+    // CEP-style ordered-sequence funnel: view → click → purchase per
+    // user, each step the EARLIEST strictly-later event, whole sequence
+    // within 24 h (sized to this event stream's density — 1 h matches
+    // nothing at sf≤0.01). The oracle computes each step as a grouped
+    // min over a strict range join — the declarative twin of the
+    // forward as-of sweeps (per-step pruning equals the final filter
+    // because the match is a running min).
+    QueryDef("j14_sequence_funnel",
+      """WITH v AS (SELECT user_id, event_id AS id0, epoch_us(ts) AS t0
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS tc
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tp
+        |      FROM events WHERE event_type = 'purchase'),
+        |s1 AS (
+        |  SELECT v.user_id, v.id0, v.t0, min(c.tc) AS t1
+        |  FROM v JOIN c ON c.user_id = v.user_id AND c.tc > v.t0
+        |  GROUP BY 1, 2, 3),
+        |s2 AS (
+        |  SELECT s1.user_id, s1.id0, s1.t0, s1.t1, min(p.tp) AS t2
+        |  FROM s1 JOIN p ON p.user_id = s1.user_id AND p.tp > s1.t1
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT user_id, id0, t0, t1, t2 FROM s2
+        |WHERE t2 - t0 <= 86400000000""".stripMargin) {
+      (s, dir) =>
+        graft.operators.SequenceMatch.funnelMatch(
+          W.read(s, dir, "events"),
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+    },
+
     // hopping (sliding-tumbling) window: 1 h length, 15 min slide —
     // every event lands in exactly 4 windows. Per-row values quantize
     // to integer micros before the sum, so the overlapping aggregates
