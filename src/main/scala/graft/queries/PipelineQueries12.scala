@@ -258,6 +258,96 @@ object PipelineQueries12 {
           Seq("view", "click", "purchase"), withinSeconds = 86400L)
     },
 
+    // last-touch attribution: each purchase attributed to the LATEST
+    // view at-or-before it by the same user, within 24 h — the certified
+    // backward as-of join plus a window filter (the marketing twin of
+    // j8's DDL-state lookup). Views reduce to one row per (user, ts)
+    // first (max-id tie-break) so "latest" is well-defined.
+    QueryDef("j15_attribution",
+      """WITH pch AS (
+        |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+        |    round(value, 6) AS p_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |vw AS (
+        |  SELECT user_id, epoch_us(ts) AS v_us, max(event_id) AS v_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT pch.p_id, pch.user_id, pch.p_us, vw.v_id, vw.v_us,
+        |  pch.p_value
+        |FROM pch ASOF JOIN vw
+        |  ON pch.user_id = vw.user_id AND pch.p_us >= vw.v_us
+        |WHERE pch.p_us - vw.v_us <= 86400000000""".stripMargin) {
+      (s, dir) => {
+        val ev = W.read(s, dir, "events")
+          .withColumn("us", unix_micros(col("ts")))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"),
+            col("us").as("p_us"), round(col("value"), 6).as("p_value"))
+        val views = graft.operators.AsOfJoin.latestPerKeyTs(
+          ev.filter(col("event_type") === "view")
+            .select(col("user_id"), col("us").as("v_us"),
+              col("event_id").as("v_id")),
+          Seq("user_id"), "v_us", "v_id")
+        graft.operators.AsOfJoin.asOf(purchases, views,
+            Seq("user_id"), "p_us", "v_us")
+          .filter(col("v_us").isNotNull &&
+            col("p_us") - col("v_us") <= 86400000000L)
+          .select(col("p_id"), col("user_id"), col("p_us"),
+            col("v_id"), col("v_us"), col("p_value"))
+      }
+    },
+
+    // hourly event-rate anomaly: per type, each hour's count z-scored
+    // against the previous 24 observed hours. The z is computed from
+    // INTEGER window sums only — z = (24·x − Σ)/√(24·Σx² − Σ²) — one
+    // identical IEEE expression in both engines; the window runs over
+    // the (types × hours)-sized aggregate, never the event stream.
+    QueryDef("report_event_anomaly",
+      """WITH hc AS (
+        |  SELECT event_type,
+        |    3600 * (epoch_us(ts) // 3600000000) AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wz AS (
+        |  SELECT event_type, hr, n,
+        |    sum(n) OVER tw AS s, sum(n * n) OVER tw AS sq,
+        |    count(*) OVER tw AS m
+        |  FROM hc
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, hr, n,
+        |  round(CAST(s AS DOUBLE) / 24, 6) AS mean24,
+        |  CASE WHEN 24 * sq - s * s <= 0 THEN 0.0
+        |    ELSE round((24 * n - s) / sqrt(CAST(24 * sq - s * s
+        |      AS DOUBLE)), 6) END AS z,
+        |  (24 * sq - s * s > 0 AND
+        |   abs((24 * n - s) / sqrt(CAST(24 * sq - s * s AS DOUBLE))) > 3.0)
+        |    AS is_anomaly
+        |FROM wz WHERE m = 24""".stripMargin) {
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+        val hc = W.read(s, dir, "events")
+          .groupBy(col("event_type"),
+            // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
+            // division, whose rounding can bump a just-below-integer
+            // quotient across the truncation boundary
+            expr("3600 * (unix_micros(ts) div 3600000000)").as("hr"))
+          .agg(count(lit(1)).as("n"))
+        val rawZ = (lit(24) * col("n") - col("s")).cast("double") /
+          sqrt((lit(24) * col("sq") - col("s") * col("s")).cast("double"))
+        hc.withColumn("s", sum(col("n")).over(w))
+          .withColumn("sq", sum(col("n") * col("n")).over(w))
+          .withColumn("m", count(lit(1)).over(w))
+          .filter(col("m") === 24)
+          .select(col("event_type"), col("hr"), col("n"),
+            round(col("s").cast("double") / 24, 6).as("mean24"),
+            when(lit(24) * col("sq") - col("s") * col("s") <= 0, 0.0)
+              .otherwise(round(rawZ, 6)).as("z"),
+            (lit(24) * col("sq") - col("s") * col("s") > 0 &&
+              abs(rawZ) > 3.0).as("is_anomaly"))
+      }
+    },
+
     // hopping (sliding-tumbling) window: 1 h length, 15 min slide —
     // every event lands in exactly 4 windows. Per-row values quantize
     // to integer micros before the sum, so the overlapping aggregates
