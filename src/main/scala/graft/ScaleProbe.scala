@@ -393,6 +393,7 @@ object ScaleProbe {
       graft.pipeline.Multimodal.withMediaColumn(d)))
     run("percentile_gate")(d =>
       graft.pipeline.Sampling.percentileGate(d))
+    run("rake_keywords")(d => TextAnalysis.rakeKeywords(d))
     run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
       graft.pipeline.CorpusReport.mergeVocabState(
         graft.pipeline.CorpusReport.vocabState(

@@ -1577,6 +1577,60 @@ object TextAnalysis {
    * speed inside whole-stage codegen, no shuffle, filter-pushdown
    * friendly when used as a gate.
    */
+  /**
+   * RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+   * maximal stopword-free token runs (capped at 3 words); each word
+   * scores `degree/frequency` over the candidate multiset (degree =
+   * summed lengths of phrases containing it — co-occurrence weight);
+   * a phrase scores the sum of its words' scores. The corpus-level
+   * top-k is the keyword lexicon a curation pass reads for topical
+   * drift. Stopwords are the en marker list ([[langMarkers]]) — the
+   * repo-wide stand-in vocabulary.
+   *
+   * Scale shape: segmentation is a PER-DOCUMENT running sum (window
+   * keyed by doc_id — bounded by document length, millions of
+   * independent keys); phrase and word aggregates are word-count-
+   * shaped; the final ranking is [[graft.operators.BucketedTopK]] —
+   * no whole-lexicon sort. Word scores quantize to integer micros
+   * before the phrase sum, so ranking is integer-exact cross-engine.
+   */
+  def rakeKeywords(docs: DataFrame, k: Int = 40,
+      textCol: String = "text"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val stopArr = array(langMarkers.head._2.map(lit): _*)
+    val tok = docs.select(col("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("is_stop", array_contains(stopArr, col("tok")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val phrases = tok
+      .withColumn("seg", sum(col("is_stop").cast("int")).over(w))
+      .filter(!col("is_stop"))
+      .groupBy("doc_id", "seg")
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .as("pt"))
+      .select(transform(col("pt"), p => p.getField("tok")).as("ws"))
+      .filter(size(col("ws")) <= 3)
+      .select(array_join(col("ws"), " ").as("phrase"), col("ws"))
+    val stats = phrases
+      .select(explode(col("ws")).as("w"), size(col("ws")).as("plen"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        round(col("deg").cast("double") * 1e6 / col("freq").cast("double"))
+          .cast("long").as("wscore_micro"))
+    val scored = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(stats, "w")
+      .groupBy("phrase", "n_occ")
+      .agg(sum(col("wscore_micro")).as("score_micro"))
+    graft.operators.BucketedTopK.rank(scored, Nil,
+        Seq(col("score_micro").desc, col("phrase")), col("phrase"), k)
+      .select(col("rank"), col("phrase"), col("n_occ"),
+        round(col("score_micro").cast("double") / 1e6, 6).as("rake_score"))
+  }
+
   def withGarbageScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)

@@ -258,6 +258,52 @@ object PipelineQueries12 {
           Seq("view", "click", "purchase"), withinSeconds = 86400L)
     },
 
+    // RAKE keyword extraction: the oracle replays segmentation (per-doc
+    // running stopword count), phrase capping, degree/frequency word
+    // scores (integer micros), phrase sums, and the ranking.
+    QueryDef("t_keywords_rake",
+      withC(tokDocs + ",\n" +
+        s"""tpk AS (
+           |  SELECT doc_id, i, toks[i] AS tok,
+           |    list_contains($stop, toks[i]) AS is_stop
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(generate_series(1, len(toks))) AS i
+           |        FROM tok_docs)),
+           |sgk AS (
+           |  SELECT doc_id, i, tok, is_stop,
+           |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY i) AS seg
+           |  FROM tpk),
+           |phk AS (
+           |  SELECT array_to_string(list(tok ORDER BY i), ' ') AS phrase,
+           |    CAST(count(*) AS BIGINT) AS plen
+           |  FROM sgk WHERE NOT is_stop
+           |  GROUP BY doc_id, seg HAVING count(*) <= 3),
+           |wsk AS (
+           |  SELECT w,
+           |    CAST(round(CAST(sum(plen) AS DOUBLE) * 1e6 / count(*))
+           |      AS BIGINT) AS wscore_micro
+           |  FROM (SELECT unnest(string_split(phrase, ' ')) AS w, plen
+           |        FROM phk)
+           |  GROUP BY 1),
+           |dpk AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+           |        FROM phk GROUP BY 1),
+           |sck AS (
+           |  SELECT phrase, n_occ,
+           |    CAST(sum(wscore_micro) AS BIGINT) AS score_micro
+           |  FROM (SELECT phrase, n_occ,
+           |          unnest(string_split(phrase, ' ')) AS w FROM dpk)
+           |  JOIN wsk USING (w)
+           |  GROUP BY 1, 2)""".stripMargin)(
+        """SELECT CAST(row_number() OVER (
+          |    ORDER BY score_micro DESC, phrase) AS INT) AS rank,
+          |  phrase, n_occ,
+          |  round(CAST(score_micro AS DOUBLE) / 1e6, 6) AS rake_score
+          |FROM sck ORDER BY score_micro DESC, phrase LIMIT 40""".stripMargin)) {
+      (s, dir) =>
+        TextAnalysis.rakeKeywords(W.read(s, dir, "documents"), k = 40)
+    },
+
     // last-touch attribution: each purchase attributed to the LATEST
     // view at-or-before it by the same user, within 24 h — the certified
     // backward as-of join plus a window filter (the marketing twin of

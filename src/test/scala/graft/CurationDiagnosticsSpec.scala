@@ -189,6 +189,29 @@ class CurationDiagnosticsSpec extends TestBase {
     assert(books.getAs[Double]("dup_token_frac") === 0.0)
   }
 
+  test("rakeKeywords: degree/frequency math, phrase capping, tie order") {
+    val df = Seq(
+      (1L, "deep learning of deep networks"),
+      (2L, "the gradient descent and gradient flow"),
+      (3L, "a b c d is x") // 4-word run: capped out of candidates
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(df, k = 10)
+      .select("rank", "phrase", "n_occ", "rake_score")
+      .as[(Int, String, Long, Double)].collect()
+    val byPhrase = out.map(r => r._2 -> r).toMap
+    // deep: freq 2, deg 4 -> 2.0; learning/networks: freq 1, deg 2 -> 2.0
+    assert(byPhrase("deep learning")._4 === 4.0)
+    assert(byPhrase("deep networks")._4 === 4.0)
+    // gradient: freq 2, deg 4 -> 2.0; descent/flow freq 1 deg 2 -> 2.0
+    assert(byPhrase("gradient descent")._4 === 4.0)
+    // the 4-word run never becomes a candidate, but "x" (after "is") does
+    assert(!out.exists(_._2.startsWith("a b")))
+    assert(byPhrase.contains("x"))
+    // ties rank by phrase ascending
+    val tied = out.filter(_._4 === 4.0).sortBy(_._1).map(_._2)
+    assert(tied === tied.sorted)
+  }
+
   test("qualityVolumeCurve: zero threshold keeps all, counts fall monotonically") {
     val df = docs((1L to 30L).map(i =>
       (i, "the of and is a " + ("zq " * (i % 11).toInt), "s")): _*)
