@@ -145,7 +145,7 @@ object PipelineQueries {
     s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1) * CAST($mult AS BIGINT)"
   }.mkString("\n        + ")
 
-  private val simhash32Cte = tokDocs + ",\n" +
+  private[queries] val simhash32Cte = tokDocs + ",\n" +
     s"""sim32 AS (
        |  SELECT doc_id,
        |    CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b)

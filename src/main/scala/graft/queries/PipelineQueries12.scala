@@ -258,6 +258,52 @@ object PipelineQueries12 {
           Seq("view", "click", "purchase"), withinSeconds = 86400L)
     },
 
+    // dedup-policy tuning curve: verified near-dup pairs and distinct
+    // linked docs at every hamming threshold 0..3 — the table read
+    // before choosing how aggressive simhash dedup should be (the
+    // simhash sibling of dedup_lsh_tuning). Reuses the certified pair
+    // CTE with hamming retained; the 4-row grid is the checkpoint-
+    // rollup shape.
+    QueryDef("report_dedup_curve",
+      "WITH " + PipelineQueries.simhash32Cte + ",\n" +
+        """pr AS (
+          |  SELECT doc_a, doc_b, hamming FROM (
+          |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |      CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          |    FROM (SELECT doc_id, simhash, b AS band_idx,
+          |            (simhash >> (b * 8)) & 255 AS band_val
+          |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) a
+          |    JOIN (SELECT doc_id, simhash, b AS band_idx,
+          |            (simhash >> (b * 8)) & 255 AS band_val
+          |          FROM sim32, (SELECT unnest(generate_series(0, 3)) AS b)) b
+          |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          |         AND a.doc_id < b.doc_id)
+          |  WHERE hamming <= 3),
+          |gr AS (SELECT unnest(generate_series(0, 3)) AS thr),
+          |pj AS (SELECT gr.thr, pr.doc_a, pr.doc_b
+          |       FROM pr JOIN gr ON pr.hamming <= gr.thr),
+          |np AS (SELECT thr, CAST(count(*) AS BIGINT) AS n_pairs
+          |       FROM pj GROUP BY 1),
+          |nd AS (SELECT thr, CAST(count(DISTINCT d) AS BIGINT)
+          |         AS n_docs_linked
+          |       FROM (SELECT thr, doc_a AS d FROM pj
+          |             UNION ALL SELECT thr, doc_b FROM pj)
+          |       GROUP BY 1)
+          |SELECT thr, n_pairs, n_docs_linked
+          |FROM np JOIN nd USING (thr)""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.simhashPairs(W.read(s, dir, "documents"))
+      val grid = {
+        import s.implicits._
+        (0L to 3L).toDF("thr")
+      }
+      val pj = pairs.join(broadcast(grid), col("hamming") <= col("thr"))
+      val np = pj.groupBy("thr").agg(count(lit(1)).as("n_pairs"))
+      val nd = pj.select(col("thr"),
+          explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy("thr").agg(countDistinct(col("d")).as("n_docs_linked"))
+      np.join(nd, "thr").select("thr", "n_pairs", "n_docs_linked")
+    },
+
     // RAKE keyword extraction: the oracle replays segmentation (per-doc
     // running stopword count), phrase capping, degree/frequency word
     // scores (integer micros), phrase sums, and the ranking.
