@@ -258,6 +258,149 @@ object PipelineQueries12 {
           Seq("view", "click", "purchase"), withinSeconds = 86400L)
     },
 
+    // weekly cohort retention: users bucketed by their first signup
+    // week; each cell is the fraction of the cohort active (any event)
+    // at week offset j. All exact-integer bucket math; the matrix is
+    // (cohort weeks × offsets)-sized.
+    QueryDef("report_retention",
+      """WITH ch AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) // 604800000000) AS cw
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |cs AS (SELECT cw, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM ch GROUP BY 1)
+        |SELECT ch.cw AS cohort_week, CAST(act.wk - ch.cw AS BIGINT)
+        |    AS week_offset,
+        |  CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_active,
+        |  CAST(min(cs.n_cohort) AS BIGINT) AS n_cohort,
+        |  round(CAST(count(DISTINCT act.user_id) AS DOUBLE)
+        |    / CAST(min(cs.n_cohort) AS DOUBLE), 6) AS retention
+        |FROM act JOIN ch USING (user_id) JOIN cs ON cs.cw = ch.cw
+        |WHERE act.wk >= ch.cw
+        |GROUP BY 1, 2""".stripMargin) {
+      (s, dir) => {
+        val base = W.read(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+        val cohort = base.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("wk")).as("cw"))
+        val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+        base.select("user_id", "wk").distinct()
+          .join(cohort, "user_id")
+          .filter(col("wk") >= col("cw"))
+          .join(sizes, "cw")
+          .groupBy(col("cw").as("cohort_week"),
+            (col("wk") - col("cw")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"),
+            min(col("n_cohort")).as("n_cohort"))
+          .withColumn("retention",
+            round(col("n_active").cast("double") /
+              col("n_cohort").cast("double"), 6))
+      }
+    },
+
+    // DAU / trailing-7-day WAU stickiness. WAU avoids a range join: each
+    // (day, user) row explodes to the 7 anchor days it supports, then an
+    // equi-join against the observed-days grid — distinct-user counts
+    // stay exact, and the expansion is a constant 7×.
+    QueryDef("report_dau_wau",
+      """WITH du AS (
+        |  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id
+        |  FROM events),
+        |days AS (SELECT DISTINCT d FROM du),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du
+        |        GROUP BY 1),
+        |wau AS (
+        |  SELECT a.d, CAST(count(DISTINCT x.user_id) AS BIGINT) AS wau
+        |  FROM (SELECT du.user_id, du.d + off AS d
+        |        FROM du, (SELECT unnest(generate_series(0, 6)) AS off)) x
+        |  JOIN days a ON a.d = x.d
+        |  GROUP BY 1)
+        |SELECT CAST(dau.d * 86400 AS BIGINT) AS day_epoch, dau.dau,
+        |  wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+        |    AS stickiness
+        |FROM dau JOIN wau USING (d)""".stripMargin) {
+      (s, dir) => {
+        val du = W.read(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("d"),
+            col("user_id"))
+          .distinct()
+        val days = du.select("d").distinct()
+        val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+        val wau = du
+          .select(col("user_id"),
+            explode(sequence(lit(0L), lit(6L))).as("off"), col("d"))
+          .select(col("user_id"), (col("d") + col("off")).as("d"))
+          .join(days, "d")
+          .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+        dau.join(wau, "d")
+          .select((col("d") * 86400).as("day_epoch"), col("dau"),
+            col("wau"),
+            round(col("dau").cast("double") / col("wau").cast("double"), 6)
+              .as("stickiness"))
+      }
+    },
+
+    // funnel conversion rates: view→click and view→click→purchase
+    // completion fractions inside 24 h, plus the exact median
+    // time-to-convert (identical linear interpolation both engines —
+    // the t_token_quantiles discipline). Composes the certified
+    // SequenceMatch sweeps; one-row output.
+    QueryDef("report_funnel_rates",
+      """WITH v AS (SELECT user_id, event_id AS id0, epoch_us(ts) AS t0
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, epoch_us(ts) AS tc
+        |      FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_us(ts) AS tp
+        |      FROM events WHERE event_type = 'purchase'),
+        |s1 AS (
+        |  SELECT v.user_id, v.id0, v.t0, min(c.tc) AS t1
+        |  FROM v JOIN c ON c.user_id = v.user_id AND c.tc > v.t0
+        |  GROUP BY 1, 2, 3),
+        |s1w AS (SELECT * FROM s1 WHERE t1 - t0 <= 86400000000),
+        |s2 AS (
+        |  SELECT s1w.id0, s1w.t0, min(p.tp) AS t2
+        |  FROM s1w JOIN p ON p.user_id = s1w.user_id AND p.tp > s1w.t1
+        |  GROUP BY 1, 2),
+        |s2w AS (SELECT * FROM s2 WHERE t2 - t0 <= 86400000000)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_views,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1w) AS n_view_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2w) AS n_full_funnel,
+        |  round((SELECT CAST(count(*) AS DOUBLE) FROM s1w)
+        |    / (SELECT count(*) FROM v), 6) AS click_rate,
+        |  round((SELECT CAST(count(*) AS DOUBLE) FROM s2w)
+        |    / (SELECT count(*) FROM v), 6) AS funnel_rate,
+        |  (SELECT round(quantile_cont(t2 - t0, 0.5), 6) FROM s2w)
+        |    AS p50_convert_us""".stripMargin) {
+      (s, dir) => {
+        val ev = W.read(s, dir, "events")
+        val nViews =
+          ev.filter(col("event_type") === "view").count()
+        val vc = graft.operators.SequenceMatch.funnelMatch(ev,
+          Seq("view", "click"), withinSeconds = 86400L)
+        val full = graft.operators.SequenceMatch.funnelMatch(ev,
+          Seq("view", "click", "purchase"), withinSeconds = 86400L)
+        vc.agg(count(lit(1)).as("n_view_click")).crossJoin(
+            full.agg(count(lit(1)).as("n_full_funnel"),
+              // round, never CAST: DuckDB's double→BIGINT cast rounds
+              // while Spark's truncates — a .5 median would diverge
+              expr("round(percentile(t2 - t0, 0.5), 6)")
+                .as("p50_convert_us")))
+          .select(lit(nViews).as("n_views"), col("n_view_click"),
+            col("n_full_funnel"),
+            round(col("n_view_click").cast("double") / nViews.toDouble, 6)
+              .as("click_rate"),
+            round(col("n_full_funnel").cast("double") / nViews.toDouble, 6)
+              .as("funnel_rate"), col("p50_convert_us"))
+      }
+    },
+
     // dedup-policy tuning curve: verified near-dup pairs and distinct
     // linked docs at every hamming threshold 0..3 — the table read
     // before choosing how aggressive simhash dedup should be (the

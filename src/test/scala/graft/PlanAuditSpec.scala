@@ -44,7 +44,9 @@ class PlanAuditSpec extends TestBase {
       "report_zipf", "report_embedding_health", "pack_zorder",
       "dedup_source_venn", "report_vocab_coverage", "report_length_drift",
       "report_heaps_curve", "report_heaps_incremental",
-      "report_quality_volume", "report_dedup_curve")
+      "report_quality_volume", "report_dedup_curve",
+      // 1-row × 1-row aggregate crossJoin (the pack_zorder bounds shape)
+      "report_funnel_rates")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
