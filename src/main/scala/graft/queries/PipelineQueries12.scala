@@ -258,6 +258,73 @@ object PipelineQueries12 {
           Seq("view", "click", "purchase"), withinSeconds = 86400L)
     },
 
+    // first-order Markov transition matrix between consecutive events
+    // per user (total order (ts, event_id) makes lead() deterministic
+    // in both engines); probabilities normalize per from-row over the
+    // |types|²-sized aggregate.
+    QueryDef("report_event_transitions",
+      """WITH sq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events),
+        |tc AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+        |    AS prob
+        |FROM tc""".stripMargin) {
+      (s, dir) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        val wFrom = org.apache.spark.sql.expressions.Window
+          .partitionBy("from_type")
+        W.read(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"))
+          .withColumn("to_type", lead(col("from_type"), 1).over(wOrd))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob", round(col("n").cast("double") /
+            sum(col("n")).over(wFrom).cast("double"), 6))
+      }
+    },
+
+    // same-user inter-event gap profile: exact integer micro gaps, mean
+    // from integer sums, interpolated percentiles divided THEN rounded
+    // (the t_token_quantiles float discipline). One-row output.
+    QueryDef("report_interarrival",
+      """WITH g AS (
+        |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  round(CAST(sum(gap) AS DOUBLE) / (count(*) * 1e6), 6)
+        |    AS mean_gap_s,
+        |  round(quantile_cont(gap, 0.5) / 1e6, 6) AS p50_gap_s,
+        |  round(quantile_cont(gap, 0.9) / 1e6, 6) AS p90_gap_s
+        |FROM g WHERE gap IS NOT NULL""".stripMargin) {
+      (s, dir) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(unix_micros(col("ts")), col("event_id"))
+        W.read(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap", col("us") - lag(col("us"), 1).over(wOrd))
+          .filter(col("gap").isNotNull)
+          .agg(count(lit(1)).as("n_gaps"),
+            round(sum(col("gap")).cast("double") /
+              (count(lit(1)) * 1e6), 6).as("mean_gap_s"),
+            round(expr("percentile(gap, 0.5)") / 1e6, 6).as("p50_gap_s"),
+            round(expr("percentile(gap, 0.9)") / 1e6, 6).as("p90_gap_s"))
+      }
+    },
+
     // weekly cohort retention: users bucketed by their first signup
     // week; each cell is the fraction of the cohort active (any event)
     // at week offset j. All exact-integer bucket math; the matrix is
