@@ -105,6 +105,14 @@ object Semantic {
     centroids
   }
 
+  /** Nearest-centroid cell id as a pure scan COLUMN — [[assignTo]]
+    * without the frame reshape, for callers that attach the cell to
+    * their own row shape in one pass (the IVF index build tags the full
+    * corpus row without a join back on id). `v` must already be a
+    * double-array column; ties break to the lower cell id. */
+  def nearestCell(v: Column, centroids: Seq[(Int, Array[Double])]): Column =
+    nearest(v, centroids).getField("cid")
+
   /** The assignment half of [[kmeansAssign]]: nearest-centroid as a
     * pure scan against the centroid literals —
     * `(vec_id, cluster_id, sq_dist)`, `sq_dist` rounded to 1e-6. */

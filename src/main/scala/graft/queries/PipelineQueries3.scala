@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Semantic, Sampling, TextAnalysis}
+import graft.pipeline.{Semantic, Sampling, Similarity, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -212,6 +212,54 @@ object PipelineQueries3 {
           docs.filter(col("doc_id") % 17 =!= 0),
           docs.filter(col("doc_id") % 17 === 0),
           minShared = 3, maxDf = Some(100))
+      }
+    },
+
+    // Persisted build-once/query-many IVF: buildIvfIndex trains the
+    // kmK-cell coarse quantizer ONCE (same deterministic Lloyd's chain
+    // the sem_* family certifies) and writes centroid sidecar + corpus
+    // partitioned by cell; indexedTopK then serves from disk with no
+    // training in the query plan (IvfIndexSpec pins no-HashAggregate,
+    // partition-pruned scan, broadcast-only joins). The oracle replays
+    // training (c2), assignment (af), probe selection against the
+    // TRAINED centroids, and the exact-cosine rescore end-to-end.
+    QueryDef("sim_topk_indexed",
+      s"""WITH $kmeansCtes,
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
+         |    FROM qn q CROSS JOIN c2 c)
+         |  WHERE prk <= 2),
+         |cn AS (
+         |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM af a JOIN nrm n USING (vec_id) WHERE n.nrm > 0)
+         |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT p.q_id, c.vec_id AS c_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(list_sum(list_transform(
+         |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+         |          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+         |  FROM probes p JOIN cn c ON c.cell = p.cell
+         |  JOIN qn q ON q.vec_id = p.q_id
+         |  WHERE p.q_id <> c.vec_id)
+         |WHERE rank <= 5""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        // index dir keyed by the data dir so concurrent sf0.01 verify
+        // and sf0.1 bench runs never clobber each other's index
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIvfIndex(emb, idxDir, kCells = kmK, iters = 2)
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), idxDir,
+            k = 5, nprobe = 2)
+          .select("q_id", "c_id", "cos_sim", "rank")
       }
     }
   )

@@ -366,6 +366,31 @@ class CrossCheckSpec extends TestBase {
     assert(r8 >= 0.5, s"candMult=8 recall floor: $r8")
   }
 
+  test("persisted IVF index: full probe equals brute force; nprobe=2 holds " +
+      "a recall floor") {
+    import spark.implicits._
+    val e = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-cross").toString
+    Similarity.buildIvfIndex(e, dir, kCells = 8, iters = 2)
+    val q = e.filter(col("vec_id") < 8)
+    val k = 5
+    // probing every cell = no pruning: serving from DISK must equal the
+    // in-memory brute force exactly (same rounding, same tie-breaks)
+    val full = Similarity.indexedTopK(spark, q, dir, k, nprobe = 8)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, e, k)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full == bf, s"full-probe indexed serve must equal brute force; " +
+      s"diff: ${(full diff bf).take(5)} / ${(bf diff full).take(5)}")
+    // the production setting (nprobe = 2 of 8 cells) keeps most of the
+    // true top-k — the recall/cost trade the index exists for
+    val idx = Similarity.indexedTopK(spark, q, dir, k, nprobe = 2)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val want = bf.map(t => (t._1, t._2))
+    val recall = idx.intersect(want).size.toDouble / want.size
+    assert(recall >= 0.5, f"indexed nprobe=2 recall $recall%.2f < 0.50 floor")
+  }
+
   test("LSH top-k holds a recall floor against brute force on real embeddings") {
     val e = WarehouseSim.read(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 8)

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sim.WarehouseSim
+
+/**
+ * Plan + layout pins for the persisted build-once/query-many IVF index
+ * ([[Similarity.buildIvfIndex]] / [[Similarity.indexedTopK]]):
+ *
+ *  - the index layout round-trips: k-row centroid sidecar, corpus
+ *    partitioned by cell, nothing lost;
+ *  - the QUERY plan contains NO aggregate of any kind — training never
+ *    leaks into the serve path;
+ *  - the corpus scan carries a literal partition filter on `cell` and
+ *    demonstrably reads FEWER files than live in the index (pruning is
+ *    real, not just syntactic);
+ *  - all joins broadcast (probe frame + query vectors) — the corpus is
+ *    scanned, never shuffled.
+ */
+class IvfIndexSpec extends TestBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val kCells = 8
+
+  private lazy val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+  private lazy val idxDir: String = {
+    val d = tmpDir("ivf-index").toString
+    Similarity.buildIvfIndex(emb, d, kCells = kCells, iters = 2)
+    d
+  }
+
+  private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(dir))
+  }
+
+  test("index layout round-trips: k-row sidecar, cell-partitioned corpus") {
+    val cents = spark.read.parquet(s"$idxDir/centroids")
+    assert(cents.count() == kCells)
+    assert(cents.columns.sorted.toSeq == Seq("cell", "cv"))
+    val corpus = spark.read.parquet(s"$idxDir/corpus")
+    assert(corpus.columns.sorted.toSeq == Seq("cell", "embedding", "vec_id"))
+    assert(corpus.count() == emb.count(), "no rows may be lost in the build")
+    val cells = corpus.select("cell").distinct().count()
+    assert(cells > 1 && cells <= kCells,
+      s"corpus cells must come from the $kCells trained centroids, got $cells")
+  }
+
+  test("query plan: no aggregates, pruned partition filter, broadcast-only joins") {
+    // 2 queries x nprobe 2 probe at most 4 of the 8 cells — pruning must
+    // be visible both in the plan and in the files-read metric
+    val topk = Similarity.indexedTopK(spark, emb.filter(col("vec_id") < 2),
+      idxDir, k = 5, nprobe = 2)
+    val rows = topk.collect()
+    assert(rows.nonEmpty, "query must return results")
+    // AdaptiveSparkPlanHelper.collect descends through AQE query stages;
+    // post-execution the toString carries the final plan
+    val plan = topk.queryExecution.executedPlan
+    val planStr = plan.toString
+
+    assert(!planStr.contains("Aggregate"),
+      s"the serve path must contain no (Hash/Sort/Object)Aggregate — " +
+        s"training leaked into the query plan:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin") &&
+      !planStr.contains("ShuffledHashJoin"),
+      s"probe and query joins must broadcast — the corpus may not " +
+        s"shuffle:\n$planStr")
+
+    val scans = collectWithSubqueries(plan) { case f: FileSourceScanExec => f }
+    val corpusScan = scans
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("corpus")))
+      .getOrElse(fail(s"no corpus file scan among ${scans.size} scans " +
+        s"in plan:\n$planStr"))
+    assert(corpusScan.partitionFilters.exists(_.references.exists(
+        _.name == "cell")),
+      s"corpus scan must carry a literal cell partition filter, got " +
+        s"${corpusScan.partitionFilters}")
+    val filesRead = corpusScan.metrics("numFiles").value
+    val filesTotal = parquetFiles(s"$idxDir/corpus")
+    assert(filesRead < filesTotal,
+      s"pruning must skip unprobed cells: read $filesRead of $filesTotal")
+  }
+
+  test("indexedTopK refuses a missing index and a non-positive nprobe") {
+    intercept[IllegalArgumentException] {
+      Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)
+    }
+    // an empty-sidecar dir is a build bug, refused loudly
+    val bogus = tmpDir("ivf-none").toString
+    spark.read.parquet(s"$idxDir/centroids").limit(0)
+      .write.mode("overwrite").parquet(s"$bogus/centroids")
+    intercept[IllegalArgumentException] {
+      Similarity.indexedTopK(spark, emb, bogus, k = 5)
+    }
+  }
+}
