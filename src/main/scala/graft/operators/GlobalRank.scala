@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /**
@@ -12,15 +13,24 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  * semantics with a range-shuffle instead:
  *
  *  1. `repartitionByRange` on the order key (sampled range boundaries,
- *     so skewed keys still spread; equal keys co-locate, which is why
- *     callers must pass a TOTAL order — include a unique tie-break
- *     column, or ranks among ties would be partition-placement
- *     dependent);
+ *     so skewed keys still spread; equal keys co-locate);
  *  2. sort within each partition (a local sort, no further exchange);
  *  3. a tiny counting job over the sorted shuffle output (one Long per
  *     partition, reusing the shuffle files — this is exactly how
  *     `RDD.zipWithIndex` works) to turn per-partition positions into
  *     global ones.
+ *
+ * TIES ARE SAFE: the order need not be total. A deterministic row-hash
+ * tie-break (`xxhash64` over every input column) is appended to the
+ * sort key internally, so rows that tie on the caller's order still
+ * land in one reproducible sequence — across runs, partition counts,
+ * AND task retries (a retried task re-sorts fetched rows whose arrival
+ * order changed; without the tie-break, tied rows could swap places
+ * and per-row ranks/totals would silently differ). Rows identical in
+ * EVERY column hash equal and stay interchangeable, which is
+ * multiset-deterministic — the only kind of determinism such rows
+ * admit. GlobalRankSpec pins rank and total stability on a heavily
+ * tied order column.
  *
  * The result is two scans of the shuffled data and driver state of one
  * Long per partition, at any scale. The rows come back through an RDD
@@ -29,36 +39,53 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  */
 object GlobalRank {
 
+  private val TieBreak = "_gr_tiebreak"
+
+  /** Input extended with the deterministic row-hash tie-break, plus the
+    * extended order. The tie-break column is always LAST in the frame,
+    * so output rows drop it positionally. */
+  private def withTieBreak(df: DataFrame,
+      order: Seq[Column]): (DataFrame, Seq[Column]) = {
+    require(!df.columns.contains(TieBreak),
+      s"input must not already carry a $TieBreak column")
+    val hashed = df.withColumn(TieBreak, xxhash64(df.columns.map(col): _*))
+    (hashed, order :+ col(TieBreak))
+  }
+
   /** Append `rankCol` = exact 1-based global row number under `order`
-    * (which must be a total order for a deterministic result). */
+    * (ties resolved by the deterministic row-hash tie-break). */
   def withGlobalRank(df: DataFrame, order: Seq[Column],
       rankCol: String = "global_rank", partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "withGlobalRank needs at least one order column")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
-    val schema = StructType(sorted.schema.fields :+
+    val (hashed, fullOrder) = withTieBreak(df, order)
+    val sorted = hashed.repartitionByRange(n, fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
+    val schema = StructType(df.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
     val ranked = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + 1L))
+      // drop the trailing tie-break, append the rank
+      Row.fromSeq(row.toSeq.init :+ (idx + 1L))
     }
     spark.createDataFrame(ranked, schema)
   }
 
   /** Append `outCol` = exact inclusive running total of `valueCol`
     * (must be numeric; summed as Long) under `order` — the scalable
-    * twin of `sum(x) OVER (ORDER BY ...)`. Exclusive prefix = outCol -
-    * valueCol on the result. */
+    * twin of `sum(x) OVER (ORDER BY ...)`, tie-stable like
+    * [[withGlobalRank]]. Exclusive prefix = outCol - valueCol on the
+    * result. */
   def withRunningTotal(df: DataFrame, order: Seq[Column], valueCol: String,
       outCol: String = "running_total", partitions: Int = 0): DataFrame = {
     require(order.nonEmpty, "withRunningTotal needs at least one order column")
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, order: _*)
-      .sortWithinPartitions(order: _*)
+    val (hashed, fullOrder) = withTieBreak(df, order)
+    val sorted = hashed.repartitionByRange(n, fullOrder: _*)
+      .sortWithinPartitions(fullOrder: _*)
     val valueIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
     // One Long per partition to the driver; the shuffle files produced
@@ -71,13 +98,13 @@ object GlobalRank {
       }
       .collect().sortBy(_._1).map(_._2)
     val offsets = partSums.scanLeft(0L)(_ + _)
-    val schema = StructType(sorted.schema.fields :+
+    val schema = StructType(df.schema.fields :+
       StructField(outCol, LongType, nullable = false))
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = offsets(pid)
       it.map { r =>
         acc += rowLong(r, valueIdx)
-        Row.fromSeq(r.toSeq :+ acc)
+        Row.fromSeq(r.toSeq.init :+ acc)
       }
     }
     spark.createDataFrame(out, schema)

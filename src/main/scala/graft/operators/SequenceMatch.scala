@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
  * Output: one row per completed sequence — the key, the anchor event
  * id, and each step's epoch-micros timestamp `t0..t{k-1}` (exact
  * integers, engine-portable).
+ *
+ * Step types may REPEAT (`view → view → purchase`): each sweep filters
+ * candidates by ITS step's type, and the strictly-later rule keeps one
+ * event from filling two slots. This is the shared contract with
+ * [[graft.streaming.StreamingSequenceMatch]] —
+ * StreamingSequenceMatchSpec pins batch/streaming parity on a
+ * repeated-type sequence.
  */
 object SequenceMatch {
 

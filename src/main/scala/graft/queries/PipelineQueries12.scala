@@ -447,24 +447,28 @@ object PipelineQueries12 {
         |    AS p50_convert_us""".stripMargin) {
       (s, dir) => {
         val ev = W.read(s, dir, "events")
-        val nViews =
-          ev.filter(col("event_type") === "view").count()
+        // all three counts stay IN the frame (1-row aggregates cross-
+        // joined — broadcast of single rows, one job), no driver-side
+        // count() rerunning the scan just to embed a literal
+        val views = ev.filter(col("event_type") === "view")
+          .agg(count(lit(1)).as("n_views"))
         val vc = graft.operators.SequenceMatch.funnelMatch(ev,
           Seq("view", "click"), withinSeconds = 86400L)
         val full = graft.operators.SequenceMatch.funnelMatch(ev,
           Seq("view", "click", "purchase"), withinSeconds = 86400L)
-        vc.agg(count(lit(1)).as("n_view_click")).crossJoin(
-            full.agg(count(lit(1)).as("n_full_funnel"),
-              // round, never CAST: DuckDB's double→BIGINT cast rounds
-              // while Spark's truncates — a .5 median would diverge
-              expr("round(percentile(t2 - t0, 0.5), 6)")
-                .as("p50_convert_us")))
-          .select(lit(nViews).as("n_views"), col("n_view_click"),
-            col("n_full_funnel"),
-            round(col("n_view_click").cast("double") / nViews.toDouble, 6)
-              .as("click_rate"),
-            round(col("n_full_funnel").cast("double") / nViews.toDouble, 6)
-              .as("funnel_rate"), col("p50_convert_us"))
+        views
+          .crossJoin(vc.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(full.agg(count(lit(1)).as("n_full_funnel"),
+            // round, never CAST: DuckDB's double→BIGINT cast rounds
+            // while Spark's truncates — a .5 median would diverge
+            expr("round(percentile(t2 - t0, 0.5), 6)")
+              .as("p50_convert_us")))
+          .select(col("n_views"), col("n_view_click"), col("n_full_funnel"),
+            round(col("n_view_click").cast("double") /
+              col("n_views").cast("double"), 6).as("click_rate"),
+            round(col("n_full_funnel").cast("double") /
+              col("n_views").cast("double"), 6).as("funnel_rate"),
+            col("p50_convert_us"))
       }
     },
 

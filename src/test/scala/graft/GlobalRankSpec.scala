@@ -65,6 +65,49 @@ class GlobalRankSpec extends TestBase {
     assert(ex.getMessage != null)
   }
 
+  test("tied order column: ranks are deterministic across partition counts") {
+    // score has only 13 distinct values over 400 rows — heavy ties.
+    // Without the internal row-hash tie-break, tie placement (and so
+    // each row's rank) would depend on partition boundaries and task
+    // fetch order; with it, the full assignment must reproduce exactly.
+    val df = sampleDf(400)
+    val order = Seq(col("score")) // deliberately NOT a total order
+    def ranks(p: Int): Map[Long, Long] =
+      GlobalRank.withGlobalRank(df, order, partitions = p)
+        .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    val a = ranks(3); val b = ranks(9)
+    assert(a === b, "tied ranks must not depend on partitioning")
+    assert(a.values.toSeq.sorted === (1L to 400L),
+      "ranks must stay dense and 1-based under ties")
+    // ranks still respect the caller's order across tie groups
+    val byId = df.select("id", "score").as[(Long, Int)].collect().toMap
+    for ((id1, r1) <- a; (id2, r2) <- a if r1 < r2)
+      assert(byId(id1) <= byId(id2),
+        s"rank order must respect score: id $id1(r$r1) vs $id2(r$r2)")
+  }
+
+  test("tied order column: running totals are deterministic and consistent") {
+    val df = sampleDf(400)
+    val order = Seq(col("score")) // ties everywhere
+    def totals(p: Int): Map[Long, Long] =
+      GlobalRank.withRunningTotal(df, order, "w", partitions = p)
+        .select("id", "running_total").as[(Long, Long)].collect().toMap
+    val a = totals(3); val b = totals(9)
+    assert(a === b, "tied running totals must not depend on partitioning")
+    // the implied sequence is a valid prefix-sum of w in score order
+    val rows = GlobalRank.withRunningTotal(df, order, "w", partitions = 5)
+      .select("score", "w", "running_total")
+      .as[(Int, Long, Long)].collect().sortBy(_._3)
+    var acc = 0L
+    var prevScore = Int.MinValue
+    for ((score, w, total) <- rows) {
+      acc += w
+      assert(total === acc, "totals must be an exact inclusive prefix sum")
+      assert(score >= prevScore, "prefix order must respect the score order")
+      prevScore = score
+    }
+  }
+
   test("no single-partition exchange: the plan range-shuffles instead") {
     val df = sampleDf(100)
     val ranked = GlobalRank.withGlobalRank(df, Seq(col("score"), col("id")),

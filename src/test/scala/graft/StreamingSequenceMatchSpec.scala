@@ -21,12 +21,13 @@ class StreamingSequenceMatchSpec extends TestBase {
       SeqEvent(u.toLong, us, types((i * 31) % 4), i.toLong)
     }.sortBy(e => (e.ts_us, e.event_id))
 
-  private def batchTwin(evs: Seq[SeqEvent], withinS: Long) =
+  private def batchTwin(evs: Seq[SeqEvent], withinS: Long,
+      steps: Seq[String] = Seq("view", "click", "purchase")) =
     SequenceMatch.funnelMatch(
         evs.toDF().select(col("user_id"),
           timestamp_micros(col("ts_us")).as("ts"),
           col("event_type"), col("event_id")),
-        Seq("view", "click", "purchase"), withinS)
+        steps, withinS)
       .select("user_id", "id0", "t0", "t1", "t2")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
 
@@ -47,13 +48,15 @@ class StreamingSequenceMatchSpec extends TestBase {
         input.addData(b.toIndexedSeq)
         q.processAllAvailable()
       }
-      val streamed = spark.table(qName)
+      val streamed = spark.table(qName).filter(!col("late"))
         .select(col("user_id"), col("id0"),
           col("ts")(0).as("t0"), col("ts")(1).as("t1"), col("ts")(2).as("t2"))
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       val want = batchTwin(evs, 1500)
       assert(want.nonEmpty, "fixture should complete at least one funnel")
       assert(streamed === want)
+      assert(spark.table(qName).filter(col("late")).count() === 0,
+        "a time-ordered stream must report zero late drops")
     } finally q.stop()
   }
 
@@ -76,10 +79,76 @@ class StreamingSequenceMatchSpec extends TestBase {
     } finally q.stop()
   }
 
-  test("rejects repeated step types loudly") {
-    intercept[IllegalArgumentException] {
-      StreamingSequenceMatch(spark.emptyDataset[SeqEvent],
-        Seq("view", "view"), 10)
-    }
+  test("repeated step types: streaming equals batch on the same contract") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SeqEvent]
+    val qName = s"ceprep_${System.nanoTime()}"
+    // view → view → purchase: both paths must accept repeats and agree
+    val steps = Seq("view", "view", "purchase")
+    val out = StreamingSequenceMatch(input.toDS(), steps,
+      withinSeconds = 1500)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qName).start()
+    try {
+      val evs = fixture
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table(qName).filter(!col("late"))
+        .select(col("user_id"), col("id0"),
+          col("ts")(0).as("t0"), col("ts")(1).as("t1"), col("ts")(2).as("t2"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = batchTwin(evs, 1500, steps)
+      assert(want.nonEmpty, "fixture should complete a repeated-step funnel")
+      assert(streamed === want)
+    } finally q.stop()
+  }
+
+  test("late cross-batch events are reported as drops, never mis-sequenced") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SeqEvent]
+    val qName = s"ceplate_${System.nanoTime()}"
+    val out = StreamingSequenceMatch(input.toDS(),
+      Seq("view", "click", "purchase"), withinSeconds = 1500)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qName).start()
+    try {
+      // batch 1 advances user 1's clock to t=100s; batch 2 delivers a
+      // click that happened BEFORE the purchase already processed
+      input.addData(
+        SeqEvent(1L, 10L * 1000000L, "view", 1L),
+        SeqEvent(1L, 100L * 1000000L, "purchase", 2L))
+      q.processAllAvailable()
+      input.addData(SeqEvent(1L, 50L * 1000000L, "click", 3L))
+      q.processAllAvailable()
+      val drops = spark.table(qName).filter(col("late"))
+        .select(col("user_id"), col("id0"), col("ts")(0).as("t"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(drops === Set((1L, 3L, 50L * 1000000L)),
+        "the out-of-order click must surface as a loud drop row")
+      assert(spark.table(qName).filter(!col("late")).count() === 0,
+        "a dropped step must not complete a funnel")
+      // completions equal the batch matcher run on exactly the events
+      // that were NOT dropped — drop-and-report, never silent divergence
+      input.addData(
+        SeqEvent(1L, 200L * 1000000L, "view", 4L),
+        SeqEvent(1L, 210L * 1000000L, "click", 5L),
+        SeqEvent(1L, 220L * 1000000L, "purchase", 6L))
+      q.processAllAvailable()
+      val processed = Seq(
+        SeqEvent(1L, 10L * 1000000L, "view", 1L),
+        SeqEvent(1L, 100L * 1000000L, "purchase", 2L),
+        SeqEvent(1L, 200L * 1000000L, "view", 4L),
+        SeqEvent(1L, 210L * 1000000L, "click", 5L),
+        SeqEvent(1L, 220L * 1000000L, "purchase", 6L))
+      val streamed = spark.table(qName).filter(!col("late"))
+        .select(col("user_id"), col("id0"),
+          col("ts")(0).as("t0"), col("ts")(1).as("t1"), col("ts")(2).as("t2"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batchTwin(processed, 1500),
+        "non-late completions must equal the batch matcher on the " +
+          "undropped events")
+    } finally q.stop()
   }
 }
