@@ -65,6 +65,7 @@ object Bench {
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val stallRetries = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val stallMedians = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def timedRun(): Double = {
         // clean cache slate per run: operators persist internal frames for
@@ -130,6 +131,16 @@ object Bench {
           times += timedRun()
           stallRetries(name) = stallRetries.getOrElse(name, 0) + 1
         }
+        // make a lucky-minimum escape distinguishable from a clean
+        // re-measure in the artifact itself: alongside stall_retries,
+        // publish the MEDIAN of every iteration the query ran. A near-
+        // baseline median = genuinely clean; a median still far over the
+        // gate under an in-gate published min = one lucky iteration
+        // ended the loop — adjudicate with BenchOne before trusting it.
+        if (stallRetries.contains(name)) {
+          val s = times.sorted
+          stallMedians(name) = s(s.length / 2)
+        }
       }
       // a crashing query must not publish its fail-fast elapsed time as a
       // flattering baseline — record a -1 sentinel instead
@@ -141,9 +152,11 @@ object Bench {
       .mkString("{", ",", "}")
     val retryJson = stallRetries.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val medianJson = stallMedians.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stall_retries":$retryJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stall_retries":$retryJson,"stall_medians":$medianJson,"sf":"$sfDir"}"""
     println(json)
     // the driver captures stdout with head-truncation (BENCH_r04/r05 both
     // lost the front of this line) — a file copy makes the artifact lossless

@@ -205,9 +205,13 @@ final class StatusServer(state: StateStore, watermark: Watermark,
   // /jobs responses cached per (state version, query string): the
   // dashboard polls `jobs?limit=500` every 10 s, and without this each
   // open tab would run one latest-wins scan + sort on the driver per
-  // poll (the exact load the rollup cache exists to prevent). One
-  // entry per distinct query string; cleared whenever the version
-  // moves, so drill-down filters stay correct.
+  // poll (the exact load the rollup cache exists to prevent). Cleared
+  // whenever the version moves, so drill-down filters stay correct;
+  // CAPPED per version so a client sweeping query strings
+  // (`jobs?limit=1,2,3,…`) cannot grow driver memory without bound on
+  // an idle stream — past the cap, uncached queries recompute, which
+  // is the pre-cache behavior, not an error.
+  private val JobsCacheMaxEntries = 32
   @volatile private var jobsCache: (Long, Map[String, String]) =
     (-1L, Map.empty)
 
@@ -225,8 +229,10 @@ final class StatusServer(state: StateStore, watermark: Watermark,
     // data — entries are only valid for the version they were read at
     val cur = jobsCache
     jobsCache =
-      if (cur._1 == v) (v, cur._2 + (key -> body))
-      else (v, Map(key -> body))
+      if (cur._1 == v) {
+        if (cur._2.size < JobsCacheMaxEntries) (v, cur._2 + (key -> body))
+        else cur // full for this version: serve uncached, don't grow
+      } else (v, Map(key -> body))
     body
   }
 

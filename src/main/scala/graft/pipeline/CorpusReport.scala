@@ -617,20 +617,6 @@ object CorpusReport {
   }
 
   /**
-   * Cross-source leakage in near-dup clusters: per source, how many of
-   * its documents sit in a content cluster that spans MORE THAN ONE
-   * source. High leakage means per-source dedup (the cheap, common
-   * setup) would silently keep cross-source copies — the report that
-   * justifies paying for global dedup. `clusters` is any certified
-   * `(doc_id, cluster_id)` labeling (e.g.
-   * [[Dedup.connectedComponents]] over [[Dedup.simhashPairs]]);
-   * unlabeled documents count as singletons of their own id.
-   *
-   * Scale shape: all frames after the left join are pair-graph- or
-   * cluster-sized; the corpus contributes one doc-keyed join and one
-   * source-keyed rollup.
-   */
-  /**
    * Per-source curation scorecard — the one table a release review
    * actually reads, composing four certified components on the `source`
    * key: volumes and token-weighted exact-dup cost ([[dupInflation]]),
@@ -666,6 +652,20 @@ object CorpusReport {
     di.join(cp, "source").join(gq, "source")
   }
 
+  /**
+   * Cross-source leakage in near-dup clusters: per source, how many of
+   * its documents sit in a content cluster that spans MORE THAN ONE
+   * source. High leakage means per-source dedup (the cheap, common
+   * setup) would silently keep cross-source copies — the report that
+   * justifies paying for global dedup. `clusters` is any certified
+   * `(doc_id, cluster_id)` labeling (e.g.
+   * [[Dedup.connectedComponents]] over [[Dedup.simhashPairs]]);
+   * unlabeled documents count as singletons of their own id.
+   *
+   * Scale shape: all frames after the left join are pair-graph- or
+   * cluster-sized; the corpus contributes one doc-keyed join and one
+   * source-keyed rollup.
+   */
   def clusterPurity(docs: DataFrame, clusters: DataFrame,
       sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
     val mem = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))

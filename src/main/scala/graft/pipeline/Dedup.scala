@@ -1305,6 +1305,14 @@ object Dedup {
    * All column math (regexp splits + one array sort over query params —
    * bounded by the param count), codegen-friendly, scan-speed at any
    * corpus size.
+   *
+   * Inputs WITHOUT an explicit scheme (`example.com/x`, protocol-
+   * relative `//host/x`) pass through UNCHANGED: every rule above is
+   * anchored on the scheme, so rewriting such rows would silently
+   * collapse them onto garbage keys (`'://…'` forms with the host
+   * parsed out of the path) and [[urlDedup]] would merge unrelated
+   * documents on them. Passthrough keeps malformed rows distinct-by-
+   * input — the safe dedup default. The oracle replays the same guard.
    */
   def canonicalizeUrl(url: Column): Column = {
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -1321,8 +1329,9 @@ object Dedup {
     val kept = array_join(
       array_sort(filter(split(query, "&"),
         p => p =!= "" && !p.startsWith("utm_"))), "&")
-    concat(scheme, lit("://"), host, path,
-      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+    when(scheme === "", url) // scheme-less: no anchor, pass through
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(kept === "", lit("")).otherwise(concat(lit("?"), kept))))
   }
 
   /**

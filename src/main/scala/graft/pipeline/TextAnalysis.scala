@@ -1432,11 +1432,13 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     // ONE text scan: the (source, token) table is persisted and reused
     // by the totals, the per-source sums, and the main join (the
-    // pmiCollocations discipline); Bench/Verify clear it between
-    // queries via spark.catalog.clearCache
-    val st = docs.select(col(srcCol).as("source"),
-        explode(tokens(col(textCol))).as("tok"))
-      .groupBy("source", "tok").agg(count(lit(1)).as("c")).persist()
+    // pmiCollocations discipline). Registered through persistInternal
+    // so a repeat call REPLACES the cache entry instead of accumulating
+    // CacheManager entries in a long-lived session.
+    val st = Dedup.persistInternal("text_source_kl_st",
+      docs.select(col(srcCol).as("source"),
+          explode(tokens(col(textCol))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c")))
     val tot = st.groupBy("tok").agg(sum(col("c")).as("ct"))
     val n = st.agg(sum(col("c"))).head().getLong(0).toDouble
     val perSrc = st.groupBy("source").agg(sum(col("c")).as("ns"))
@@ -1522,10 +1524,11 @@ object TextAnalysis {
       tokens(col(textCol)).as("toks"))
     // ONE text scan builds the unigram table; it is persisted because it
     // is read three more times (the n1 total + both word-side joins) and
-    // is vocab-sized, far below the corpus. Bench/Verify clear it via
-    // spark.catalog.clearCache between queries.
-    val uni = toks.select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw")).persist()
+    // is vocab-sized, far below the corpus. persistInternal replaces the
+    // entry on repeat calls — no unbounded CacheManager growth.
+    val uni = Dedup.persistInternal("text_pmi_uni",
+      toks.select(explode(col("toks")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw")))
     val n1 = uni.agg(sum(col("cw"))).head().getLong(0).toDouble
     // the tokenizer never yields an empty array for non-null text
     // (split("") = [""]), so Σ max(len−1, 0) = Σ len − #non-null-docs —
@@ -1557,26 +1560,6 @@ object TextAnalysis {
         round(col("pmi_micro").cast("double") / 1e6, 6).as("pmi"))
   }
 
-  /**
-   * OCR/mojibake garbage screen — the character-class heuristics every
-   * web/scan pipeline runs before the statistical filters (they catch
-   * what an LM score can't: binary-as-text, encoding wrecks, OCR noise):
-   *
-   *  - `longtok_frac`: tokens longer than 20 chars (URLs-as-prose,
-   *    un-segmented OCR runs);
-   *  - `consrun_frac`: tokens containing ≥ 5 consecutive ASCII
-   *    consonants (mojibake / keyboard mash — legitimate English has
-   *    almost none);
-   *  - `sym_frac`: characters that are not `[a-z0-9]`, whitespace
-   *    (lowered) — high means markup bleed or binary contamination;
-   *  - `is_garbage`: any of the three past its trip point
-   *    (`sym > 0.2 ∨ consrun > 0.1 ∨ longtok > 0.05`).
-   *
-   * Pure per-row column expressions (integer counts → single rounded
-   * divisions, the [[withQuality]] float discipline): evaluates at scan
-   * speed inside whole-stage codegen, no shuffle, filter-pushdown
-   * friendly when used as a gate.
-   */
   /**
    * RAKE keyword extraction (Rose et al. 2010): candidate phrases are
    * maximal stopword-free token runs (capped at 3 words); each word
@@ -1631,6 +1614,26 @@ object TextAnalysis {
         round(col("score_micro").cast("double") / 1e6, 6).as("rake_score"))
   }
 
+  /**
+   * OCR/mojibake garbage screen — the character-class heuristics every
+   * web/scan pipeline runs before the statistical filters (they catch
+   * what an LM score can't: binary-as-text, encoding wrecks, OCR noise):
+   *
+   *  - `longtok_frac`: tokens longer than 20 chars (URLs-as-prose,
+   *    un-segmented OCR runs);
+   *  - `consrun_frac`: tokens containing ≥ 5 consecutive ASCII
+   *    consonants (mojibake / keyboard mash — legitimate English has
+   *    almost none);
+   *  - `sym_frac`: characters that are not `[a-z0-9]`, whitespace
+   *    (lowered) — high means markup bleed or binary contamination;
+   *  - `is_garbage`: any of the three past its trip point
+   *    (`sym > 0.2 ∨ consrun > 0.1 ∨ longtok > 0.05`).
+   *
+   * Pure per-row column expressions (integer counts → single rounded
+   * divisions, the [[withQuality]] float discipline): evaluates at scan
+   * speed inside whole-stage codegen, no shuffle, filter-pushdown
+   * friendly when used as a gate.
+   */
   def withGarbageScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)

@@ -31,11 +31,12 @@ object PipelineQueries10 {
   private val urlCanonCte: String =
     """canon AS (
           |  SELECT doc_id,
-          |    scheme || '://' || host || path ||
-          |      CASE WHEN kept = '' THEN '' ELSE '?' || kept END
-          |      AS canonical_url
+          |    CASE WHEN scheme = '' THEN url
+          |         ELSE scheme || '://' || host || path ||
+          |           CASE WHEN kept = '' THEN '' ELSE '?' || kept END
+          |    END AS canonical_url
           |  FROM (
-          |    SELECT doc_id, scheme,
+          |    SELECT doc_id, url, scheme,
           |      CASE WHEN scheme = 'http'
           |             THEN regexp_replace(host0, ':80$', '')
           |           WHEN scheme = 'https'
@@ -48,7 +49,7 @@ object PipelineQueries10 {
           |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
           |        AS kept
           |    FROM (
-          |      SELECT doc_id,
+          |      SELECT doc_id, url,
           |        lower(regexp_extract(url,
           |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
           |        regexp_replace(lower(regexp_extract(

@@ -38,6 +38,11 @@ class UrlDedupSpec extends TestBase {
     assert(canon("http://example.com/a///") === "http://example.com/a")
     // bare host: no path, no query
     assert(canon("http://example.com") === "http://example.com")
+    // scheme-less and protocol-relative inputs pass through UNCHANGED —
+    // rewriting them would collapse malformed rows onto garbage keys
+    assert(canon("example.com/Some/Path?b=2&a=1") ===
+      "example.com/Some/Path?b=2&a=1")
+    assert(canon("//host.com/x") === "//host.com/x")
     assert(canon("http://example.com/") === "http://example.com")
   }
 
