@@ -386,6 +386,10 @@ object ScaleProbe {
     run("dup_inflation")(d => graft.pipeline.CorpusReport.dupInflation(d))
     run("cluster_purity")(d => graft.pipeline.CorpusReport.clusterPurity(
       d, Dedup.connectedComponents(Dedup.simhashPairs(d))))
+    // rounds of the k× leg (the last CC executed): certifies that probe
+    // growth is edge-volume, not iteration-count
+    if (only.forall("cluster_purity".contains(_)))
+      println(s"  cc rounds (kx leg): ${Dedup.lastCcRounds}")
     run("silhouette")(d => graft.pipeline.Semantic.silhouetteReport(
       TextAnalysis.hashedVectors(d, dim = 32, salt = "silprobe"),
       k = 8, iters = 2))
@@ -403,6 +407,8 @@ object ScaleProbe {
     run("curation_report")(d => graft.pipeline.CorpusReport
       .curationScorecard(d,
         Dedup.connectedComponents(Dedup.simhashPairs(d))))
+    if (only.forall("curation_report".contains(_)))
+      println(s"  cc rounds (kx leg): ${Dedup.lastCcRounds}")
     // doc-derived event stream (the eventish timeline argument: replicas
     // occupy disjoint time regions at the same per-key density)
     // 49 keys, not 50: gcd(49, 4) = 1, so each key's id stride cycles

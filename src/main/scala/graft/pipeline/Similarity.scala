@@ -625,6 +625,31 @@ object Similarity {
   }
 
   /**
+   * Incremental index ADMISSION — the append half of the persisted-index
+   * lifecycle: assign a NEW batch of vectors against the index's
+   * already-trained centroid sidecar (a pure literal-centroid scan, the
+   * [[Semantic.assignTo]] shape) and append them to the cell-partitioned
+   * corpus. No retraining, no rewrite of existing cells, batch cost
+   * linear in the batch — the production admission path between
+   * periodic re-trains (centroid drift is re-measured at re-train time,
+   * the standard IVF operations trade). [[indexedTopK]] serves the
+   * union immediately: dynamic partition append keeps cell directories
+   * consistent.
+   */
+  def extendIvfIndex(newVectors: DataFrame, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"extendIvfIndex: empty centroid sidecar at $dir")
+    newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("cell",
+        Semantic.nearestCell(asDouble(col("embedding")), cents))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+  }
+
+  /**
    * Serve top-k from a [[buildIvfIndex]] directory WITHOUT retraining —
    * the query-many half. Per query: rank the sidecar centroids by
    * squared distance (rounded to 1e-6, cell tie-break — the

@@ -70,6 +70,22 @@ object PipelineQueries3 {
        |${duckRecenter("a2", "c2")},
        |${duckAssign("c2", "af")}""".stripMargin
 
+  /** [[kmeansCtes]] with training restricted to the BASE snapshot
+    * (`vec_id % 5 <> 0`) while `eall` carries the full table — the
+    * incremental-admission oracle trains on base, assigns everyone. */
+  private val kmeansCtesBase =
+    s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |      WHERE vec_id % 5 <> 0),
+       |eall AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |         FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kmK)),
+       |${duckAssign("c0", "a1")},
+       |${duckRecenter("a1", "c1")},
+       |${duckAssign("c1", "a2")},
+       |${duckRecenter("a2", "c2")}""".stripMargin
+
   private def sparkAssign(s: org.apache.spark.sql.SparkSession, dir: String) =
     Semantic.kmeansAssign(W.read(s, dir, "embeddings"), kmK, iters = 2)
 
@@ -257,6 +273,61 @@ object PipelineQueries3 {
         val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
           s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").getPath
         Similarity.buildIvfIndex(emb, idxDir, kCells = kmK, iters = 2)
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), idxDir,
+            k = 5, nprobe = 2)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // Incremental index admission: train on the BASE corpus snapshot
+    // (vec_id % 5 <> 0), admit the rest through extendIvfIndex (pure
+    // assignment against the persisted centroids — no retraining, no
+    // rewrite of existing cells), then serve the union. The oracle
+    // trains Lloyd's on the base only, assigns base ∪ new against the
+    // trained centroids, and replays probe + rescore — certifying that
+    // admission is assignment, nothing else.
+    QueryDef("sim_topk_indexed_extend",
+      s"""WITH $kmeansCtesBase,
+         |af2 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT x.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY x.vec_id
+         |        ORDER BY ${duckSqDist("x", "c")}, c.cid) AS rk
+         |    FROM eall x CROSS JOIN c2 c) WHERE rk = 1),
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM eall),
+         |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
+         |    FROM qn q CROSS JOIN c2 c)
+         |  WHERE prk <= 2),
+         |cn AS (
+         |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM af2 a JOIN nrm n USING (vec_id) WHERE n.nrm > 0)
+         |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT p.q_id, c.vec_id AS c_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(list_sum(list_transform(
+         |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+         |          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+         |  FROM probes p JOIN cn c ON c.cell = p.cell
+         |  JOIN qn q ON q.vec_id = p.q_id
+         |  WHERE p.q_id <> c.vec_id)
+         |WHERE rank <= 5""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-index-ext-${Integer.toHexString(dir.hashCode)}").getPath
+        // build overwrites the corpus (STATIC partition overwrite wipes
+        // the path), so build-then-extend is idempotent across runs
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+          idxDir, kCells = kmK, iters = 2)
+        Similarity.extendIvfIndex(emb.filter(col("vec_id") % 5 === 0), idxDir)
         Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), idxDir,
             k = 5, nprobe = 2)
           .select("q_id", "c_id", "cos_sim", "rank")

@@ -87,6 +87,38 @@ class IvfIndexSpec extends TestBase
       s"pruning must skip unprobed cells: read $filesRead of $filesTotal")
   }
 
+  test("extendIvfIndex admits a new batch by assignment only; the union serves") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-extend").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    Similarity.buildIvfIndex(base, dir, kCells = kCells, iters = 2)
+    val cellsBefore = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "cv").as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    Similarity.extendIvfIndex(fresh, dir)
+    // centroids untouched — admission is assignment, never retraining
+    val cellsAfter = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "cv").as[(Int, Seq[Double])].collect().sortBy(_._1).toSeq
+    assert(cellsAfter === cellsBefore, "extend must not touch the sidecar")
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() === emb.count(), "union must serve all rows")
+    // every admitted row sits in its nearest trained cell
+    val centArr = cellsBefore.map { case (c, v) => (c, v.toArray) }
+    val want = graft.pipeline.Semantic.assignTo(fresh, centArr)
+      .select("vec_id", "cluster_id").as[(Long, Int)].collect().toMap
+    val got = corpus.join(fresh.select("vec_id"), "vec_id")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got === want, "admitted rows must land in their nearest cell")
+    // serving the extended index with full probe equals brute force over
+    // the WHOLE corpus — the extension is first-class at query time
+    val q = emb.filter(col("vec_id") < 8)
+    val full = Similarity.indexedTopK(spark, q, dir, k = 5, nprobe = kCells)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, emb, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === bf)
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)
