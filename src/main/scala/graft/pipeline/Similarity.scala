@@ -650,6 +650,35 @@ object Similarity {
   }
 
   /**
+   * Index health report — the operational "retrain yet?" signal the
+   * build/extend/serve lifecycle reads (Faiss's imbalance_factor): per
+   * cell, the vector count and its balance factor (count ÷ ideal equal
+   * share). Admission ([[extendIvfIndex]]) never moves old vectors, so
+   * cells drift as the data distribution does; a hot cell (balance ≫ 1)
+   * makes every query probing it pay that cell's full scan — the signal
+   * to re-run [[buildIvfIndex]]. Output one row per TRAINED cell
+   * (empty cells included at zero — invisible-cell starvation is a
+   * report finding, not a missing row).
+   *
+   * Scale shape: one cell-keyed count over the corpus (map-side
+   * partial) + a broadcast join against the k-row sidecar; the balance
+   * window runs over k rows, never the corpus.
+   */
+  def ivfIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$dir/centroids").select(col("cell"))
+    val counts = spark.read.parquet(s"$dir/corpus")
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val all = Window.partitionBy()
+    cents.join(counts, Seq("cell"), "left_outer")
+      .select(col("cell"),
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+      .withColumn("balance",
+        round(col("n_vectors").cast("double") *
+          count(lit(1)).over(all).cast("double") /
+          sum(col("n_vectors")).over(all).cast("double"), 6))
+  }
+
+  /**
    * Serve top-k from a [[buildIvfIndex]] directory WITHOUT retraining —
    * the query-many half. Per query: rank the sidecar centroids by
    * squared distance (rounded to 1e-6, cell tie-break — the

@@ -332,6 +332,30 @@ object PipelineQueries3 {
             k = 5, nprobe = 2)
           .select("q_id", "c_id", "cos_sim", "rank")
       }
+    },
+
+    // Index health: per-cell population + balance factor (count ÷ ideal
+    // equal share) over the persisted index — the "retrain yet?" signal
+    // read between extend batches. The oracle replays training +
+    // assignment and computes the same k-row rollup.
+    QueryDef("sim_index_stats",
+      s"""WITH $kmeansCtes,
+         |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+         |        FROM af GROUP BY cid),
+         |cells AS (SELECT DISTINCT cid FROM c2)
+         |SELECT c.cid AS cell,
+         |  CAST(coalesce(t.n_vectors, 0) AS BIGINT) AS n_vectors,
+         |  round(CAST(coalesce(t.n_vectors, 0) AS DOUBLE)
+         |      * (SELECT count(*) FROM cells)
+         |      / (SELECT sum(n_vectors) FROM cnt), 6) AS balance
+         |FROM cells c LEFT JOIN cnt t ON t.cid = c.cid""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIvfIndex(emb, idxDir, kCells = kmK, iters = 2)
+        Similarity.ivfIndexStats(s, idxDir)
+      }
     }
   )
 }

@@ -119,6 +119,29 @@ class IvfIndexSpec extends TestBase
     assert(full === bf)
   }
 
+  test("ivfIndexStats: one row per trained cell, balance sums to k") {
+    import spark.implicits._
+    val stats = Similarity.ivfIndexStats(spark, idxDir)
+      .select("cell", "n_vectors", "balance")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(stats.length === kCells, "one row per trained cell, always")
+    assert(stats.map(_._2).sum === emb.count(),
+      "cell populations must partition the corpus")
+    // balance = n * k / total, so it averages exactly 1 over the cells
+    val meanBal = stats.map(_._3).sum / kCells
+    assert(math.abs(meanBal - 1.0) < 1e-4,
+      s"balance factors must average 1.0, got $meanBal")
+    // after an extension the report reflects the union
+    val dir2 = tmpDir("ivf-stats2").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0), dir2,
+      kCells = kCells, iters = 2)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 5 === 0), dir2)
+    val total2 = Similarity.ivfIndexStats(spark, dir2)
+      .agg(org.apache.spark.sql.functions.sum("n_vectors"))
+      .head().getLong(0)
+    assert(total2 === emb.count(), "stats must cover admitted batches")
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)
