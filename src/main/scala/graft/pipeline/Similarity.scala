@@ -607,9 +607,13 @@ object Similarity {
    * corpus); the partitioned write is the one-time shuffle every later
    * query amortizes.
    */
+  /** @param attrCols extra payload columns stored WITH each vector —
+    *   the metadata a filtered search ([[indexedTopK]]'s `where`)
+    *   predicates on. Stored columnar in the cell partitions, so a
+    *   predicate reaches the parquet scan as a pushed filter. */
   def buildIvfIndex(corpus: DataFrame, dir: String, kCells: Int,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", attrCols: Seq[String] = Nil): Unit = {
     require(kCells > 0 && iters >= 0,
       s"need kCells > 0, iters >= 0; got $kCells, $iters")
     val spark = corpus.sparkSession
@@ -618,7 +622,8 @@ object Similarity {
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv")
       .repartition(1) // k×dim rows — one sidecar file, read whole
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    corpus.select(col(idCol).as("vec_id") +: col(vecCol).as("embedding") +:
+        attrCols.map(col): _*)
       .withColumn("cell",
         Semantic.nearestCell(asDouble(col("embedding")), cents))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
@@ -698,10 +703,17 @@ object Similarity {
    * positive-norm corpus (CrossCheckSpec) — pruning is the only
    * approximation. Zero-norm vectors are dropped on both sides (no
    * direction ⇒ NaN cosine), as everywhere in this family.
+   *
+   * `where` is PRE-FILTER metadata search (the filtered-ANN shape every
+   * vector store exposes): the predicate — over [[buildIvfIndex]]
+   * `attrCols` payload columns — applies BEFORE scoring, so all k
+   * results satisfy it (post-filtering a top-k would silently return
+   * fewer than k). Simple predicates reach the parquet scan as pushed
+   * filters; within the probed cells the filtered search stays exact.
    */
   def indexedTopK(spark: SparkSession, queries: DataFrame, dir: String,
       k: Int, nprobe: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", where: Option[Column] = None): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("cv")).collect()
@@ -725,8 +737,9 @@ object Similarity {
     // the corpus scan partition-prunes to exactly the probed directories
     val probedCells = probes.select("cell").distinct().collect()
       .map(_.getInt(0)).sorted
-    val c = spark.read.parquet(s"$dir/corpus")
+    val corpus0 = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val c = where.fold(corpus0)(corpus0.filter)
       .select(col("vec_id").as("c_id"), col("cell"),
         asDouble(col("embedding")).as("c_v"))
       .withColumn("c_nrm", norm(col("c_v")))

@@ -119,6 +119,37 @@ class IvfIndexSpec extends TestBase
     assert(full === bf)
   }
 
+  test("filtered search: pre-filter semantics, predicate pushed to the scan") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-filter").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2,
+      attrCols = Seq("label"))
+    val q = emb.filter(col("vec_id") < 8)
+    // a comparison predicate: pushable to parquet (a `% 2` form would
+    // filter correctly but stay in the Spark filter node)
+    val pred = col("label") <= 3
+    // full probe + predicate == brute force over ONLY the matching
+    // candidates: every returned row satisfies the filter and ranks are
+    // dense within the filtered set (pre-filter, not post-filter)
+    val got = Similarity.indexedTopK(spark, q, dir, k = 5, nprobe = kCells,
+        where = Some(pred))
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(q, emb.filter(pred), 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === want, "filtered full-probe must equal brute force over " +
+      "the filtered candidates")
+    // the predicate reaches the parquet scan as a pushed filter
+    val topk = Similarity.indexedTopK(spark, q, dir, k = 5, nprobe = 2,
+      where = Some(pred))
+    topk.collect()
+    val scan = collectWithSubqueries(topk.queryExecution.executedPlan) {
+      case f: FileSourceScanExec => f
+    }.find(_.relation.location.rootPaths.exists(_.toString.contains("corpus")))
+      .getOrElse(fail("no corpus scan"))
+    assert(scan.metadata("PushedFilters").contains("label"),
+      s"label predicate must push to the scan: ${scan.metadata("PushedFilters")}")
+  }
+
   test("ivfIndexStats: one row per trained cell, balance sums to k") {
     import spark.implicits._
     val stats = Similarity.ivfIndexStats(spark, idxDir)
