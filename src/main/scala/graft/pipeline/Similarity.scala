@@ -594,9 +594,16 @@ object Similarity {
    *
    *  - `dir/centroids` — the k×dim trained-centroid sidecar
    *    `(cell, cv)`, one tiny file;
-   *  - `dir/corpus`    — `(vec_id, embedding)` PARTITIONED BY `cell`,
-   *    so a query that probes `nprobe` cells reads exactly those
-   *    directories and nothing else (partition-pruned scan).
+   *  - `dir/corpus`    — `(vec_id, embedding)` PARTITIONED BY
+   *    `(batch, cell)`: the build is `batch=0`, each [[extendIvfIndex]]
+   *    admission gets its own batch partition (which is what makes
+   *    admission retries idempotent — see there), and a query that
+   *    probes `nprobe` cells reads exactly those cell directories
+   *    across batches and nothing else (partition-pruned scan).
+   *
+   * A rebuild overwrites the WHOLE corpus path (static overwrite):
+   * retraining resets the index, prior admissions included — re-admit
+   * from the source of record after a retrain.
    *
    * Why this exists: the inline `sim_topk_*` operators re-derive their
    * cell structure per run, which is wrong by the query count at
@@ -626,32 +633,55 @@ object Similarity {
         attrCols.map(col): _*)
       .withColumn("cell",
         Semantic.nearestCell(asDouble(col("embedding")), cents))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/corpus")
+      .withColumn("batch", lit(0L))
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(s"$dir/corpus")
   }
 
   /**
    * Incremental index ADMISSION — the append half of the persisted-index
    * lifecycle: assign a NEW batch of vectors against the index's
    * already-trained centroid sidecar (a pure literal-centroid scan, the
-   * [[Semantic.assignTo]] shape) and append them to the cell-partitioned
-   * corpus. No retraining, no rewrite of existing cells, batch cost
-   * linear in the batch — the production admission path between
-   * periodic re-trains (centroid drift is re-measured at re-train time,
-   * the standard IVF operations trade). [[indexedTopK]] serves the
-   * union immediately: dynamic partition append keeps cell directories
-   * consistent.
+   * [[Semantic.assignTo]] shape) and land them under their OWN
+   * `batch=<id>` partition. No retraining, no rewrite of existing
+   * batches, batch cost linear in the batch — the production admission
+   * path between periodic re-trains (centroid drift is re-measured at
+   * re-train time, the standard IVF operations trade). [[indexedTopK]]
+   * serves the union immediately.
+   *
+   * EXACTLY-ONCE BY LAYOUT: the write is a DYNAMIC partition overwrite
+   * scoped to `batch=<id>`, so re-running the same admission (a crashed
+   * job retried, a replayed streaming micro-batch —
+   * [[graft.streaming.StreamingIvfAdmit]]) REPLACES its own partitions
+   * instead of appending duplicates. `batchId = None` takes the next id
+   * after the largest on disk (one driver-side directory listing, no
+   * data scan); idempotent retries must pass the id explicitly.
    */
   def extendIvfIndex(newVectors: DataFrame, dir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      batchId: Option[Long] = None, idCol: String = "vec_id",
+      vecCol: String = "embedding", attrCols: Seq[String] = Nil): Unit = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$dir/centroids")
       .select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
     require(cents.nonEmpty, s"extendIvfIndex: empty centroid sidecar at $dir")
-    newVectors.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val id = batchId.getOrElse {
+      val fs = corpusPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(corpusPath).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).max + 1L
+    }
+    require(id > 0, s"batch ids above 0 are admissions; 0 is the build ($id)")
+    newVectors.select(col(idCol).as("vec_id") +:
+        col(vecCol).as("embedding") +: attrCols.map(col): _*)
       .withColumn("cell",
         Semantic.nearestCell(asDouble(col("embedding")), cents))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/corpus")
+      .withColumn("batch", lit(id))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(s"$dir/corpus")
   }
 
   /**

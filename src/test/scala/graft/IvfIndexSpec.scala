@@ -45,7 +45,8 @@ class IvfIndexSpec extends TestBase
     assert(cents.count() == kCells)
     assert(cents.columns.sorted.toSeq == Seq("cell", "cv"))
     val corpus = spark.read.parquet(s"$idxDir/corpus")
-    assert(corpus.columns.sorted.toSeq == Seq("cell", "embedding", "vec_id"))
+    assert(corpus.columns.sorted.toSeq ==
+      Seq("batch", "cell", "embedding", "vec_id"))
     assert(corpus.count() == emb.count(), "no rows may be lost in the build")
     val cells = corpus.select("cell").distinct().count()
     assert(cells > 1 && cells <= kCells,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sim.WarehouseSim
+import graft.streaming.StreamingIvfAdmit
+
+/** Streaming IVF admission: micro-batches land exactly once (replayed
+  * epochs replace their own batch partitions, never duplicate), the
+  * served index equals brute force over everything admitted, and the
+  * build's batch=0 stays untouched. */
+class StreamingIvfAdmitSpec extends TestBase {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("micro-batches admit exactly once; replayed epochs are no-ops") {
+    implicit val sc = spark.sqlContext
+    val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-stream").toString
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    Similarity.buildIvfIndex(base, dir, kCells = 8, iters = 2)
+    val baseN = base.count()
+
+    val feed = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingIvfAdmit.sink(dir))
+      .option("checkpointLocation", tmpDir("ivf-stream-ck").toString)
+      .start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() === emb.count(),
+      "base + both micro-batches must all serve")
+    assert(corpus.filter(col("batch") === 0L).count() === baseN,
+      "the build's batch=0 must stay untouched")
+
+    // crash-replay twin: Structured Streaming re-invokes foreachBatch
+    // with the SAME batchId after an uncommitted epoch — re-running
+    // batch 1's admission must REPLACE its partitions, not append
+    StreamingIvfAdmit.sink(dir)(b2.toIndexedSeq.toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(s"$dir/corpus").count() === emb.count(),
+      "a replayed micro-batch must be a no-op on the row count")
+
+    // the served union is first-class: full probe == whole-corpus brute
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = Similarity.indexedTopK(spark, queries, dir, k = 5, nprobe = 8)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === bf)
+  }
+
+  test("extendIvfIndex auto-id takes the next free batch; id 0 is refused") {
+    val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-autoid").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0), dir,
+      kCells = 8, iters = 2)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), dir)
+    val batches = spark.read.parquet(s"$dir/corpus")
+      .select("batch").distinct().as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(batches.toSeq === Seq(0L, 1L), s"auto-id must take 1, got $batches")
+    intercept[IllegalArgumentException] {
+      Similarity.extendIvfIndex(emb.limit(1), dir, batchId = Some(0L))
+    }
+  }
+}
