@@ -685,6 +685,47 @@ object Similarity {
   }
 
   /**
+   * Index COMPACTION — the maintenance half of streaming admission:
+   * thousands of micro-batch admissions each add `batch=<id>/cell=*`
+   * files, and the small-files tax grows with every one (a probe query
+   * opens every admitted file of its probed cells). Compaction folds
+   * all batches back into a single `batch=0` with `filesPerCell`
+   * output files per cell — one read + one cell-partitioned write,
+   * after which admission ids restart above 0.
+   *
+   * Crash-safe by staging: the compacted corpus is written to a
+   * `corpus.compacting` sibling first, and only after that write
+   * completes does the swap (delete `corpus`, rename staging into
+   * place) happen — a crash mid-write leaves the live corpus untouched
+   * (a stale staging dir is overwritten by the next attempt), and the
+   * rename is the single transition point. Run it when
+   * [[ivfIndexStats]]-adjacent file counts say so, from the ONE owner
+   * of the index (pause admission for the swap window — same
+   * single-writer contract the admission stream already has).
+   */
+  def compactIvfIndex(spark: SparkSession, dir: String,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting")
+    val live = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val k = spark.read.parquet(s"$dir/centroids").count().toInt
+    // (cell, id-hash shard) repartition — the CorpusWriter.writeShards
+    // discipline: ≤ filesPerCell files per cell directory, file
+    // membership a pure function of the data
+    spark.read.parquet(s"$dir/corpus")
+      .withColumn("batch", lit(0L))
+      .repartition(math.max(1, k * filesPerCell), col("cell"),
+        pmod(xxhash64(col("vec_id")), lit(filesPerCell.toLong)))
+      .write.mode("overwrite").partitionBy("batch", "cell")
+      .parquet(staging.toString)
+    // the swap: live corpus disappears only after staging is complete
+    fs.delete(live, true)
+    require(fs.rename(staging, live),
+      s"compaction swap failed: could not rename $staging to $live")
+  }
+
+  /**
    * Index health report — the operational "retrain yet?" signal the
    * build/extend/serve lifecycle reads (Faiss's imbalance_factor): per
    * cell, the vector count and its balance factor (count ÷ ideal equal

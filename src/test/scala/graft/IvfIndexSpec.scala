@@ -174,6 +174,36 @@ class IvfIndexSpec extends TestBase
     assert(total2 === emb.count(), "stats must cover admitted batches")
   }
 
+  test("compactIvfIndex folds admissions into batch=0 with bounded files") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-compact").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = kCells, iters = 2)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 1), dir)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 2), dir)
+    val beforeRows = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    val filesBefore = parquetFiles(s"$dir/corpus")
+
+    Similarity.compactIvfIndex(spark, dir, filesPerCell = 1)
+
+    val after = spark.read.parquet(s"$dir/corpus")
+    assert(after.select("vec_id", "cell").as[(Long, Int)].collect().toSet
+      === beforeRows, "compaction must not move, drop, or re-cell any row")
+    assert(after.select(col("batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+      === Seq(0L), "everything folds into batch=0")
+    val filesAfter = parquetFiles(s"$dir/corpus")
+    assert(filesAfter <= kCells && filesAfter < filesBefore,
+      s"files must shrink to <= 1/cell: $filesBefore -> $filesAfter")
+    assert(!new java.io.File(s"$dir/corpus.compacting").exists(),
+      "staging dir must be swapped away")
+    // admission restarts above the compacted base
+    Similarity.extendIvfIndex(emb.limit(3), dir)
+    assert(spark.read.parquet(s"$dir/corpus")
+      .filter(col("batch") === 1L).count() === 3)
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)
