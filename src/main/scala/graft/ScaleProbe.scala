@@ -397,6 +397,21 @@ object ScaleProbe {
       graft.pipeline.Multimodal.withMediaColumn(d)))
     run("percentile_gate")(d =>
       graft.pipeline.Sampling.percentileGate(d))
+    // round-11: the persisted-index lifecycle — build (train + cell-
+    // partitioned write) + admit + serve from disk, end to end; serve
+    // cost should stay query-bound while build scales with the corpus
+    run("ivf_index_lifecycle")(d => {
+      val vecs = graft.pipeline.TextAnalysis.hashedVectors(
+        d, dim = 32, salt = "ivfprobe")
+      val dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivf-probe").getPath
+      graft.pipeline.Similarity.buildIvfIndex(
+        vecs.filter(col("vec_id") % 7 =!= 0), dir, kCells = 16, iters = 2)
+      graft.pipeline.Similarity.extendIvfIndex(
+        vecs.filter(col("vec_id") % 7 === 0), dir)
+      graft.pipeline.Similarity.indexedTopK(spark,
+        vecs.orderBy("vec_id").limit(8), dir, k = 5, nprobe = 2)
+    })
     run("rake_keywords")(d => TextAnalysis.rakeKeywords(d))
     run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
       graft.pipeline.CorpusReport.mergeVocabState(

@@ -105,6 +105,43 @@ class StreamingSequenceMatchSpec extends TestBase {
     } finally q.stop()
   }
 
+  test("randomized parity sweep: random streams, random batch splits, " +
+      "repeated-step sequences") {
+    implicit val sc = spark.sqlContext
+    val rnd = new scala.util.Random(20260815L) // fixed seed: replayable
+    for (trial <- 0 until 3) {
+      val steps =
+        if (trial % 2 == 0) Seq("view", "click", "purchase")
+        else Seq("view", "view", "error") // repeated step type
+      val evs = (0 until 400).map { i =>
+        SeqEvent((rnd.nextInt(5) + 1).toLong,
+          rnd.nextInt(3000).toLong * 1000000L,
+          types(rnd.nextInt(types.length)), 100000L * trial + i)
+      }.sortBy(e => (e.ts_us, e.event_id))
+      // random number of in-order batch cuts (1-3)
+      val cuts = Seq.fill(rnd.nextInt(3))(rnd.nextInt(evs.length)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(evs.length)).distinct.sorted
+        .sliding(2).map { case Seq(a, b) => evs.slice(a, b) }.toSeq
+      val input = MemoryStream[SeqEvent]
+      val qName = s"cepr${trial}_${System.nanoTime()}"
+      val q = StreamingSequenceMatch(input.toDS(), steps, 900)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qName).start()
+      try {
+        batches.filter(_.nonEmpty).foreach { b =>
+          input.addData(b.toIndexedSeq); q.processAllAvailable()
+        }
+        val streamed = spark.table(qName).filter(!col("late"))
+          .select(col("user_id"), col("id0"),
+            col("ts")(0).as("t0"), col("ts")(1).as("t1"),
+            col("ts")(2).as("t2"))
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        assert(streamed === batchTwin(evs, 900, steps),
+          s"trial $trial (steps=$steps, batches=${batches.map(_.length)})")
+      } finally q.stop()
+    }
+  }
+
   test("late cross-batch events are reported as drops, never mis-sequenced") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[SeqEvent]
