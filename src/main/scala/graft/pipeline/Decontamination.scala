@@ -185,6 +185,38 @@ object Decontamination {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * SEMANTIC decontamination — the paraphrase-contamination screen the
+   * n-gram paths structurally cannot catch (a reworded eval item shares
+   * no shingle with its source): one row per (corpus doc, benchmark
+   * doc) whose embeddings sit in the same coarse cell with cosine ≥
+   * `tau`. Run it alongside [[overlaps]]: n-grams catch verbatim and
+   * near-verbatim leaks, embeddings catch rewrites.
+   *
+   * Shape: the benchmark side is tiny (eval sets, not corpora), so it
+   * BROADCASTS into a same-cell equi-join — the corpus is scanned once,
+   * never shuffled (the [[Semantic.semanticDedup]] candidate bound,
+   * cross-frame). Cosines round to 1e-6 before thresholding (the
+   * family's engine-portable float discipline). Zero-norm vectors carry
+   * no direction and are dropped on both sides.
+   */
+  def semanticOverlaps(corpusEmb: DataFrame, benchEmb: DataFrame,
+      tau: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    def prep(df: DataFrame, outId: String, v: String, n: String) =
+      df.select(col(idCol).as(outId), col(cellCol).as("cell"),
+          transform(col(vecCol), x => x.cast("double")).as(v))
+        .withColumn(n, Similarity.norm(col(v)))
+        .filter(col(n) > 0)
+    val c = prep(corpusEmb, "corpus_id", "c_v", "c_nrm")
+    val b = prep(benchEmb, "bench_id", "b_v", "b_nrm")
+    c.join(broadcast(b), "cell")
+      .select(col("corpus_id"), col("bench_id"),
+        round(Similarity.dot(col("c_v"), col("b_v")) /
+          (col("c_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Eval-hygiene composition: assign deterministic splits
     * ([[Sampling.assignSplit]]), then strip training docs that leak
     * into the held-out split. Returns `(doc_id, split)` — the train

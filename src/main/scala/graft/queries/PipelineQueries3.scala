@@ -380,6 +380,30 @@ object PipelineQueries3 {
       }
     },
 
+    // Semantic decontamination: the paraphrase screen — same-cell
+    // corpus×benchmark cosine at tau, catching rewrites the n-gram
+    // decon paths (decon_overlap/_bloom/_mask) structurally miss. The
+    // benchmark side broadcasts; the corpus is scanned once. Oracle
+    // replays the split, the cell equi-join, and the rounded cosine
+    // threshold.
+    QueryDef("decon_semantic",
+      withC(PipelineQueries.embDouble)(
+        s"""SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+           |  round(list_sum(list_transform(generate_series(1, len(c.v)),
+           |    i -> c.v[i] * b.v[i])) / (c.nrm * b.nrm), 6) AS cos_sim
+           |FROM (SELECT * FROM e WHERE vec_id % 7 <> 0 AND nrm > 0) c
+           |JOIN (SELECT * FROM e WHERE vec_id % 7 = 0 AND nrm > 0) b
+           |  ON c.label = b.label
+           |WHERE round(list_sum(list_transform(generate_series(1, len(c.v)),
+           |    i -> c.v[i] * b.v[i])) / (c.nrm * b.nrm), 6) >= 0.3""".stripMargin)) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        graft.pipeline.Decontamination.semanticOverlaps(
+          emb.filter(col("vec_id") % 7 =!= 0),
+          emb.filter(col("vec_id") % 7 === 0), tau = 0.3)
+      }
+    },
+
     // Index health: per-cell population + balance factor (count ÷ ideal
     // equal share) over the persisted index — the "retrain yet?" signal
     // read between extend batches. The oracle replays training +
