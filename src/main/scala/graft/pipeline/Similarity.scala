@@ -826,6 +826,79 @@ object Similarity {
   }
 
   /**
+   * nprobe tuning curve over a [[buildIvfIndex]] directory — the table
+   * read before choosing the index's recall/cost knob (the
+   * `dedup_lsh_tuning` discipline, applied to the serve path): for each
+   * `nprobe` in 1..`maxProbe`, the micro-averaged recall of
+   * nprobe-probed top-k against the FULL-PROBE ranking (the index's own
+   * exact answer — pruning is its only approximation, so full probe is
+   * the correct reference).
+   *
+   * ONE scoring pass: every (query, candidate) pair is scored once with
+   * the candidate cell's probe rank attached; each curve point is then
+   * a filter (`prk <= n`) + rank + overlap count over that cached frame
+   * — maxProbe windows over an already-bounded candidate set, not
+   * maxProbe corpus scans. Output one row per nprobe:
+   * `(nprobe, n_exact, hits, recall)`.
+   */
+  def nprobeRecallCurve(spark: SparkSession, queries: DataFrame,
+      dir: String, k: Int, maxProbe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && maxProbe > 0,
+      s"need positive k/maxProbe, got $k/$maxProbe")
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    require(cents.nonEmpty, s"nprobeRecallCurve: empty sidecar at $dir")
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // probe rank of EVERY cell per query (not just the top-nprobe)
+    val rankStructs = array(cents.map { case (cell, cv) =>
+      struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
+        lit(cell).as("cell"))
+    }: _*)
+    val probeRanks = q
+      .select(col("q_id"), posexplode(array_sort(rankStructs)))
+      .select(col("q_id"), (col("pos") + 1).as("prk"),
+        col("col.cell").as("cell"))
+    val c = spark.read.parquet(s"$dir/corpus")
+      .select(col("vec_id").as("c_id"), col("cell"),
+        asDouble(col("embedding")).as("c_v"))
+      .withColumn("c_nrm", norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+    val scored = c.join(broadcast(probeRanks), "cell")
+      .join(broadcast(q), "q_id")
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("prk"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+    val cached = Dedup.persistInternal("sim_nprobe_curve_scored", scored)
+    def topk(n: Int): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      cached.filter(col("prk") <= n)
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("q_id"), col("c_id"))
+    }
+    val full = topk(cents.size)
+    // the reference count stays IN the frame (1-row aggregate
+    // cross-joined) — no driver-side count embedding a literal
+    val nEx = full.agg(count(lit(1)).as("n_exact"))
+    (1 to maxProbe).map { n =>
+      topk(n).join(full, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(nEx)
+        .select(lit(n).as("nprobe"), col("n_exact"), col("hits"),
+          round(col("hits").cast("double") / col("n_exact").cast("double"),
+            6).as("recall"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /**
    * ANN recall report — the evaluation harness every approximate index
    * ships with: per (method, query), how many of the exact top-k the
    * approximate method returned. Takes the EXACT top-k frame and the

@@ -380,6 +380,64 @@ object PipelineQueries3 {
       }
     },
 
+    // nprobe tuning curve: recall of nprobe-probed top-k vs the index's
+    // full-probe ranking, one row per nprobe 1..4 — the table read
+    // before choosing the serve path's recall/cost knob (the
+    // dedup_lsh_tuning discipline on the index). One scoring pass; each
+    // point is a per-(nprobe, query) window over the cached candidates.
+    QueryDef("sim_nprobe_curve",
+      s"""WITH $kmeansCtes,
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0),
+         |pr AS (
+         |  SELECT q_id, cell, prk FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
+         |    FROM qn q CROSS JOIN c2 c)),
+         |cn AS (
+         |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM af a JOIN nrm n USING (vec_id) WHERE n.nrm > 0),
+         |sc AS (
+         |  SELECT p.q_id, c.vec_id AS c_id, p.prk,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |      i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim
+         |  FROM pr p JOIN cn c ON c.cell = p.cell
+         |  JOIN qn q ON q.vec_id = p.q_id
+         |  WHERE p.q_id <> c.vec_id),
+         |full_k AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, c_id) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |nex AS (SELECT count(*) AS n_exact FROM full_k),
+         |ns AS (SELECT unnest(generate_series(1, 4)) AS nprobe),
+         |scn AS (
+         |  SELECT n.nprobe, s.q_id, s.c_id,
+         |    row_number() OVER (PARTITION BY n.nprobe, s.q_id
+         |      ORDER BY s.cos_sim DESC, s.c_id) AS rk
+         |  FROM sc s JOIN ns n ON s.prk <= n.nprobe),
+         |hits AS (
+         |  SELECT nprobe, count(*) AS hits
+         |  FROM scn JOIN full_k USING (q_id, c_id)
+         |  WHERE rk <= 5 GROUP BY nprobe)
+         |SELECT CAST(ns.nprobe AS INT) AS nprobe,
+         |  CAST(nex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+         |    / CAST(nex.n_exact AS DOUBLE), 6) AS recall
+         |FROM ns LEFT JOIN hits h USING (nprobe) CROSS JOIN nex""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIvfIndex(emb, idxDir, kCells = kmK, iters = 2)
+        Similarity.nprobeRecallCurve(s, emb.filter(col("vec_id") < 8),
+          idxDir, k = 5, maxProbe = 4)
+      }
+    },
+
     // Semantic decontamination: the paraphrase screen — same-cell
     // corpus×benchmark cosine at tau, catching rewrites the n-gram
     // decon paths (decon_overlap/_bloom/_mask) structurally miss. The
