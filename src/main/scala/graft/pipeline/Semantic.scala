@@ -124,6 +124,57 @@ object Semantic {
         round(col("best").getField("d"), 6).as("sq_dist"))
 
   /**
+   * Embedding drift report between two corpus snapshots — the
+   * re-embed / retrain-the-index trigger an embedding-health check
+   * reads: per cell, both snapshots' populations, the L2 shift between
+   * their centroids, and the centroid cosine. A cell whose centroid
+   * moved (low cosine, high shift) or whose population collapsed/
+   * exploded is where the data distribution changed; cells present in
+   * only ONE snapshot report their counts with null shift (appearing/
+   * disappearing content is a first-class finding).
+   *
+   * Determinism: centroids are 1e-6-rounded coordinate means (the
+   * k-means re-center discipline) and shift/cosine round to 1e-6, so
+   * the DuckDB oracle replays everything. Scale shape: two corpus
+   * scans collapsing to |cells|×dim aggregates; every later join and
+   * the arithmetic run on |cells|-row frames.
+   */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    def cents(df: DataFrame, nOut: String, cvOut: String): DataFrame = {
+      val e = df.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
+      val m = e.select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos").agg(round(avg("col"), 6).as("mv"))
+        .groupBy("cell")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
+          .as("byPos"))
+        .select(col("cell"),
+          transform(sequence(lit(0), size(col("byPos")) - 1),
+            i => element_at(col("byPos"), i)).as(cvOut))
+      e.groupBy("cell").agg(count(lit(1)).as(nOut)).join(m, "cell")
+    }
+    def dotc(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ca = cents(a, "n_a", "cv_a")
+    val cb = cents(b, "n_b", "cv_b")
+    val na = sqrt(dotc(col("cv_a"), col("cv_a")))
+    val nb = sqrt(dotc(col("cv_b"), col("cv_b")))
+    ca.join(cb, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("cv_a").isNotNull && col("cv_b").isNotNull,
+          round(sqrt(aggregate(zip_with(col("cv_a"), col("cv_b"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)), 6))
+          .as("l2_shift"),
+        when(col("cv_a").isNotNull && col("cv_b").isNotNull &&
+            na > 0 && nb > 0,
+          round(dotc(col("cv_a"), col("cv_b")) / (na * nb), 6))
+          .as("cos_centroid"))
+  }
+
+  /**
    * Farthest-point seeding + assignment (Gonzalez 1985, the 2-approx
    * k-center traversal) — the deterministic answer to k-means++'s
    * randomized D² sampling: seed 1 is the lowest-id vector, each next

@@ -380,6 +380,52 @@ object PipelineQueries3 {
       }
     },
 
+    // Embedding drift between snapshots (vec_id parity split): per
+    // cell, both populations, centroid L2 shift, centroid cosine —
+    // the re-embed/retrain trigger. One-sided cells report counts with
+    // null shift. Oracle replays the rounded per-cell means and the
+    // shift/cosine arithmetic.
+    QueryDef("report_embedding_drift",
+      withC(PipelineQueries.embDouble + s""",
+        |pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+        |ca AS (
+        |  SELECT cell, n_a, list(mv ORDER BY pos) AS cv FROM (
+        |    SELECT e.label AS cell, p.pos, round(avg(e.v[p.pos]), 6) AS mv,
+        |      count(*) AS n_a
+        |    FROM e, pos p WHERE e.vec_id % 2 = 0
+        |    GROUP BY e.label, p.pos)
+        |  GROUP BY cell, n_a),
+        |cb AS (
+        |  SELECT cell, n_b, list(mv ORDER BY pos) AS cv FROM (
+        |    SELECT e.label AS cell, p.pos, round(avg(e.v[p.pos]), 6) AS mv,
+        |      count(*) AS n_b
+        |    FROM e, pos p WHERE e.vec_id % 2 = 1
+        |    GROUP BY e.label, p.pos)
+        |  GROUP BY cell, n_b)""".stripMargin)(
+        """SELECT coalesce(ca.cell, cb.cell) AS cell,
+          |  CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+          |  CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+          |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL THEN
+          |    round(sqrt(list_sum(list_transform(generate_series(1, 64),
+          |      i -> (ca.cv[i] - cb.cv[i]) * (ca.cv[i] - cb.cv[i])))), 6)
+          |  END AS l2_shift,
+          |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL
+          |      AND sqrt(list_sum(list_transform(ca.cv, x -> x * x))) > 0
+          |      AND sqrt(list_sum(list_transform(cb.cv, x -> x * x))) > 0
+          |    THEN round(list_sum(list_transform(generate_series(1, 64),
+          |        i -> ca.cv[i] * cb.cv[i]))
+          |      / (sqrt(list_sum(list_transform(ca.cv, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(cb.cv, x -> x * x)))), 6)
+          |  END AS cos_centroid
+          |FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell""".stripMargin)) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        Semantic.embeddingDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1))
+      }
+    },
+
     // nprobe tuning curve: recall of nprobe-probed top-k vs the index's
     // full-probe ranking, one row per nprobe 1..4 — the table read
     // before choosing the serve path's recall/cost knob (the
