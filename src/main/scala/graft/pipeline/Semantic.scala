@@ -175,6 +175,67 @@ object Semantic {
   }
 
   /**
+   * Mergeable per-cell centroid STATE — [[embeddingDrift]]'s
+   * incremental half (the [[pcaState]] discipline): one row per
+   * (cell, pos) carrying the component micro-sum Σ round(xᵢ·1e6) as an
+   * exact long, with the cell's vector count riding at pos = 1. States
+   * from disjoint slices merge by ADDITION, so a daily drift check
+   * folds the new batch's |cells|×dim-row state into the standing one
+   * and never re-scans history.
+   */
+  def cellState(emb: DataFrame, vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame =
+    emb.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), col("pos"),
+        round(col("col") * 1e6).cast("long").as("sx"),
+        when(col("pos") === 0, 1L).otherwise(0L).as("cnt"))
+      .groupBy("cell", "pos")
+      .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+
+  /** Additive merge of [[cellState]] frames (same embedding dim). */
+  def mergeCellState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("cell", "pos")
+      .agg(sum(col("sx")).as("sx"), sum(col("cnt")).as("cnt"))
+
+  /**
+   * The [[embeddingDrift]] report from two (possibly merged) states.
+   * Centroids come out of the micro-sums (`round(sx / (n·1e6), 6)`),
+   * which can differ from the exact-average path in the last digit —
+   * the incremental query therefore carries its own oracle replaying
+   * THIS formula (the `report_pca_incremental` precedent).
+   */
+  def renderDrift(stateA: DataFrame, stateB: DataFrame): DataFrame = {
+    def cents(st: DataFrame, nOut: String, cvOut: String): DataFrame =
+      st.groupBy("cell")
+        .agg(max(when(col("pos") === 0, col("cnt"))).as(nOut),
+          map_from_arrays(collect_list(col("pos")),
+            collect_list(col("sx"))).as("byPos"))
+        .select(col("cell"), col(nOut),
+          transform(sequence(lit(0), size(col("byPos")) - 1),
+            i => round(element_at(col("byPos"), i).cast("double") /
+              (col(nOut).cast("double") * 1e6), 6)).as(cvOut))
+    def dotc(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ca = cents(stateA, "n_a", "cv_a")
+    val cb = cents(stateB, "n_b", "cv_b")
+    val na = sqrt(dotc(col("cv_a"), col("cv_a")))
+    val nb = sqrt(dotc(col("cv_b"), col("cv_b")))
+    ca.join(cb, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        when(col("cv_a").isNotNull && col("cv_b").isNotNull,
+          round(sqrt(aggregate(zip_with(col("cv_a"), col("cv_b"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)), 6))
+          .as("l2_shift"),
+        when(col("cv_a").isNotNull && col("cv_b").isNotNull &&
+            na > 0 && nb > 0,
+          round(dotc(col("cv_a"), col("cv_b")) / (na * nb), 6))
+          .as("cos_centroid"))
+  }
+
+  /**
    * Farthest-point seeding + assignment (Gonzalez 1985, the 2-approx
    * k-center traversal) — the deterministic answer to k-means++'s
    * randomized D² sampling: seed 1 is the lowest-id vector, each next

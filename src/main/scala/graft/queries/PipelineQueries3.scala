@@ -426,6 +426,65 @@ object PipelineQueries3 {
       }
     },
 
+    // Incremental drift: snapshot A's state is built from TWO slices
+    // and MERGED (addition of micro-sums) before rendering against
+    // snapshot B's state — the oracle computes the state over the whole
+    // half directly, so a hash match certifies merge == whole (the
+    // report_pca_incremental precedent) plus the micro-sum centroid
+    // formula itself.
+    QueryDef("report_drift_incremental",
+      withC(PipelineQueries.embDouble + s""",
+        |pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+        |sa AS (
+        |  SELECT e.label AS cell, p.pos,
+        |    CAST(sum(CAST(round(e.v[p.pos] * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS sx,
+        |    count(*) AS n
+        |  FROM e, pos p WHERE e.vec_id % 2 = 0 GROUP BY 1, 2),
+        |sb AS (
+        |  SELECT e.label AS cell, p.pos,
+        |    CAST(sum(CAST(round(e.v[p.pos] * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS sx,
+        |    count(*) AS n
+        |  FROM e, pos p WHERE e.vec_id % 2 = 1 GROUP BY 1, 2),
+        |ca AS (
+        |  SELECT cell, n AS n_a,
+        |    list(round(CAST(sx AS DOUBLE) / (n * 1e6), 6) ORDER BY pos)
+        |      AS cv
+        |  FROM sa GROUP BY cell, n),
+        |cb AS (
+        |  SELECT cell, n AS n_b,
+        |    list(round(CAST(sx AS DOUBLE) / (n * 1e6), 6) ORDER BY pos)
+        |      AS cv
+        |  FROM sb GROUP BY cell, n)""".stripMargin)(
+        """SELECT coalesce(ca.cell, cb.cell) AS cell,
+          |  CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+          |  CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+          |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL THEN
+          |    round(sqrt(list_sum(list_transform(generate_series(1, 64),
+          |      i -> (ca.cv[i] - cb.cv[i]) * (ca.cv[i] - cb.cv[i])))), 6)
+          |  END AS l2_shift,
+          |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL
+          |      AND sqrt(list_sum(list_transform(ca.cv, x -> x * x))) > 0
+          |      AND sqrt(list_sum(list_transform(cb.cv, x -> x * x))) > 0
+          |    THEN round(list_sum(list_transform(generate_series(1, 64),
+          |        i -> ca.cv[i] * cb.cv[i]))
+          |      / (sqrt(list_sum(list_transform(ca.cv, x -> x * x)))
+          |         * sqrt(list_sum(list_transform(cb.cv, x -> x * x)))), 6)
+          |  END AS cos_centroid
+          |FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell""".stripMargin)) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val a = emb.filter(col("vec_id") % 2 === 0)
+        // A's state arrives in two MERGED slices — the incremental path
+        val stA = Semantic.mergeCellState(
+          Semantic.cellState(a.filter(col("vec_id") % 4 === 0)),
+          Semantic.cellState(a.filter(col("vec_id") % 4 =!= 0)))
+        Semantic.renderDrift(stA,
+          Semantic.cellState(emb.filter(col("vec_id") % 2 === 1)))
+      }
+    },
+
     // nprobe tuning curve: recall of nprobe-probed top-k vs the index's
     // full-probe ranking, one row per nprobe 1..4 — the table read
     // before choosing the serve path's recall/cost knob (the
