@@ -46,7 +46,10 @@ class PlanAuditSpec extends TestBase {
       "report_heaps_curve", "report_heaps_incremental",
       "report_quality_volume", "report_dedup_curve",
       // 1-row × 1-row aggregate crossJoin (the pack_zorder bounds shape)
-      "report_funnel_rates")
+      "report_funnel_rates",
+      // per-nprobe hit counts crossJoin the broadcast 1-row reference
+      // count (the report_funnel_rates shape) — both sides bounded
+      "sim_nprobe_curve")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
