@@ -178,7 +178,8 @@ object Semantic {
    * Mergeable per-cell centroid STATE — [[embeddingDrift]]'s
    * incremental half (the [[pcaState]] discipline): one row per
    * (cell, pos) carrying the component micro-sum Σ round(xᵢ·1e6) as an
-   * exact long, with the cell's vector count riding at pos = 1. States
+   * exact long, with the cell's vector count riding at pos = 0 (the
+   * first posexplode position). States
    * from disjoint slices merge by ADDITION, so a daily drift check
    * folds the new batch's |cells|×dim-row state into the standing one
    * and never re-scans history.

@@ -669,9 +669,15 @@ object Similarity {
     val id = batchId.getOrElse {
       val fs = corpusPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(corpusPath).map(_.getPath.getName)
+      require(fs.exists(corpusPath),
+        s"extendIvfIndex: no corpus at $dir — buildIvfIndex first")
+      val existing = fs.listStatus(corpusPath).map(_.getPath.getName)
         .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong).max + 1L
+        .map(_.stripPrefix("batch=").toLong)
+      require(existing.nonEmpty,
+        s"extendIvfIndex: no batch partitions under $corpusPath — " +
+          "not a buildIvfIndex layout")
+      existing.max + 1L
     }
     require(id > 0, s"batch ids above 0 are admissions; 0 is the build ($id)")
     newVectors.select(col(idCol).as("vec_id") +:
@@ -697,8 +703,11 @@ object Similarity {
    * `corpus.compacting` sibling first, and only after that write
    * completes does the swap (delete `corpus`, rename staging into
    * place) happen — a crash mid-write leaves the live corpus untouched
-   * (a stale staging dir is overwritten by the next attempt), and the
-   * rename is the single transition point. Run it when
+   * (a stale staging dir is overwritten by the next attempt). The one
+   * residual window is between the delete and the rename: a crash there
+   * leaves no live `corpus` but a COMPLETE staging dir — recovery is
+   * renaming `corpus.compacting` to `corpus` by hand (no data is ever
+   * in only one place mid-swap). Run it when
    * [[ivfIndexStats]]-adjacent file counts say so, from the ONE owner
    * of the index (pause admission for the swap window — same
    * single-writer contract the admission stream already has).
