@@ -144,15 +144,19 @@ object Semantic {
       cellCol: String = "label"): DataFrame = {
     def cents(df: DataFrame, nOut: String, cvOut: String): DataFrame = {
       val e = df.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
-      val m = e.select(col("cell"), posexplode(col("v")))
-        .groupBy("cell", "pos").agg(round(avg("col"), 6).as("mv"))
+      // ONE scan per snapshot: the per-(cell, pos) count IS the cell's
+      // vector count (every row contributes one entry per pos), so it
+      // rides the means aggregate instead of a second pass
+      e.select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(round(avg("col"), 6).as("mv"), count(lit(1)).as("n"))
         .groupBy("cell")
-        .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
-          .as("byPos"))
-        .select(col("cell"),
+        .agg(max(col("n")).as(nOut),
+          map_from_arrays(collect_list("pos"), collect_list("mv"))
+            .as("byPos"))
+        .select(col("cell"), col(nOut),
           transform(sequence(lit(0), size(col("byPos")) - 1),
             i => element_at(col("byPos"), i)).as(cvOut))
-      e.groupBy("cell").agg(count(lit(1)).as(nOut)).join(m, "cell")
     }
     def dotc(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
