@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.functions.{col, xxhash64}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.functions.{col, lit, xxhash64}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, MapType, StructField, StructType}
 
 /**
  * Exact global ordering primitives that never collapse to one
@@ -21,16 +21,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
  *     global ones.
  *
  * TIES ARE SAFE: the order need not be total. A deterministic row-hash
- * tie-break (`xxhash64` over every input column) is appended to the
- * sort key internally, so rows that tie on the caller's order still
- * land in one reproducible sequence — across runs, partition counts,
- * AND task retries (a retried task re-sorts fetched rows whose arrival
- * order changed; without the tie-break, tied rows could swap places
- * and per-row ranks/totals would silently differ). Rows identical in
- * EVERY column hash equal and stay interchangeable, which is
- * multiset-deterministic — the only kind of determinism such rows
- * admit. GlobalRankSpec pins rank and total stability on a heavily
- * tied order column.
+ * tie-break (`xxhash64` over every hashable input column) is appended
+ * to the sort key internally, so rows that tie on the caller's order
+ * still land in one reproducible sequence — across runs, partition
+ * counts, AND task retries (a retried task re-sorts fetched rows whose
+ * arrival order changed; without the tie-break, tied rows could swap
+ * places and per-row ranks/totals would silently differ). Rows
+ * identical in EVERY hashed column hash equal and stay
+ * interchangeable, which is multiset-deterministic — the only kind of
+ * determinism such rows admit. Two caveats, both narrow:
+ * map-typed columns are EXCLUDED from the hash (Spark's hash
+ * expressions reject MapType — map element order is undefined, so a
+ * map has no canonical hash), so rows differing only in a map payload
+ * stay interchangeable among themselves; and two distinct rows that
+ * tie on the order key AND collide in xxhash64 (astronomically rare)
+ * remain placement-nondeterministic. GlobalRankSpec pins rank and
+ * total stability on a heavily tied order column, map payloads
+ * included.
  *
  * The result is two scans of the shuffled data and driver state of one
  * Long per partition, at any scale. The rows come back through an RDD
@@ -41,6 +48,16 @@ object GlobalRank {
 
   private val TieBreak = "_gr_tiebreak"
 
+  /** Spark's hash expressions reject MapType anywhere in the type
+    * (undefined element order ⇒ no canonical hash), so map-carrying
+    * columns must stay out of the tie-break hash. */
+  private def hashable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case s: StructType => s.fields.forall(f => hashable(f.dataType))
+    case a: ArrayType => hashable(a.elementType)
+    case _ => true
+  }
+
   /** Input extended with the deterministic row-hash tie-break, plus the
     * extended order. The tie-break column is always LAST in the frame,
     * so output rows drop it positionally. */
@@ -48,7 +65,12 @@ object GlobalRank {
       order: Seq[Column]): (DataFrame, Seq[Column]) = {
     require(!df.columns.contains(TieBreak),
       s"input must not already carry a $TieBreak column")
-    val hashed = df.withColumn(TieBreak, xxhash64(df.columns.map(col): _*))
+    val hashCols = df.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name)).toSeq
+    // an all-map frame has nothing hashable: a constant keeps the plan
+    // valid and the caller's order as the only (multiset) determinism
+    val tie = if (hashCols.nonEmpty) xxhash64(hashCols: _*) else lit(0L)
+    val hashed = df.withColumn(TieBreak, tie)
     (hashed, order :+ col(TieBreak))
   }
 

@@ -43,6 +43,18 @@ object Semantic {
   private def asDouble(vecCol: Column): Column =
     transform(vecCol, x => x.cast("double"))
 
+  /** Loud guard for the drift family: a ZERO-LENGTH embedding explodes
+    * to no (cell, pos) rows, so it would silently vanish from per-cell
+    * counts and the report would under-count without a trace — the same
+    * silent-drop class the streaming late-data discipline forbids. Fail
+    * the job instead; the caller filters empties knowingly or fixes the
+    * feed. */
+  private def requireNonEmptyVec(v: Column, op: String): Column =
+    when(size(v) === 0, raise_error(lit(
+      s"$op: zero-length embedding vector — it carries no components, " +
+        "so it would silently vanish from per-cell counts; filter " +
+        "empties explicitly or fix the embedding feed"))).otherwise(v)
+
   /** Sequential-fold squared L2 distance of a vector column against a
     * centroid literal — index order, bit-identical to the oracle fold. */
   private def sqDist(v: Column, centroid: Array[Double]): Column = {
@@ -143,7 +155,8 @@ object Semantic {
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
     def cents(df: DataFrame, nOut: String, cvOut: String): DataFrame = {
-      val e = df.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
+      val e = df.select(col(cellCol).as("cell"),
+        requireNonEmptyVec(asDouble(col(vecCol)), "embeddingDrift").as("v"))
       // ONE scan per snapshot: the per-(cell, pos) count IS the cell's
       // vector count (every row contributes one entry per pos), so it
       // rides the means aggregate instead of a second pass
@@ -190,7 +203,8 @@ object Semantic {
    */
   def cellState(emb: DataFrame, vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame =
-    emb.select(col(cellCol).as("cell"), asDouble(col(vecCol)).as("v"))
+    emb.select(col(cellCol).as("cell"),
+        requireNonEmptyVec(asDouble(col(vecCol)), "cellState").as("v"))
       .select(col("cell"), posexplode(col("v")))
       .select(col("cell"), col("pos"),
         round(col("col") * 1e6).cast("long").as("sx"),

@@ -27,7 +27,7 @@ object StreamingCellDrift {
   def run(emb: DataFrame, stateDir: String,
       trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
     VersionedStateFold.run(emb, stateDir,
-      Semantic.cellState(_), Semantic.mergeCellState)
+      Semantic.cellState(_), Semantic.mergeCellState, trigger)
 
   /** The drift report of the maintained state against `reference`
     * (a [[Semantic.cellState]] of the indexed snapshot); None before

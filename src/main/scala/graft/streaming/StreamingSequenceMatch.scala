@@ -40,9 +40,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * State is bounded by construction: a partial whose anchor is older
  * than `withinSeconds` behind the newest event of its key is pruned on
  * arrival (it can never complete), so a key holds at most its events
- * inside one sequence window plus two longs. A production deployment
- * adds a processing-time idle flush exactly like [[StatefulSessionize]]'s
- * `idleFlushMs` — pruning here happens on the key's next event.
+ * inside one sequence window plus two longs. `idleFlushMs` adds the
+ * [[StatefulSessionize]] processing-time idle flush on top: the state
+ * of a key that goes quiet is DISCARDED after the timeout (partials
+ * are incomplete funnels — there is nothing correct to emit), so state
+ * size tracks the live key set instead of every key ever seen. The
+ * flush also forgets the key's late-data high-water mark, so size
+ * `idleFlushMs` well above the stream's maximum expected lateness.
+ *
+ * UPGRADE NOTE — state schema: `SeqMatchState` gained `maxTs` (and the
+ * output `SeqMatch` gained `late`) when late-data reporting landed; a
+ * query resuming from a checkpoint written by the earlier schema will
+ * fail or misdecode its state. Restart such a query from a FRESH
+ * checkpoint (and replay the source from the last committed offsets) —
+ * the same single-stream upgrade caveat as the rest of this package's
+ * stateful operators.
  */
 final case class SeqEvent(
     user_id: Long, ts_us: Long, event_type: String, event_id: Long)
@@ -56,8 +68,15 @@ final case class SeqMatch(
 
 object StreamingSequenceMatch {
 
+  /** @param idleFlushMs when set, a processing-time timeout DISCARDS
+    *   the state (partials + high-water mark) of keys that go quiet —
+    *   see the class doc for sizing. Opt-in because
+    *   ProcessingTimeTimeout makes the engine run no-data micro-batches
+    *   continuously (the [[StatefulSessionize]] caveat):
+    *   `processAllAvailable` never settles, so deployments using it
+    *   drive the query by trigger. */
   def apply(events: Dataset[SeqEvent], steps: Seq[String],
-      withinSeconds: Long): Dataset[SeqMatch] = {
+      withinSeconds: Long, idleFlushMs: Option[Long] = None): Dataset[SeqMatch] = {
     require(steps.size >= 2, s"a sequence needs >= 2 steps, got $steps")
     require(withinSeconds > 0, "withinSeconds must be positive")
     val withinUs = withinSeconds * 1000000L
@@ -71,10 +90,19 @@ object StreamingSequenceMatch {
       }
     val k = steps.size
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleFlushMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SeqMatchState, SeqMatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[SeqEvent], state: GroupState[SeqMatchState]) =>
+          if (state.hasTimedOut) {
+            // idle flush: partials are incomplete funnels — nothing
+            // correct to emit, just free the key's state row
+            state.remove()
+            Iterator.empty
+          } else {
           // a micro-batch delivers a group's events unordered: sort
           // locally (bounded by one key's events in one batch)
           val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
@@ -102,7 +130,9 @@ object StreamingSequenceMatch {
           }
           val newMax = inOrder.lastOption.map(_.ts_us).getOrElse(st.maxTs)
           state.update(SeqMatchState(parts, math.max(st.maxTs, newMax)))
+          idleFlushMs.foreach(state.setTimeoutDuration)
           out.reverseIterator
+          }
       }
   }
 }

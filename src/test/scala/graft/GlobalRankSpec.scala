@@ -108,6 +108,27 @@ class GlobalRankSpec extends TestBase {
     }
   }
 
+  test("map-typed payload columns rank fine (excluded from the tie-break hash)") {
+    // Spark's hash expressions reject MapType, so hashing every column
+    // verbatim would fail at plan time on inputs that previously worked
+    // with a caller-supplied total order. Map columns stay out of the
+    // hash; everything else still tie-breaks deterministically.
+    val df = (0 until 120)
+      .map(i => (i.toLong, (i * 31) % 7, Map("k" -> i.toLong)))
+      .toDF("id", "score", "payload").repartition(5)
+    def ranks(p: Int): Map[Long, Long] =
+      GlobalRank.withGlobalRank(df, Seq(col("score")), partitions = p)
+        .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    val a = ranks(3); val b = ranks(8)
+    assert(a === b, "ties must stay partition-count-stable with a map payload")
+    assert(a.values.toSeq.sorted === (1L to 120L))
+    // the map payload survives the rank append intact
+    val row = GlobalRank.withGlobalRank(df, Seq(col("score"), col("id")))
+      .filter(col("id") === 7L).select("payload")
+      .as[Map[String, Long]].head()
+    assert(row === Map("k" -> 7L))
+  }
+
   test("no single-partition exchange: the plan range-shuffles instead") {
     val df = sampleDf(100)
     val ranked = GlobalRank.withGlobalRank(df, Seq(col("score"), col("id")),

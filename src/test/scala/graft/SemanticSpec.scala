@@ -142,4 +142,27 @@ class SemanticSpec extends TestBase {
     assert(strict.subsetOf(mid),
       "lowering tau can only reject more (admission is tau-monotone)")
   }
+
+  test("drift family refuses empty embedding vectors loudly") {
+    import spark.implicits._
+    // a zero-length vector explodes to no (cell, pos) rows — without the
+    // guard it silently vanishes from per-cell counts and the drift
+    // report under-counts with no trace
+    val withEmpty = Seq(
+      (1L, 0, Seq(1.0f, 2.0f)),
+      (2L, 0, Seq.empty[Float])).toDF("vec_id", "label", "embedding")
+    val e1 = intercept[Exception] {
+      Semantic.cellState(withEmpty).collect()
+    }
+    assert(e1.getMessage.contains("zero-length embedding"),
+      s"cellState must name the failure: ${e1.getMessage}")
+    val ok = Seq((3L, 1, Seq(3.0f, 4.0f))).toDF("vec_id", "label", "embedding")
+    val e2 = intercept[Exception] {
+      Semantic.embeddingDrift(withEmpty, ok).collect()
+    }
+    assert(e2.getMessage.contains("zero-length embedding"),
+      s"embeddingDrift must name the failure: ${e2.getMessage}")
+    // non-empty frames are untouched by the guard
+    assert(Semantic.cellState(ok).count() === 2L)
+  }
 }

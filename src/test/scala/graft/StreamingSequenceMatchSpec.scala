@@ -142,6 +142,46 @@ class StreamingSequenceMatchSpec extends TestBase {
     }
   }
 
+  test("idle-flush timeout discards a quiet key's partials and frees state") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SeqEvent]
+    val qName = s"cepflush_${System.nanoTime()}"
+    // a huge event-time window: only the processing-time idle flush can
+    // stop the anchored partial from completing
+    val q = StreamingSequenceMatch(input.toDS(),
+        Seq("view", "purchase"), withinSeconds = 100000L,
+        idleFlushMs = Some(300L))
+      .writeStream.outputMode("append").format("memory").queryName(qName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      // user 7 anchors a partial, then goes quiet past the idle flush
+      input.addData(SeqEvent(7L, 0L, "view", 1L))
+      val seen = System.currentTimeMillis() + 30000
+      while (q.recentProgress.map(_.numInputRows).sum < 1 &&
+          System.currentTimeMillis() < seen) Thread.sleep(100)
+      assert(q.recentProgress.map(_.numInputRows).sum >= 1,
+        "batch 1 must process before the idle wait")
+      Thread.sleep(3000) // >> idleFlushMs at a 100 ms trigger
+      // the purchase is within the event-time window of the flushed
+      // anchor, plus user 8's complete funnel as the processed sentinel
+      input.addData(
+        SeqEvent(7L, 1000000L, "purchase", 2L),
+        SeqEvent(8L, 0L, "view", 3L),
+        SeqEvent(8L, 1000000L, "purchase", 4L))
+      val deadline = System.currentTimeMillis() + 30000
+      var done = Seq.empty[(Long, Long)]
+      while (done.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        done = spark.table(qName).filter(!col("late"))
+          .select("user_id", "id0").as[(Long, Long)].collect().toSeq
+      }
+      assert(done === Seq((8L, 3L)),
+        s"only the post-flush funnel may complete — the flushed anchor " +
+          s"must be gone: $done")
+    } finally q.stop()
+  }
+
   test("late cross-batch events are reported as drops, never mis-sequenced") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[SeqEvent]
