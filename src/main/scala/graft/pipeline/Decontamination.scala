@@ -217,6 +217,42 @@ object Decontamination {
       .filter(col("cos_sim") >= tau)
   }
 
+  /**
+   * [[semanticOverlaps]] composed with a PERSISTED IVF index
+   * ([[Similarity.buildIvfIndex]]) — the screen-against-index shape a
+   * production deployment actually runs: the corpus side is the index's
+   * own cell-partitioned corpus (already assigned at build/admission
+   * time — no re-clustering, no caller-supplied cell column), and the
+   * benchmark side is assigned against the SAME trained sidecar
+   * ([[Similarity.assignWithIndex]], dim-validated). Same-cell
+   * broadcast equi-join + rounded cosine threshold, exactly the
+   * [[semanticOverlaps]] contract.
+   *
+   * Scale shape: the indexed corpus is scanned once and never shuffled;
+   * the benchmark (eval sets, tiny) broadcasts; the one-time clustering
+   * cost lives in the index build every other query already amortizes.
+   */
+  def semanticOverlapsIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, benchEmb: DataFrame, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    Similarity.recoverCorpus(spark, indexDir)
+    val c = spark.read.parquet(s"$indexDir/corpus")
+      .select(col("vec_id").as("corpus_id"), col("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("c_v"))
+      .withColumn("c_nrm", Similarity.norm(col("c_v")))
+      .filter(col("c_nrm") > 0)
+    val b = Similarity.assignWithIndex(benchEmb, indexDir, idCol, vecCol)
+      .select(col(idCol).as("bench_id"), col("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("b_v"))
+      .withColumn("b_nrm", Similarity.norm(col("b_v")))
+      .filter(col("b_nrm") > 0)
+    c.join(broadcast(b), "cell")
+      .select(col("corpus_id"), col("bench_id"),
+        round(Similarity.dot(col("c_v"), col("b_v")) /
+          (col("c_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
   /** Eval-hygiene composition: assign deterministic splits
     * ([[Sampling.assignSplit]]), then strip training docs that leak
     * into the held-out split. Returns `(doc_id, split)` — the train

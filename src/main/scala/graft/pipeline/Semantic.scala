@@ -97,11 +97,12 @@ object Semantic {
       }.toSeq
 
     for (_ <- 1 to iters) {
-      // one scan assigns; one k×dim-row aggregate re-centers. The avg is
-      // rounded so both engines land on the same quantized centroid no
-      // matter their float summation order.
-      val assigned = e.select(col("vec_id"), col("v"),
-        nearest(col("v"), centroids).getField("cid").as("cluster_id"))
+      // one scan assigns (literal centroids below the plan-size
+      // threshold, broadcast-join above — see assignCells); one
+      // k×dim-row aggregate re-centers. The avg is rounded so both
+      // engines land on the same quantized centroid no matter their
+      // float summation order.
+      val assigned = assignCells(e, centroids, "vec_id", "v", "cluster_id")
       centroids = assigned
         .select(col("cluster_id"), posexplode(col("v")))
         .groupBy(col("cluster_id"), col("pos"))
@@ -121,9 +122,81 @@ object Semantic {
     * without the frame reshape, for callers that attach the cell to
     * their own row shape in one pass (the IVF index build tags the full
     * corpus row without a join back on id). `v` must already be a
-    * double-array column; ties break to the lower cell id. */
+    * double-array column; ties break to the lower cell id.
+    *
+    * PLAN-SIZE BOUND: this embeds kCells×dim literals in the expression
+    * tree, which is the fastest shape (pure codegen'd scan, no join, no
+    * shuffle) but stops being constructible at production IVF sizing
+    * (kCells ≈ √N in the tens of thousands × dim 768+ ⇒ 10⁷–10⁸ literal
+    * nodes — plan construction and codegen fall over long before the
+    * data does). Callers that scale kCells use [[assignCells]], which
+    * switches to [[assignCellsByJoin]] above [[LiteralAssignMaxKey]]. */
   def nearestCell(v: Column, centroids: Seq[(Int, Array[Double])]): Column =
     nearest(v, centroids).getField("cid")
+
+  /** Session conf key bounding the plan-literal centroid strategy: when
+    * kCells×dim exceeds this many doubles, [[assignCells]] (and every
+    * persisted-index path in [[Similarity]]) switches from literal
+    * expressions to the broadcast-join assignment. The default (2¹⁶)
+    * keeps sub-millisecond codegen; raise/lower per session via
+    * `spark.conf.set` — specs pin that both strategies return identical
+    * assignments. */
+  val LiteralAssignMaxKey = "graft.assign.literalMax"
+
+  private[pipeline] def useLiteralAssign(spark: org.apache.spark.sql.SparkSession,
+      kCells: Long, dim: Long): Boolean =
+    kCells * dim <=
+      spark.conf.getOption(LiteralAssignMaxKey).map(_.toLong).getOrElse(1L << 16)
+
+  /**
+   * Nearest-centroid assignment via a broadcast JOIN against the
+   * centroid frame `(cell, cv)` — the large-kCells twin of
+   * [[nearestCell]]: the centroids travel once per executor as a
+   * broadcast relation (never as expression-tree literals), each row
+   * meets them in a BroadcastNestedLoopJoin, and a map-side-combined
+   * `min(struct(d, cid))` per `idCol` keeps exactly the nearest — the
+   * same (distance, lower-cid) tie rule, the same sequential-fold
+   * distance, so assignments are bit-identical to the literal path
+   * (AssignStrategySpec pins equality on both shapes).
+   *
+   * Cost vs the literal path: one shuffle of n payload rows (the
+   * group-back). `idCol` must be unique and non-null — it is the
+   * group-back key (duplicate ids would silently collapse; every index
+   * caller already requires unique vector ids).
+   */
+  def assignCellsByJoin(df: DataFrame, centFrame: DataFrame, idCol: String,
+      vCol: String, outCol: String): DataFrame = {
+    val payload = df.columns.filterNot(_ == idCol).toSeq
+    val cf = centFrame.select(col("cell").as("__cid"),
+      asDouble(col("cv")).as("__cv"))
+    val d = aggregate(zip_with(col(vCol), col("__cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    df.crossJoin(broadcast(cf))
+      .groupBy(col(idCol))
+      .agg(min(struct(d.as("d"), col("__cid").as("cid"))).as("__best"),
+        payload.map(c => first(col(c)).as(c)): _*)
+      .select((df.columns.toSeq.map(col) :+
+        col("__best").getField("cid").as(outCol)): _*)
+  }
+
+  /** Append `outCol` = nearest cell id of `vCol` (a double-array
+    * column), choosing the literal-scan or broadcast-join strategy by
+    * the [[LiteralAssignMaxKey]] threshold. `idCol` must be unique
+    * (join-path group-back key). */
+  def assignCells(df: DataFrame, centroids: Seq[(Int, Array[Double])],
+      idCol: String, vCol: String, outCol: String): DataFrame = {
+    require(centroids.nonEmpty, "assignCells with no centroids")
+    val spark = df.sparkSession
+    val dim = centroids.head._2.length
+    if (useLiteralAssign(spark, centroids.size.toLong, dim.toLong))
+      df.withColumn(outCol, nearestCell(col(vCol), centroids))
+    else {
+      import spark.implicits._
+      val cf = centroids.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cell", "cv")
+      assignCellsByJoin(df, cf, idCol, vCol, outCol)
+    }
+  }
 
   /** The assignment half of [[kmeansAssign]]: nearest-centroid as a
     * pure scan against the centroid literals —

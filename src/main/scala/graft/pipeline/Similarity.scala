@@ -583,6 +583,137 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** The persisted index's self-description, written at build time and
+    * validated on every admission and serve — the guard against the two
+    * silent-corruption channels a schemaless index has: a wrong-dim
+    * vector (zip_with null-pads ⇒ null distances ⇒ arbitrary cell) and
+    * a wrong-attrCols admission (per-batch parquet schema drift). */
+  private case class IvfMeta(dim: Int, kCells: Int, attrCols: Seq[String])
+
+  private def writeIvfMeta(spark: SparkSession, dir: String,
+      meta: IvfMeta): Unit = {
+    import spark.implicits._
+    Seq((meta.dim, meta.kCells, meta.attrCols))
+      .toDF("dim", "k_cells", "attr_cols")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readIvfMeta(spark: SparkSession, dir: String): IvfMeta = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no index meta sidecar at $dir/meta — buildIvfIndex writes it; " +
+        "an index from before the meta sidecar must be rebuilt")
+    val r = spark.read.parquet(p.toString).head()
+    // Spark hands array columns back as a mutable ArraySeq — copy to an
+    // immutable Seq before it leaves this scope
+    val meta = IvfMeta(r.getAs[Int]("dim"), r.getAs[Int]("k_cells"),
+      r.getAs[scala.collection.Seq[String]]("attr_cols").toSeq)
+    require(meta.dim > 0 && meta.kCells > 0,
+      s"corrupt index meta at $dir/meta: $meta")
+    meta
+  }
+
+  /** Loud per-row dimension guard: a vector whose length differs from
+    * the index's trained dim fails the JOB instead of null-padding its
+    * way into an arbitrary cell. Rides the scan — no extra pass. */
+  private def dimChecked(v: Column, dim: Int, op: String): Column =
+    when(size(v) =!= dim, raise_error(concat(
+      lit(s"$op: embedding dim must be $dim (the index's trained dim), got "),
+      size(v).cast("string")))).otherwise(v)
+
+  /** Auto-recovery for an interrupted [[compactIvfIndex]] swap, run by
+    * every reader and writer of `dir/corpus`: the live corpus only
+    * moves aside ([[compactIvfIndex]]'s rename to `corpus.old`) AFTER
+    * the staging write completed, so live-missing + staging-present
+    * means staging IS the complete compacted corpus — promote it; a
+    * leftover `corpus.old` beside a live corpus is a crash between the
+    * promote and the final delete — drop it. Every crash point in the
+    * swap lands in one of these two states. */
+  private[pipeline] def recoverCorpus(spark: SparkSession,
+      dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/corpus.old")
+    if (!fs.exists(live) && fs.exists(staging)) {
+      require(fs.rename(staging, live),
+        s"compaction recovery failed: could not promote $staging to $live")
+    }
+    if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** The corpus write discipline shared by build, admission, and
+    * compaction: ≤ `filesPerCell` files per (batch, cell) directory,
+    * file membership a pure function of the data (cell + an xxhash64
+    * shard of the id) — never of input partitioning. This bounds the
+    * small-files tax a probe query pays per probed cell, and makes the
+    * per-cell file count a deterministic, oracle-replayable quantity. */
+  private def shardForWrite(df: DataFrame, kCells: Int,
+      filesPerCell: Int): DataFrame =
+    df.repartition(math.max(1, kCells * filesPerCell), col("cell"),
+      pmod(xxhash64(col("vec_id")), lit(filesPerCell.toLong)))
+
+  /** Per-query probe ranking of EVERY index cell via a broadcast join —
+    * the large-kCells twin of the literal `distStructs` path in
+    * [[indexedTopK]]/[[nprobeRecallCurve]]: `(q_id, prk, cell)` with
+    * `prk` ranked by (1e-6-rounded squared distance, cell). The window
+    * shuffles only the QUERY side (queries × kCells skinny rows) —
+    * the corpus is untouched. */
+  private def probeRanksByJoin(q: DataFrame, centFrame: DataFrame): DataFrame = {
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy("q_id").orderBy(col("cd"), col("cell"))
+    q.crossJoin(broadcast(centFrame.select(col("cell"),
+        asDouble(col("cv")).as("__cv"))))
+      .select(col("q_id"), col("cell"),
+        round(sqd(col("q_v"), col("__cv")), 6).as("cd"))
+      .withColumn("prk", row_number().over(w))
+      .select("q_id", "prk", "cell")
+  }
+
+  /**
+   * Assign arbitrary vectors against a PERSISTED index's trained
+   * centroid sidecar — the composition point that lets the rest of the
+   * engine speak the index's cell language: the drift monitor keys its
+   * states by the index's cells ([[indexCellState]] vs a live feed
+   * assigned here), and semantic decontamination screens a benchmark
+   * against the indexed corpus cell-for-cell
+   * ([[Decontamination.semanticOverlapsIndexed]]). Appends `cell` to
+   * `df`; dim is validated per row against the meta sidecar. `idCol`
+   * must be unique (join-path group-back key above the literal
+   * threshold).
+   */
+  def assignWithIndex(df: DataFrame, dir: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val meta = readIvfMeta(spark, dir)
+    val withVd = df.withColumn("__vd",
+      dimChecked(asDouble(col(vecCol)), meta.dim, "assignWithIndex"))
+    val assigned =
+      if (Semantic.useLiteralAssign(spark, meta.kCells.toLong, meta.dim.toLong)) {
+        val cents = spark.read.parquet(s"$dir/centroids")
+          .select(col("cell"), col("cv")).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+        require(cents.nonEmpty, s"assignWithIndex: empty centroid sidecar at $dir")
+        withVd.withColumn("cell", Semantic.nearestCell(col("__vd"), cents))
+      } else Semantic.assignCellsByJoin(withVd,
+        spark.read.parquet(s"$dir/centroids"), idCol, "__vd", "cell")
+    assigned.drop("__vd")
+  }
+
+  /** Mergeable per-cell centroid state ([[Semantic.cellState]]) of the
+    * index's OWN corpus, keyed by the index's cells — the reference
+    * side of the "has the live feed drifted off the indexed snapshot?"
+    * monitor ([[graft.streaming.StreamingCellDrift]] composes this with
+    * a stream assigned via [[assignWithIndex]]). */
+  def indexCellState(spark: SparkSession, dir: String): DataFrame = {
+    recoverCorpus(spark, dir)
+    Semantic.cellState(spark.read.parquet(s"$dir/corpus"),
+      vecCol = "embedding", cellCol = "cell")
+  }
+
   /**
    * Build a PERSISTED IVF index — the build-once half of the
    * build-once/query-many shape every production ANN deployment has
@@ -594,12 +725,24 @@ object Similarity {
    *
    *  - `dir/centroids` — the k×dim trained-centroid sidecar
    *    `(cell, cv)`, one tiny file;
+   *  - `dir/meta`      — the index's self-description
+   *    `(dim, k_cells, attr_cols)`: admissions and serves validate
+   *    against it LOUDLY (a wrong-dim vector or a wrong-attrCols batch
+   *    fails the job instead of silently corrupting the corpus);
    *  - `dir/corpus`    — `(vec_id, embedding)` PARTITIONED BY
    *    `(batch, cell)`: the build is `batch=0`, each [[extendIvfIndex]]
    *    admission gets its own batch partition (which is what makes
    *    admission retries idempotent — see there), and a query that
    *    probes `nprobe` cells reads exactly those cell directories
-   *    across batches and nothing else (partition-pruned scan).
+   *    across batches and nothing else (partition-pruned scan). Every
+   *    write uses the sharded discipline (≤ `filesPerCell` files per
+   *    cell directory, membership a pure function of the data), so
+   *    per-cell file counts stay bounded and [[ivfIndexStats]] can
+   *    report them deterministically.
+   *
+   * Vector ids must be UNIQUE — the index is keyed by them (above the
+   * [[Semantic.LiteralAssignMaxKey]] threshold the assignment
+   * group-back also relies on it).
    *
    * A rebuild overwrites the WHOLE corpus path (static overwrite):
    * retraining resets the index, prior admissions included — re-admit
@@ -620,20 +763,30 @@ object Similarity {
     *   predicate reaches the parquet scan as a pushed filter. */
   def buildIvfIndex(corpus: DataFrame, dir: String, kCells: Int,
       iters: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding", attrCols: Seq[String] = Nil): Unit = {
-    require(kCells > 0 && iters >= 0,
-      s"need kCells > 0, iters >= 0; got $kCells, $iters")
+      vecCol: String = "embedding", attrCols: Seq[String] = Nil,
+      filesPerCell: Int = 1): Unit = {
+    require(kCells > 0 && iters >= 0 && filesPerCell > 0,
+      s"need kCells > 0, iters >= 0, filesPerCell > 0; " +
+        s"got $kCells, $iters, $filesPerCell")
     val spark = corpus.sparkSession
     import spark.implicits._
+    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
+    require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
+    val dim = dimRow(0).getInt(0)
+    require(dim > 0, s"buildIvfIndex: zero-length embedding in $vecCol")
     val cents = Semantic.kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv")
       .repartition(1) // k×dim rows — one sidecar file, read whole
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    corpus.select(col(idCol).as("vec_id") +: col(vecCol).as("embedding") +:
+    writeIvfMeta(spark, dir, IvfMeta(dim, cents.size, attrCols))
+    val tagged = corpus.select(col(idCol).as("vec_id") +:
+        dimChecked(col(vecCol), dim, "buildIvfIndex").as("embedding") +:
         attrCols.map(col): _*)
-      .withColumn("cell",
-        Semantic.nearestCell(asDouble(col("embedding")), cents))
-      .withColumn("batch", lit(0L))
+      .withColumn("__vd", asDouble(col("embedding")))
+    val assigned = Semantic
+      .assignCells(tagged, cents, "vec_id", "__vd", "cell").drop("__vd")
+    shardForWrite(assigned.withColumn("batch", lit(0L)), cents.size,
+        filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(s"$dir/corpus")
   }
@@ -659,12 +812,18 @@ object Similarity {
    */
   def extendIvfIndex(newVectors: DataFrame, dir: String,
       batchId: Option[Long] = None, idCol: String = "vec_id",
-      vecCol: String = "embedding", attrCols: Seq[String] = Nil): Unit = {
+      vecCol: String = "embedding", attrCols: Seq[String] = Nil,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
     val spark = newVectors.sparkSession
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select(col("cell"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"extendIvfIndex: empty centroid sidecar at $dir")
+    recoverCorpus(spark, dir)
+    val meta = readIvfMeta(spark, dir)
+    // LOUD schema validation against the build: a batch with different
+    // payload columns would land per-batch parquet schema drift in the
+    // corpus; a wrong-dim vector is caught per row by dimChecked below
+    require(meta.attrCols == attrCols,
+      s"extendIvfIndex: attrCols $attrCols do not match the index's " +
+        s"${meta.attrCols} — admit with the build's attrCols or rebuild")
     val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
     val id = batchId.getOrElse {
       val fs = corpusPath.getFileSystem(
@@ -680,11 +839,24 @@ object Similarity {
       existing.max + 1L
     }
     require(id > 0, s"batch ids above 0 are admissions; 0 is the build ($id)")
-    newVectors.select(col(idCol).as("vec_id") +:
-        col(vecCol).as("embedding") +: attrCols.map(col): _*)
-      .withColumn("cell",
-        Semantic.nearestCell(asDouble(col("embedding")), cents))
-      .withColumn("batch", lit(id))
+    val base = newVectors.select(col(idCol).as("vec_id") +:
+        dimChecked(col(vecCol), meta.dim, "extendIvfIndex").as("embedding") +:
+        attrCols.map(col): _*)
+      .withColumn("__vd", asDouble(col("embedding")))
+    // assignment strategy by the kCells×dim threshold: literal scan
+    // (collect the sidecar) below, broadcast join (no collect) above
+    val assigned = (if (Semantic.useLiteralAssign(spark,
+        meta.kCells.toLong, meta.dim.toLong)) {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .select(col("cell"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
+      require(cents.nonEmpty, s"extendIvfIndex: empty centroid sidecar at $dir")
+      base.withColumn("cell", Semantic.nearestCell(col("__vd"), cents))
+    } else Semantic.assignCellsByJoin(base,
+      spark.read.parquet(s"$dir/centroids"), "vec_id", "__vd", "cell"))
+      .drop("__vd")
+    shardForWrite(assigned.withColumn("batch", lit(id)), meta.kCells,
+        filesPerCell)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cell").parquet(s"$dir/corpus")
@@ -699,39 +871,43 @@ object Similarity {
    * output files per cell — one read + one cell-partitioned write,
    * after which admission ids restart above 0.
    *
-   * Crash-safe by staging: the compacted corpus is written to a
-   * `corpus.compacting` sibling first, and only after that write
-   * completes does the swap (delete `corpus`, rename staging into
-   * place) happen — a crash mid-write leaves the live corpus untouched
-   * (a stale staging dir is overwritten by the next attempt). The one
-   * residual window is between the delete and the rename: a crash there
-   * leaves no live `corpus` but a COMPLETE staging dir — recovery is
-   * renaming `corpus.compacting` to `corpus` by hand (no data is ever
-   * in only one place mid-swap). Run it when
-   * [[ivfIndexStats]]-adjacent file counts say so, from the ONE owner
-   * of the index (pause admission for the swap window — same
-   * single-writer contract the admission stream already has).
+   * CRASH-SAFE by staging + rename-aside swap: the compacted corpus is
+   * written to a `corpus.compacting` sibling first; only after that
+   * write completes does the three-step swap run — rename live to
+   * `corpus.old`, rename staging into place, delete `corpus.old`. A
+   * complete corpus exists on disk at EVERY crash point, and every
+   * crash state is auto-recovered by the next reader or writer
+   * ([[recoverCorpus]]): mid-write ⇒ live untouched (stale staging is
+   * overwritten by the next attempt); between the renames ⇒ staging is
+   * complete and gets promoted; before the final delete ⇒ the stale
+   * `corpus.old` is dropped. Run it when [[ivfIndexStats]]'s `n_files`
+   * says so, from the ONE owner of the index (pause admission for the
+   * swap window — same single-writer contract the admission stream
+   * already has).
    */
   def compactIvfIndex(spark: SparkSession, dir: String,
       filesPerCell: Int = 1): Unit = {
     require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
+    recoverCorpus(spark, dir) // finish any interrupted predecessor swap
+    val meta = readIvfMeta(spark, dir)
     val staging = new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting")
     val live = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/corpus.old")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val k = spark.read.parquet(s"$dir/centroids").count().toInt
-    // (cell, id-hash shard) repartition — the CorpusWriter.writeShards
-    // discipline: ≤ filesPerCell files per cell directory, file
-    // membership a pure function of the data
-    spark.read.parquet(s"$dir/corpus")
-      .withColumn("batch", lit(0L))
-      .repartition(math.max(1, k * filesPerCell), col("cell"),
-        pmod(xxhash64(col("vec_id")), lit(filesPerCell.toLong)))
+    shardForWrite(
+        spark.read.parquet(live.toString).withColumn("batch", lit(0L)),
+        meta.kCells, filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(staging.toString)
-    // the swap: live corpus disappears only after staging is complete
-    fs.delete(live, true)
+    // the swap: a complete corpus exists at every step — live moves
+    // ASIDE (never deleted first), staging promotes, the aside drops
+    require(fs.rename(live, old),
+      s"compaction swap failed: could not rename $live aside to $old")
     require(fs.rename(staging, live),
-      s"compaction swap failed: could not rename $staging to $live")
+      s"compaction swap failed: could not promote $staging to $live " +
+        s"($old holds the pre-compaction corpus; recoverCorpus will " +
+        "promote the staging dir on the next index call)")
+    fs.delete(old, true)
   }
 
   /**
@@ -745,18 +921,30 @@ object Similarity {
    * (empty cells included at zero — invisible-cell starvation is a
    * report finding, not a missing row).
    *
+   * `n_files` is the COMPACTION trigger: every [[extendIvfIndex]]
+   * admission adds up to `filesPerCell` files to each cell it touches,
+   * and a probe query opens every file of its probed cells — when
+   * per-cell file counts creep past the read-amplification budget, run
+   * [[compactIvfIndex]] (which returns them to ≤ `filesPerCell`).
+   * Counted from the scan's own `_metadata.file_path` — no second
+   * listing, and only files actually serving rows count.
+   *
    * Scale shape: one cell-keyed count over the corpus (map-side
    * partial) + a broadcast join against the k-row sidecar; the balance
    * window runs over k rows, never the corpus.
    */
   def ivfIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    recoverCorpus(spark, dir)
     val cents = spark.read.parquet(s"$dir/centroids").select(col("cell"))
     val counts = spark.read.parquet(s"$dir/corpus")
-      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .select(col("cell"), col("_metadata.file_path").as("__f"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("__f")).as("n_files"))
     val all = Window.partitionBy()
     cents.join(counts, Seq("cell"), "left_outer")
       .select(col("cell"),
-        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+        coalesce(col("n_vectors"), lit(0L)).as("n_vectors"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"))
       .withColumn("balance",
         round(col("n_vectors").cast("double") *
           count(lit(1)).over(all).cast("double") /
@@ -778,6 +966,11 @@ object Similarity {
    * join — the corpus is never shuffled, only scanned where the index
    * says to look. IvfIndexSpec pins all three properties (no
    * HashAggregate, pruned `PartitionFilters`, broadcast-only joins).
+   * Above the [[Semantic.LiteralAssignMaxKey]] threshold the probe
+   * ranking switches from sidecar literals to a broadcast join + window
+   * over the QUERY side (queries × kCells skinny rows — the corpus scan
+   * stays pruned and shuffle-free either way); AssignStrategySpec pins
+   * identical results on both shapes.
    *
    * Exactness: with `nprobe >= kCells` this EQUALS brute force on the
    * positive-norm corpus (CrossCheckSpec) — pruning is the only
@@ -795,24 +988,30 @@ object Similarity {
       k: Int, nprobe: Int = 1, idCol: String = "vec_id",
       vecCol: String = "embedding", where: Option[Column] = None): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select(col("cell"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"indexedTopK: empty centroid sidecar at $dir")
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+    recoverCorpus(spark, dir)
+    val meta = readIvfMeta(spark, dir)
+    val q = queries.select(col(idCol).as("q_id"),
+        dimChecked(asDouble(col(vecCol)), meta.dim, "indexedTopK").as("q_v"))
       .withColumn("q_nrm", norm(col("q_v")))
       .filter(col("q_nrm") > 0)
     def sqd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    val distStructs = array(cents.map { case (cell, cv) =>
-      struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
-        lit(cell).as("cell"))
-    }: _*)
-    val probes = q
-      .select(col("q_id"),
-        explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
-      .select(col("q_id"), col("p.cell").as("cell"))
+    val probes = if (Semantic.useLiteralAssign(spark,
+        meta.kCells.toLong, meta.dim.toLong)) {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .select(col("cell"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      require(cents.nonEmpty, s"indexedTopK: empty centroid sidecar at $dir")
+      val distStructs = array(cents.map { case (cell, cv) =>
+        struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
+          lit(cell).as("cell"))
+      }: _*)
+      q.select(col("q_id"),
+          explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
+        .select(col("q_id"), col("p.cell").as("cell"))
+    } else probeRanksByJoin(q, spark.read.parquet(s"$dir/centroids"))
+      .filter(col("prk") <= nprobe).select("q_id", "cell")
     // the probed cell set as LITERALS: ≤ kCells ints collected once, so
     // the corpus scan partition-prunes to exactly the probed directories
     val probedCells = probes.select("cell").distinct().collect()
@@ -855,25 +1054,32 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(k > 0 && maxProbe > 0,
       s"need positive k/maxProbe, got $k/$maxProbe")
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .select(col("cell"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    require(cents.nonEmpty, s"nprobeRecallCurve: empty sidecar at $dir")
-    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"))
+    recoverCorpus(spark, dir)
+    val meta = readIvfMeta(spark, dir)
+    val q = queries.select(col(idCol).as("q_id"),
+        dimChecked(asDouble(col(vecCol)), meta.dim,
+          "nprobeRecallCurve").as("q_v"))
       .withColumn("q_nrm", norm(col("q_v")))
       .filter(col("q_nrm") > 0)
     def sqd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    // probe rank of EVERY cell per query (not just the top-nprobe)
-    val rankStructs = array(cents.map { case (cell, cv) =>
-      struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
-        lit(cell).as("cell"))
-    }: _*)
-    val probeRanks = q
-      .select(col("q_id"), posexplode(array_sort(rankStructs)))
-      .select(col("q_id"), (col("pos") + 1).as("prk"),
-        col("col.cell").as("cell"))
+    // probe rank of EVERY cell per query (not just the top-nprobe) —
+    // sidecar literals below the threshold, broadcast join above
+    val probeRanks = if (Semantic.useLiteralAssign(spark,
+        meta.kCells.toLong, meta.dim.toLong)) {
+      val cents = spark.read.parquet(s"$dir/centroids")
+        .select(col("cell"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      require(cents.nonEmpty, s"nprobeRecallCurve: empty sidecar at $dir")
+      val rankStructs = array(cents.map { case (cell, cv) =>
+        struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
+          lit(cell).as("cell"))
+      }: _*)
+      q.select(col("q_id"), posexplode(array_sort(rankStructs)))
+        .select(col("q_id"), (col("pos") + 1).as("prk"),
+          col("col.cell").as("cell"))
+    } else probeRanksByJoin(q, spark.read.parquet(s"$dir/centroids"))
     val c = spark.read.parquet(s"$dir/corpus")
       .select(col("vec_id").as("c_id"), col("cell"),
         asDouble(col("embedding")).as("c_v"))
@@ -893,7 +1099,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select(col("q_id"), col("c_id"))
     }
-    val full = topk(cents.size)
+    val full = topk(meta.kCells)
     // the reference count stays IN the frame (1-row aggregate
     // cross-joined) — no driver-side count embedding a literal
     val nEx = full.agg(count(lit(1)).as("n_exact"))

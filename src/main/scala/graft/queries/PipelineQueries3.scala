@@ -567,10 +567,13 @@ object PipelineQueries3 {
       }
     },
 
-    // Index health: per-cell population + balance factor (count ÷ ideal
-    // equal share) over the persisted index — the "retrain yet?" signal
-    // read between extend batches. The oracle replays training +
-    // assignment and computes the same k-row rollup.
+    // Index health: per-cell population, file count (the compaction
+    // trigger), and balance factor (count ÷ ideal equal share) over the
+    // persisted index — the "retrain/compact yet?" signals read between
+    // extend batches. The oracle replays training + assignment for the
+    // rollup; n_files is replayable because the sharded write
+    // discipline makes the layout a pure function of the data (build
+    // with filesPerCell=1 ⇒ exactly one file per non-empty cell).
     QueryDef("sim_index_stats",
       s"""WITH $kmeansCtes,
          |cnt AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
@@ -578,6 +581,8 @@ object PipelineQueries3 {
          |cells AS (SELECT DISTINCT cid FROM c2)
          |SELECT c.cid AS cell,
          |  CAST(coalesce(t.n_vectors, 0) AS BIGINT) AS n_vectors,
+         |  CAST(CASE WHEN coalesce(t.n_vectors, 0) > 0 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS n_files,
          |  round(CAST(coalesce(t.n_vectors, 0) AS DOUBLE)
          |      * (SELECT count(*) FROM cells)
          |      / (SELECT sum(n_vectors) FROM cnt), 6) AS balance

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.pipeline.Semantic
+import graft.pipeline.{Semantic, Similarity}
 
 /**
  * Continuously-maintained embedding-drift state: each embedding
@@ -36,4 +36,28 @@ object StreamingCellDrift {
       reference: DataFrame): Option[DataFrame] =
     VersionedStateFold.readState(spark, stateDir)
       .map(st => Semantic.renderDrift(reference, st))
+
+  /** [[run]] wired to the persisted IVF index it guards: each batch is
+    * assigned against the index's trained sidecar
+    * ([[Similarity.assignWithIndex]] — dim-validated, cells = the
+    * index's cells, not a caller-supplied label), so the maintained
+    * state speaks the index's cell language and [[currentDriftIndexed]]
+    * renders it directly against the index's own corpus state. This is
+    * the standing "retrain yet?" monitor of the index lifecycle. */
+  def runIndexed(emb: DataFrame, stateDir: String, indexDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    VersionedStateFold.run(emb, stateDir,
+      b => Semantic.cellState(
+        Similarity.assignWithIndex(b, indexDir, idCol, vecCol),
+        vecCol = vecCol, cellCol = "cell"),
+      Semantic.mergeCellState, trigger)
+
+  /** The [[runIndexed]] report: maintained live state vs the state of
+    * the index's OWN corpus ([[Similarity.indexCellState]]) — cells
+    * whose live centroid moved off the indexed snapshot are where a
+    * retrain ([[Similarity.buildIvfIndex]]) pays. */
+  def currentDriftIndexed(spark: SparkSession, stateDir: String,
+      indexDir: String): Option[DataFrame] =
+    currentDrift(spark, stateDir, Similarity.indexCellState(spark, indexDir))
 }

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Decontamination
+import graft.pipeline.{Decontamination, Similarity}
+import graft.sim.WarehouseSim
 
 /** Semantic decontamination: planted paraphrase-twins flag at their
   * cosine, sub-threshold and cross-cell pairs stay silent, zero-norm
@@ -34,5 +35,31 @@ class DeconSemanticSpec extends TestBase {
       .select("corpus_id").as[Long].collect().toSet
     assert(loose === Set(1L, 2L, 5L),
       "cell bounds candidates; zero-norm and cross-cell never pair")
+  }
+
+  test("screen-against-index: indexed decon equals the label-free twin " +
+      "built from the same sidecar assignment") {
+    import org.apache.spark.sql.DataFrame
+    val emb = WarehouseSim.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") % 7 =!= 0)
+    val bench = emb.filter(col("vec_id") % 7 === 0)
+    val dir = tmpDir("decon-idx").toString
+    Similarity.buildIvfIndex(corpus, dir, kCells = 8, iters = 2)
+    val got = Decontamination
+      .semanticOverlapsIndexed(spark, dir, bench, tau = 0.3)
+      .select("corpus_id", "bench_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    // the reference twin: assign BOTH sides with the same persisted
+    // sidecar, then run the caller-supplied-cell operator on that column
+    def assigned(df: DataFrame): DataFrame =
+      Similarity.assignWithIndex(df, dir)
+        .select(col("vec_id"), col("cell"), col("embedding"))
+    val want = Decontamination.semanticOverlaps(
+        assigned(corpus), assigned(bench), tau = 0.3, cellCol = "cell")
+      .select("corpus_id", "bench_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty, "the fixture must flag at least one pair")
+    assert(got === want,
+      "the indexed screen must equal assign-then-screen exactly")
   }
 }

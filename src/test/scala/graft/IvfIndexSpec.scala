@@ -204,6 +204,127 @@ class IvfIndexSpec extends TestBase
       .filter(col("batch") === 1L).count() === 3)
   }
 
+  test("meta sidecar records the index's self-description at build") {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$idxDir/meta")
+      .select("dim", "k_cells", "attr_cols")
+      .as[(Int, Int, Seq[String])].head()
+    assert(meta === ((64, kCells, Seq.empty[String])),
+      "meta must carry the trained dim, cell count, and payload columns")
+  }
+
+  test("wrong-dim vectors fail LOUDLY on admission and on serve") {
+    import spark.implicits._
+    // a truncated vector would zip_with-null-pad into an arbitrary cell
+    // without the guard — the silent-corruption channel the meta sidecar
+    // closes
+    val short = Seq((999999L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val eAdmit = intercept[Exception] {
+      Similarity.extendIvfIndex(short, idxDir, batchId = Some(77L))
+    }
+    assert(eAdmit.getMessage.contains("dim must be 64"),
+      s"admission must name the dim mismatch: ${eAdmit.getMessage}")
+    val eServe = intercept[Exception] {
+      Similarity.indexedTopK(spark, short, idxDir, k = 3).collect()
+    }
+    assert(eServe.getMessage.contains("dim must be 64"),
+      s"serve must name the dim mismatch: ${eServe.getMessage}")
+    // no partial admission may have landed
+    assert(spark.read.parquet(s"$idxDir/corpus")
+      .filter(col("batch") === 77L).count() === 0,
+      "a refused admission must not leave rows behind")
+  }
+
+  test("mismatched attrCols extension is refused before any write") {
+    val dir = tmpDir("ivf-attrguard").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2,
+      attrCols = Seq("label"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.extendIvfIndex(emb.limit(3), dir) // missing label payload
+    }
+    assert(e.getMessage.contains("attrCols"),
+      s"the schema-drift refusal must name attrCols: ${e.getMessage}")
+  }
+
+  test("n_files tracks admissions and compaction returns it to <= filesPerCell") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-nfiles").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = kCells, iters = 2)
+    def stats(): Map[Int, (Long, Long)] =
+      Similarity.ivfIndexStats(spark, dir)
+        .select("cell", "n_vectors", "n_files")
+        .as[(Int, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val s0 = stats()
+    assert(s0.values.forall { case (n, f) => f === (if (n > 0) 1L else 0L) },
+      s"the sharded build writes exactly one file per non-empty cell: $s0")
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 1), dir)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 2), dir)
+    val s1 = stats()
+    assert(s1.exists { case (_, (_, f)) => f > 1L },
+      s"admitted batches must raise per-cell file counts: $s1")
+    Similarity.compactIvfIndex(spark, dir, filesPerCell = 1)
+    val s2 = stats()
+    assert(s2.values.forall(_._2 <= 1L),
+      s"compaction must return n_files to <= filesPerCell: $s2")
+    assert(s2.values.map(_._1).sum === emb.count(),
+      "compaction must not lose rows")
+  }
+
+  test("every compaction-swap crash state auto-recovers on the next call") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    def fsOf(p: org.apache.hadoop.fs.Path) = p.getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def build(dir: String): Set[Long] = {
+      Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2)
+      emb.select("vec_id").as[Long].collect().toSet
+    }
+    def served(dir: String): Set[Long] =
+      spark.read.parquet(s"$dir/corpus").select("vec_id")
+        .as[Long].collect().toSet
+
+    // crash DURING the staging write: live intact, stale partial staging
+    val d1 = tmpDir("ivf-crash1").toString
+    val all1 = build(d1)
+    val fs1 = fsOf(p(d1))
+    fs1.mkdirs(p(s"$d1/corpus.compacting")) // garbage from a dead attempt
+    Similarity.compactIvfIndex(spark, d1, filesPerCell = 1)
+    assert(served(d1) === all1, "stale staging must be overwritten")
+    assert(!fs1.exists(p(s"$d1/corpus.compacting")) &&
+      !fs1.exists(p(s"$d1/corpus.old")))
+
+    // crash BETWEEN rename-aside and promote: no live, complete staging
+    // (+ the aside) — the next READER must auto-promote and serve
+    val d2 = tmpDir("ivf-crash2").toString
+    val all2 = build(d2)
+    val fs2 = fsOf(p(d2))
+    // simulate: the compacted staging is the (complete) live corpus
+    // copied aside; live moved to corpus.old exactly as step 1 does
+    org.apache.hadoop.fs.FileUtil.copy(fs2, p(s"$d2/corpus"),
+      fs2, p(s"$d2/corpus.compacting"), false, conf)
+    assert(fs2.rename(p(s"$d2/corpus"), p(s"$d2/corpus.old")))
+    val topk = Similarity.indexedTopK(spark,
+      emb.filter(col("vec_id") < 2), d2, k = 3, nprobe = 2)
+    assert(topk.count() > 0, "a reader must serve through the crash state")
+    assert(served(d2) === all2, "promotion must lose nothing")
+    assert(!fs2.exists(p(s"$d2/corpus.compacting")) &&
+      !fs2.exists(p(s"$d2/corpus.old")), "recovery must clean both dirs")
+
+    // crash BEFORE the final delete: live + stale corpus.old
+    val d3 = tmpDir("ivf-crash3").toString
+    val all3 = build(d3)
+    val fs3 = fsOf(p(d3))
+    org.apache.hadoop.fs.FileUtil.copy(fs3, p(s"$d3/corpus"),
+      fs3, p(s"$d3/corpus.old"), false, conf)
+    assert(Similarity.ivfIndexStats(spark, d3)
+      .agg(sum("n_vectors")).head().getLong(0) === all3.size.toLong)
+    assert(!fs3.exists(p(s"$d3/corpus.old")),
+      "the stale aside must be dropped by the next index call")
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)

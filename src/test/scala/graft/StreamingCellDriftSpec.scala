@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Semantic
+import graft.pipeline.{Semantic, Similarity}
 import graft.sim.WarehouseSim
 import graft.streaming.{StreamingCellDrift, VersionedStateFold}
 
@@ -53,6 +53,46 @@ class StreamingCellDriftSpec extends TestBase {
       .as[(Int, Long, Long, Option[Double], Option[Double])]
       .collect().toSet
     assert(got === want, "live report must equal the batch render")
+  }
+
+  test("indexed composition: the monitor guards the persisted index's own cells") {
+    implicit val sc = spark.sqlContext
+    val stateDir = tmpDir("drift-idx-state").toString
+    val idxDir = tmpDir("drift-idx").toString
+    val ref = emb.filter(col("vec_id") % 2 === 0) // the indexed snapshot
+    val live = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.buildIvfIndex(ref, idxDir, kCells = 8, iters = 2)
+
+    val rows = live.select("vec_id", "label", "embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, Int, Seq[Float])]
+    val q = StreamingCellDrift.runIndexed(
+      input.toDF().toDF("vec_id", "label", "embedding"), stateDir, idxDir)
+    try {
+      Seq(b1, b2).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val got = StreamingCellDrift.currentDriftIndexed(spark, stateDir, idxDir)
+      .get.select("cell", "n_a", "n_b", "l2_shift", "cos_centroid")
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    // batch twin: the index's own corpus state vs the live feed assigned
+    // with the same sidecar — cells are the INDEX's cells on both sides
+    val want = Semantic.renderDrift(
+        Similarity.indexCellState(spark, idxDir),
+        Semantic.cellState(Similarity.assignWithIndex(live, idxDir),
+          cellCol = "cell"))
+      .select("cell", "n_a", "n_b", "l2_shift", "cos_centroid")
+      .as[(Int, Long, Long, Option[Double], Option[Double])]
+      .collect().toSet
+    assert(got === want, "the streamed monitor must equal the batch twin")
+    assert(got.map(_._1).subsetOf(
+      spark.read.parquet(s"$idxDir/centroids").select("cell")
+        .as[Int].collect().toSet),
+      "every reported cell must be one of the index's trained cells")
   }
 
   test("replaying a committed batch is a no-op") {
