@@ -412,6 +412,35 @@ object ScaleProbe {
       graft.pipeline.Similarity.indexedTopK(spark,
         vecs.orderBy("vec_id").limit(8), dir, k = 5, nprobe = 2)
     })
+    // round-12: large-kCells index — the production sizing regime where
+    // kCells·dim exceeds the literal-assignment threshold and the
+    // broadcast-join strategy MUST engage. The literal path cannot run
+    // these sizes well or at all: a 512c×32d literal tree (16k doubles)
+    // was measured here to blow janino's 64 KB method limit (interpreted
+    // fallback — which is what pinned the default threshold at 2^12),
+    // and 4096c×32d+ trees eventually fail plan construction outright.
+    // Both legs run the join strategy over the SAME k× corpus; the
+    // ratio reads the per-row cost of 8× more centroids (expect ≈ 8× —
+    // coarse-quantizer assignment is inherently linear in kCells; at
+    // production sizes the knob is dim/kCells budget, not the join).
+    if (only.forall("large_k_index".contains(_))) {
+      val vecs = TextAnalysis.hashedVectors(docsK, dim = 32, salt = "bigk")
+      def lifecycle(kc: Int, dir: String): Long = {
+        graft.pipeline.Similarity.buildIvfIndex(vecs, dir, kCells = kc,
+          iters = 0)
+        graft.pipeline.Similarity.indexedTopK(spark,
+          vecs.orderBy("vec_id").limit(8), dir, k = 5, nprobe = 2).count()
+      }
+      def probeDir(tag: String) = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft-bigk-$tag").getPath
+      spark.catalog.clearCache()
+      lifecycle(512, probeDir("warm")) // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(lifecycle(512, probeDir("512")))
+      spark.catalog.clearCache()
+      val (tk, nk) = time(lifecycle(4096, probeDir("4096")))
+      println(f"${"large_k_index"}%-28s 512c: $t1%6.2f s ($n1%9d rows)   4096c: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     run("rake_keywords")(d => TextAnalysis.rakeKeywords(d))
     run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
       graft.pipeline.CorpusReport.mergeVocabState(

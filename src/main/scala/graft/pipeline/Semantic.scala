@@ -137,16 +137,20 @@ object Semantic {
   /** Session conf key bounding the plan-literal centroid strategy: when
     * kCells×dim exceeds this many doubles, [[assignCells]] (and every
     * persisted-index path in [[Similarity]]) switches from literal
-    * expressions to the broadcast-join assignment. The default (2¹⁶)
-    * keeps sub-millisecond codegen; raise/lower per session via
-    * `spark.conf.set` — specs pin that both strategies return identical
-    * assignments. */
+    * expressions to the broadcast-join assignment. The default (2¹²)
+    * keeps the whole assignment inside COMPILED codegen — a 16k-literal
+    * tree was measured (ScaleProbe `large_k_index`) to blow janino's
+    * 64 KB method limit and silently fall back to interpreted eval,
+    * so the literal path's speed advantage is already gone well before
+    * plan construction itself fails at 10⁷⁺ literals. Raise/lower per
+    * session via `spark.conf.set` — AssignStrategySpec pins that both
+    * strategies return identical assignments. */
   val LiteralAssignMaxKey = "graft.assign.literalMax"
 
   private[pipeline] def useLiteralAssign(spark: org.apache.spark.sql.SparkSession,
       kCells: Long, dim: Long): Boolean =
     kCells * dim <=
-      spark.conf.getOption(LiteralAssignMaxKey).map(_.toLong).getOrElse(1L << 16)
+      spark.conf.getOption(LiteralAssignMaxKey).map(_.toLong).getOrElse(1L << 12)
 
   /**
    * Nearest-centroid assignment via a broadcast JOIN against the

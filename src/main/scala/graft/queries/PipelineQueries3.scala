@@ -70,12 +70,13 @@ object PipelineQueries3 {
        |${duckRecenter("a2", "c2")},
        |${duckAssign("c2", "af")}""".stripMargin
 
-  /** [[kmeansCtes]] with training restricted to the BASE snapshot
-    * (`vec_id % 5 <> 0`) while `eall` carries the full table — the
-    * incremental-admission oracle trains on base, assigns everyone. */
-  private val kmeansCtesBase =
+  /** [[kmeansCtes]] with training restricted to `trainPred` while
+    * `eall` carries the full table, ending at the trained `c2` — the
+    * persisted-index oracles train on a snapshot, then assign whatever
+    * slice the query serves against those centroids. */
+  private def kmeansCtesTrainOn(trainPred: String): String =
     s"""e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-       |      WHERE vec_id % 5 <> 0),
+       |      WHERE $trainPred),
        |eall AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
        |         FROM embeddings),
        |c0 AS (
@@ -85,6 +86,20 @@ object PipelineQueries3 {
        |${duckRecenter("a1", "c1")},
        |${duckAssign("c1", "a2")},
        |${duckRecenter("a2", "c2")}""".stripMargin
+
+  /** The incremental-admission oracle: train on the base snapshot
+    * (`vec_id % 5 <> 0`), assign everyone. */
+  private val kmeansCtesBase = kmeansCtesTrainOn("vec_id % 5 <> 0")
+
+  /** Assignment of the FULL table against the trained `c2` (tie → lower
+    * cid) — the oracle twin of [[Similarity.assignWithIndex]]. */
+  private def duckAssignAll(out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT x.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY x.vec_id
+       |        ORDER BY ${duckSqDist("x", "c")}, c.cid) AS rk
+       |    FROM eall x CROSS JOIN c2 c) WHERE rk = 1)""".stripMargin
 
   private def sparkAssign(s: org.apache.spark.sql.SparkSession, dir: String) =
     Semantic.kmeansAssign(W.read(s, dir, "embeddings"), kmK, iters = 2)
@@ -593,6 +608,107 @@ object PipelineQueries3 {
           s"graft-ivf-index-${Integer.toHexString(dir.hashCode)}").getPath
         Similarity.buildIvfIndex(emb, idxDir, kCells = kmK, iters = 2)
         Similarity.ivfIndexStats(s, idxDir)
+      }
+    },
+
+    // Screen-against-index decontamination: the paraphrase screen run
+    // the way a production deployment runs it — the corpus side IS the
+    // persisted index's cell-partitioned corpus (assigned at build
+    // time), the benchmark assigns against the SAME trained sidecar
+    // (assignWithIndex), no caller-supplied cell column anywhere. The
+    // oracle replays training on the corpus snapshot, assignment of
+    // both sides, the same-cell equi-join, and the rounded cosine
+    // threshold end-to-end.
+    QueryDef("decon_semantic_indexed",
+      s"""WITH ${kmeansCtesTrainOn("vec_id % 7 <> 0")},
+         |${duckAssignAll("af2")},
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM eall),
+         |cn AS (
+         |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM af2 a JOIN nrm n USING (vec_id) WHERE n.nrm > 0)
+         |SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+         |  round(list_sum(list_transform(generate_series(1, len(c.v)),
+         |    i -> c.v[i] * b.v[i])) / (c.nrm * b.nrm), 6) AS cos_sim
+         |FROM (SELECT * FROM cn WHERE vec_id % 7 <> 0) c
+         |JOIN (SELECT * FROM cn WHERE vec_id % 7 = 0) b ON c.cell = b.cell
+         |WHERE round(list_sum(list_transform(generate_series(1, len(c.v)),
+         |    i -> c.v[i] * b.v[i])) / (c.nrm * b.nrm), 6) >= 0.3""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-decon-${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 7 =!= 0),
+          idxDir, kCells = kmK, iters = 2)
+        graft.pipeline.Decontamination.semanticOverlapsIndexed(
+          s, idxDir, emb.filter(col("vec_id") % 7 === 0), tau = 0.3)
+      }
+    },
+
+    // The index's standing retrain monitor, batch-rendered: reference =
+    // the mergeable cell state of the index's OWN corpus
+    // (indexCellState), live = a new snapshot assigned against the same
+    // persisted sidecar — cells are the INDEX's cells on both sides,
+    // nothing caller-supplied. The oracle replays training on the
+    // indexed half, both assignments, the integer micro-sum states, and
+    // the render formulas (the report_drift_incremental discipline over
+    // index cells).
+    QueryDef("report_drift_indexed",
+      s"""WITH ${kmeansCtesTrainOn("vec_id % 2 = 0")},
+         |${duckAssignAll("af2")},
+         |pos AS (SELECT unnest(generate_series(1, 64)) AS pos),
+         |sa AS (
+         |  SELECT a.cid AS cell, p.pos,
+         |    CAST(sum(CAST(round(x.v[p.pos] * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS sx,
+         |    count(*) AS n
+         |  FROM af2 a JOIN eall x USING (vec_id) CROSS JOIN pos p
+         |  WHERE x.vec_id % 2 = 0 GROUP BY 1, 2),
+         |sb AS (
+         |  SELECT a.cid AS cell, p.pos,
+         |    CAST(sum(CAST(round(x.v[p.pos] * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS sx,
+         |    count(*) AS n
+         |  FROM af2 a JOIN eall x USING (vec_id) CROSS JOIN pos p
+         |  WHERE x.vec_id % 2 = 1 GROUP BY 1, 2),
+         |ca AS (
+         |  SELECT cell, n AS n_a,
+         |    list(round(CAST(sx AS DOUBLE) / (n * 1e6), 6) ORDER BY pos)
+         |      AS cv
+         |  FROM sa GROUP BY cell, n),
+         |cb AS (
+         |  SELECT cell, n AS n_b,
+         |    list(round(CAST(sx AS DOUBLE) / (n * 1e6), 6) ORDER BY pos)
+         |      AS cv
+         |  FROM sb GROUP BY cell, n)
+         |SELECT coalesce(ca.cell, cb.cell) AS cell,
+         |  CAST(coalesce(ca.n_a, 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(cb.n_b, 0) AS BIGINT) AS n_b,
+         |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL THEN
+         |    round(sqrt(list_sum(list_transform(generate_series(1, 64),
+         |      i -> (ca.cv[i] - cb.cv[i]) * (ca.cv[i] - cb.cv[i])))), 6)
+         |  END AS l2_shift,
+         |  CASE WHEN ca.cv IS NOT NULL AND cb.cv IS NOT NULL
+         |      AND sqrt(list_sum(list_transform(ca.cv, x -> x * x))) > 0
+         |      AND sqrt(list_sum(list_transform(cb.cv, x -> x * x))) > 0
+         |    THEN round(list_sum(list_transform(generate_series(1, 64),
+         |        i -> ca.cv[i] * cb.cv[i]))
+         |      / (sqrt(list_sum(list_transform(ca.cv, x -> x * x)))
+         |         * sqrt(list_sum(list_transform(cb.cv, x -> x * x)))), 6)
+         |  END AS cos_centroid
+         |FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-drift-${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+          idxDir, kCells = kmK, iters = 2)
+        Semantic.renderDrift(
+          Similarity.indexCellState(s, idxDir),
+          Semantic.cellState(
+            Similarity.assignWithIndex(
+              emb.filter(col("vec_id") % 2 === 1), idxDir),
+            cellCol = "cell"))
       }
     }
   )
