@@ -752,10 +752,12 @@ object Similarity {
    * cell structure per run, which is wrong by the query count at
    * production — an index is trained once per corpus snapshot and then
    * serves thousands of [[indexedTopK]] calls. Training cost is one
-   * Lloyd's pass (at 100 TB, train on a
-   * [[Sampling.deterministicSample]] and [[Semantic.assignTo]] the full
-   * corpus); the partitioned write is the one-time shuffle every later
-   * query amortizes.
+   * Lloyd's chain over the TRAINING SET: `trainFraction < 1` trains on
+   * a [[Sampling.deterministicSample]] of the corpus (the standard
+   * 100-TB recipe — centroid quality converges long before the full
+   * corpus is seen, Faiss's own train-on-sample guidance) while the
+   * assignment pass still tags EVERY corpus vector; the partitioned
+   * write is the one-time shuffle every later query amortizes.
    */
   /** @param attrCols extra payload columns stored WITH each vector —
     *   the metadata a filtered search ([[indexedTopK]]'s `where`)
@@ -764,17 +766,25 @@ object Similarity {
   def buildIvfIndex(corpus: DataFrame, dir: String, kCells: Int,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", attrCols: Seq[String] = Nil,
-      filesPerCell: Int = 1): Unit = {
+      filesPerCell: Int = 1, trainFraction: Double = 1.0): Unit = {
     require(kCells > 0 && iters >= 0 && filesPerCell > 0,
       s"need kCells > 0, iters >= 0, filesPerCell > 0; " +
         s"got $kCells, $iters, $filesPerCell")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
     val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
     val dim = dimRow(0).getInt(0)
     require(dim > 0, s"buildIvfIndex: zero-length embedding in $vecCol")
-    val cents = Semantic.kmeansCentroids(corpus, kCells, iters, idCol, vecCol)
+    // deterministic training sample (replayable — no RNG state): the
+    // Lloyd's chain sees the sample, the assignment pass sees everyone
+    val trainSet =
+      if (trainFraction >= 1.0) corpus
+      else Sampling.deterministicSample(corpus, idCol, trainFraction,
+        "ivftrain")
+    val cents = Semantic.kmeansCentroids(trainSet, kCells, iters, idCol, vecCol)
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv")
       .repartition(1) // k×dim rows — one sidecar file, read whole
       .write.mode("overwrite").parquet(s"$dir/centroids")

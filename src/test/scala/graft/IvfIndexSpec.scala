@@ -325,6 +325,31 @@ class IvfIndexSpec extends TestBase
       "the stale aside must be dropped by the next index call")
   }
 
+  test("trainFraction: centroids come from the deterministic sample, " +
+      "the assignment still covers everyone") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-trainfrac").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2,
+      trainFraction = 0.5)
+    // the sidecar equals training on the sample directly — nothing else
+    val sample = graft.pipeline.Sampling
+      .deterministicSample(emb, "vec_id", 0.5, "ivftrain")
+    val want = graft.pipeline.Semantic
+      .kmeansCentroids(sample, kCells, 2)
+      .map { case (c, v) => (c, v.toSeq) }.toMap
+    val got = spark.read.parquet(s"$dir/centroids")
+      .select("cell", "cv").as[(Int, Seq[Double])].collect().toMap
+    assert(got === want, "train-on-sample must be replayable exactly")
+    // ...but the corpus still carries EVERY vector, sample or not
+    assert(spark.read.parquet(s"$dir/corpus").count() === emb.count())
+    assert(Similarity.indexedTopK(spark, emb.filter(col("vec_id") < 2),
+      dir, k = 3, nprobe = 2).count() > 0)
+    intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(emb, dir, kCells = kCells,
+        trainFraction = 0.0)
+    }
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)
