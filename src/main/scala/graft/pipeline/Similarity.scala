@@ -873,6 +873,63 @@ object Similarity {
   }
 
   /**
+   * Targeted DELETION from a persisted index — the retraction half of
+   * the lifecycle (takedown requests, right-to-be-forgotten, bad-batch
+   * rollback): rewrite ONLY the `(batch, cell)` partitions that contain
+   * the ids, leaving every other partition's files physically untouched
+   * (spec-pinned). No tombstones, no merge-on-read tax for the serve
+   * path — the index stays a plain partition-pruned parquet layout.
+   *
+   * Shape: the retraction set broadcasts into one corpus join to find
+   * its partitions (driver state bounded by the retraction batch, never
+   * the corpus); survivors of exactly those partitions rewrite via
+   * batch-scoped DYNAMIC partition overwrite. Dynamic overwrite writes
+   * nothing for a partition with zero survivors, so fully-emptied
+   * partitions get an explicit directory drop afterwards — without it
+   * the old files would silently survive, which is the classic
+   * dynamic-overwrite deletion pitfall.
+   *
+   * Idempotent and crash-tolerant: re-running the same deletion finds
+   * the victims already gone (returns 0); a crash mid-rewrite leaves
+   * some partitions done and some not, and the re-run finishes exactly
+   * the remainder. Same single-writer contract as admission.
+   *
+   * @return the number of index rows deleted.
+   */
+  def deleteFromIvfIndex(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    recoverCorpus(spark, dir)
+    readIvfMeta(spark, dir) // loud not-an-index refusal; dim is irrelevant
+    val del = ids.select(col(idCol).as("vec_id")).distinct()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    val touched = corpus.join(broadcast(del), "vec_id")
+      .groupBy(col("batch").cast("long").as("batch"), col("cell"))
+      .agg(count(lit(1)).as("n_del")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    if (touched.isEmpty) return 0L
+    val nDeleted = touched.values.sum
+    val touchedPred = touched.keys.map { case (b, c) =>
+      col("batch") === b && col("cell") === c }.reduce(_ || _)
+    val keep = corpus.filter(touchedPred)
+      .join(broadcast(del), Seq("vec_id"), "left_anti")
+    val survivors = keep
+      .groupBy(col("batch").cast("long").as("batch"), col("cell"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    keep.repartition(math.max(1, touched.size), col("batch"), col("cell"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "cell").parquet(s"$dir/corpus")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((b, c) <- touched.keys if !survivors.contains((b, c))) {
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/corpus/batch=$b/cell=$c"), true)
+    }
+    nDeleted
+  }
+
+  /**
    * Index COMPACTION — the maintenance half of streaming admission:
    * thousands of micro-batch admissions each add `batch=<id>/cell=*`
    * files, and the small-files tax grows with every one (a probe query

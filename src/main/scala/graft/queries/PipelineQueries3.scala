@@ -611,6 +611,54 @@ object PipelineQueries3 {
       }
     },
 
+    // Retraction: build the full index, DELETE the vec_id % 11 == 0
+    // rows (partition-targeted rewrite, no tombstones), then serve —
+    // the takedown/right-to-be-forgotten path. The oracle trains on the
+    // FULL corpus (deletion never retrains), keeps the full-corpus
+    // probe selection, and drops the deleted rows from the candidate
+    // set only — certifying that deletion touches exactly the corpus
+    // membership and nothing about the trained structure.
+    QueryDef("sim_topk_indexed_deleted",
+      s"""WITH $kmeansCtes,
+         |nrm AS (SELECT vec_id, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+         |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT q.vec_id AS q_id, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
+         |    FROM qn q CROSS JOIN c2 c)
+         |  WHERE prk <= 2),
+         |cn AS (
+         |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM af a JOIN nrm n USING (vec_id)
+         |  WHERE n.nrm > 0 AND a.vec_id % 11 <> 0)
+         |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT p.q_id, c.vec_id AS c_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY round(list_sum(list_transform(
+         |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+         |          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+         |  FROM probes p JOIN cn c ON c.cell = p.cell
+         |  JOIN qn q ON q.vec_id = p.q_id
+         |  WHERE p.q_id <> c.vec_id)
+         |WHERE rank <= 5""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val idxDir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivf-del-${Integer.toHexString(dir.hashCode)}").getPath
+        Similarity.buildIvfIndex(emb, idxDir, kCells = kmK, iters = 2)
+        Similarity.deleteFromIvfIndex(s, idxDir,
+          emb.filter(col("vec_id") % 11 === 0).select("vec_id"))
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), idxDir,
+            k = 5, nprobe = 2)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
     // Screen-against-index decontamination: the paraphrase screen run
     // the way a production deployment runs it — the corpus side IS the
     // persisted index's cell-partitioned corpus (assigned at build

@@ -325,6 +325,67 @@ class IvfIndexSpec extends TestBase
       "the stale aside must be dropped by the next index call")
   }
 
+  test("deleteFromIvfIndex rewrites only touched partitions; " +
+      "emptied cells vanish; untouched files stay byte-identical") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-delete").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 =!= 2), dir,
+      kCells = kCells, iters = 2)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 2), dir)
+    val before = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    // victim set: every id of ONE whole cell (the emptied-partition
+    // case) + half the ids of a second cell + ids that do not exist;
+    // a third cell stays untouched to pin physical no-rewrite
+    val byCell = before.groupBy(_._2).map { case (c, m) =>
+      c -> m.keys.toSeq.sorted }
+    val cells = byCell.keys.toSeq.sorted
+    assert(cells.size >= 3, s"fixture needs >= 3 populated cells: $cells")
+    val cellGone = cells(0)
+    val wholeCell = byCell(cellGone).toSet
+    val spread = byCell(cells(1)).zipWithIndex
+      .collect { case (id, i) if i % 2 == 0 => id }.toSet
+    val victims = wholeCell ++ spread
+    val untouchedCell = cells(2)
+    def filesOf(cell: Int): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(s"${f.getPath}:${f.lastModified()}:${f.length()}")
+      new java.io.File(s"$dir/corpus").listFiles().toSeq
+        .filter(_.isDirectory) // skip _SUCCESS etc.
+        .flatMap(b => b.listFiles().toSeq.filter(_.getName == s"cell=$cell"))
+        .flatMap(walk).toSet
+    }
+    val untouchedFiles = filesOf(untouchedCell)
+
+    val delFrame = (victims ++ Set(999999901L, 999999902L)).toSeq
+      .toDF("vec_id")
+    val n = Similarity.deleteFromIvfIndex(spark, dir, delFrame)
+    assert(n === victims.size.toLong,
+      "the return value counts exactly the rows actually deleted")
+    val after = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(after === before -- victims,
+      "survivors keep their cells; victims are gone")
+    assert(!new java.io.File(s"$dir/corpus")
+      .listFiles().exists(b => new java.io.File(b, s"cell=$cellGone").exists()),
+      "a fully-emptied cell's directories must be dropped, not left stale")
+    assert(filesOf(untouchedCell) === untouchedFiles,
+      "untouched partitions must stay physically identical (no rewrite)")
+    // the serve path sees exactly the remaining corpus
+    val q = emb.filter(col("vec_id") < 8)
+    val got = Similarity.indexedTopK(spark, q, dir, k = 5, nprobe = kCells)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val remaining = emb.join(after.keys.toSeq.toDF("vec_id"), "vec_id")
+    val want = Similarity.bruteForceTopK(q, remaining, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === want, "full-probe serve == brute force over survivors")
+    // idempotent: the same retraction again deletes nothing
+    assert(Similarity.deleteFromIvfIndex(spark, dir, delFrame) === 0L)
+    assert(Similarity.ivfIndexStats(spark, dir)
+      .agg(sum("n_vectors")).head().getLong(0) === after.size.toLong)
+  }
+
   test("trainFraction: centroids come from the deterministic sample, " +
       "the assignment still covers everyone") {
     import spark.implicits._
