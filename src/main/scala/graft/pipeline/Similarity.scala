@@ -637,7 +637,10 @@ object Similarity {
     val staging = new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting")
     val old = new org.apache.hadoop.fs.Path(s"$dir/corpus.old")
     if (!fs.exists(live) && fs.exists(staging)) {
-      require(fs.rename(staging, live),
+      // a concurrent reader may win the promote race — losing the
+      // rename is fine as long as SOMEONE put a live corpus in place
+      val renamed = fs.rename(staging, live)
+      require(renamed || fs.exists(live),
         s"compaction recovery failed: could not promote $staging to $live")
     }
     if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
@@ -908,9 +911,20 @@ object Similarity {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     if (touched.isEmpty) return 0L
     val nDeleted = touched.values.sum
-    val touchedPred = touched.keys.map { case (b, c) =>
-      col("batch") === b && col("cell") === c }.reduce(_ || _)
-    val keep = corpus.filter(touchedPred)
+    // partition-pruned scan + exact membership: the two isin filters are
+    // InSet literals (partition-prunable, O(1) plan nodes at any
+    // retraction size — an OR-chain over (batch, cell) pairs would be
+    // the same plan-blowup class as literal centroids), and the
+    // broadcast semi-join restores exact pair membership, so a
+    // cross-product-but-untouched partition is read but never rewritten
+    val touchedDf = {
+      import spark.implicits._
+      touched.keys.toSeq.toDF("batch", "cell")
+    }
+    val keep = corpus
+      .filter(col("batch").isin(touched.keys.map(_._1).toSeq.distinct: _*) &&
+        col("cell").isin(touched.keys.map(_._2).toSeq.distinct: _*))
+      .join(broadcast(touchedDf), Seq("batch", "cell"), "left_semi")
       .join(broadcast(del), Seq("vec_id"), "left_anti")
     val survivors = keep
       .groupBy(col("batch").cast("long").as("batch"), col("cell"))
