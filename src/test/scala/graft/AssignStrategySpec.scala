@@ -87,6 +87,35 @@ class AssignStrategySpec extends TestBase {
       s"the corpus side must never shuffle for assignment:\n$plan")
   }
 
+  test("join-path serve still partition-prunes the corpus scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val helper = new org.apache.spark.sql.execution.adaptive
+      .AdaptiveSparkPlanHelper {}
+    val dir = tmpDir("asg-prune").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = 8, iters = 2)
+    val topk = withJoinPath {
+      val t = Similarity.indexedTopK(spark,
+        emb.filter(col("vec_id") < 2), dir, k = 5, nprobe = 2)
+      t.collect()
+      t
+    }
+    val plan = topk.queryExecution.executedPlan
+    val scan = helper.collectWithSubqueries(plan) {
+        case f: FileSourceScanExec => f
+      }.find(_.relation.location.rootPaths.exists(_.toString.contains("corpus")))
+      .getOrElse(fail(s"no corpus scan in join-path plan:\n$plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+      s"join-path serve must keep the literal cell partition filter: " +
+        s"${scan.partitionFilters}")
+    def parquetFiles(d: java.io.File): Int =
+      if (d.isDirectory) d.listFiles().map(parquetFiles).sum
+      else if (d.getName.endsWith(".parquet")) 1 else 0
+    val filesRead = scan.metrics("numFiles").value
+    val filesTotal = parquetFiles(new java.io.File(s"$dir/corpus"))
+    assert(filesRead < filesTotal,
+      s"join-path pruning must skip unprobed cells: $filesRead/$filesTotal")
+  }
+
   test("assignWithIndex: join strategy matches the literal sidecar assignment") {
     val dir = tmpDir("asg-awi").toString
     Similarity.buildIvfIndex(emb, dir, kCells = 8, iters = 2)
