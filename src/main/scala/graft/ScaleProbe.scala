@@ -441,6 +441,39 @@ object ScaleProbe {
       val (tk, nk) = time(lifecycle(4096, probeDir("4096")))
       println(f"${"large_k_index"}%-28s 512c: $t1%6.2f s ($n1%9d rows)   4096c: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
+    // round-12 cont.: retraction cost axis — the SAME victim set against
+    // a 1× and a k× index. deleteFromIvfIndex's cost is bounded by the
+    // touched partitions' VOLUME (victims here spread over every cell by
+    // construction, so the k× leg rewrites cells k× as big ⇒ expect
+    // ≈ linear in k); a clustered production takedown touches a handful
+    // of cells and pays only their size. Builds are untimed — the probe
+    // reads the deletion, not the training.
+    if (only.forall("ivf_delete".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val embK = (0 until k).map { i =>
+        emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      val victims = emb1.filter(col("vec_id") % 50 === 0).select("vec_id")
+      def freshIndex(c: DataFrame, tag: String): String = {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ivfdel-$tag").getPath
+        graft.pipeline.Similarity.buildIvfIndex(c, dir, kCells = 16,
+          iters = 2)
+        dir
+      }
+      val (dirW, dir1, dirK) = (freshIndex(emb1, "warm"),
+        freshIndex(emb1, "1x"), freshIndex(embK, "kx"))
+      spark.catalog.clearCache()
+      graft.pipeline.Similarity.deleteFromIvfIndex(spark, dirW, victims)
+      spark.catalog.clearCache()
+      val (t1, n1) = time(
+        graft.pipeline.Similarity.deleteFromIvfIndex(spark, dir1, victims))
+      spark.catalog.clearCache()
+      val (tk, nk) = time(
+        graft.pipeline.Similarity.deleteFromIvfIndex(spark, dirK, victims))
+      println(f"${"ivf_delete"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     run("rake_keywords")(d => TextAnalysis.rakeKeywords(d))
     run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
       graft.pipeline.CorpusReport.mergeVocabState(
