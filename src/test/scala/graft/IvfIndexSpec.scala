@@ -411,6 +411,37 @@ class IvfIndexSpec extends TestBase
     }
   }
 
+  test("full lifecycle composition: build -> extend -> delete -> compact " +
+      "-> extend -> serve equals brute force over the surviving set") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-lifecycle").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = kCells, iters = 2)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 1), dir)
+    val n1 = Similarity.deleteFromIvfIndex(spark, dir,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    assert(n1 > 0, "the fixture must delete something")
+    Similarity.compactIvfIndex(spark, dir, filesPerCell = 1)
+    // post-compaction admission continues above batch=0, deletion holes
+    // and all
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 2), dir)
+    val surviving = emb.filter(
+      (col("vec_id") % 3 =!= 2 && col("vec_id") % 7 =!= 0) ||
+        col("vec_id") % 3 === 2)
+    assert(spark.read.parquet(s"$dir/corpus").count() === surviving.count(),
+      "every stage must compose without losing or resurrecting rows")
+    val q = emb.filter(col("vec_id") < 8)
+    val got = Similarity.indexedTopK(spark, q, dir, k = 5, nprobe = kCells)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val want = Similarity.bruteForceTopK(q, surviving, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === want,
+      "the composed lifecycle must serve exactly the surviving corpus")
+    // stats stays coherent across the whole chain
+    val stats = Similarity.ivfIndexStats(spark, dir)
+    assert(stats.agg(sum("n_vectors")).head().getLong(0) === surviving.count())
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)
