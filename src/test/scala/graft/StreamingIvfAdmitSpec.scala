@@ -61,6 +61,57 @@ class StreamingIvfAdmitSpec extends TestBase {
     assert(full === bf)
   }
 
+  test("screenedSink: contaminated rows never enter the index; " +
+      "clean rows admit; replay is a no-op") {
+    implicit val sc = spark.sqlContext
+    val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-screened").toString
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    Similarity.buildIvfIndex(base, dir, kCells = 8, iters = 2)
+
+    // benchmark = a handful of held-out vectors; the feed contains
+    // EXACT copies of them under fresh ids (cos 1.0 — planted leaks)
+    // alongside genuinely clean rows
+    val bench = emb.filter(col("vec_id") % 3 === 1 && col("vec_id") < 30)
+    val leaks = bench.select((col("vec_id") + 5000000L).as("vec_id"),
+        col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val clean = emb.filter(col("vec_id") % 3 === 2)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val feed = (leaks ++ clean).sortBy(_._1)
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingIvfAdmit.screenedSink(dir, bench, tau = 0.999999))
+      .option("checkpointLocation", tmpDir("ivf-screened-ck").toString)
+      .start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    val leakIds = leaks.map(_._1).toSet
+    assert(leakIds.forall(!admitted.contains(_)),
+      "a planted eval twin must never enter the index")
+    assert(clean.map(_._1).toSet.subsetOf(admitted),
+      "clean feed rows must all admit")
+    assert(admitted.size ===
+      (base.count().toInt + clean.length),
+      "admitted = base + clean, nothing else")
+
+    // replay twin: the gate is deterministic, so re-running an epoch
+    // drops the same rows and replaces the same partitions
+    StreamingIvfAdmit.screenedSink(dir, bench, tau = 0.999999)(
+      b1.toIndexedSeq.toDF("vec_id", "embedding"), 0L)
+    assert(spark.read.parquet(s"$dir/corpus").count().toInt ===
+      base.count().toInt + clean.length,
+      "a replayed screened epoch must be a no-op on the row count")
+  }
+
   test("extendIvfIndex auto-id takes the next free batch; id 0 is refused") {
     val emb = WarehouseSim.read(spark, sfDir, "embeddings")
     val dir = tmpDir("ivf-autoid").toString
