@@ -616,11 +616,36 @@ object Similarity {
 
   /** Loud per-row dimension guard: a vector whose length differs from
     * the index's trained dim fails the JOB instead of null-padding its
-    * way into an arbitrary cell. Rides the scan — no extra pass. */
+    * way into an arbitrary cell. Rides the scan — no extra pass. NULL
+    * vectors fail too: `size(null)` is null, so a bare `size =!= dim`
+    * evaluates to null (treated false) and a null embedding would slide
+    * through into null distances and an arbitrary `min(struct)` cell —
+    * the exact channel this guard exists to close. */
   private def dimChecked(v: Column, dim: Int, op: String): Column =
-    when(size(v) =!= dim, raise_error(concat(
+    when(v.isNull || size(v) =!= dim, raise_error(concat(
       lit(s"$op: embedding dim must be $dim (the index's trained dim), got "),
-      size(v).cast("string")))).otherwise(v)
+      coalesce(size(v).cast("string"), lit("NULL"))))).otherwise(v)
+
+  /** Read + validate the trained-centroid sidecar ONCE, BEFORE the
+    * literal/join strategy branch. The literal path always collected
+    * the sidecar and refused an empty one; the join path used to
+    * crossJoin whatever was there — a truncated or empty sidecar would
+    * silently admit nothing / assign nothing / return empty top-k.
+    * Validating the row count against the meta sidecar's `k_cells`
+    * makes BOTH strategies fail loudly on the same corrupt state (the
+    * count is one job over the one-file k-row sidecar — noise next to
+    * any index operation). */
+  private def readCentroidFrame(spark: SparkSession, dir: String,
+      kCells: Int, op: String): DataFrame = {
+    val cf = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell"), col("cv"))
+    val n = cf.count()
+    require(n == kCells,
+      s"$op: centroid sidecar at $dir/centroids holds $n cells but the " +
+        s"meta sidecar says $kCells — truncated/corrupt sidecar; rebuild " +
+        "the index")
+    cf
+  }
 
   /** Auto-recovery for an interrupted [[compactIvfIndex]] swap, run by
     * every reader and writer of `dir/corpus`: the live corpus only
@@ -644,6 +669,67 @@ object Similarity {
         s"compaction recovery failed: could not promote $staging to $live")
     }
     if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  private def admitHwmPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/admit.hwm")
+
+  /** The admission HIGH-WATER MARK: the largest batch id ever admitted
+    * into this index. This is what lets [[extendIvfIndex]] tell a
+    * legitimate replay (a crashed-job retry, a streaming epoch re-run)
+    * from a NEW stream restarted off a FRESH checkpoint: both present
+    * an id at or below the mark, but only the former may overwrite —
+    * the caller asserts which by `allowReplay`. The mark survives
+    * batch DELETION (a retracted batch's id must never be reused — a
+    * directory listing alone would hand it out again), and it lives in
+    * its own one-line sidecar rather than inside `dir/meta`: meta is
+    * read by every concurrent serve/assign call and stays IMMUTABLE
+    * after build, so readers never race a per-epoch rewrite; the mark
+    * is touched only by the index's single writer. Published via
+    * write-tmp + rename (atomic on HDFS/local); if the file is absent
+    * (a pre-mark index, or the delete→rename crash window) the mark
+    * falls back to the largest batch directory on disk — conservative,
+    * and self-healed by the next admission. */
+  private[pipeline] def readAdmitHwm(spark: SparkSession, dir: String): Long = {
+    val p = admitHwmPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(s.nonEmpty && s.forall(_.isDigit),
+        s"corrupt admission high-water sidecar at $p: '$s' — delete the " +
+          "file to fall back to the on-disk batch listing")
+      s.toLong
+    } else {
+      val corpus = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+      if (!fs.exists(corpus)) 0L
+      else fs.listStatus(corpus).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong)
+        .foldLeft(0L)(math.max)
+    }
+  }
+
+  private def writeAdmitHwm(spark: SparkSession, dir: String,
+      v: Long): Unit = {
+    val p = admitHwmPath(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"could not publish the admission high-water mark to $p")
+  }
+
+  /** Reset the mark — a retrain ([[buildIvfIndex]]) or a fold-to-
+    * batch-0 ([[compactIvfIndex]]) restarts admission ids above 0. */
+  private def clearAdmitHwm(spark: SparkSession, dir: String): Unit = {
+    val fs = admitHwmPath(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(admitHwmPath(dir), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp"), false)
   }
 
   /** The corpus write discipline shared by build, admission, and
@@ -694,15 +780,13 @@ object Similarity {
     val meta = readIvfMeta(spark, dir)
     val withVd = df.withColumn("__vd",
       dimChecked(asDouble(col(vecCol)), meta.dim, "assignWithIndex"))
+    val cf = readCentroidFrame(spark, dir, meta.kCells, "assignWithIndex")
     val assigned =
       if (Semantic.useLiteralAssign(spark, meta.kCells.toLong, meta.dim.toLong)) {
-        val cents = spark.read.parquet(s"$dir/centroids")
-          .select(col("cell"), col("cv")).collect()
+        val cents = cf.collect()
           .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-        require(cents.nonEmpty, s"assignWithIndex: empty centroid sidecar at $dir")
         withVd.withColumn("cell", Semantic.nearestCell(col("__vd"), cents))
-      } else Semantic.assignCellsByJoin(withVd,
-        spark.read.parquet(s"$dir/centroids"), idCol, "__vd", "cell")
+      } else Semantic.assignCellsByJoin(withVd, cf, idCol, "__vd", "cell")
     assigned.drop("__vd")
   }
 
@@ -777,6 +861,23 @@ object Similarity {
       s"trainFraction must be in (0, 1], got $trainFraction")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a REBUILD must leave no promotable stale staging behind:
+    // recoverCorpus's invariant (live missing + staging present ⇒
+    // staging is a COMPLETE compacted corpus) holds only for
+    // compaction's own crash points. If an earlier interrupted
+    // compaction parked a (possibly partial) corpus.compacting here and
+    // THIS rebuild crashes after its overwrite dropped the live dir,
+    // the next reader would auto-promote that stale staging under the
+    // NEW sidecars — silently served, cells mismatched. Drop both
+    // aside dirs up front so no rebuild crash state is promotable; the
+    // admission high-water mark resets with the retrain.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus.old"), true)
+    }
+    clearAdmitHwm(spark, dir)
     val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
     require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
     val dim = dimRow(0).getInt(0)
@@ -820,13 +921,25 @@ object Similarity {
    * job retried, a replayed streaming micro-batch —
    * [[graft.streaming.StreamingIvfAdmit]]) REPLACES its own partitions
    * instead of appending duplicates. `batchId = None` takes the next id
-   * after the largest on disk (one driver-side directory listing, no
-   * data scan); idempotent retries must pass the id explicitly.
+   * above the admission high-water mark (one driver-side read, no data
+   * scan); idempotent retries must pass the id explicitly AND
+   * `allowReplay = true`.
+   *
+   * NON-MONOTONIC ADMISSION GUARD: an explicit id at or below the
+   * high-water mark ([[readAdmitHwm]]) is REFUSED unless
+   * `allowReplay = true`. A legitimate retry and a NEW stream restarted
+   * from a fresh checkpoint look identical from here (both re-present
+   * batch id 1..N); without the guard the latter silently OVERWRITES
+   * earlier admissions — the exactly-once layout turned into a data-
+   * loss channel. [[graft.streaming.StreamingIvfAdmit]] passes
+   * `allowReplay = true` because Structured Streaming's checkpoint IS
+   * the proof its re-presented ids are replays of the same epochs; a
+   * bare caller re-using an id must assert the same knowingly.
    */
   def extendIvfIndex(newVectors: DataFrame, dir: String,
       batchId: Option[Long] = None, idCol: String = "vec_id",
       vecCol: String = "embedding", attrCols: Seq[String] = Nil,
-      filesPerCell: Int = 1): Unit = {
+      filesPerCell: Int = 1, allowReplay: Boolean = false): Unit = {
     require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
     val spark = newVectors.sparkSession
     recoverCorpus(spark, dir)
@@ -838,6 +951,7 @@ object Similarity {
       s"extendIvfIndex: attrCols $attrCols do not match the index's " +
         s"${meta.attrCols} — admit with the build's attrCols or rebuild")
     val corpusPath = new org.apache.hadoop.fs.Path(s"$dir/corpus")
+    val hwm = readAdmitHwm(spark, dir)
     val id = batchId.getOrElse {
       val fs = corpusPath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
@@ -849,30 +963,41 @@ object Similarity {
       require(existing.nonEmpty,
         s"extendIvfIndex: no batch partitions under $corpusPath — " +
           "not a buildIvfIndex layout")
-      existing.max + 1L
+      // max over BOTH the listing and the mark: a fully-retracted
+      // newest batch leaves no directory, but its id stays burned
+      math.max(existing.max, hwm) + 1L
     }
     require(id > 0, s"batch ids above 0 are admissions; 0 is the build ($id)")
+    require(allowReplay || id > hwm,
+      s"extendIvfIndex: batch id $id is not above the admission " +
+        s"high-water mark $hwm. An id at or below the mark is either a " +
+        "legitimate retry/streaming replay (pass allowReplay = true) or " +
+        "a NEW stream restarted from a FRESH checkpoint about to " +
+        "silently overwrite earlier admissions — refusing. Resume the " +
+        "original checkpoint, or rebuild the index.")
     val base = newVectors.select(col(idCol).as("vec_id") +:
         dimChecked(col(vecCol), meta.dim, "extendIvfIndex").as("embedding") +:
         attrCols.map(col): _*)
       .withColumn("__vd", asDouble(col("embedding")))
     // assignment strategy by the kCells×dim threshold: literal scan
     // (collect the sidecar) below, broadcast join (no collect) above
+    val cf = readCentroidFrame(spark, dir, meta.kCells, "extendIvfIndex")
     val assigned = (if (Semantic.useLiteralAssign(spark,
         meta.kCells.toLong, meta.dim.toLong)) {
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .select(col("cell"), col("cv")).collect()
+      val cents = cf.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
-      require(cents.nonEmpty, s"extendIvfIndex: empty centroid sidecar at $dir")
       base.withColumn("cell", Semantic.nearestCell(col("__vd"), cents))
-    } else Semantic.assignCellsByJoin(base,
-      spark.read.parquet(s"$dir/centroids"), "vec_id", "__vd", "cell"))
+    } else Semantic.assignCellsByJoin(base, cf, "vec_id", "__vd", "cell"))
       .drop("__vd")
     shardForWrite(assigned.withColumn("batch", lit(id)), meta.kCells,
         filesPerCell)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "cell").parquet(s"$dir/corpus")
+    // publish the mark AFTER the data landed: a crash in between leaves
+    // the mark low, which only ever widens what a replay may rewrite —
+    // never narrows it (the safe direction)
+    if (id > hwm) writeAdmitHwm(spark, dir, id)
   }
 
   /**
@@ -989,6 +1114,11 @@ object Similarity {
         s"($old holds the pre-compaction corpus; recoverCorpus will " +
         "promote the staging dir on the next index call)")
     fs.delete(old, true)
+    // everything folded into batch=0 ⇒ admission ids restart above 0.
+    // The compaction pause window (the documented single-writer
+    // contract) is what makes this reset safe: no in-flight admission
+    // can race it.
+    clearAdmitHwm(spark, dir)
   }
 
   /**
@@ -1078,12 +1208,11 @@ object Similarity {
     def sqd(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
+    val cf = readCentroidFrame(spark, dir, meta.kCells, "indexedTopK")
     val probes = if (Semantic.useLiteralAssign(spark,
         meta.kCells.toLong, meta.dim.toLong)) {
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .select(col("cell"), col("cv")).collect()
+      val cents = cf.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      require(cents.nonEmpty, s"indexedTopK: empty centroid sidecar at $dir")
       val distStructs = array(cents.map { case (cell, cv) =>
         struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
           lit(cell).as("cell"))
@@ -1091,7 +1220,7 @@ object Similarity {
       q.select(col("q_id"),
           explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
         .select(col("q_id"), col("p.cell").as("cell"))
-    } else probeRanksByJoin(q, spark.read.parquet(s"$dir/centroids"))
+    } else probeRanksByJoin(q, cf)
       .filter(col("prk") <= nprobe).select("q_id", "cell")
     // the probed cell set as LITERALS: ≤ kCells ints collected once, so
     // the corpus scan partition-prunes to exactly the probed directories
@@ -1147,12 +1276,11 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
     // probe rank of EVERY cell per query (not just the top-nprobe) —
     // sidecar literals below the threshold, broadcast join above
+    val cf = readCentroidFrame(spark, dir, meta.kCells, "nprobeRecallCurve")
     val probeRanks = if (Semantic.useLiteralAssign(spark,
         meta.kCells.toLong, meta.dim.toLong)) {
-      val cents = spark.read.parquet(s"$dir/centroids")
-        .select(col("cell"), col("cv")).collect()
+      val cents = cf.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      require(cents.nonEmpty, s"nprobeRecallCurve: empty sidecar at $dir")
       val rankStructs = array(cents.map { case (cell, cv) =>
         struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
           lit(cell).as("cell"))
@@ -1160,7 +1288,7 @@ object Similarity {
       q.select(col("q_id"), posexplode(array_sort(rankStructs)))
         .select(col("q_id"), (col("pos") + 1).as("prk"),
           col("col.cell").as("cell"))
-    } else probeRanksByJoin(q, spark.read.parquet(s"$dir/centroids"))
+    } else probeRanksByJoin(q, cf)
     val c = spark.read.parquet(s"$dir/corpus")
       .select(col("vec_id").as("c_id"), col("cell"),
         asDouble(col("embedding")).as("c_v"))

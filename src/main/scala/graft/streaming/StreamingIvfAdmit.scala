@@ -20,9 +20,16 @@ import graft.pipeline.Similarity
  * (StreamingIvfAdmitSpec pins replay no-op and serve-the-union).
  *
  * The `+1` keeps streaming admissions clear of the build's `batch=0`.
- * ONE stream per index lifetime: a different stream (or one restarted
- * from a FRESH checkpoint) would reuse batch ids and overwrite earlier
- * admissions — resume the original checkpoint, or rebuild the index.
+ * ONE stream per index lifetime: this sink passes `allowReplay = true`
+ * (the checkpoint IS the proof that a re-presented batch id replays
+ * the same epoch), so a DIFFERENT stream — one restarted from a FRESH
+ * checkpoint — would reuse batch ids 1..N and overwrite earlier
+ * admissions. [[Similarity.extendIvfIndex]]'s high-water guard cannot
+ * see across that boundary once the replay assertion is made: resume
+ * the original checkpoint, or rebuild the index. (A bare
+ * `extendIvfIndex` caller without `allowReplay` IS refused at or
+ * below the mark — the guard catches fresh-checkpoint restarts that
+ * go through the non-streaming path.)
  *
  * Usage:
  * {{{
@@ -38,7 +45,8 @@ object StreamingIvfAdmit {
       : (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) =>
       Similarity.extendIvfIndex(batch, dir, batchId = Some(batchId + 1L),
-        idCol = idCol, vecCol = vecCol, attrCols = attrCols)
+        idCol = idCol, vecCol = vecCol, attrCols = attrCols,
+        allowReplay = true)
 
   /**
    * [[sink]] with a CONTAMINATION GATE in front: each micro-batch is
@@ -63,25 +71,46 @@ object StreamingIvfAdmit {
    * function of (batch, benchmark, sidecar), so a replayed epoch drops
    * the same rows and its batch-scoped overwrite replaces the same
    * partitions.
+   *
+   * The benchmark side is assigned, normed, and SNAPSHOT once at SINK
+   * CONSTRUCTION (the index must already exist): the sidecar is
+   * immutable between retrains — and a retrain requires a fresh sink
+   * anyway — so re-reading meta + centroids and re-assigning an
+   * identical eval frame every micro-batch was pure per-epoch waste
+   * (round-12 ADVICE). The collected rows (bounded by the same
+   * eval-set-size argument that lets the benchmark broadcast) rebuild
+   * as a LOCAL relation inside the closure: zero jobs, zero scans,
+   * broadcast-ready. Consequence worth knowing: the gate screens
+   * against the benchmark AS OF construction — a benchmark source
+   * mutated under a running sink does not change the screen (the spec
+   * pins this snapshot semantics).
    */
   def screenedSink(dir: String, benchEmb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      attrCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+      attrCols: Seq[String] = Nil): (DataFrame, Long) => Unit = {
+    val spark = benchEmb.sparkSession
+    val mFrame = Similarity.assignWithIndex(benchEmb, dir, idCol, vecCol)
+      .select(col(idCol).as("bench_id"), col("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("m_v"))
+      .withColumn("m_nrm", Similarity.norm(col("m_v")))
+      .filter(col("m_nrm") > 0)
+    val mSchema = mFrame.schema
+    val mRows = java.util.Arrays.asList(mFrame.collect(): _*)
     (batch: DataFrame, batchId: Long) => {
-      def side(df: DataFrame, id: String, v: String, n: String): DataFrame =
-        Similarity.assignWithIndex(df, dir, idCol, vecCol)
-          .select(col(idCol).as(id), col("cell"),
-            transform(col(vecCol), x => x.cast("double")).as(v))
-          .withColumn(n, Similarity.norm(col(v)))
-          .filter(col(n) > 0)
-      val b = side(batch, "batch_id", "b_v", "b_nrm")
-      val m = side(benchEmb, "bench_id", "m_v", "m_nrm")
+      val m = spark.createDataFrame(mRows, mSchema)
+      val b = Similarity.assignWithIndex(batch, dir, idCol, vecCol)
+        .select(col(idCol).as("batch_id"), col("cell"),
+          transform(col(vecCol), x => x.cast("double")).as("b_v"))
+        .withColumn("b_nrm", Similarity.norm(col("b_v")))
+        .filter(col("b_nrm") > 0)
       val dirty = b.join(broadcast(m), "cell")
         .filter(round(Similarity.dot(col("b_v"), col("m_v")) /
           (col("b_nrm") * col("m_nrm")), 6) >= tau)
         .select(col("batch_id").as(idCol)).distinct()
       val clean = batch.join(dirty, Seq(idCol), "left_anti")
       Similarity.extendIvfIndex(clean, dir, batchId = Some(batchId + 1L),
-        idCol = idCol, vecCol = vecCol, attrCols = attrCols)
+        idCol = idCol, vecCol = vecCol, attrCols = attrCols,
+        allowReplay = true)
     }
+  }
 }

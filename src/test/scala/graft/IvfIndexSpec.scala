@@ -442,6 +442,113 @@ class IvfIndexSpec extends TestBase
     assert(stats.agg(sum("n_vectors")).head().getLong(0) === surviving.count())
   }
 
+  test("admission high-water guard: a fresh-checkpoint restart is refused " +
+      "loudly; an asserted replay replaces; a retracted id is never reused") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-hwm").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = kCells, iters = 2)
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 1), dir,
+      batchId = Some(1L))
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 2), dir,
+      batchId = Some(2L))
+    val before = spark.read.parquet(s"$dir/corpus")
+      .filter(col("batch") === 1L).select("vec_id").as[Long].collect().toSet
+    // a NEW stream restarted from a FRESH checkpoint re-presents batch
+    // id 1 — without the guard this silently overwrote the earlier
+    // admission (round-12 verdict's silent-data-loss channel)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 0)
+        .limit(5), dir, batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("high-water"),
+      s"the refusal must name the mark: ${e.getMessage}")
+    assert(spark.read.parquet(s"$dir/corpus").filter(col("batch") === 1L)
+      .select("vec_id").as[Long].collect().toSet === before,
+      "a refused admission must not have touched batch 1")
+    // the SAME admission, ASSERTED as a replay, replaces its own
+    // partitions — the idempotent-retry feature survives the guard
+    Similarity.extendIvfIndex(emb.filter(col("vec_id") % 3 === 1), dir,
+      batchId = Some(1L), allowReplay = true)
+    assert(spark.read.parquet(s"$dir/corpus").count() === emb.count())
+    // retract batch 2 wholesale: even with its directories gone, the id
+    // stays burned — the next auto-id admission takes 3, never 2
+    Similarity.deleteFromIvfIndex(spark, dir,
+      emb.filter(col("vec_id") % 3 === 2).select("vec_id"))
+    Similarity.extendIvfIndex(
+      emb.filter(col("vec_id") % 3 === 2).limit(3), dir)
+    val batches = spark.read.parquet(s"$dir/corpus")
+      .select(col("batch").cast("long")).distinct().as[Long]
+      .collect().sorted.toSeq
+    assert(batches.contains(3L) && !batches.contains(2L),
+      s"auto-id must continue above the retracted id: $batches")
+  }
+
+  test("NULL embeddings fail loudly on admission and on serve") {
+    import spark.implicits._
+    val nullRow = Seq((888888L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val eAdmit = intercept[Exception] {
+      Similarity.extendIvfIndex(nullRow, idxDir, batchId = Some(88L))
+    }
+    assert(eAdmit.getMessage.contains("got NULL"),
+      s"admission must name the null vector: ${eAdmit.getMessage}")
+    val eServe = intercept[Exception] {
+      Similarity.indexedTopK(spark, nullRow, idxDir, k = 3).collect()
+    }
+    assert(eServe.getMessage.contains("got NULL"),
+      s"serve must name the null vector: ${eServe.getMessage}")
+    assert(spark.read.parquet(s"$idxDir/corpus")
+      .filter(col("batch") === 88L).count() === 0,
+      "a refused admission must not leave rows behind")
+  }
+
+  test("a truncated centroid sidecar is refused loudly on BOTH strategies") {
+    val dir = tmpDir("ivf-truncated").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2)
+    val sch = spark.read.parquet(s"$dir/centroids").schema
+    val keep = spark.read.parquet(s"$dir/centroids").limit(3).collect()
+    spark.createDataFrame(java.util.Arrays.asList(keep: _*), sch)
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    def boom(f: => Any): Unit = {
+      val e = intercept[IllegalArgumentException] { f }
+      assert(e.getMessage.contains("holds 3 cells"),
+        s"the refusal must name the truncation: ${e.getMessage}")
+    }
+    val q = emb.filter(col("vec_id") < 2)
+    boom(Similarity.indexedTopK(spark, q, dir, k = 3))
+    boom(Similarity.assignWithIndex(q, dir))
+    // the join path used to crossJoin the corrupt sidecar and silently
+    // assign/admit/return NOTHING — now both strategies share the guard
+    spark.conf.set(graft.pipeline.Semantic.LiteralAssignMaxKey, "0")
+    try {
+      boom(Similarity.indexedTopK(spark, q, dir, k = 3))
+      boom(Similarity.assignWithIndex(q, dir))
+      boom(Similarity.extendIvfIndex(q, dir))
+      boom(Similarity.nprobeRecallCurve(spark, q, dir, k = 3, maxProbe = 2))
+    } finally spark.conf.unset(graft.pipeline.Semantic.LiteralAssignMaxKey)
+  }
+
+  test("a rebuild clears a stale compaction staging dir — no rebuild crash " +
+      "state can promote it") {
+    val dir = tmpDir("ivf-restale").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // park a stale PARTIAL staging from a dead compaction attempt; if a
+    // rebuild left it and crashed after dropping the live corpus,
+    // recoverCorpus would promote garbage under the new sidecars
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/corpus.compacting/batch=0/cell=0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/corpus.old"))
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting")),
+      "the rebuild must drop the stale staging dir")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/corpus.old")),
+      "the rebuild must drop the stale aside dir")
+    assert(spark.read.parquet(s"$dir/corpus").count() === emb.count())
+  }
+
   test("indexedTopK refuses a missing index and a non-positive nprobe") {
     intercept[IllegalArgumentException] {
       Similarity.indexedTopK(spark, emb, idxDir, k = 5, nprobe = 0)

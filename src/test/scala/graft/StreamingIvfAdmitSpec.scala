@@ -112,6 +112,41 @@ class StreamingIvfAdmitSpec extends TestBase {
       "a replayed screened epoch must be a no-op on the row count")
   }
 
+  test("screenedSink snapshots the benchmark at construction: a mutated " +
+      "benchmark source does not change a standing sink's screen") {
+    val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-snap").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = 8, iters = 2)
+    val benchPath = tmpDir("ivf-snap-bench").toString
+    val bench = emb.filter(col("vec_id") % 3 === 1 && col("vec_id") < 30)
+    bench.select("vec_id", "embedding").write
+      .mode("overwrite").parquet(benchPath)
+    val sinkFn = StreamingIvfAdmit.screenedSink(dir,
+      spark.read.parquet(benchPath), tau = 0.999999)
+    // EMPTY the benchmark source after construction: the standing sink
+    // keeps screening against the construction-time snapshot (one
+    // benchmark assignment per sink lifetime, not per epoch)
+    bench.limit(0).select("vec_id", "embedding").write
+      .mode("overwrite").parquet(benchPath)
+    val leak = bench.limit(1)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    sinkFn(leak, 0L)
+    val admitted = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted.forall(_ < 5000000L),
+      "the standing sink must still screen with the snapshot benchmark")
+    // a sink constructed AFTER the mutation sees the (now empty)
+    // benchmark — the same epoch replayed through it admits the row,
+    // proving the first sink's drop came from its snapshot
+    StreamingIvfAdmit.screenedSink(dir,
+      spark.read.parquet(benchPath), tau = 0.999999)(leak, 0L)
+    val admitted2 = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+    assert(admitted2.exists(_ >= 5000000L),
+      "a fresh sink over the emptied benchmark screens nothing")
+  }
+
   test("extendIvfIndex auto-id takes the next free batch; id 0 is refused") {
     val emb = WarehouseSim.read(spark, sfDir, "embeddings")
     val dir = tmpDir("ivf-autoid").toString
