@@ -1036,34 +1036,41 @@ object Similarity {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     if (touched.isEmpty) return 0L
     val nDeleted = touched.values.sum
-    // partition-pruned scan + exact membership: the two isin filters are
-    // InSet literals (partition-prunable, O(1) plan nodes at any
-    // retraction size — an OR-chain over (batch, cell) pairs would be
-    // the same plan-blowup class as literal centroids), and the
-    // broadcast semi-join restores exact pair membership, so a
-    // cross-product-but-untouched partition is read but never rewritten
-    val touchedDf = {
-      import spark.implicits._
-      touched.keys.toSeq.toDF("batch", "cell")
-    }
-    val keep = corpus
-      .filter(col("batch").isin(touched.keys.map(_._1).toSeq.distinct: _*) &&
-        col("cell").isin(touched.keys.map(_._2).toSeq.distinct: _*))
-      .join(broadcast(touchedDf), Seq("batch", "cell"), "left_semi")
-      .join(broadcast(del), Seq("vec_id"), "left_anti")
-    val survivors = keep
-      .groupBy(col("batch").cast("long").as("batch"), col("cell"))
-      .agg(count(lit(1))).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
-    keep.repartition(math.max(1, touched.size), col("batch"), col("cell"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "cell").parquet(s"$dir/corpus")
+    // ONE survivor pass PER TOUCHED BATCH, pruned to THAT batch's own
+    // cell list: rounds 12's single pass filtered on
+    // `batch IN (touched batches) AND cell IN (touched cells)` — the
+    // CROSS PRODUCT — so a retraction spread over B batches × C distinct
+    // cells read up to B·C partitions while rewriting only the touched
+    // pairs. Per-batch passes read exactly the touched pairs (each
+    // pass's plan stays O(|that batch's cells|) InSet literals — never
+    // an OR-chain over pairs, which would be the literal-centroid
+    // plan-blowup class), at the cost of one write job per touched
+    // batch — bounded by the retraction, not the corpus.
+    // DeleteScanPruningSpec pins files-read == touched pairs.
     val fs = new org.apache.hadoop.fs.Path(s"$dir/corpus")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for ((b, c) <- touched.keys if !survivors.contains((b, c))) {
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$dir/corpus/batch=$b/cell=$c"), true)
+    val byBatch = touched.keys.toSeq.groupBy(_._1)
+      .map { case (b, ps) => b -> ps.map(_._2).distinct.sorted }
+    for ((b, cellsOfB) <- byBatch.toSeq.sortBy(_._1)) {
+      val keep = corpus
+        .filter(col("batch").cast("long") === b &&
+          col("cell").isin(cellsOfB.map(Int.box): _*))
+        .join(broadcast(del), Seq("vec_id"), "left_anti")
+      // dynamic overwrite writes NOTHING for a fully-emptied partition,
+      // so those get an explicit directory drop (the classic
+      // dynamic-overwrite deletion pitfall); survivors are counted on
+      // the same pruned scan the write reads
+      val survivors = keep
+        .groupBy(col("cell")).agg(count(lit(1))).collect()
+        .map(_.getInt(0)).toSet
+      keep.repartition(math.max(1, cellsOfB.size), col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "cell").parquet(s"$dir/corpus")
+      for (c <- cellsOfB if !survivors.contains(c)) {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/corpus/batch=$b/cell=$c"), true)
+      }
     }
     nDeleted
   }
