@@ -671,6 +671,22 @@ object Similarity {
     if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
   }
 
+  /** Session conf key bounding [[indexedTopK]]'s broadcast-query serve
+    * regime: a query frame with MORE rows than this switches the final
+    * candidate join from `broadcast(q)` to a shuffle hash join on
+    * `q_id` — the same two-regime discipline the centroid assignment
+    * applies via [[Semantic.LiteralAssignMaxKey]]. The default (2¹⁶)
+    * keeps eval-sized query sets on the broadcast plan (corpus never
+    * shuffled — IvfIndexSpec pins it) while a million-query batch stops
+    * blowing the broadcast: above the threshold the CANDIDATES shuffle
+    * on q_id instead (they were already window-shuffled on q_id for the
+    * ranking, so the join adds no new exchange of the corpus side's
+    * vectors beyond that ranking shuffle). The probe frame stays
+    * broadcast in both regimes — queries × nprobe SKINNY rows (two ints
+    * a row), broadcastable far past the point the full query vectors
+    * are not. ServeRegimeSpec pins identical top-k on both shapes. */
+  val ServeBroadcastMaxQueries = "graft.serve.broadcastMaxQueries"
+
   private def admitHwmPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/admit.hwm")
 
@@ -1188,7 +1204,10 @@ object Similarity {
    * ranking switches from sidecar literals to a broadcast join + window
    * over the QUERY side (queries × kCells skinny rows — the corpus scan
    * stays pruned and shuffle-free either way); AssignStrategySpec pins
-   * identical results on both shapes.
+   * identical results on both shapes. Above [[ServeBroadcastMaxQueries]]
+   * query ROWS the query-vector join likewise switches from broadcast
+   * to a shuffle hash join on `q_id` (the probe frame stays broadcast
+   * in both regimes — skinny); ServeRegimeSpec pins parity.
    *
    * Exactness: with `nprobe >= kCells` this EQUALS brute force on the
    * positive-norm corpus (CrossCheckSpec) — pruning is the only
@@ -1240,8 +1259,19 @@ object Similarity {
         asDouble(col("embedding")).as("c_v"))
       .withColumn("c_nrm", norm(col("c_v")))
       .filter(col("c_nrm") > 0)
+    // query-join regime by query count: broadcast(q) below the
+    // threshold (the eval-serve shape — corpus never shuffled), shuffle
+    // hash join on q_id above it (a huge query batch must not blow the
+    // broadcast; the candidates shuffle on q_id anyway for the ranking
+    // window, so the regime costs no extra corpus exchange). The count
+    // is column-pruned over the RAW query frame — one tiny job, same
+    // class as the probed-cells collect
+    val maxQ = spark.conf.getOption(ServeBroadcastMaxQueries)
+      .map(_.toLong).getOrElse(1L << 16)
+    val qSide = if (queries.count() <= maxQ) broadcast(q)
+      else q.hint("shuffle_hash")
     val scored = c.join(broadcast(probes), "cell")
-      .join(broadcast(q), "q_id")
+      .join(qSide, "q_id")
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
         round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
