@@ -353,6 +353,76 @@ object Similarity {
    * cell, then exactly rescored — the sq8 pattern, one quantization
    * level deeper.
    */
+  /** One (s, subv) struct per subspace of `vec` — the PQ split shared
+    * by training, encoding, and the query-side ADC LUT. */
+  private[pipeline] def pqSubCol(vec: Column, m: Int, subDim: Int): Column =
+    explode(array((0 until m).map(s =>
+      struct(lit(s).as("s"),
+        slice(vec, s * subDim + 1, subDim).as("subv"))): _*))
+
+  /** `(vec_id, s, subv)` — one row per subvector of `vecs` (a
+    * `(vec_id, v)` frame), checkpointed ONCE so every training
+    * iteration and the encode pass reuse one compiled plan. */
+  private[pipeline] def pqSubFrame(vecs: DataFrame, m: Int,
+      subDim: Int): DataFrame =
+    vecs.select(col("vec_id"), pqSubCol(col("v"), m, subDim).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.subv").as("subv"))
+      .transform(Lineage.cut)
+
+  private def pqSqd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest codebook entry per (vector, subspace) — `(vec_id, s, cid)`:
+    * min over the broadcast codebook of (distance, cid) structs,
+    * deterministic, cid breaks exact-tie distances. */
+  private[pipeline] def pqAssignFrame(sub: DataFrame,
+      cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val spark = sub.sparkSession
+    import spark.implicits._
+    sub.join(broadcast(cents.toDF("s", "cid", "cv")), "s")
+      .groupBy("vec_id", "s")
+      .agg(min(struct(pqSqd(col("subv"), col("cv")).as("d"),
+        col("cid").as("cid"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
+  }
+
+  /** Per-subspace PQ codebooks under the deterministic Lloyd's
+    * discipline (lowest-vec_id init with cid = id rank, broadcast
+    * codebook DATA so every iteration reuses one compiled plan,
+    * 1e-6-quantized re-centers) — extracted from the inline [[pqTopK]]
+    * so the persisted index (`buildIvfIndex(codec = "pq")`) trains the
+    * IDENTICAL codebook the inline operator and the DuckDB replay do.
+    * `all` must be positive-norm `(vec_id, v)` rows; `sub` its
+    * [[pqSubFrame]]. A cid whose cluster empties drops out (standard
+    * collect-recenter Lloyd's) — codes only ever reference surviving
+    * entries. */
+  private[pipeline] def pqTrainOnSub(all: DataFrame, sub: DataFrame,
+      ks: Int, iters: Int): Seq[(Int, Int, Seq[Double])] = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    val initIds = all.select(col("vec_id")).orderBy("vec_id").limit(ks)
+      .as[Long].collect()
+    val cidOf = initIds.zipWithIndex.toMap
+    var cents: Seq[(Int, Int, Seq[Double])] =
+      sub.filter(col("vec_id").isin(initIds: _*)).collect().map { r =>
+        (r.getInt(1), cidOf(r.getLong(0)), r.getSeq[Double](2))
+      }.toSeq
+    for (_ <- 1 to iters) {
+      cents = pqAssignFrame(sub, cents).join(sub, Seq("vec_id", "s"))
+        .select(col("s"), col("cid"), posexplode(col("subv")))
+        .groupBy("s", "cid", "pos").agg(round(avg("col"), 6).as("mv"))
+        .groupBy("s", "cid")
+        .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
+          .as("byPos"))
+        .collect().map { r =>
+          val mm = r.getMap[Int, Double](2)
+          (r.getInt(0), r.getInt(1), Seq.tabulate(mm.size)(mm(_)))
+        }.toSeq
+    }
+    cents
+  }
+
   def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       m: Int = 8, ks: Int = 16, iters: Int = 2, candMult: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -373,53 +443,17 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible by m = $m")
     val subDim = dim / m
 
-    def subspaces(vec: Column): Column = explode(array((0 until m).map(s =>
-      struct(lit(s).as("s"),
-        slice(vec, s * subDim + 1, subDim).as("subv"))): _*))
+    def sqd(a: Column, b: Column): Column = pqSqd(a, b)
+
     // (vec_id, s, subv) — one row per subvector, reused by every
     // training iteration and the encode pass
-    val sub = all.select(col("vec_id"), subspaces(col("v")).as("e"))
-      .select(col("vec_id"), col("e.s").as("s"), col("e.subv").as("subv"))
-      .transform(Lineage.cut)
-
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-
-    // init: the ks lowest-id vectors' subvectors; cid = id rank
-    val initIds = all.select(col("vec_id")).orderBy("vec_id").limit(ks)
-      .as[Long].collect()
-    val cidOf = initIds.zipWithIndex.toMap
-    var cents: Seq[(Int, Int, Seq[Double])] =
-      sub.filter(col("vec_id").isin(initIds: _*)).collect().map { r =>
-        (r.getInt(1), cidOf(r.getLong(0)), r.getSeq[Double](2))
-      }.toSeq
-
-    def ctDF: DataFrame = cents.toDF("s", "cid", "cv")
-    // nearest codebook entry per (vector, subspace): min over the
-    // broadcast codebook of (distance, cid) structs — deterministic,
-    // cid breaks exact-tie distances
-    def assign: DataFrame = sub.join(broadcast(ctDF), "s")
-      .groupBy("vec_id", "s")
-      .agg(min(struct(sqd(col("subv"), col("cv")).as("d"),
-        col("cid").as("cid"))).as("b"))
-      .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
-
-    for (_ <- 1 to iters) {
-      cents = assign.join(sub, Seq("vec_id", "s"))
-        .select(col("s"), col("cid"), posexplode(col("subv")))
-        .groupBy("s", "cid", "pos").agg(round(avg("col"), 6).as("mv"))
-        .groupBy("s", "cid")
-        .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
-          .as("byPos"))
-        .collect().map { r =>
-          val mm = r.getMap[Int, Double](2)
-          (r.getInt(0), r.getInt(1), Seq.tabulate(mm.size)(mm(_)))
-        }.toSeq
-    }
+    val sub = pqSubFrame(all.select(col("vec_id"), col("v")), m, subDim)
+    val cents = pqTrainOnSub(all, sub, ks, iters)
+    val ctDF: DataFrame = cents.toDF("s", "cid", "cv")
 
     // encode under the final codebook; carry the IVF cell for routing
-    val codes = assign.join(all.select(col("vec_id"), col("cell")), "vec_id")
+    val codes = pqAssignFrame(sub, cents)
+      .join(all.select(col("vec_id"), col("cell")), "vec_id")
       .select(col("vec_id").as("c_id"), col("cell"), col("s"), col("cid"))
 
     val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("q_cell"),
@@ -428,7 +462,8 @@ object Similarity {
       .filter(col("q_nrm") > 0)
     // per-query ADC lookup table in integer micro-units: exact BIGINT
     // sums downstream, immune to engine float-summation order
-    val lut = q.select(col("q_id"), col("q_cell"), subspaces(col("q_v")).as("e"))
+    val lut = q.select(col("q_id"), col("q_cell"),
+        pqSubCol(col("q_v"), m, subDim).as("e"))
       .select(col("q_id"), col("q_cell"), col("e.s").as("s"),
         col("e.subv").as("subv"))
       .join(broadcast(ctDF), "s")
@@ -588,13 +623,21 @@ object Similarity {
     * silent-corruption channels a schemaless index has: a wrong-dim
     * vector (zip_with null-pads ⇒ null distances ⇒ arbitrary cell) and
     * a wrong-attrCols admission (per-batch parquet schema drift). */
-  private case class IvfMeta(dim: Int, kCells: Int, attrCols: Seq[String])
+  private case class IvfMeta(dim: Int, kCells: Int, attrCols: Seq[String],
+      codec: String, pqM: Int, pqKs: Int)
+
+  /** The storage codecs [[buildIvfIndex]] accepts: raw float64 vectors
+    * only ("none"), symmetric-int8 scalar quantization ("sq8", dim
+    * bytes/vector of codes), or product quantization ("pq", m shorts/
+    * vector + an m×ks codebook sidecar). */
+  private[pipeline] val IvfCodecs = Seq("none", "sq8", "pq")
 
   private def writeIvfMeta(spark: SparkSession, dir: String,
       meta: IvfMeta): Unit = {
     import spark.implicits._
-    Seq((meta.dim, meta.kCells, meta.attrCols))
-      .toDF("dim", "k_cells", "attr_cols")
+    Seq((meta.dim, meta.kCells, meta.attrCols, meta.codec, meta.pqM,
+        meta.pqKs))
+      .toDF("dim", "k_cells", "attr_cols", "codec", "pq_m", "pq_ks")
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -604,14 +647,41 @@ object Similarity {
     require(fs.exists(p),
       s"no index meta sidecar at $dir/meta — buildIvfIndex writes it; " +
         "an index from before the meta sidecar must be rebuilt")
-    val r = spark.read.parquet(p.toString).head()
+    val df = spark.read.parquet(p.toString)
+    val r = df.head()
     // Spark hands array columns back as a mutable ArraySeq — copy to an
-    // immutable Seq before it leaves this scope
+    // immutable Seq before it leaves this scope. A pre-codec meta (no
+    // codec column) is a raw-vector index.
+    val hasCodec = df.columns.contains("codec")
     val meta = IvfMeta(r.getAs[Int]("dim"), r.getAs[Int]("k_cells"),
-      r.getAs[scala.collection.Seq[String]]("attr_cols").toSeq)
-    require(meta.dim > 0 && meta.kCells > 0,
+      r.getAs[scala.collection.Seq[String]]("attr_cols").toSeq,
+      if (hasCodec) r.getAs[String]("codec") else "none",
+      if (hasCodec) r.getAs[Int]("pq_m") else 0,
+      if (hasCodec) r.getAs[Int]("pq_ks") else 0)
+    require(meta.dim > 0 && meta.kCells > 0 &&
+        IvfCodecs.contains(meta.codec),
       s"corrupt index meta at $dir/meta: $meta")
     meta
+  }
+
+  /** The trained PQ codebook sidecar of a `codec="pq"` index —
+    * `(s, cid, cv)` rows, m×ks×subDim doubles, driver-bounded by the
+    * same argument as the centroid sidecar. Validated on every read:
+    * every subspace must hold at least one surviving entry. */
+  private def readPqCodebook(spark: SparkSession, dir: String,
+      m: Int, op: String): Seq[(Int, Int, Seq[Double])] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/codebook")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$op: no PQ codebook sidecar at $p — buildIvfIndex(codec = \"pq\") " +
+        "writes it; the index is corrupt or not a pq index")
+    val rows = spark.read.parquet(p.toString)
+      .select(col("s"), col("cid"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    require(rows.map(_._1).distinct.size == m,
+      s"$op: PQ codebook at $p covers ${rows.map(_._1).distinct.size} of " +
+        s"$m subspaces — truncated/corrupt sidecar; rebuild the index")
+    rows
   }
 
   /** Loud per-row dimension guard: a vector whose length differs from
@@ -748,6 +818,59 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp"), false)
   }
 
+  /** Attach the codec's storage columns to an assigned frame carrying
+    * the double-array `__vd`:
+    *
+    *  - `nrm`   — the vector's norm, stored so the quantized serve can
+    *    drop zero-norm candidates and rescore cosines WITHOUT touching
+    *    the raw column outside the survivor set;
+    *  - `codes` — "sq8": `array<tinyint>` of `round(v/‖v‖·127)` clamped
+    *    to ±127 (the [[sq8TopK]] quantizer — codebook-free because
+    *    components of the normalized vector live in [-1, 1]); "pq":
+    *    `array<smallint>` of per-subspace codebook ids. Zero-norm rows
+    *    store null codes (no direction ⇒ never a candidate).
+    *
+    * When `train` is true (the build) the PQ codebook is trained on the
+    * frame's positive-norm vectors ([[pqTrainOnSub]] — the inline
+    * [[pqTopK]] discipline, so the DuckDB replay carries over) and
+    * written to `dir/codebook`; on admission the PERSISTED codebook
+    * encodes the batch — admission never retrains, codes stay
+    * comparable across batches. */
+  private def encodeForCodec(spark: SparkSession, dir: String,
+      df: DataFrame, codec: String, dim: Int, m: Int, ks: Int,
+      iters: Int, train: Boolean): DataFrame = codec match {
+    case "none" => df
+    case "sq8" =>
+      df.withColumn("nrm", norm(col("__vd")))
+        .withColumn("codes", when(col("nrm") > 0,
+          transform(col("__vd"), x =>
+            greatest(least(round(x / col("nrm") * 127).cast("long"),
+              lit(127L)), lit(-127L)).cast("byte"))))
+    case "pq" =>
+      val subDim = dim / m
+      val pos = df.select(col("vec_id"), col("__vd").as("v"))
+        .withColumn("__n", norm(col("v"))).filter(col("__n") > 0)
+        .select("vec_id", "v")
+      val sub = pqSubFrame(pos, m, subDim)
+      val cb =
+        if (train) {
+          val trained = pqTrainOnSub(pos, sub, ks, iters)
+          import spark.implicits._
+          trained.toDF("s", "cid", "cv").repartition(1)
+            .write.mode("overwrite").parquet(s"$dir/codebook")
+          trained
+        } else readPqCodebook(spark, dir, m, "extendIvfIndex")
+      val codes = pqAssignFrame(sub, cb)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
+          .as("__sc"))
+        .select(col("vec_id"),
+          transform(col("__sc"), e => e.getField("cid").cast("short"))
+            .as("codes"))
+      df.withColumn("nrm", norm(col("__vd")))
+        .join(codes, Seq("vec_id"), "left_outer")
+  }
+
   /** The corpus write discipline shared by build, admission, and
     * compaction: ≤ `filesPerCell` files per (batch, cell) directory,
     * file membership a pure function of the data (cell + an xxhash64
@@ -865,16 +988,41 @@ object Similarity {
   /** @param attrCols extra payload columns stored WITH each vector —
     *   the metadata a filtered search ([[indexedTopK]]'s `where`)
     *   predicates on. Stored columnar in the cell partitions, so a
-    *   predicate reaches the parquet scan as a pushed filter. */
+    *   predicate reaches the parquet scan as a pushed filter.
+    * @param codec quantized storage for the serve path — "none" (raw
+    *   float64 only), "sq8" (dim bytes/vector), or "pq" (pqM shorts/
+    *   vector + codebook sidecar). The raw vectors are ALWAYS stored
+    *   alongside the codes in the same cell-partitioned parquet:
+    *   parquet's columnar layout IS the raw-vector sidecar — the
+    *   quantized serve's ADC/pre-rank scan reads only
+    *   `(vec_id, cell, nrm, codes)` (8× less probed-cell I/O under sq8,
+    *   ~30× under pq at dim 64 — the gap widens with dim), and the raw
+    *   column's pages are touched only by the exact re-rank's
+    *   survivor-id-pushed scan. Keeping ONE corpus (not a second
+    *   dataset) means delete/compact/extend/drift/decon carry codes and
+    *   raw together with zero extra crash-consistency machinery.
+    * @param pqM,pqKs,pqIters codec="pq" knobs: subspace count (must
+    *   divide dim), codebook entries per subspace (≤ 32767 — codes
+    *   store as smallint), Lloyd's iterations. */
   def buildIvfIndex(corpus: DataFrame, dir: String, kCells: Int,
       iters: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding", attrCols: Seq[String] = Nil,
-      filesPerCell: Int = 1, trainFraction: Double = 1.0): Unit = {
+      filesPerCell: Int = 1, trainFraction: Double = 1.0,
+      codec: String = "none", pqM: Int = 8, pqKs: Int = 16,
+      pqIters: Int = 2): Unit = {
     require(kCells > 0 && iters >= 0 && filesPerCell > 0,
       s"need kCells > 0, iters >= 0, filesPerCell > 0; " +
         s"got $kCells, $iters, $filesPerCell")
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
+    require(IvfCodecs.contains(codec),
+      s"unknown codec '$codec' — one of ${IvfCodecs.mkString("/")}")
+    require(codec != "pq" ||
+        (pqM > 0 && pqKs > 0 && pqKs <= 32767 && pqIters >= 0),
+      s"need pqM > 0, 0 < pqKs <= 32767, pqIters >= 0; " +
+        s"got $pqM, $pqKs, $pqIters")
+    require(!attrCols.exists(Seq("nrm", "codes").contains),
+      "attrCols must not shadow the codec storage columns nrm/codes")
     val spark = corpus.sparkSession
     import spark.implicits._
     // a REBUILD must leave no promotable stale staging behind:
@@ -898,6 +1046,8 @@ object Similarity {
     require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
     val dim = dimRow(0).getInt(0)
     require(dim > 0, s"buildIvfIndex: zero-length embedding in $vecCol")
+    require(codec != "pq" || dim % pqM == 0,
+      s"dim $dim not divisible by pqM = $pqM")
     // deterministic training sample (replayable — no RNG state): the
     // Lloyd's chain sees the sample, the assignment pass sees everyone
     val trainSet =
@@ -908,14 +1058,22 @@ object Similarity {
     cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv")
       .repartition(1) // k×dim rows — one sidecar file, read whole
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    writeIvfMeta(spark, dir, IvfMeta(dim, cents.size, attrCols))
+    writeIvfMeta(spark, dir, IvfMeta(dim, cents.size, attrCols, codec,
+      if (codec == "pq") pqM else 0, if (codec == "pq") pqKs else 0))
+    if (codec != "pq") { // no stale codebook may survive a re-codec build
+      val cbp = new org.apache.hadoop.fs.Path(s"$dir/codebook")
+      cbp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(cbp, true)
+    }
     val tagged = corpus.select(col(idCol).as("vec_id") +:
         dimChecked(col(vecCol), dim, "buildIvfIndex").as("embedding") +:
         attrCols.map(col): _*)
       .withColumn("__vd", asDouble(col("embedding")))
     val assigned = Semantic
-      .assignCells(tagged, cents, "vec_id", "__vd", "cell").drop("__vd")
-    shardForWrite(assigned.withColumn("batch", lit(0L)), cents.size,
+      .assignCells(tagged, cents, "vec_id", "__vd", "cell")
+    val encoded = encodeForCodec(spark, dir, assigned, codec, dim,
+      pqM, pqKs, pqIters, train = true).drop("__vd")
+    shardForWrite(encoded.withColumn("batch", lit(0L)), cents.size,
         filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")
       .parquet(s"$dir/corpus")
@@ -998,14 +1156,17 @@ object Similarity {
     // assignment strategy by the kCells×dim threshold: literal scan
     // (collect the sidecar) below, broadcast join (no collect) above
     val cf = readCentroidFrame(spark, dir, meta.kCells, "extendIvfIndex")
-    val assigned = (if (Semantic.useLiteralAssign(spark,
+    val assigned = if (Semantic.useLiteralAssign(spark,
         meta.kCells.toLong, meta.dim.toLong)) {
       val cents = cf.collect()
         .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1).toSeq
       base.withColumn("cell", Semantic.nearestCell(col("__vd"), cents))
-    } else Semantic.assignCellsByJoin(base, cf, "vec_id", "__vd", "cell"))
-      .drop("__vd")
-    shardForWrite(assigned.withColumn("batch", lit(id)), meta.kCells,
+    } else Semantic.assignCellsByJoin(base, cf, "vec_id", "__vd", "cell")
+    // a quantized index encodes the batch under the PERSISTED codebook
+    // (admission never retrains — codes stay comparable across batches)
+    val encoded = encodeForCodec(spark, dir, assigned, meta.codec,
+      meta.dim, meta.pqM, meta.pqKs, 0, train = false).drop("__vd")
+    shardForWrite(encoded.withColumn("batch", lit(id)), meta.kCells,
         filesPerCell)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -1221,10 +1382,17 @@ object Similarity {
    * fewer than k). Simple predicates reach the parquet scan as pushed
    * filters; within the probed cells the filtered search stays exact.
    */
+  /** @param candMult quantized-index pre-rank width: under
+    *   `codec="sq8"/"pq"` the ADC/integer pre-rank keeps `candMult·k`
+    *   survivors per query for the exact re-rank (the recall knob of
+    *   the inline [[sq8TopK]]/[[pqTopK]], applied to the persisted
+    *   serve). Ignored by a raw (`codec="none"`) index. */
   def indexedTopK(spark: SparkSession, queries: DataFrame, dir: String,
       k: Int, nprobe: Int = 1, idCol: String = "vec_id",
-      vecCol: String = "embedding", where: Option[Column] = None): DataFrame = {
+      vecCol: String = "embedding", where: Option[Column] = None,
+      candMult: Int = 4): DataFrame = {
     require(nprobe > 0, s"nprobe must be positive, got $nprobe")
+    require(candMult > 0, s"candMult must be positive, got $candMult")
     recoverCorpus(spark, dir)
     val meta = readIvfMeta(spark, dir)
     val q = queries.select(col(idCol).as("q_id"),
@@ -1254,11 +1422,7 @@ object Similarity {
       .map(_.getInt(0)).sorted
     val corpus0 = spark.read.parquet(s"$dir/corpus")
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
-    val c = where.fold(corpus0)(corpus0.filter)
-      .select(col("vec_id").as("c_id"), col("cell"),
-        asDouble(col("embedding")).as("c_v"))
-      .withColumn("c_nrm", norm(col("c_v")))
-      .filter(col("c_nrm") > 0)
+    val corpusF = where.fold(corpus0)(corpus0.filter)
     // query-join regime by query count: broadcast(q) below the
     // threshold (the eval-serve shape — corpus never shuffled), shuffle
     // hash join on q_id above it (a huge query batch must not blow the
@@ -1268,15 +1432,148 @@ object Similarity {
     // class as the probed-cells collect
     val maxQ = spark.conf.getOption(ServeBroadcastMaxQueries)
       .map(_.toLong).getOrElse(1L << 16)
-    val qSide = if (queries.count() <= maxQ) broadcast(q)
-      else q.hint("shuffle_hash")
-    val scored = c.join(broadcast(probes), "cell")
-      .join(qSide, "q_id")
-      .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"),
-        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
-          .as("cos_sim"))
+    val evalShape = queries.count() <= maxQ
+    def qJoin(df: DataFrame): DataFrame =
+      if (evalShape) broadcast(df) else df.hint("shuffle_hash")
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+
+    if (meta.codec == "none") {
+      val c = corpusF
+        .select(col("vec_id").as("c_id"), col("cell"),
+          asDouble(col("embedding")).as("c_v"))
+        .withColumn("c_nrm", norm(col("c_v")))
+        .filter(col("c_nrm") > 0)
+      val scored = c.join(broadcast(probes), "cell")
+        .join(qJoin(q), "q_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+            .as("cos_sim"))
+      return scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+
+    // ---- quantized serve (codec = "sq8" / "pq") -------------------------
+    // Pre-rank over the CODES column of the probed cells, exact-cosine
+    // re-rank of the candMult·k survivors from the raw column. Parquet's
+    // columnar layout is the raw-vector "sidecar": the pre-rank scan's
+    // ReadSchema is (vec_id, nrm, codes) — never the raw vectors
+    // (IvfIndexSpec pins it) — which is the 8× (sq8) to ~dim/m·8× (pq)
+    // probed-cell I/O cut the codec exists for; the raw column is read
+    // back only for the survivors.
+    val cQ = corpusF
+      .select(col("vec_id").as("c_id"), col("cell"),
+        col("nrm").as("c_nrm"), col("codes"))
+      .filter(col("c_nrm") > 0 && col("codes").isNotNull)
+    val pre = meta.codec match {
+      case "sq8" =>
+        // symmetric-int8 integer dot, DESC — the sq8TopK pre-rank on
+        // stored codes; the query side quantizes at plan time. Stored
+        // tinyint codes widen to long INSIDE the fold (byte×byte would
+        // overflow at ±127²)
+        val qq = q.select(col("q_id"), transform(col("q_v"), x =>
+          greatest(least(round(x / col("q_nrm") * 127).cast("long"),
+            lit(127L)), lit(-127L))).as("__qq"))
+        cQ.join(broadcast(probes), "cell")
+          .join(qJoin(qq), "q_id")
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("__ps", aggregate(
+            zip_with(col("__qq"), col("codes"), (p, v) => p * v.cast("long")),
+            lit(0L), (acc, x) => acc + x))
+      case "pq" =>
+        // ADC in integer micro-units (the pqTopK discipline): higher
+        // __ps = better, so the distance sum is negated. Below the
+        // literal threshold the per-query LUT is a pure plan expression
+        // over the codebook literals (m·ks·subDim = dim·ks doubles —
+        // the same janino bound the centroid literals obey) and the
+        // candidate cost is m table lookups; above it, the inline
+        // explode-join-aggregate shape takes over (skinny code rows,
+        // corpus scan still pruned and unshuffled)
+        val subDim = meta.dim / meta.pqM
+        val cb = readPqCodebook(spark, dir, meta.pqM, "indexedTopK")
+        if (Semantic.useLiteralAssign(spark, (meta.pqM * meta.pqKs).toLong,
+            subDim.toLong)) {
+          val maxCid = cb.map(_._2).max
+          val lutExpr = array((0 until meta.pqM).map { s =>
+            val ent = cb.filter(_._1 == s).map(e => e._2 -> e._3).toMap
+            array((0 to maxCid).map { cid =>
+              ent.get(cid) match {
+                case Some(cv) => round(pqSqd(
+                    slice(col("q_v"), s * subDim + 1, subDim),
+                    array(cv.map(lit): _*)) * 1e6).cast("long")
+                case None => lit(0L) // dropped cid: codes never point here
+              }
+            }: _*)
+          }: _*)
+          val qq = q.select(col("q_id"), lutExpr.as("__lut"))
+          cQ.join(broadcast(probes), "cell")
+            .join(qJoin(qq), "q_id")
+            .filter(col("q_id") =!= col("c_id"))
+            .withColumn("__ps", -aggregate(
+              sequence(lit(0), lit(meta.pqM - 1)), lit(0L),
+              (acc, s) => acc + element_at(
+                element_at(col("__lut"), (s + lit(1)).cast("int")),
+                element_at(col("codes"), (s + lit(1)).cast("int"))
+                  .cast("int") + 1)))
+        } else {
+          import spark.implicits._
+          val cbDF = cb.toDF("s", "cid", "cv")
+          val lut = q.select(col("q_id"),
+              pqSubCol(col("q_v"), meta.pqM, subDim).as("e"))
+            .select(col("q_id"), col("e.s").as("s"), col("e.subv").as("subv"))
+            .join(broadcast(cbDF), "s")
+            .select(col("q_id"), col("s"), col("cid"),
+              round(pqSqd(col("subv"), col("cv")) * 1e6).cast("long")
+                .as("ld"))
+          cQ.select(col("c_id"), col("cell"), posexplode(col("codes")))
+            .select(col("c_id"), col("cell"), col("pos").as("s"),
+              col("col").cast("int").as("cid"))
+            .join(broadcast(probes), "cell")
+            .filter(col("q_id") =!= col("c_id"))
+            .join(broadcast(lut), Seq("q_id", "s", "cid"))
+            .groupBy("q_id", "c_id").agg((-sum("ld")).as("__ps"))
+        }
+    }
+    val cw = Window.partitionBy("q_id").orderBy(col("__ps").desc, col("c_id"))
+    val cand = pre.withColumn("__crk", row_number().over(cw))
+      .filter(col("__crk") <= candMult * k)
+      .select("q_id", "c_id")
+
+    def rawOf(filter0: Column): DataFrame =
+      spark.read.parquet(s"$dir/corpus").filter(filter0)
+        .select(col("vec_id").as("c_id"),
+          asDouble(col("embedding")).as("c_v"), col("nrm").as("c_nrm"))
+    val probedPred = col("cell").isin(probedCells.map(Int.box): _*)
+    val scored = if (evalShape) {
+      // the Faiss `refine` shape: survivor pairs are eval-bounded
+      // (queries × candMult·k), so collect them and push the id set
+      // INTO the raw scan — the raw column is read at row-group/page
+      // granularity for the survivors only, never for whole probed
+      // cells. (Above the query threshold this would not be
+      // driver-bounded: the re-rank falls back to a lazy join against
+      // the probed cells' raw pages — still pruned to probed cells.)
+      val surv = cand.collect()
+      if (surv.isEmpty)
+        return q.filter(lit(false))
+          .select(col("q_id"), col("q_id").as("c_id"),
+            lit(0.0).as("cos_sim"), lit(1).as("rank"))
+      val pairs = spark.createDataFrame(
+        java.util.Arrays.asList(surv: _*), cand.schema)
+      val survIds = surv.map(_.get(1)).distinct.toSeq
+      broadcast(pairs)
+        .join(broadcast(q), "q_id")
+        .join(broadcast(rawOf(probedPred &&
+          col("vec_id").isin(survIds: _*))), "c_id")
+        .select(col("q_id"), col("c_id"),
+          round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+            .as("cos_sim"))
+    } else {
+      cand.join(qJoin(q), "q_id")
+        .join(rawOf(probedPred), "c_id")
+        .select(col("q_id"), col("c_id"),
+          round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+            .as("cos_sim"))
+    }
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
