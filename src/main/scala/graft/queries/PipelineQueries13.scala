@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-13 queries: the QUANTIZED persisted IVF index
+ * ([[Similarity.buildIvfIndex]] `codec = "sq8"/"pq"`) and the
+ * serve-only line over a session-standing index.
+ *
+ * The oracle discipline is the `sim_topk_pq` one applied to the
+ * persisted path: the DuckDB twin replays coarse Lloyd's training,
+ * the codec encoding (symmetric-int8 quantization for sq8; the full
+ * per-subspace codebook Lloyd's chain for pq), probe selection against
+ * the trained centroids, the integer pre-rank within the probed cells,
+ * and the exact-cosine rescore — a hash match certifies the whole
+ * quantized lifecycle, quantization loss and all.
+ */
+object PipelineQueries13 {
+
+  import PipelineQueries3.{kmK, kmeansCtes, duckSqDist}
+
+  private val k = 5
+  private val candMult = 4
+  private val pqM = 8
+  private val pqSubDim = 8 // testdata embeddings are dim 64
+  private val pqKs = 16
+  private val pqIters = 2
+
+  private def idxDir(prefix: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix-${Integer.toHexString(dir.hashCode)}").getPath
+
+  /** Session-standing indexes for the serve-only line: built at most
+    * once per (JVM, data dir) — the `persistInternal` discipline
+    * applied to an on-disk artifact. Bench's untimed warmup run pays
+    * the build; every timed iteration measures the SERVE alone, which
+    * is the number a production deployment cares about (the round-12
+    * verdict: build+serve totals hid serve regressions). */
+  private val standing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** `nrm` and positive-norm `qn` (queries) over the [[kmeansCtes]]
+    * output — the shared head of every persisted-index replay. */
+  private val nrmQnCtes =
+    """nrm AS (SELECT vec_id, v,
+      |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0)""".stripMargin
+
+  /** Probe selection against the trained `c2`: nprobe = 2, distance
+    * rounded to 1e-6, cell id breaks ties — [[Similarity.indexedTopK]]'s
+    * probe rule. */
+  private val probesCte =
+    s"""probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
+       |    FROM qn q CROSS JOIN c2 c)
+       |  WHERE prk <= 2)""".stripMargin
+
+  /** Exact rescore of the `cand(q_id, c_id)` survivors + final top-k —
+    * shared tail of both quantized replays. */
+  private val rescoreSelect =
+    s"""SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT cd.q_id, cd.c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+       |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY cd.q_id
+       |      ORDER BY round(list_sum(list_transform(
+       |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |          / (q.nrm * c.nrm), 6) DESC, cd.c_id) AS rank
+       |  FROM cand cd JOIN qn q ON q.vec_id = cd.q_id
+       |  JOIN nrm c ON c.vec_id = cd.c_id)
+       |WHERE rank <= $k""".stripMargin
+
+  /** Sequential-fold squared L2 over one PQ subspace. */
+  private def pqSqd(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, $pqSubDim),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))""".stripMargin
+
+  private def pqAssign(cN: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT sub.vec_id, sub.s, c.cid,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |        ORDER BY ${pqSqd("sub.subv", "c.cv")}, c.cid) AS rk
+       |    FROM sub JOIN $cN c USING (s)) WHERE rk = 1)""".stripMargin
+
+  private def pqRecenter(aN: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT a.s, a.cid, p.pos, round(avg(sub.subv[p.pos]), 6) AS mv
+       |  FROM $aN a JOIN sub ON a.vec_id = sub.vec_id AND a.s = sub.s
+       |  CROSS JOIN (SELECT unnest(generate_series(1, $pqSubDim)) AS pos) p
+       |  GROUP BY a.s, a.cid, p.pos),
+       |$out AS (SELECT s, cid, list(mv ORDER BY pos) AS cv
+       |         FROM ${out}_m GROUP BY s, cid)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // IVF-SQ8 persisted: codes stored as int8 of the normalized vector
+    // (the sim_topk_sq8 quantizer), pre-rank by the exact integer dot
+    // within the probed cells, exact rescore of candMult*k survivors.
+    // The replay covers training + assignment + quantization + probes +
+    // pre-rank + rescore.
+    QueryDef("sim_topk_indexed_sq8",
+      s"""WITH $kmeansCtes,
+         |$nrmQnCtes,
+         |eq AS (
+         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm,
+         |    list_transform(n.v, x ->
+         |      greatest(least(CAST(round(x / n.nrm * 127) AS BIGINT), 127),
+         |        -127)) AS qv
+         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
+         |$probesCte,
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT p.q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.qv)),
+         |          j -> q.qv[j] * c.qv[j])) DESC, c.vec_id) AS crk
+         |    FROM probes p JOIN eq c ON c.cell = p.cell
+         |    JOIN eq q ON q.vec_id = p.q_id
+         |    WHERE p.q_id <> c.vec_id)
+         |  WHERE crk <= ${candMult * k})
+         |$rescoreSelect""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val d = idxDir("graft-ivf-sq8", dir)
+        Similarity.buildIvfIndex(emb, d, kCells = kmK, iters = 2,
+          codec = "sq8")
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // IVF-PQ persisted: the codebook is TRAINED AT BUILD TIME and
+    // persisted beside the centroids; serve is ADC (integer micro-unit
+    // LUT) within the probed cells + exact rescore. The replay runs the
+    // whole per-subspace Lloyd's chain, the encode, the LUT, and the
+    // ADC ranking — the sim_topk_pq oracle moved onto the persisted
+    // lifecycle, with the coarse routing coming from the trained IVF
+    // cells (af) instead of the data's label column.
+    QueryDef("sim_topk_indexed_pq",
+      s"""WITH $kmeansCtes,
+         |$nrmQnCtes,
+         |en AS (
+         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id, s,
+         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
+         |      AS subv
+         |  FROM en, range(0, $pqM) r(s)),
+         |ids AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+         |  FROM (SELECT vec_id FROM en ORDER BY vec_id LIMIT $pqKs)),
+         |pc0 AS (SELECT sub.s, ids.cid, sub.subv AS cv
+         |        FROM sub JOIN ids USING (vec_id)),
+         |${pqAssign("pc0", "pa1")},
+         |${pqRecenter("pa1", "pc1")},
+         |${pqAssign("pc1", "pa2")},
+         |${pqRecenter("pa2", "pc2")},
+         |${pqAssign("pc2", "pcodes")},
+         |$probesCte,
+         |lut AS MATERIALIZED (
+         |  SELECT qs.vec_id AS q_id, c.s, c.cid,
+         |    CAST(round(${pqSqd("qs.subv", "c.cv")} * 1000000.0) AS BIGINT)
+         |      AS ld
+         |  FROM sub qs JOIN pc2 c ON c.s = qs.s
+         |  WHERE qs.vec_id < 8),
+         |adist AS MATERIALIZED (
+         |  SELECT p.q_id, kk.vec_id AS c_id, sum(l.ld) AS ad
+         |  FROM pcodes kk JOIN en ce ON ce.vec_id = kk.vec_id
+         |  JOIN probes p ON p.cell = ce.cell AND p.q_id <> kk.vec_id
+         |  JOIN lut l ON l.q_id = p.q_id AND l.s = kk.s AND l.cid = kk.cid
+         |  GROUP BY p.q_id, kk.vec_id),
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id)
+         |        AS crk
+         |    FROM adist) WHERE crk <= ${candMult * k})
+         |$rescoreSelect""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val d = idxDir("graft-ivf-pqidx", dir)
+        Similarity.buildIvfIndex(emb, d, kCells = kmK, iters = 2,
+          codec = "pq", pqM = pqM, pqKs = pqKs, pqIters = pqIters)
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // SERVE-ONLY line: the index is built at most once per session
+    // (the standing map) and the query answers against it — Bench's
+    // untimed warmup pays the build, every timed iteration measures
+    // the pure serve path the IvfIndexSpec plan pins describe. Same
+    // result as sim_topk_indexed by construction, so it shares that
+    // oracle.
+    QueryDef("sim_topk_indexed_serve", PipelineQueries3.simTopkIndexedSql) {
+      (s, dir) => {
+        val d = standing.computeIfAbsent(dir, _ => {
+          val p = idxDir("graft-ivf-standing", dir)
+          Similarity.buildIvfIndex(W.read(s, dir, "embeddings"), p,
+            kCells = kmK, iters = 2)
+          p
+        })
+        Similarity.indexedTopK(s,
+            W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    }
+  )
+}

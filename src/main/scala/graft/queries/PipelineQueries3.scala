@@ -104,6 +104,39 @@ object PipelineQueries3 {
   private def sparkAssign(s: org.apache.spark.sql.SparkSession, dir: String) =
     Semantic.kmeansAssign(W.read(s, dir, "embeddings"), kmK, iters = 2)
 
+  /** The sim_topk_indexed replay — training (c2), assignment (af),
+    * probe selection against the trained centroids, exact-cosine
+    * rescore. SHARED with `sim_topk_indexed_serve` (PipelineQueries13):
+    * the serve-only query answers against a session-standing index, so
+    * its oracle is by construction the same replay. */
+  private[queries] val simTopkIndexedSql: String =
+    s"""WITH $kmeansCtes,
+       |nrm AS (SELECT vec_id, v,
+       |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT q.vec_id AS q_id, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
+       |    FROM qn q CROSS JOIN c2 c)
+       |  WHERE prk <= 2),
+       |cn AS (
+       |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
+       |  FROM af a JOIN nrm n USING (vec_id) WHERE n.nrm > 0)
+       |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT p.q_id, c.vec_id AS c_id,
+       |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+       |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY round(list_sum(list_transform(
+       |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+       |          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
+       |  FROM probes p JOIN cn c ON c.cell = p.cell
+       |  JOIN qn q ON q.vec_id = p.q_id
+       |  WHERE p.q_id <> c.vec_id)
+       |WHERE rank <= 5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("sem_kmeans_assign",
@@ -254,33 +287,7 @@ object PipelineQueries3 {
     // partition-pruned scan, broadcast-only joins). The oracle replays
     // training (c2), assignment (af), probe selection against the
     // TRAINED centroids, and the exact-cosine rescore end-to-end.
-    QueryDef("sim_topk_indexed",
-      s"""WITH $kmeansCtes,
-         |nrm AS (SELECT vec_id, v,
-         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-         |qn AS (SELECT * FROM nrm WHERE vec_id < 8 AND nrm > 0),
-         |probes AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT q.vec_id AS q_id, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY round(${duckSqDist("q", "c")}, 6), c.cid) AS prk
-         |    FROM qn q CROSS JOIN c2 c)
-         |  WHERE prk <= 2),
-         |cn AS (
-         |  SELECT a.vec_id, a.cid AS cell, n.v, n.nrm
-         |  FROM af a JOIN nrm n USING (vec_id) WHERE n.nrm > 0)
-         |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
-         |  SELECT p.q_id, c.vec_id AS c_id,
-         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
-         |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
-         |    row_number() OVER (PARTITION BY p.q_id
-         |      ORDER BY round(list_sum(list_transform(
-         |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
-         |          / (q.nrm * c.nrm), 6) DESC, c.vec_id) AS rank
-         |  FROM probes p JOIN cn c ON c.cell = p.cell
-         |  JOIN qn q ON q.vec_id = p.q_id
-         |  WHERE p.q_id <> c.vec_id)
-         |WHERE rank <= 5""".stripMargin) {
+    QueryDef("sim_topk_indexed", PipelineQueries3.simTopkIndexedSql) {
       (s, dir) => {
         val emb = W.read(s, dir, "embeddings")
         // index dir keyed by the data dir so concurrent sf0.01 verify
