@@ -474,6 +474,40 @@ object ScaleProbe {
         graft.pipeline.Similarity.deleteFromIvfIndex(spark, dirK, victims))
       println(f"${"ivf_delete"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
+    // round-13: the QUANTIZED serve's cost axis — the same query set
+    // against a 1× and a k× codec="pq" index (builds untimed; the probe
+    // reads the serve). The pre-rank streams only the codes column of
+    // the probed cells (k× more candidate rows ⇒ at worst linear) and
+    // the exact re-rank stays SURVIVOR-bounded (queries × candMult·k
+    // raw rows — constant in corpus size), so end-to-end should read
+    // near-linear-or-better with the refine's share shrinking as the
+    // corpus grows.
+    if (only.forall("pq_index_serve".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val embK = (0 until k).map { i =>
+        emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      val q = emb1.filter(col("vec_id") < 8)
+      def freshPq(c: DataFrame, tag: String): String = {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-pqserve-$tag").getPath
+        graft.pipeline.Similarity.buildIvfIndex(c, dir, kCells = 16,
+          iters = 2, codec = "pq")
+        dir
+      }
+      def serve(dir: String): Long =
+        graft.pipeline.Similarity.indexedTopK(spark, q, dir, k = 5,
+          nprobe = 2, candMult = 4).count()
+      val (dir1, dirK) = (freshPq(emb1, "1x"), freshPq(embK, "kx"))
+      spark.catalog.clearCache()
+      serve(dir1) // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(serve(dir1))
+      spark.catalog.clearCache()
+      val (tk, nk) = time(serve(dirK))
+      println(f"${"pq_index_serve"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     run("rake_keywords")(d => TextAnalysis.rakeKeywords(d))
     run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
       graft.pipeline.CorpusReport.mergeVocabState(
