@@ -851,24 +851,46 @@ object Similarity {
       val pos = df.select(col("vec_id"), col("__vd").as("v"))
         .withColumn("__n", norm(col("v"))).filter(col("__n") > 0)
         .select("vec_id", "v")
-      val sub = pqSubFrame(pos, m, subDim)
+      lazy val subAll = pqSubFrame(pos, m, subDim) // checkpointed once
       val cb =
         if (train) {
-          val trained = pqTrainOnSub(pos, sub, ks, iters)
+          val trained = pqTrainOnSub(pos, subAll, ks, iters)
           import spark.implicits._
           trained.toDF("s", "cid", "cv").repartition(1)
             .write.mode("overwrite").parquet(s"$dir/codebook")
           trained
         } else readPqCodebook(spark, dir, m, "extendIvfIndex")
-      val codes = pqAssignFrame(sub, cb)
-        .groupBy("vec_id")
-        .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
-          .as("__sc"))
-        .select(col("vec_id"),
-          transform(col("__sc"), e => e.getField("cid").cast("short"))
-            .as("codes"))
-      df.withColumn("nrm", norm(col("__vd")))
-        .join(codes, Seq("vec_id"), "left_outer")
+      val withN = df.withColumn("nrm", norm(col("__vd")))
+      if (Semantic.useLiteralAssign(spark, (m * ks).toLong, subDim.toLong)) {
+        // encode as a PURE scan expression (codebook literals — the
+        // m·ks·subDim = dim·ks plan-size bound, same janino threshold
+        // as everywhere): per subspace, min(struct(d, cid)).cid — the
+        // IDENTICAL (distance, lower-cid) rule pqAssignFrame applies,
+        // so the two strategies are bit-equal (QuantizedIndexSpec pins
+        // it). Saves the encode's two shuffles (assign group-back +
+        // codes join) — on a 100 TB build that is a full-corpus
+        // shuffle avoided; training above already collected the same
+        // codebook, so this adds no driver state
+        val codeExpr = array((0 until m).map { s =>
+          val ent = cb.filter(_._1 == s)
+          array_min(array(ent.map { case (_, cid, cv) =>
+            struct(pqSqd(slice(col("__vd"), s * subDim + 1, subDim),
+              array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
+          }: _*)).getField("cid").cast("short")
+        }: _*)
+        withN.withColumn("codes", when(col("nrm") > 0, codeExpr))
+      } else {
+        // above the threshold: broadcast-join assignment (the training
+        // shape) + one group-back — the plan stays O(1) nodes
+        val codes = pqAssignFrame(subAll, cb)
+          .groupBy("vec_id")
+          .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
+            .as("__sc"))
+          .select(col("vec_id"),
+            transform(col("__sc"), e => e.getField("cid").cast("short"))
+              .as("codes"))
+        withN.join(codes, Seq("vec_id"), "left_outer")
+      }
   }
 
   /** The corpus write discipline shared by build, admission, and

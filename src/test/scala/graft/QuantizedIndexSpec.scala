@@ -109,6 +109,29 @@ class QuantizedIndexSpec extends TestBase
     } finally spark.conf.unset(Similarity.ServeBroadcastMaxQueries)
   }
 
+  test("pq encode strategies (literal expression vs broadcast join) " +
+      "write identical codes, build and admission alike") {
+    val dirL = tmpDir("pq-enc-lit").toString
+    val dirJ = tmpDir("pq-enc-join").toString
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    def build(dir: String): Unit = {
+      Similarity.buildIvfIndex(base, dir, kCells = kCells, iters = 2,
+        codec = "pq")
+      Similarity.extendIvfIndex(fresh, dir)
+    }
+    build(dirL)
+    spark.conf.set(Semantic.LiteralAssignMaxKey, "0")
+    try build(dirJ) finally spark.conf.unset(Semantic.LiteralAssignMaxKey)
+    def codesOf(dir: String): Map[Long, (Int, Seq[Short])] =
+      spark.read.parquet(s"$dir/corpus")
+        .select(col("vec_id"), col("cell"), col("codes"))
+        .as[(Long, Int, Seq[Short])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(codesOf(dirJ) === codesOf(dirL),
+      "the encode strategy switch must be semantics-free")
+  }
+
   test("sq8: pre-filter search over attr payload stays exact and " +
       "all-satisfying") {
     val dir = tmpDir("ivf-sq8-attr").toString
