@@ -923,6 +923,110 @@ object Similarity {
       .select("q_id", "prk", "cell")
   }
 
+  /** Per-query probe frame `(q_id, cell)` — each query's `nprobe`
+    * nearest trained cells (1e-6-rounded distance, cell tie-break):
+    * sidecar-literal structs below the [[Semantic.LiteralAssignMaxKey]]
+    * threshold, [[probeRanksByJoin]] above it. Shared by the serve
+    * path and the tuning curves. `q` must carry `(q_id, q_v)`. */
+  private def probeFrame(spark: SparkSession, dir: String, meta: IvfMeta,
+      q: DataFrame, nprobe: Int, op: String): DataFrame = {
+    def sqd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    val cf = readCentroidFrame(spark, dir, meta.kCells, op)
+    if (Semantic.useLiteralAssign(spark, meta.kCells.toLong,
+        meta.dim.toLong)) {
+      val cents = cf.collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+      val distStructs = array(cents.map { case (cell, cv) =>
+        struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
+          lit(cell).as("cell"))
+      }: _*)
+      q.select(col("q_id"),
+          explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
+        .select(col("q_id"), col("p.cell").as("cell"))
+    } else probeRanksByJoin(q, cf)
+      .filter(col("prk") <= nprobe).select("q_id", "cell")
+  }
+
+  /** `(q_id, c_id, __ps)` — the quantized PRE-RANK score of every
+    * (probing query, candidate) pair over the codes column (HIGHER is
+    * better: sq8 = the exact int8 dot; pq = negated ADC micro-unit
+    * distance). `cQ` must carry `(c_id, cell, c_nrm, codes)` of the
+    * probed cells; shared by the quantized serve ([[indexedTopK]]) and
+    * the [[candMultRecallCurve]] tuning table. Strategy notes live on
+    * the serve — this is the extracted shape, unchanged. */
+  private def quantPrerank(spark: SparkSession, dir: String,
+      meta: IvfMeta, q: DataFrame, probes: DataFrame, cQ: DataFrame,
+      qJoin: DataFrame => DataFrame): DataFrame = (meta.codec match {
+    case "sq8" =>
+      // symmetric-int8 integer dot, DESC — the sq8TopK pre-rank on
+      // stored codes; the query side quantizes at plan time. Stored
+      // tinyint codes widen to long INSIDE the fold (byte×byte would
+      // overflow at ±127²)
+      val qq = q.select(col("q_id"), transform(col("q_v"), x =>
+        greatest(least(round(x / col("q_nrm") * 127).cast("long"),
+          lit(127L)), lit(-127L))).as("__qq"))
+      cQ.join(broadcast(probes), "cell")
+        .join(qJoin(qq), "q_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("__ps", aggregate(
+          zip_with(col("__qq"), col("codes"), (p, v) => p * v.cast("long")),
+          lit(0L), (acc, x) => acc + x))
+    case "pq" =>
+      // ADC in integer micro-units (the pqTopK discipline): below the
+      // literal threshold the per-query LUT is a pure plan expression
+      // over the codebook literals (m·ks·subDim = dim·ks doubles — the
+      // same janino bound the centroid literals obey) and the
+      // candidate cost is m table lookups; above it, the inline
+      // explode-join-aggregate shape takes over (skinny code rows,
+      // corpus scan still pruned and unshuffled)
+      val subDim = meta.dim / meta.pqM
+      val cb = readPqCodebook(spark, dir, meta.pqM, "quantPrerank")
+      if (Semantic.useLiteralAssign(spark, (meta.pqM * meta.pqKs).toLong,
+          subDim.toLong)) {
+        val maxCid = cb.map(_._2).max
+        val lutExpr = array((0 until meta.pqM).map { s =>
+          val ent = cb.filter(_._1 == s).map(e => e._2 -> e._3).toMap
+          array((0 to maxCid).map { cid =>
+            ent.get(cid) match {
+              case Some(cv) => round(pqSqd(
+                  slice(col("q_v"), s * subDim + 1, subDim),
+                  array(cv.map(lit): _*)) * 1e6).cast("long")
+              case None => lit(0L) // dropped cid: codes never point here
+            }
+          }: _*)
+        }: _*)
+        val qq = q.select(col("q_id"), lutExpr.as("__lut"))
+        cQ.join(broadcast(probes), "cell")
+          .join(qJoin(qq), "q_id")
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("__ps", -aggregate(
+            sequence(lit(0), lit(meta.pqM - 1)), lit(0L),
+            (acc, s) => acc + element_at(
+              element_at(col("__lut"), (s + lit(1)).cast("int")),
+              element_at(col("codes"), (s + lit(1)).cast("int"))
+                .cast("int") + 1)))
+      } else {
+        import spark.implicits._
+        val cbDF = cb.toDF("s", "cid", "cv")
+        val lut = q.select(col("q_id"),
+            pqSubCol(col("q_v"), meta.pqM, subDim).as("e"))
+          .select(col("q_id"), col("e.s").as("s"), col("e.subv").as("subv"))
+          .join(broadcast(cbDF), "s")
+          .select(col("q_id"), col("s"), col("cid"),
+            round(pqSqd(col("subv"), col("cv")) * 1e6).cast("long")
+              .as("ld"))
+        cQ.select(col("c_id"), col("cell"), posexplode(col("codes")))
+          .select(col("c_id"), col("cell"), col("pos").as("s"),
+            col("col").cast("int").as("cid"))
+          .join(broadcast(probes), "cell")
+          .filter(col("q_id") =!= col("c_id"))
+          .join(broadcast(lut), Seq("q_id", "s", "cid"))
+          .groupBy("q_id", "c_id").agg((-sum("ld")).as("__ps"))
+      }
+  }).select("q_id", "c_id", "__ps")
+
   /**
    * Assign arbitrary vectors against a PERSISTED index's trained
    * centroid sidecar — the composition point that lets the rest of the
@@ -1421,23 +1525,7 @@ object Similarity {
         dimChecked(asDouble(col(vecCol)), meta.dim, "indexedTopK").as("q_v"))
       .withColumn("q_nrm", norm(col("q_v")))
       .filter(col("q_nrm") > 0)
-    def sqd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-    val cf = readCentroidFrame(spark, dir, meta.kCells, "indexedTopK")
-    val probes = if (Semantic.useLiteralAssign(spark,
-        meta.kCells.toLong, meta.dim.toLong)) {
-      val cents = cf.collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-      val distStructs = array(cents.map { case (cell, cv) =>
-        struct(round(sqd(col("q_v"), array(cv.map(lit): _*)), 6).as("cd"),
-          lit(cell).as("cell"))
-      }: _*)
-      q.select(col("q_id"),
-          explode(slice(array_sort(distStructs), 1, nprobe)).as("p"))
-        .select(col("q_id"), col("p.cell").as("cell"))
-    } else probeRanksByJoin(q, cf)
-      .filter(col("prk") <= nprobe).select("q_id", "cell")
+    val probes = probeFrame(spark, dir, meta, q, nprobe, "indexedTopK")
     // the probed cell set as LITERALS: ≤ kCells ints collected once, so
     // the corpus scan partition-prunes to exactly the probed directories
     val probedCells = probes.select("cell").distinct().collect()
@@ -1487,75 +1575,7 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("cell"),
         col("nrm").as("c_nrm"), col("codes"))
       .filter(col("c_nrm") > 0 && col("codes").isNotNull)
-    val pre = meta.codec match {
-      case "sq8" =>
-        // symmetric-int8 integer dot, DESC — the sq8TopK pre-rank on
-        // stored codes; the query side quantizes at plan time. Stored
-        // tinyint codes widen to long INSIDE the fold (byte×byte would
-        // overflow at ±127²)
-        val qq = q.select(col("q_id"), transform(col("q_v"), x =>
-          greatest(least(round(x / col("q_nrm") * 127).cast("long"),
-            lit(127L)), lit(-127L))).as("__qq"))
-        cQ.join(broadcast(probes), "cell")
-          .join(qJoin(qq), "q_id")
-          .filter(col("q_id") =!= col("c_id"))
-          .withColumn("__ps", aggregate(
-            zip_with(col("__qq"), col("codes"), (p, v) => p * v.cast("long")),
-            lit(0L), (acc, x) => acc + x))
-      case "pq" =>
-        // ADC in integer micro-units (the pqTopK discipline): higher
-        // __ps = better, so the distance sum is negated. Below the
-        // literal threshold the per-query LUT is a pure plan expression
-        // over the codebook literals (m·ks·subDim = dim·ks doubles —
-        // the same janino bound the centroid literals obey) and the
-        // candidate cost is m table lookups; above it, the inline
-        // explode-join-aggregate shape takes over (skinny code rows,
-        // corpus scan still pruned and unshuffled)
-        val subDim = meta.dim / meta.pqM
-        val cb = readPqCodebook(spark, dir, meta.pqM, "indexedTopK")
-        if (Semantic.useLiteralAssign(spark, (meta.pqM * meta.pqKs).toLong,
-            subDim.toLong)) {
-          val maxCid = cb.map(_._2).max
-          val lutExpr = array((0 until meta.pqM).map { s =>
-            val ent = cb.filter(_._1 == s).map(e => e._2 -> e._3).toMap
-            array((0 to maxCid).map { cid =>
-              ent.get(cid) match {
-                case Some(cv) => round(pqSqd(
-                    slice(col("q_v"), s * subDim + 1, subDim),
-                    array(cv.map(lit): _*)) * 1e6).cast("long")
-                case None => lit(0L) // dropped cid: codes never point here
-              }
-            }: _*)
-          }: _*)
-          val qq = q.select(col("q_id"), lutExpr.as("__lut"))
-          cQ.join(broadcast(probes), "cell")
-            .join(qJoin(qq), "q_id")
-            .filter(col("q_id") =!= col("c_id"))
-            .withColumn("__ps", -aggregate(
-              sequence(lit(0), lit(meta.pqM - 1)), lit(0L),
-              (acc, s) => acc + element_at(
-                element_at(col("__lut"), (s + lit(1)).cast("int")),
-                element_at(col("codes"), (s + lit(1)).cast("int"))
-                  .cast("int") + 1)))
-        } else {
-          import spark.implicits._
-          val cbDF = cb.toDF("s", "cid", "cv")
-          val lut = q.select(col("q_id"),
-              pqSubCol(col("q_v"), meta.pqM, subDim).as("e"))
-            .select(col("q_id"), col("e.s").as("s"), col("e.subv").as("subv"))
-            .join(broadcast(cbDF), "s")
-            .select(col("q_id"), col("s"), col("cid"),
-              round(pqSqd(col("subv"), col("cv")) * 1e6).cast("long")
-                .as("ld"))
-          cQ.select(col("c_id"), col("cell"), posexplode(col("codes")))
-            .select(col("c_id"), col("cell"), col("pos").as("s"),
-              col("col").cast("int").as("cid"))
-            .join(broadcast(probes), "cell")
-            .filter(col("q_id") =!= col("c_id"))
-            .join(broadcast(lut), Seq("q_id", "s", "cid"))
-            .groupBy("q_id", "c_id").agg((-sum("ld")).as("__ps"))
-        }
-    }
+    val pre = quantPrerank(spark, dir, meta, q, probes, cQ, qJoin)
     val cw = Window.partitionBy("q_id").orderBy(col("__ps").desc, col("c_id"))
     val cand = pre.withColumn("__crk", row_number().over(cw))
       .filter(col("__crk") <= candMult * k)
@@ -1673,6 +1693,83 @@ object Similarity {
         .agg(count(lit(1)).as("hits"))
         .crossJoin(nEx)
         .select(lit(n).as("nprobe"), col("n_exact"), col("hits"),
+          round(col("hits").cast("double") / col("n_exact").cast("double"),
+            6).as("recall"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /**
+   * candMult tuning curve over a QUANTIZED index — the codec twin of
+   * [[nprobeRecallCurve]]: for each candMult in 1..`maxMult`, the
+   * micro-averaged recall of the ADC/integer-preranked,
+   * candMult·k-truncated top-k against the PASS-ALL ranking (pre-rank
+   * kept wide enough to pass every probed candidate — the quantized
+   * serve's own exact answer within the probed cells; pre-rank
+   * truncation is the codec's only approximation, so pass-all is the
+   * correct reference). Read this table before choosing the serve's
+   * `candMult` knob — with [[nprobeRecallCurve]] it spans the index's
+   * two recall/cost axes.
+   *
+   * ONE scoring pass: each (query, candidate) pair within the probed
+   * cells is scored once with BOTH its pre-rank position (`crk`) and
+   * the exact cosine attached; each curve point is a filter
+   * (`crk <= candMult·k`) + rank + overlap count over the cached
+   * frame. Raw vectors of the probed cells are read once — this is
+   * the offline eval harness, not the serve path. Output one row per
+   * candMult: `(cand_mult, n_exact, hits, recall)`.
+   */
+  def candMultRecallCurve(spark: SparkSession, queries: DataFrame,
+      dir: String, k: Int, maxMult: Int, nprobe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && maxMult > 0 && nprobe > 0,
+      s"need positive k/maxMult/nprobe, got $k/$maxMult/$nprobe")
+    recoverCorpus(spark, dir)
+    val meta = readIvfMeta(spark, dir)
+    require(meta.codec != "none",
+      "candMultRecallCurve tunes a QUANTIZED index's pre-rank width — " +
+        "a raw (codec=none) index has no pre-rank to tune")
+    val q = queries.select(col(idCol).as("q_id"),
+        dimChecked(asDouble(col(vecCol)), meta.dim,
+          "candMultRecallCurve").as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
+    val probes = probeFrame(spark, dir, meta, q, nprobe,
+      "candMultRecallCurve")
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).sorted
+    val corpusP = spark.read.parquet(s"$dir/corpus")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val cQ = corpusP.select(col("vec_id").as("c_id"), col("cell"),
+        col("nrm").as("c_nrm"), col("codes"))
+      .filter(col("c_nrm") > 0 && col("codes").isNotNull)
+    val pre = quantPrerank(spark, dir, meta, q, probes, cQ, broadcast)
+    val cw = Window.partitionBy("q_id").orderBy(col("__ps").desc, col("c_id"))
+    val raw = corpusP.select(col("vec_id").as("c_id"),
+        asDouble(col("embedding")).as("c_v"), col("nrm").as("c_nrm"))
+      .filter(col("c_nrm") > 0)
+    val scored = pre.withColumn("crk", row_number().over(cw))
+      .join(broadcast(q), "q_id")
+      .join(raw, "c_id")
+      .select(col("q_id"), col("c_id"), col("crk"),
+        round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+    val cached = Dedup.persistInternal("sim_candmult_curve_scored", scored)
+    def topk(mult: Option[Int]): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("c_id"))
+      mult.fold(cached)(mm => cached.filter(col("crk") <= mm * k))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("q_id"), col("c_id"))
+    }
+    val full = topk(None)
+    // the reference count stays IN the frame (1-row aggregate
+    // cross-joined) — no driver-side count embedding a literal
+    val nEx = full.agg(count(lit(1)).as("n_exact"))
+    (1 to maxMult).map { mm =>
+      topk(Some(mm)).join(full, Seq("q_id", "c_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(nEx)
+        .select(lit(mm).as("cand_mult"), col("n_exact"), col("hits"),
           round(col("hits").cast("double") / col("n_exact").cast("double"),
             6).as("recall"))
     }.reduce(_.unionAll(_))

@@ -144,7 +144,126 @@ object PipelineQueries13 {
     // ADC ranking — the sim_topk_pq oracle moved onto the persisted
     // lifecycle, with the coarse routing coming from the trained IVF
     // cells (af) instead of the data's label column.
-    QueryDef("sim_topk_indexed_pq",
+    QueryDef("sim_topk_indexed_pq", PipelineQueries13.pqIndexedSql) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val d = idxDir("graft-ivf-pqidx", dir)
+        Similarity.buildIvfIndex(emb, d, kCells = kmK, iters = 2,
+          codec = "pq", pqM = pqM, pqKs = pqKs, pqIters = pqIters)
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // candMult tuning curve: the codec's recall/cost knob as a table —
+    // recall of the int8-preranked, candMult*k-truncated top-k against
+    // the pass-all ranking (the quantized serve's own exact answer
+    // within the probed cells), one row per candMult 1..4. The replay
+    // covers training, quantization, probes, the pre-rank POSITIONS,
+    // and both rankings.
+    QueryDef("sim_candmult_curve",
+      s"""WITH $kmeansCtes,
+         |$nrmQnCtes,
+         |eq AS (
+         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm,
+         |    list_transform(n.v, x ->
+         |      greatest(least(CAST(round(x / n.nrm * 127) AS BIGINT), 127),
+         |        -127)) AS qv
+         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
+         |$probesCte,
+         |sc AS MATERIALIZED (
+         |  SELECT q_id, c_id, crk, cos_sim FROM (
+         |    SELECT p.q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.qv)),
+         |          j -> q.qv[j] * c.qv[j])) DESC, c.vec_id) AS crk,
+         |      round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim
+         |    FROM probes p JOIN eq c ON c.cell = p.cell
+         |    JOIN eq q ON q.vec_id = p.q_id
+         |    WHERE p.q_id <> c.vec_id)),
+         |full_k AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, c_id) AS rk FROM sc)
+         |  WHERE rk <= $k),
+         |nex AS (SELECT count(*) AS n_exact FROM full_k),
+         |ms AS (SELECT unnest(generate_series(1, 4)) AS cand_mult),
+         |scn AS (
+         |  SELECT m.cand_mult, s.q_id, s.c_id,
+         |    row_number() OVER (PARTITION BY m.cand_mult, s.q_id
+         |      ORDER BY s.cos_sim DESC, s.c_id) AS rk
+         |  FROM sc s JOIN ms m ON s.crk <= m.cand_mult * $k),
+         |hits AS (
+         |  SELECT cand_mult, count(*) AS hits
+         |  FROM scn JOIN full_k USING (q_id, c_id)
+         |  WHERE rk <= $k GROUP BY cand_mult)
+         |SELECT CAST(ms.cand_mult AS INT) AS cand_mult,
+         |  CAST(nex.n_exact AS BIGINT) AS n_exact,
+         |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         |  round(CAST(coalesce(h.hits, 0) AS DOUBLE)
+         |    / CAST(nex.n_exact AS DOUBLE), 6) AS recall
+         |FROM ms LEFT JOIN hits h USING (cand_mult) CROSS JOIN nex"""
+        .stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val d = idxDir("graft-ivf-cmc", dir)
+        Similarity.buildIvfIndex(emb, d, kCells = kmK, iters = 2,
+          codec = "sq8")
+        Similarity.candMultRecallCurve(s, emb.filter(col("vec_id") < 8),
+          d, k = k, maxMult = 4, nprobe = 2)
+      }
+    },
+
+    // SERVE-ONLY over the QUANTIZED standing index: the production
+    // number for the codec path — ADC pre-rank + survivor re-rank
+    // with the build (coarse + codebook training) paid once per
+    // session. Shares the pq replay oracle; the result is independent
+    // of WHEN the index was built.
+    QueryDef("sim_topk_indexed_serve_pq", PipelineQueries13.pqIndexedSql) {
+      (s, dir) => {
+        val d = standing.computeIfAbsent(s"$dir#pq", _ => {
+          val p = idxDir("graft-ivf-standing-pq", dir)
+          Similarity.buildIvfIndex(W.read(s, dir, "embeddings"), p,
+            kCells = kmK, iters = 2, codec = "pq", pqM = pqM,
+            pqKs = pqKs, pqIters = pqIters)
+          p
+        })
+        Similarity.indexedTopK(s,
+            W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // SERVE-ONLY line: the index is built at most once per session
+    // (the standing map) and the query answers against it — Bench's
+    // untimed warmup pays the build, every timed iteration measures
+    // the pure serve path the IvfIndexSpec plan pins describe. Same
+    // result as sim_topk_indexed by construction, so it shares that
+    // oracle.
+    QueryDef("sim_topk_indexed_serve", PipelineQueries3.simTopkIndexedSql) {
+      (s, dir) => {
+        val d = standing.computeIfAbsent(dir, _ => {
+          val p = idxDir("graft-ivf-standing", dir)
+          Similarity.buildIvfIndex(W.read(s, dir, "embeddings"), p,
+            kCells = kmK, iters = 2)
+          p
+        })
+        Similarity.indexedTopK(s,
+            W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    }
+  )
+
+  /** The persisted-PQ replay, shared by `sim_topk_indexed_pq` and the
+    * standing-index `sim_topk_indexed_serve_pq` (same result by
+    * construction — serving later does not change the answer). */
+  // lazy: referenced by `defs` above it in initialization order
+  private[queries] lazy val pqIndexedSql: String =
       s"""WITH $kmeansCtes,
          |$nrmQnCtes,
          |en AS (
@@ -185,37 +304,5 @@ object PipelineQueries13 {
          |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id)
          |        AS crk
          |    FROM adist) WHERE crk <= ${candMult * k})
-         |$rescoreSelect""".stripMargin) {
-      (s, dir) => {
-        val emb = W.read(s, dir, "embeddings")
-        val d = idxDir("graft-ivf-pqidx", dir)
-        Similarity.buildIvfIndex(emb, d, kCells = kmK, iters = 2,
-          codec = "pq", pqM = pqM, pqKs = pqKs, pqIters = pqIters)
-        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), d,
-            k = k, nprobe = 2, candMult = candMult)
-          .select("q_id", "c_id", "cos_sim", "rank")
-      }
-    },
-
-    // SERVE-ONLY line: the index is built at most once per session
-    // (the standing map) and the query answers against it — Bench's
-    // untimed warmup pays the build, every timed iteration measures
-    // the pure serve path the IvfIndexSpec plan pins describe. Same
-    // result as sim_topk_indexed by construction, so it shares that
-    // oracle.
-    QueryDef("sim_topk_indexed_serve", PipelineQueries3.simTopkIndexedSql) {
-      (s, dir) => {
-        val d = standing.computeIfAbsent(dir, _ => {
-          val p = idxDir("graft-ivf-standing", dir)
-          Similarity.buildIvfIndex(W.read(s, dir, "embeddings"), p,
-            kCells = kmK, iters = 2)
-          p
-        })
-        Similarity.indexedTopK(s,
-            W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
-            k = k, nprobe = 2)
-          .select("q_id", "c_id", "cos_sim", "rank")
-      }
-    }
-  )
+         |$rescoreSelect""".stripMargin
 }

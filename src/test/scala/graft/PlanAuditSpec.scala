@@ -49,7 +49,10 @@ class PlanAuditSpec extends TestBase {
       "report_funnel_rates",
       // per-nprobe hit counts crossJoin the broadcast 1-row reference
       // count (the report_funnel_rates shape) — both sides bounded
-      "sim_nprobe_curve")
+      "sim_nprobe_curve",
+      // same shape on the candMult axis: per-candMult hit counts ×
+      // the 1-row pass-all reference count
+      "sim_candmult_curve")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted

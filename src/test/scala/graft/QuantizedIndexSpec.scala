@@ -205,6 +205,32 @@ class QuantizedIndexSpec extends TestBase
       "the re-rank scan must stay partition-pruned to the probed cells")
   }
 
+  test("candMultRecallCurve: recall is monotone in candMult and reaches " +
+      "1.0 at pass-all width; a raw index is refused") {
+    val dir = tmpDir("ivf-cmc").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2,
+      codec = "sq8")
+    val rows = Similarity.candMultRecallCurve(spark,
+        emb.filter(col("vec_id") < 8), dir, k = 5, maxMult = 40, nprobe = 2)
+      .orderBy("cand_mult").select("cand_mult", "recall")
+      .as[(Int, Double)].collect()
+    assert(rows.length === 40)
+    // nested crk-prefix candidate sets ⇒ hits can only grow (a full-set
+    // top-k member beaten by < k elements overall is beaten by < k in
+    // any superset prefix too)
+    assert(rows.sliding(2).forall(p => p(0)._2 <= p(1)._2 + 1e-9),
+      s"recall must be monotone in candMult: ${rows.toSeq}")
+    assert(rows.last._2 === 1.0,
+      "a pass-all pre-rank IS the reference ranking")
+    val rawDir = tmpDir("ivf-cmc-raw").toString
+    Similarity.buildIvfIndex(emb, rawDir, kCells = kCells, iters = 2)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.candMultRecallCurve(spark, emb.limit(2), rawDir,
+        k = 5, maxMult = 2)
+    }
+    assert(e.getMessage.contains("QUANTIZED"))
+  }
+
   test("codec guards: unknown codec, non-dividing pqM, shadowing attrCols " +
       "are refused; a pre-codec meta reads as a raw index") {
     intercept[IllegalArgumentException] {
