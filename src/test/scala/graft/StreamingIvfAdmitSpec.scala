@@ -147,6 +147,41 @@ class StreamingIvfAdmitSpec extends TestBase {
       "a fresh sink over the emptied benchmark screens nothing")
   }
 
+  test("streaming admission into a QUANTIZED index encodes each " +
+      "micro-batch under the persisted codec; the union serves exactly") {
+    implicit val sc = spark.sqlContext
+    val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-stream-q").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = 8, iters = 2, codec = "sq8")
+    val feed = emb.filter(col("vec_id") % 3 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding").writeStream
+      .foreachBatch(StreamingIvfAdmit.sink(dir))
+      .option("checkpointLocation", tmpDir("ivf-stream-q-ck").toString)
+      .start()
+    try {
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() === emb.count())
+    assert(corpus.filter(col("codes").isNull).count() === 0,
+      "every admitted row must carry its codec codes")
+    // full probe + pass-all pre-rank == brute force over the union:
+    // streamed admissions are first-class quantized citizens
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = Similarity.indexedTopK(spark, queries, dir, k = 5,
+        nprobe = 8, candMult = 200)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val bf = Similarity.bruteForceTopK(queries, emb, 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === bf)
+  }
+
   test("extendIvfIndex auto-id takes the next free batch; id 0 is refused") {
     val emb = WarehouseSim.read(spark, sfDir, "embeddings")
     val dir = tmpDir("ivf-autoid").toString
