@@ -1153,6 +1153,50 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+   * standard hybrid-retrieval combiner: given N top-k rankings of the
+   * same id space (lexical [[bm25TopK]], a vector top-k from the
+   * [[Similarity]] family, a quality ordering, …), score every id by
+   * `Σ_r 1/(rrfK + rank_r(id))` — an id absent from a ranking
+   * contributes 0 — and return the fused top-k. Rank-based fusion
+   * needs NO score calibration between systems (BM25 micro-units and
+   * cosines never meet), which is why RRF is the default hybrid
+   * combiner in every production search stack.
+   *
+   * Determinism: the rankings meet in a full-outer join chain in
+   * DECLARATION order and the score is ONE fixed-op-order expression
+   * over the coalesced ranks, rounded to 1e-9 — no aggregate, no
+   * engine-ordered float sum; ties break on id. The DuckDB oracle
+   * replays the identical expression.
+   *
+   * Scale shape: inputs are top-k frames (≤ k rows each) by
+   * construction, so the fusion is k-row × k-row work regardless of
+   * corpus size — the corpus cost lives in the rankings, which each
+   * bring their own scale story.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, rrfK: Int = 60,
+      idCol: String = "doc_id", rankCol: String = "rank"): DataFrame = {
+    require(rankings.size >= 2,
+      s"fusion needs at least two rankings, got ${rankings.size}")
+    require(k > 0 && rrfK >= 0, s"need k > 0, rrfK >= 0; got $k, $rrfK")
+    val prepared = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("id"),
+        col(rankCol).cast("long").as(s"__r$i"))
+    }
+    val joined = prepared.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = round(rankings.indices.map(i =>
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(s"__r$i").cast("double")),
+          lit(0.0)))
+      .reduce(_ + _), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_score").desc, col("id"))
+    joined.withColumn("rrf_score", score)
+      .orderBy(col("rrf_score").desc, col("id")).limit(k)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("id").as(idCol), col("rrf_score"), col("rank"))
+  }
+
   def heavyGramsCms(docs: DataFrame, minCount: Long, eps: Double = 1e-3,
       confidence: Double = 0.999, seed: Int = 42,
       textCol: String = "text"): DataFrame = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Similarity
+import graft.pipeline.{Similarity, TextAnalysis}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -75,6 +75,46 @@ object PipelineQueries13 {
        |  FROM cand cd JOIN qn q ON q.vec_id = cd.q_id
        |  JOIN nrm c ON c.vec_id = cd.c_id)
        |WHERE rank <= $k""".stripMargin
+
+  private val bmK1 = 1.2
+  private val bmB = 0.75
+  private val bmN = 20 // per-ranking depth feeding the fusion
+  private val fuseK = 10
+  private val rrfC = 60
+  private val termsA = Seq("spark", "hash", "stream")
+  private val termsB = Seq("vector", "merge", "scan")
+
+  /** One BM25 ranked-top-`bmN` CTE chain under prefix `p` — the
+    * t_bm25_topk replay parameterized by term set (shared `bdl`/`bst`
+    * emitted by the caller once). */
+  private def bmChain(p: String, terms: Seq[String]): String =
+    s"""${p}tf AS (
+       |  SELECT x.doc_id, d.dl, x.tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM tok_docs) x
+       |  JOIN bdl d ON d.doc_id = x.doc_id
+       |  WHERE x.tok IN (${terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |${p}df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+       |           FROM ${p}tf GROUP BY 1),
+       |${p}rk AS (
+       |  SELECT doc_id, rk FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+       |    FROM (
+       |      SELECT t.doc_id, CAST(sum(t.mic) AS BIGINT) AS score_micro
+       |      FROM (
+       |        SELECT f.doc_id,
+       |          CAST(round(ln((CAST(s.n AS DOUBLE) - CAST(g.df AS DOUBLE)
+       |              + 0.5) / (CAST(g.df AS DOUBLE) + 0.5) + 1.0)
+       |            * (CAST(f.tf AS DOUBLE) * ${1.0 + bmK1})
+       |            / (CAST(f.tf AS DOUBLE) + $bmK1 * (${1.0 - bmB}
+       |                + $bmB * CAST(f.dl AS DOUBLE)
+       |                  / (CAST(s.sdl AS DOUBLE) / CAST(s.n AS DOUBLE))))
+       |            * 1000000.0) AS BIGINT) AS mic
+       |        FROM ${p}tf f JOIN ${p}df g ON f.tok = g.tok
+       |        CROSS JOIN bst s) t
+       |      GROUP BY 1))
+       |  WHERE rk <= $bmN)""".stripMargin
 
   /** Sequential-fold squared L2 over one PQ subspace. */
   private def pqSqd(a: String, b: String): String =
@@ -255,6 +295,43 @@ object PipelineQueries13 {
             W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
             k = k, nprobe = 2)
           .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // Hybrid-retrieval fusion (RRF): two certified BM25 rankings over
+    // disjoint term sets fused by reciprocal rank — the operator is
+    // ranking-agnostic (RetrievalSpec composes it with a VECTOR
+    // ranking), and fusing two replayable lexical rankings lets the
+    // oracle certify the fusion arithmetic itself: both chains, the
+    // full-outer rank meet, the fixed-order 1/(60+r) sum, the final
+    // top-10. Rank-based fusion needs no score calibration — BM25
+    // micro-units and cosines never meet.
+    QueryDef("retr_rrf_fusion",
+      PipelineQueries.withC(PipelineQueries.tokDocs + ",\n" +
+        s"""bdl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl
+           |         FROM tok_docs),
+           |bst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(dl) AS BIGINT) AS sdl FROM bdl),
+           |${bmChain("b1", termsA)},
+           |${bmChain("b2", termsB)},
+           |fused AS (
+           |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           |    round(coalesce(1.0 / ($rrfC.0 + CAST(a.rk AS DOUBLE)), 0)
+           |      + coalesce(1.0 / ($rrfC.0 + CAST(b.rk AS DOUBLE)), 0), 9)
+           |      AS rrf_score
+           |  FROM b1rk a FULL OUTER JOIN b2rk b ON a.doc_id = b.doc_id)"""
+          .stripMargin)(
+        s"""SELECT doc_id, rrf_score, CAST(rank AS BIGINT) AS rank FROM (
+           |  SELECT doc_id, rrf_score,
+           |    row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+           |  FROM fused)
+           |WHERE rank <= $fuseK""".stripMargin)) {
+      (s, dir) => {
+        val docs = W.read(s, dir, "documents")
+        TextAnalysis.rrfFuse(Seq(
+            TextAnalysis.bm25TopK(docs, termsA, bmN, bmK1, bmB),
+            TextAnalysis.bm25TopK(docs, termsB, bmN, bmK1, bmB)),
+          k = fuseK, rrfK = rrfC)
       }
     }
   )

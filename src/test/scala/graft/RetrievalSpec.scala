@@ -39,6 +39,53 @@ class RetrievalSpec extends TestBase {
       "top-k should plan as TakeOrderedAndProject")
   }
 
+  test("rrfFuse: hand-traced fusion — overlap beats either single " +
+      "ranking, absent-from-one still places, ties break by id") {
+    // ranking A: 1,2,3   ranking B: 3,4   — doc 3 appears in both
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(Seq(a, b), k = 10)
+      .as[(Long, Double, Long)].collect().toList
+    // 3: 1/63 + 1/61 > 1: 1/61 > 4: 1/62 > 2: 1/62... no: 4 = 1/62, 2 = 1/62
+    val expect = Map(
+      1L -> (1.0 / 61), 2L -> (1.0 / 62), 3L -> (1.0 / 63 + 1.0 / 61),
+      4L -> (1.0 / 62))
+    assert(out.map(_._1) === List(3L, 1L, 2L, 4L),
+      "both-rankings doc first; the 2-vs-4 tie breaks by id")
+    out.foreach { case (id, s, _) =>
+      assert(math.abs(s - expect(id)) < 1e-9, s"score of $id") }
+    assert(out.map(_._3) === List(1L, 2L, 3L, 4L), "dense fused ranks")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq(a), k = 1)
+    }
+  }
+
+  test("rrfFuse composes lexical BM25 with a VECTOR ranking — the " +
+      "hybrid-search shape, rank-space only, no score calibration") {
+    import graft.pipeline.Similarity
+    import graft.sim.WarehouseSim
+    val docs = WarehouseSim.read(spark, "/root/testdata/sf0.001", "documents")
+    val emb = WarehouseSim.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val lexical = TextAnalysis.bm25TopK(docs, Seq("spark", "hash"), k = 20)
+    // a vector ranking for ONE query vector, re-keyed to the shared id
+    // space (the hybrid deployment shape: both systems rank doc ids)
+    val vec = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 0), emb, k = 20)
+      .select(col("c_id").as("doc_id"), col("rank").cast("long").as("rank"))
+    val fused = TextAnalysis.rrfFuse(Seq(lexical, vec), k = 10)
+      .as[(Long, Double, Long)].collect().toList
+    assert(fused.size === 10)
+    assert(fused.map(_._3) === (1L to 10L).toList)
+    // fused scores are pure rank arithmetic: every score is a sum of
+    // at most two reciprocals from the 1/(60+r) family
+    val legal = (1 to 20).map(r => 1.0 / (60 + r))
+    fused.foreach { case (_, s, _) =>
+      val ok = legal.exists(x => math.abs(s - x) < 1e-9) ||
+        legal.exists(x => legal.exists(y => math.abs(s - x - y) < 1e-9))
+      assert(ok, s"score $s must decompose into rank reciprocals")
+    }
+  }
+
   test("b-bit pairs: exact clones estimate 1.0 and n_agree = 64") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq((1L, base), (2L, base), (3L, "totally different words " +
