@@ -576,12 +576,15 @@ object Similarity {
    * IVF ranking (CrossCheckSpec pins it); `candMult` is the recall
    * knob.
    *
-   * At 100 TB: the sketch is ONE long riding the scan (or a sidecar
-   * column — 64× smaller than fp64 vectors, 8× smaller than SQ8), the
-   * candidate join stays a cell-id equi-join, and full-width vectors
-   * are touched for `candMult·k` rows per query. Requires dim ≤ 64
-   * (one word) — multi-word packing is a mechanical extension, refused
-   * loudly rather than silently truncated.
+   * At 100 TB: the sketch is ⌈dim/64⌉ longs riding the scan (or a
+   * sidecar column — 64× smaller than fp64 vectors, 8× smaller than
+   * SQ8), the candidate join stays a cell-id equi-join, and full-width
+   * vectors are touched for `candMult·k` rows per query. dim ≤ 64
+   * stays the ONE-long fast path (Hamming = two codegen'd
+   * instructions); wider vectors pack into an `array<long>` word per
+   * 64 dims with the Hamming folded across words — bit-identical to
+   * the positional sign-disagreement count the DuckDB replay computes,
+   * since packing is a bijection on sign patterns.
    */
   def binaryTopK(queries: DataFrame, candidates: DataFrame, k: Int,
       candMult: Int = 8, idCol: String = "vec_id",
@@ -589,12 +592,20 @@ object Similarity {
     val dim = candidates.select(size(asDouble(col(vecCol))).as("d"))
       .filter(col("d") > 0).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(1)
-    require(dim <= 64,
-      s"binaryTopK packs signs into one 64-bit word; dim=$dim needs " +
-        "multi-word packing")
-    def sketch(v: Column): Column = (0 until dim).map(d =>
-      when(element_at(v, d + 1) > 0, lit(1L << d)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
+    val nWords = (dim + 63) / 64
+    def word(v: Column, w: Int): Column =
+      (w * 64 until math.min(dim, w * 64 + 64)).map(d =>
+        when(element_at(v, d + 1) > 0, lit(1L << (d - w * 64)))
+          .otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_))
+    def sketch(v: Column): Column =
+      if (nWords == 1) word(v, 0)
+      else array((0 until nWords).map(word(v, _)): _*)
+    def hamming(a: Column, b: Column): Column =
+      if (nWords == 1) bit_count(a.bitwiseXOR(b))
+      else aggregate(zip_with(a, b,
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+        lit(0), (acc, x) => acc + x)
     val q = queries.select(col(idCol).as("q_id"), col(cellCol).as("cell"),
         asDouble(col(vecCol)).as("q_v"))
       .withColumn("q_nrm", norm(col("q_v")))
@@ -608,7 +619,7 @@ object Similarity {
     val cw = Window.partitionBy("q_id").orderBy(col("ham"), col("c_id"))
     val cand = q.join(c, "cell")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("ham", bit_count(col("q_sk").bitwiseXOR(col("c_sk"))))
+      .withColumn("ham", hamming(col("q_sk"), col("c_sk")))
       .withColumn("crk", row_number().over(cw))
       .filter(col("crk") <= candMult * k)
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))

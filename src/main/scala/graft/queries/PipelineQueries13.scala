@@ -333,6 +333,53 @@ object PipelineQueries13 {
             TextAnalysis.bm25TopK(docs, termsB, bmN, bmK1, bmB)),
           k = fuseK, rrfK = rrfC)
       }
+    },
+
+    // Multi-word binary sketch (dim > 64 — the extension binaryTopK
+    // used to refuse): vectors widened to 128 dims (v || reverse(v),
+    // deterministic in both engines) pack into two 64-bit words and
+    // pre-rank by the word-folded Hamming distance. The oracle scores
+    // Hamming as the positional sign-disagreement count — bit-packing
+    // is a bijection on sign patterns, so the counts are identical by
+    // construction — and replays pre-rank + exact rescore end to end.
+    QueryDef("sim_topk_binary_wide",
+      s"""WITH ew AS (
+         |  SELECT vec_id, label, (v || list_reverse(v)) AS v
+         |  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |        FROM embeddings)),
+         |e2 AS (SELECT vec_id, label, v,
+         |  sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM ew),
+         |ben AS (SELECT * FROM e2 WHERE nrm > 0),
+         |bcand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.v)),
+         |          i -> CASE WHEN (q.v[i] > 0) <> (c.v[i] > 0)
+         |               THEN 1 ELSE 0 END)),
+         |        c.vec_id) AS crk
+         |    FROM (SELECT * FROM ben WHERE vec_id < 8) q
+         |    JOIN ben c ON c.label = q.label AND c.vec_id <> q.vec_id)
+         |  WHERE crk <= ${8 * k})
+         |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+         |  SELECT b.q_id, b.c_id,
+         |    round(list_sum(list_transform(generate_series(1, len(q.v)),
+         |        i -> q.v[i] * c.v[i])) / (q.nrm * c.nrm), 6) AS cos_sim,
+         |    row_number() OVER (PARTITION BY b.q_id
+         |      ORDER BY round(list_sum(list_transform(
+         |          generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+         |          / (q.nrm * c.nrm), 6) DESC, b.c_id) AS rank
+         |  FROM bcand b JOIN ben q ON q.vec_id = b.q_id
+         |               JOIN ben c ON c.vec_id = b.c_id)
+         |WHERE rank <= $k""".stripMargin) {
+      (s, dir) => {
+        val wide = W.read(s, dir, "embeddings")
+          .withColumn("embedding",
+            concat(col("embedding"), reverse(col("embedding"))))
+        Similarity.binaryTopK(wide.filter(col("vec_id") < 8), wide,
+            k, candMult = 8)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
     }
   )
 
