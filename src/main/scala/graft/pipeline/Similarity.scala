@@ -846,10 +846,15 @@ object Similarity {
     * [[pqTopK]] discipline, so the DuckDB replay carries over) and
     * written to `dir/codebook`; on admission the PERSISTED codebook
     * encodes the batch — admission never retrains, codes stay
-    * comparable across batches. */
+    * comparable across batches. `trainFraction < 1` trains the
+    * codebook on the same [[Sampling.deterministicSample]] recipe the
+    * coarse centroids use (codebook quality converges long before the
+    * full corpus is seen — the Faiss guidance, one level down) while
+    * the ENCODE still covers every vector. */
   private def encodeForCodec(spark: SparkSession, dir: String,
       df: DataFrame, codec: String, dim: Int, m: Int, ks: Int,
-      iters: Int, train: Boolean): DataFrame = codec match {
+      iters: Int, train: Boolean,
+      trainFraction: Double = 1.0): DataFrame = codec match {
     case "none" => df
     case "sq8" =>
       df.withColumn("nrm", norm(col("__vd")))
@@ -865,7 +870,17 @@ object Similarity {
       lazy val subAll = pqSubFrame(pos, m, subDim) // checkpointed once
       val cb =
         if (train) {
-          val trained = pqTrainOnSub(pos, subAll, ks, iters)
+          // train-on-sample shares the encode's sub frame only at
+          // full fraction; a sampled chain builds its own (smaller)
+          // one and the encode never touches it
+          val (trainPos, trainSub) =
+            if (trainFraction >= 1.0) (pos, subAll)
+            else {
+              val tp = Sampling.deterministicSample(pos, "vec_id",
+                trainFraction, "pqtrain")
+              (tp, pqSubFrame(tp, m, subDim))
+            }
+          val trained = pqTrainOnSub(trainPos, trainSub, ks, iters)
           import spark.implicits._
           trained.toDF("s", "cid", "cv").repartition(1)
             .write.mode("overwrite").parquet(s"$dir/codebook")
@@ -1209,7 +1224,8 @@ object Similarity {
     val assigned = Semantic
       .assignCells(tagged, cents, "vec_id", "__vd", "cell")
     val encoded = encodeForCodec(spark, dir, assigned, codec, dim,
-      pqM, pqKs, pqIters, train = true).drop("__vd")
+      pqM, pqKs, pqIters, train = true,
+      trainFraction = trainFraction).drop("__vd")
     shardForWrite(encoded.withColumn("batch", lit(0L)), cents.size,
         filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")

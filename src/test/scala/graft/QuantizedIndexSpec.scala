@@ -205,6 +205,37 @@ class QuantizedIndexSpec extends TestBase
       "the re-rank scan must stay partition-pruned to the probed cells")
   }
 
+  test("pq trainFraction: the codebook comes from the deterministic " +
+      "sample; the encode still covers everyone") {
+    val dir = tmpDir("ivf-pq-tf").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = kCells, iters = 2,
+      codec = "pq", trainFraction = 0.5)
+    // replayable-by-construction: a codebook trained at fraction 0.5
+    // equals the codebook of an index BUILT on that same deterministic
+    // sample (the pq training set is the sample's positive-norm rows
+    // either way; the coarse centroids may differ — only the codebook
+    // sidecars are compared)
+    val dir2 = tmpDir("ivf-pq-tf2").toString
+    Similarity.buildIvfIndex(
+      graft.pipeline.Sampling.deterministicSample(emb, "vec_id", 0.5,
+        "pqtrain"),
+      dir2, kCells = kCells, iters = 2, codec = "pq")
+    def cb(d: String): Set[(Int, Int, Seq[Double])] =
+      spark.read.parquet(s"$d/codebook")
+        .as[(Int, Int, Seq[Double])].collect().toSet
+    assert(cb(dir) === cb(dir2),
+      "train-on-sample must be replayable exactly")
+    // ...but the corpus still encodes EVERY vector under that codebook
+    val corpus = spark.read.parquet(s"$dir/corpus")
+    assert(corpus.count() === emb.count())
+    assert(corpus.filter(col("codes").isNull).count() ===
+      emb.count() - spark.read.parquet(s"$dir/corpus")
+        .filter(col("nrm") > 0).count(),
+      "every positive-norm row must carry codes")
+    assert(Similarity.indexedTopK(spark, emb.filter(col("vec_id") < 2),
+      dir, k = 3, nprobe = 2).count() > 0)
+  }
+
   test("candMultRecallCurve: recall is monotone in candMult and reaches " +
       "1.0 at pass-all width; a raw index is refused") {
     val dir = tmpDir("ivf-cmc").toString
