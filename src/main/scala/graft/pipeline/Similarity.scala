@@ -641,7 +641,7 @@ object Similarity {
     * only ("none"), symmetric-int8 scalar quantization ("sq8", dim
     * bytes/vector of codes), or product quantization ("pq", m shorts/
     * vector + an m×ks codebook sidecar). */
-  private[pipeline] val IvfCodecs = Seq("none", "sq8", "pq")
+  private[pipeline] val IvfCodecs = Seq("none", "sq8", "pq", "pqr")
 
   private def writeIvfMeta(spark: SparkSession, dir: String,
       meta: IvfMeta): Unit = {
@@ -853,8 +853,8 @@ object Similarity {
     * the ENCODE still covers every vector. */
   private def encodeForCodec(spark: SparkSession, dir: String,
       df: DataFrame, codec: String, dim: Int, m: Int, ks: Int,
-      iters: Int, train: Boolean,
-      trainFraction: Double = 1.0): DataFrame = codec match {
+      iters: Int, train: Boolean, trainFraction: Double,
+      centFrame: () => DataFrame): DataFrame = codec match {
     case "none" => df
     case "sq8" =>
       df.withColumn("nrm", norm(col("__vd")))
@@ -863,60 +863,90 @@ object Similarity {
             greatest(least(round(x / col("nrm") * 127).cast("long"),
               lit(127L)), lit(-127L)).cast("byte"))))
     case "pq" =>
-      val subDim = dim / m
-      val pos = df.select(col("vec_id"), col("__vd").as("v"))
-        .withColumn("__n", norm(col("v"))).filter(col("__n") > 0)
-        .select("vec_id", "v")
-      lazy val subAll = pqSubFrame(pos, m, subDim) // checkpointed once
-      val cb =
-        if (train) {
-          // train-on-sample shares the encode's sub frame only at
-          // full fraction; a sampled chain builds its own (smaller)
-          // one and the encode never touches it
-          val (trainPos, trainSub) =
-            if (trainFraction >= 1.0) (pos, subAll)
-            else {
-              val tp = Sampling.deterministicSample(pos, "vec_id",
-                trainFraction, "pqtrain")
-              (tp, pqSubFrame(tp, m, subDim))
-            }
-          val trained = pqTrainOnSub(trainPos, trainSub, ks, iters)
-          import spark.implicits._
-          trained.toDF("s", "cid", "cv").repartition(1)
-            .write.mode("overwrite").parquet(s"$dir/codebook")
-          trained
-        } else readPqCodebook(spark, dir, m, "extendIvfIndex")
-      val withN = df.withColumn("nrm", norm(col("__vd")))
-      if (Semantic.useLiteralAssign(spark, (m * ks).toLong, subDim.toLong)) {
-        // encode as a PURE scan expression (codebook literals — the
-        // m·ks·subDim = dim·ks plan-size bound, same janino threshold
-        // as everywhere): per subspace, min(struct(d, cid)).cid — the
-        // IDENTICAL (distance, lower-cid) rule pqAssignFrame applies,
-        // so the two strategies are bit-equal (QuantizedIndexSpec pins
-        // it). Saves the encode's two shuffles (assign group-back +
-        // codes join) — on a 100 TB build that is a full-corpus
-        // shuffle avoided; training above already collected the same
-        // codebook, so this adds no driver state
-        val codeExpr = array((0 until m).map { s =>
-          val ent = cb.filter(_._1 == s)
-          array_min(array(ent.map { case (_, cid, cv) =>
-            struct(pqSqd(slice(col("__vd"), s * subDim + 1, subDim),
-              array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
-          }: _*)).getField("cid").cast("short")
-        }: _*)
-        withN.withColumn("codes", when(col("nrm") > 0, codeExpr))
-      } else {
-        // above the threshold: broadcast-join assignment (the training
-        // shape) + one group-back — the plan stays O(1) nodes
-        val codes = pqAssignFrame(subAll, cb)
-          .groupBy("vec_id")
-          .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
-            .as("__sc"))
-          .select(col("vec_id"),
-            transform(col("__sc"), e => e.getField("cid").cast("short"))
-              .as("codes"))
-        withN.join(codes, Seq("vec_id"), "left_outer")
-      }
+      encodePqLike(spark, dir, df, dim, m, ks, iters, train,
+        trainFraction, residual = false, centFrame = null)
+    case "pqr" =>
+      encodePqLike(spark, dir, df, dim, m, ks, iters, train,
+        trainFraction, residual = true, centFrame = centFrame())
+  }
+
+  /** The PQ/PQR encode shared body: `residual = true` quantizes the
+    * COARSE RESIDUAL `v − centroid[cell]` instead of the raw vector —
+    * the actual Faiss IVFPQ recipe: residuals center near 0, so the ks
+    * codebook entries spend their resolution on the within-cell
+    * displacement rather than re-describing the coarse geometry the
+    * cell id already carries (markedly better ADC fidelity at the same
+    * code budget). The centroid subtraction is a k-row broadcast
+    * equi-join on the already-assigned `cell` — no threshold, no
+    * group-back. Zero-RAW-norm rows store null codes either way (the
+    * family's no-direction contract). */
+  private def encodePqLike(spark: SparkSession, dir: String,
+      df: DataFrame, dim: Int, m: Int, ks: Int, iters: Int,
+      train: Boolean, trainFraction: Double, residual: Boolean,
+      centFrame: DataFrame): DataFrame = {
+    val subDim = dim / m
+    val src =
+      if (!residual) df.withColumn("__ev", col("__vd"))
+      else df.join(broadcast(centFrame.select(col("cell"),
+          asDouble(col("cv")).as("__cv"))), "cell")
+        .withColumn("__ev", zip_with(col("__vd"), col("__cv"),
+          (x, y) => x - y))
+        .drop("__cv")
+    val pos = src.withColumn("__n", norm(col("__vd")))
+      .filter(col("__n") > 0)
+      .select(col("vec_id"), col("__ev").as("v"))
+    lazy val subAll = pqSubFrame(pos, m, subDim) // checkpointed once
+    val cb =
+      if (train) {
+        // train-on-sample shares the encode's sub frame only at
+        // full fraction; a sampled chain builds its own (smaller)
+        // one and the encode never touches it
+        val (trainPos, trainSub) =
+          if (trainFraction >= 1.0) (pos, subAll)
+          else {
+            val tp = Sampling.deterministicSample(pos, "vec_id",
+              trainFraction, "pqtrain")
+            (tp, pqSubFrame(tp, m, subDim))
+          }
+        val trained = pqTrainOnSub(trainPos, trainSub, ks, iters)
+        import spark.implicits._
+        trained.toDF("s", "cid", "cv").repartition(1)
+          .write.mode("overwrite").parquet(s"$dir/codebook")
+        trained
+      } else readPqCodebook(spark, dir, m, "extendIvfIndex")
+    val withN = src.withColumn("nrm", norm(col("__vd")))
+    val out = if (Semantic.useLiteralAssign(spark, (m * ks).toLong,
+        subDim.toLong)) {
+      // encode as a PURE scan expression (codebook literals — the
+      // m·ks·subDim = dim·ks plan-size bound, same janino threshold
+      // as everywhere): per subspace, min(struct(d, cid)).cid — the
+      // IDENTICAL (distance, lower-cid) rule pqAssignFrame applies,
+      // so the two strategies are bit-equal (QuantizedIndexSpec pins
+      // it). Saves the encode's two shuffles (assign group-back +
+      // codes join) — on a 100 TB build that is a full-corpus
+      // shuffle avoided; training above already collected the same
+      // codebook, so this adds no driver state
+      val codeExpr = array((0 until m).map { s =>
+        val ent = cb.filter(_._1 == s)
+        array_min(array(ent.map { case (_, cid, cv) =>
+          struct(pqSqd(slice(col("__ev"), s * subDim + 1, subDim),
+            array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
+        }: _*)).getField("cid").cast("short")
+      }: _*)
+      withN.withColumn("codes", when(col("nrm") > 0, codeExpr))
+    } else {
+      // above the threshold: broadcast-join assignment (the training
+      // shape) + one group-back — the plan stays O(1) nodes
+      val codes = pqAssignFrame(subAll, cb)
+        .groupBy("vec_id")
+        .agg(array_sort(collect_list(struct(col("s"), col("cid"))))
+          .as("__sc"))
+        .select(col("vec_id"),
+          transform(col("__sc"), e => e.getField("cid").cast("short"))
+            .as("codes"))
+      withN.join(codes, Seq("vec_id"), "left_outer")
+    }
+    out.drop("__ev")
   }
 
   /** The corpus write discipline shared by build, admission, and
@@ -975,16 +1005,26 @@ object Similarity {
       .filter(col("prk") <= nprobe).select("q_id", "cell")
   }
 
+  /** m ADC table lookups per candidate: `lut` is the per-query (pq) or
+    * per-(query, cell) (pqr) array-of-arrays of micro-unit distances,
+    * `codes` the candidate's stored ids — a pure fold, no aggregate. */
+  private def adcFold(lut: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      (acc, s) => acc + element_at(
+        element_at(lut, (s + lit(1)).cast("int")),
+        element_at(codes, (s + lit(1)).cast("int")).cast("int") + 1))
+
   /** `(q_id, c_id, __ps)` — the quantized PRE-RANK score of every
     * (probing query, candidate) pair over the codes column (HIGHER is
-    * better: sq8 = the exact int8 dot; pq = negated ADC micro-unit
+    * better: sq8 = the exact int8 dot; pq/pqr = negated ADC micro-unit
     * distance). `cQ` must carry `(c_id, cell, c_nrm, codes)` of the
     * probed cells; shared by the quantized serve ([[indexedTopK]]) and
     * the [[candMultRecallCurve]] tuning table. Strategy notes live on
     * the serve — this is the extracted shape, unchanged. */
   private def quantPrerank(spark: SparkSession, dir: String,
       meta: IvfMeta, q: DataFrame, probes: DataFrame, cQ: DataFrame,
-      qJoin: DataFrame => DataFrame): DataFrame = (meta.codec match {
+      qJoin: DataFrame => DataFrame,
+      evalShape: Boolean = true): DataFrame = (meta.codec match {
     case "sq8" =>
       // symmetric-int8 integer dot, DESC — the sq8TopK pre-rank on
       // stored codes; the query side quantizes at plan time. Stored
@@ -1027,12 +1067,8 @@ object Similarity {
         cQ.join(broadcast(probes), "cell")
           .join(qJoin(qq), "q_id")
           .filter(col("q_id") =!= col("c_id"))
-          .withColumn("__ps", -aggregate(
-            sequence(lit(0), lit(meta.pqM - 1)), lit(0L),
-            (acc, s) => acc + element_at(
-              element_at(col("__lut"), (s + lit(1)).cast("int")),
-              element_at(col("codes"), (s + lit(1)).cast("int"))
-                .cast("int") + 1)))
+          .withColumn("__ps",
+            -adcFold(col("__lut"), col("codes"), meta.pqM))
       } else {
         import spark.implicits._
         val cbDF = cb.toDF("s", "cid", "cv")
@@ -1049,6 +1085,68 @@ object Similarity {
           .join(broadcast(probes), "cell")
           .filter(col("q_id") =!= col("c_id"))
           .join(broadcast(lut), Seq("q_id", "s", "cid"))
+          .groupBy("q_id", "c_id").agg((-sum("ld")).as("__ps"))
+      }
+    case "pqr" =>
+      // RESIDUAL ADC (the Faiss IVFPQ serve): the LUT is per
+      // (query, probed cell) — distances from the query's coarse
+      // residual IN THAT CELL to the codebook entries, matching codes
+      // that quantized candidates in their own cell's residual space.
+      // Centroids join as broadcast DATA on the probe frame (a k-row
+      // equi-join on the already-chosen cell — no plan-size term, no
+      // threshold); the codebook enters as literals below the
+      // threshold, as broadcast rows above it. LUT volume is
+      // queries × nprobe × m×ks — nprobe× the pq LUT, the price of
+      // residual fidelity.
+      val subDim = meta.dim / meta.pqM
+      val cb = readPqCodebook(spark, dir, meta.pqM, "quantPrerank")
+      val cf = readCentroidFrame(spark, dir, meta.kCells, "quantPrerank")
+        .select(col("cell"), asDouble(col("cv")).as("__cv"))
+      val withRq = probes
+        .join(qJoin(q.select(col("q_id"), col("q_v"))), "q_id")
+        .join(broadcast(cf), "cell")
+        .withColumn("__rq",
+          zip_with(col("q_v"), col("__cv"), (x, y) => x - y))
+      if (evalShape && Semantic.useLiteralAssign(spark,
+          (meta.pqM * meta.pqKs).toLong, subDim.toLong)) {
+        val maxCid = cb.map(_._2).max
+        val lutExpr = array((0 until meta.pqM).map { s =>
+          val ent = cb.filter(_._1 == s).map(e => e._2 -> e._3).toMap
+          array((0 to maxCid).map { cid =>
+            ent.get(cid) match {
+              case Some(cv) => round(pqSqd(
+                  slice(col("__rq"), s * subDim + 1, subDim),
+                  array(cv.map(lit): _*)) * 1e6).cast("long")
+              case None => lit(0L) // dropped cid: codes never point here
+            }
+          }: _*)
+        }: _*)
+        val pl = withRq.select(col("q_id"), col("cell"),
+          lutExpr.as("__lut"))
+        cQ.join(broadcast(pl), "cell")
+          .filter(col("q_id") =!= col("c_id"))
+          .withColumn("__ps",
+            -adcFold(col("__lut"), col("codes"), meta.pqM))
+      } else {
+        import spark.implicits._
+        val cbDF = cb.toDF("s", "cid", "cv")
+        // lut rows exist only for (query, probed cell) pairs, so the
+        // (cell, s, cid) join IS the probe routing — no separate
+        // probes join on the candidate side
+        val lut = withRq.select(col("q_id"), col("cell"),
+            pqSubCol(col("__rq"), meta.pqM, subDim).as("e"))
+          .select(col("q_id"), col("cell"), col("e.s").as("s"),
+            col("e.subv").as("subv"))
+          .join(broadcast(cbDF), "s")
+          .select(col("q_id"), col("cell"), col("s"), col("cid"),
+            round(pqSqd(col("subv"), col("cv")) * 1e6).cast("long")
+              .as("ld"))
+        val lutJ = if (evalShape) broadcast(lut) else lut
+        cQ.select(col("c_id"), col("cell"), posexplode(col("codes")))
+          .select(col("c_id"), col("cell"), col("pos").as("s"),
+            col("col").cast("int").as("cid"))
+          .join(lutJ, Seq("cell", "s", "cid"))
+          .filter(col("q_id") =!= col("c_id"))
           .groupBy("q_id", "c_id").agg((-sum("ld")).as("__ps"))
       }
   }).select("q_id", "c_id", "__ps")
@@ -1169,7 +1267,7 @@ object Similarity {
       s"trainFraction must be in (0, 1], got $trainFraction")
     require(IvfCodecs.contains(codec),
       s"unknown codec '$codec' — one of ${IvfCodecs.mkString("/")}")
-    require(codec != "pq" ||
+    require(!codec.startsWith("pq") ||
         (pqM > 0 && pqKs > 0 && pqKs <= 32767 && pqIters >= 0),
       s"need pqM > 0, 0 < pqKs <= 32767, pqIters >= 0; " +
         s"got $pqM, $pqKs, $pqIters")
@@ -1198,7 +1296,7 @@ object Similarity {
     require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
     val dim = dimRow(0).getInt(0)
     require(dim > 0, s"buildIvfIndex: zero-length embedding in $vecCol")
-    require(codec != "pq" || dim % pqM == 0,
+    require(!codec.startsWith("pq") || dim % pqM == 0,
       s"dim $dim not divisible by pqM = $pqM")
     // deterministic training sample (replayable — no RNG state): the
     // Lloyd's chain sees the sample, the assignment pass sees everyone
@@ -1211,8 +1309,9 @@ object Similarity {
       .repartition(1) // k×dim rows — one sidecar file, read whole
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeIvfMeta(spark, dir, IvfMeta(dim, cents.size, attrCols, codec,
-      if (codec == "pq") pqM else 0, if (codec == "pq") pqKs else 0))
-    if (codec != "pq") { // no stale codebook may survive a re-codec build
+      if (codec.startsWith("pq")) pqM else 0,
+      if (codec.startsWith("pq")) pqKs else 0))
+    if (!codec.startsWith("pq")) { // no stale codebook survives a re-codec build
       val cbp = new org.apache.hadoop.fs.Path(s"$dir/codebook")
       cbp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(cbp, true)
@@ -1224,8 +1323,9 @@ object Similarity {
     val assigned = Semantic
       .assignCells(tagged, cents, "vec_id", "__vd", "cell")
     val encoded = encodeForCodec(spark, dir, assigned, codec, dim,
-      pqM, pqKs, pqIters, train = true,
-      trainFraction = trainFraction).drop("__vd")
+      pqM, pqKs, pqIters, train = true, trainFraction = trainFraction,
+      centFrame = () => cents.map { case (cid, cv) => (cid, cv.toSeq) }
+        .toDF("cell", "cv")).drop("__vd")
     shardForWrite(encoded.withColumn("batch", lit(0L)), cents.size,
         filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")
@@ -1318,7 +1418,8 @@ object Similarity {
     // a quantized index encodes the batch under the PERSISTED codebook
     // (admission never retrains — codes stay comparable across batches)
     val encoded = encodeForCodec(spark, dir, assigned, meta.codec,
-      meta.dim, meta.pqM, meta.pqKs, 0, train = false).drop("__vd")
+      meta.dim, meta.pqM, meta.pqKs, 0, train = false,
+      trainFraction = 1.0, centFrame = () => cf).drop("__vd")
     shardForWrite(encoded.withColumn("batch", lit(id)), meta.kCells,
         filesPerCell)
       .write.mode("overwrite")
@@ -1602,7 +1703,8 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("cell"),
         col("nrm").as("c_nrm"), col("codes"))
       .filter(col("c_nrm") > 0 && col("codes").isNotNull)
-    val pre = quantPrerank(spark, dir, meta, q, probes, cQ, qJoin)
+    val pre = quantPrerank(spark, dir, meta, q, probes, cQ, qJoin,
+      evalShape)
     val cw = Window.partitionBy("q_id").orderBy(col("__ps").desc, col("c_id"))
     val cand = pre.withColumn("__crk", row_number().over(cw))
       .filter(col("__crk") <= candMult * k)

@@ -298,6 +298,81 @@ object PipelineQueries13 {
       }
     },
 
+    // RESIDUAL IVF-PQ persisted (codec=pqr — the actual Faiss IVFPQ
+    // recipe): codes quantize v − centroid[cell], the serve's ADC LUT
+    // is per (query, probed cell) in that cell's residual space. The
+    // replay runs coarse training, residual computation, the codebook
+    // Lloyd's chain OVER RESIDUALS, the per-(query, cell) residual
+    // LUT, the ADC ranking, and the exact rescore over the RAW
+    // vectors — the deepest oracle in the index family.
+    QueryDef("sim_topk_indexed_pqr",
+      s"""WITH $kmeansCtes,
+         |$nrmQnCtes,
+         |en AS (
+         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
+         |rsd AS (
+         |  SELECT en.vec_id, en.cell,
+         |    list_transform(generate_series(1, len(en.v)),
+         |      i -> en.v[i] - c.v[i]) AS v
+         |  FROM en JOIN c2 c ON c.cid = en.cell),
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id, s,
+         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
+         |      AS subv
+         |  FROM rsd, range(0, $pqM) r(s)),
+         |ids AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+         |  FROM (SELECT vec_id FROM en ORDER BY vec_id LIMIT $pqKs)),
+         |pc0 AS (SELECT sub.s, ids.cid, sub.subv AS cv
+         |        FROM sub JOIN ids USING (vec_id)),
+         |${pqAssign("pc0", "pa1")},
+         |${pqRecenter("pa1", "pc1")},
+         |${pqAssign("pc1", "pa2")},
+         |${pqRecenter("pa2", "pc2")},
+         |${pqAssign("pc2", "pcodes")},
+         |$probesCte,
+         |rqv AS (
+         |  SELECT p.q_id, p.cell,
+         |    list_transform(generate_series(1, len(q.v)),
+         |      i -> q.v[i] - c.v[i]) AS v
+         |  FROM probes p JOIN qn q ON q.vec_id = p.q_id
+         |  JOIN c2 c ON c.cid = p.cell),
+         |rsub AS (
+         |  SELECT q_id, cell, s,
+         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
+         |      AS subv
+         |  FROM rqv, range(0, $pqM) r(s)),
+         |lut AS MATERIALIZED (
+         |  SELECT r.q_id, r.cell, c.s, c.cid,
+         |    CAST(round(${pqSqd("r.subv", "c.cv")} * 1000000.0) AS BIGINT)
+         |      AS ld
+         |  FROM rsub r JOIN pc2 c ON c.s = r.s),
+         |adist AS MATERIALIZED (
+         |  SELECT l.q_id, kk.vec_id AS c_id, sum(l.ld) AS ad
+         |  FROM pcodes kk JOIN en ce ON ce.vec_id = kk.vec_id
+         |  JOIN lut l ON l.cell = ce.cell AND l.s = kk.s
+         |            AND l.cid = kk.cid AND l.q_id <> kk.vec_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id)
+         |        AS crk
+         |    FROM adist) WHERE crk <= ${candMult * k})
+         |$rescoreSelect""".stripMargin) {
+      (s, dir) => {
+        val emb = W.read(s, dir, "embeddings")
+        val d = idxDir("graft-ivf-pqr", dir)
+        Similarity.buildIvfIndex(emb, d, kCells = kmK, iters = 2,
+          codec = "pqr", pqM = pqM, pqKs = pqKs, pqIters = pqIters)
+        Similarity.indexedTopK(s, emb.filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
     // Hybrid-retrieval fusion (RRF): two certified BM25 rankings over
     // disjoint term sets fused by reciprocal rank — the operator is
     // ranking-agnostic (RetrievalSpec composes it with a VECTOR

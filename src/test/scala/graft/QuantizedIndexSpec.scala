@@ -40,7 +40,7 @@ class QuantizedIndexSpec extends TestBase
   private def topkSet(df: org.apache.spark.sql.DataFrame) =
     df.select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
 
-  for (codec <- Seq("sq8", "pq")) {
+  for (codec <- Seq("sq8", "pq", "pqr")) {
     test(s"$codec: full probe + pass-all candMult equals brute force; " +
         "codes and nrm ride the corpus") {
       val dir = tmpDir(s"ivf-$codec").toString
@@ -109,20 +109,24 @@ class QuantizedIndexSpec extends TestBase
     } finally spark.conf.unset(Similarity.ServeBroadcastMaxQueries)
   }
 
-  test("pq encode strategies (literal expression vs broadcast join) " +
+  for (codec <- Seq("pq", "pqr"))
+  test(s"$codec encode strategies (literal expression vs broadcast join) " +
       "write identical codes, build and admission alike") {
-    val dirL = tmpDir("pq-enc-lit").toString
-    val dirJ = tmpDir("pq-enc-join").toString
+    val dirL = tmpDir(s"$codec-enc-lit").toString
+    val dirJ = tmpDir(s"$codec-enc-join").toString
     val base = emb.filter(col("vec_id") % 5 =!= 0)
     val fresh = emb.filter(col("vec_id") % 5 === 0)
     def build(dir: String): Unit = {
       Similarity.buildIvfIndex(base, dir, kCells = kCells, iters = 2,
-        codec = "pq")
+        codec = codec)
       Similarity.extendIvfIndex(fresh, dir)
     }
     build(dirL)
     spark.conf.set(Semantic.LiteralAssignMaxKey, "0")
     try build(dirJ) finally spark.conf.unset(Semantic.LiteralAssignMaxKey)
+    // NOTE the coarse ASSIGNMENT strategy also flips with the conf, so
+    // cell equality here additionally re-pins AssignStrategySpec's
+    // invariant on the codec path
     def codesOf(dir: String): Map[Long, (Int, Seq[Short])] =
       spark.read.parquet(s"$dir/corpus")
         .select(col("vec_id"), col("cell"), col("codes"))
