@@ -1290,6 +1290,10 @@ object Similarity {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting"), true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/corpus.old"), true)
+      // same argument for the radii fold's aside dirs (the live radii
+      // dir itself is rewritten below)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/radii.next"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/radii.old"), true)
     }
     clearAdmitHwm(spark, dir)
     val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
@@ -1305,7 +1309,9 @@ object Similarity {
       else Sampling.deterministicSample(corpus, idCol, trainFraction,
         "ivftrain")
     val cents = Semantic.kmeansCentroids(trainSet, kCells, iters, idCol, vecCol)
-    cents.map { case (cid, cv) => (cid, cv.toSeq) }.toDF("cell", "cv")
+    def centFrame = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cell", "cv")
+    centFrame
       .repartition(1) // k×dim rows — one sidecar file, read whole
       .write.mode("overwrite").parquet(s"$dir/centroids")
     writeIvfMeta(spark, dir, IvfMeta(dim, cents.size, attrCols, codec,
@@ -1324,8 +1330,9 @@ object Similarity {
       .assignCells(tagged, cents, "vec_id", "__vd", "cell")
     val encoded = encodeForCodec(spark, dir, assigned, codec, dim,
       pqM, pqKs, pqIters, train = true, trainFraction = trainFraction,
-      centFrame = () => cents.map { case (cid, cv) => (cid, cv.toSeq) }
-        .toDF("cell", "cv")).drop("__vd")
+      centFrame = () => centFrame).drop("__vd")
+    // radii BEFORE corpus (see writeRadii's ordering note)
+    writeRadii(spark, dir, assigned, centFrame, batch = 0L, dynamic = false)
     shardForWrite(encoded.withColumn("batch", lit(0L)), cents.size,
         filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")
@@ -1420,6 +1427,18 @@ object Similarity {
     val encoded = encodeForCodec(spark, dir, assigned, meta.codec,
       meta.dim, meta.pqM, meta.pqKs, 0, train = false,
       trainFraction = 1.0, centFrame = () => cf).drop("__vd")
+    // radii for THIS batch, BEFORE the corpus write (writeRadii's
+    // ordering note) and under the same dynamic-overwrite idempotency.
+    // A legacy index (no radii sidecar) stays radii-less — writing one
+    // batch's rows would break the superset invariant the exact serve
+    // reads nonempty cells from; backfillIvfRadii upgrades it whole.
+    locally {
+      recoverRadii(spark, dir)
+      val rp = new org.apache.hadoop.fs.Path(s"$dir/radii")
+      if (rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(rp))
+        writeRadii(spark, dir, assigned, cf, batch = id, dynamic = true)
+    }
     shardForWrite(encoded.withColumn("batch", lit(id)), meta.kCells,
         filesPerCell)
       .write.mode("overwrite")
@@ -1534,6 +1553,36 @@ object Similarity {
     require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
     recoverCorpus(spark, dir) // finish any interrupted predecessor swap
     val meta = readIvfMeta(spark, dir)
+    // fold the radii sidecar to batch 0 BEFORE the corpus swap: the
+    // fold is invariant (membership does not change — max over rows is
+    // identical before and after), so any crash point leaves valid
+    // bounds; doing it first means a post-compaction admission reusing
+    // batch id 1 can never dynamic-overwrite radii rows that still
+    // cover live vectors folded into corpus batch 0. Same rename-aside
+    // swap as the corpus ([[recoverRadii]] finishes any crash state).
+    locally {
+      recoverRadii(spark, dir)
+      val rLive = new org.apache.hadoop.fs.Path(s"$dir/radii")
+      val rfs = rLive.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (rfs.exists(rLive)) {
+        val rNext = new org.apache.hadoop.fs.Path(s"$dir/radii.next")
+        val rOld = new org.apache.hadoop.fs.Path(s"$dir/radii.old")
+        spark.read.parquet(rLive.toString)
+          .groupBy("cell").agg(
+            max(when(col("radius").isNull, 1).otherwise(0)).as("__hn"),
+            max(col("radius")).as("__mx"))
+          .select(col("cell"),
+            when(col("__hn") === 0, col("__mx")).as("radius"))
+          .withColumn("batch", lit(0L)).repartition(1)
+          .write.mode("overwrite").partitionBy("batch")
+          .parquet(rNext.toString)
+        require(rfs.rename(rLive, rOld),
+          s"radii fold swap failed: could not rename $rLive aside to $rOld")
+        require(rfs.rename(rNext, rLive),
+          s"radii fold swap failed: could not promote $rNext to $rLive")
+        rfs.delete(rOld, true)
+      }
+    }
     val staging = new org.apache.hadoop.fs.Path(s"$dir/corpus.compacting")
     val live = new org.apache.hadoop.fs.Path(s"$dir/corpus")
     val old = new org.apache.hadoop.fs.Path(s"$dir/corpus.old")
@@ -1937,5 +1986,349 @@ object Similarity {
     }.reduce(_.unionAll(_))
       .withColumn("recall",
         round(col("hits").cast("double") / col("n_exact").cast("double"), 6))
+  }
+
+  /**
+   * Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998) —
+   * the standard diversity/relevance trade for retrieval and for
+   * diverse training-example selection: from each query's candidate
+   * pool, greedily pick k items maximizing
+   * `λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)` — the first pick is
+   * pure relevance (empty selected set ⇒ diversity term 0), every
+   * later pick is penalized by its worst redundancy against what's
+   * already chosen. λ=1 degenerates to the input ranking; λ→0 picks
+   * near-orthogonal items.
+   *
+   * Greedy is inherently sequential in k, but ONLY in k: each step is
+   * one (anti-join + max-over-selected + top-1-per-query) round over
+   * per-query candidate pools, all queries advancing in parallel — k
+   * is a small constant (3–20) while queries × pool is the data axis,
+   * so the k-deep plan is the right scale shape. The pairwise-cosine
+   * frame is computed ONCE (Σ_q pool² skinny rows — pools are top-C
+   * outputs, C bounded by construction) and every step reuses it.
+   *
+   * Determinism: `rel` arrives rounded from the upstream retrieval,
+   * pair cosines use the sequential-fold dot (bit-identical to the
+   * DuckDB twin), and SELECTION orders by the RAW score double (same
+   * operand doubles + same op order ⇒ identical IEEE results in both
+   * engines), ties on c_id — the greedy trajectory is
+   * engine-independent, so the oracle replays it step by step. The
+   * REPORTED score is micro-units via floor (`mmr_micro`), NOT
+   * round(_, 6): λ·(a 6-decimal rel) lands on 1e-6 midpoints
+   * systematically, where Spark's round (HALF_UP on the double's
+   * shortest decimal repr) and DuckDB's (on the binary value)
+   * disagree; floor acts on the identical binary value in both.
+   *
+   * @param candidates per-query pools `(q_id, c_id, rel)` — any top-C
+   *   retrieval output (brute force, [[indexedTopK]], fused)
+   * @param vectors id → embedding for every candidate id (zero-norm
+   *   ids are dropped — no direction, no diversity penalty definable)
+   */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, k: Int,
+      lambda: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1], got $lambda")
+    val v = vectors.select(col(idCol).as("c_id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .filter(col("__n") > 0)
+    val cand = candidates.select(col("q_id"), col("c_id"),
+      col("rel").cast("double").as("rel"))
+    val cv = cand.join(v, "c_id")
+    // pairwise candidate cosines within each query's pool, both
+    // directions (max-over-selected reads sim(candidate, selected))
+    val pairs = cv.select(col("q_id"), col("c_id"), col("__v"), col("__n"))
+      .join(cv.select(col("q_id"), col("c_id").as("__o_id"),
+        col("__v").as("__ov"), col("__n").as("__on")), "q_id")
+      .filter(col("c_id") =!= col("__o_id"))
+      .select(col("q_id"), col("c_id"), col("__o_id"),
+        (dot(col("__v"), col("__ov")) / (col("__n") * col("__on")))
+          .as("__sim"))
+    val pool = cv.select("q_id", "c_id", "rel")
+
+    def top1(df: DataFrame, rank: Int): DataFrame = {
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("__raw").desc, col("c_id"))
+      df.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("q_id"), col("c_id"),
+          floor(col("__raw") * 1e6).cast("long").as("mmr_micro"),
+          lit(rank).as("rank"))
+    }
+
+    // rank 1: pure relevance (diversity term is an empty max = 0)
+    var result = top1(
+      pool.withColumn("__raw", lit(lambda) * col("rel")), 1)
+    for (i <- 2 to k) {
+      val maxSim = pairs
+        .join(result.select(col("q_id"), col("c_id").as("__o_id")),
+          Seq("q_id", "__o_id"))
+        .groupBy("q_id", "c_id").agg(max(col("__sim")).as("__ms"))
+      val scored = pool
+        .join(result.select("q_id", "c_id"), Seq("q_id", "c_id"),
+          "left_anti")
+        .join(maxSim, Seq("q_id", "c_id"), "left_outer")
+        .withColumn("__raw", lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
+      result = result.unionByName(top1(scored, i))
+    }
+    result
+  }
+
+  // ===================== exact serve (radius-bounded) =====================
+
+  /** Pruning slack on the cosine bound comparison — one order of
+    * magnitude above the 1e-6 ranking quantum, so a pruned candidate
+    * can never round into a rank-k tie it would then win by id. */
+  private val ExactServeSlack = 1e-5
+
+  /** Crash recovery for the radii fold swap ([[compactIvfIndex]]),
+    * mirroring [[recoverCorpus]]'s discipline: the live radii dir only
+    * moves aside AFTER the folded `radii.next` write completed, so
+    * live-missing + next-present means the fold is complete — promote
+    * it; live-present + next-present is a fold that never started its
+    * swap (possibly a partial write) — drop the staging, the next
+    * compaction refolds; a leftover `radii.old` beside a live dir is a
+    * crash between promote and final delete — drop it. */
+  private def recoverRadii(spark: SparkSession, dir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/radii")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"$dir/radii.next")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/radii.old")
+    if (!fs.exists(live) && fs.exists(next))
+      require(fs.rename(next, live),
+        s"radii swap recovery failed: could not promote $next to $live")
+    else if (fs.exists(live) && fs.exists(next)) fs.delete(next, true)
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live),
+        s"radii swap recovery failed: could not restore $old to $live")
+    else if (fs.exists(live) && fs.exists(old)) fs.delete(old, true)
+  }
+
+  /** Per-key cell radii in NORMALIZED space: for each group (`keys`
+    * must include `cell`), the max over its positive-norm members p of
+    * ‖p̂ − ĉ‖ where ĉ is the cell's trained-centroid DIRECTION. NULL
+    * radius when the centroid has zero norm (no direction ⇒ the cell
+    * is unprunable). `members` must carry `keys` + `__vd`. Zero-norm
+    * members are excluded — the serve path drops them too (no
+    * direction ⇒ NaN cosine), so the bound only needs to cover the
+    * vectors a serve can return. */
+  private def radiiFor(members: DataFrame, centFrame: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val ncents = centFrame.select(col("cell"), asDouble(col("cv")).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .select(col("cell"), when(col("__cn") > 0,
+        transform(col("__cv"), x => x / col("__cn"))).as("__nc"))
+    members.withColumn("__pn", norm(col("__vd")))
+      .filter(col("__pn") > 0)
+      .join(broadcast(ncents), "cell")
+      .select(keys.map(col) :+ when(col("__nc").isNotNull,
+        sqrt(aggregate(zip_with(
+            transform(col("__vd"), x => x / col("__pn")), col("__nc"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))).as("__rd"): _*)
+      // max ignores NULLs but an unprunable cell is NULL for ALL its
+      // rows (ĉ is cell-constant), so the group max is NULL exactly
+      // when the cell has no direction — the encoding we want
+      .groupBy(keys.map(col): _*).agg(max(col("__rd")).as("radius"))
+  }
+
+  /** Write the radii sidecar rows of ONE batch — called by
+    * [[buildIvfIndex]] (static, batch 0) and [[extendIvfIndex]]
+    * (dynamic overwrite of its own batch partition, the same
+    * idempotent-replay discipline as the corpus write). Always BEFORE
+    * the corpus write: a crash in between leaves radii rows for
+    * vectors that never landed — a harmless superset — while the
+    * reverse order would leave corpus vectors invisible to the exact
+    * serve's nonempty-cell set (silently wrong results). */
+  private def writeRadii(spark: SparkSession, dir: String,
+      assigned: DataFrame, centFrame: DataFrame, batch: Long,
+      dynamic: Boolean): Unit = {
+    val r = radiiFor(assigned.select(col("cell"), col("__vd")), centFrame,
+        Seq("cell"))
+      .withColumn("batch", lit(batch))
+      .repartition(1) // ≤ kCells rows per batch — one tiny file
+    val w = r.write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("batch").parquet(s"$dir/radii")
+  }
+
+  /** The folded per-cell radii frame for the exact serve: max over
+    * batch rows, NULL-dominant (any unprunable batch row makes the
+    * cell unprunable). ≤ kCells × batches rows in, ≤ kCells out —
+    * sidecar-class work. Refuses loudly when the sidecar is absent
+    * (an index built before the radii feature): [[backfillIvfRadii]]
+    * derives it in one corpus pass. */
+  private def readRadiiFrame(spark: SparkSession, dir: String,
+      op: String): DataFrame = {
+    recoverRadii(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/radii")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"$op: no radii sidecar at $p — this index predates the exact " +
+        "serve. Run backfillIvfRadii(spark, dir) once (one corpus " +
+        "pass), or rebuild the index.")
+    spark.read.parquet(p.toString)
+      .groupBy("cell").agg(
+        max(when(col("radius").isNull, 1).otherwise(0)).as("__hn"),
+        max(col("radius")).as("__mx"))
+      .select(col("cell"), when(col("__hn") === 0, col("__mx")).as("radius"))
+  }
+
+  /** Derive the radii sidecar of an EXISTING index in one corpus pass —
+    * the upgrade path for a [[buildIvfIndex]] directory from before the
+    * radii feature (new builds and admissions maintain it in lockstep).
+    * Groups by the corpus's own `(batch, cell)` partitions so later
+    * [[extendIvfIndex]] replays overwrite exactly their own rows. */
+  def backfillIvfRadii(spark: SparkSession, dir: String): Unit = {
+    recoverCorpus(spark, dir)
+    recoverRadii(spark, dir)
+    val meta = readIvfMeta(spark, dir)
+    val cf = readCentroidFrame(spark, dir, meta.kCells, "backfillIvfRadii")
+    val members = spark.read.parquet(s"$dir/corpus")
+      .select(col("batch"), col("cell"),
+        asDouble(col("embedding")).as("__vd"))
+    radiiFor(members, cf, Seq("batch", "cell"))
+      .repartition(1)
+      .write.mode("overwrite").partitionBy("batch").parquet(s"$dir/radii")
+  }
+
+  /**
+   * EXACT top-k from a [[buildIvfIndex]] directory — certified equal to
+   * [[bruteForceTopK]] over the (optionally `where`-filtered)
+   * positive-norm corpus, while reading only the cells that can
+   * mathematically hold a top-k member. Pruning with a PROOF, not a
+   * recall knob: where [[indexedTopK]] trades recall for probes, this
+   * serve's probe set is data-dependent and its answer is always the
+   * brute-force answer (the DuckDB oracle for it IS plain brute force).
+   *
+   * The bound is the triangle inequality in normalized space. Cosine
+   * relates to Euclidean distance on unit vectors by
+   * cos(q,p) = 1 − ‖q̂−p̂‖²/2, and for any member p of cell c with
+   * radius r_c = max ‖p̂−ĉ‖ (maintained per batch in the `dir/radii`
+   * sidecar): ‖q̂−p̂‖ ≥ ‖q̂−ĉ‖ − r_c. So the best cosine cell c can
+   * offer is 1 − max(0, ‖q̂−ĉ‖ − r_c)²/2; if that is below the kth-best
+   * cosine already in hand — from exactly scoring each query's
+   * `seedProbe` nearest cells first — the cell cannot contribute and
+   * its partitions are never read. The comparison carries
+   * [[ExactServeSlack]] (1e-5, an order above the 1e-6 ranking
+   * quantum), so rounding can never promote a pruned candidate into a
+   * rank-k tie it would win by id.
+   *
+   * Two partition-pruned corpus scans (seed cells, then the selected
+   * union — the seed scan re-executes once for the literal-cell
+   * collect, bounded by seedProbe cells per query), zero corpus
+   * shuffles, broadcast-only joins below [[ServeBroadcastMaxQueries]];
+   * the per-(query, cell) bound evaluation is queries × kCells skinny
+   * rows against the broadcast radii+centroid sidecars — never the
+   * corpus. How much is pruned is the data's clusteredness: tight
+   * cells with distant queries prune to near-seedProbe; adversarially
+   * overlapping cells degrade gracefully toward a full probe, never
+   * past brute force over the probed cells.
+   *
+   * `where` composes exactly: the kth-best bound comes from filtered
+   * candidates (weaker ⇒ less pruning, still safe) and cell radii over
+   * ALL members upper-bound any filtered subset — the result equals
+   * brute force over the filtered corpus.
+   *
+   * Maintenance invariant (the readers rely on it): radii rows are a
+   * SUPERSET of the nonempty (batch, cell) pairs and each radius upper-
+   * bounds its members. Build/extend write radii BEFORE corpus rows;
+   * deletion only shrinks cells (stale rows stay conservative);
+   * compaction folds radii to batch 0 BEFORE the corpus swap so a
+   * post-compaction admission can never dynamic-overwrite rows that
+   * still cover live batch-0 vectors.
+   */
+  def exactIndexedTopK(spark: SparkSession, queries: DataFrame,
+      dir: String, k: Int, seedProbe: Int = 1, idCol: String = "vec_id",
+      vecCol: String = "embedding", where: Option[Column] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(seedProbe > 0, s"seedProbe must be positive, got $seedProbe")
+    recoverCorpus(spark, dir)
+    val meta = readIvfMeta(spark, dir)
+    val q = queries.select(col(idCol).as("q_id"),
+        dimChecked(asDouble(col(vecCol)), meta.dim, "exactIndexedTopK")
+          .as("q_v"))
+      .withColumn("q_nrm", norm(col("q_v")))
+      .filter(col("q_nrm") > 0)
+    val maxQ = spark.conf.getOption(ServeBroadcastMaxQueries)
+      .map(_.toLong).getOrElse(1L << 16)
+    val evalShape = queries.count() <= maxQ
+    def qJoin(df: DataFrame): DataFrame =
+      if (evalShape) broadcast(df) else df.hint("shuffle_hash")
+
+    // exact UNROUNDED cosine of every (query, candidate) pair in the
+    // probed cells — shared by the seed bound and the final ranking
+    def scoreCells(probes: DataFrame): DataFrame = {
+      val cells = probes.select("cell").distinct().collect()
+        .map(_.getInt(0)).sorted
+      if (cells.isEmpty)
+        return q.filter(lit(false)).select(col("q_id"),
+          col("q_id").as("c_id"), lit(0.0).as("__cos"))
+      val corpus0 = spark.read.parquet(s"$dir/corpus")
+        .filter(col("cell").isin(cells.map(Int.box): _*))
+      val corpusF = where.fold(corpus0)(corpus0.filter)
+      val c = corpusF.select(col("vec_id").as("c_id"), col("cell"),
+          asDouble(col("embedding")).as("c_v"))
+        .withColumn("c_nrm", norm(col("c_v")))
+        .filter(col("c_nrm") > 0)
+      c.join(broadcast(probes), "cell")
+        .join(qJoin(q), "q_id")
+        .filter(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          (dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")))
+            .as("__cos"))
+    }
+
+    // phase 1: the kth-best cosine from the seed cells (the existing
+    // probe rule — rounded centroid distance, cell tie-break). A query
+    // with fewer than k seed candidates gets no bound row and falls
+    // back to "probe every nonempty cell" via the -2 coalesce (cosine
+    // is bounded below by -1).
+    val seed = probeFrame(spark, dir, meta, q, seedProbe, "exactIndexedTopK")
+    val kthW = Window.partitionBy("q_id")
+      .orderBy(col("__cos").desc, col("c_id"))
+    val bounds = scoreCells(seed)
+      .withColumn("__rk", row_number().over(kthW))
+      .filter(col("__rk") === k)
+      .select(col("q_id"), col("__cos").as("__ub"))
+
+    // phase 2: per (query, nonempty cell) the best cosine the cell can
+    // offer; keep cells that can beat the bound. Unprunable cells (no
+    // centroid direction, or a pre-fold NULL radius) always pass.
+    val rad = readRadiiFrame(spark, dir, "exactIndexedTopK")
+    val cf = readCentroidFrame(spark, dir, meta.kCells, "exactIndexedTopK")
+    val ncents = cf.select(col("cell"), asDouble(col("cv")).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
+      .select(col("cell"), when(col("__cn") > 0,
+        transform(col("__cv"), x => x / col("__cn"))).as("__nc"))
+    val cellMeta = rad.join(ncents, Seq("cell"), "left_outer")
+    val qb = q.join(bounds, Seq("q_id"), "left_outer")
+      .select(col("q_id"),
+        transform(col("q_v"), x => x / col("q_nrm")).as("__qn"),
+        coalesce(col("__ub"), lit(-2.0)).as("__ub"))
+    val selected = qb.crossJoin(broadcast(cellMeta))
+      .withColumn("__lbc",
+        when(col("radius").isNull || col("__nc").isNull, lit(1.0))
+          .otherwise(lit(1.0) - pow(greatest(lit(0.0),
+            sqrt(aggregate(zip_with(col("__qn"), col("__nc"),
+                (a, b) => (a - b) * (a - b)),
+              lit(0.0), (acc, x) => acc + x)) - col("radius")), 2) / 2))
+      .filter(col("__lbc") >= col("__ub") - lit(ExactServeSlack))
+      .select("q_id", "cell")
+    // the seed cells re-select themselves by the bound argument (they
+    // hold the kth candidate), but union them anyway — airtight against
+    // any fp disagreement between the probe rule and the bound math.
+    // distinct is REQUIRED: a duplicate (q, cell) pair would duplicate
+    // candidates under row_number
+    val probes2 = selected.union(seed).distinct()
+
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
+    scoreCells(probes2)
+      .select(col("q_id"), col("c_id"), round(col("__cos"), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 }

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-13 (cont.) queries: the radius-bounded EXACT serve over the
+ * persisted IVF index ([[Similarity.exactIndexedTopK]]).
+ *
+ * The oracle discipline here is the strongest in the suite: because the
+ * serve is certified exact (triangle-inequality pruning in normalized
+ * space — cells that cannot beat the seed-probe kth-best bound are
+ * never read), its DuckDB twin is PLAIN BRUTE FORCE. No replay of
+ * centroids, probes, or bounds — a hash match certifies that the
+ * pruning machinery changed nothing about the answer, only about the
+ * cells read.
+ */
+object PipelineQueries14 {
+
+  private val k = 5
+
+  private def idxDir(prefix: String, dir: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"$prefix-${Integer.toHexString(dir.hashCode)}").getPath
+
+  /** Session-standing index for the serve-only line (the
+    * [[PipelineQueries13]] discipline): built at most once per
+    * (JVM, data dir); Bench's untimed warmup pays the build. */
+  private val standing =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cos(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a.v)),
+       |    i -> $a.v[i] * $b.v[i])) / ($a.nrm * $b.nrm)""".stripMargin
+
+  /** Brute-force cosine top-k over the positive-norm corpus, self
+    * excluded — the EXACT answer the radius-bounded serve must match. */
+  private val bruteSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+       |p AS (SELECT * FROM e WHERE nrm > 0)
+       |SELECT q_id, c_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    round(${cos("q", "c")}, 6) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cos("q", "c")}, 6) DESC, c.vec_id) AS rank
+       |  FROM (SELECT * FROM p WHERE vec_id < 8) q
+       |  JOIN p c ON q.vec_id <> c.vec_id)
+       |WHERE rank <= $k""".stripMargin
+
+  // ---- MMR diversified re-rank -------------------------------------------
+
+  private val mmrK = 4
+  private val mmrPool = 12
+  private val mmrLambda = 0.7
+  // EXACT double literals: Spark computes lit(1.0 - 0.7) =
+  // 0.30000000000000004; the oracle must multiply by the identical
+  // double, so both factors are emitted via Double.toString
+  private val lamS = mmrLambda.toString
+  private val lamCS = (1.0 - mmrLambda).toString
+
+  /** One greedy MMR step as SQL: pick the argmax of
+    * λ·rel − (1−λ)·max-sim-to-`res` among candidates not yet in `res`. */
+  /** Selection orders by the RAW score double (identical IEEE value in
+    * both engines); the reported score is micro-units via floor — see
+    * [[Similarity.mmrRerank]]'s determinism note on why round(_, 6)
+    * cannot be used here. */
+  private def mmrStep(i: Int, res: String): String =
+    s"""sel$i AS (
+       |  SELECT q_id, c_id, CAST(floor(raw * 1000000) AS BIGINT)
+       |      AS mmr_micro, $i AS rank FROM (
+       |    SELECT q_id, c_id, raw,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY raw DESC, c_id) AS rk
+       |    FROM (
+       |      SELECT c.q_id, c.c_id,
+       |        $lamS * c.rel - $lamCS * coalesce(ms.ms, 0.0) AS raw
+       |      FROM cv c
+       |      LEFT JOIN (
+       |        SELECT p.q_id, p.c_id, max(p.sim) AS ms FROM pairs p
+       |        JOIN $res r ON r.q_id = p.q_id AND r.c_id = p.o_id
+       |        GROUP BY p.q_id, p.c_id) ms
+       |        ON ms.q_id = c.q_id AND ms.c_id = c.c_id
+       |      WHERE NOT EXISTS (SELECT 1 FROM $res r
+       |        WHERE r.q_id = c.q_id AND r.c_id = c.c_id)))
+       |  WHERE rk = 1),
+       |res$i AS (SELECT * FROM $res UNION ALL SELECT * FROM sel$i)"""
+      .stripMargin
+
+  /** The full greedy replay: brute top-`mmrPool` pools, pairwise pool
+    * cosines, rank-1 pure relevance, then `mmrK − 1` unrolled steps. */
+  private val mmrSql = {
+    val steps = (2 to mmrK).map(i => mmrStep(i, s"res${i - 1}"))
+      .mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+       |p AS (SELECT * FROM e WHERE nrm > 0),
+       |cand AS (
+       |  SELECT q_id, c_id, rel FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      round(${cos("q", "c")}, 6) AS rel,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(${cos("q", "c")}, 6) DESC, c.vec_id) AS rk
+       |    FROM (SELECT * FROM p WHERE vec_id < 6) q
+       |    JOIN p c ON q.vec_id <> c.vec_id)
+       |  WHERE rk <= $mmrPool),
+       |cv AS (SELECT cand.q_id, cand.c_id, cand.rel, p.v, p.nrm
+       |       FROM cand JOIN p ON p.vec_id = cand.c_id),
+       |pairs AS (
+       |  SELECT a.q_id, a.c_id, b.c_id AS o_id,
+       |    list_sum(list_transform(generate_series(1, len(a.v)),
+       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS sim
+       |  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |sel1 AS (
+       |  SELECT q_id, c_id, CAST(floor(raw * 1000000) AS BIGINT)
+       |      AS mmr_micro, 1 AS rank FROM (
+       |    SELECT q_id, c_id, raw,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY raw DESC, c_id) AS rk
+       |    FROM (SELECT q_id, c_id, $lamS * rel AS raw FROM cv))
+       |  WHERE rk = 1),
+       |res1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT q_id, c_id, mmr_micro, CAST(rank AS INT) AS rank
+       |FROM res$mmrK""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Diversified retrieval: greedy MMR over brute-force top-12 pools.
+    // The oracle replays the greedy trajectory step by step (unrolled
+    // CTEs) — a hash match certifies pool construction, the pairwise
+    // redundancy penalty, and every selection decision.
+    QueryDef("retr_mmr", mmrSql) { (s, dir) =>
+      val emb = W.read(s, dir, "embeddings")
+      val cand = Similarity
+        .bruteForceTopK(emb.filter(col("vec_id") < 6), emb, mmrPool)
+        .select(col("q_id"), col("c_id"), col("cos_sim").as("rel"))
+      Similarity.mmrRerank(cand, emb, k = mmrK, lambda = mmrLambda)
+        .select("q_id", "c_id", "mmr_micro", "rank")
+    },
+
+    // Build + exact serve: the certified-exact lifecycle line. The
+    // bound math, radii sidecar, seed probing, and two-phase scan all
+    // sit between this query and its brute-force oracle — a hash match
+    // certifies the whole pruning machinery is answer-invariant.
+    QueryDef("sim_topk_indexed_exact", bruteSql) { (s, dir) =>
+      val emb = W.read(s, dir, "embeddings")
+      val d = idxDir("graft-ivf-exact", dir)
+      Similarity.buildIvfIndex(emb, d, kCells = 8, iters = 2)
+      Similarity.exactIndexedTopK(s, emb.filter(col("vec_id") < 8), d,
+          k = k, seedProbe = 1)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    },
+
+    // Serve-only exact line against a session-standing index: the
+    // per-query cost of CERTIFIED-exact retrieval (seed scan + bound
+    // evaluation + selected-cell scan), with the build paid once by
+    // the warmup — comparable against sim_topk_indexed_serve to read
+    // the price of exactness directly.
+    QueryDef("sim_topk_exact_serve", bruteSql) { (s, dir) =>
+      val emb = W.read(s, dir, "embeddings")
+      val d = standing.computeIfAbsent(dir, { dd =>
+        val p = idxDir("graft-ivf-exact-standing", dd)
+        Similarity.buildIvfIndex(W.read(s, dd, "embeddings"), p,
+          kCells = 8, iters = 2)
+        p
+      })
+      Similarity.exactIndexedTopK(s, emb.filter(col("vec_id") < 8), d,
+          k = k, seedProbe = 1)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    })
+}

@@ -52,7 +52,15 @@ class PlanAuditSpec extends TestBase {
       "sim_nprobe_curve",
       // same shape on the candMult axis: per-candMult hit counts ×
       // the 1-row pass-all reference count
-      "sim_candmult_curve")
+      "sim_candmult_curve",
+      // the exact serve's bound evaluation: queries crossJoin the
+      // broadcast ≤kCells radii+centroid sidecar (the probeRanksByJoin
+      // shape) — per-(query, cell) skinny rows, never the corpus
+      "sim_topk_indexed_exact", "sim_topk_exact_serve",
+      // MMR's pool construction is brute-force retrieval (the
+      // sim_topk_bruteforce exemption); the greedy itself is all
+      // equi-joins over pool² skinny rows per query
+      "retr_mmr")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
