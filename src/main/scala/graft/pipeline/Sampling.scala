@@ -793,4 +793,88 @@ object Sampling {
       .orderBy(col("rrf_nano").desc, col("doc_id"))
       .limit(n)
   }
+
+  /**
+   * Sequential Poisson sampling (Ohlsson 1998) — a fixed-size sample
+   * with inclusion probability ~proportional to a weight column (the
+   * order-sampling family's workhorse; Saavedra showed it within
+   * O(1/n) of strict PPS): per row, priority = w / u with u a
+   * deterministic uniform in (0, 1] from the salted id hash; keep the
+   * global top-n priorities. Rows with non-positive weight can never
+   * be drawn and are excluded up front.
+   *
+   * Determinism across engines with NO transcendental math — the
+   * reason this beats the A-RES formulation (u^(1/w) needs pow, whose
+   * last-ulp behavior differs by libm): u = (hash32 + 1) / 2^32 is
+   * EXACT (the numerator is an exact integer double, the divisor a
+   * power of two), so w / u is one IEEE division with identical
+   * operands in both engines — identical priorities, identical order,
+   * id tie-break. Reported as floor milli-units (`priority_milli`)
+   * for the same reason [[Similarity.mmrRerank]] reports micro-units.
+   *
+   * Scale shape: one scan computing a pure column expression, then a
+   * global top-n (`TakeOrderedAndProject`: per-partition top-n, n-row
+   * driver merge) — no shuffle, no sort of the corpus. Re-runs, task
+   * retries, and appends that do not touch the top-n leave the sample
+   * IDENTICAL — the [[deterministicSample]] story with weights.
+   */
+  def sequentialPoissonSample(df: DataFrame, idCol: String,
+      weightCol: String, n: Int, salt: String = "sps"): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val u = (hash32(col(idCol), salt).cast("double") + lit(1.0)) /
+      lit(HashSpace.toDouble)
+    val pri = col(weightCol).cast("double") / u
+    val top = df.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), pri.as("__pri"))
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(n)
+    // rank over the ALREADY-SELECTED n rows (dsirSelect discipline)
+    val w = Window.orderBy(col("__pri").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col(weightCol),
+        floor(col("__pri") * 1e3).cast("long").as("priority_milli"),
+        col("rank"))
+  }
+
+  /**
+   * Distributed skyline (Pareto frontier) over maximize-all numeric
+   * dims — multi-criteria data selection without collapsing criteria
+   * into one weighted score (quality vs length vs freshness: keep
+   * everything no other row beats on ALL axes): a row is in the
+   * skyline iff no other row is ≥ on every dim and > on at least one.
+   * Rows with a NULL in any dim are excluded up front (three-valued
+   * dominance would silently make them immortal).
+   *
+   * Scale shape (the sample-prune two-phase of the distributed-skyline
+   * literature): phase 1 broadcasts `pruners` hash-chosen rows
+   * (deterministic: lowest salted id-hash, id tie-break) and drops
+   * everything they dominate in ONE nested-loop-filter scan — for
+   * independent-ish dims a handful of strong pruners eliminates almost
+   * everything, and any point dominated by ANY point is provably not
+   * in the skyline, so pruning never loses a result. Phase 2 computes
+   * the exact skyline of the survivors by a self anti-join (broadcast
+   * nested loop — correct for any d). The contract is that SURVIVORS
+   * fit a broadcast: true when dims are not pathologically
+   * anti-correlated (skyline size ~O(ln^(d-1) n)); an adversarial
+   * corpus where most rows are Pareto-optimal has no sub-quadratic
+   * answer in ANY engine.
+   */
+  def skyline(df: DataFrame, dims: Seq[String], idCol: String,
+      pruners: Int = 1024, salt: String = "sky"): DataFrame = {
+    require(dims.nonEmpty, "skyline needs at least one dim")
+    require(pruners > 0, s"pruners must be positive, got $pruners")
+    val base = df.select((idCol +: dims).map(col): _*)
+      .filter(dims.map(col(_).isNotNull).reduce(_ && _))
+    def dominates(pfx: String): Column = {
+      val ge = dims.map(d => col(s"$pfx$d") >= col(d)).reduce(_ && _)
+      val gt = dims.map(d => col(s"$pfx$d") > col(d)).reduce(_ || _)
+      ge && gt
+    }
+    val pr = base
+      .orderBy(hash32(col(idCol), salt), col(idCol)).limit(pruners)
+      .select(dims.map(d => col(d).as(s"__p_$d")): _*)
+    val survivors = base.join(broadcast(pr), dominates("__p_"), "left_anti")
+    val other = survivors.select(dims.map(d => col(d).as(s"__o_$d")): _*)
+    survivors.join(broadcast(other), dominates("__o_"), "left_anti")
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Similarity
+import graft.pipeline.{Sampling, Similarity}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -157,6 +157,52 @@ object PipelineQueries14 {
       Similarity.exactIndexedTopK(s, emb.filter(col("vec_id") < 8), d,
           k = k, seedProbe = 1)
         .select("q_id", "c_id", "cos_sim", "rank")
+    },
+
+    // Fixed-size weight-proportional sampling without RNG state:
+    // sequential Poisson priorities w/u from the salted id hash. The
+    // oracle recomputes the identical priorities (u is exact — integer
+    // numerator over a power-of-two divisor — so w/u is one IEEE
+    // division with equal operands in both engines) and replays the
+    // global top-n.
+    QueryDef("samp_sequential_poisson",
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(n_chars AS DOUBLE) /
+         |      ((${PipelineQueries2.duckHash32("sps")} + 1)
+         |        / 4294967296.0) AS pri
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT doc_id, n_chars,
+         |  CAST(floor(pri * 1000) AS BIGINT) AS priority_milli,
+         |  CAST(rank AS INT) AS rank
+         |FROM (SELECT doc_id, n_chars, pri,
+         |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rank
+         |  FROM d)
+         |WHERE rank <= 500""".stripMargin) { (s, dir) =>
+      Sampling.sequentialPoissonSample(W.read(s, dir, "documents"),
+        "doc_id", "n_chars", n = 500)
+    },
+
+    // Pareto-frontier selection over two lineitem measures: the
+    // distributed sample-prune skyline must return exactly the unique
+    // skyline set, which the oracle computes by the O(n log n) 2-D
+    // sweep (per-x max, running max over strictly-greater x) — two
+    // entirely different algorithms, one answer.
+    QueryDef("samp_skyline",
+      """WITH l AS (SELECT l_orderkey * 10 + l_linenumber AS li_id,
+        |    l_extendedprice AS x, l_discount AS y FROM lineitem),
+        |g AS (SELECT x, max(y) AS gy FROM l GROUP BY x),
+        |r AS (SELECT x, gy, max(gy) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+        |  FROM g)
+        |SELECT li_id, x AS l_extendedprice, y AS l_discount
+        |FROM l JOIN r USING (x)
+        |WHERE l.y = r.gy AND (r.rm IS NULL OR r.rm < l.y)"""
+        .stripMargin) { (s, dir) =>
+      val li = W.read(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("li_id"),
+        col("l_extendedprice"), col("l_discount"))
+      Sampling.skyline(li, Seq("l_extendedprice", "l_discount"), "li_id")
     },
 
     // Serve-only exact line against a session-standing index: the

@@ -60,7 +60,11 @@ class PlanAuditSpec extends TestBase {
       // MMR's pool construction is brute-force retrieval (the
       // sim_topk_bruteforce exemption); the greedy itself is all
       // equi-joins over pool² skinny rows per query
-      "retr_mmr")
+      "retr_mmr",
+      // skyline dominance is inherently non-equi: one NLJ FILTER scan
+      // against the broadcast pruner set, then a survivor-bounded
+      // self anti-join — never corpus x corpus
+      "samp_skyline")
 
   test("no cartesian or nested-loop joins anywhere in the query surface") {
     val offenders = SparkEntry.queries.keySet.toSeq.sorted
