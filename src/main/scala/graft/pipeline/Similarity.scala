@@ -2323,7 +2323,19 @@ object Similarity {
     // any fp disagreement between the probe rule and the bound math.
     // distinct is REQUIRED: a duplicate (q, cell) pair would duplicate
     // candidates under row_number
-    val probes2 = selected.union(seed).distinct()
+    val probes2lazy = selected.union(seed).distinct()
+    // under the eval shape, MATERIALIZE the selected probes once:
+    // scoreCells collects the cell literals (executing seed scan +
+    // bound evaluation) and the final plan would otherwise re-execute
+    // that whole phase inside broadcast(probes) — one wasted corpus
+    // scan per serve. The pair set is queries × selected cells —
+    // driver-bounded exactly when the query broadcast is
+    val probes2 = if (evalShape) {
+      val rows = probes2lazy.collect()
+      if (rows.isEmpty) probes2lazy
+      else spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), probes2lazy.schema)
+    } else probes2lazy
 
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("c_id"))
     scoreCells(probes2)
