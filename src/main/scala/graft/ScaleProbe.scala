@@ -508,6 +508,41 @@ object ScaleProbe {
       val (tk, nk) = time(serve(dirK))
       println(f"${"pq_index_serve"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
+    // round-13 cont.: the EXACT serve's cost axis — the same query set
+    // against a 1× and a k× raw index (builds untimed). The two scans
+    // are partition-pruned to (seed cells) and (bound-selected cells);
+    // replicating the corpus k× grows each probed cell's volume k× but
+    // leaves the BOUND math constant (kCells sidecar rows), so the
+    // ratio reads the scan share vs the fixed driver-job floor. The
+    // pruning term itself is data-clusteredness: this probe's replicas
+    // keep the same geometry, so the selected-cell set is identical
+    // across legs.
+    if (only.forall("exact_serve".contains(_))) {
+      val emb1 = graft.sim.WarehouseSim.read(spark, sfDir, "embeddings")
+      val embK = (0 until k).map { i =>
+        emb1.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionAll _)
+      val q = emb1.filter(col("vec_id") < 8)
+      def freshRaw(c: DataFrame, tag: String): String = {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-exserve-$tag").getPath
+        graft.pipeline.Similarity.buildIvfIndex(c, dir, kCells = 16,
+          iters = 2)
+        dir
+      }
+      def serve(dir: String): Long =
+        graft.pipeline.Similarity.exactIndexedTopK(spark, q, dir, k = 5)
+          .count()
+      val (dir1, dirK) = (freshRaw(emb1, "1x"), freshRaw(embK, "kx"))
+      spark.catalog.clearCache()
+      serve(dir1) // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(serve(dir1))
+      spark.catalog.clearCache()
+      val (tk, nk) = time(serve(dirK))
+      println(f"${"exact_serve"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     run("rake_keywords")(d => TextAnalysis.rakeKeywords(d))
     run("heaps_incremental")(d => graft.pipeline.CorpusReport.renderHeaps(
       graft.pipeline.CorpusReport.mergeVocabState(
