@@ -590,6 +590,79 @@ object Dedup {
   }
 
   /**
+   * Semi-supervised label propagation over the near-dup pair graph
+   * (Zhu & Ghahramani 2002, the clamped-seed variant): spread a small
+   * set of trusted labels (human quality ratings, license flags,
+   * provenance tags) to every document connected to them — near-
+   * duplicates of a labeled document almost certainly deserve its
+   * label, and labeling one representative per cluster is the 100-TB
+   * labeling budget. Synchronous updates, `iters` rounds: each
+   * unlabeled node takes the MODE of its neighbors' current labels
+   * (count desc, label asc tie-break — deterministic); seed nodes are
+   * CLAMPED (they broadcast but never change). Nodes the labels never
+   * reach stay NULL — coverage is a result, not an error.
+   *
+   * Scale shape: every frame is PAIR-graph-sized (the corpus is never
+   * touched); per round one message join + one (node, label) count +
+   * one per-node window — the Pregel message-combine shape with
+   * map-side partial counts. Edges persist once across rounds
+   * ([[graphRank]]'s discipline). The round count bounds the spread
+   * radius: labels travel `iters` hops, which over near-dup clusters
+   * (quasi-cliques, diameter 1-2) saturates immediately.
+   *
+   * Output: (doc_id, label) for every node of the pair graph plus
+   * every seed, label NULL where unreached.
+   */
+  def labelPropagation(pairs: DataFrame, seeds: DataFrame,
+      iters: Int = 3, aCol: String = "doc_a", bCol: String = "doc_b",
+      idCol: String = "doc_id", labelCol: String = "label"): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val edges0 = persistInternal("label_prop_edges",
+      pairs.select(col(aCol).as("__x"), col(bCol).as("__y"))
+        .unionAll(pairs.select(col(bCol).as("__x"), col(aCol).as("__y"))))
+    // near-dup graphs are tiny next to the corpus — right-size the
+    // per-round shuffles to the edge count (the connectedComponents
+    // discipline; full session width spends every round on task
+    // overhead)
+    val spark = pairs.sparkSession
+    val nEdges = edges0.count()
+    val parts = math.max(2, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (nEdges / 500000L).toInt + 1))
+    val edges = persistInternal("label_prop_edges_sized",
+      edges0.repartition(parts, col("__y")))
+    val seed = seeds.select(col(idCol).as("doc_id"),
+      col(labelCol).cast("string").as("__seed"))
+    val nodes = edges.select(col("__x").as("doc_id"))
+      .union(seed.select("doc_id")).distinct()
+    // each round reads the previous state TWICE (message source +
+    // update join) — unpersisted, the lineage would double per round
+    // (2^iters recompute); a round-keyed persist caps it at one
+    // computation per round (≤ 8 registry entries by the iters bound)
+    var state = persistInternal("label_prop_state_0",
+      nodes.join(seed, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("__seed"), col("__seed").as("label")))
+    for (i <- 1 to iters) {
+      val mode = edges
+        .join(state.filter(col("label").isNotNull)
+          .select(col("doc_id").as("__y"), col("label")), "__y")
+        .groupBy(col("__x"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__x")
+            .orderBy(col("__cnt").desc, col("label"))))
+        .filter(col("__rk") === 1)
+        .select(col("__x").as("doc_id"), col("label").as("__new"))
+      state = persistInternal(s"label_prop_state_$i",
+        state.join(mode, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("__seed"),
+            coalesce(col("__seed"), col("__new"), col("label"))
+              .as("label")))
+    }
+    state.select("doc_id", "label")
+  }
+
+  /**
    * Centrality-based keeper per near-dup cluster: [[graphRank]] scores
    * joined onto [[connectedComponents]] labels, one window per cluster —
    * the highest-ranked member wins (doc_id breaks ties). The

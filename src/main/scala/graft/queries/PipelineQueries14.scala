@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Sampling, Similarity}
+import graft.pipeline.{Dedup, Sampling, Similarity}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -157,6 +157,54 @@ object PipelineQueries14 {
       Similarity.exactIndexedTopK(s, emb.filter(col("vec_id") < 8), d,
           k = k, seedProbe = 1)
         .select("q_id", "c_id", "cos_sim", "rank")
+    },
+
+    // Semi-supervised label propagation over the certified simhash
+    // pair graph: seeds (every 7th doc, labeled by source) spread to
+    // their near-dup neighborhoods in 3 clamped synchronous rounds.
+    // The oracle rides the same pairs CTE the CC family uses and
+    // unrolls the rounds — mode selection (count desc, label asc)
+    // replayed exactly.
+    QueryDef("dedup_label_prop", {
+      def step(i: Int): String = {
+        val prev = s"st${i - 1}"
+        s"""m$i AS (
+           |  SELECT d.x AS doc_id, st.label, count(*) AS cnt
+           |  FROM dir d JOIN $prev st ON st.doc_id = d.y
+           |  WHERE st.label IS NOT NULL GROUP BY d.x, st.label),
+           |w$i AS (
+           |  SELECT doc_id, label AS nl FROM (
+           |    SELECT doc_id, label, row_number() OVER (
+           |      PARTITION BY doc_id ORDER BY cnt DESC, label) AS rk
+           |    FROM m$i) WHERE rk = 1),
+           |st$i AS (
+           |  SELECT st.doc_id, st.seed,
+           |    coalesce(st.seed, w.nl, st.label) AS label
+           |  FROM $prev st LEFT JOIN w$i w USING (doc_id))""".stripMargin
+      }
+      s"""WITH ${PipelineQueries.simhashPairsCte},
+         |dir AS (
+         |  SELECT doc_a AS x, doc_b AS y FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM pairs),
+         |seeds AS (
+         |  SELECT doc_id, source AS slabel FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |nodes AS (
+         |  SELECT DISTINCT x AS doc_id FROM dir
+         |  UNION SELECT doc_id FROM seeds),
+         |st0 AS (
+         |  SELECT n.doc_id, s.slabel AS seed, s.slabel AS label
+         |  FROM nodes n LEFT JOIN seeds s USING (doc_id)),
+         |${(1 to 3).map(step).mkString(",\n")}
+         |SELECT doc_id, label FROM st3""".stripMargin
+    }) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+      Dedup.labelPropagation(
+        Dedup.simhashPairs(docs).select("doc_a", "doc_b"),
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source").as("label")),
+        iters = 3)
     },
 
     // Fixed-size weight-proportional sampling without RNG state:
