@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * HyperLogLog distinct-count sketch with a FULLY DETERMINISTIC,
+ * cross-engine-replayable register state (Flajolet et al. 2007; the
+ * practical corrections from Heule et al. 2013's reading of the
+ * original paper).
+ *
+ * Why another HLL when Spark ships two (`approx_count_distinct`,
+ * `hll_sketch_agg`): their binary sketch states are engine-private, so
+ * the DuckDB oracle can grade them rows-only at best. This one is
+ * built from pieces the oracle replays bit-for-bit — Spark's own
+ * `xxhash64` (the [[graft.queries.XxhSql]] chain), integer
+ * bucket/rank extraction (a comparison cascade, NO log2 — libm
+ * last-ulp behavior differs by engine), and a max-per-bucket
+ * aggregate — which makes the sketch itself hash-certifiable, not
+ * just its estimate. The estimate stays a driver-side fold over the
+ * ≤ 2^p-row state ([[hllEstimate]]), accuracy-tested rather than
+ * hash-matched because its small-range correction needs `ln`.
+ *
+ * Scale shape: ONE scan computing two integer columns, then a
+ * (bucket → max) aggregate with map-side partials — the state is
+ * 2^p rows no matter the corpus, merges by per-bucket max
+ * ([[hllMerge]]: the streaming/incremental/union story for free), and
+ * never shuffles more than 2^p rows per partition.
+ */
+object CardSketch {
+
+  /** Register state of the value column: `(bucket, m_rank)` for every
+    * NON-EMPTY bucket (missing bucket ⇒ register 0), bucket from the
+    * top `p` bits of xxhash64(value), rank = 1 + leading zeros of the
+    * remaining 64−p-bit window (window 0 ⇒ the max rank 64−p+1). */
+  def hllState(df: DataFrame, valueCol: String, p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val window = 64 - p
+    val h = xxhash64(col(valueCol))
+    val bucket = shiftrightunsigned(h, window).cast("int")
+    val w = h.bitwiseAND(lit((1L << window) - 1L))
+    // rank via a pure comparison cascade: w ≥ 2^(window−r) ⇔ the
+    // window's bit-length is window−r+1 ⇔ r−1 leading zeros
+    val rank = (1 to window).foldRight(lit(window + 1): Column) {
+      (r, rest) => when(w >= lit(1L << (window - r)), lit(r)).otherwise(rest)
+    }
+    df.select(bucket.as("bucket"), rank.as("__r"))
+      .groupBy("bucket").agg(max(col("__r")).cast("int").as("m_rank"))
+  }
+
+  /** Union of two sketches = per-bucket max (missing bucket = 0): the
+    * merged state of two corpus halves is bit-identical to the state
+    * of the union — the property that makes HLL the incremental /
+    * streaming / cross-shard cardinality tool. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("bucket"), col("m_rank").as("__a"))
+      .join(b.select(col("bucket"), col("m_rank").as("__b")),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        greatest(coalesce(col("__a"), lit(0)), coalesce(col("__b"), lit(0)))
+          .as("m_rank"))
+
+  /** Distinct-count estimate from a state frame: the harmonic-mean
+    * raw estimator with the small-range linear-counting correction.
+    * Driver-side over ≤ 2^p rows; the harmonic sum is EXACT (BigInt in
+    * units of 2^−(64−p+1)) so the only float ops are two divisions and
+    * (in the small range) one `ln` — which is why the estimate is
+    * accuracy-tested, not oracle-hashed. */
+  def hllEstimate(state: DataFrame, p: Int = 9): Long = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1 << p
+    val maxRank = 64 - p + 1
+    val regs = new Array[Int](m)
+    state.collect().foreach { r =>
+      val b = r.getInt(0)
+      require(b >= 0 && b < m, s"bucket $b out of range for p=$p")
+      regs(b) = r.getInt(1)
+    }
+    val sumUnits = regs.foldLeft(BigInt(0)) { (acc, mr) =>
+      acc + (BigInt(1) << (maxRank - mr))
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m.toDouble * m.toDouble *
+      math.pow(2.0, maxRank) / sumUnits.toDouble
+    val zeros = regs.count(_ == 0)
+    val est =
+      if (raw <= 2.5 * m && zeros > 0)
+        m.toDouble * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Sampling, Similarity}
+import graft.pipeline.{CardSketch, Dedup, Sampling, Similarity}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -131,6 +131,31 @@ object PipelineQueries14 {
        |FROM res$mmrK""".stripMargin
   }
 
+  // ---- HLL register-state oracle -------------------------------------
+
+  private val hllP = 9
+  private val hllWindow = 64 - hllP
+  private val hllTwoW = BigInt(1) << hllWindow
+
+  /** The whole-corpus register state over doc_id: shared by the state
+    * oracle and (as the ground truth merged halves must equal) the
+    * merge oracle. */
+  private lazy val hllStateSql = {
+    val rankCase = (1 to hllWindow).map(r =>
+      s"WHEN w >= ${BigInt(1) << (hllWindow - r)} THEN $r")
+      .mkString("\n      ") + s"\n      ELSE ${hllWindow + 1}"
+    s"""WITH hin AS (SELECT doc_id, CAST(doc_id AS HUGEINT) AS v1
+       |  FROM documents),
+       |${XxhSql.longFoldChain("hh", "hin", Seq("doc_id"), 1)},
+       |hu AS (SELECT doc_id, ${XxhSql.toUnsigned("band_hash")} AS h
+       |  FROM hhf),
+       |regs AS (SELECT CAST(h // $hllTwoW AS INT) AS bucket,
+       |    h % $hllTwoW AS w FROM hu),
+       |rk AS (SELECT bucket, CASE $rankCase END AS r FROM regs)
+       |SELECT bucket, CAST(max(r) AS INT) AS m_rank
+       |FROM rk GROUP BY bucket""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Diversified retrieval: greedy MMR over brute-force top-12 pools.
@@ -157,6 +182,27 @@ object PipelineQueries14 {
       Similarity.exactIndexedTopK(s, emb.filter(col("vec_id") < 8), d,
           k = k, seedProbe = 1)
         .select("q_id", "c_id", "cos_sim", "rank")
+    },
+
+    // HLL register state, hash-certified: xxhash64 (the XxhSql chain),
+    // top-p-bit bucket, comparison-cascade rank (no log2 — libm), max
+    // per bucket. The sketch itself gets a real oracle, not just its
+    // estimate (Spark's own HLL states are engine-private blobs).
+    QueryDef("card_hll_state", hllStateSql) { (s, dir) =>
+      CardSketch.hllState(W.read(s, dir, "documents"), "doc_id", p = hllP)
+    },
+
+    // Mergeability certified cross-engine: the per-bucket max of the
+    // two half-corpus sketches must be BIT-IDENTICAL to the whole
+    // corpus's sketch — the oracle computes the whole, Spark merges
+    // the halves.
+    QueryDef("card_hll_merge", hllStateSql) { (s, dir) =>
+      val docs = W.read(s, dir, "documents")
+      CardSketch.hllMerge(
+        CardSketch.hllState(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", p = hllP),
+        CardSketch.hllState(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", p = hllP))
     },
 
     // Semi-supervised label propagation over the certified simhash

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CardSketch
+
+/**
+ * Deterministic HLL ([[CardSketch]]): estimate accuracy in both
+ * regimes (linear-counting small range, harmonic-mean raw), bit-exact
+ * mergeability, determinism, and state bounds.
+ */
+class HllSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong).toDF("id")
+
+  private def err(est: Long, truth: Long): Double =
+    math.abs(est.toDouble - truth) / truth
+
+  test("estimate within tolerance across regimes (p=9: linear " +
+      "counting below ~1280, raw harmonic mean above)") {
+    for (n <- Seq(30, 500, 2000, 20000)) {
+      val est = CardSketch.hllEstimate(
+        CardSketch.hllState(ids(n), "id"), p = 9)
+      // standard error 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+      assert(err(est, n) < 0.14,
+        s"n=$n estimated $est (${err(est, n) * 100}%% off)")
+    }
+  }
+
+  test("duplicates do not move the sketch: state(ids ++ ids) == " +
+      "state(ids)") {
+    val once = CardSketch.hllState(ids(1000), "id")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val twice = CardSketch.hllState(ids(1000).unionAll(ids(1000)), "id")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(once == twice)
+  }
+
+  test("merge of disjoint halves is bit-identical to the whole; " +
+      "merge is idempotent") {
+    val whole = CardSketch.hllState(ids(5000), "id")
+    val a = CardSketch.hllState(ids(5000).filter(col("id") % 2 === 0), "id")
+    val b = CardSketch.hllState(ids(5000).filter(col("id") % 2 =!= 0), "id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(CardSketch.hllMerge(a, b)) == rows(whole))
+    assert(rows(CardSketch.hllMerge(whole, whole)) == rows(whole),
+      "self-merge must be a no-op (per-bucket max)")
+  }
+
+  test("state is bounded by 2^p rows with ranks in [1, 64-p+1]") {
+    val st = CardSketch.hllState(ids(100000), "id", p = 6).collect()
+    assert(st.length <= 64)
+    assert(st.forall { r =>
+      val b = r.getInt(0); val m = r.getInt(1)
+      b >= 0 && b < 64 && m >= 1 && m <= 59
+    })
+  }
+
+  test("p out of range refuses") {
+    intercept[IllegalArgumentException] {
+      CardSketch.hllState(ids(10), "id", p = 3)
+    }
+    intercept[IllegalArgumentException] {
+      CardSketch.hllEstimate(ids(10).toDF("bucket").withColumn(
+        "m_rank", lit(1)), p = 17)
+    }
+  }
+}
