@@ -94,4 +94,64 @@ object CardSketch {
       else raw
     math.round(est)
   }
+
+  // ======================= KMV / theta sketch ==========================
+
+  /** Unsigned position of a signed xxhash64 value in [0, 2^64). */
+  private def pos(h: Long): BigInt = BigInt(h) + (BigInt(1) << 63)
+
+  /**
+   * KMV ("k minimum values") sketch — the theta-sketch family's base
+   * (Bar-Yossef et al. 2002; Dasgupta et al. 2016 for the set-algebra
+   * reading): the k smallest DISTINCT xxhash64 values of the column
+   * in signed order (one fixed rotation of the uniform 64-bit space —
+   * the estimators only need uniform positions, which
+   * `pos = h + 2^63` restores exactly). Where [[hllState]] estimates
+   * ONE cardinality better per byte, KMV composes: sketches
+   * intersect/union by plain set algebra over the kept hashes, giving
+   * overlap estimates HLL fundamentally cannot — and every estimator
+   * here is PURE INTEGER arithmetic (BigInt shifts and divisions), so
+   * unlike the HLL estimate the KMV estimates are oracle-hashable.
+   *
+   * Scale shape: one scan + distinct + global bottom-k
+   * (TakeOrderedAndProject after the distinct exchange) — the state is
+   * k rows regardless of corpus size.
+   */
+  def kmvState(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k must be in [16, 65536], got $k")
+    df.select(xxhash64(col(valueCol)).as("h")).distinct()
+      .orderBy(col("h")).limit(k)
+  }
+
+  /** Distinct-count estimate: exact when the sketch kept everything
+    * (fewer than k hashes exist), else the KMV estimator
+    * `(k−1)·2^64 / (pos(kth smallest) + 1)` — exact integer division,
+    * replayed verbatim by the oracle. */
+  def kmvDistinct(state: DataFrame, k: Int = 256): Long = {
+    val hs = state.collect().map(_.getLong(0)).sorted
+    if (hs.length < k) hs.length.toLong
+    else (((BigInt(k) - 1) << 64) / (pos(hs.last) + 1)).toLong
+  }
+
+  /**
+   * Theta-sketch intersection estimate from two [[kmvState]] frames:
+   * θ = min of the two sketches' thresholds (a sketch that kept
+   * everything is exact — θ = 2^64), the common kept hashes below θ
+   * are an unbiased uniform sample of the intersection at rate
+   * θ/2^64, so `est = n_common · 2^64 / θ` (integer division).
+   * Returns (n_common, est).
+   */
+  def kmvIntersect(a: DataFrame, b: DataFrame,
+      k: Int = 256): (Long, Long) = {
+    val full = BigInt(1) << 64
+    def load(df: DataFrame): (Set[Long], BigInt) = {
+      val hs = df.collect().map(_.getLong(0)).sorted
+      (hs.toSet, if (hs.length < k) full else pos(hs.last) + 1)
+    }
+    val (ha, ta) = load(a)
+    val (hb, tb) = load(b)
+    val theta = ta min tb
+    val common = (ha intersect hb).count(pos(_) < theta)
+    (common.toLong, ((BigInt(common) << 64) / theta).toLong)
+  }
 }

@@ -156,6 +156,13 @@ object PipelineQueries14 {
        |FROM rk GROUP BY bucket""".stripMargin
   }
 
+  // ---- KMV / theta sketch oracle constants ----------------------------
+
+  private val kmvK = 256
+  private val kmvVocabK = 128
+  private val two63 = BigInt(1) << 63
+  private val two64 = BigInt(1) << 64
+
   val defs: Seq[QueryDef] = Seq(
 
     // Diversified retrieval: greedy MMR over brute-force top-12 pools.
@@ -182,6 +189,74 @@ object PipelineQueries14 {
       Similarity.exactIndexedTopK(s, emb.filter(col("vec_id") < 8), d,
           k = k, seedProbe = 1)
         .select("q_id", "c_id", "cos_sim", "rank")
+    },
+
+    // KMV distinct estimate with the estimator ITSELF oracle-hashed:
+    // bottom-256 xxhash64 values of l_orderkey, then the pure-integer
+    // (k-1)*2^64 // (pos(theta)+1) division replayed in HUGEINT.
+    QueryDef("card_kmv_distinct",
+      s"""WITH hin AS (
+         |  SELECT l_orderkey, CAST(l_orderkey AS HUGEINT) AS v1
+         |  FROM (SELECT DISTINCT l_orderkey FROM lineitem)),
+         |${XxhSql.longFoldChain("kh", "hin", Seq("l_orderkey"), 1)},
+         |hs AS (SELECT DISTINCT band_hash AS h FROM khf
+         |  ORDER BY h LIMIT $kmvK),
+         |cnt AS (SELECT count(*) AS c, max(h) AS mx FROM hs)
+         |SELECT CAST(c AS BIGINT) AS n_kept,
+         |  CAST(CASE WHEN c < $kmvK THEN CAST(c AS HUGEINT)
+         |    ELSE (CAST(${kmvK - 1} AS HUGEINT) * $two64)
+         |      // (CAST(mx AS HUGEINT) + $two63 + 1) END AS BIGINT)
+         |    AS est
+         |FROM cnt""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val st = CardSketch.kmvState(W.read(s, dir, "lineitem"),
+        "l_orderkey", k = kmvK)
+      Seq((st.count(), CardSketch.kmvDistinct(st, k = kmvK)))
+        .toDF("n_kept", "est")
+    },
+
+    // Theta-sketch set intersection — the estimate HLL cannot give:
+    // shared vocabulary between two source strata from two bottom-128
+    // token sketches. The oracle replays tokenization (the certified
+    // tok_docs CTE), the string-hash chain, both sketches, theta, and
+    // the integer estimator.
+    QueryDef("card_kmv_overlap",
+      s"""WITH ${PipelineQueries.tokDocs},
+         |ta AS (SELECT DISTINCT unnest(toks) AS s FROM tok_docs
+         |  WHERE source = 'src0'),
+         |tb AS (SELECT DISTINCT unnest(toks) AS s FROM tok_docs
+         |  WHERE source = 'src1'),
+         |inp AS MATERIALIZED (
+         |  SELECT s, CAST(42 AS HUGEINT) AS seed
+         |  FROM (SELECT s FROM ta UNION SELECT s FROM tb)),
+         |${XxhSql.strHashChain("kx")},
+         |ha AS (SELECT DISTINCT ${XxhSql.toSigned("x.hf")} AS h
+         |  FROM ta JOIN kxf x USING (s) ORDER BY h LIMIT $kmvVocabK),
+         |hb AS (SELECT DISTINCT ${XxhSql.toSigned("x.hf")} AS h
+         |  FROM tb JOIN kxf x USING (s) ORDER BY h LIMIT $kmvVocabK),
+         |th AS (SELECT least(
+         |    (SELECT CASE WHEN count(*) < $kmvVocabK THEN $two64
+         |       ELSE CAST(max(h) AS HUGEINT) + $two63 + 1 END FROM ha),
+         |    (SELECT CASE WHEN count(*) < $kmvVocabK THEN $two64
+         |       ELSE CAST(max(h) AS HUGEINT) + $two63 + 1 END FROM hb))
+         |  AS t),
+         |flt AS (SELECT count(*) AS nc FROM
+         |  (SELECT h FROM ha INTERSECT SELECT h FROM hb) c, th
+         |  WHERE CAST(c.h AS HUGEINT) + $two63 < th.t)
+         |SELECT CAST(flt.nc AS BIGINT) AS n_common,
+         |  CAST((CAST(flt.nc AS HUGEINT) * $two64) // th.t AS BIGINT)
+         |    AS est_common
+         |FROM flt, th""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = W.read(s, dir, "documents")
+      def vocab(src: String) = CardSketch.kmvState(
+        docs.filter(col("source") === src)
+          .select(explode(graft.pipeline.TextAnalysis
+            .tokens(col("text"))).as("tok")),
+        "tok", k = kmvVocabK)
+      val (nc, est) = CardSketch.kmvIntersect(
+        vocab("src0"), vocab("src1"), k = kmvVocabK)
+      Seq((nc, est)).toDF("n_common", "est_common")
     },
 
     // HLL register state, hash-certified: xxhash64 (the XxhSql chain),

@@ -1,0 +1,67 @@
+package graft
+
+import graft.pipeline.CardSketch
+
+/**
+ * KMV / theta sketch ([[CardSketch.kmvState]] family): exactness below
+ * k, estimator accuracy above it, and intersection estimates against
+ * constructed overlaps.
+ */
+class KmvSpec extends TestBase {
+
+  import spark.implicits._
+
+  private def ids(r: Range) = r.map(_.toLong).toDF("id")
+
+  test("below k the sketch is the exact distinct set") {
+    val st = CardSketch.kmvState(ids(1 to 100), "id", k = 256)
+    assert(st.count() == 100)
+    assert(CardSketch.kmvDistinct(st, k = 256) == 100L)
+  }
+
+  test("above k the estimator lands within 3 sigma (~1/sqrt(k))") {
+    for (n <- Seq(5000, 50000)) {
+      val est = CardSketch.kmvDistinct(
+        CardSketch.kmvState(ids(1 to n), "id", k = 256), k = 256)
+      val rel = math.abs(est.toDouble - n) / n
+      assert(rel < 3.0 / math.sqrt(256.0),
+        s"n=$n estimated $est (${rel * 100}%% off)")
+    }
+  }
+
+  test("intersection: constructed 50% overlap estimated within " +
+      "tolerance; disjoint sets give zero") {
+    // A = [1, 4000], B = [2001, 6000] -> |A ∩ B| = 2000
+    val a = CardSketch.kmvState(ids(1 to 4000), "id", k = 256)
+    val b = CardSketch.kmvState(ids(2001 to 6000), "id", k = 256)
+    val (nc, est) = CardSketch.kmvIntersect(a, b, k = 256)
+    assert(nc > 0)
+    val rel = math.abs(est.toDouble - 2000) / 2000
+    assert(rel < 0.5, s"overlap estimated $est vs 2000 ($rel off)")
+    val d = CardSketch.kmvState(ids(10001 to 12000), "id", k = 256)
+    assert(CardSketch.kmvIntersect(a, d, k = 256) == ((0L, 0L)),
+      "disjoint sets must estimate zero")
+  }
+
+  test("one exact sketch (below k) intersected with a sampled one " +
+      "uses the sampled theta") {
+    // B exact (100 values all inside A) -> estimate ~100
+    val a = CardSketch.kmvState(ids(1 to 50000), "id", k = 256)
+    val b = CardSketch.kmvState(ids(1 to 100), "id", k = 256)
+    val (_, est) = CardSketch.kmvIntersect(a, b, k = 256)
+    // theta = theta_A (tiny): the common set is subsampled at A's rate;
+    // the estimate is noisy at |B|=100 << 50000/256 resolution, so only
+    // pin the order of magnitude and non-absurdity
+    assert(est >= 0 && est < 2000,
+      s"a 100-element subset must not estimate past 2000, got $est")
+  }
+
+  test("duplicates do not move the sketch") {
+    val once = CardSketch.kmvState(ids(1 to 3000), "id", k = 64)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val twice = CardSketch
+      .kmvState(ids(1 to 3000).unionAll(ids(1 to 3000)), "id", k = 64)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(once == twice)
+  }
+}
