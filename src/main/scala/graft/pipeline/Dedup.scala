@@ -696,6 +696,58 @@ object Dedup {
   }
 
   /**
+   * Blocked fuzzy string matching (record linkage): candidate pairs
+   * from an equi-join on `blockCols` (the classic blocking-key step —
+   * type + first character, a phonetic code, a length band, whatever
+   * the domain gives), verified by edit distance ≤ `maxDist`. The
+   * integer Levenshtein metric is defined identically in every engine,
+   * so unlike embedding or token-set similarity the verification is
+   * oracle-hashable with ZERO float discipline; `sim` is the
+   * normalized similarity 1 − d/max(len) for thresholding (rounded;
+   * d and len are small integers — the quotient can never land on a
+   * 1e-6 round midpoint: 2·10^6/q keeps a factor 2 for any q ≤ 64).
+   *
+   * Scale shape: the lever is BLOCKING, exactly like every banded
+   * family here — the join is an equi-join on the block key (no
+   * cartesian), per-block cost is quadratic in block size, and
+   * `blockCap` (the [[capBuckets]] discipline) bounds a degenerate
+   * block deterministically (drop by id order) instead of letting one
+   * hot key quadratically dominate. Recall misses pairs the blocking
+   * key separates — the documented trade of every blocked matcher.
+   *
+   * Output: (id_a, id_b, dist, sim), id_a < id_b.
+   */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      blockCols: Seq[Column], maxDist: Int,
+      blockCap: Option[Int] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(blockCols.nonEmpty, "fuzzyPairs needs at least one block key")
+    val bNames = blockCols.indices.map(i => s"__b$i")
+    val base0 = df.select(col(idCol).as("id") +: col(strCol).as("s") +:
+      blockCols.zip(bNames).map { case (c, n) => c.as(n) }: _*)
+    // capByKey orders by the dedup family's doc_id — this operator's id
+    // column is caller-named, so the cap window is inlined here
+    val base = blockCap.fold(base0) { cap =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(bNames.map(col): _*).orderBy(col("id"))
+      base0.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= cap).drop("__rn")
+    }
+    val a = base.select(col("id").as("id_a") +: col("s").as("__sa") +:
+      bNames.map(col): _*)
+    val b = base.select(col("id").as("id_b") +: col("s").as("__sb") +:
+      bNames.map(col): _*)
+    a.join(b, bNames)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("__sa")), length(col("__sb")))
+            .cast("double"), 6).as("sim"))
+  }
+
+  /**
    * b-bit MinHash verification (Li & König 2010): same xxhash64 banding
    * as [[minhashLshPairsFast]] for candidate generation (lanes 0..7 of
    * the signature — bit-identical band hashes), but pairs are verified

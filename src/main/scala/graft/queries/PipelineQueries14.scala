@@ -191,6 +191,28 @@ object PipelineQueries14 {
         .select("q_id", "c_id", "cos_sim", "rank")
     },
 
+    // Blocked fuzzy matching over part names: (type, first char)
+    // blocking key, Levenshtein <= 3 verify. The integer metric is
+    // identical in every engine — the verification needs zero float
+    // discipline; sim's small-integer quotient can never hit a round
+    // midpoint.
+    QueryDef("dedup_fuzzy_names",
+      """WITH p AS (SELECT p_partkey, p_name, p_type,
+        |    substr(p_name, 1, 1) AS c1
+        |  FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+        |  round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+        |    / greatest(length(a.p_name), length(b.p_name)), 6) AS sim
+        |FROM p a JOIN p b
+        |  ON a.p_type = b.p_type AND a.c1 = b.c1
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin) {
+      (s, dir) =>
+        Dedup.fuzzyPairs(W.read(s, dir, "part"), "p_partkey", "p_name",
+          Seq(col("p_type"), substring(col("p_name"), 1, 1)), maxDist = 3)
+    },
+
     // KMV distinct estimate with the estimator ITSELF oracle-hashed:
     // bottom-256 xxhash64 values of l_orderkey, then the pure-integer
     // (k-1)*2^64 // (pos(theta)+1) division replayed in HUGEINT.
