@@ -123,6 +123,14 @@ object CardSketch {
       .orderBy(col("h")).limit(k)
   }
 
+  /** Union of two KMV sketches: the k smallest of the merged kept
+    * sets — bit-identical to the sketch of the unioned inputs (each
+    * side kept the bottom-k of its part, and the union's bottom-k is
+    * contained in the union of the parts' bottom-ks), which is what
+    * makes the sketch incrementally / stream-maintainable. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("h")).limit(k)
+
   /** Distinct-count estimate: exact when the sketch kept everything
     * (fewer than k hashes exist), else the KMV estimator
     * `(k−1)·2^64 / (pos(kth smallest) + 1)` — exact integer division,
