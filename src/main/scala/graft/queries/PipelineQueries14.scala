@@ -191,6 +191,40 @@ object PipelineQueries14 {
         .select("q_id", "c_id", "cos_sim", "rank")
     },
 
+    // Interval overlap join (temporal join): per-user view windows x
+    // purchase windows, the bucketed-equi-join strategy vs the
+    // oracle's direct non-equi join — two algorithms, one answer.
+    // Windows are synthesized deterministically from the event stream
+    // (1-5 h by event id) since the tables carry point timestamps.
+    QueryDef("j16_interval_overlap",
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 3600000000 * (1 + event_id % 5) AS e,
+        |    event_type
+        |  FROM events),
+        |a AS (SELECT user_id, event_id AS a_id, s AS a_s, e AS a_e
+        |  FROM ev WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS b_id, s AS b_s, e AS b_e
+        |  FROM ev WHERE event_type = 'purchase')
+        |SELECT a.user_id, a_id, b_id,
+        |  least(a_e, b_e) - greatest(a_s, b_s) AS overlap
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a_s < b_e AND b_s < a_e""".stripMargin) { (s, dir) =>
+      val ev = W.read(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) +
+            lit(3600000000L) * (lit(1L) + col("event_id") % 5)).as("e"),
+          col("event_type"))
+      def side(t: String, pfx: String) = ev
+        .filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id").as(s"${pfx}_id"),
+          col("s").as(s"${pfx}_s"), col("e").as(s"${pfx}_e"))
+      graft.operators.IntervalJoin.overlapJoin(
+        side("view", "a"), side("purchase", "b"),
+        keys = Seq("user_id"), bucket = 6L * 3600000000L)
+    },
+
     // Blocked fuzzy matching over part names: (type, first char)
     // blocking key, Levenshtein <= 3 verify. The integer metric is
     // identical in every engine — the verification needs zero float
