@@ -153,6 +153,18 @@ class ExactServeSpec extends TestBase
       "a zero-norm vector has no direction and must never be returned")
   }
 
+  test("exact serve over a QUANTIZED index still equals brute force " +
+      "(the raw column is the rescore source; codes are ignored)") {
+    val dir = tmpDir("exact-pq").toString
+    Similarity.buildIvfIndex(emb, dir, kCells = 8, iters = 2,
+      codec = "pq", pqM = 8, pqKs = 16, pqIters = 1)
+    val q = emb.filter(col("vec_id") < 5)
+    assertSame(
+      Similarity.exactIndexedTopK(spark, q, dir, k = 4),
+      Similarity.bruteForceTopK(posNorm(q), posNorm(emb), 4),
+      "exactness must be codec-independent")
+  }
+
   test("legacy index (no radii sidecar) refuses loudly; " +
       "backfillIvfRadii upgrades it") {
     val dir = tmpDir("exact-legacy").toString
