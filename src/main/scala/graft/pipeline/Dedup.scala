@@ -748,6 +748,57 @@ object Dedup {
   }
 
   /**
+   * Sorted-neighborhood record linkage (Hernández & Stolfo 1995) — the
+   * OTHER classic blocking strategy: globally sort by a similarity-
+   * preserving key (here the string itself, id tie-break — callers
+   * with a domain key pass `sortCols`), then compare each row only to
+   * its `window` successors in rank order. Where [[fuzzyPairs]]' key
+   * blocking misses pairs the key separates, SNM misses pairs the SORT
+   * separates — running both and unioning is the standard recall
+   * recipe; both verify with the same engine-identical Levenshtein.
+   *
+   * Scale shape: the global rank comes from [[graft.operators
+   * .GlobalRank.withGlobalRank]] (range partition + per-partition
+   * index + offset fold — never a single-partition window), and the
+   * neighbor join is TWO equi-joins on `rank div window` (a pair
+   * within `window` ranks lives in the same or the adjacent bucket —
+   * exactly one of the two joins emits it, no distinct). Candidate
+   * volume is n·window by construction — linear, the property SNM
+   * exists for.
+   *
+   * Output: (id_a, id_b, dist, sim), canonical id_a < id_b.
+   */
+  def fuzzyPairsSorted(df: DataFrame, idCol: String, strCol: String,
+      window: Int, maxDist: Int,
+      sortCols: Option[Seq[Column]] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // (s, id) is unique, so the rank is reproducible — no hash
+    // tie-break ever decides (the oracle replays row_number directly)
+    val order = sortCols.getOrElse(Seq(col("s"), col("id")))
+    val ranked = graft.operators.GlobalRank
+      .withGlobalRank(base, order, "rk")
+      .withColumn("__bk", expr(s"(rk - 1) div ${window}L"))
+    def side(pfx: String, bkShift: Int) = ranked.select(
+      col("id").as(s"${pfx}_id"), col("s").as(s"__s$pfx"),
+      col("rk").as(s"__rk$pfx"),
+      (col("__bk") + lit(bkShift.toLong)).as("__jbk"))
+    def half(shift: Int): DataFrame =
+      side("a", shift).join(side("b", 0), "__jbk")
+        .filter(col("__rkb") > col("__rka") &&
+          col("__rkb") - col("__rka") <= window)
+    half(0).unionAll(half(1))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .filter(col("dist") <= maxDist)
+      .select(least(col("a_id"), col("b_id")).as("id_a"),
+        greatest(col("a_id"), col("b_id")).as("id_b"), col("dist"),
+        round(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("__sa")), length(col("__sb")))
+            .cast("double"), 6).as("sim"))
+  }
+
+  /**
    * b-bit MinHash verification (Li & König 2010): same xxhash64 banding
    * as [[minhashLshPairsFast]] for candidate generation (lanes 0..7 of
    * the signature — bit-identical band hashes), but pairs are verified

@@ -191,6 +191,26 @@ object PipelineQueries14 {
         .select("q_id", "c_id", "cos_sim", "rank")
     },
 
+    // Sorted-neighborhood linkage over the same names: global
+    // (name, id) rank, compare each row to its 5 successors, verify
+    // Levenshtein <= 3. The scalable rank (range partition +
+    // zipWithIndex) must reproduce the oracle's plain row_number —
+    // the unique sort key makes that exact.
+    QueryDef("dedup_fuzzy_sorted",
+      """WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part),
+        |r AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS rk
+        |  FROM p)
+        |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist,
+        |  round(1.0 - CAST(levenshtein(a.s, b.s) AS DOUBLE)
+        |    / greatest(length(a.s), length(b.s)), 6) AS sim
+        |FROM r a JOIN r b
+        |  ON b.rk > a.rk AND b.rk - a.rk <= 5
+        |WHERE levenshtein(a.s, b.s) <= 3""".stripMargin) { (s, dir) =>
+      Dedup.fuzzyPairsSorted(W.read(s, dir, "part"), "p_partkey",
+        "p_name", window = 5, maxDist = 3)
+    },
+
     // Interval overlap join (temporal join): per-user view windows x
     // purchase windows, the bucketed-equi-join strategy vs the
     // oracle's direct non-equi join — two algorithms, one answer.

@@ -42,6 +42,37 @@ class FuzzyPairsSpec extends TestBase {
     assert(got.contains((1L, 3L)), "dist-5 pair inside the block appears")
   }
 
+  test("sorted-neighborhood: equals the naive windowed definition; " +
+      "pairs straddling bucket boundaries appear exactly once") {
+    val data = (1L to 200L).map(i => (i, f"name ${(i * 37) % 100}%03d"))
+      .toDF("id", "name")
+    val got = Dedup.fuzzyPairsSorted(data, "id", "name",
+        window = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_.toString).toSeq
+    // naive: rank by (name, id), compare each to its 4 successors
+    val ranked = (1L to 200L).map(i => (i, f"name ${(i * 37) % 100}%03d"))
+      .sortBy { case (id, s) => (s, id) }.zipWithIndex
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      ((ia, sa), ra) <- ranked
+      ((ib, sb), rb) <- ranked
+      if rb > ra && rb - ra <= 4
+      d = lev(sa, sb) if d <= 2
+    } yield (math.min(ia, ib), math.max(ia, ib), d))
+      .sortBy(_.toString)
+    assert(got == naive)
+    assert(got.size == got.distinct.size, "no pair may appear twice")
+  }
+
   test("blockCap bounds a hot block deterministically (lowest ids kept)") {
     val hot = (1L to 100L).map(i => (i, s"name $i", "t"))
       .toDF("id", "name", "typ")
