@@ -142,6 +142,39 @@ object CardSketch {
   }
 
   /**
+   * Per-group KMV distinct estimates as ONE distributed query — the
+   * grouped data-card shape (`n_unique` per cell) with the sketch's
+   * cost profile AND an oracle-hashable estimator: per group, the
+   * bottom-k hash ranks come from a window over the distinct
+   * (group, hash) pairs, and the estimate column is the same
+   * `(k−1)·2^64 / (pos+1)` — computed in DOUBLE ((k−1)·2^64 is exact
+   * for k ≤ 2^9; the divisor's rounding is the identical IEEE op in
+   * both engines) and floored to a long. Groups with fewer than k
+   * distinct values report exactly.
+   *
+   * Scale shape: distinct + one window + one group-agg, all keyed by
+   * the group column — map-side partial distinct, k rows per group
+   * after the rank filter.
+   */
+  def kmvByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 512, s"k must be in [16, 512], got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("h"))
+    df.select(col(groupCol), xxhash64(col(valueCol)).as("h")).distinct()
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .groupBy(groupCol).agg(count(lit(1)).as("n_kept"),
+        max(col("h")).as("__mx"))
+      .select(col(groupCol), col("n_kept"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(floor(lit(((BigInt(k) - 1) << 64).toDouble) /
+            (col("__mx").cast("double") + lit((BigInt(1) << 63).toDouble)
+              + lit(1.0))).cast("long"))
+          .as("est"))
+  }
+
+  /**
    * Theta-sketch intersection estimate from two [[kmvState]] frames:
    * θ = min of the two sketches' thresholds (a sketch that kept
    * everything is exact — θ = 2^64), the common kept hashes below θ

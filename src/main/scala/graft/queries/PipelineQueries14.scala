@@ -160,6 +160,7 @@ object PipelineQueries14 {
 
   private val kmvK = 256
   private val kmvVocabK = 128
+  private val kmvGroupK = 64
   private val two63 = BigInt(1) << 63
   private val two64 = BigInt(1) << 64
 
@@ -289,6 +290,32 @@ object PipelineQueries14 {
         "l_orderkey", k = kmvK)
       Seq((st.count(), CardSketch.kmvDistinct(st, k = kmvK)))
         .toDF("n_kept", "est")
+    },
+
+    // Grouped KMV cardinality — the data-card n_unique cell at sketch
+    // cost with a TRUE oracle: per returnflag, bottom-64 partkey
+    // hashes and the floored double estimator ((k-1)*2^64 is an exact
+    // double; the divisor rounds identically in both engines).
+    QueryDef("card_kmv_by_group",
+      s"""WITH hin AS (
+         |  SELECT l_returnflag, l_partkey,
+         |    CAST(l_partkey AS HUGEINT) AS v1
+         |  FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)),
+         |${XxhSql.longFoldChain("kg", "hin",
+            Seq("l_returnflag", "l_partkey"), 1)},
+         |hs AS (SELECT DISTINCT l_returnflag, band_hash AS h FROM kgf),
+         |rk AS (SELECT l_returnflag, h, row_number() OVER (
+         |    PARTITION BY l_returnflag ORDER BY h) AS r FROM hs),
+         |gp AS (SELECT l_returnflag, count(*) AS n_kept, max(h) AS mx
+         |  FROM rk WHERE r <= $kmvGroupK GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_kept,
+         |  CASE WHEN n_kept < $kmvGroupK THEN n_kept
+         |    ELSE CAST(floor(${((BigInt(kmvGroupK) - 1) << 64).toDouble}
+         |      / (CAST(mx AS DOUBLE) + ${(BigInt(1) << 63).toDouble}
+         |        + 1.0)) AS BIGINT) END AS est
+         |FROM gp""".stripMargin) { (s, dir) =>
+      CardSketch.kmvByGroup(W.read(s, dir, "lineitem"),
+        "l_returnflag", "l_partkey", k = kmvGroupK)
     },
 
     // Theta-sketch set intersection — the estimate HLL cannot give:

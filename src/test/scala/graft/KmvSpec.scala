@@ -56,6 +56,20 @@ class KmvSpec extends TestBase {
       s"a 100-element subset must not estimate past 2000, got $est")
   }
 
+  test("grouped estimates: small groups exact, large groups within " +
+      "3 sigma, one query") {
+    val rows = (1L to 20000L).map(i => (if (i <= 50) "small" else "big", i))
+      .toDF("g", "v")
+    val got = CardSketch.kmvByGroup(rows, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("small") == ((50L, 50L)), "below k must be exact")
+    val (kept, est) = got("big")
+    assert(kept == 64L)
+    assert(math.abs(est - 19950.0) / 19950.0 < 3.0 / 8.0,
+      s"big-group estimate $est")
+  }
+
   test("duplicates do not move the sketch") {
     val once = CardSketch.kmvState(ids(1 to 3000), "id", k = 64)
       .collect().map(_.getLong(0)).sorted.toSeq
