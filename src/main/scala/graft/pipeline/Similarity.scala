@@ -1259,7 +1259,7 @@ object Similarity {
       vecCol: String = "embedding", attrCols: Seq[String] = Nil,
       filesPerCell: Int = 1, trainFraction: Double = 1.0,
       codec: String = "none", pqM: Int = 8, pqKs: Int = 16,
-      pqIters: Int = 2): Unit = {
+      pqIters: Int = 2, radii: Boolean = true): Unit = {
     require(kCells > 0 && iters >= 0 && filesPerCell > 0,
       s"need kCells > 0, iters >= 0, filesPerCell > 0; " +
         s"got $kCells, $iters, $filesPerCell")
@@ -1331,8 +1331,19 @@ object Similarity {
     val encoded = encodeForCodec(spark, dir, assigned, codec, dim,
       pqM, pqKs, pqIters, train = true, trainFraction = trainFraction,
       centFrame = () => centFrame).drop("__vd")
-    // radii BEFORE corpus (see writeRadii's ordering note)
-    writeRadii(spark, dir, assigned, centFrame, batch = 0L, dynamic = false)
+    // radii BEFORE corpus (see writeRadii's ordering note). radii=false
+    // skips the maintenance pass (~a third of the build cost) for
+    // deployments that never exact-serve — the sidecar is DELETED so
+    // the serve's coverage check refuses loudly instead of reading a
+    // stale one; backfillIvfRadii re-derives it later in one pass.
+    if (radii)
+      writeRadii(spark, dir, assigned, centFrame, batch = 0L,
+        dynamic = false)
+    else {
+      val rp = new org.apache.hadoop.fs.Path(s"$dir/radii")
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+    }
     shardForWrite(encoded.withColumn("batch", lit(0L)), cents.size,
         filesPerCell)
       .write.mode("overwrite").partitionBy("batch", "cell")
@@ -1373,7 +1384,8 @@ object Similarity {
   def extendIvfIndex(newVectors: DataFrame, dir: String,
       batchId: Option[Long] = None, idCol: String = "vec_id",
       vecCol: String = "embedding", attrCols: Seq[String] = Nil,
-      filesPerCell: Int = 1, allowReplay: Boolean = false): Unit = {
+      filesPerCell: Int = 1, allowReplay: Boolean = false,
+      radii: Boolean = true): Unit = {
     require(filesPerCell > 0, s"filesPerCell must be positive, got $filesPerCell")
     val spark = newVectors.sparkSession
     recoverCorpus(spark, dir)
@@ -1432,7 +1444,10 @@ object Similarity {
     // A legacy index (no radii sidecar) stays radii-less — writing one
     // batch's rows would break the superset invariant the exact serve
     // reads nonempty cells from; backfillIvfRadii upgrades it whole.
-    locally {
+    // radii=false skips the batch's radii rows: the sidecar then no
+    // longer covers this batch and the exact serve's coverage check
+    // refuses loudly until backfillIvfRadii — never a silent gap
+    if (radii) locally {
       recoverRadii(spark, dir)
       val rp = new org.apache.hadoop.fs.Path(s"$dir/radii")
       if (rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2036,16 +2051,22 @@ object Similarity {
       .filter(col("__n") > 0)
     val cand = candidates.select(col("q_id"), col("c_id"),
       col("rel").cast("double").as("rel"))
-    val cv = cand.join(v, "c_id")
+    // the pool frame is referenced by every greedy round (pool +
+    // pairs, each twice per round) — unpersisted, the CANDIDATE
+    // RETRIEVAL plan underneath would re-execute per reference
+    // (measured 3x on an indexed-serve pool). Pool-sized persist, the
+    // label-propagation discipline.
+    val cv = Dedup.persistInternal("mmr_pool", cand.join(v, "c_id"))
     // pairwise candidate cosines within each query's pool, both
     // directions (max-over-selected reads sim(candidate, selected))
-    val pairs = cv.select(col("q_id"), col("c_id"), col("__v"), col("__n"))
-      .join(cv.select(col("q_id"), col("c_id").as("__o_id"),
-        col("__v").as("__ov"), col("__n").as("__on")), "q_id")
-      .filter(col("c_id") =!= col("__o_id"))
-      .select(col("q_id"), col("c_id"), col("__o_id"),
-        (dot(col("__v"), col("__ov")) / (col("__n") * col("__on")))
-          .as("__sim"))
+    val pairs = Dedup.persistInternal("mmr_pairs",
+      cv.select(col("q_id"), col("c_id"), col("__v"), col("__n"))
+        .join(cv.select(col("q_id"), col("c_id").as("__o_id"),
+          col("__v").as("__ov"), col("__n").as("__on")), "q_id")
+        .filter(col("c_id") =!= col("__o_id"))
+        .select(col("q_id"), col("c_id"), col("__o_id"),
+          (dot(col("__v"), col("__ov")) / (col("__n") * col("__on")))
+            .as("__sim")))
     val pool = cv.select("q_id", "c_id", "rel")
 
     def top1(df: DataFrame, rank: Int): DataFrame = {
@@ -2058,9 +2079,12 @@ object Similarity {
           lit(rank).as("rank"))
     }
 
-    // rank 1: pure relevance (diversity term is an empty max = 0)
-    var result = top1(
-      pool.withColumn("__raw", lit(lambda) * col("rel")), 1)
+    // rank 1: pure relevance (diversity term is an empty max = 0).
+    // Round-keyed persists: each round reads the previous selection
+    // twice (penalty source + anti-join) — the labelPropagation
+    // lineage argument
+    var result = Dedup.persistInternal("mmr_sel_1", top1(
+      pool.withColumn("__raw", lit(lambda) * col("rel")), 1))
     for (i <- 2 to k) {
       val maxSim = pairs
         .join(result.select(col("q_id"), col("c_id").as("__o_id")),
@@ -2072,7 +2096,8 @@ object Similarity {
         .join(maxSim, Seq("q_id", "c_id"), "left_outer")
         .withColumn("__raw", lit(lambda) * col("rel") -
           lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
-      result = result.unionByName(top1(scored, i))
+      result = Dedup.persistInternal(s"mmr_sel_$i",
+        result.unionByName(top1(scored, i)))
     }
     result
   }
@@ -2299,6 +2324,23 @@ object Similarity {
     // offer; keep cells that can beat the bound. Unprunable cells (no
     // centroid direction, or a pre-fold NULL radius) always pass.
     val rad = readRadiiFrame(spark, dir, "exactIndexedTopK")
+    // COVERAGE check: radii must cover every corpus batch. A
+    // radii=false admission, a crash between the radii and corpus
+    // writes, or a hand-dropped partition would otherwise leave whole
+    // batches invisible to the bound's nonempty-cell set — silently
+    // wrong answers. Two directory listings, loud refusal.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def batches(p: String): Set[String] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .map(_.getPath.getName).filter(_.startsWith("batch=")).toSet
+      val missing = batches(s"$dir/corpus") -- batches(s"$dir/radii")
+      require(missing.isEmpty,
+        s"exactIndexedTopK: radii sidecar at $dir/radii does not cover " +
+          s"corpus ${missing.toSeq.sorted.mkString(", ")} — run " +
+          "backfillIvfRadii(spark, dir) (one corpus pass) or rebuild")
+    }
     val cf = readCentroidFrame(spark, dir, meta.kCells, "exactIndexedTopK")
     val ncents = cf.select(col("cell"), asDouble(col("cv")).as("__cv"))
       .withColumn("__cn", norm(col("__cv")))

@@ -292,6 +292,22 @@ object PipelineQueries14 {
         .toDF("n_kept", "est")
     },
 
+    // Composed certified retrieval -> diversification: the MMR pools
+    // come from the persisted index's EXACT serve instead of brute
+    // force — and because exactness is certified, the oracle is the
+    // IDENTICAL brute-pool replay. Different plumbing, same answer,
+    // end to end through the index lifecycle.
+    QueryDef("retr_mmr_indexed", mmrSql) { (s, dir) =>
+      val emb = W.read(s, dir, "embeddings")
+      val d = idxDir("graft-ivf-exact", dir)
+      Similarity.buildIvfIndex(emb, d, kCells = 8, iters = 2)
+      val cand = Similarity
+        .exactIndexedTopK(s, emb.filter(col("vec_id") < 6), d, k = mmrPool)
+        .select(col("q_id"), col("c_id"), col("cos_sim").as("rel"))
+      Similarity.mmrRerank(cand, emb, k = mmrK, lambda = mmrLambda)
+        .select("q_id", "c_id", "mmr_micro", "rank")
+    },
+
     // Grouped KMV cardinality — the data-card n_unique cell at sketch
     // cost with a TRUE oracle: per returnflag, bottom-64 partkey
     // hashes and the floored double estimator ((k-1)*2^64 is an exact

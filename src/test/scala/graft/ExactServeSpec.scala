@@ -192,6 +192,31 @@ class ExactServeSpec extends TestBase
       "backfilled exact serve must equal brute force")
   }
 
+  test("radii opt-out: a radii=false admission leaves a coverage gap " +
+      "the serve refuses loudly; backfill closes it") {
+    val data = clustered(200, 4, 8)
+    val dir = tmpDir("exact-optout").toString
+    Similarity.buildIvfIndex(data.filter(col("vec_id") < 150), dir,
+      kCells = 4, iters = 2)
+    Similarity.extendIvfIndex(data.filter(col("vec_id") >= 150), dir,
+      radii = false)
+    val q = data.filter(col("vec_id") < 3)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.exactIndexedTopK(spark, q, dir, k = 3)
+    }
+    assert(ex.getMessage.contains("does not cover corpus") &&
+      ex.getMessage.contains("batch=1"), ex.getMessage)
+    Similarity.backfillIvfRadii(spark, dir)
+    assertSame(
+      Similarity.exactIndexedTopK(spark, q, dir, k = 3),
+      Similarity.bruteForceTopK(q, data, 3),
+      "backfill must restore exactness over the full corpus")
+    // a radii=false BUILD deletes the sidecar outright
+    Similarity.buildIvfIndex(data, dir, kCells = 4, iters = 2,
+      radii = false)
+    assert(!new java.io.File(s"$dir/radii").exists())
+  }
+
   test("extend replay overwrites its own radii rows (idempotent)") {
     val data = clustered(200, 4, 8)
     val dir = tmpDir("exact-replay").toString
