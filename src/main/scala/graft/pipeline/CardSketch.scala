@@ -175,6 +175,51 @@ object CardSketch {
   }
 
   /**
+   * Mergeable hash-sample sketch for QUANTILES — the distribution
+   * sibling of [[kmvState]]: keep the k rows with the smallest
+   * (xxhash64(id), id) keys, carrying whatever value columns the
+   * quantiles are wanted over. The hash order is a uniform random
+   * permutation fixed by the data itself, so the kept rows are a
+   * uniform k-sample of the corpus that is DETERMINISTIC across
+   * re-runs, retries, partitionings — and MERGEABLE: bottom-k of two
+   * sketches' union is bit-identical to the sketch of the unioned
+   * inputs (the [[kmvMerge]] argument, row-level). Quantile error is
+   * the standard sampling bound (~1/√k per quantile).
+   *
+   * One scan + global bottom-k; k rows regardless of corpus size;
+   * no sort of the data, no libm anywhere — sketch AND quantile
+   * extraction replay in the oracle.
+   */
+  def sampleSketch(df: DataFrame, idCol: String,
+      valueCols: Seq[String], k: Int = 512): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k must be in [16, 65536], got $k")
+    require(valueCols.nonEmpty, "sampleSketch needs value columns")
+    df.select(xxhash64(col(idCol)).as("h") +: col(idCol).as("id") +:
+        valueCols.map(col): _*)
+      .orderBy(col("h"), col("id")).limit(k)
+  }
+
+  /** Union of two sample sketches = bottom-k of the merged rows
+    * (distinct first: a row present in both halves is one row). */
+  def sampleMerge(a: DataFrame, b: DataFrame, k: Int = 512): DataFrame =
+    a.unionByName(b).distinct().orderBy(col("h"), col("id")).limit(k)
+
+  /** Nearest-rank quantiles of a sketch's value column: the element at
+    * position floor(p·(n−1)) of the sample ordered by (value, id) —
+    * pure positional selection, deterministic, oracle-replayable.
+    * Driver-side over the ≤ k-row state. Returns (p, value) pairs. */
+  def sampleQuantiles(state: DataFrame, valueCol: String,
+      ps: Seq[Double]): Seq[(Double, Double)] = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile points must be in [0,1], got $ps")
+    val rows = state.select(col(valueCol).cast("double"), col("id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(identity)
+    require(rows.nonEmpty, "sampleQuantiles on an empty sketch")
+    ps.map(p => p -> rows(math.floor(p * (rows.length - 1)).toInt)._1)
+  }
+
+  /**
    * Theta-sketch intersection estimate from two [[kmvState]] frames:
    * θ = min of the two sketches' thresholds (a sketch that kept
    * everything is exact — θ = 2^64), the common kept hashes below θ

@@ -161,6 +161,7 @@ object PipelineQueries14 {
   private val kmvK = 256
   private val kmvVocabK = 128
   private val kmvGroupK = 64
+  private val sampK = 512
   private val two63 = BigInt(1) << 63
   private val two64 = BigInt(1) << 64
 
@@ -306,6 +307,36 @@ object PipelineQueries14 {
         .select(col("q_id"), col("c_id"), col("cos_sim").as("rel"))
       Similarity.mmrRerank(cand, emb, k = mmrK, lambda = mmrLambda)
         .select("q_id", "c_id", "mmr_micro", "rank")
+    },
+
+    // Hash-sample quantile sketch: bottom-512 rows by (hash, id) carry
+    // l_extendedprice; quantiles are positional selections over the
+    // sample. Sketch AND extraction replay in the oracle — no sort of
+    // the corpus, no libm.
+    QueryDef("card_sample_quantiles",
+      s"""WITH hin AS (
+         |  SELECT l_orderkey * 10 + l_linenumber AS id,
+         |    CAST(l_orderkey * 10 + l_linenumber AS HUGEINT) AS v1,
+         |    l_extendedprice AS v
+         |  FROM lineitem),
+         |${XxhSql.longFoldChain("sq", "hin", Seq("id", "v"), 1)},
+         |samp AS (SELECT id, v, band_hash AS h FROM sqf
+         |  ORDER BY band_hash, id LIMIT $sampK),
+         |sel AS (SELECT v, row_number() OVER (ORDER BY v, id) AS r,
+         |    count(*) OVER () AS n FROM samp)
+         |SELECT CAST(p AS DOUBLE) AS p, v AS value FROM sel,
+         |  (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)) q(p)
+         |WHERE r - 1 = CAST(floor(CAST(p AS DOUBLE) * (n - 1)) AS BIGINT)
+         |ORDER BY p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = W.read(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("li_id"),
+        col("l_extendedprice"))
+      val st = CardSketch.sampleSketch(li, "li_id",
+        Seq("l_extendedprice"), k = sampK)
+      CardSketch.sampleQuantiles(st, "l_extendedprice",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+        .toDF("p", "value").orderBy("p")
     },
 
     // Grouped KMV cardinality — the data-card n_unique cell at sketch

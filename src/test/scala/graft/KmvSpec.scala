@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
+
 import graft.pipeline.CardSketch
 
 /**
@@ -68,6 +70,31 @@ class KmvSpec extends TestBase {
     assert(kept == 64L)
     assert(math.abs(est - 19950.0) / 19950.0 < 3.0 / 8.0,
       s"big-group estimate $est")
+  }
+
+  test("sample sketch: quantiles land near truth; merge of halves is " +
+      "bit-identical to the whole; empty refuses") {
+    val rows = (1L to 50000L).map(i => (i, ((i * 7919) % 100000).toDouble))
+      .toDF("id", "v")
+    val st = CardSketch.sampleSketch(rows, "id", Seq("v"), k = 512)
+    val qs = CardSketch.sampleQuantiles(st, "v",
+      Seq(0.1, 0.5, 0.9)).toMap
+    // true quantiles of the (near-uniform) value distribution
+    for ((p, truth) <- Seq(0.1 -> 10000.0, 0.5 -> 50000.0,
+        0.9 -> 90000.0)) {
+      assert(math.abs(qs(p) - truth) / 100000.0 < 0.08,
+        s"q$p = ${qs(p)} vs ~$truth")
+    }
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val a = CardSketch.sampleSketch(
+      rows.filter(col("id") <= 30000), "id", Seq("v"), k = 512)
+    val b = CardSketch.sampleSketch(
+      rows.filter(col("id") > 30000), "id", Seq("v"), k = 512)
+    assert(sorted(CardSketch.sampleMerge(a, b, k = 512)) == sorted(st))
+    intercept[IllegalArgumentException] {
+      CardSketch.sampleQuantiles(st.filter(lit(false)), "v", Seq(0.5))
+    }
   }
 
   test("duplicates do not move the sketch") {
