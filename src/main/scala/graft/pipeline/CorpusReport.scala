@@ -688,4 +688,52 @@ object CorpusReport {
         round(col("n_cross_docs").cast("double") /
           col("n_docs").cast("double"), 6).as("cross_frac"))
   }
+
+  /**
+   * Exact-sum Pearson correlation matrix over numeric measure columns
+   * — ONE pass, engine-reproducible: each value is scaled to an
+   * integer (`round(x·10^scale)` — inputs with ≤ `scale` decimals land
+   * on exact integers, so the two engines' round() disagreement at
+   * 1e-6 midpoints cannot trigger) and every moment (Σx, Σx², Σxy)
+   * accumulates EXACTLY in decimal(38,0) — no float summation order
+   * anywhere, which is what makes a grouped float aggregate
+   * nondeterministic across partitionings in the first place. The
+   * closed-form correlation is evaluated in double from the exact
+   * moments (identical operand doubles + op order ⇒ identical IEEE
+   * results), rounded to 1e-6.
+   *
+   * Scale shape: one scan, one row of (2·d + d·(d+1)/2) partial-
+   * aggregated moments — no shuffle beyond the single global agg.
+   * Output: (var_a, var_b, corr) for each unordered pair a < b (by
+   * declaration order).
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      scale: Int = 4): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(scale >= 0 && scale <= 9, s"scale must be in [0,9], got $scale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val f = math.pow(10.0, scale)
+    def m(c: String) =
+      round(col(c).cast("double") * lit(f)).cast("decimal(38,0)")
+    val aggs =
+      Seq(count(lit(1)).cast("decimal(38,0)").as("__n")) ++
+        cols.map(c => sum(m(c)).as(s"__s_$c")) ++
+        cols.map(c => sum(m(c) * m(c)).as(s"__q_$c")) ++
+        cols.combinations(2).map { case Seq(a, b) =>
+          sum(m(a) * m(b)).as(s"__p_${a}_$b")
+        }.toSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def d(name: String): Double =
+      r.getDecimal(r.fieldIndex(name)).doubleValue()
+    val n = d("__n")
+    val out = cols.combinations(2).map { case Seq(a, b) =>
+      val num = n * d(s"__p_${a}_$b") - d(s"__s_$a") * d(s"__s_$b")
+      val va = n * d(s"__q_$a") - d(s"__s_$a") * d(s"__s_$a")
+      val vb = n * d(s"__q_$b") - d(s"__s_$b") * d(s"__s_$b")
+      (a, b, BigDecimal(num / math.sqrt(va * vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    out.toDF("var_a", "var_b", "corr")
+  }
 }

@@ -309,6 +309,34 @@ object PipelineQueries14 {
         .select("q_id", "c_id", "mmr_micro", "rank")
     },
 
+    // Exact-moment correlation matrix: micro-scaled integer sums in
+    // HUGEINT (no float summation order anywhere), closed form in
+    // double from identical exact moments. One pass, 3 measures.
+    QueryDef("report_corr_matrix", {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def mi(c: String) = s"CAST(round($c * 10000) AS HUGEINT)"
+      val sums = (Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        cs.map(c => s"sum(${mi(c)}) AS s_$c") ++
+        cs.map(c => s"sum(${mi(c)} * ${mi(c)}) AS q_$c") ++
+        cs.combinations(2).map { case Seq(a, b) =>
+          s"sum(${mi(a)} * ${mi(b)}) AS p_${a}_$b" }).mkString(",\n    ")
+      val rows = cs.combinations(2).map { case Seq(a, b) =>
+        s"""SELECT '$a' AS var_a, '$b' AS var_b,
+           |  round((CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+           |      - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+           |    / sqrt((CAST(n AS DOUBLE) * CAST(q_$a AS DOUBLE)
+           |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+           |      * (CAST(n AS DOUBLE) * CAST(q_$b AS DOUBLE)
+           |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE))), 6)
+           |    AS corr
+           |FROM s""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH s AS (SELECT\n    $sums\n  FROM lineitem)\n$rows"
+    }) { (s, dir) =>
+      graft.pipeline.CorpusReport.corrMatrix(W.read(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 4)
+    },
+
     // Hash-sample quantile sketch: bottom-512 rows by (hash, id) carry
     // l_extendedprice; quantiles are positional selections over the
     // sample. Sketch AND extraction replay in the oracle — no sort of
