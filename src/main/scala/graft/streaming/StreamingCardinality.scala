@@ -43,6 +43,19 @@ object StreamingCardinality {
       CardSketch.kmvState(_, valueCol, k),
       CardSketch.kmvMerge(_, _, k), trigger)
 
+  /** Maintain a hash-sample quantile sketch over a stream: the
+    * streamed sample is bit-identical to the one-shot
+    * [[CardSketch.sampleSketch]] of everything seen (bottom-k by
+    * (hash, id) merges exactly), so
+    * [[CardSketch.sampleQuantiles]] over [[currentState]] is the
+    * continuously-maintained percentile monitor. */
+  def sampleRun(rows: DataFrame, stateDir: String, idCol: String,
+      valueCols: Seq[String], k: Int = 512,
+      trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    VersionedStateFold.run(rows, stateDir,
+      CardSketch.sampleSketch(_, idCol, valueCols, k),
+      CardSketch.sampleMerge(_, _, k), trigger)
+
   /** Current state frame (None before the first committed batch). */
   def currentState(spark: SparkSession,
       stateDir: String): Option[DataFrame] =

@@ -57,6 +57,28 @@ class StreamingCardinalitySpec extends TestBase {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est")
   }
 
+  test("streamed sample sketch equals the one-shot sketch; quantiles " +
+      "read off the maintained state") {
+    val stateDir = tmpDir("samp-stream").toString
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val q = StreamingCardinality.sampleRun(
+      input.toDF().toDF("id", "v"), stateDir, "id", Seq("v"), k = 128)
+    try {
+      Seq(1L to 4000L, 3000L to 9000L).foreach { b =>
+        input.addData(b.map(i => (i, (i % 977).toDouble)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = StreamingCardinality.currentState(spark, stateDir).get
+    val oneShot = CardSketch.sampleSketch(
+      (1L to 9000L).map(i => (i, (i % 977).toDouble)).toDF("id", "v"),
+      "id", Seq("v"), k = 128)
+    assert(rows(streamed) == rows(oneShot))
+    val med = CardSketch.sampleQuantiles(streamed, "v", Seq(0.5)).head._2
+    assert(math.abs(med - 488.0) < 120.0, s"median $med vs ~488")
+  }
+
   test("replaying a committed batch does not move the state") {
     val stateDir = tmpDir("hll-replay").toString
     val batch = (1L to 1000L).toDF("id")
