@@ -1551,4 +1551,155 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"),
         count(lit(1)).as("n_dups"))
   }
+
+  /** (degree frame `(v, deg)`, oriented edges `(src, dst, ddst)`,
+    * triangles `(x, y, z)` each exactly once) for the undirected pair
+    * graph — the shared core of [[triangleCounts]] / [[triangleStats]].
+    *
+    * Orientation is the scale move (Suri & Vassilvitskii 2011; Cohen
+    * 2009): store each edge once, pointed from the endpoint that is
+    * SMALLER under the total order π = (degree, id), enumerate wedges
+    * only at each edge's π-smaller endpoint, and close them against the
+    * oriented edge list. Out-degree under π-orientation is O(√m) for
+    * any graph, so the wedge count is Σ C(outdeg, 2) — bounded even
+    * when raw degrees are wildly skewed (a boilerplate hub that
+    * near-dups half the corpus contributes wedges only through its
+    * low-degree neighbors, never C(hub_deg, 2)). Every step is an
+    * equi-join or a grouped count: no windows, no cartesian, no
+    * driver-side state; the oriented frame persists once and feeds both
+    * sides of the closing join.
+    *
+    * `degCap` is the lever that keeps the enumeration bounded on
+    * BLOB-SHAPED inputs: a near-dup graph's quasi-cliques make the
+    * total triangle count itself cubic-ish in blob size (the sf0.1
+    * simhash graph holds 4.6k nodes, 1.57M edges and 462M triangles —
+    * orientation bounds the PER-WEDGE cost, but nothing makes half a
+    * billion triangles cheap to enumerate, here or at 100 TB). Capping
+    * drops every node whose FULL degree exceeds the cap before any
+    * wedge forms — exactly the boilerplate hubs and saturated mirror
+    * blobs whose clustering coefficient carries no information (they
+    * are known-dense by degree alone) — then recomputes degrees inside
+    * the surviving subgraph so cc stays a true local coefficient
+    * there. Deterministic (a pure degree threshold, no sampling),
+    * hence oracle-replayable; nodes left edgeless by hub removal drop
+    * out of the result with the hubs.
+    */
+  private def triangleFrames(pairs0: DataFrame, aCol: String,
+      bCol: String, degCap: Option[Int]): (DataFrame, DataFrame, DataFrame) = {
+    val raw = persistInternal("tri_edges_raw",
+      pairs0.filter(col(aCol) =!= col(bCol))
+        .select(least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .distinct())
+    val pairs = degCap match {
+      case None => raw
+      case Some(cap) =>
+        require(cap >= 1, s"degCap must be >= 1, got $cap")
+        val keep = raw.select(col("a").as("v"))
+          .unionAll(raw.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d0"))
+          .filter(col("d0") <= cap).select(col("v"))
+        // the kept-node list is ≤ node-count-sized — both semi-joins
+        // broadcast; edges never shuffle for the cap
+        persistInternal("tri_edges_capped",
+          raw.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
+    }
+    val deg = persistInternal("tri_deg",
+      pairs.select(col("a").as("v")).unionAll(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg")))
+    val withDeg = pairs
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // keep the destination's degree on the edge: the wedge filter below
+    // must compare the two far endpoints under the SAME π order the
+    // orientation used, and shipping the degree beats re-joining it
+    val oriented = persistInternal("tri_oriented", withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("src"),
+      when(fwd, col("b")).otherwise(col("a")).as("dst"),
+      when(fwd, col("db")).otherwise(col("da")).as("ddst")))
+    val o1 = oriented.select(col("src"), col("dst").as("y"),
+      col("ddst").as("dy"))
+    val o2 = oriented.select(col("src"), col("dst").as("z"),
+      col("ddst").as("dz"))
+    // wedge (y, z) at src with y <π z: the closing edge, if it exists,
+    // is stored exactly as y → z, so one equi-join finds each triangle
+    // exactly once (at its π-smallest corner)
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dy") < col("dz") ||
+        (col("dy") === col("dz") && col("y") < col("z")))
+      .select(col("src").as("x"), col("y"), col("z"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("y"), col("dst").as("z")),
+      Seq("y", "z"))
+      .select(col("x"), col("y"), col("z"))
+    (deg, oriented, tris)
+  }
+
+  /**
+   * Exact per-node triangle counts and local clustering coefficients
+   * over the near-dup pair graph. A document whose neighborhood is
+   * CLIQUE-LIKE (cc → 1) sits inside a mutually-near-duplicate blob —
+   * template spam, mirror farms; one whose near-dups are mutually
+   * unrelated (cc → 0) is a hub stitching unrelated content together —
+   * usually shared boilerplate rather than true duplication. The
+   * coefficient separates the two where raw degree cannot.
+   *
+   * Determinism: counts are exact integers; the coefficient is reported
+   * in floor micro-units `(2·10⁶·tri) div (deg·(deg−1))` — BIGINT
+   * arithmetic end to end, any partial-aggregation order, so the DuckDB
+   * replay hash-matches (`dedup_graph_triangles`).
+   *
+   * Output: `(doc_id, deg, tri, cc_micro)`, one row per node of the
+   * pair graph; `cc_micro` 0 for degree-1 nodes. `degCap` excludes
+   * over-degree hubs BEFORE any wedge forms (see [[triangleFrames]]) —
+   * pass it whenever the pair graph may contain saturated blobs.
+   */
+  def triangleCounts(pairs0: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", degCap: Option[Int] = None): DataFrame = {
+    val (deg, _, tris) = triangleFrames(pairs0, aCol, bCol, degCap)
+    // one read of the (possibly huge) triangle stream: explode the three
+    // corners in place instead of a 3-way union that would re-run the
+    // closing join per branch
+    val perNode = tris
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(perNode, Seq("v"), "left_outer")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("tri"))
+      .withColumn("cc_micro",
+        when(col("deg") >= 2,
+          expr("(2000000 * tri) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+  }
+
+  /**
+   * One-row global summary of the pair graph: node/edge/wedge/triangle
+   * counts and the standard global transitivity `3·T / wedges` (wedges
+   * = Σ C(deg, 2), undirected paths of length 2 — so the ratio lands in
+   * [0, 1]) in floor micro-units — the corpus-level "how blob-like is
+   * my duplication" number, and the cheap drift signal to watch per
+   * crawl batch (a transitivity jump means mirror farms; a collapse
+   * means boilerplate hubs). The wedge count folds off the degree frame
+   * (one grouped sum — the oriented Σ C(outdeg, 2) enumeration stays an
+   * internal bound of the triangle join, never materialized here).
+   */
+  def triangleStats(pairs0: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", degCap: Option[Int] = None): DataFrame = {
+    val (deg, _, tris) = triangleFrames(pairs0, aCol, bCol, degCap)
+    val nNodes = deg.select(count(lit(1)).as("n_nodes"),
+      sum(col("deg")).as("deg2"),
+      sum(expr("(deg * (deg - 1)) div 2")).as("w"))
+    val nTris = tris.select(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nTris)
+      .select(col("n_nodes"),
+        coalesce(expr("deg2 div 2"), lit(0L)).as("n_edges"),
+        coalesce(col("w"), lit(0L)).as("n_wedges"),
+        col("n_triangles"),
+        when(coalesce(col("w"), lit(0L)) > 0,
+          expr("(3000000 * n_triangles) div w"))
+          .otherwise(lit(0L)).as("transitivity_micro"))
+  }
 }

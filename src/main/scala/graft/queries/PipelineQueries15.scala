@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.pipeline.Dedup
+import graft.sim.{WarehouseSim => W}
+
+/**
+ * Round-13 (cont.) queries: triangle structure of the near-dup pair
+ * graph ([[Dedup.triangleCounts]] / [[Dedup.triangleStats]]).
+ *
+ * Both oracles ride the one certified simhash pairs CTE the whole CC
+ * family uses and replay the SAME degree-ordered orientation the
+ * distributed operator runs (π = (degree, id), wedges at the π-smaller
+ * corner, one closing equi-join) — integer counts and floor-div
+ * micro-unit ratios end to end, so the hash match certifies the
+ * orientation algebra, not just row counts.
+ */
+object PipelineQueries15 {
+
+  /** Boilerplate-hub exclusion threshold: nodes whose FULL degree
+    * exceeds this never enter the wedge enumeration (a near-dup blob's
+    * triangle count is cubic-ish in blob size — the sf0.1 simhash
+    * graph uncapped holds 462M triangles; capped it holds the
+    * informative periphery). Replayed identically by the oracle. */
+  private val triDegCap = 64
+
+  /** Shared CTE chain: normalized edges → degree cap (full-degree
+    * threshold, then subgraph) → degrees → π-oriented edges →
+    * wedge-closing triangles. The `fwd` predicate is the total order
+    * π = (deg, id) spelled as the operator spells it. */
+  private val triCtes: String = {
+    val fwd = "d1.deg < d2.deg OR (d1.deg = d2.deg AND e.a < e.b)"
+    PipelineQueries.simhashPairsCte + ",\n" +
+      s"""te0 AS (
+         |  SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+         |  FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2),
+         |keep AS (
+         |  SELECT v FROM (
+         |    SELECT v, count(*) AS d0
+         |    FROM (SELECT a AS v FROM te0 UNION ALL SELECT b FROM te0)
+         |    GROUP BY v)
+         |  WHERE d0 <= $triDegCap),
+         |te AS (
+         |  SELECT a, b FROM te0
+         |  WHERE a IN (SELECT v FROM keep)
+         |    AND b IN (SELECT v FROM keep)),
+         |tdeg AS (
+         |  SELECT v, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS v FROM te UNION ALL SELECT b FROM te)
+         |  GROUP BY v),
+         |o AS (
+         |  SELECT CASE WHEN $fwd THEN e.a ELSE e.b END AS src,
+         |    CASE WHEN $fwd THEN e.b ELSE e.a END AS dst,
+         |    CASE WHEN $fwd THEN d2.deg ELSE d1.deg END AS ddst
+         |  FROM te e JOIN tdeg d1 ON d1.v = e.a
+         |  JOIN tdeg d2 ON d2.v = e.b),
+         |wdg AS (
+         |  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+         |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+         |  WHERE o1.ddst < o2.ddst
+         |     OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)),
+         |tri AS (
+         |  SELECT w.x, w.y, w.z
+         |  FROM wdg w JOIN o ON o.src = w.y AND o.dst = w.z)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact per-node triangle counts + local clustering coefficient in
+    // floor micro-units over the certified simhash pair graph. cc → 1
+    // flags clique-like duplicate blobs (mirror farms), cc → 0 flags
+    // boilerplate hubs whose neighbors are mutually unrelated — the
+    // separation raw degree cannot make.
+    QueryDef("dedup_graph_triangles",
+      PipelineQueries.withC(triCtes + ",\n" +
+        """pt AS (
+          |  SELECT v, CAST(count(*) AS BIGINT) AS tri
+          |  FROM (SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+          |        UNION ALL SELECT z FROM tri)
+          |  GROUP BY v)""".stripMargin)(
+        """SELECT d.v AS doc_id, d.deg,
+          |  CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+          |  CASE WHEN d.deg >= 2
+          |    THEN (2000000 * CAST(coalesce(p.tri, 0) AS BIGINT))
+          |      // (d.deg * (d.deg - 1))
+          |    ELSE CAST(0 AS BIGINT) END AS cc_micro
+          |FROM tdeg d LEFT JOIN pt p ON p.v = d.v""".stripMargin)) {
+      (s, dir) =>
+        Dedup.triangleCounts(
+          Dedup.simhashPairs(W.read(s, dir, "documents"))
+            .select("doc_a", "doc_b"), degCap = Some(triDegCap))
+    },
+
+    // One-row global graph summary: nodes/edges/wedges/triangles and
+    // the standard global transitivity 3T / Σ C(deg, 2) in floor
+    // micro-units — the corpus-level "how blob-like is my duplication"
+    // drift signal.
+    QueryDef("dedup_graph_transitivity",
+      PipelineQueries.withC(triCtes)(
+        """SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          |  CASE WHEN n_wedges > 0
+          |    THEN (3000000 * n_triangles) // n_wedges
+          |    ELSE CAST(0 AS BIGINT) END AS transitivity_micro
+          |FROM (SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM tdeg) AS n_nodes,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM te) AS n_edges,
+          |  (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0)
+          |     AS BIGINT) FROM tdeg) AS n_wedges,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles)"""
+          .stripMargin)) { (s, dir) =>
+      Dedup.triangleStats(
+        Dedup.simhashPairs(W.read(s, dir, "documents"))
+          .select("doc_a", "doc_b"), degCap = Some(triDegCap))
+    },
+
+    // Composed entity resolution end to end: blocked Levenshtein
+    // pairs (the dedup_fuzzy_names definition, unchanged) → connected
+    // components → one canonical record per entity (shortest name,
+    // id tie-break; records with no fuzzy match are their own
+    // entity). The oracle replays the identical chain — integer
+    // Levenshtein pairs, recursive transitive closure, the same
+    // window — so the hash match certifies the COMPOSITION of the
+    // three certified parts, the linkage analogue of
+    // dedup_rank_keepers.
+    QueryDef("linkage_e2e",
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_name, p_type, substr(p_name, 1, 1) AS c1
+        |  FROM part),
+        |fp AS (
+        |  SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b
+        |  FROM p a JOIN p b
+        |    ON a.p_type = b.p_type AND a.c1 = b.c1
+        |    AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM fp
+        |  UNION ALL SELECT doc_b, doc_a FROM fp),
+        |reach(id, other) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src),
+        |clus AS (
+        |  SELECT id AS doc_id, least(id, min(other)) AS cluster_id
+        |  FROM reach GROUP BY id),
+        |mem AS (
+        |  SELECT pt.p_partkey AS doc_id,
+        |    CAST(coalesce(c.cluster_id, pt.p_partkey) AS BIGINT)
+        |      AS entity_id, pt.p_name
+        |  FROM p pt LEFT JOIN clus c ON c.doc_id = pt.p_partkey),
+        |k AS (
+        |  SELECT entity_id, doc_id, p_name,
+        |    count(*) OVER (PARTITION BY entity_id) AS n_members,
+        |    row_number() OVER (PARTITION BY entity_id
+        |      ORDER BY length(p_name), doc_id) AS rk
+        |  FROM mem)
+        |SELECT entity_id, doc_id AS canonical_id,
+        |  p_name AS canonical_name, CAST(n_members AS BIGINT) AS n_members
+        |FROM k WHERE rk = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val parts = W.read(s, dir, "part")
+      val pairs = Dedup.fuzzyPairs(parts, "p_partkey", "p_name",
+        Seq(col("p_type"), substring(col("p_name"), 1, 1)), maxDist = 3)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val clusters = Dedup.connectedComponents(pairs)
+      val mem = parts
+        .select(col("p_partkey").as("doc_id"), col("p_name"))
+        .join(clusters, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("entity_id"),
+          col("p_name"))
+      val wc = Window.partitionBy("entity_id")
+      val wr = Window.partitionBy("entity_id")
+        .orderBy(length(col("p_name")), col("doc_id"))
+      mem.withColumn("n_members", count(lit(1)).over(wc))
+        .withColumn("rk", row_number().over(wr))
+        .filter(col("rk") === 1)
+        .select(col("entity_id"), col("doc_id").as("canonical_id"),
+          col("p_name").as("canonical_name"), col("n_members"))
+    },
+
+    // Exponentially decayed per-type activity over the event stream
+    // (half-life one week on the period grid): the freshness signal a
+    // recency-weighted source mix reads. The staircase weight
+    // 10^6 // 2^(P-p) is exact BIGINT arithmetic in both engines, so
+    // the decayed mass itself hash-matches — not a float
+    // approximation of it.
+    QueryDef("report_decay_activity",
+      """WITH r AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS p
+        |  FROM events),
+        |h AS (SELECT max(p) AS horizon_p FROM r)
+        |SELECT event_type, horizon_p,
+        |  CAST(sum(1000000 // (CAST(1 AS BIGINT)
+        |    << least(horizon_p - p, 62))) AS BIGINT) AS decayed_micro,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM r, h GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.pipeline.Recency.decayedState(W.read(s, dir, "events"),
+        "ts", Seq("event_type"), halfLifeUs = 604800000000L)
+    })
+}
