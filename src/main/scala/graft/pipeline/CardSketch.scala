@@ -48,6 +48,56 @@ object CardSketch {
       .groupBy("bucket").agg(max(col("__r")).cast("int").as("m_rank"))
   }
 
+  /** Per-group register states: `(group…, bucket, m_rank)` — one
+    * [[hllState]] per key in a single grouped aggregate (map-side
+    * partials; duplicate values within a group are absorbed by the
+    * max, no distinct pass needed). The building block for
+    * partitioned-by-time sketch tables: materialize per-day states
+    * once, answer any window by merging states
+    * ([[hllSlidingMerge]]) — the 100-TB distinct-users pattern where
+    * re-scanning raw events per window is the anti-pattern. */
+  def hllStateByGroup(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    require(groupCols.nonEmpty, "hllStateByGroup needs group columns")
+    val window = 64 - p
+    val h = xxhash64(col(valueCol))
+    val bucket = shiftrightunsigned(h, window).cast("int")
+    val w = h.bitwiseAND(lit((1L << window) - 1L))
+    val rank = (1 to window).foldRight(lit(window + 1): Column) {
+      (r, rest) => when(w >= lit(1L << (window - r)), lit(r)).otherwise(rest)
+    }
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+
+        rank.as("__r"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__r")).cast("int").as("m_rank"))
+  }
+
+  /** Sliding-window union over per-index states ([[hllStateByGroup]]
+    * keyed by an integer window index, e.g. day number): for every
+    * index present in `states`, the merged register state of indices
+    * in `[idx − windowLen + 1, idx]`. Banded, not windowed: each state
+    * row explodes to the ≤ `windowLen` target indices it contributes
+    * to and a grouped max folds them — replication factor windowLen
+    * over STATE rows (≤ 2^p per index, never the corpus), one
+    * equi-semi-join against the present-index spine, no non-equi join,
+    * no per-index re-scan of raw data. Because merge is per-bucket
+    * max, the result for each index is bit-identical to a one-shot
+    * sketch of the window's raw union. */
+  def hllSlidingMerge(states: DataFrame, idxCol: String,
+      windowLen: Int): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+    val present = states.select(col(idxCol)).distinct()
+    states
+      .withColumn("__t", explode(expr(
+        s"sequence(CAST($idxCol AS BIGINT), " +
+          s"CAST($idxCol AS BIGINT) + ${windowLen - 1}L)")))
+      .join(present.select(col(idxCol).cast("long").as("__t")),
+        Seq("__t"), "left_semi")
+      .groupBy(col("__t").as(idxCol), col("bucket"))
+      .agg(max(col("m_rank")).cast("int").as("m_rank"))
+  }
+
   /** Union of two sketches = per-bucket max (missing bucket = 0): the
     * merged state of two corpus halves is bit-identical to the state
     * of the union — the property that makes HLL the incremental /

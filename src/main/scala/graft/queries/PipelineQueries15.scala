@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.Dedup
+import graft.pipeline.{CardSketch, Dedup}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -196,5 +196,47 @@ object PipelineQueries15 {
         |FROM r, h GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       graft.pipeline.Recency.decayedState(W.read(s, dir, "events"),
         "ts", Seq("event_type"), halfLifeUs = 604800000000L)
+    },
+
+    // Rolling 7-day distinct-user register states: per-day HLL states
+    // (p=6) materialized once, every day's trailing week answered by a
+    // banded state merge — never a re-scan of raw events per window.
+    // The oracle replays the xxhash64 chain, the comparison-cascade
+    // rank, the per-day max fold, AND the window merge, so the hash
+    // match certifies the sliding algebra end to end (estimates stay
+    // accuracy-tested per the HLL family contract).
+    QueryDef("card_hll_sliding", {
+      val win = 58 // 64 - p, p = 6
+      val twoW = BigInt(1) << win
+      val rankCase = (1 to win).map(r =>
+        s"WHEN w >= ${BigInt(1) << (win - r)} THEN $r")
+        .mkString("\n      ") + s"\n      ELSE ${win + 1}"
+      s"""WITH hin AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS d, user_id,
+         |    CAST(user_id AS HUGEINT) AS v1
+         |  FROM events),
+         |${XxhSql.longFoldChain("hh", "hin", Seq("d", "user_id"), 1)},
+         |hu AS (SELECT d, ${XxhSql.toUnsigned("band_hash")} AS h
+         |  FROM hhf),
+         |regs AS (SELECT d, CAST(h // $twoW AS INT) AS bucket,
+         |    h % $twoW AS w FROM hu),
+         |rk AS (SELECT d, bucket, CASE $rankCase END AS r FROM regs),
+         |st AS (SELECT d, bucket, CAST(max(r) AS INT) AS m_rank
+         |  FROM rk GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT d FROM st),
+         |contrib AS (
+         |  SELECT s.d + x AS td, s.bucket, s.m_rank
+         |  FROM st s, (SELECT unnest(generate_series(0, 6)) AS x))
+         |SELECT c.td AS d, c.bucket, CAST(max(c.m_rank) AS INT) AS m_rank
+         |FROM contrib c JOIN days dd ON dd.d = c.td
+         |GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = W.read(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000L").as("d"),
+          col("user_id"))
+      CardSketch.hllSlidingMerge(
+        CardSketch.hllStateByGroup(ev, "user_id", Seq("d"), p = 6),
+        "d", windowLen = 7)
     })
 }

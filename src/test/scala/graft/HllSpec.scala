@@ -68,4 +68,40 @@ class HllSpec extends TestBase {
         "m_rank", lit(1)), p = 17)
     }
   }
+
+  private def sorted(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("grouped states equal per-group one-shot states") {
+    val rows = (1L to 3000L).map(i => (i % 5, i)).toDF("g", "id")
+    val grouped = CardSketch.hllStateByGroup(rows, "id", Seq("g"), p = 6)
+    for (g <- 0L until 5L) {
+      val one = CardSketch.hllState(
+        rows.filter(col("g") === g).select("id"), "id", p = 6)
+      val got = grouped.filter(col("g") === g).select("bucket", "m_rank")
+      assert(sorted(got) == sorted(one), s"group $g diverged")
+    }
+  }
+
+  test("sliding merge equals one-shot sketches of each window's raw " +
+      "union, including across a day gap") {
+    // days 0,1,2,4 (3 missing): window 2 at day 4 covers only {3,4}∩present={4}
+    val rows = Seq.tabulate(4000) { i =>
+      (Seq(0L, 1L, 2L, 4L)(i % 4), (i * 37L) % 997L)
+    }.toDF("d", "id")
+    val slid = CardSketch.hllSlidingMerge(
+      CardSketch.hllStateByGroup(rows, "id", Seq("d"), p = 6), "d",
+      windowLen = 2)
+    assert(sorted(slid.select("d").distinct()) ==
+      Seq(Seq(0L), Seq(1L), Seq(2L), Seq(4L)),
+      "output indices = present indices only")
+    for ((d, win) <- Seq(0L -> Seq(0L), 1L -> Seq(0L, 1L),
+        2L -> Seq(1L, 2L), 4L -> Seq(4L))) {
+      val one = CardSketch.hllState(
+        rows.filter(col("d").isin(win: _*)).select("id"), "id", p = 6)
+      val got = slid.filter(col("d") === d).select("bucket", "m_rank")
+      assert(sorted(got) == sorted(one),
+        s"window ending at $d must be bit-identical to the one-shot")
+    }
+  }
 }
