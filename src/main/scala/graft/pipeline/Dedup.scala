@@ -1639,6 +1639,73 @@ object Dedup {
   }
 
   /**
+   * The k-core of the pair graph: the maximal subgraph in which every
+   * node keeps degree ≥ k, found by classic peeling — repeatedly drop
+   * nodes whose CURRENT degree is below k until nothing changes. The
+   * k-core is the "hard kernel" of a duplication graph: nodes that
+   * stay densely duplicated even after their weakly-attached
+   * neighborhood peels away (k=2 strips pendant chains, k=3+ isolates
+   * genuine mirror cores), and the standard precursor to blob triage
+   * when [[triangleCounts]]' degCap has excluded the saturated hubs.
+   *
+   * Scale shape: each round is one grouped degree count plus two
+   * broadcast semi-joins against the survivor list — every frame is
+   * edge-list-sized, no wedge enumeration, so NO degree cap is needed
+   * even on blob graphs. Rounds checkpoint through [[cutLineage]]
+   * (the [[connectedComponents]] discipline) and the loop FAILS LOUDLY
+   * if `maxIter` passes without a fixpoint — returning a half-peeled
+   * subgraph as "the core" would silently overstate density. Peeling
+   * is monotone (nodes only leave), so convergence is ≤ node-count
+   * rounds and in practice a handful; [[lastPeelRounds]] exposes the
+   * count for contracts that unroll a fixed number of rounds (the
+   * DuckDB oracle replay: extra rounds past the fixpoint are no-ops,
+   * so any unroll ≥ lastPeelRounds matches bit for bit).
+   *
+   * Output: `(doc_id, core_deg)` for every node of the k-core, with
+   * its degree inside the core (≥ k by construction); empty when no
+   * k-core exists.
+   */
+  def kCore(pairs0: DataFrame, k: Int, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = persistInternal("kcore_edges_0",
+      pairs0.filter(col(aCol) =!= col(bCol))
+        .select(least(col(aCol), col(bCol)).as("a"),
+          greatest(col(aCol), col(bCol)).as("b"))
+        .distinct())
+    var nEdges = edges.count()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val keep = edges.select(col("a").as("v"))
+        .unionAll(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("v"))
+      val next = persistInternal(s"kcore_edges_${iter + 1}",
+        cutLineage(edges
+          .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")))
+      val n = next.count()
+      converged = n == nEdges
+      nEdges = n
+      edges = next
+      iter += 1
+    }
+    lastPeelRounds = iter
+    if (!converged) throw new IllegalStateException(
+      s"kCore did not converge in $maxIter rounds — raise maxIter " +
+        "(peeling removes at least one node per non-converged round, " +
+        "so this graph's peel depth exceeds the budget)")
+    edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+      .select(col("v").as("doc_id"), col("core_deg"))
+  }
+
+  /** Peel rounds of the last [[kCore]] call (including the final
+    * no-change confirmation round), for unrolled-oracle contracts. */
+  @volatile private[graft] var lastPeelRounds: Int = 0
+
+  /**
    * Exact per-node triangle counts and local clustering coefficients
    * over the near-dup pair graph. A document whose neighborhood is
    * CLIQUE-LIKE (cc → 1) sits inside a mutually-near-duplicate blob —

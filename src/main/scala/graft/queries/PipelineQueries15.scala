@@ -112,6 +112,49 @@ object PipelineQueries15 {
           .select("doc_a", "doc_b"), degCap = Some(triDegCap))
     },
 
+    // The k-core kernel of the pair graph (k=4): peeling unrolled to
+    // a fixed 12 rounds in the oracle — peeling is monotone, so once
+    // the fixpoint lands every further round is a no-op and any
+    // unroll >= the actual peel depth matches the distributed
+    // fixpoint loop bit for bit (KCoreSpec pins the loud refusal when
+    // the Spark side's own budget is exceeded).
+    QueryDef("dedup_graph_kcore", {
+      val k = 4
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each round references its predecessor four times — an inlined
+      // unroll re-expands 4^12 ways and exhausts file handles
+      def round(i: Int): String =
+        s"""kk$i AS MATERIALIZED (
+           |  SELECT v FROM (
+           |    SELECT v, count(*) AS c
+           |    FROM (SELECT a AS v FROM ke${i - 1}
+           |          UNION ALL SELECT b FROM ke${i - 1})
+           |    GROUP BY v)
+           |  WHERE c >= $k),
+           |ke$i AS MATERIALIZED (
+           |  SELECT a, b FROM ke${i - 1}
+           |  WHERE a IN (SELECT v FROM kk$i)
+           |    AND b IN (SELECT v FROM kk$i))""".stripMargin
+      PipelineQueries.withC(PipelineQueries.simhashPairsCte + ",\n" +
+        """ke0 AS MATERIALIZED (
+          |  SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          |  FROM pairs WHERE doc_a <> doc_b GROUP BY 1, 2),
+          |""".stripMargin +
+        (1 to 12).map(round).mkString(",\n"))(
+        """SELECT v AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+          |FROM (SELECT a AS v FROM ke12 UNION ALL SELECT b FROM ke12)
+          |GROUP BY v""".stripMargin)
+    }) { (s, dir) =>
+      val out = Dedup.kCore(
+        Dedup.simhashPairs(W.read(s, dir, "documents"))
+          .select("doc_a", "doc_b"), k = 4)
+      // the oracle unrolls 12 rounds; refuse loudly if the live graph
+      // ever needs more (then raise both sides together)
+      require(Dedup.lastPeelRounds <= 12,
+        s"kCore took ${Dedup.lastPeelRounds} rounds — oracle unrolls 12")
+      out
+    },
+
     // Composed entity resolution end to end: blocked Levenshtein
     // pairs (the dedup_fuzzy_names definition, unchanged) → connected
     // components → one canonical record per entity (shortest name,
