@@ -254,6 +254,74 @@ object CardSketch {
   def sampleMerge(a: DataFrame, b: DataFrame, k: Int = 512): DataFrame =
     a.unionByName(b).distinct().orderBy(col("h"), col("id")).limit(k)
 
+  /** Per-group bottom-k hash samples ([[sampleSketch]] keyed by
+    * `groupCols`): one rank window per group instead of a global
+    * top-k. Group partitions are corpus-sized before the rank — size
+    * the group key (days, sources) so hot groups stay executor-sized,
+    * the usual windowed-operator contract. */
+  def sampleSketchByGroup(df: DataFrame, idCol: String,
+      valueCols: Seq[String], groupCols: Seq[String],
+      k: Int = 512): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k must be in [16, 65536], got $k")
+    require(groupCols.nonEmpty, "sampleSketchByGroup needs group columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("h"), col("id"))
+    df.select(groupCols.map(col) ++ (xxhash64(col(idCol)).as("h") +:
+        col(idCol).as("id") +: valueCols.map(col)): _*)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Sliding-window bottom-k over per-index samples: for every index
+    * present, the bottom-k (by (h, id)) of the union of the trailing
+    * `windowLen` indices' samples. Banded like [[hllSlidingMerge]]
+    * (explode STATE rows to their target windows + one rank window
+    * per target index — raw rows are never re-scanned), and exact by
+    * the same subset argument: any row in a window's true global
+    * bottom-k is in its own index's bottom-k, so selecting from the
+    * merged states equals a one-shot sketch of the window's raw rows
+    * (ids must be globally unique — the family's id contract). */
+  def sampleSlidingMerge(states: DataFrame, idxCol: String,
+      windowLen: Int, k: Int = 512): DataFrame = {
+    require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+    val present = states.select(col(idxCol)).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__t").orderBy(col("h"), col("id"))
+    states
+      .withColumn("__t", explode(expr(
+        s"sequence(CAST($idxCol AS BIGINT), " +
+          s"CAST($idxCol AS BIGINT) + ${windowLen - 1}L)")))
+      .join(present.select(col(idxCol).cast("long").as("__t")),
+        Seq("__t"), "left_semi")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk").drop(idxCol)
+      .withColumnRenamed("__t", idxCol)
+  }
+
+  /** Distributed nearest-rank quantiles per window index over a
+    * ([[sampleSlidingMerge]]-shaped) state frame: for each index and
+    * each requested permille point, the sample element at position
+    * `(p_milli · (n−1)) div 1000` ordered by (value, id) — all-integer
+    * positional selection, no interpolation, so the extraction itself
+    * is oracle-replayable. Output: `(idx, p_milli, value)` long
+    * format, one row per (index, point). */
+  def sampleWindowQuantiles(states: DataFrame, idxCol: String,
+      valueCol: String, psMilli: Seq[Int]): DataFrame = {
+    require(psMilli.nonEmpty && psMilli.forall(p => p >= 0 && p <= 1000),
+      s"permille points must be in [0,1000], got $psMilli")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(idxCol)
+    val wRank = wAll.orderBy(col(valueCol), col("id"))
+    states
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("p_milli",
+        explode(array(psMilli.map(p => lit(p.toLong)): _*)))
+      .filter(col("__rk") === expr("(p_milli * (__n - 1)) div 1000") + 1)
+      .select(col(idxCol), col("p_milli"), col(valueCol))
+  }
+
   /** Nearest-rank quantiles of a sketch's value column: the element at
     * position floor(p·(n−1)) of the sample ordered by (value, id) —
     * pure positional selection, deterministic, oracle-replayable.

@@ -281,5 +281,57 @@ object PipelineQueries15 {
       CardSketch.hllSlidingMerge(
         CardSketch.hllStateByGroup(ev, "user_id", Seq("d"), p = 6),
         "d", windowLen = 7)
+    },
+
+    // Rolling 7-day value percentiles (p50/p90/p99) from per-day
+    // bottom-256 hash samples: the sliding percentile monitor — raw
+    // events scanned once, every trailing window answered from
+    // state-row folds, the positional extraction itself integer
+    // arithmetic. The oracle replays sketch, window fold, AND
+    // extraction.
+    QueryDef("card_sample_sliding",
+      s"""WITH hin AS (
+         |  SELECT epoch_us(ts) // 86400000000 AS d, event_id, value,
+         |    CAST(event_id AS HUGEINT) AS v1
+         |  FROM events),
+         |${XxhSql.longFoldChain("sq", "hin",
+            Seq("d", "event_id", "value"), 1)},
+         |st AS MATERIALIZED (
+         |  SELECT d, band_hash AS h, event_id AS id, value FROM (
+         |    SELECT d, band_hash, event_id, value,
+         |      row_number() OVER (PARTITION BY d
+         |        ORDER BY band_hash, event_id) AS rk
+         |    FROM sqf) WHERE rk <= 256),
+         |days AS (SELECT DISTINCT d FROM st),
+         |con AS MATERIALIZED (
+         |  SELECT s.d + x AS td, s.h, s.id, s.value
+         |  FROM st s, (SELECT unnest(generate_series(0, 6)) AS x)),
+         |sel AS MATERIALIZED (
+         |  SELECT td, h, id, value FROM (
+         |    SELECT c.td, c.h, c.id, c.value,
+         |      row_number() OVER (PARTITION BY c.td
+         |        ORDER BY c.h, c.id) AS rk
+         |    FROM con c JOIN days dd ON dd.d = c.td)
+         |  WHERE rk <= 256),
+         |q AS (
+         |  SELECT td, value,
+         |    row_number() OVER (PARTITION BY td
+         |      ORDER BY value, id) AS rk,
+         |    count(*) OVER (PARTITION BY td) AS n
+         |  FROM sel)
+         |SELECT td AS d, CAST(p_milli AS BIGINT) AS p_milli, value
+         |FROM q, (SELECT unnest([500, 900, 990]) AS p_milli)
+         |WHERE rk = (p_milli * (n - 1)) // 1000 + 1""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.functions._
+        val ev = W.read(s, dir, "events")
+          .select(expr("unix_micros(ts) div 86400000000L").as("d"),
+            col("event_id"), col("value"))
+        CardSketch.sampleWindowQuantiles(
+          CardSketch.sampleSlidingMerge(
+            CardSketch.sampleSketchByGroup(ev, "event_id", Seq("value"),
+              Seq("d"), k = 256),
+            "d", windowLen = 7, k = 256),
+          "d", "value", Seq(500, 900, 990))
     })
 }

@@ -105,4 +105,51 @@ class KmvSpec extends TestBase {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(once == twice)
   }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+
+  test("grouped samples equal per-group one-shot samples; sliding " +
+      "merge equals a one-shot sketch of each window's raw rows") {
+    // days 0,1,2,4 (3 absent); globally unique ids
+    val rows = (1L to 6000L)
+      .map(i => (Seq(0L, 1L, 2L, 4L)(((i % 4)).toInt), i,
+        ((i * 131) % 997).toDouble))
+      .toDF("d", "id", "v")
+    val byDay = CardSketch.sampleSketchByGroup(rows, "id", Seq("v"),
+      Seq("d"), k = 64)
+    for (d <- Seq(0L, 1L, 2L, 4L)) {
+      val one = CardSketch.sampleSketch(
+        rows.filter(col("d") === d).select("id", "v"), "id", Seq("v"),
+        k = 64)
+      assert(sortedRows(byDay.filter(col("d") === d)
+          .select("h", "id", "v")) == sortedRows(one),
+        s"day $d grouped sample diverged")
+    }
+    val slid = CardSketch.sampleSlidingMerge(byDay, "d",
+      windowLen = 2, k = 64)
+    for ((d, win) <- Seq(0L -> Seq(0L), 1L -> Seq(0L, 1L),
+        2L -> Seq(1L, 2L), 4L -> Seq(4L))) {
+      val one = CardSketch.sampleSketch(
+        rows.filter(col("d").isin(win: _*)).select("id", "v"),
+        "id", Seq("v"), k = 64)
+      assert(sortedRows(slid.filter(col("d") === d)
+          .select("h", "id", "v")) == sortedRows(one),
+        s"window ending at $d must equal the one-shot window sketch")
+    }
+    // positional extraction: per-index nearest-rank points
+    val qs = CardSketch.sampleWindowQuantiles(slid, "d", "v",
+      Seq(0, 500, 1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    for (d <- Seq(0L, 1L, 2L, 4L)) {
+      val vs = slid.filter(col("d") === d)
+        .select(col("v"), col("id")).collect()
+        .map(r => (r.getDouble(0), r.getLong(1))).sorted.map(_._1)
+      assert(qs((d, 0L)) == vs.head, s"p0 at $d")
+      assert(qs((d, 500L)) == vs((500 * (vs.length - 1)) / 1000),
+        s"p50 at $d")
+      assert(qs((d, 1000L)) == vs.last, s"p100 at $d")
+    }
+  }
 }
