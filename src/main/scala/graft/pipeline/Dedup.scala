@@ -921,6 +921,79 @@ object Dedup {
   }
 
   /**
+   * EXACT global all-pairs Jaccard join by prefix filtering (the
+   * Vernica/Carey/Li VLDB'10 distributed set-similarity join): every
+   * pair of documents with token-set Jaccard ≥ τ, with NO blocking
+   * column and NO false negatives — the exact counterpart to the
+   * probabilistic MinHash/LSH families (which trade recall for speed)
+   * and to [[ngramJaccardPairs]] (exact only within its blocking key).
+   *
+   * The filter: order all tokens by GLOBAL frequency (rare first, token
+   * asc tie-break — deterministic), and for each document keep only its
+   * first `len − ⌈τ·len⌉ + 1` tokens as its PREFIX. Two sets with
+   * J ≥ τ must share a prefix token (if all shared tokens sat past
+   * both prefixes, the overlap could not reach the τ bound), so an
+   * equi-join on prefix tokens generates a candidate superset; a
+   * length filter (`τ·max(len) ≤ min(len)`, integer milli arithmetic)
+   * prunes further, and the exact sorted-merge intersection verifies.
+   * Rare-first ordering is what makes the join key selective: the
+   * prefix holds each document's rarest tokens, so the candidate join
+   * never pivots on stopwords.
+   *
+   * Scale shape: one token explode + one grouped frequency count + one
+   * per-document rank window + one equi-join on (rare) prefix tokens +
+   * a candidate-bounded verify — no quadratic block, no cartesian.
+   * τ is `tauMilli`/1000 with all pruning in exact integer milli math;
+   * only the REPORTED jaccard is a rounded double (the family's
+   * convention). Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+   */
+  def setSimilarityJoin(docs: DataFrame, tauMilli: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"tauMilli must be in [1,1000], got $tauMilli")
+    val toks = persistInternal("ssj_toks",
+      docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("tok")))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val wPos = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tf"), col("tok"))
+    val wLen = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    val prefix = toks.join(freq, "tok")
+      .withColumn("pos", row_number().over(wPos))
+      .withColumn("len", count(lit(1)).over(wLen))
+      .filter(col("pos") <=
+        col("len") - expr(s"($tauMilli * len + 999) div 1000") + 1)
+      .select(col("doc_id"), col("tok"), col("len"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.len"), col("b.len")) * 1000 >=
+          lit(tauMilli) * greatest(col("a.len"), col("b.len")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
+          .as("toks"))
+      .withColumn("n", size(col("toks")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        graft.functions.SortedIntersectCount(docs.sparkSession,
+          col("ta"), col("tb")).as("inter"))
+      .filter(col("inter") * 1000 >=
+        lit(tauMilli) * (col("na") + col("nb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /**
    * SimHash over distinct tokens: bit b of md5(token)'s leading hex digits
    * votes ±1; sign of the per-bit sum forms the hash. The per-bit votes
    * are nBits parallel `sum` columns in ONE groupBy — not an
