@@ -54,6 +54,16 @@ object ScaleProbe {
     run("simhash_pairs")(Dedup.simhashPairs(_))
     run("ngram_jaccard_cap200")(
       Dedup.ngramJaccardPairs(_, "source", 0.8, blockCap = Some(200)))
+    // graph structure over the mined pair graph: the salted replicas
+    // ARE mutual near-dups (one-token edits stay within hamming 3), so
+    // the kx pair graph densifies by construction — degCap is exactly
+    // the lever that keeps the triangle leg bounded there, which is
+    // the property being probed
+    run("triangles_cap64")(d => Dedup.triangleCounts(
+      Dedup.simhashPairs(d).select("doc_a", "doc_b"),
+      degCap = Some(64)))
+    run("kcore4")(d => Dedup.kCore(
+      Dedup.simhashPairs(d).select("doc_a", "doc_b"), k = 4))
     run("pipe_end_to_end")(d => graft.pipeline.TrainingPipeline.buildCorpus(
       d.withColumn("lang", lit("en")),
       graft.pipeline.TrainingPipeline.Config()))

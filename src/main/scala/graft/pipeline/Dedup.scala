@@ -1741,27 +1741,35 @@ object Dedup {
   def kCore(pairs0: DataFrame, k: Int, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var edges = persistInternal("kcore_edges_0",
+    // Loop state is the SURVIVOR NODE SET, never a per-round edge
+    // frame: the edge list caches once (columnar), each round re-derives
+    // surviving degrees from it with two semi-joins against the
+    // node-sized survivor frame and peels on the degree. Materializing
+    // per-round edge frames instead (checkpoint or cache) was measured
+    // to thrash memory on a 10×-densified graph — edge frames are the
+    // big thing here, and this loop never writes one.
+    val edges0 = persistInternal("kcore_edges",
       pairs0.filter(col(aCol) =!= col(bCol))
         .select(least(col(aCol), col(bCol)).as("a"),
           greatest(col(aCol), col(bCol)).as("b"))
         .distinct())
-    var nEdges = edges.count()
+    def survivorDegrees(keep: DataFrame): DataFrame = edges0
+      .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+      .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    var keep = cutLineage(edges0.select(col("a").as("v"))
+      .unionAll(edges0.select(col("b").as("v"))).distinct())
+    var nKeep = keep.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val keep = edges.select(col("a").as("v"))
-        .unionAll(edges.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("v"))
-      val next = persistInternal(s"kcore_edges_${iter + 1}",
-        cutLineage(edges
-          .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")))
+      val next = cutLineage(survivorDegrees(keep)
+        .filter(col("deg") >= k).select(col("v")))
       val n = next.count()
-      converged = n == nEdges
-      nEdges = n
-      edges = next
+      converged = n == nKeep
+      nKeep = n
+      keep = next
       iter += 1
     }
     lastPeelRounds = iter
@@ -1769,9 +1777,8 @@ object Dedup {
       s"kCore did not converge in $maxIter rounds — raise maxIter " +
         "(peeling removes at least one node per non-converged round, " +
         "so this graph's peel depth exceeds the budget)")
-    edges.select(col("a").as("v")).unionAll(edges.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("core_deg"))
-      .select(col("v").as("doc_id"), col("core_deg"))
+    survivorDegrees(keep)
+      .select(col("v").as("doc_id"), col("deg").as("core_deg"))
   }
 
   /** Peel rounds of the last [[kCore]] call (including the final
