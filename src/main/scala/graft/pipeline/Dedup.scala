@@ -951,6 +951,53 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(tauMilli >= 1 && tauMilli <= 1000,
       s"tauMilli must be in [1,1000], got $tauMilli")
+    val prefix = ssjPrefix(docs, tauMilli, idCol, textCol)
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.len"), col("b.len")) * 1000 >=
+          lit(tauMilli) * greatest(col("a.len"), col("b.len")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    ssjVerify(cand, docs, tauMilli, idCol, textCol)
+  }
+
+  /**
+   * Incremental [[setSimilarityJoin]]: exact Jaccard ≥ τ pairs that
+   * TOUCH the increment — the continuous-dedup shape
+   * ([[minhashLshPairsIncremental]]'s contract) with the exact join's
+   * no-false-negative guarantee: old×old pairs are never probed (the
+   * candidate join's left side is increment prefixes only), so the
+   * per-batch cost is O(|new| · prefix fan-out), not corpus².
+   *
+   * Token frequencies — the prefix ORDER — come from the full frame
+   * (one linear grouped count, the cheap part; at steady state
+   * maintain it incrementally as a running (token, tf) table). The
+   * order only affects WHICH tokens form prefixes, never correctness:
+   * any consistent order preserves the prefix guarantee.
+   */
+  def setSimilarityJoinIncremental(docs: DataFrame,
+      isNew: Column => Column, tauMilli: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(tauMilli >= 1 && tauMilli <= 1000,
+      s"tauMilli must be in [1,1000], got $tauMilli")
+    val prefix = ssjPrefix(docs, tauMilli, idCol, textCol)
+    val pNew = prefix.filter(isNew(col("doc_id")))
+    val cand = pNew.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        least(col("a.len"), col("b.len")) * 1000 >=
+          lit(tauMilli) * greatest(col("a.len"), col("b.len")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    ssjVerify(cand, docs, tauMilli, idCol, textCol)
+  }
+
+  /** Rare-first prefix frame (doc_id, tok, len) — the shared candidate
+    * generator of the exact set-join family. */
+  private def ssjPrefix(docs: DataFrame, tauMilli: Int,
+      idCol: String, textCol: String): DataFrame = {
     val toks = persistInternal("ssj_toks",
       docs.select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol))))
@@ -960,19 +1007,19 @@ object Dedup {
       .partitionBy("doc_id").orderBy(col("tf"), col("tok"))
     val wLen = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
-    val prefix = toks.join(freq, "tok")
+    persistInternal("ssj_prefix", toks.join(freq, "tok")
       .withColumn("pos", row_number().over(wPos))
       .withColumn("len", count(lit(1)).over(wLen))
       .filter(col("pos") <=
         col("len") - expr(s"($tauMilli * len + 999) div 1000") + 1)
-      .select(col("doc_id"), col("tok"), col("len"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        least(col("a.len"), col("b.len")) * 1000 >=
-          lit(tauMilli) * greatest(col("a.len"), col("b.len")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .select(col("doc_id"), col("tok"), col("len")))
+  }
+
+  /** Exact sorted-merge verification of candidate pairs against the
+    * integer-milli threshold — the shared tail of the exact set-join
+    * family. */
+  private def ssjVerify(cand: DataFrame, docs: DataFrame, tauMilli: Int,
+      idCol: String, textCol: String): DataFrame = {
     val sets = docs.select(col(idCol).as("doc_id"),
         sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
           .as("toks"))

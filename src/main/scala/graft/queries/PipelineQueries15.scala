@@ -185,6 +185,76 @@ object PipelineQueries15 {
       Dedup.setSimilarityJoin(canon, tauMilli = 700)
     },
 
+    // Incremental exact set join: pairs touching the increment
+    // (doc_id % 10 < 2 of the canonicalized corpus — exact-equal sets
+    // collapse first, the run-exact-dedup-before-near-dedup pipeline
+    // order), old×old never probed, no false negatives. Same replay
+    // as dedup_setjoin_exact with the candidate join pinned to the
+    // new side.
+    QueryDef("dedup_setjoin_incremental",
+      PipelineQueries.withC(
+        """tok_all AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+          |    '\s+') AS toks
+          |  FROM documents),
+          |tok_docs AS (
+          |  SELECT doc_id, toks FROM (
+          |    SELECT doc_id, toks, row_number() OVER (
+          |      PARTITION BY md5(array_to_string(
+          |        list_sort(list_distinct(toks)), ' '))
+          |      ORDER BY doc_id) AS crk
+          |    FROM tok_all)
+          |  WHERE crk = 1),
+          |t AS (
+          |  SELECT doc_id, unnest(list_distinct(toks)) AS tok
+          |  FROM tok_docs),
+          |f AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+          |r AS (
+          |  SELECT doc_id, tok,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY tf, tok) AS pos,
+          |    count(*) OVER (PARTITION BY doc_id) AS len
+          |  FROM t JOIN f USING (tok)),
+          |p AS MATERIALIZED (
+          |  SELECT doc_id, tok, len FROM r
+          |  WHERE pos <= len - (700 * len + 999) // 1000 + 1),
+          |cand AS MATERIALIZED (
+          |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+          |    greatest(a.doc_id, b.doc_id) AS doc_b
+          |  FROM (SELECT * FROM p WHERE doc_id % 10 < 2) a
+          |  JOIN p b ON a.tok = b.tok
+          |    AND a.doc_id <> b.doc_id
+          |    AND least(a.len, b.len) * 1000
+          |        >= 700 * greatest(a.len, b.len)),
+          |v AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    len(list_intersect(list_distinct(ta.toks),
+          |      list_distinct(tb.toks))) AS inter,
+          |    len(list_distinct(ta.toks)) AS na,
+          |    len(list_distinct(tb.toks)) AS nb
+          |  FROM cand c
+          |  JOIN tok_docs ta ON ta.doc_id = c.doc_a
+          |  JOIN tok_docs tb ON tb.doc_id = c.doc_b)""".stripMargin)(
+        """SELECT doc_a, doc_b,
+          |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+          |    AS jaccard
+          |FROM v WHERE inter * 1000 >= 700 * (na + nb - inter)"""
+          .stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val canon = W.read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          md5(concat_ws(" ", sort_array(array_distinct(
+            graft.pipeline.TextAnalysis.tokens(col("text"))))))
+            .as("__fp"))
+        .withColumn("__crk", row_number().over(
+          Window.partitionBy("__fp").orderBy("doc_id")))
+        .filter(col("__crk") === 1)
+        .select("doc_id", "text")
+      Dedup.setSimilarityJoinIncremental(canon, id => id % 10 < 2,
+        tauMilli = 700)
+    },
+
     // The k-core kernel of the pair graph (k=4): peeling unrolled to
     // a fixed 12 rounds in the oracle — peeling is monotone, so once
     // the fixpoint lands every further round is a no-op and any

@@ -64,6 +64,28 @@ class SetJoinSpec extends TestBase {
     }
   }
 
+  test("incremental join = exactly the full join's pairs touching " +
+      "the increment (no false negatives, no old-old pairs)") {
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (1L to 40L).map { d =>
+      val n = 6 + (d % 5).toInt
+      d -> (0 until n)
+        .map(j => vocab(((d * 7 + j * 11) % 30).toInt)).distinct
+        .mkString(" ")
+    }
+    val isNew = (id: Long) => id % 10 < 2
+    val full = join(docs, 500)
+    val want = full.filter { case ((a, b), _) => isNew(a) || isNew(b) }
+    val got = Dedup.setSimilarityJoinIncremental(
+        docs.toDF("doc_id", "text"), id => id % 10 < 2, 500)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    assert(want.nonEmpty, "fixture must produce increment pairs")
+    assert(got.size < full.size, "old-old pairs must be absent")
+  }
+
   test("no cartesian product in the plan") {
     val docs = Seq(1L -> "a b c", 2L -> "a b d").toDF("doc_id", "text")
     val plan = Dedup.setSimilarityJoin(docs, 700)
