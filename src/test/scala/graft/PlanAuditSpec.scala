@@ -47,6 +47,13 @@ class PlanAuditSpec extends TestBase {
       "report_quality_volume", "report_dedup_curve",
       // 1-row × 1-row aggregate crossJoin (the pack_zorder bounds shape)
       "report_funnel_rates",
+      // graph-total aggregates: 1-row (nodes/edges/wedges) × 1-row
+      // (triangles) crossJoin — the report_funnel_rates shape
+      "dedup_graph_transitivity",
+      // the decay horizon: keyed rows crossJoin the broadcast 1-row
+      // max-period frame (the pack_zorder bounds shape) — constant
+      // cost at any size
+      "report_decay_activity",
       // per-nprobe hit counts crossJoin the broadcast 1-row reference
       // count (the report_funnel_rates shape) — both sides bounded
       "sim_nprobe_curve",
