@@ -289,6 +289,51 @@ object Multimodal {
       .withColumnRenamed("simhash", "phash")
   }
 
+  /**
+   * Fixed-window audio chunking with integer energy gating: the
+   * payload is interpreted as 16-bit little-endian PCM (sample j =
+   * byte(2j) + 256·byte(2j+1); a trailing odd byte is ignored, sub-
+   * 2-byte payloads drop out), split into `windowSamples`-sample
+   * chunks, and each chunk reports exact integer acoustics —
+   * `sum_sq` (Σ s², the energy numerator), `peak`, and an
+   * `is_silence` flag from the floor-div mean square. Silence-gated
+   * chunking is the first stage of every speech-data pipeline
+   * (VAD-lite); with no audio codecs in this container the
+   * byte-level PCM view is the deterministic stand-in (the
+   * [[StubDecoder]] discipline) — a real decoder would replace the
+   * sample EXTRACTION lambda only, while the chunk shapes, the
+   * integer energy algebra, and the gating survive unchanged.
+   *
+   * Scale shape: samples materialize per document as one codegen'd
+   * `transform` array + `posexplode` (no per-sample string carry),
+   * then one grouped aggregate with map-side partials on
+   * (doc, chunk). All arithmetic is BIGINT — partitioning-invariant
+   * and oracle-replayable (`mm_audio_chunks`).
+   */
+  def audioChunks(media: DataFrame, windowSamples: Int = 256,
+      idCol: String = "doc_id",
+      bytesCol: String = "media_bytes"): DataFrame = {
+    require(windowSamples >= 4 && windowSamples <= 65536,
+      s"windowSamples must be in [4, 65536], got $windowSamples")
+    media
+      .select(col(idCol).as("doc_id"),
+        decode(col(bytesCol), "UTF-8").as("__s"))
+      .withColumn("__n", expr("length(__s) div 2"))
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0L, __n - 1),
+          |  j -> ascii(substring(__s, cast(2*j+1 as int), 1))
+          |     + 256 * ascii(substring(__s, cast(2*j+2 as int), 1)))"""
+          .stripMargin)).as(Seq("j", "s")))
+      .groupBy(col("doc_id"),
+        expr(s"cast(j as bigint) div $windowSamples").as("chunk_idx"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("cast(s as bigint) * cast(s as bigint)")).as("sum_sq"),
+        max(col("s")).as("peak"))
+      .withColumn("is_silence",
+        (expr("sum_sq div n_samples") < 250000000L).cast("int"))
+  }
+
   /** Near-dup media pairs: [[phash]] signatures through the same
     * pigeonhole-lossless 4×8-bit band join + hamming-≤3 verify as text
     * SimHash — shuffle volume O(n·bands), never a cross join. */

@@ -476,5 +476,33 @@ object PipelineQueries15 {
               Seq("d"), k = 256),
             "d", windowLen = 7, k = 256),
           "d", "value", Seq(500, 900, 990))
+    },
+
+    // Fixed-window audio chunking over the opaque media payload
+    // interpreted as 16-bit LE PCM: per-chunk exact integer energy
+    // (sum of squares), peak, and the floor-div silence gate — the
+    // VAD-lite first stage of a speech pipeline, all-BIGINT and
+    // replayed byte for byte by the oracle.
+    QueryDef("mm_audio_chunks",
+      """WITH au AS (
+        |  SELECT doc_id, text, length(text) // 2 AS n
+        |  FROM documents WHERE length(text) >= 2),
+        |smp AS (
+        |  SELECT doc_id, j // 256 AS chunk_idx,
+        |    ascii(substr(text, CAST(2*j+1 AS INT), 1))
+        |      + 256 * ascii(substr(text, CAST(2*j+2 AS INT), 1)) AS s
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(0, n - 1)) AS j
+        |        FROM au))
+        |SELECT doc_id, chunk_idx,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |  CAST(max(s) AS INT) AS peak,
+        |  CAST(CASE WHEN sum(CAST(s AS BIGINT) * s) // count(*)
+        |      < 250000000 THEN 1 ELSE 0 END AS INT) AS is_silence
+        |FROM smp GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      graft.pipeline.Multimodal.audioChunks(
+        graft.pipeline.Multimodal.withMediaColumn(
+          W.read(s, dir, "documents")))
     })
 }

@@ -82,4 +82,32 @@ class MultimodalSpec extends TestBase {
     assert(out.resized_hash == Multimodal.ImageIoDecoder.pixelMd5(
       Multimodal.ImageIoDecoder.resize(im, 224, 224)))
   }
+
+  test("audioChunks: hand-checked PCM windows, odd trailing byte " +
+      "ignored, silence gate fires on low-energy chunks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, encode}
+    // "AB" -> sample 65 + 66*256 = 16961; "  " -> 32 + 32*256 = 8224
+    val loud = "AB" * 6 + "Z" // 6 samples + 1 ignored trailing byte
+    val quiet = "  " * 4      // 4 samples, mean sq 8224^2 ~ 6.8e7
+    val df = Seq((1L, loud), (2L, quiet), (3L, "x"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("media_bytes"))
+    val got = Multimodal.audioChunks(df, windowSamples = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getInt(4), r.getInt(5))))
+      .toMap
+    val s1 = 65L + 66L * 256L
+    assert(got((1L, 0L)) == ((4L, 4L * s1 * s1, s1.toInt, 0)),
+      "first full window of the loud doc")
+    assert(got((1L, 1L)) == ((2L, 2L * s1 * s1, s1.toInt, 0)),
+      "tail window holds the remaining 2 samples; odd byte ignored")
+    val s2 = 32L + 32L * 256L
+    assert(got((2L, 0L)) == ((4L, 4L * s2 * s2, s2.toInt, 1)),
+      "all-space chunk is silence (mean sq ~6.8e7 < 2.5e8)")
+    assert(!got.keySet.exists(_._1 == 3L),
+      "sub-2-byte payloads have no samples and drop out")
+  }
 }
