@@ -85,8 +85,12 @@ object CardSketch {
     * max, the result for each index is bit-identical to a one-shot
     * sketch of the window's raw union. */
   def hllSlidingMerge(states: DataFrame, idxCol: String,
-      windowLen: Int): DataFrame = {
+      windowLen: Int, keyCols: Seq[String] = Nil): DataFrame = {
     require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
+    // the present-index spine is GLOBAL (an index is "present" when any
+    // key has a state there) so every key reports over the same window
+    // set — per-key spines would make cross-key comparison windows
+    // disagree about which trailing weeks exist
     val present = states.select(col(idxCol)).distinct()
     states
       .withColumn("__t", explode(expr(
@@ -94,7 +98,8 @@ object CardSketch {
           s"CAST($idxCol AS BIGINT) + ${windowLen - 1}L)")))
       .join(present.select(col(idxCol).cast("long").as("__t")),
         Seq("__t"), "left_semi")
-      .groupBy(col("__t").as(idxCol), col("bucket"))
+      .groupBy(keyCols.map(col) :+ col("__t").as(idxCol) :+
+        col("bucket"): _*)
       .agg(max(col("m_rank")).cast("int").as("m_rank"))
   }
 

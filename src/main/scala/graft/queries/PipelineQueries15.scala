@@ -478,6 +478,51 @@ object PipelineQueries15 {
           "d", "value", Seq(500, 900, 990))
     },
 
+    // Keyed sliding distinct: per-(event_type, day) HLL states, every
+    // type's trailing week answered by the same banded state fold —
+    // the per-segment DAU/WAU sketch table. The spine of present days
+    // is GLOBAL so every type reports over the same window set.
+    QueryDef("card_hll_sliding_by_type", {
+      val win = 58
+      val twoW = BigInt(1) << win
+      val rankCase = (1 to win).map(r =>
+        s"WHEN w >= ${BigInt(1) << (win - r)} THEN $r")
+        .mkString("\n      ") + s"\n      ELSE ${win + 1}"
+      s"""WITH hin AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS d, user_id,
+         |    CAST(user_id AS HUGEINT) AS v1
+         |  FROM events),
+         |${XxhSql.longFoldChain("ht", "hin",
+            Seq("event_type", "d", "user_id"), 1)},
+         |hu AS (SELECT event_type, d,
+         |    ${XxhSql.toUnsigned("band_hash")} AS h FROM htf),
+         |regs AS (SELECT event_type, d,
+         |    CAST(h // $twoW AS INT) AS bucket, h % $twoW AS w FROM hu),
+         |rk AS (SELECT event_type, d, bucket, CASE $rankCase END AS r
+         |  FROM regs),
+         |st AS (SELECT event_type, d, bucket,
+         |    CAST(max(r) AS INT) AS m_rank
+         |  FROM rk GROUP BY 1, 2, 3),
+         |days AS (SELECT DISTINCT d FROM st),
+         |contrib AS (
+         |  SELECT s.event_type, s.d + x AS td, s.bucket, s.m_rank
+         |  FROM st s, (SELECT unnest(generate_series(0, 6)) AS x))
+         |SELECT c.event_type, c.td AS d, c.bucket,
+         |  CAST(max(c.m_rank) AS INT) AS m_rank
+         |FROM contrib c JOIN days dd ON dd.d = c.td
+         |GROUP BY 1, 2, 3""".stripMargin
+    }) { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = W.read(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000L").as("d"),
+          col("user_id"))
+      CardSketch.hllSlidingMerge(
+        CardSketch.hllStateByGroup(ev, "user_id",
+          Seq("event_type", "d"), p = 6),
+        "d", windowLen = 7, keyCols = Seq("event_type"))
+    },
+
     // Fixed-window audio chunking over the opaque media payload
     // interpreted as 16-bit LE PCM: per-chunk exact integer energy
     // (sum of squares), peak, and the floor-div silence gate — the

@@ -104,4 +104,28 @@ class HllSpec extends TestBase {
         s"window ending at $d must be bit-identical to the one-shot")
     }
   }
+
+  test("keyed sliding merge: each key's window equals its own one-shot " +
+      "sketch over the GLOBAL present-day spine") {
+    val rows = Seq.tabulate(3000) { i =>
+      (if (i % 3 == 0) "a" else "b", Seq(0L, 1L, 3L)(i % 3),
+        (i * 13L) % 701L)
+    }.toDF("g", "d", "id")
+    val slid = CardSketch.hllSlidingMerge(
+      CardSketch.hllStateByGroup(rows, "id", Seq("g", "d"), p = 6),
+      "d", windowLen = 2, keyCols = Seq("g"))
+    // key "a" has states only at d=0; key "b" at d=1 and d=3 — but the
+    // spine is global {0,1,3}
+    for ((g, d, win) <- Seq(("a", 0L, Seq(0L)), ("a", 1L, Seq(0L, 1L)),
+        ("b", 1L, Seq(0L, 1L)), ("b", 3L, Seq(3L)))) {
+      val one = CardSketch.hllState(
+        rows.filter(col("g") === g && col("d").isin(win: _*))
+          .select("id"), "id", p = 6)
+      val got = slid.filter(col("g") === g && col("d") === d)
+        .select("bucket", "m_rank")
+      assert(sorted(got) == sorted(one), s"($g, $d) diverged")
+    }
+    // a key with no state in a window simply has no rows there
+    assert(slid.filter(col("g") === "b" && col("d") === 0L).count() == 0)
+  }
 }
