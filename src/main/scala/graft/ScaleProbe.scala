@@ -579,6 +579,37 @@ object ScaleProbe {
           .when(col("doc_id") % 4 === 2, "purchase")
           .otherwise("error").as("event_type")),
       Seq("view", "click", "purchase"), withinSeconds = 86400L))
+    // round-14: the persisted set-join index's per-batch contract — the
+    // SAME fixed increment admitted against a 1× and a k× standing
+    // corpus (builds untimed). Admission never re-tokenizes or
+    // re-windows old text: per-batch work is the increment plus the
+    // vocab-sized freq fold plus the bucket-pruned prefix/docs store
+    // scans, so the ratio should sit far below k (the frame-based
+    // incremental join re-derives the full-corpus order and prefixes
+    // per batch — ITS ratio is the corpus growth itself).
+    if (only.forall("ssj_admit".contains(_))) {
+      val inc = docs1.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          concat(col("text"), lit(" probeinc")).as("text"))
+      def freshSsj(c: DataFrame, tag: String): String = {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-ssjadmit-$tag").getPath
+        graft.pipeline.SsjIndex.build(c.select("doc_id", "text"), dir,
+          tauMilli = 700)
+        dir
+      }
+      def admit(dir: String): Long =
+        graft.pipeline.SsjIndex.admit(inc, dir, batchId = Some(1L),
+          allowReplay = true).count()
+      val (dir1, dirK) = (freshSsj(docs1, "1x"), freshSsj(docsK, "kx"))
+      spark.catalog.clearCache()
+      admit(dir1) // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(admit(dir1))
+      spark.catalog.clearCache()
+      val (tk, nk) = time(admit(dirK))
+      println(f"${"ssj_admit"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))

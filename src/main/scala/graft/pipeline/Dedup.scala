@@ -1019,18 +1019,26 @@ object Dedup {
     * integer-milli threshold — the shared tail of the exact set-join
     * family. */
   private def ssjVerify(cand: DataFrame, docs: DataFrame, tauMilli: Int,
-      idCol: String, textCol: String): DataFrame = {
-    val sets = docs.select(col(idCol).as("doc_id"),
-        sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
-          .as("toks"))
-      .withColumn("n", size(col("toks")))
+      idCol: String, textCol: String): DataFrame =
+    ssjVerifySets(cand,
+      docs.select(col(idCol).as("doc_id"),
+          sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
+            .as("toks"))
+        .withColumn("n", size(col("toks"))),
+      tauMilli)
+
+  /** [[ssjVerify]] over a pre-tokenized `(doc_id, toks sorted-distinct,
+    * n)` sets frame — shared with [[SsjIndex]], whose docs store holds
+    * exactly this shape so admission never re-tokenizes the corpus. */
+  private[pipeline] def ssjVerifySets(cand: DataFrame, sets: DataFrame,
+      tauMilli: Int): DataFrame =
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
         col("n").as("na")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
         col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        graft.functions.SortedIntersectCount(docs.sparkSession,
+        graft.functions.SortedIntersectCount(sets.sparkSession,
           col("ta"), col("tb")).as("inter"))
       .filter(col("inter") * 1000 >=
         lit(tauMilli) * (col("na") + col("nb") - col("inter")))
@@ -1038,7 +1046,6 @@ object Dedup {
         round(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
-  }
 
   /**
    * SimHash over distinct tokens: bit b of md5(token)'s leading hex digits
@@ -1776,17 +1783,26 @@ object Dedup {
    * if `maxIter` passes without a fixpoint — returning a half-peeled
    * subgraph as "the core" would silently overstate density. Peeling
    * is monotone (nodes only leave), so convergence is ≤ node-count
-   * rounds and in practice a handful; [[lastPeelRounds]] exposes the
-   * count for contracts that unroll a fixed number of rounds (the
-   * DuckDB oracle replay: extra rounds past the fixpoint are no-ops,
-   * so any unroll ≥ lastPeelRounds matches bit for bit).
+   * rounds and in practice a handful; [[kCoreWithRounds]] returns the
+   * count alongside the result for contracts that unroll a fixed
+   * number of rounds (the DuckDB oracle replay: extra rounds past the
+   * fixpoint are no-ops, so any unroll ≥ the returned round count
+   * matches bit for bit).
    *
    * Output: `(doc_id, core_deg)` for every node of the k-core, with
    * its degree inside the core (≥ k by construction); empty when no
    * k-core exists.
    */
   def kCore(pairs0: DataFrame, k: Int, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame =
+    kCoreWithRounds(pairs0, k, aCol, bCol, maxIter)._1
+
+  /** [[kCore]] plus the peel-round count it took (including the final
+    * no-change confirmation round) — returned per call rather than
+    * parked in shared mutable state, so concurrent kCore invocations
+    * can't feed each other's unrolled-oracle guards a stale count. */
+  def kCoreWithRounds(pairs0: DataFrame, k: Int, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): (DataFrame, Int) = {
     require(k >= 1, s"k must be >= 1, got $k")
     // Loop state is the SURVIVOR NODE SET, never a per-round edge
     // frame: the edge list caches once (columnar), each round re-derives
@@ -1819,18 +1835,13 @@ object Dedup {
       keep = next
       iter += 1
     }
-    lastPeelRounds = iter
     if (!converged) throw new IllegalStateException(
       s"kCore did not converge in $maxIter rounds — raise maxIter " +
         "(peeling removes at least one node per non-converged round, " +
         "so this graph's peel depth exceeds the budget)")
-    survivorDegrees(keep)
-      .select(col("v").as("doc_id"), col("deg").as("core_deg"))
+    (survivorDegrees(keep)
+      .select(col("v").as("doc_id"), col("deg").as("core_deg")), iter)
   }
-
-  /** Peel rounds of the last [[kCore]] call (including the final
-    * no-change confirmation round), for unrolled-oracle contracts. */
-  @volatile private[graft] var lastPeelRounds: Int = 0
 
   /**
    * Exact per-node triangle counts and local clustering coefficients

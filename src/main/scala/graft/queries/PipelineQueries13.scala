@@ -145,27 +145,7 @@ object PipelineQueries13 {
     // within the probed cells, exact rescore of candMult*k survivors.
     // The replay covers training + assignment + quantization + probes +
     // pre-rank + rescore.
-    QueryDef("sim_topk_indexed_sq8",
-      s"""WITH $kmeansCtes,
-         |$nrmQnCtes,
-         |eq AS (
-         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm,
-         |    list_transform(n.v, x ->
-         |      greatest(least(CAST(round(x / n.nrm * 127) AS BIGINT), 127),
-         |        -127)) AS qv
-         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
-         |$probesCte,
-         |cand AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT p.q_id, c.vec_id AS c_id,
-         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
-         |        list_sum(list_transform(generate_series(1, len(q.qv)),
-         |          j -> q.qv[j] * c.qv[j])) DESC, c.vec_id) AS crk
-         |    FROM probes p JOIN eq c ON c.cell = p.cell
-         |    JOIN eq q ON q.vec_id = p.q_id
-         |    WHERE p.q_id <> c.vec_id)
-         |  WHERE crk <= ${candMult * k})
-         |$rescoreSelect""".stripMargin) {
+    QueryDef("sim_topk_indexed_sq8", PipelineQueries13.sq8IndexedSql) {
       (s, dir) => {
         val emb = W.read(s, dir, "embeddings")
         val d = idxDir("graft-ivf-sq8", dir)
@@ -305,63 +285,7 @@ object PipelineQueries13 {
     // Lloyd's chain OVER RESIDUALS, the per-(query, cell) residual
     // LUT, the ADC ranking, and the exact rescore over the RAW
     // vectors — the deepest oracle in the index family.
-    QueryDef("sim_topk_indexed_pqr",
-      s"""WITH $kmeansCtes,
-         |$nrmQnCtes,
-         |en AS (
-         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm
-         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
-         |rsd AS (
-         |  SELECT en.vec_id, en.cell,
-         |    list_transform(generate_series(1, len(en.v)),
-         |      i -> en.v[i] - c.v[i]) AS v
-         |  FROM en JOIN c2 c ON c.cid = en.cell),
-         |sub AS MATERIALIZED (
-         |  SELECT vec_id, s,
-         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
-         |      AS subv
-         |  FROM rsd, range(0, $pqM) r(s)),
-         |ids AS (
-         |  SELECT vec_id,
-         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
-         |  FROM (SELECT vec_id FROM en ORDER BY vec_id LIMIT $pqKs)),
-         |pc0 AS (SELECT sub.s, ids.cid, sub.subv AS cv
-         |        FROM sub JOIN ids USING (vec_id)),
-         |${pqAssign("pc0", "pa1")},
-         |${pqRecenter("pa1", "pc1")},
-         |${pqAssign("pc1", "pa2")},
-         |${pqRecenter("pa2", "pc2")},
-         |${pqAssign("pc2", "pcodes")},
-         |$probesCte,
-         |rqv AS (
-         |  SELECT p.q_id, p.cell,
-         |    list_transform(generate_series(1, len(q.v)),
-         |      i -> q.v[i] - c.v[i]) AS v
-         |  FROM probes p JOIN qn q ON q.vec_id = p.q_id
-         |  JOIN c2 c ON c.cid = p.cell),
-         |rsub AS (
-         |  SELECT q_id, cell, s,
-         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
-         |      AS subv
-         |  FROM rqv, range(0, $pqM) r(s)),
-         |lut AS MATERIALIZED (
-         |  SELECT r.q_id, r.cell, c.s, c.cid,
-         |    CAST(round(${pqSqd("r.subv", "c.cv")} * 1000000.0) AS BIGINT)
-         |      AS ld
-         |  FROM rsub r JOIN pc2 c ON c.s = r.s),
-         |adist AS MATERIALIZED (
-         |  SELECT l.q_id, kk.vec_id AS c_id, sum(l.ld) AS ad
-         |  FROM pcodes kk JOIN en ce ON ce.vec_id = kk.vec_id
-         |  JOIN lut l ON l.cell = ce.cell AND l.s = kk.s
-         |            AND l.cid = kk.cid AND l.q_id <> kk.vec_id
-         |  GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id,
-         |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id)
-         |        AS crk
-         |    FROM adist) WHERE crk <= ${candMult * k})
-         |$rescoreSelect""".stripMargin) {
+    QueryDef("sim_topk_indexed_pqr", PipelineQueries13.pqrIndexedSql) {
       (s, dir) => {
         val emb = W.read(s, dir, "embeddings")
         val d = idxDir("graft-ivf-pqr", dir)
@@ -372,6 +296,48 @@ object PipelineQueries13 {
           .select("q_id", "c_id", "cos_sim", "rank")
       }
     },
+
+    // SERVE-ONLY over the standing SQ8 index: the int8 pre-rank +
+    // exact rescore with the build paid once per session — the codec
+    // serve's production number (round-13 verdict: the build+serve
+    // totals were the only sq8 signal, hiding serve regressions the
+    // way round 12's unquantized line once did). Shares the sq8
+    // replay oracle: serving later does not change the answer.
+    QueryDef("sim_topk_indexed_serve_sq8", PipelineQueries13.sq8IndexedSql) {
+      (s, dir) => {
+        val d = standing.computeIfAbsent(s"$dir#sq8", _ => {
+          val p = idxDir("graft-ivf-standing-sq8", dir)
+          Similarity.buildIvfIndex(W.read(s, dir, "embeddings"), p,
+            kCells = kmK, iters = 2, codec = "sq8")
+          p
+        })
+        Similarity.indexedTopK(s,
+            W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
+    // SERVE-ONLY over the standing RESIDUAL-PQ index: per-(query, cell)
+    // residual LUT + ADC + exact rescore against a session-standing
+    // codec="pqr" index — the deepest codec's serve number, measured
+    // apart from its (dominant) coarse+codebook training cost.
+    QueryDef("sim_topk_indexed_serve_pqr", PipelineQueries13.pqrIndexedSql) {
+      (s, dir) => {
+        val d = standing.computeIfAbsent(s"$dir#pqr", _ => {
+          val p = idxDir("graft-ivf-standing-pqr", dir)
+          Similarity.buildIvfIndex(W.read(s, dir, "embeddings"), p,
+            kCells = kmK, iters = 2, codec = "pqr", pqM = pqM,
+            pqKs = pqKs, pqIters = pqIters)
+          p
+        })
+        Similarity.indexedTopK(s,
+            W.read(s, dir, "embeddings").filter(col("vec_id") < 8), d,
+            k = k, nprobe = 2, candMult = candMult)
+          .select("q_id", "c_id", "cos_sim", "rank")
+      }
+    },
+
 
     // Hybrid-retrieval fusion (RRF): two certified BM25 rankings over
     // disjoint term sets fused by reciprocal rank — the operator is
@@ -504,4 +470,93 @@ object PipelineQueries13 {
          |        AS crk
          |    FROM adist) WHERE crk <= ${candMult * k})
          |$rescoreSelect""".stripMargin
+
+  /** The persisted-SQ8 replay, shared by `sim_topk_indexed_sq8` and the
+    * standing-index `sim_topk_indexed_serve_sq8` (same result by
+    * construction — serving later does not change the answer). */
+  // lazy: referenced by `defs` above it in initialization order
+  private[queries] lazy val sq8IndexedSql: String =
+      s"""WITH $kmeansCtes,
+         |$nrmQnCtes,
+         |eq AS (
+         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm,
+         |    list_transform(n.v, x ->
+         |      greatest(least(CAST(round(x / n.nrm * 127) AS BIGINT), 127),
+         |        -127)) AS qv
+         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
+         |$probesCte,
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT p.q_id, c.vec_id AS c_id,
+         |      row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |        list_sum(list_transform(generate_series(1, len(q.qv)),
+         |          j -> q.qv[j] * c.qv[j])) DESC, c.vec_id) AS crk
+         |    FROM probes p JOIN eq c ON c.cell = p.cell
+         |    JOIN eq q ON q.vec_id = p.q_id
+         |    WHERE p.q_id <> c.vec_id)
+         |  WHERE crk <= ${candMult * k})
+         |$rescoreSelect""".stripMargin
+
+  /** The persisted residual-PQ replay, shared by `sim_topk_indexed_pqr`
+    * and the standing-index `sim_topk_indexed_serve_pqr` (same result
+    * by construction — serving later does not change the answer). */
+  // lazy: referenced by `defs` above it in initialization order
+  private[queries] lazy val pqrIndexedSql: String =
+      s"""WITH $kmeansCtes,
+         |$nrmQnCtes,
+         |en AS (
+         |  SELECT n.vec_id, a.cid AS cell, n.v, n.nrm
+         |  FROM nrm n JOIN af a USING (vec_id) WHERE n.nrm > 0),
+         |rsd AS (
+         |  SELECT en.vec_id, en.cell,
+         |    list_transform(generate_series(1, len(en.v)),
+         |      i -> en.v[i] - c.v[i]) AS v
+         |  FROM en JOIN c2 c ON c.cid = en.cell),
+         |sub AS MATERIALIZED (
+         |  SELECT vec_id, s,
+         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
+         |      AS subv
+         |  FROM rsd, range(0, $pqM) r(s)),
+         |ids AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid
+         |  FROM (SELECT vec_id FROM en ORDER BY vec_id LIMIT $pqKs)),
+         |pc0 AS (SELECT sub.s, ids.cid, sub.subv AS cv
+         |        FROM sub JOIN ids USING (vec_id)),
+         |${pqAssign("pc0", "pa1")},
+         |${pqRecenter("pa1", "pc1")},
+         |${pqAssign("pc1", "pa2")},
+         |${pqRecenter("pa2", "pc2")},
+         |${pqAssign("pc2", "pcodes")},
+         |$probesCte,
+         |rqv AS (
+         |  SELECT p.q_id, p.cell,
+         |    list_transform(generate_series(1, len(q.v)),
+         |      i -> q.v[i] - c.v[i]) AS v
+         |  FROM probes p JOIN qn q ON q.vec_id = p.q_id
+         |  JOIN c2 c ON c.cid = p.cell),
+         |rsub AS (
+         |  SELECT q_id, cell, s,
+         |    list_slice(v, s * $pqSubDim + 1, s * $pqSubDim + $pqSubDim)
+         |      AS subv
+         |  FROM rqv, range(0, $pqM) r(s)),
+         |lut AS MATERIALIZED (
+         |  SELECT r.q_id, r.cell, c.s, c.cid,
+         |    CAST(round(${pqSqd("r.subv", "c.cv")} * 1000000.0) AS BIGINT)
+         |      AS ld
+         |  FROM rsub r JOIN pc2 c ON c.s = r.s),
+         |adist AS MATERIALIZED (
+         |  SELECT l.q_id, kk.vec_id AS c_id, sum(l.ld) AS ad
+         |  FROM pcodes kk JOIN en ce ON ce.vec_id = kk.vec_id
+         |  JOIN lut l ON l.cell = ce.cell AND l.s = kk.s
+         |            AND l.cid = kk.cid AND l.q_id <> kk.vec_id
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ad, c_id)
+         |        AS crk
+         |    FROM adist) WHERE crk <= ${candMult * k})
+         |$rescoreSelect""".stripMargin
+
 }

@@ -498,10 +498,9 @@ object PipelineQueries14 {
          |${(1 to 3).map(step).mkString(",\n")}
          |SELECT doc_id, label FROM st3""".stripMargin
     }) { (s, dir) =>
-      val docs = W.read(s, dir, "documents")
       Dedup.labelPropagation(
-        Dedup.simhashPairs(docs).select("doc_a", "doc_b"),
-        docs.filter(col("doc_id") % 7 === 0)
+        Standing.simhashPairs(s, dir),
+        W.read(s, dir, "documents").filter(col("doc_id") % 7 === 0)
           .select(col("doc_id"), col("source").as("label")),
         iters = 3)
     },

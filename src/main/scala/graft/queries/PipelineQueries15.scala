@@ -85,9 +85,8 @@ object PipelineQueries15 {
           |    ELSE CAST(0 AS BIGINT) END AS cc_micro
           |FROM tdeg d LEFT JOIN pt p ON p.v = d.v""".stripMargin)) {
       (s, dir) =>
-        Dedup.triangleCounts(
-          Dedup.simhashPairs(W.read(s, dir, "documents"))
-            .select("doc_a", "doc_b"), degCap = Some(triDegCap))
+        Dedup.triangleCounts(Standing.simhashPairs(s, dir),
+          degCap = Some(triDegCap))
     },
 
     // One-row global graph summary: nodes/edges/wedges/triangles and
@@ -107,9 +106,8 @@ object PipelineQueries15 {
           |     AS BIGINT) FROM tdeg) AS n_wedges,
           |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles)"""
           .stripMargin)) { (s, dir) =>
-      Dedup.triangleStats(
-        Dedup.simhashPairs(W.read(s, dir, "documents"))
-          .select("doc_a", "doc_b"), degCap = Some(triDegCap))
+      Dedup.triangleStats(Standing.simhashPairs(s, dir),
+        degCap = Some(triDegCap))
     },
 
     // Exact global all-pairs Jaccard >= 0.7 by prefix filtering
@@ -192,67 +190,36 @@ object PipelineQueries15 {
     // as dedup_setjoin_exact with the candidate join pinned to the
     // new side.
     QueryDef("dedup_setjoin_incremental",
-      PipelineQueries.withC(
-        """tok_all AS (
-          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
-          |    '\s+') AS toks
-          |  FROM documents),
-          |tok_docs AS (
-          |  SELECT doc_id, toks FROM (
-          |    SELECT doc_id, toks, row_number() OVER (
-          |      PARTITION BY md5(array_to_string(
-          |        list_sort(list_distinct(toks)), ' '))
-          |      ORDER BY doc_id) AS crk
-          |    FROM tok_all)
-          |  WHERE crk = 1),
-          |t AS (
-          |  SELECT doc_id, unnest(list_distinct(toks)) AS tok
-          |  FROM tok_docs),
-          |f AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
-          |r AS (
-          |  SELECT doc_id, tok,
-          |    row_number() OVER (PARTITION BY doc_id
-          |      ORDER BY tf, tok) AS pos,
-          |    count(*) OVER (PARTITION BY doc_id) AS len
-          |  FROM t JOIN f USING (tok)),
-          |p AS MATERIALIZED (
-          |  SELECT doc_id, tok, len FROM r
-          |  WHERE pos <= len - (700 * len + 999) // 1000 + 1),
-          |cand AS MATERIALIZED (
-          |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
-          |    greatest(a.doc_id, b.doc_id) AS doc_b
-          |  FROM (SELECT * FROM p WHERE doc_id % 10 < 2) a
-          |  JOIN p b ON a.tok = b.tok
-          |    AND a.doc_id <> b.doc_id
-          |    AND least(a.len, b.len) * 1000
-          |        >= 700 * greatest(a.len, b.len)),
-          |v AS (
-          |  SELECT c.doc_a, c.doc_b,
-          |    len(list_intersect(list_distinct(ta.toks),
-          |      list_distinct(tb.toks))) AS inter,
-          |    len(list_distinct(ta.toks)) AS na,
-          |    len(list_distinct(tb.toks)) AS nb
-          |  FROM cand c
-          |  JOIN tok_docs ta ON ta.doc_id = c.doc_a
-          |  JOIN tok_docs tb ON tb.doc_id = c.doc_b)""".stripMargin)(
-        """SELECT doc_a, doc_b,
-          |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
-          |    AS jaccard
-          |FROM v WHERE inter * 1000 >= 700 * (na + nb - inter)"""
-          .stripMargin)) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.functions._
-      val canon = W.read(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          md5(concat_ws(" ", sort_array(array_distinct(
-            graft.pipeline.TextAnalysis.tokens(col("text"))))))
-            .as("__fp"))
-        .withColumn("__crk", row_number().over(
-          Window.partitionBy("__fp").orderBy("doc_id")))
-        .filter(col("__crk") === 1)
-        .select("doc_id", "text")
-      Dedup.setSimilarityJoinIncremental(canon, id => id % 10 < 2,
-        tauMilli = 700)
+      PipelineQueries15.setjoinIncrementalSql) { (s, dir) =>
+      Dedup.setSimilarityJoinIncremental(
+        PipelineQueries15.ssjCanon(W.read(s, dir, "documents")),
+        id => id % 10 < 2, tauMilli = 700)
+    },
+
+
+    // The SAME exact contract served from the PERSISTED set-join index
+    // ([[graft.pipeline.SsjIndex]]): the index over the old split
+    // stands for the session (build paid once, the Standing
+    // discipline); the measured cost is the ADMISSION of the
+    // % 10 < 2 batch — exact freq-state fold, increment-local prefix
+    // ranking under the frozen order, bucket-pruned candidate join,
+    // docs-store verify, and the batch's OWN state writes — replayed
+    // idempotently per iteration (batchId 1, allowReplay). Identical
+    // output to dedup_setjoin_incremental by the verify's exactness
+    // (candidate supersets differ, survivors cannot), so it shares
+    // that full-replay oracle. At THIS corpus/batch ratio (batch =
+    // 20% of a 5k-doc corpus) the frame-based join is cheaper — the
+    // index's writes dominate; the index wins where it matters: a
+    // fixed batch against a growing corpus (ScaleProbe ssj_admit:
+    // ratio 1.27 at 10× corpus, where the frame-based path grows
+    // with the corpus).
+    QueryDef("dedup_setjoin_admit",
+      PipelineQueries15.setjoinIncrementalSql) { (s, dir) =>
+      val idx = Standing.ssjOldIndex(s, dir, PipelineQueries15.ssjCanon)
+      graft.pipeline.SsjIndex.admit(
+        PipelineQueries15.ssjCanon(W.read(s, dir, "documents"))
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 2),
+        idx, batchId = Some(1L), allowReplay = true)
     },
 
     // The k-core kernel of the pair graph (k=4): peeling unrolled to
@@ -288,13 +255,12 @@ object PipelineQueries15 {
           |FROM (SELECT a AS v FROM ke12 UNION ALL SELECT b FROM ke12)
           |GROUP BY v""".stripMargin)
     }) { (s, dir) =>
-      val out = Dedup.kCore(
-        Dedup.simhashPairs(W.read(s, dir, "documents"))
-          .select("doc_a", "doc_b"), k = 4)
+      val (out, rounds) =
+        Dedup.kCoreWithRounds(Standing.simhashPairs(s, dir), k = 4)
       // the oracle unrolls 12 rounds; refuse loudly if the live graph
       // ever needs more (then raise both sides together)
-      require(Dedup.lastPeelRounds <= 12,
-        s"kCore took ${Dedup.lastPeelRounds} rounds — oracle unrolls 12")
+      require(rounds <= 12,
+        s"kCore took $rounds rounds — oracle unrolls 12")
       out
     },
 
@@ -550,4 +516,81 @@ object PipelineQueries15 {
         graft.pipeline.Multimodal.withMediaColumn(
           W.read(s, dir, "documents")))
     })
+
+  /** Full replay of the incremental exact set join — canonicalize,
+    * global rare-first order, increment-pinned prefix candidates,
+    * exact verify. Shared by `dedup_setjoin_incremental` (frame-
+    * based) and `dedup_setjoin_admit` (persisted SsjIndex): the
+    * verified output is identical by construction, only the
+    * candidate generation differs. */
+  // lazy: referenced by `defs` above it in initialization order
+  private[queries] lazy val setjoinIncrementalSql: String =
+      PipelineQueries.withC(
+        """tok_all AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+          |    '\s+') AS toks
+          |  FROM documents),
+          |tok_docs AS (
+          |  SELECT doc_id, toks FROM (
+          |    SELECT doc_id, toks, row_number() OVER (
+          |      PARTITION BY md5(array_to_string(
+          |        list_sort(list_distinct(toks)), ' '))
+          |      ORDER BY doc_id) AS crk
+          |    FROM tok_all)
+          |  WHERE crk = 1),
+          |t AS (
+          |  SELECT doc_id, unnest(list_distinct(toks)) AS tok
+          |  FROM tok_docs),
+          |f AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+          |r AS (
+          |  SELECT doc_id, tok,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY tf, tok) AS pos,
+          |    count(*) OVER (PARTITION BY doc_id) AS len
+          |  FROM t JOIN f USING (tok)),
+          |p AS MATERIALIZED (
+          |  SELECT doc_id, tok, len FROM r
+          |  WHERE pos <= len - (700 * len + 999) // 1000 + 1),
+          |cand AS MATERIALIZED (
+          |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+          |    greatest(a.doc_id, b.doc_id) AS doc_b
+          |  FROM (SELECT * FROM p WHERE doc_id % 10 < 2) a
+          |  JOIN p b ON a.tok = b.tok
+          |    AND a.doc_id <> b.doc_id
+          |    AND least(a.len, b.len) * 1000
+          |        >= 700 * greatest(a.len, b.len)),
+          |v AS (
+          |  SELECT c.doc_a, c.doc_b,
+          |    len(list_intersect(list_distinct(ta.toks),
+          |      list_distinct(tb.toks))) AS inter,
+          |    len(list_distinct(ta.toks)) AS na,
+          |    len(list_distinct(tb.toks)) AS nb
+          |  FROM cand c
+          |  JOIN tok_docs ta ON ta.doc_id = c.doc_a
+          |  JOIN tok_docs tb ON tb.doc_id = c.doc_b)""".stripMargin)(
+        """SELECT doc_a, doc_b,
+          |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+          |    AS jaccard
+          |FROM v WHERE inter * 1000 >= 700 * (na + nb - inter)"""
+          .stripMargin)
+
+  /** Collapse identical token SETS to one representative (the
+    * run-exact-dedup-before-near-dedup pipeline order) — the
+    * shared head of the incremental set-join lines. */
+  private[queries] def ssjCanon(
+      docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    docs
+      .select(col("doc_id"), col("text"),
+        md5(concat_ws(" ", sort_array(array_distinct(
+          graft.pipeline.TextAnalysis.tokens(col("text"))))))
+          .as("__fp"))
+      .withColumn("__crk", row_number().over(
+        Window.partitionBy("__fp").orderBy("doc_id")))
+      .filter(col("__crk") === 1)
+      .select("doc_id", "text")
+  }
+
 }

@@ -784,9 +784,7 @@ object PipelineQueries8 {
           |  (SELECT (15 * (1000000 // n)) // 100 FROM gn)
           |    + (85 * s) // 100 AS r FROM s3)""".stripMargin)(
         "SELECT doc_id, r AS rank_micro FROM r3")) { (s, dir) =>
-      Dedup.graphRank(
-        Dedup.simhashPairs(W.read(s, dir, "documents"))
-          .select("doc_a", "doc_b"))
+      Dedup.graphRank(Standing.simhashPairs(s, dir))
     },
 
     // Centrality keeper per cluster: the recursive-CTE CC closure joined
@@ -829,8 +827,6 @@ object PipelineQueries8 {
           |      ORDER BY r3.r DESC, r3.doc_id) AS rn
           |  FROM r3 JOIN clus c USING (doc_id))
           |WHERE rn = 1""".stripMargin) { (s, dir) =>
-      Dedup.rankKeepers(
-        Dedup.simhashPairs(W.read(s, dir, "documents"))
-          .select("doc_a", "doc_b"))
+      Dedup.rankKeepers(Standing.simhashPairs(s, dir))
     })
 }

@@ -83,20 +83,59 @@ object StreamingIvfAdmit {
    * broadcast-ready. Consequence worth knowing: the gate screens
    * against the benchmark AS OF construction — a benchmark source
    * mutated under a running sink does not change the screen (the spec
-   * pins this snapshot semantics).
+   * pins this snapshot semantics) — UNLESS `refreshEvery = Some(n)`,
+   * which re-collects the snapshot at the start of every epoch whose
+   * `batchId % n == 0` (except epoch 0 — construction just paid that
+   * collect). A benchmark row added mid-stream then starts screening
+   * at the next refresh boundary. The explicit trade: a refresh-
+   * boundary epoch REPLAYED after a crash screens against the CURRENT
+   * benchmark — admission stays exactly-once by layout, but the
+   * dropped-row set of that one epoch can differ if the benchmark
+   * mutated between attempts. Default ∞ keeps the deterministic
+   * snapshot contract.
+   *
+   * Caveat for refreshing FILE sources: a captured DataFrame pins its
+   * file listing at resolution, so re-collecting the SAME frame after
+   * an in-place overwrite fails (stale listing) — use
+   * [[screenedSinkFrom]] with a re-reading thunk
+   * (`() => spark.read.parquet(benchPath)`) plus
+   * `spark.catalog.refreshByPath` when the path is rewritten in place.
+   * This DataFrame variant's refresh is meant for sources that
+   * re-resolve per query (tables/views).
    */
   def screenedSink(dir: String, benchEmb: DataFrame, tau: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      attrCols: Seq[String] = Nil): (DataFrame, Long) => Unit = {
-    val spark = benchEmb.sparkSession
-    val mFrame = Similarity.assignWithIndex(benchEmb, dir, idCol, vecCol)
-      .select(col(idCol).as("bench_id"), col("cell"),
-        transform(col(vecCol), x => x.cast("double")).as("m_v"))
-      .withColumn("m_nrm", Similarity.norm(col("m_v")))
-      .filter(col("m_nrm") > 0)
-    val mSchema = mFrame.schema
-    val mRows = java.util.Arrays.asList(mFrame.collect(): _*)
+      attrCols: Seq[String] = Nil,
+      refreshEvery: Option[Long] = None): (DataFrame, Long) => Unit =
+    screenedSinkFrom(dir, () => benchEmb, tau, idCol, vecCol, attrCols,
+      refreshEvery)
+
+  /** [[screenedSink]] with the benchmark supplied as a RE-READING
+    * thunk — the refresh-capable form (each refresh re-resolves the
+    * source, picking up rows added since construction). */
+  def screenedSinkFrom(dir: String, benchSource: () => DataFrame,
+      tau: Double, idCol: String, vecCol: String, attrCols: Seq[String],
+      refreshEvery: Option[Long]): (DataFrame, Long) => Unit = {
+    require(refreshEvery.forall(_ >= 1L),
+      s"refreshEvery must be >= 1 epoch, got $refreshEvery")
+    val spark = benchSource().sparkSession
+    def collectBench(): (org.apache.spark.sql.types.StructType,
+        java.util.List[org.apache.spark.sql.Row]) = {
+      val mFrame = Similarity.assignWithIndex(benchSource(), dir, idCol,
+          vecCol)
+        .select(col(idCol).as("bench_id"), col("cell"),
+          transform(col(vecCol), x => x.cast("double")).as("m_v"))
+        .withColumn("m_nrm", Similarity.norm(col("m_v")))
+        .filter(col("m_nrm") > 0)
+      (mFrame.schema, java.util.Arrays.asList(mFrame.collect(): _*))
+    }
+    // one writer per sink (foreachBatch is serial) — plain var is safe
+    var snap = collectBench()
     (batch: DataFrame, batchId: Long) => {
+      refreshEvery.foreach { n =>
+        if (batchId > 0 && batchId % n == 0) snap = collectBench()
+      }
+      val (mSchema, mRows) = snap
       val m = spark.createDataFrame(mRows, mSchema)
       val b = Similarity.assignWithIndex(batch, dir, idCol, vecCol)
         .select(col(idCol).as("batch_id"), col("cell"),

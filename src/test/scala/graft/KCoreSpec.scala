@@ -23,8 +23,8 @@ class KCoreSpec extends TestBase {
       (5L, 6L))
     assert(core(g, 2) ==
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
-    assert(Dedup.lastPeelRounds >= 2,
-      "the two-link tail needs cascading rounds")
+    val (_, rounds) = Dedup.kCoreWithRounds(g.toDF("doc_a", "doc_b"), 2)
+    assert(rounds >= 2, "the two-link tail needs cascading rounds")
   }
 
   test("triangle + pendant at k=2 keeps exactly the triangle") {

@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, SsjIndex}
+
+/**
+ * Persisted set-similarity-join index ([[SsjIndex]]): admission output
+ * equals the frame-based incremental join (exactness is invariant to
+ * the candidate order), the running (tok, tf) state folds exactly, the
+ * frozen-order two-sided filter keeps the no-false-negative contract
+ * across multiple batches, replay is idempotent, the high-water guard
+ * refuses id reuse, and the admission's store reads prune to touched
+ * hash-buckets (the per-batch-cost contract).
+ */
+class SsjIndexSpec extends TestBase
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+
+  import spark.implicits._
+
+  private def corpus(ids: Range): DataFrame = {
+    val vocab = (0 until 40).map(i => s"w$i")
+    ids.map { d0 =>
+      val d = d0.toLong
+      val n = 6 + (d % 5).toInt
+      val words = (0 until n)
+        .map(j => vocab(((d * 7 + j * 11) % 40).toInt)).distinct
+      (d, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  private def pairsOf(df: DataFrame): Map[(Long, Long), Double] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("admission equals the frame-based incremental join, including " +
+      "increment-internal pairs") {
+    val all = corpus(1 to 60)
+    val old = all.filter(col("doc_id") <= 45)
+    val inc = all.filter(col("doc_id") > 45)
+    val dir = tmpDir("ssj-idx").toString
+    SsjIndex.build(old, dir, tauMilli = 500, buckets = 8)
+    val got = pairsOf(SsjIndex.admit(inc, dir))
+    val want = pairsOf(
+      Dedup.setSimilarityJoinIncremental(all, id => id > 45, 500))
+    assert(got == want,
+      s"index admission diverged from the frame-based join:\n" +
+        s"only-index=${got.keySet -- want.keySet} " +
+        s"only-frame=${want.keySet -- got.keySet}")
+    assert(want.keys.exists { case (a, b) => a > 45 && b > 45 },
+      "fixture must exercise increment-internal pairs")
+    assert(want.keys.exists { case (a, b) => a <= 45 && b > 45 },
+      "fixture must exercise increment-vs-corpus pairs")
+  }
+
+  test("multi-batch: every batch exact vs brute force on the union " +
+      "so far; running freq state equals a full recount") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-multi").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 30), dir,
+      tauMilli = 500, buckets = 8)
+    var admitted = 30L
+    (1 to 3).foreach { b =>
+      val lo = admitted
+      val hi = admitted + 10L
+      val inc = all.filter(col("doc_id") > lo && col("doc_id") <= hi)
+      val got = pairsOf(SsjIndex.admit(inc, dir))
+      val want = pairsOf(Dedup.setSimilarityJoinIncremental(
+        all.filter(col("doc_id") <= hi), id => id > lo && id <= hi, 500))
+      assert(got == want, s"batch $b diverged: got=$got want=$want")
+      admitted = hi
+    }
+    // the folded (tok, tf) state after 3 admissions == a full recount
+    val cum = spark.read.parquet(s"$dir/freq/cum=3")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = all
+      .select(explode(array_distinct(
+        graft.pipeline.TextAnalysis.tokens(col("text")))).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cum == full, "running freq state must fold exactly")
+  }
+
+  test("tokens unseen at build time still pair (frozen order ranks " +
+      "them tf=0, never drops them)") {
+    val dir = tmpDir("ssj-unseen").toString
+    SsjIndex.build(Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      dir, tauMilli = 600, buckets = 4)
+    // both docs built entirely from post-build vocabulary
+    val inc = Seq(
+      (2L, "zeta eta theta iota"),
+      (3L, "zeta eta theta kappa")).toDF("doc_id", "text")
+    val got = pairsOf(SsjIndex.admit(inc, dir))
+    assert(got.keySet == Set((2L, 3L)), s"got $got")
+    assert(got((2L, 3L)) == 0.6)
+  }
+
+  test("replay idempotence and the high-water guard") {
+    val all = corpus(1 to 40)
+    val dir = tmpDir("ssj-replay").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 30), dir,
+      tauMilli = 500, buckets = 8)
+    val inc = all.filter(col("doc_id") > 30)
+    val first = pairsOf(SsjIndex.admit(inc, dir, batchId = Some(1L)))
+    // bare id reuse is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      SsjIndex.admit(inc, dir, batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("high-water"))
+    // a declared replay returns the same pairs and leaves the store
+    // serving one copy of the batch
+    val again = pairsOf(
+      SsjIndex.admit(inc, dir, batchId = Some(1L), allowReplay = true))
+    assert(again == first)
+    val stored = spark.read.parquet(s"$dir/docs")
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(stored == 0, "replay must not duplicate stored documents")
+    // ... and the next fresh admission proceeds above the mark
+    assert(SsjIndex.admit(corpus(41 to 45), dir).collect() != null)
+  }
+
+  test("store reads prune to touched hash-buckets: a 1-doc admission " +
+      "reads a strict subset of the prefix store's partitions") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-prune").toString
+    SsjIndex.build(all, dir, tauMilli = 500, buckets = 16)
+    // scanned-file counts from the executed plans' own numFiles metric
+    // (the DeleteScanPruningSpec trick — inputFiles ignores pruning)
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val allFiles = scannedFiles(spark.read.parquet(s"$dir/prefix"))
+    // a single doc's prefix tokens touch few of the 16 token buckets
+    val one = Seq((1000L, "w1 w2 w3 w4 w5 w6 w7 w8")).toDF("doc_id", "text")
+    val touched = one
+      .select(explode(array_distinct(
+        graft.pipeline.TextAnalysis.tokens(col("text")))).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(16L)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    assert(touched.size < 16,
+      "fixture must not touch every bucket or the pin is vacuous")
+    val pruned = scannedFiles(
+      SsjIndex.storedPrefixes(spark, dir, 1L, touched))
+    assert(pruned > 0 && pruned < allFiles,
+      s"expected a strict subset of partitions: $pruned of $allFiles files")
+  }
+
+  test("rebuildPrefixes re-ranks under the running counts without " +
+      "changing any answer; stats exposes the order drift") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-rebuild").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 20), dir,
+      tauMilli = 500, buckets = 8)
+    SsjIndex.admit(all.filter(col("doc_id") > 20 && col("doc_id") <= 50),
+      dir).count()
+    val drift0 = SsjIndex.stats(spark, dir)
+      .filter(col("batch") === 0L).head().getAs[Long]("drift_milli")
+    assert(drift0 > 0,
+      "a 30-doc admission over a 20-doc build must drift some token mass")
+    SsjIndex.rebuildPrefixes(spark, dir)
+    val drift1 = SsjIndex.stats(spark, dir)
+      .filter(col("batch") === 0L).head().getAs[Long]("drift_milli")
+    assert(drift1 == 0, s"rebuild refreezes the order, got $drift1")
+    // answers unchanged after the re-rank
+    val inc = all.filter(col("doc_id") > 50)
+    val got = pairsOf(SsjIndex.admit(inc, dir))
+    val want = pairsOf(
+      Dedup.setSimilarityJoinIncremental(all, id => id > 50, 500))
+    assert(got == want)
+  }
+}

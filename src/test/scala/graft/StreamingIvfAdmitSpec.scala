@@ -147,6 +147,40 @@ class StreamingIvfAdmitSpec extends TestBase {
       "a fresh sink over the emptied benchmark screens nothing")
   }
 
+  test("screenedSink refreshEvery: a benchmark row added mid-stream " +
+      "starts screening at the next refresh boundary, not before") {
+    val emb = WarehouseSim.read(spark, sfDir, "embeddings")
+    val dir = tmpDir("ivf-refresh").toString
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 3 === 0), dir,
+      kCells = 8, iters = 2)
+    val benchPath = tmpDir("ivf-refresh-bench").toString
+    val benchRow = emb.filter(col("vec_id") % 3 === 1).limit(1)
+      .select("vec_id", "embedding")
+    // construction sees an EMPTY benchmark
+    benchRow.limit(0).write.mode("overwrite").parquet(benchPath)
+    val sinkFn = StreamingIvfAdmit.screenedSinkFrom(dir,
+      () => spark.read.parquet(benchPath), tau = 0.999999,
+      idCol = "vec_id", vecCol = "embedding", attrCols = Nil,
+      refreshEvery = Some(2L))
+    def leak(epoch: Long) = benchRow
+      .select((col("vec_id") + 5000000L + epoch).as("vec_id"),
+        col("embedding"))
+    sinkFn(leak(0L), 0L) // admits: empty snapshot
+    // the benchmark mutates under the running sink (refreshByPath is
+    // the standard Spark contract for an in-place-overwritten file
+    // source — without it ANY re-read hits the stale file listing)
+    benchRow.write.mode("overwrite").parquet(benchPath)
+    spark.catalog.refreshByPath(benchPath)
+    sinkFn(leak(1L), 1L) // still admits: 1 % 2 != 0, old snapshot holds
+    sinkFn(leak(2L), 2L) // refresh boundary: re-collected, now screened
+    val base = benchRow.head().getLong(0) + 5000000L
+    val admitted = spark.read.parquet(s"$dir/corpus")
+      .select("vec_id").as[Long].collect().toSet
+      .filter(_ >= 5000000L).map(_ - base)
+    assert(admitted == Set(0L, 1L),
+      s"epochs 0 and 1 admit, the boundary epoch screens; got $admitted")
+  }
+
   test("streaming admission into a QUANTIZED index encodes each " +
       "micro-batch under the persisted codec; the union serves exactly") {
     implicit val sc = spark.sqlContext
