@@ -286,13 +286,22 @@ object CardSketch {
     * the same subset argument: any row in a window's true global
     * bottom-k is in its own index's bottom-k, so selecting from the
     * merged states equals a one-shot sketch of the window's raw rows
-    * (ids must be globally unique — the family's id contract). */
+    * (ids must be globally unique — the family's id contract).
+    *
+    * `keyCols` gives every segment its own trailing-window sample
+    * (the [[hllSlidingMerge]] keyed shape — per-segment rolling
+    * percentiles): ranks partition by (key, window index), while the
+    * present-index spine stays GLOBAL so every key reports over the
+    * same window set. State-row replication is still windowLen× of
+    * ≤ k·keys rows — never the raw events. */
   def sampleSlidingMerge(states: DataFrame, idxCol: String,
-      windowLen: Int, k: Int = 512): DataFrame = {
+      windowLen: Int, k: Int = 512,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(windowLen >= 1, s"windowLen must be >= 1, got $windowLen")
     val present = states.select(col(idxCol)).distinct()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__t").orderBy(col("h"), col("id"))
+      .partitionBy(keyCols.map(col) :+ col("__t"): _*)
+      .orderBy(col("h"), col("id"))
     states
       .withColumn("__t", explode(expr(
         s"sequence(CAST($idxCol AS BIGINT), " +
@@ -313,10 +322,12 @@ object CardSketch {
     * is oracle-replayable. Output: `(idx, p_milli, value)` long
     * format, one row per (index, point). */
   def sampleWindowQuantiles(states: DataFrame, idxCol: String,
-      valueCol: String, psMilli: Seq[Int]): DataFrame = {
+      valueCol: String, psMilli: Seq[Int],
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(psMilli.nonEmpty && psMilli.forall(p => p >= 0 && p <= 1000),
       s"permille points must be in [0,1000], got $psMilli")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(idxCol)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col) :+ col(idxCol): _*)
     val wRank = wAll.orderBy(col(valueCol), col("id"))
     states
       .withColumn("__n", count(lit(1)).over(wAll))
@@ -324,7 +335,8 @@ object CardSketch {
       .withColumn("p_milli",
         explode(array(psMilli.map(p => lit(p.toLong)): _*)))
       .filter(col("__rk") === expr("(p_milli * (__n - 1)) div 1000") + 1)
-      .select(col(idxCol), col("p_milli"), col(valueCol))
+      .select(keyCols.map(col) :+ col(idxCol) :+ col("p_milli") :+
+        col(valueCol): _*)
   }
 
   /** Nearest-rank quantiles of a sketch's value column: the element at

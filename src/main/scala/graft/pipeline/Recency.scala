@@ -44,6 +44,16 @@ object Recency {
 
   private val ShiftCap = 62
 
+  /** TRUE floor division as a SQL expr: `a div b` truncates toward
+    * zero, so for a negative numerator (a pre-1970 timestamp) Spark's
+    * `div` and the oracle's flooring `//` disagree by one grid period.
+    * `(a - pmod(a, b)) div b` floors for b > 0 in exact integer math —
+    * both engines then agree for EVERY input, not just ts >= epoch. */
+  def floorDivSql(num: String, denPositive: Long): String = {
+    require(denPositive > 0, s"denominator must be > 0, got $denPositive")
+    s"(($num) - pmod(($num), ${denPositive}L)) div ${denPositive}L"
+  }
+
   private def decayDiv(num: String, pd: String): String =
     s"$num div shiftleft(cast(1 as bigint), " +
       s"cast(least($pd, $ShiftCap) as int))"
@@ -60,7 +70,7 @@ object Recency {
     require(halfLifeUs > 0, s"halfLifeUs must be > 0, got $halfLifeUs")
     require(keyCols.nonEmpty, "decayedState needs at least one key column")
     val rows = df.select(keyCols.map(col) :+
-      expr(s"unix_micros($tsCol) div ${halfLifeUs}L").as("__p"): _*)
+      expr(floorDivSql(s"unix_micros($tsCol)", halfLifeUs)).as("__p"): _*)
     val hor = rows.select(max(col("__p")).as("horizon_p"))
     rows.crossJoin(hor)
       .withColumn("__w", expr(decayDiv("1000000L", "horizon_p - __p")))

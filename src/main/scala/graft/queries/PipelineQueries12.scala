@@ -352,7 +352,7 @@ object PipelineQueries12 {
       (s, dir) => {
         val base = W.read(s, dir, "events")
           .select(col("user_id"), col("event_type"),
-            expr("unix_micros(ts) div 604800000000").as("wk"))
+            expr(graft.pipeline.Recency.floorDivSql("unix_micros(ts)", 604800000000L)).as("wk"))
         val cohort = base.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("wk")).as("cw"))
         val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
@@ -394,7 +394,7 @@ object PipelineQueries12 {
         |FROM dau JOIN wau USING (d)""".stripMargin) {
       (s, dir) => {
         val du = W.read(s, dir, "events")
-          .select(expr("unix_micros(ts) div 86400000000").as("d"),
+          .select(expr(graft.pipeline.Recency.floorDivSql("unix_micros(ts)", 86400000000L)).as("d"),
             col("user_id"))
           .distinct()
         val days = du.select("d").distinct()
@@ -637,7 +637,7 @@ object PipelineQueries12 {
             // integer `div`, not `/`: Spark's `/` on longs is DOUBLE
             // division, whose rounding can bump a just-below-integer
             // quotient across the truncation boundary
-            expr("3600 * (unix_micros(ts) div 3600000000)").as("hr"))
+            expr("3600 * (" + graft.pipeline.Recency.floorDivSql("unix_micros(ts)", 3600000000L) + ")").as("hr"))
           .agg(count(lit(1)).as("n"))
         val rawZ = (lit(24) * col("n") - col("s")).cast("double") /
           sqrt((lit(24) * col("sq") - col("s") * col("s")).cast("double"))

@@ -385,7 +385,7 @@ object PipelineQueries15 {
     }) { (s, dir) =>
       import org.apache.spark.sql.functions._
       val ev = W.read(s, dir, "events")
-        .select(expr("unix_micros(ts) div 86400000000L").as("d"),
+        .select(expr(graft.pipeline.Recency.floorDivSql("unix_micros(ts)", 86400000000L)).as("d"),
           col("user_id"))
       CardSketch.hllSlidingMerge(
         CardSketch.hllStateByGroup(ev, "user_id", Seq("d"), p = 6),
@@ -434,7 +434,7 @@ object PipelineQueries15 {
       (s, dir) =>
         import org.apache.spark.sql.functions._
         val ev = W.read(s, dir, "events")
-          .select(expr("unix_micros(ts) div 86400000000L").as("d"),
+          .select(expr(graft.pipeline.Recency.floorDivSql("unix_micros(ts)", 86400000000L)).as("d"),
             col("event_id"), col("value"))
         CardSketch.sampleWindowQuantiles(
           CardSketch.sampleSlidingMerge(
@@ -481,7 +481,7 @@ object PipelineQueries15 {
       import org.apache.spark.sql.functions._
       val ev = W.read(s, dir, "events")
         .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000L").as("d"),
+          expr(graft.pipeline.Recency.floorDivSql("unix_micros(ts)", 86400000000L)).as("d"),
           col("user_id"))
       CardSketch.hllSlidingMerge(
         CardSketch.hllStateByGroup(ev, "user_id",

@@ -152,4 +152,36 @@ class KmvSpec extends TestBase {
       assert(qs((d, 1000L)) == vs.last, s"p100 at $d")
     }
   }
+
+  test("keyed sliding sample: each key's window equals its own " +
+      "one-shot sketch; the present-index spine is global") {
+    val rows = (0 until 300).map { i =>
+      (s"g${i % 2}", (i % 5).toLong, i.toLong + 1000L,
+        ((i * 37) % 101).toDouble)
+    }.toDF("g", "d", "id", "v")
+      // key g1 is absent on day 3: the GLOBAL spine still reports a
+      // g1 window ending there (from day 2's carryover)
+      .filter(!(col("g") === "g1" && col("d") === 3L))
+    val byKeyDay = CardSketch.sampleSketchByGroup(rows, "id", Seq("v"),
+      Seq("g", "d"), k = 16)
+    val slid = CardSketch.sampleSlidingMerge(byKeyDay, "d",
+      windowLen = 2, k = 16, keyCols = Seq("g"))
+    for (g <- Seq("g0", "g1"); (d, win) <- Seq(1L -> Seq(0L, 1L),
+        3L -> Seq(2L, 3L), 4L -> Seq(3L, 4L))) {
+      val one = CardSketch.sampleSketch(
+        rows.filter(col("g") === g && col("d").isin(win: _*))
+          .select("id", "v"), "id", Seq("v"), k = 16)
+      assert(sortedRows(slid.filter(col("g") === g && col("d") === d)
+          .select("h", "id", "v")) == sortedRows(one),
+        s"($g, window ending $d) must equal the one-shot sketch")
+    }
+    val qs = CardSketch.sampleWindowQuantiles(slid, "d", "v",
+      Seq(1000), keyCols = Seq("g"))
+    assert(qs.columns.toSeq == Seq("g", "d", "p_milli", "v"))
+    val m = qs.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val g0max = slid.filter(col("g") === "g0" && col("d") === 1L)
+      .agg(org.apache.spark.sql.functions.max("v")).head().getDouble(0)
+    assert(m(("g0", 1L)) == g0max, "p1000 is the per-(key, window) max")
+  }
 }

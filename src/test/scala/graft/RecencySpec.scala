@@ -82,4 +82,18 @@ class RecencySpec extends TestBase {
     val far = stateMap(Recency.advance(st, 100L))
     assert(far("a") == ((100L, 0L, 1L)))
   }
+
+  test("pre-1970 timestamps land on the FLOOR grid period (true floor " +
+      "division, matching the oracle's // semantics)") {
+    // us = -1 is period -1 on a 1000us grid under floor division;
+    // truncating div would put it in period 0 with the us = 500 row
+    val st = stateMap(
+      Recency.decayedState(df(Seq(("a", -1L), ("a", 500L))), "ts",
+        Seq("k"), 1000L))
+    // horizon is period 0 (the 500us row); the -1us row sits one
+    // period back and carries half weight: 1000000 + 500000
+    assert(st("a") == ((0L, 1500000L, 2L)))
+    assert(Recency.floorDivSql("x", 10L) ==
+      "((x) - pmod((x), 10L)) div 10L")
+  }
 }
