@@ -308,6 +308,150 @@ object SsjIndex {
   }
 
   /**
+   * Read-only near-dup LOOKUP: exact Jaccard ≥ τ pairs between
+   * `queryDocs` and the admitted corpus — nothing writes, no state
+   * advances, query×query pairs are NOT reported (this is a screen —
+   * "which existing documents is this candidate batch a near-dup
+   * of?" — the text analogue of the contamination gate
+   * [[graft.streaming.StreamingIvfAdmit.screenedSink]] runs on
+   * embeddings). Query prefixes rank under the same frozen order as
+   * every stored prefix, so the two-sided filter keeps the
+   * no-false-negative guarantee; store reads prune to the buckets the
+   * queries touch, exactly as admission does. Query ids need not be
+   * disjoint from corpus ids (a re-presented admitted document simply
+   * reports its J = 1 self-match).
+   *
+   * Output: `(q_id, doc_id, jaccard)` — query id, matched CORPUS id.
+   */
+  def lookup(queryDocs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = queryDocs.sparkSession
+    val meta = readMeta(spark, dir)
+    val sets = Dedup.persistInternal("ssjidx_lookup_sets",
+      setsFrame(queryDocs, idCol, textCol))
+    val order = spark.read.parquet(s"$dir/order")
+    val pQ = Dedup.persistInternal("ssjidx_lookup_prefix",
+      prefixRows(sets, order, meta.tauMilli))
+    val touchedPb = pQ.select(pb(meta.buckets).as("pb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val stored = storedPrefixes(spark, dir, excludeBatch = -1L, touchedPb)
+    val tau = meta.tauMilli
+    val cand = Dedup.persistInternal("ssjidx_lookup_cand",
+      pQ.as("a").join(stored.as("b"),
+          col("a.tok") === col("b.tok") &&
+          least(col("a.len"), col("b.len")) * 1000 >=
+            lit(tau) * greatest(col("a.len"), col("b.len")))
+        .select(col("a.doc_id").as("q_id"), col("b.doc_id").as("c_id"))
+        .distinct())
+    val touchedDb = cand
+      .select(pmod(xxhash64(col("c_id")), lit(meta.buckets.toLong))
+        .as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cSets = storedSets(spark, dir, excludeBatch = -1L, touchedDb)
+    // verify keeps the q and corpus sides apart (ids may collide when a
+    // query IS an admitted doc — a shared sets frame would cross-wire)
+    cand
+      .join(sets.select(col("doc_id").as("q_id"), col("toks").as("ta"),
+        col("len").as("na")), "q_id")
+      .join(cSets.select(col("doc_id").as("c_id"), col("toks").as("tb"),
+        col("len").as("nb")), "c_id")
+      .select(col("q_id"), col("c_id"), col("na"), col("nb"),
+        graft.functions.SortedIntersectCount(spark,
+          col("ta"), col("tb")).as("inter"))
+      .filter(col("inter") * 1000 >=
+        lit(tau) * (col("na") + col("nb") - col("inter")))
+      .select(col("q_id"), col("c_id").as("doc_id"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
+  /**
+   * Retract documents from the index (the takedown path): rewrite the
+   * docs-store partitions the victims live in — touched `(batch, db)`
+   * pairs only, never the store — and fold the victims' token counts
+   * OUT of the running freq state (exact grouped subtraction, the
+   * admission fold's inverse). The deletion burns the next admission
+   * id for its `cum=` state so a replayed admission can never clobber
+   * the subtraction, and the high-water mark advances with it.
+   *
+   * The docs store is AUTHORITATIVE: victims' prefix rows are left
+   * behind as tombstones (a candidate against a tombstone dies in the
+   * verify's inner join against the docs store, so results are correct
+   * immediately); the next [[rebuildPrefixes]] — which rebuilds the
+   * prefix store from the docs store — purges them. A crash mid-delete
+   * leaves some victims gone and the freq state not yet advanced;
+   * re-running the same delete converges (already-gone victims
+   * subtract nothing).
+   *
+   * Returns the number of documents actually removed.
+   */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String = "doc_id"): Long = {
+    val meta = readMeta(spark, dir)
+    val hwm = readHwm(spark, dir)
+    val victims = Dedup.persistInternal("ssjidx_del_ids",
+      ids.select(col(idCol).as("doc_id")).distinct())
+    val touchedDb = victims
+      .select(db(meta.buckets).as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val docsP = s"$dir/docs"
+    // partition columns read back with inferred types (an int-sized
+    // batch value infers IntegerType) — cast for stable collects/joins
+    val touched = Dedup.persistInternal("ssjidx_del_rows",
+      spark.read.parquet(docsP)
+        .filter(col("db").isin(touchedDb: _*))
+        .join(victims, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("toks"), col("len"),
+          col("batch").cast("long").as("batch"),
+          col("db").cast("long").as("db")))
+    val nVictims = touched.count()
+    if (nVictims == 0) return 0L
+    // 1) fold the victims' counts OUT of the running state, burning an
+    //    admission id so no replay window can resurrect them
+    val negCounts = touched.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    spark.read.parquet(s"$dir/freq/cum=$hwm")
+      .select(col("tok"), col("tf").as("__a"))
+      .join(negCounts.select(col("tok"), col("tf").as("__b")),
+        Seq("tok"), "left_outer")
+      .select(col("tok"),
+        (col("__a") - coalesce(col("__b"), lit(0L))).as("tf"))
+      .filter(col("tf") > 0)
+      .write.mode("overwrite").parquet(s"$dir/freq/cum=${hwm + 1}")
+    // 2) surgical docs-store rewrite: touched (batch, db) partitions
+    //    only. Dynamic overwrite replaces partitions PRESENT in the
+    //    written data, so a partition whose every row is a victim must
+    //    be dropped explicitly — it would otherwise survive untouched.
+    val touchedPairs = touched.select("batch", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val survivors = spark.read.parquet(docsP)
+      .filter(col("db").isin(touchedDb: _*))
+      .withColumn("batch", col("batch").cast("long"))
+      .withColumn("db", col("db").cast("long"))
+      .join(touched.select("batch", "db").distinct(), Seq("batch", "db"),
+        "left_semi")
+      .join(victims, Seq("doc_id"), "left_anti")
+    // surviving partitions are counted BEFORE the rewrite: the plan's
+    // file listing is of the pre-write store, and re-evaluating it
+    // after the overwrite would read deleted files
+    val kept = survivors.select("batch", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    survivors
+      .repartition(col("db"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "db").parquet(docsP)
+    val fs = new org.apache.hadoop.fs.Path(docsP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touchedPairs.filterNot(kept).foreach { case (b, d) =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$docsP/batch=$b/db=$d"), true)
+    }
+    writeHwm(spark, dir, hwm + 1)
+    nVictims
+  }
+
+  /**
    * Re-rank every stored prefix under the CURRENT running counts —
    * the periodic order refresh when [[stats]] shows the frozen order
    * has drifted far from the running one (selectivity maintenance;

@@ -69,5 +69,69 @@ object PipelineQueries16 {
               Seq("event_type", "d"), k = 128),
             "d", windowLen = 7, k = 128, keyCols = Seq("event_type")),
           "d", "value", Seq(500, 900), keyCols = Seq("event_type"))
+    },
+
+    // Read-only near-dup LOOKUP against the standing set-join index:
+    // "which admitted documents is this candidate batch a near-dup
+    // of?" — the text analogue of the embedding contamination screen.
+    // Nothing writes, query×query pairs are not reported; the oracle
+    // is the incremental replay with the CORPUS-SIDE frequency order
+    // (lookup ranks query prefixes under the index's frozen order,
+    // which the old split built) and the candidate join pinned to
+    // cross pairs, oriented query-first.
+    QueryDef("dedup_setjoin_lookup",
+      PipelineQueries.withC(
+        """tok_all AS (
+          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)),
+          |    '\s+') AS toks
+          |  FROM documents),
+          |tok_docs AS (
+          |  SELECT doc_id, toks FROM (
+          |    SELECT doc_id, toks, row_number() OVER (
+          |      PARTITION BY md5(array_to_string(
+          |        list_sort(list_distinct(toks)), ' '))
+          |      ORDER BY doc_id) AS crk
+          |    FROM tok_all)
+          |  WHERE crk = 1),
+          |t AS (
+          |  SELECT doc_id, unnest(list_distinct(toks)) AS tok
+          |  FROM tok_docs),
+          |fo AS (SELECT tok, count(*) AS tf FROM t
+          |       WHERE doc_id % 10 >= 2 GROUP BY tok),
+          |r AS (
+          |  SELECT t.doc_id, t.tok,
+          |    row_number() OVER (PARTITION BY t.doc_id
+          |      ORDER BY coalesce(fo.tf, 0), t.tok) AS pos,
+          |    count(*) OVER (PARTITION BY t.doc_id) AS len
+          |  FROM t LEFT JOIN fo USING (tok)),
+          |p AS MATERIALIZED (
+          |  SELECT doc_id, tok, len FROM r
+          |  WHERE pos <= len - (700 * len + 999) // 1000 + 1),
+          |cand AS MATERIALIZED (
+          |  SELECT DISTINCT a.doc_id AS q_id, b.doc_id AS c_id
+          |  FROM (SELECT * FROM p WHERE doc_id % 10 < 2) a
+          |  JOIN p b ON a.tok = b.tok
+          |    AND b.doc_id % 10 >= 2
+          |    AND least(a.len, b.len) * 1000
+          |        >= 700 * greatest(a.len, b.len)),
+          |v AS (
+          |  SELECT c.q_id, c.c_id,
+          |    len(list_intersect(list_distinct(ta.toks),
+          |      list_distinct(tb.toks))) AS inter,
+          |    len(list_distinct(ta.toks)) AS na,
+          |    len(list_distinct(tb.toks)) AS nb
+          |  FROM cand c
+          |  JOIN tok_docs ta ON ta.doc_id = c.q_id
+          |  JOIN tok_docs tb ON tb.doc_id = c.c_id)""".stripMargin)(
+        """SELECT q_id, c_id AS doc_id,
+          |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6)
+          |    AS jaccard
+          |FROM v WHERE inter * 1000 >= 700 * (na + nb - inter)"""
+          .stripMargin)) { (s, dir) =>
+      val idx = Standing.ssjOldIndex(s, dir, PipelineQueries15.ssjCanon)
+      graft.pipeline.SsjIndex.lookup(
+        PipelineQueries15.ssjCanon(W.read(s, dir, "documents"))
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 2),
+        idx)
     })
 }

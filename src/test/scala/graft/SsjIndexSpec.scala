@@ -173,4 +173,87 @@ class SsjIndexSpec extends TestBase
       Dedup.setSimilarityJoinIncremental(all, id => id > 50, 500))
     assert(got == want)
   }
+
+  test("lookup: read-only screen equals the cross-side of the " +
+      "incremental join; self-matches report J = 1; nothing advances") {
+    val old = corpus(1 to 50)
+    val dir = tmpDir("ssj-lookup").toString
+    SsjIndex.build(old, dir, tauMilli = 500, buckets = 8)
+    // query docs with a DISJOINT id space (1000+), same text generator
+    val q = corpus(46 to 60).select((col("doc_id") + 1000L).as("doc_id"),
+      col("text"))
+    val got = SsjIndex.lookup(q, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // expected: cross pairs of the frame-based incremental join over
+    // the union (increment-internal pairs excluded — lookup is a
+    // screen, not an admission)
+    val want = pairsOf(Dedup.setSimilarityJoinIncremental(
+        old.unionByName(q), id => id >= 1000L, 500))
+      .filter { case ((a, b), _) => (a >= 1000L) != (b >= 1000L) }
+      .map { case ((a, b), j) =>
+        (if (a >= 1000L) (a, b) else (b, a)) -> j }
+    assert(got == want,
+      s"only-lookup=${got.keySet -- want.keySet} " +
+        s"only-frame=${want.keySet -- got.keySet}")
+    assert(want.nonEmpty, "fixture must produce cross matches")
+    // an identical re-presented doc self-matches at J = 1
+    val self = SsjIndex.lookup(old.filter(col("doc_id") === 7L), dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(self.exists(t => t._1 == 7L && t._2 == 7L && t._3 == 1.0))
+    // read-only: the mark did not move, no new batches landed
+    val batches = spark.read.parquet(s"$dir/docs")
+      .select("batch").distinct().count()
+    assert(batches == 1, "lookup must not admit")
+  }
+
+  test("delete: victims stop matching immediately, the freq state " +
+      "folds out exactly, emptied partitions drop, rebuild purges " +
+      "tombstones, admission continues above the burned id") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-del").toString
+    SsjIndex.build(all, dir, tauMilli = 500, buckets = 8)
+    val preTombs = spark.read.parquet(s"$dir/prefix").count()
+    // victims: every doc in one db bucket (forces an emptied-partition
+    // drop) plus one doc from another bucket
+    val bucketOf = all.select(col("doc_id"),
+      pmod(xxhash64(col("doc_id")), lit(8L)).as("db"))
+    val hot = bucketOf.filter(col("db") ===
+        bucketOf.head().getLong(1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val extra = all.filter(!col("doc_id").isin(hot.toSeq: _*))
+      .head().getLong(0)
+    val victims = (hot + extra).toSeq
+    val n = SsjIndex.delete(spark, dir,
+      victims.toDF("doc_id"))
+    assert(n == victims.size.toLong)
+    // the emptied db partition is gone; no victim row survives
+    val docsNow = spark.read.parquet(s"$dir/docs")
+    assert(docsNow.filter(col("doc_id").isin(victims: _*)).count() == 0)
+    // freq state == a full recount of the survivors
+    val cum = spark.read.parquet(s"$dir/freq/cum=1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = all.filter(!col("doc_id").isin(victims: _*))
+      .select(explode(array_distinct(
+        graft.pipeline.TextAnalysis.tokens(col("text")))).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cum == full, "deletion must fold counts out exactly")
+    // victims never appear in a lookup, even with tombstoned prefixes
+    val probe = SsjIndex.lookup(
+      all.filter(col("doc_id") === extra)
+        .select((col("doc_id") + 1000L).as("doc_id"), col("text")), dir)
+    assert(probe.filter(col("doc_id").isin(victims: _*)).count() == 0)
+    // rebuild purges the tombstoned prefix rows
+    SsjIndex.rebuildPrefixes(spark, dir)
+    assert(spark.read.parquet(s"$dir/prefix").count() < preTombs)
+    assert(spark.read.parquet(s"$dir/prefix")
+      .join(victims.toDF("doc_id"), Seq("doc_id"), "left_semi")
+      .count() == 0)
+    // the deletion burned id 1: the next admission lands as batch 2
+    SsjIndex.admit(corpus(100 to 105), dir).count()
+    val bs = spark.read.parquet(s"$dir/docs").select("batch").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    assert(bs.contains(2L) && !bs.contains(1L), s"got batches $bs")
+  }
 }
