@@ -1346,6 +1346,67 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL [[connectedComponents]] — fold a batch of NEW pairs
+   * into an existing min-id cluster labeling without re-touching the
+   * old graph's edges. The old structure is fully summarized by its
+   * labels (every component is connected and its label IS its min
+   * member id), so the union graph's components equal the components
+   * of the CONDENSED graph: map each new edge's endpoints to their
+   * labels (unlabeled endpoints stand for themselves), drop the
+   * edges that collapse inside one old cluster, and run the ordinary
+   * CC on what remains — a graph sized by the BATCH and the clusters
+   * it touches, never the corpus. The meta labeling's min over
+   * {touched cluster labels} ∪ {new node ids} is exactly the merged
+   * component's true min id, so the final state is BIT-IDENTICAL to a
+   * full recompute over old ∪ new pairs (the oracle contract), at
+   * per-batch cost: one label lookup join for the edge endpoints, the
+   * meta CC, and one state remap join against the (small, broadcast)
+   * meta labels.
+   *
+   * `labels` is a `(doc_id, cluster_id)` state frame — exactly
+   * [[connectedComponents]]' output (paired docs only; docs that have
+   * never paired are absent from the state by the family's
+   * convention, and enter it the first time a pair touches them).
+   */
+  def connectedComponentsIncremental(labels: DataFrame,
+      newPairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val lbl = persistInternal("cc_inc_labels",
+      labels.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id")))
+    val e = persistInternal("cc_inc_edges",
+      newPairs.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b")))
+    val mapped = e
+      .join(lbl.select(col("doc_id").as("a"), col("cluster_id").as("la")),
+        Seq("a"), "left")
+      .join(lbl.select(col("doc_id").as("b"), col("cluster_id").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("doc_a"),
+        coalesce(col("lb"), col("b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val meta = persistInternal("cc_inc_meta",
+      connectedComponents(mapped, maxIter = maxIter))
+    // remap the old state through the meta labels (clusters the batch
+    // never touched keep their labels — the left join misses them)
+    val updatedOld = lbl
+      .join(broadcast(meta.select(col("doc_id").as("cluster_id"),
+        col("cluster_id").as("__nl"))), Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nl"), col("cluster_id")).as("cluster_id"))
+    // nodes the batch introduced: they stood for themselves in the
+    // condensed graph, so their meta label is their final label
+    val newNodes = e.select(col("a").as("doc_id"))
+      .unionAll(e.select(col("b").as("doc_id"))).distinct()
+      .join(lbl, Seq("doc_id"), "left_anti")
+      .join(broadcast(meta.withColumnRenamed("cluster_id", "__nl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__nl"), col("doc_id")).as("cluster_id"))
+    updatedOld.unionAll(newNodes)
+  }
+
+  /**
    * Quality-aware cluster resolution — the keeper policy a production
    * corpus actually wants: within each near-dup cluster keep the
    * HIGHEST-quality member (ties to the smallest id), not the smallest

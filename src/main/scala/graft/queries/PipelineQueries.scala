@@ -203,7 +203,7 @@ object PipelineQueries {
         |  UNION
         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON r.other = e.src)""".stripMargin
 
-  private val ccOracleSql: String =
+  private[queries] val ccOracleSql: String =
     "WITH RECURSIVE " + ccCtes + "\n" +
       """SELECT id AS doc_id, least(id, min(other)) AS cluster_id
         |FROM reach GROUP BY id""".stripMargin

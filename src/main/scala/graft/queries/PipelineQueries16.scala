@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.pipeline.CardSketch
+import graft.pipeline.{CardSketch, Dedup}
 import graft.sim.{WarehouseSim => W}
 
 /**
@@ -133,5 +133,25 @@ object PipelineQueries16 {
         PipelineQueries15.ssjCanon(W.read(s, dir, "documents"))
           .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 2),
         idx)
+    },
+
+    // Incremental connected components: the near-dup CLUSTER STATE
+    // folded forward — old pairs' labeling + the batch's new pairs
+    // through the condensed meta-graph (sized by the batch and the
+    // clusters it touches, never the corpus). The min-id algebra makes
+    // the updated state BIT-IDENTICAL to a full recompute over
+    // old ∪ new pairs, so the line shares dedup_clusters' recursive
+    // transitive-closure oracle — the hash match certifies the
+    // condensation argument end to end.
+    QueryDef("dedup_clusters_incremental", PipelineQueries.ccOracleSql) {
+      (s, dir) =>
+        import org.apache.spark.sql.functions.col
+        // the old labeling is session-standing STATE (built once, read
+        // as parquet): the measured cost is the FOLD — label lookup,
+        // meta CC over the condensed batch graph, broadcast remap
+        Dedup.connectedComponentsIncremental(
+          Standing.ccOldLabels(s, dir),
+          Standing.simhashPairs(s, dir).filter(
+            col("doc_a") % 10 < 2 || col("doc_b") % 10 < 2))
     })
 }

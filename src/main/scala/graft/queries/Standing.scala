@@ -57,6 +57,22 @@ object Standing {
     s.read.parquet(p)
   }
 
+  /** The session-standing CLUSTER-STATE frame: min-id labels of the
+    * old-split pair graph (`doc_a % 10 >= 2 && doc_b % 10 >= 2` of the
+    * standing pairs) — the state `dedup_clusters_incremental` folds a
+    * batch into, persisted once like any production cluster state. */
+  def ccOldLabels(s: SparkSession, dataDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val p = path(s"$dataDir#cc-old-labels") {
+      val out = dirFor("graft-standing-cclabels", dataDir)
+      Dedup.connectedComponents(simhashPairs(s, dataDir)
+          .filter(col("doc_a") % 10 >= 2 && col("doc_b") % 10 >= 2))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(p)
+  }
+
   /** The session-standing [[SsjIndex]] over `dataDir`'s canonicalized
     * documents with `doc_id % 10 >= 2` (the old split of the
     * incremental set-join line); returns the index dir. */
