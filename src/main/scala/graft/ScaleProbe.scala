@@ -610,6 +610,40 @@ object ScaleProbe {
       val (tk, nk) = time(admit(dirK))
       println(f"${"ssj_admit"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
+    // round-14 cont.: the incremental-CC fold's cost axis — the SAME
+    // batch split folded into a 1× and a k× standing labeling (label
+    // construction untimed; the probe reads the FOLD: endpoint label
+    // lookup + meta CC over the condensed batch graph + broadcast
+    // remap). The salted replicas densify the pair graph, so the k×
+    // batch itself carries ~k× pairs — the fold should track the
+    // BATCH size, not the old graph's edges (which the fold never
+    // reads; a full recompute re-walks them every time).
+    if (only.forall("cc_incremental".contains(_))) {
+      def legs(d: DataFrame, tag: String) = {
+        val pairs = Dedup.simhashPairs(d).select("doc_a", "doc_b")
+          .persist()
+        pairs.count()
+        val isNew = (c: org.apache.spark.sql.Column) => c % 97 === 0
+        val oldPairs = pairs.filter(!isNew(col("doc_a")) &&
+          !isNew(col("doc_b")))
+        val newPairs = pairs.filter(isNew(col("doc_a")) ||
+          isNew(col("doc_b")))
+        val labels = Dedup.connectedComponents(oldPairs).persist()
+        labels.count()
+        (pairs, labels, newPairs)
+      }
+      val (p1, l1, n1) = legs(docs1, "1x")
+      spark.catalog.clearCache()
+      l1.persist().count(); p1.persist().count()
+      Dedup.connectedComponentsIncremental(l1, n1).count() // warmup
+      val (t1, c1) = time(
+        Dedup.connectedComponentsIncremental(l1, n1).count())
+      val (pk, lk, nk) = legs(docsK, "kx")
+      val (tk, ck) = time(
+        Dedup.connectedComponentsIncremental(lk, nk).count())
+      println(f"${"cc_incremental"}%-28s 1x: $t1%6.2f s ($c1%9d rows)   ${k}x: $tk%7.2f s ($ck%10d rows)   ratio ${tk / t1}%5.2f")
+      p1.unpersist(); l1.unpersist(); pk.unpersist(); lk.unpersist()
+    }
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))
