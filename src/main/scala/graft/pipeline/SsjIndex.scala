@@ -81,6 +81,8 @@ object SsjIndex {
     m
   }
 
+  private val DeletionMarker = "_deletion"
+
   private def hwmPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/admit.hwm")
 
@@ -165,9 +167,15 @@ object SsjIndex {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(hwmPath(dir), false)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp"), false)
-      // stale running-freq states from a previous lifecycle must not
-      // survive into this one (cum=0 below only overwrites ITS path)
+      // stale state from a previous lifecycle must not survive into
+      // this one: cum=0 below only overwrites ITS path, and the store
+      // writes rely on STATIC overwrite truncation — under a session
+      // whose global partitionOverwriteMode default is "dynamic" a
+      // plain overwrite would leave the old lifecycle's batch=1..N
+      // partitions alive, so delete the dirs outright
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/freq"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/prefix"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
     }
     val sets = Dedup.persistInternal("ssjidx_build_sets",
       setsFrame(docs, idCol, textCol))
@@ -247,6 +255,28 @@ object SsjIndex {
         s"high-water mark $hwm. A legitimate retry/replay must pass " +
         "allowReplay = true; a new feed restarted from scratch is about " +
         "to overwrite earlier admissions — refusing.")
+    locally {
+      val fs = hwmPath(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a deletion burns its id: an admission landing there — even a
+      // declared replay (a live stream whose next epoch id collides) —
+      // would rewrite cum=id from the PRE-deletion cum=id−1 and
+      // silently resurrect the deleted documents' counts
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/freq/cum=$id/$DeletionMarker")),
+        s"SsjIndex.admit: batch id $id was burned by a deletion — " +
+          "admitting here would resurrect the deleted documents' " +
+          "counts. Continue the feed above the mark (a new stream " +
+          "checkpoint with StreamingSsjAdmit's idOffset past the " +
+          "high-water mark), or rebuild the index.")
+      // ids must be contiguous: the fold reads cum=(id−1), so a gap
+      // would die deep inside the read with a bare PATH_NOT_FOUND
+      require(fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/freq/cum=${id - 1}")),
+        s"SsjIndex.admit: no freq state at cum=${id - 1} — batch ids " +
+          s"are contiguous (next is ${hwm + 1}); derive ids from the " +
+          "admission sequence, not from event time.")
+    }
     val sets = Dedup.persistInternal("ssjidx_admit_sets",
       setsFrame(newDocs, idCol, textCol))
     // 1) fold the running (tok, tf) state: previous cum ⊕ increment —
@@ -327,6 +357,7 @@ object SsjIndex {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = queryDocs.sparkSession
     val meta = readMeta(spark, dir)
+    readHwm(spark, dir) // loud refusal on a crashed mid-build index
     val sets = Dedup.persistInternal("ssjidx_lookup_sets",
       setsFrame(queryDocs, idCol, textCol))
     val order = spark.read.parquet(s"$dir/order")
@@ -419,6 +450,12 @@ object SsjIndex {
         (col("__a") - coalesce(col("__b"), lit(0L))).as("tf"))
       .filter(col("tf") > 0)
       .write.mode("overwrite").parquet(s"$dir/freq/cum=${hwm + 1}")
+    locally { // mark the burned id: admissions there are refused (see admit)
+      val fs = hwmPath(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/freq/cum=${hwm + 1}/$DeletionMarker"), true).close()
+    }
     // 2) surgical docs-store rewrite: touched (batch, db) partitions
     //    only. Dynamic overwrite replaces partitions PRESENT in the
     //    written data, so a partition whose every row is a victim must
@@ -497,12 +534,22 @@ object SsjIndex {
       .groupBy("batch").agg(count(lit(1)).as("n_docs"))
     val pref = spark.read.parquet(s"$dir/prefix")
       .groupBy("batch").agg(count(lit(1)).as("n_prefix_rows"))
+    // SYMMETRIC drift: a token counts as drifted when its frozen and
+    // running counts differ by 2× in EITHER direction (unseen-at-build
+    // tokens have tf0 = 0 and always count; deletion-shrunk tokens
+    // count too — a one-sided growth test would stay silent after a
+    // mass takedown). Mass weights by the LARGER of the two counts so
+    // shrunken tokens keep their build-time weight in the signal.
     val dr = spark.read.parquet(s"$dir/freq/cum=$hwm")
       .join(spark.read.parquet(s"$dir/order")
-        .select(col("tok"), col("tf").as("tf0")), Seq("tok"), "left_outer")
-      .select(coalesce(sum(col("tf")), lit(0L)).as("__m"),
-        coalesce(sum(when(coalesce(col("tf0"), lit(0L)) * 2 <= col("tf"),
-          col("tf")).otherwise(lit(0L))), lit(0L)).as("__s"))
+        .select(col("tok"), col("tf").as("tf0")), Seq("tok"), "full_outer")
+      .select(greatest(coalesce(col("tf"), lit(0L)),
+        coalesce(col("tf0"), lit(0L))).as("__w"),
+        least(coalesce(col("tf"), lit(0L)),
+          coalesce(col("tf0"), lit(0L))).as("__l"))
+      .select(coalesce(sum(col("__w")), lit(0L)).as("__m"),
+        coalesce(sum(when(col("__l") * 2 <= col("__w"), col("__w"))
+          .otherwise(lit(0L))), lit(0L)).as("__s"))
       .head()
     val driftMilli =
       if (dr.getLong(0) == 0L) 0L else dr.getLong(1) * 1000L / dr.getLong(0)

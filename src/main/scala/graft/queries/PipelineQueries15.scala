@@ -215,7 +215,7 @@ object PipelineQueries15 {
     // with the corpus).
     QueryDef("dedup_setjoin_admit",
       PipelineQueries15.setjoinIncrementalSql) { (s, dir) =>
-      val idx = Standing.ssjOldIndex(s, dir, PipelineQueries15.ssjCanon)
+      val idx = Standing.ssjOldIndex(s, dir, PipelineQueries15.ssjCanon, "admit")
       graft.pipeline.SsjIndex.admit(
         PipelineQueries15.ssjCanon(W.read(s, dir, "documents"))
           .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 2),

@@ -128,7 +128,7 @@ object PipelineQueries16 {
           |    AS jaccard
           |FROM v WHERE inter * 1000 >= 700 * (na + nb - inter)"""
           .stripMargin)) { (s, dir) =>
-      val idx = Standing.ssjOldIndex(s, dir, PipelineQueries15.ssjCanon)
+      val idx = Standing.ssjOldIndex(s, dir, PipelineQueries15.ssjCanon, "lookup")
       graft.pipeline.SsjIndex.lookup(
         PipelineQueries15.ssjCanon(W.read(s, dir, "documents"))
           .filter(org.apache.spark.sql.functions.col("doc_id") % 10 < 2),

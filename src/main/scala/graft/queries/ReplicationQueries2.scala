@@ -178,7 +178,8 @@ object ReplicationQueries2 {
           |FROM audit_log GROUP BY 1""".stripMargin)) {
       (s, dir) =>
         W.auditLog(s, dir)
-          .groupBy(expr("unix_micros(create_time) div 10000000").as("bucket"))
+          .groupBy(expr(graft.pipeline.Recency.floorDivSql(
+            "unix_micros(create_time)", 10000000L)).as("bucket"))
           .agg(max("id").as("max_id"), count(lit(1)).as("n"))
     },
 

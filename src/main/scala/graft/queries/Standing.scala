@@ -77,9 +77,14 @@ object Standing {
     * documents with `doc_id % 10 >= 2` (the old split of the
     * incremental set-join line); returns the index dir. */
   def ssjOldIndex(s: SparkSession, dataDir: String,
-      canon: DataFrame => DataFrame): String =
-    path(s"$dataDir#ssj-old") {
-      val out = dirFor("graft-standing-ssj", dataDir)
+      canon: DataFrame => DataFrame, tag: String): String =
+    path(s"$dataDir#ssj-old-$tag") {
+      // one PRIVATE index per consuming line: dedup_setjoin_admit
+      // mutates its index in place (that IS what it measures), and
+      // query execution order across a Verify/Bench run is an
+      // unordered-Map accident — a read-only line sharing the admitted
+      // dir would see batch=1 or not depending on hash luck
+      val out = dirFor(s"graft-standing-ssj-$tag", dataDir)
       SsjIndex.build(
         canon(W.read(s, dataDir, "documents"))
           .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 2),

@@ -38,10 +38,16 @@ import graft.pipeline.SsjIndex
  */
 object StreamingSsjAdmit {
 
+  /** `idOffset` maps epoch N to index batch N + idOffset (default 1 —
+    * admissions start above the build's batch 0). A stream RESTARTED
+    * from a fresh checkpoint after a deletion (which burns an id, so
+    * the old stream's next epoch is refused) passes an offset above
+    * the index's high-water mark to continue admission. */
   def sink(dir: String, pairsDir: String, idCol: String = "doc_id",
-      textCol: String = "text"): (DataFrame, Long) => Unit =
+      textCol: String = "text",
+      idOffset: Long = 1L): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      val id = batchId + 1L
+      val id = batchId + idOffset
       SsjIndex.admit(batch, dir, batchId = Some(id),
           allowReplay = true, idCol = idCol, textCol = textCol)
         .withColumn("batch", lit(id))

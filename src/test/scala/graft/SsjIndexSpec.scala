@@ -256,4 +256,32 @@ class SsjIndexSpec extends TestBase
       .collect().map(_.get(0).toString.toLong).toSet
     assert(bs.contains(2L) && !bs.contains(1L), s"got batches $bs")
   }
+
+  test("a deletion burns its id: even a declared replay there is " +
+      "refused; a non-contiguous id refuses with guidance; the feed " +
+      "continues above the mark") {
+    val all = corpus(1 to 40)
+    val dir = tmpDir("ssj-burn").toString
+    SsjIndex.build(all, dir, tauMilli = 500, buckets = 8)
+    SsjIndex.delete(spark, dir,
+      Seq(3L, 7L).toDF("doc_id")) // burns id 1
+    val inc = corpus(50 to 55)
+    val e1 = intercept[IllegalArgumentException] {
+      SsjIndex.admit(inc, dir, batchId = Some(1L), allowReplay = true)
+    }
+    assert(e1.getMessage.contains("burned by a deletion"))
+    val e2 = intercept[IllegalArgumentException] {
+      SsjIndex.admit(inc, dir, batchId = Some(5L), allowReplay = true)
+    }
+    assert(e2.getMessage.contains("contiguous"))
+    // the natural next id works, and the restarted-stream shape
+    // (idOffset past the mark) lands the same way
+    SsjIndex.admit(inc, dir).count()
+    graft.streaming.StreamingSsjAdmit.sink(dir,
+      tmpDir("ssj-burn-pairs").toString, idOffset = 3L)(
+      corpus(60 to 62), 0L)
+    val bs = spark.read.parquet(s"$dir/docs").select("batch").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    assert(bs == Set(0L, 2L, 3L), s"got $bs")
+  }
 }
