@@ -644,6 +644,40 @@ object ScaleProbe {
       println(f"${"cc_incremental"}%-28s 1x: $t1%6.2f s ($c1%9d rows)   ${k}x: $tk%7.2f s ($ck%10d rows)   ratio ${tk / t1}%5.2f")
       p1.unpersist(); l1.unpersist(); pk.unpersist(); lk.unpersist()
     }
+    // round-15: the retraction's cost axis — the SAME victim set
+    // retracted from a 1× and a k× standing labeling (state built
+    // untimed; the probe reads the RETRACT: victim-label lookup,
+    // touched-cluster member/pair filtering, CC over ONLY the touched
+    // clusters' surviving pairs). The k× graph has ~k× the clusters
+    // but the victims touch a fixed absolute number of them, so the
+    // timed leg should track the touched clusters, never the corpus —
+    // a full recompute re-walks every surviving edge instead.
+    if (only.forall("cc_retract".contains(_))) {
+      def legs(d: DataFrame) = {
+        val pairs = Dedup.simhashPairs(d).select("doc_a", "doc_b")
+          .persist()
+        pairs.count()
+        val labels = Dedup.connectedComponents(pairs).persist()
+        labels.count()
+        (pairs, labels)
+      }
+      // victims only from the 1x id range: the k× leg's extra clusters
+      // are untouched by construction — the pass-through axis
+      val victims = docs1.filter(col("doc_id") % 97 === 0)
+        .select("doc_id").persist()
+      victims.count()
+      val (p1, l1) = legs(docs1)
+      spark.catalog.clearCache()
+      Dedup.connectedComponentsRetract(l1, p1, victims).count() // warmup
+      val (t1, c1) = time(
+        Dedup.connectedComponentsRetract(l1, p1, victims).count())
+      val (pk, lk) = legs(docsK)
+      val (tk, ck) = time(
+        Dedup.connectedComponentsRetract(lk, pk, victims).count())
+      println(f"${"cc_retract"}%-28s 1x: $t1%6.2f s ($c1%9d rows)   ${k}x: $tk%7.2f s ($ck%10d rows)   ratio ${tk / t1}%5.2f")
+      p1.unpersist(); l1.unpersist(); pk.unpersist(); lk.unpersist()
+      victims.unpersist()
+    }
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))

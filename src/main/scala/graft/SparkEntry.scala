@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, PipelineQueries2, PipelineQueries3, PipelineQueries4, PipelineQueries5, PipelineQueries6, PipelineQueries7, PipelineQueries8, PipelineQueries9, PipelineQueries10, PipelineQueries11, PipelineQueries12, PipelineQueries13, PipelineQueries14, PipelineQueries15, PipelineQueries16, QueryDef, ReplicationQueries, ReplicationQueries2}
+import graft.queries.{PipelineQueries, PipelineQueries2, PipelineQueries3, PipelineQueries4, PipelineQueries5, PipelineQueries6, PipelineQueries7, PipelineQueries8, PipelineQueries9, PipelineQueries10, PipelineQueries11, PipelineQueries12, PipelineQueries13, PipelineQueries14, PipelineQueries15, PipelineQueries16, PipelineQueries17, QueryDef, ReplicationQueries, ReplicationQueries2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,7 @@ object SparkEntry {
       PipelineQueries10.defs ++ PipelineQueries11.defs ++
       PipelineQueries12.defs ++ PipelineQueries13.defs ++
       PipelineQueries14.defs ++ PipelineQueries15.defs ++
-      PipelineQueries16.defs
+      PipelineQueries16.defs ++ PipelineQueries17.defs
 
   /** Flagship query on /root/testdata/sf0.001: the J1 table-inventory diff —
     * the heart of the replication planner. Driver smoke-checks rows>0. */

@@ -1407,6 +1407,68 @@ object Dedup {
   }
 
   /**
+   * RETRACTION for [[connectedComponentsIncremental]]'s cluster state —
+   * the missing inverse: removing documents can SPLIT a cluster, which
+   * the label state alone cannot express (a min-id label says who is
+   * together, not through whom). With the standing PAIR FRAME persisted
+   * (production keeps it — it is what the labels were computed from),
+   * the split is recomputable at touched-cluster cost: victims' labels
+   * name the touched clusters; every pair of an untouched cluster is
+   * untouched (both endpoints of a pair share a label), so only the
+   * touched clusters' surviving pairs re-run CC, and the untouched
+   * state passes through verbatim. The result is BIT-IDENTICAL to a
+   * full recompute over all surviving pairs: untouched components keep
+   * their min-id labels (edges unchanged), and the recompute's min-id
+   * labels over the touched subgraph ARE the full recompute's labels
+   * for those nodes.
+   *
+   * Contract: `labels` must be the CC state OF `pairs` (every pair
+   * endpoint labeled — [[connectedComponents]]' output over exactly
+   * this frame, possibly folded forward by the incremental admit).
+   * Victims absent from the state are no-ops. Docs that lose their
+   * last pair leave the state (the family's paired-docs-only
+   * convention — they are singletons again).
+   *
+   * Scale shape: touched-cluster ids broadcast against the state (one
+   * scan) to list members; the pair frame filters by a member
+   * broadcast-semi-join (scan, no shuffle of the corpus-sized frame);
+   * the CC iterations run over the touched subgraph only.
+   */
+  def connectedComponentsRetract(labels: DataFrame, pairs: DataFrame,
+      victims: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    val lbl = persistInternal("cc_ret_labels",
+      labels.select(col("doc_id").cast("long").as("doc_id"),
+        col("cluster_id").cast("long").as("cluster_id")))
+    val vic = persistInternal("cc_ret_victims",
+      victims.select(col(idCol).cast("long").as("doc_id")).distinct())
+    val touchedClusters = persistInternal("cc_ret_touched",
+      lbl.join(vic, Seq("doc_id"), "left_semi")
+        .select("cluster_id").distinct())
+    // untouched clusters pass through (victims live in touched ones)
+    val untouched = lbl
+      .join(broadcast(touchedClusters), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id")
+    // members of touched clusters — the only nodes whose labels can
+    // change; both endpoints of a pair share a cluster, so filtering
+    // the pair frame on ONE endpoint's membership finds every touched
+    // pair without a label-lookup shuffle
+    val members = persistInternal("cc_ret_members",
+      lbl.join(broadcast(touchedClusters), Seq("cluster_id"), "left_semi")
+        .select("doc_id"))
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val surviving = e
+      .join(members.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(vic.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+      .join(vic.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+    val recomputed = connectedComponents(
+      surviving.select(col("a").as("doc_a"), col("b").as("doc_b")),
+      maxIter = maxIter)
+    untouched.unionAll(recomputed)
+  }
+
+  /**
    * Quality-aware cluster resolution — the keeper policy a production
    * corpus actually wants: within each near-dup cluster keep the
    * HIGHEST-quality member (ties to the smallest id), not the smallest

@@ -384,6 +384,33 @@ object Multimodal {
         }
         Some(WavAudio(f.getSampleRate, f.getChannels, samples))
       } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Encode signed 16-bit samples as a mono PCM WAV payload (RIFF
+      * header + little-endian data) — the inverse of [[decode]] for
+      * the 16-bit case, which round-trips bit-exactly (the JDK's
+      * PCM_SIGNED 16-bit LE target is a passthrough). This is what
+      * lets the REAL codec path be oracle-certified: a fixture
+      * generates payloads from a known integer sample table, the
+      * engine decodes them with the production [[WavDecoder]], and
+      * the oracle replays the acoustics from the same table — a hash
+      * match proves encode → JDK decode → chunk is exact end to end.
+      * Samples clamp to the signed-16 range. */
+    def encode16(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+      val dataLen = 2 * samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => bb.putShort(
+        math.max(-32768, math.min(32767, s)).toShort))
+      bb.array()
+    }
   }
 
   /**

@@ -22,11 +22,14 @@ import org.apache.spark.sql.functions._
  *   dir/freq/cum=N    RUNNING (tok, tf) table folded through batch N —
  *                     exact grouped-sum merge per admission (the
  *                     [[CardSketch.hllMerge]] shape: state ⊕ increment,
- *                     never a corpus rescan)
+ *                     never a corpus rescan); pruned by [[gcFreqState]]
  *   dir/prefix        (doc_id, tok, len) prefix rows, partitioned by
  *                     (batch, pb = hash-bucket of tok)
  *   dir/docs          (doc_id, toks sorted-distinct, len) token sets,
  *                     partitioned by (batch, db = hash-bucket of doc_id)
+ *   dir/deleted       (doc_id, toks) per burned id, partitioned by
+ *                     batch — each deletion's redo log, burn registry,
+ *                     and the replayed-admission victim screen
  *   dir/admit.hwm     admission high-water mark (one line; the
  *                     fresh-checkpoint-restart guard)
  * }}}
@@ -57,6 +60,18 @@ import org.apache.spark.sql.functions._
  * so a replayed admission replaces its own partitions; an explicit id
  * at or below the high-water mark is refused unless
  * `allowReplay = true`.
+ *
+ * STORAGE LIFECYCLE (the [[Similarity.compactIvfIndex]] discipline):
+ * at streaming cadence the stores accumulate one `batch=N` partition
+ * set per epoch and one vocab-sized `cum=N` table per admission.
+ * [[gcFreqState]] prunes superseded freq tables; [[compact]] folds the
+ * prefix/docs stores to `batch=0` (purging deletion tombstones),
+ * bounds files per bucket, and restarts the admission lifecycle — all
+ * swaps are staged rename-asides ([[recoverStores]] finishes any
+ * interrupted swap, so a complete store exists at every crash point).
+ * Maintenance ops (delete / gcFreqState / compact / rebuildPrefixes)
+ * run QUIESCED — they are the index's single writer for their
+ * duration, the same operating contract as IVF compaction.
  */
 object SsjIndex {
 
@@ -86,17 +101,45 @@ object SsjIndex {
   private def hwmPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/admit.hwm")
 
+  private def fsOf(spark: SparkSession, dir: String) =
+    hwmPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def readHwm(spark: SparkSession, dir: String): Long = {
     val p = hwmPath(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
-      s"no admission high-water mark at $p — SsjIndex.build writes it")
+      s"no admission high-water mark at $p — either SsjIndex.build " +
+        "never ran, or a maintenance pass (compact/rebuildPrefixes) " +
+        "was interrupted mid-swap; re-run that maintenance op to " +
+        "restore a consistent index")
     val in = fs.open(p)
     val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
     require(s.nonEmpty && s.forall(_.isDigit),
       s"corrupt admission high-water sidecar at $p: '$s'")
     s.toLong
+  }
+
+  /** The mark, tolerating the compact/rebuild crash window where the
+    * file is deliberately absent: fall back to the largest `cum=` dir
+    * (the freq store is untouched inside those windows, so the largest
+    * cum IS the pre-maintenance mark). Only the maintenance ops that
+    * own that window use this — ordinary admissions/lookups keep the
+    * strict loud-refusal read. */
+  private def readHwmOrFallback(spark: SparkSession, dir: String): Long = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(hwmPath(dir))) readHwm(spark, dir)
+    else {
+      val freq = new org.apache.hadoop.fs.Path(s"$dir/freq")
+      require(fs.exists(freq),
+        s"no freq store at $freq — the index at $dir was never built " +
+          "or a build crashed; SsjIndex.build first")
+      val cums = fs.listStatus(freq).map(_.getPath.getName)
+        .filter(_.startsWith("cum=")).map(_.stripPrefix("cum=").toLong)
+      require(cums.nonEmpty,
+        s"empty freq store at $freq — rebuild the index")
+      cums.max
+    }
   }
 
   private def writeHwm(spark: SparkSession, dir: String, v: Long): Unit = {
@@ -108,6 +151,184 @@ object SsjIndex {
     if (fs.exists(p)) fs.delete(p, false)
     require(fs.rename(tmp, p),
       s"could not publish the admission high-water mark to $p")
+  }
+
+  // ---------------------------------------------------------------------
+  // staged-swap machinery (the [[Similarity.recoverCorpus]] discipline,
+  // generalized): a store rewrites by staging the full replacement at
+  // `<store>.next`, renaming the live dir ASIDE to `<store>.old`,
+  // promoting `.next`, then dropping `.old` — a complete store exists
+  // at every crash point, and recoverSwap finishes any interruption.
+  // ---------------------------------------------------------------------
+
+  private val SwappableStores = Seq("order", "prefix", "docs", "freq")
+
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, store: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$store")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/$store.next")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/$store.old")
+    if (!fs.exists(live) && fs.exists(next)) {
+      // live moved aside but the promote never ran: .next is a COMPLETE
+      // replacement (staging finished before the swap began) — promote
+      val renamed = fs.rename(next, live)
+      require(renamed || fs.exists(live),
+        s"swap recovery failed: could not promote $next to $live")
+    }
+    if (fs.exists(live)) {
+      // crash after promote (drop the aside) or mid-staging (drop the
+      // incomplete staging dir — the op that wrote it will re-stage)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(next)) fs.delete(next, true)
+    }
+  }
+
+  /** Finish any interrupted store swap — run by every entry point. */
+  private[pipeline] def recoverStores(spark: SparkSession,
+      dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    SwappableStores.foreach(recoverSwap(fs, dir, _))
+  }
+
+  private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, store: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$store")
+    val next = new org.apache.hadoop.fs.Path(s"$dir/$store.next")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/$store.old")
+    require(fs.rename(live, old),
+      s"store swap failed: could not rename $live aside to $old")
+    require(fs.rename(next, live),
+      s"store swap failed: could not promote $next to $live — " +
+        s"$old holds the previous store; the next index call recovers")
+    fs.delete(old, true)
+  }
+
+  // ---------------------------------------------------------------------
+  // deletion sidecar: dir/deleted/batch=N holds the (doc_id, toks) rows
+  // the deletion that burned id N removed — written FIRST, so a crashed
+  // delete replays from its own record, a replayed admission screens
+  // out later takedowns, and the burn registry survives freq-state GC.
+  // ---------------------------------------------------------------------
+
+  private def deletedSidecar(dir: String, id: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/deleted/batch=$id")
+
+  private def isBurned(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, id: Long): Boolean =
+    fs.exists(deletedSidecar(dir, id)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/freq/cum=$id/$DeletionMarker"))
+
+  /** Every burned (deletion) id on record — sidecar batches plus any
+    * legacy in-cum markers. Bounded by the number of deletions ever
+    * run, never by data. */
+  private[graft] def burnedIds(spark: SparkSession, dir: String): Set[Long] = {
+    val fs = fsOf(spark, dir)
+    val del = new org.apache.hadoop.fs.Path(s"$dir/deleted")
+    val fromSidecar =
+      if (!fs.exists(del)) Set.empty[Long]
+      else fs.listStatus(del).map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).toSet
+    val freq = new org.apache.hadoop.fs.Path(s"$dir/freq")
+    val fromMarkers =
+      if (!fs.exists(freq)) Set.empty[Long]
+      else fs.listStatus(freq).map(_.getPath.getName)
+        .filter(_.startsWith("cum=")).map(_.stripPrefix("cum=").toLong)
+        .filter(id => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$dir/freq/cum=$id/$DeletionMarker"))).toSet
+    fromSidecar ++ fromMarkers
+  }
+
+  /** The admitted high-water mark (strict read) — for callers outside
+    * this object that derive admission ids ([[graft.streaming.StreamingSsjAdmit]]). */
+  private[graft] def admittedHwm(spark: SparkSession, dir: String): Long =
+    readHwm(spark, dir)
+
+  private def pendingDelete(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, hwm: Long): Boolean =
+    isBurned(fs, dir, hwm + 1)
+
+  /**
+   * Complete the deletion that burns `hwm + 1`, from its sidecar
+   * record — every step idempotent, so this is both the tail of a
+   * fresh [[delete]] and the recovery for one that crashed at any
+   * point after the sidecar landed: the freq fold overwrites `cum =
+   * hwm+1` from `cum = hwm` (inputs unchanged by the crash), the docs
+   * rewrite removes whichever victims are still present, and the mark
+   * advances last.
+   */
+  private def finishDelete(spark: SparkSession, dir: String,
+      hwm: Long): Unit = {
+    val meta = readMeta(spark, dir)
+    val burnId = hwm + 1
+    val fs = fsOf(spark, dir)
+    require(fs.exists(deletedSidecar(dir, burnId)),
+      s"cannot finish the deletion burning id $burnId: no victim " +
+        s"record at ${deletedSidecar(dir, burnId)} (a pre-sidecar " +
+        "deletion crashed mid-flight) — re-run SsjIndex.delete with " +
+        "the same ids, or rebuild the index")
+    val victims = Dedup.persistInternal("ssjidx_findel_victims",
+      spark.read.parquet(deletedSidecar(dir, burnId).toString)
+        .select(col("doc_id"), col("toks")))
+    // 1) fold the victims' counts OUT of the running state (exact
+    //    grouped subtraction from cum=hwm — the admission fold's
+    //    inverse; idempotent overwrite of cum=hwm+1)
+    val negCounts = victims.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    spark.read.parquet(s"$dir/freq/cum=$hwm")
+      .select(col("tok"), col("tf").as("__a"))
+      .join(negCounts.select(col("tok"), col("tf").as("__b")),
+        Seq("tok"), "left_outer")
+      .select(col("tok"),
+        (col("__a") - coalesce(col("__b"), lit(0L))).as("tf"))
+      .filter(col("tf") > 0)
+      .write.mode("overwrite").parquet(s"$dir/freq/cum=$burnId")
+    // legacy marker kept alongside the sidecar (older indexes check it)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/freq/cum=$burnId/$DeletionMarker"), true).close()
+    // 2) surgical docs-store rewrite: touched (batch, db) partitions
+    //    only. Dynamic overwrite replaces partitions PRESENT in the
+    //    written data, so a partition whose every row is a victim must
+    //    be dropped explicitly — it would otherwise survive untouched.
+    //    Victims already gone (a crashed predecessor got this far)
+    //    simply produce no touched partitions.
+    val ids = victims.select("doc_id")
+    val touchedDb = ids.select(db(meta.buckets).as("db")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val docsP = s"$dir/docs"
+    val touched = Dedup.persistInternal("ssjidx_findel_rows",
+      spark.read.parquet(docsP)
+        .filter(col("db").isin(touchedDb: _*))
+        .join(ids, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          col("batch").cast("long").as("batch"),
+          col("db").cast("long").as("db")))
+    val touchedPairs = touched.select("batch", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (touchedPairs.nonEmpty) {
+      val survivors = spark.read.parquet(docsP)
+        .filter(col("db").isin(touchedDb: _*))
+        .withColumn("batch", col("batch").cast("long"))
+        .withColumn("db", col("db").cast("long"))
+        .join(touched.select("batch", "db").distinct(), Seq("batch", "db"),
+          "left_semi")
+        .join(ids, Seq("doc_id"), "left_anti")
+      // surviving partitions are counted BEFORE the rewrite: the plan's
+      // file listing is of the pre-write store, and re-evaluating it
+      // after the overwrite would read deleted files
+      val kept = survivors.select("batch", "db").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      survivors
+        .repartition(col("db"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch", "db").parquet(docsP)
+      touchedPairs.filterNot(kept).foreach { case (b, d) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$docsP/batch=$b/db=$d"), true)
+      }
+    }
+    writeHwm(spark, dir, burnId)
   }
 
   /** `(doc_id, toks sorted-distinct, len)` — the family's token-set
@@ -163,8 +384,7 @@ object SsjIndex {
     // mid-build leaves an index that refuses admissions loudly (no hwm)
     // rather than one that silently admits over half-written stores
     locally {
-      val fs = hwmPath(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = fsOf(spark, dir)
       fs.delete(hwmPath(dir), false)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp"), false)
       // stale state from a previous lifecycle must not survive into
@@ -172,10 +392,13 @@ object SsjIndex {
       // writes rely on STATIC overwrite truncation — under a session
       // whose global partitionOverwriteMode default is "dynamic" a
       // plain overwrite would leave the old lifecycle's batch=1..N
-      // partitions alive, so delete the dirs outright
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/freq"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/prefix"), true)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/docs"), true)
+      // partitions alive, so delete the dirs outright (staging/aside
+      // leftovers and the burn registry included — burned ids are an
+      // admission-lifecycle concept and this starts a new lifecycle)
+      (Seq("freq", "prefix", "docs", "deleted") ++
+        SwappableStores.flatMap(s => Seq(s"$s.next", s"$s.old")))
+        .foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true))
     }
     val sets = Dedup.persistInternal("ssjidx_build_sets",
       setsFrame(docs, idCol, textCol))
@@ -240,14 +463,32 @@ object SsjIndex {
    * retried or replayed admission overwrites its own partial state and
    * returns the same pairs. Ids at or below the mark are refused
    * without `allowReplay = true` — a fresh caller reusing ids would
-   * silently overwrite earlier admissions otherwise.
+   * silently overwrite earlier admissions otherwise. A REPLAYED epoch
+   * additionally screens out documents a deletion took down AFTER its
+   * id (the `dir/deleted` registry): without the screen, an epoch that
+   * crashed post-admit and was replayed after a takedown would re-land
+   * its original partitions and resurrect the victims.
+   *
+   * The returned pairs are MATERIALIZED (cached and counted) before
+   * this method returns: the result is a fixed value, safe to consume
+   * after later admissions mutate the store — a lazy plan would
+   * silently pick up the newer batches' rows on its corpus side.
    */
   def admit(newDocs: DataFrame, dir: String, batchId: Option[Long] = None,
       allowReplay: Boolean = false, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val spark = newDocs.sparkSession
+    recoverStores(spark, dir)
     val meta = readMeta(spark, dir)
-    val hwm = readHwm(spark, dir)
+    val fs = fsOf(spark, dir)
+    // a crashed deletion left its sidecar + burn state but never
+    // advanced the mark: finish it first (idempotent, victim record on
+    // disk) so this admission sees the post-deletion state
+    val hwm = {
+      val h = readHwm(spark, dir)
+      if (pendingDelete(fs, dir, h)) { finishDelete(spark, dir, h); h + 1 }
+      else h
+    }
     val id = batchId.getOrElse(hwm + 1L)
     require(id > 0, s"batch ids above 0 are admissions; 0 is the build ($id)")
     require(allowReplay || id > hwm,
@@ -255,30 +496,41 @@ object SsjIndex {
         s"high-water mark $hwm. A legitimate retry/replay must pass " +
         "allowReplay = true; a new feed restarted from scratch is about " +
         "to overwrite earlier admissions — refusing.")
-    locally {
-      val fs = hwmPath(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a deletion burns its id: an admission landing there — even a
-      // declared replay (a live stream whose next epoch id collides) —
-      // would rewrite cum=id from the PRE-deletion cum=id−1 and
-      // silently resurrect the deleted documents' counts
-      require(!fs.exists(new org.apache.hadoop.fs.Path(
-          s"$dir/freq/cum=$id/$DeletionMarker")),
-        s"SsjIndex.admit: batch id $id was burned by a deletion — " +
-          "admitting here would resurrect the deleted documents' " +
-          "counts. Continue the feed above the mark (a new stream " +
-          "checkpoint with StreamingSsjAdmit's idOffset past the " +
-          "high-water mark), or rebuild the index.")
-      // ids must be contiguous: the fold reads cum=(id−1), so a gap
-      // would die deep inside the read with a bare PATH_NOT_FOUND
-      require(fs.exists(new org.apache.hadoop.fs.Path(
-          s"$dir/freq/cum=${id - 1}")),
-        s"SsjIndex.admit: no freq state at cum=${id - 1} — batch ids " +
-          s"are contiguous (next is ${hwm + 1}); derive ids from the " +
-          "admission sequence, not from event time.")
-    }
+    // a deletion burns its id: an admission landing there — even a
+    // declared replay (a live stream whose next epoch id collides) —
+    // would rewrite cum=id from the PRE-deletion cum=id−1 and
+    // silently resurrect the deleted documents' counts
+    require(!isBurned(fs, dir, id),
+      s"SsjIndex.admit: batch id $id was burned by a deletion — " +
+        "admitting here would resurrect the deleted documents' " +
+        "counts. Continue the feed above the mark (StreamingSsjAdmit's " +
+        "auto id derivation does this; a fixed-offset stream needs a " +
+        "new checkpoint with idOffset past the high-water mark), or " +
+        "rebuild the index.")
+    // ids must be contiguous: the fold reads cum=(id−1), so a gap
+    // would die deep inside the read with a bare PATH_NOT_FOUND
+    require(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$dir/freq/cum=${id - 1}")),
+      s"SsjIndex.admit: no freq state at cum=${id - 1} — batch ids " +
+        s"are contiguous (next is ${hwm + 1}); derive ids from the " +
+        "admission sequence, not from event time. (A replay older " +
+        "than the last two admissions may also land here after " +
+        "gcFreqState pruned its input state.)")
+    val sets0 = setsFrame(newDocs, idCol, textCol)
+    // REPLAY SCREEN: a replayed epoch re-lands its own batch=id
+    // partitions — minus any document a deletion burned AFTER this id
+    // (those takedowns already folded the victims out of the freq
+    // state and the docs store; re-landing them would resurrect the
+    // victims while the counts keep the subtraction). Deletions at or
+    // BELOW this id don't filter: a re-ingest of a previously deleted
+    // document under a later id is a legitimate new admission.
     val sets = Dedup.persistInternal("ssjidx_admit_sets",
-      setsFrame(newDocs, idCol, textCol))
+      if (allowReplay && id <= hwm &&
+          fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deleted"))) {
+        val laterVictims = spark.read.parquet(s"$dir/deleted")
+          .filter(col("batch") > id).select("doc_id")
+        sets0.join(laterVictims, Seq("doc_id"), "left_anti")
+      } else sets0)
     // 1) fold the running (tok, tf) state: previous cum ⊕ increment —
     //    exact by commutativity of sum, state-sized, no corpus scan.
     //    Reads cum=(id−1), never cum=id, so a replay recomputes the
@@ -334,7 +586,10 @@ object SsjIndex {
     val verifySets = storedSets(spark, dir, id, touchedDb)
       .unionByName(sets)
       .select(col("doc_id"), col("toks"), col("len").as("n"))
-    Dedup.ssjVerifySets(cand, verifySets, tau)
+    val out = Dedup.persistInternal("ssjidx_admit_pairs",
+      Dedup.ssjVerifySets(cand, verifySets, tau))
+    out.count() // pin the result to THIS admission's store state
+    out
   }
 
   /**
@@ -356,6 +611,7 @@ object SsjIndex {
   def lookup(queryDocs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = queryDocs.sparkSession
+    recoverStores(spark, dir) // rename-only: finish interrupted swaps
     val meta = readMeta(spark, dir)
     readHwm(spark, dir) // loud refusal on a crashed mid-build index
     val sets = Dedup.persistInternal("ssjidx_lookup_sets",
@@ -406,121 +662,216 @@ object SsjIndex {
    * id for its `cum=` state so a replayed admission can never clobber
    * the subtraction, and the high-water mark advances with it.
    *
+   * The victims' rows are recorded at `dir/deleted/batch=<burned id>`
+   * BEFORE any state mutates — the deletion's redo log. A crash at any
+   * later point is finished from that record by the next delete() or
+   * admit() call (every step idempotent), so a re-run can never fold
+   * the subtraction from stale state or leave the mark below the
+   * burned id. The record also screens replayed admissions
+   * ([[admit]]'s replay path) and keeps burned ids on the books after
+   * [[gcFreqState]] prunes old freq tables.
+   *
    * The docs store is AUTHORITATIVE: victims' prefix rows are left
    * behind as tombstones (a candidate against a tombstone dies in the
    * verify's inner join against the docs store, so results are correct
-   * immediately); the next [[rebuildPrefixes]] — which rebuilds the
-   * prefix store from the docs store — purges them. A crash mid-delete
-   * leaves some victims gone and the freq state not yet advanced;
-   * re-running the same delete converges (already-gone victims
-   * subtract nothing).
+   * immediately); the next [[rebuildPrefixes]] or [[compact]] purges
+   * them.
    *
    * Returns the number of documents actually removed.
    */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String = "doc_id"): Long = {
+    recoverStores(spark, dir)
+    val fs = fsOf(spark, dir)
+    val hwm = {
+      val h = readHwm(spark, dir)
+      // a crashed predecessor: finish ITS deletion first, from its own
+      // record — starting a fresh one here would fold from the stale
+      // pre-deletion cum and overwrite the crashed burn's state
+      if (pendingDelete(fs, dir, h)) { finishDelete(spark, dir, h); h + 1 }
+      else h
+    }
     val meta = readMeta(spark, dir)
-    val hwm = readHwm(spark, dir)
     val victims = Dedup.persistInternal("ssjidx_del_ids",
       ids.select(col(idCol).as("doc_id")).distinct())
     val touchedDb = victims
       .select(db(meta.buckets).as("db")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val docsP = s"$dir/docs"
     // partition columns read back with inferred types (an int-sized
     // batch value infers IntegerType) — cast for stable collects/joins
     val touched = Dedup.persistInternal("ssjidx_del_rows",
-      spark.read.parquet(docsP)
+      spark.read.parquet(s"$dir/docs")
         .filter(col("db").isin(touchedDb: _*))
         .join(victims, Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("toks"), col("len"),
-          col("batch").cast("long").as("batch"),
-          col("db").cast("long").as("db")))
+        .select(col("doc_id"), col("toks")))
     val nVictims = touched.count()
     if (nVictims == 0) return 0L
-    // 1) fold the victims' counts OUT of the running state, burning an
-    //    admission id so no replay window can resurrect them
-    val negCounts = touched.select(explode(col("toks")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("tf"))
-    spark.read.parquet(s"$dir/freq/cum=$hwm")
-      .select(col("tok"), col("tf").as("__a"))
-      .join(negCounts.select(col("tok"), col("tf").as("__b")),
-        Seq("tok"), "left_outer")
-      .select(col("tok"),
-        (col("__a") - coalesce(col("__b"), lit(0L))).as("tf"))
-      .filter(col("tf") > 0)
-      .write.mode("overwrite").parquet(s"$dir/freq/cum=${hwm + 1}")
-    locally { // mark the burned id: admissions there are refused (see admit)
-      val fs = hwmPath(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.create(new org.apache.hadoop.fs.Path(
-        s"$dir/freq/cum=${hwm + 1}/$DeletionMarker"), true).close()
-    }
-    // 2) surgical docs-store rewrite: touched (batch, db) partitions
-    //    only. Dynamic overwrite replaces partitions PRESENT in the
-    //    written data, so a partition whose every row is a victim must
-    //    be dropped explicitly — it would otherwise survive untouched.
-    val touchedPairs = touched.select("batch", "db").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val survivors = spark.read.parquet(docsP)
-      .filter(col("db").isin(touchedDb: _*))
-      .withColumn("batch", col("batch").cast("long"))
-      .withColumn("db", col("db").cast("long"))
-      .join(touched.select("batch", "db").distinct(), Seq("batch", "db"),
-        "left_semi")
-      .join(victims, Seq("doc_id"), "left_anti")
-    // surviving partitions are counted BEFORE the rewrite: the plan's
-    // file listing is of the pre-write store, and re-evaluating it
-    // after the overwrite would read deleted files
-    val kept = survivors.select("batch", "db").distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    survivors
-      .repartition(col("db"))
+    // the redo log lands FIRST: everything after is recoverable from it
+    touched.withColumn("batch", lit(hwm + 1)).repartition(1)
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch", "db").parquet(docsP)
-    val fs = new org.apache.hadoop.fs.Path(docsP)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touchedPairs.filterNot(kept).foreach { case (b, d) =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$docsP/batch=$b/db=$d"), true)
-    }
-    writeHwm(spark, dir, hwm + 1)
+      .partitionBy("batch").parquet(s"$dir/deleted")
+    finishDelete(spark, dir, hwm)
     nVictims
+  }
+
+  /**
+   * Prune superseded running-frequency tables: every admission writes
+   * a full vocab-sized `cum=N` snapshot, and only the LATEST is ever
+   * read going forward — at streaming cadence the rest are a
+   * vocab-sized-table-per-epoch storage leak. Keeps `cum=hwm` (the
+   * live state), `cum=hwm−1` (the fold input of a replayed
+   * last-uncommitted epoch — Structured Streaming replays at most
+   * one), and any pending `cum=hwm+1` deletion state; deletes
+   * everything older. Burned-id bookkeeping survives in `dir/deleted`
+   * (for a legacy marker-only burn, the data files are dropped but the
+   * marker is kept). Runs quiesced, like every maintenance op.
+   *
+   * Returns the number of state tables pruned.
+   */
+  def gcFreqState(spark: SparkSession, dir: String): Int = {
+    recoverStores(spark, dir)
+    val fs = fsOf(spark, dir)
+    val hwm = readHwm(spark, dir)
+    val freq = new org.apache.hadoop.fs.Path(s"$dir/freq")
+    require(fs.exists(freq), s"no freq store at $freq — build first")
+    var pruned = 0
+    fs.listStatus(freq).map(_.getPath).filter(
+        _.getName.startsWith("cum=")).foreach { p =>
+      val k = p.getName.stripPrefix("cum=").toLong
+      if (k < hwm - 1) {
+        val marker = new org.apache.hadoop.fs.Path(
+          s"$p/$DeletionMarker")
+        if (fs.exists(marker) && !fs.exists(deletedSidecar(dir, k))) {
+          // legacy burn with no sidecar: the marker IS the only burn
+          // record — drop the data files, keep the marker
+          fs.listStatus(p).map(_.getPath)
+            .filter(_.getName != DeletionMarker)
+            .foreach(fs.delete(_, true))
+        } else fs.delete(p, true)
+        pruned += 1
+      }
+    }
+    pruned
+  }
+
+  /**
+   * Fold the prefix and docs stores to `batch=0`, purge deletion
+   * tombstones, bound files per bucket, prune the freq store to a
+   * single `cum=0`, and restart the admission lifecycle — the
+   * [[Similarity.compactIvfIndex]] discipline for the set-join index.
+   * At streaming cadence the stores accumulate one partition set per
+   * epoch; every pruned read opens all of them, and the per-batch
+   * file fan-out is the exact small-files pathology the IVF
+   * compaction exists to fix.
+   *
+   * The prefix store is REBUILT from the docs store under the live
+   * order table (not merely file-folded): the docs store is
+   * authoritative, so this purges every deletion tombstone, and
+   * ranking all rows under whatever single order table is live makes
+   * compaction self-healing — even recovering from a crashed
+   * [[rebuildPrefixes]] whose order/prefix stores were mid-swap, no
+   * mixed-order prefix set can survive a compact.
+   *
+   * Crash-safe by the staged-swap discipline: all replacements stage
+   * at `<store>.next` first; the mark is deleted before the swaps (a
+   * crash mid-swap leaves an index that refuses ordinary operations
+   * LOUDLY until compact re-runs — never one that silently misses
+   * candidates) and rewritten (as 0) last. Every swap is rename-aside,
+   * so a complete store exists at every crash point and a re-run
+   * completes the job. Run QUIESCED — this is the single-writer
+   * maintenance window; admission ids restart above 0, so streaming
+   * feeds resume from a fresh checkpoint ([[graft.streaming.StreamingSsjAdmit]]'s
+   * auto id derivation lands them correctly).
+   */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    recoverStores(spark, dir)
+    val fs = fsOf(spark, dir)
+    val meta = readMeta(spark, dir)
+    val hwm =
+      if (fs.exists(hwmPath(dir))) {
+        val h = readHwm(spark, dir)
+        // finish a crashed deletion first — its redo log is about to
+        // be voided with the rest of the burn registry
+        if (pendingDelete(fs, dir, h)) { finishDelete(spark, dir, h); h + 1 }
+        else h
+      } else readHwmOrFallback(spark, dir) // re-run of a crashed compact
+    // ---- stage all three replacements (live index keeps serving) ----
+    spark.read.parquet(s"$dir/freq/cum=$hwm")
+      .write.mode("overwrite").parquet(s"$dir/freq.next/cum=0")
+    val stored = Dedup.persistInternal("ssjidx_compact_sets",
+      spark.read.parquet(s"$dir/docs")
+        .select(col("doc_id"), col("toks"), col("len")))
+    val order = spark.read.parquet(s"$dir/order")
+    prefixRows(stored, order, meta.tauMilli)
+      .withColumn("batch", lit(0L)).withColumn("pb", pb(meta.buckets))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("batch", "pb")
+      .parquet(s"$dir/prefix.next")
+    stored
+      .withColumn("batch", lit(0L)).withColumn("db", db(meta.buckets))
+      .repartition(col("db"))
+      .write.mode("overwrite").partitionBy("batch", "db")
+      .parquet(s"$dir/docs.next")
+    // ---- point of no return: invalidate, swap, restart lifecycle ----
+    fs.delete(hwmPath(dir), false)
+    // burned ids belong to the OLD lifecycle — void the registry
+    // BEFORE the mark is rewritten, so a crash between the two can
+    // never leave stale burns constraining the new id sequence
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deleted"), true)
+    swapStore(fs, dir, "prefix")
+    swapStore(fs, dir, "docs")
+    swapStore(fs, dir, "freq")
+    writeHwm(spark, dir, 0L)
   }
 
   /**
    * Re-rank every stored prefix under the CURRENT running counts —
    * the periodic order refresh when [[stats]] shows the frozen order
    * has drifted far from the running one (selectivity maintenance;
-   * recall never depends on it). Reads the docs store (token sets),
-   * never raw text: one explode + one window over stored rows, then
-   * the prefix table and the order table rewrite in place. Admission
-   * ids are NOT reset — the docs store is untouched and stays
-   * authoritative.
+   * recall never depends on WHICH single order is used — but it does
+   * depend on ONE order covering every prefix, see below). Reads the
+   * docs store (token sets), never raw text: one explode + one window
+   * over stored rows, then the order table and the prefix store swap
+   * to the staged replacements. Admission ids are NOT reset — the
+   * docs store is untouched and stays authoritative.
+   *
+   * CONSISTENCY: the prefix-filter theorem's no-false-negative
+   * guarantee requires BOTH prefixes of a pair ranked under ONE total
+   * order — prefixes mixed across two orders CAN be disjoint for a
+   * truly similar pair and the candidate join would miss it (recall
+   * loss, not just selectivity). Hence (a) rebuilds run QUIESCED — no
+   * concurrent admission may rank under an order mid-swap — and
+   * (b) the swap window is crash-guarded by the mark: the mark is
+   * deleted before the order/prefix swaps and restored after, so a
+   * kill between the two swaps leaves an index that REFUSES ordinary
+   * operations loudly until rebuildPrefixes (or [[compact]], which
+   * re-ranks everything under whichever order table is live) re-runs —
+   * never one that silently misses pairs.
    */
   def rebuildPrefixes(spark: SparkSession, dir: String): Unit = {
+    recoverStores(spark, dir)
+    val fs = fsOf(spark, dir)
     val meta = readMeta(spark, dir)
-    val hwm = readHwm(spark, dir)
+    val hwm = readHwmOrFallback(spark, dir) // absent inside our own crash window
     val cum = spark.read.parquet(s"$dir/freq/cum=$hwm")
-    val stored = spark.read.parquet(s"$dir/docs")
-      .select(col("batch"), col("doc_id"), col("toks"), col("len"))
-    val pref = prefixRows(stored.select("doc_id", "toks", "len"), cum,
-      meta.tauMilli)
+    val stored = Dedup.persistInternal("ssjidx_rebuild_sets",
+      spark.read.parquet(s"$dir/docs")
+        .select(col("batch").cast("long").as("batch"), col("doc_id"),
+          col("toks"), col("len")))
+    // ---- stage both replacements ----
+    cum.write.mode("overwrite").parquet(s"$dir/order.next")
+    prefixRows(stored.select("doc_id", "toks", "len"), cum, meta.tauMilli)
       .join(stored.select("doc_id", "batch"), "doc_id")
-    // order first, then prefixes: a crash between the two leaves
-    // prefixes ranked under the OLD order with the NEW order table on
-    // disk — still one consistent order per stored prefix row set after
-    // the next successful pass; admissions in the window rank new docs
-    // under the new order while old prefixes keep the old one, which
-    // only costs selectivity on old×new candidate pairs, never recall
-    // of the verify (the candidate join's guarantee needs consistency,
-    // so run rebuilds quiesced, as the doc above says).
-    cum.write.mode("overwrite").parquet(s"$dir/order")
-    pref.withColumn("pb", pb(meta.buckets))
+      .withColumn("pb", pb(meta.buckets))
       .select("doc_id", "tok", "len", "batch", "pb")
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("batch", "pb")
-      .parquet(s"$dir/prefix")
+      .parquet(s"$dir/prefix.next")
+    // ---- invalidate, swap, restore ----
+    fs.delete(hwmPath(dir), false)
+    swapStore(fs, dir, "order")
+    swapStore(fs, dir, "prefix")
+    writeHwm(spark, dir, hwm)
   }
 
   /** Per-batch store shape plus order drift: one row per admitted
@@ -529,10 +880,13 @@ object SsjIndex {
     * whose frozen-order tf is stale by 2× or more, the signal that a
     * [[rebuildPrefixes]] would restore prefix selectivity. */
   def stats(spark: SparkSession, dir: String): DataFrame = {
+    recoverStores(spark, dir)
     val hwm = readHwm(spark, dir)
     val docs = spark.read.parquet(s"$dir/docs")
+      .select(col("batch").cast("long").as("batch"))
       .groupBy("batch").agg(count(lit(1)).as("n_docs"))
     val pref = spark.read.parquet(s"$dir/prefix")
+      .select(col("batch").cast("long").as("batch"))
       .groupBy("batch").agg(count(lit(1)).as("n_prefix_rows"))
     // SYMMETRIC drift: a token counts as drifted when its frozen and
     // running counts differ by 2× in EITHER direction (unseen-at-build

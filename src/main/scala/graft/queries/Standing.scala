@@ -33,10 +33,18 @@ object Standing {
   private val paths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Stable tmp path per (artifact kind, data dir). */
-  def dirFor(prefix: String, dataDir: String): String =
+  /** Stable tmp path per (artifact kind, data dir). The suffix is a
+    * collision-resistant digest of the FULL path, not `hashCode`: two
+    * distinct data dirs colliding on the 32-bit hash would map to the
+    * same tmp directory while the per-JVM path map treats them as
+    * distinct — the second build would silently overwrite the first
+    * and both consumers would read one dir's artifact. */
+  def dirFor(prefix: String, dataDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dataDir.getBytes("UTF-8"))
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"$prefix-${Integer.toHexString(dataDir.hashCode)}").getPath
+      s"$prefix-${md.map(b => f"$b%02x").mkString}").getPath
+  }
 
   /** Build-at-most-once-per-JVM path-valued artifact. */
   def path(key: String)(mk: => String): String =
@@ -89,6 +97,24 @@ object Standing {
         canon(W.read(s, dataDir, "documents"))
           .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 2),
         out, tauMilli = 700)
+      out
+    }
+
+  /** A session-standing [[SsjIndex]] with one ADMITTED batch on top of
+    * the old-split build (the post-admission steady state
+    * `ssj_index_stats` reports on): old split at batch 0, the
+    * `doc_id % 10 < 2` split admitted as batch 1. Private to its
+    * consuming line, like every mutated standing index. */
+  def ssjAdmittedIndex(s: SparkSession, dataDir: String,
+      canon: DataFrame => DataFrame, tag: String): String =
+    path(s"$dataDir#ssj-admitted-$tag") {
+      import org.apache.spark.sql.functions.col
+      val out = dirFor(s"graft-standing-ssjadm-$tag", dataDir)
+      val docs = canon(W.read(s, dataDir, "documents"))
+      SsjIndex.build(docs.filter(col("doc_id") % 10 >= 2), out,
+        tauMilli = 700)
+      SsjIndex.admit(docs.filter(col("doc_id") % 10 < 2), out,
+        batchId = Some(1L))
       out
     }
 }

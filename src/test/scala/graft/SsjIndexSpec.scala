@@ -284,4 +284,201 @@ class SsjIndexSpec extends TestBase
       .collect().map(_.get(0).toString.toLong).toSet
     assert(bs == Set(0L, 2L, 3L), s"got $bs")
   }
+
+  test("compact folds the stores to batch=0 with bounded files, " +
+      "purges tombstones, and restarts admission above 0 with " +
+      "answers unchanged") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-compact").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 30), dir,
+      tauMilli = 500, buckets = 8)
+    SsjIndex.admit(all.filter(col("doc_id") > 30 && col("doc_id") <= 40),
+      dir).count()
+    SsjIndex.admit(all.filter(col("doc_id") > 40 && col("doc_id") <= 50),
+      dir).count()
+    SsjIndex.delete(spark, dir, Seq(5L, 35L).toDF("doc_id"))
+    val q = all.filter(col("doc_id") > 50)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"))
+    val before = SsjIndex.lookup(q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    SsjIndex.compact(spark, dir)
+    // one batch, one file per touched bucket dir, tombstones gone
+    val docsB = spark.read.parquet(s"$dir/docs").select("batch")
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    assert(docsB == Set(0L), s"got batches $docsB")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/prefix/batch=*/pb=*"))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { st =>
+      val files = fs.listStatus(st.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(files == 1, s"${st.getPath} holds $files files")
+    }
+    assert(spark.read.parquet(s"$dir/prefix")
+      .filter(col("doc_id").isin(5L, 35L)).count() == 0,
+      "compaction must purge deletion tombstones")
+    // freq store pruned to the single folded state; burns voided
+    val cums = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/freq"))
+      .map(_.getPath.getName).toSet
+    assert(cums == Set("cum=0"), s"got $cums")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deleted")))
+    // answers unchanged by the fold
+    val after = SsjIndex.lookup(q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before)
+    // admission restarts above 0 and stays exact vs the frame join
+    val got = pairsOf(SsjIndex.admit(all.filter(col("doc_id") > 50), dir))
+    val want = pairsOf(Dedup.setSimilarityJoinIncremental(
+      all.filter(!col("doc_id").isin(5L, 35L)), id => id > 50, 500))
+    assert(got == want,
+      s"only-index=${got.keySet -- want.keySet} " +
+        s"only-frame=${want.keySet -- got.keySet}")
+    val bs2 = spark.read.parquet(s"$dir/docs").select("batch")
+      .distinct().collect().map(_.get(0).toString.toLong).toSet
+    assert(bs2 == Set(0L, 1L), s"got $bs2")
+  }
+
+  test("gcFreqState prunes superseded running-freq tables, keeps the " +
+      "replay window, and admission/replay continue unharmed") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-gc").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 30), dir,
+      tauMilli = 500, buckets = 8)
+    (1 to 3).foreach { b =>
+      SsjIndex.admit(all.filter(
+        col("doc_id") > 20 + b * 10 && col("doc_id") <= 30 + b * 10),
+        dir).count()
+    }
+    assert(SsjIndex.gcFreqState(spark, dir) == 2) // cum=0, cum=1
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val cums = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/freq"))
+      .map(_.getPath.getName).toSet
+    assert(cums == Set("cum=2", "cum=3"), s"got $cums")
+    // the one-epoch replay window survives: replaying the LAST
+    // admission (reads cum=2) still works and changes nothing
+    val inc3 = all.filter(col("doc_id") > 50)
+    SsjIndex.admit(inc3, dir, batchId = Some(3L), allowReplay = true)
+      .count()
+    assert(spark.read.parquet(s"$dir/docs")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    // a fresh admission continues; an OLDER replay refuses loudly
+    // (its fold input was pruned) instead of dying inside the read
+    SsjIndex.admit(corpus(100 to 105), dir).count()
+    val e = intercept[IllegalArgumentException] {
+      SsjIndex.admit(all.filter(col("doc_id") > 40 && col("doc_id") <= 50),
+        dir, batchId = Some(2L), allowReplay = true)
+    }
+    assert(e.getMessage.contains("gcFreqState"))
+  }
+
+  test("a delete crashed at any point after its redo log landed is " +
+      "finished by the next call — the freq state never folds from " +
+      "stale input, the mark never stays below the burn") {
+    val all = corpus(1 to 40)
+    val dir = tmpDir("ssj-del-crash").toString
+    SsjIndex.build(all, dir, tauMilli = 500, buckets = 8)
+    // simulate the crash window: the redo log (dir/deleted/batch=1)
+    // exists but NOTHING else ran — hand-land the sidecar exactly as
+    // delete() would, then "crash"
+    val victims = Seq(4L, 9L)
+    val sets = all.filter(col("doc_id").isin(victims: _*))
+      .select(col("doc_id"),
+        sort_array(array_distinct(
+          graft.pipeline.TextAnalysis.tokens(col("text")))).as("toks"))
+    sets.withColumn("batch", lit(1L)).repartition(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dir/deleted")
+    // a SECOND delete finishes the crashed one first, then runs its own
+    val n = SsjIndex.delete(spark, dir, Seq(12L).toDF("doc_id"))
+    assert(n == 1L)
+    val docs = spark.read.parquet(s"$dir/docs")
+    assert(docs.filter(col("doc_id").isin(4L, 9L, 12L)).count() == 0,
+      "both deletions must be applied")
+    // two burns on the books, mark at 2, freq = exact survivor recount
+    val cum = spark.read.parquet(s"$dir/freq/cum=2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = all.filter(!col("doc_id").isin(4L, 9L, 12L))
+      .select(explode(array_distinct(
+        graft.pipeline.TextAnalysis.tokens(col("text")))).as("tok"))
+      .groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cum == full)
+    SsjIndex.admit(corpus(50 to 55), dir).count()
+    val bs = spark.read.parquet(s"$dir/docs").select("batch").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    assert(bs == Set(0L, 3L), s"got $bs")
+  }
+
+  test("maintenance crash windows refuse loudly, never miss silently: " +
+      "a rebuild killed between its two swaps leaves an index that " +
+      "refuses ordinary ops until the rebuild re-runs") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-crash").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 20), dir,
+      tauMilli = 500, buckets = 8)
+    SsjIndex.admit(all.filter(col("doc_id") > 20 && col("doc_id") <= 50),
+      dir).count()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    // hand-build the exact mid-rebuild crash state: both replacements
+    // staged, the mark invalidated, the ORDER swap done, the PREFIX
+    // swap not — the mixed-order window that would silently lose
+    // recall if it were ever served
+    spark.read.parquet(s"$dir/freq/cum=1").write.parquet(s"$dir/order.next")
+    assert(fs.rename(p("order"), p("order.old")))
+    assert(fs.rename(p("order.next"), p("order")))
+    fs.delete(p("order.old"), true)
+    fs.delete(p("admit.hwm"), false)
+    val e1 = intercept[IllegalArgumentException] {
+      SsjIndex.admit(all.filter(col("doc_id") > 50), dir)
+    }
+    assert(e1.getMessage.contains("high-water"))
+    val e2 = intercept[IllegalArgumentException] {
+      SsjIndex.lookup(corpus(55 to 60), dir)
+    }
+    assert(e2.getMessage.contains("high-water"))
+    // re-running the rebuild completes it; answers are exact again
+    SsjIndex.rebuildPrefixes(spark, dir)
+    val got = pairsOf(SsjIndex.admit(all.filter(col("doc_id") > 50), dir))
+    val want = pairsOf(
+      Dedup.setSimilarityJoinIncremental(all, id => id > 50, 500))
+    assert(got == want)
+  }
+
+  test("a compact killed mid-swap recovers: the aside/staging pair is " +
+      "promoted by the next index call and answers are unchanged") {
+    val all = corpus(1 to 50)
+    val dir = tmpDir("ssj-cswap").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 40), dir,
+      tauMilli = 500, buckets = 8)
+    SsjIndex.admit(all.filter(col("doc_id") > 40), dir).count()
+    val q = corpus(30 to 35).select((col("doc_id") + 1000L).as("doc_id"),
+      col("text"))
+    val before = SsjIndex.lookup(q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s"$dir/$s")
+    // hand-build the docs-store mid-swap crash: a complete folded
+    // replacement staged, live renamed ASIDE, promote never ran
+    spark.read.parquet(s"$dir/docs").withColumn("b2", lit(0L))
+      .withColumn("db2", pmod(xxhash64(col("doc_id")), lit(8L)))
+      .drop("batch", "db")
+      .withColumnRenamed("b2", "batch").withColumnRenamed("db2", "db")
+      .repartition(col("db"))
+      .write.partitionBy("batch", "db").parquet(s"$dir/docs.next")
+    assert(fs.rename(p("docs"), p("docs.old")))
+    // next call recovers the swap and serves the folded store
+    val after = SsjIndex.lookup(q, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before)
+    assert(!fs.exists(p("docs.old")) && !fs.exists(p("docs.next")))
+    val bs = spark.read.parquet(s"$dir/docs").select("batch").distinct()
+      .collect().map(_.get(0).toString.toLong).toSet
+    assert(bs == Set(0L), "the promoted store is the folded one")
+  }
 }

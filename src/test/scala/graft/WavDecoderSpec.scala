@@ -55,6 +55,19 @@ class WavDecoderSpec extends TestBase {
     assert(got.samples.toSeq == src)
   }
 
+  test("encode16 is decode's exact inverse (the mm_audio_real fixture " +
+      "path): byte-identical to the hand-built RIFF, bit-exact " +
+      "through the production decoder, out-of-range samples clamp") {
+    val src = Seq(0, 7, -9, 32767, -32768, 500, -501)
+    assert(Multimodal.WavDecoder.encode16(src.toArray, 8000).toSeq
+      == wav16(src).toSeq, "encoder must emit the canonical RIFF bytes")
+    val got = Multimodal.WavDecoder.decode(
+      Multimodal.WavDecoder.encode16(src.toArray, 8000)).get
+    assert(got.samples.toSeq == src)
+    assert(Multimodal.WavDecoder.decode(Multimodal.WavDecoder.encode16(
+      Array(40000, -40000), 8000)).get.samples.toSeq == Seq(32767, -32768))
+  }
+
   test("8-bit unsigned WAV converts through the JDK chain to signed " +
       "16-bit (midpoint 128 -> 0, full-scale edges, order-preserving; " +
       "the exact scale factor is the JDK SPI's)") {
