@@ -610,6 +610,35 @@ object ScaleProbe {
       val (tk, nk) = time(admit(dirK))
       println(f"${"ssj_admit"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
     }
+    // round-15: the persisted LSH index's flat-batch contract — the
+    // SAME fixed batch admitted into a 1× and a k×-corpus index
+    // (builds untimed). The admission reads only the band-store
+    // buckets the batch's band hashes touch plus candidate shingle
+    // buckets, so the ratio should track candidate volume, never the
+    // corpus (the frame-based minhashLshPairsIncremental re-signs the
+    // whole corpus per batch — ITS ratio is the corpus growth itself).
+    if (only.forall("lsh_admit".contains(_))) {
+      val inc = docs1.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          concat(col("text"), lit(" probeinc")).as("text"))
+      def freshLsh(c: DataFrame, tag: String): String = {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft-lshadmit-$tag").getPath
+        graft.pipeline.LshIndex.build(c.select("doc_id", "text"), dir)
+        dir
+      }
+      def admitL(dir: String): Long =
+        graft.pipeline.LshIndex.admit(inc, dir, batchId = Some(1L),
+          allowReplay = true).count()
+      val (dir1, dirK) = (freshLsh(docs1, "1x"), freshLsh(docsK, "kx"))
+      spark.catalog.clearCache()
+      admitL(dir1) // untimed warmup
+      spark.catalog.clearCache()
+      val (t1, n1) = time(admitL(dir1))
+      spark.catalog.clearCache()
+      val (tk, nk) = time(admitL(dirK))
+      println(f"${"lsh_admit"}%-28s 1x: $t1%6.2f s ($n1%9d rows)   ${k}x: $tk%7.2f s ($nk%10d rows)   ratio ${tk / t1}%5.2f")
+    }
     // round-14 cont.: the incremental-CC fold's cost axis — the SAME
     // batch split folded into a 1× and a k× standing labeling (label
     // construction untimed; the probe reads the FOLD: endpoint label

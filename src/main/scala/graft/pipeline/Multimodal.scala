@@ -83,6 +83,21 @@ object Multimodal {
       md.digest().map("%02x".format(_)).mkString
     }
 
+    /** Encode a BufferedImage as PNG bytes — the image twin of
+      * [[WavDecoder.encode16]]. PNG stores 24-bit RGB losslessly, so
+      * whatever pixels go in come back bit-exactly from [[decode]]
+      * regardless of encoder internals — which is what lets the REAL
+      * image path be oracle-certified: a fixture paints images from a
+      * known integer pixel formula, the engine decodes them with the
+      * production ImageIO path, and the oracle replays the pixel
+      * arithmetic from the same formula. */
+    def encodePng(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ok = javax.imageio.ImageIO.write(im, "png", bos)
+      require(ok, "no PNG writer available in this JVM")
+      bos.toByteArray
+    }
+
     /** Deterministic nearest-neighbor resize (no Graphics2D rendering
       * pipeline, whose interpolation can differ across JVM builds). */
     def resize(im: java.awt.image.BufferedImage, dstW: Int,
@@ -464,6 +479,70 @@ object Multimodal {
         max(abs(col("s"))).as("peak"))
       .withColumn("is_silence",
         (expr("sum_sq div n_samples") < silenceMeanSq).cast("int"))
+  }
+
+  /**
+   * REAL-codec per-image integer pixel statistics — the image
+   * analogue of [[audioChunksReal]]'s exact acoustics: decode each
+   * payload with the production ImageIO path, then one pass over the
+   * raster reporting `(doc_id, width, height, n_px, sum_r, sum_g,
+   * sum_b, peak_lum, is_flat)` — channel sums, the peak integer
+   * luminance (`2126·r + 7152·g + 722·b`, the Rec.709 weights scaled
+   * ×10000 to stay in exact BIGINT arithmetic), and a flat-image flag
+   * (every pixel identical — the blank/placeholder screen a crawl
+   * image pipeline gates on). All integers, so the line is
+   * hash-certifiable end to end (`mm_image_real`): generated PNG →
+   * JDK decode → pixel fold, replayed by the oracle from the same
+   * pixel table. Same partition-preserving mapPartitions shape as
+   * [[decodeReal]]; undecodable payloads fail loudly by default,
+   * `dropCorrupt = true` drops them.
+   */
+  def imageStatsReal(spark: SparkSession, media: DataFrame,
+      dropCorrupt: Boolean = false): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media_bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = try {
+            Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+          } catch { case scala.util.control.NonFatal(_) => None }
+          img match {
+            case Some(im) =>
+              val w = im.getWidth
+              val h = im.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var peak = 0L
+              var first = -1; var flat = 1
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = im.getRGB(x, y) & 0xffffff
+                  if (first < 0) first = rgb
+                  else if (rgb != first) flat = 0
+                  val r = (rgb >> 16) & 0xff
+                  val g = (rgb >> 8) & 0xff
+                  val b = rgb & 0xff
+                  sr += r; sg += g; sb += b
+                  val lum = 2126L * r + 7152L * g + 722L * b
+                  if (lum > peak) peak = lum
+                  x += 1
+                }
+                y += 1
+              }
+              Some((id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb,
+                peak, flat))
+            case None if dropCorrupt => None
+            case None => throw new IllegalArgumentException(
+              s"doc_id=$id: payload is not a decodable image")
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "n_px", "sum_r", "sum_g",
+        "sum_b", "peak_lum", "is_flat")
+      .withColumn("is_flat", col("is_flat").cast("int"))
   }
 
   /** Near-dup media pairs: [[phash]] signatures through the same

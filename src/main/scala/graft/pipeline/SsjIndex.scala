@@ -187,7 +187,26 @@ object SsjIndex {
   private[pipeline] def recoverStores(spark: SparkSession,
       dir: String): Unit = {
     val fs = fsOf(spark, dir)
-    SwappableStores.foreach(recoverSwap(fs, dir, _))
+    val promoted = SwappableStores.map { s =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$s")
+      val before = fs.exists(live)
+      recoverSwap(fs, dir, s)
+      !before && fs.exists(live) // a promote mutated the live path
+    }
+    if (promoted.contains(true)) refreshStores(spark, dir)
+  }
+
+  /** Invalidate the session's file-listing cache and recache any
+    * cached plans over the stores — MANDATORY after every in-place
+    * store mutation (partition rewrite, rename-aside swap, cum-state
+    * prune, lifecycle restart): Spark's shared leaf-file cache has no
+    * TTL, so a later `spark.read.parquet(store)` would otherwise
+    * resolve against the pre-mutation listing and read deleted files
+    * (FAILED_READ_FILE.FILE_NOT_EXIST — or worse, silently stale
+    * data). The [[LshIndex]] twin carries the same calls. */
+  private def refreshStores(spark: SparkSession, dir: String): Unit = {
+    org.apache.spark.sql.graft.FileListingBridge.invalidateListings(spark)
+    SwappableStores.foreach(s => spark.catalog.refreshByPath(s"$dir/$s"))
   }
 
   private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
@@ -328,6 +347,7 @@ object SsjIndex {
           s"$docsP/batch=$b/db=$d"), true)
       }
     }
+    refreshStores(spark, dir) // in-place docs rewrite + cum overwrite
     writeHwm(spark, dir, burnId)
   }
 
@@ -399,6 +419,7 @@ object SsjIndex {
         SwappableStores.flatMap(s => Seq(s"$s.next", s"$s.old")))
         .foreach(d =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$d"), true))
+      refreshStores(spark, dir) // a previous lifecycle's listings die
     }
     val sets = Dedup.persistInternal("ssjidx_build_sets",
       setsFrame(docs, idCol, textCol))
@@ -559,6 +580,10 @@ object SsjIndex {
       .repartition(col("db"))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "db").parquet(s"$dir/docs")
+    // a REPLAY replaced this batch's existing files (and cum=id) in
+    // place — the candidate/verify reads below must not resolve
+    // against the pre-write listings
+    refreshStores(spark, dir)
     if (id > hwm) writeHwm(spark, dir, id)
     // 4) candidates: increment prefixes × (stored ∪ increment) prefixes,
     //    stored side pruned to the buckets the increment actually touches
@@ -751,6 +776,7 @@ object SsjIndex {
         pruned += 1
       }
     }
+    if (pruned > 0) refreshStores(spark, dir)
     pruned
   }
 
@@ -821,6 +847,7 @@ object SsjIndex {
     swapStore(fs, dir, "prefix")
     swapStore(fs, dir, "docs")
     swapStore(fs, dir, "freq")
+    refreshStores(spark, dir)
     writeHwm(spark, dir, 0L)
   }
 
@@ -871,6 +898,7 @@ object SsjIndex {
     fs.delete(hwmPath(dir), false)
     swapStore(fs, dir, "order")
     swapStore(fs, dir, "prefix")
+    refreshStores(spark, dir)
     writeHwm(spark, dir, hwm)
   }
 

@@ -154,5 +154,159 @@ object PipelineQueries17 {
       val idx = Standing.ssjAdmittedIndex(s, dir,
         PipelineQueries15.ssjCanon, "stats")
       graft.pipeline.SsjIndex.stats(s, idx)
+    },
+
+    // The persisted MinHash-LSH index ([[graft.pipeline.LshIndex]]) —
+    // the approximate sibling completing the index trio (IVF /
+    // exact set join / LSH). Same standing-index discipline as
+    // dedup_setjoin_admit: the index over the % 10 >= 2 old split
+    // stands for the session (build paid once); the measured cost is
+    // the ADMISSION of the % 10 < 2 batch — increment-local shingle +
+    // sign, bucket-pruned band join, shingle-store verify, plus the
+    // batch's own state writes — replayed idempotently per iteration.
+    // Output identical to the frame-based dedup_minhash_incremental
+    // (same candidate semantics, same verify), so it shares that
+    // full-replay oracle; unlike the frame-based path, NOTHING here
+    // re-reads or re-signs old text — the property that holds at
+    // 100 TB (ScaleProbe lsh_admit pins the flat-batch ratio).
+    QueryDef("dedup_lshidx_admit", PipelineQueries17.lshIncrementalSql) {
+      (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val idx = Standing.lshOldIndex(s, dir, "admit")
+      graft.pipeline.LshIndex.admit(
+        W.read(s, dir, "documents").filter(col("doc_id") % 10 < 2),
+        idx, batchId = Some(1L), allowReplay = true)
+    },
+
+    // Read-only near-dup SCREEN against the standing LSH index: which
+    // admitted documents does each query band-collide with (verified
+    // shingle Jaccard)? No writes, no state advance, q×q pairs not
+    // reported — the [[graft.pipeline.SsjIndex.lookup]] contract on
+    // the approximate index. The admit-vs-lookup gap on the same
+    // joins measures exactly the admission's state writes.
+    QueryDef("dedup_lshidx_lookup",
+      PipelineQueries.withC(PipelineQueries17.lshBandsCte)(
+        """SELECT c.q_id, c.doc_id,
+          |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+          |    / CAST(len(sa.shingles) + len(sb.shingles)
+          |      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6)
+          |    AS jaccard
+          |FROM (
+          |  SELECT DISTINCT n.doc_id AS q_id, a.doc_id AS doc_id
+          |  FROM (SELECT * FROM bands WHERE doc_id % 10 < 2) n
+          |  JOIN (SELECT * FROM bands WHERE doc_id % 10 >= 2) a
+          |    ON n.band_idx = a.band_idx
+          |   AND n.band_hash = a.band_hash) c
+          |JOIN shingled sa ON c.q_id = sa.doc_id
+          |JOIN shingled sb ON c.doc_id = sb.doc_id""".stripMargin)) {
+      (s, dir) =>
+      import org.apache.spark.sql.functions.col
+      val idx = Standing.lshOldIndex(s, dir, "lookup")
+      graft.pipeline.LshIndex.lookup(
+        W.read(s, dir, "documents").filter(col("doc_id") % 10 < 2), idx)
+    },
+
+    // The REAL image codec, hash-certified end to end — the image twin
+    // of mm_audio_real: deterministic small PNGs are painted from a
+    // known integer pixel formula (a third of the docs flat — the
+    // blank-image screen), encoded with the JDK's lossless PNG writer,
+    // decoded by the PRODUCTION ImageIO path, and folded to exact
+    // integer pixel statistics; the oracle replays the pixel table
+    // arithmetic. A hash match proves paint → PNG encode → JDK decode
+    // → pixel fold is bit-exact — closing the image half of the
+    // real-codec certification gap.
+    QueryDef("mm_image_real",
+      """WITH p AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents),
+        |gx AS (SELECT doc_id, w, h,
+        |         unnest(generate_series(0, w - 1)) AS x FROM p),
+        |grid AS (SELECT doc_id, w, h, x,
+        |           unnest(generate_series(0, h - 1)) AS y FROM gx),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 7) % 256
+        |      ELSE (doc_id * 7 + x * 13 + y * 31) % 256 END AS r,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 11) % 256
+        |      ELSE (doc_id * 11 + x * 3 + y * 5) % 256 END AS g_,
+        |    CASE WHEN doc_id % 3 = 0 THEN (doc_id * 13) % 256
+        |      ELSE (doc_id * 13 + x * 17 + y * 2) % 256 END AS b
+        |  FROM grid)
+        |SELECT doc_id,
+        |  CAST(max(w) AS BIGINT) AS width,
+        |  CAST(max(h) AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g_) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(max(2126 * r + 7152 * g_ + 722 * b) AS BIGINT) AS peak_lum,
+        |  CAST(CASE WHEN min(r * 65536 + g_ * 256 + b)
+        |              = max(r * 65536 + g_ * 256 + b)
+        |    THEN 1 ELSE 0 END AS INT) AS is_flat
+        |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = W.read(s, dir, "documents")
+        .select("doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { d =>
+            val w = (4 + d % 5).toInt
+            val h = (3 + d % 4).toInt
+            val im = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val (r, g, b) =
+                  if (d % 3 == 0)
+                    (((d * 7) % 256).toInt, ((d * 11) % 256).toInt,
+                      ((d * 13) % 256).toInt)
+                  else
+                    (((d * 7 + x * 13 + y * 31) % 256).toInt,
+                      ((d * 11 + x * 3 + y * 5) % 256).toInt,
+                      ((d * 13 + x * 17 + y * 2) % 256).toInt)
+                im.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            (d, graft.pipeline.Multimodal.ImageIoDecoder.encodePng(im))
+          }
+        }.toDF("doc_id", "media_bytes")
+      graft.pipeline.Multimodal.imageStatsReal(s, payloads)
     })
+
+  /** The 2-band LSH frame over the k=8 md5 signature — shared head of
+    * the persisted-LSH-index oracle SQL (the
+    * `dedup_minhash_incremental` CTE family). */
+  private[queries] lazy val lshBandsCte: String =
+    PipelineQueries.minhashSig + ",\n" +
+      """bands AS (
+        |  SELECT doc_id, 1 AS band_idx,
+        |    md5(mh1 || mh2 || mh3 || mh4) AS band_hash FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS band_idx,
+        |    md5(mh5 || mh6 || mh7 || mh8) AS band_hash FROM sig)""".stripMargin
+
+  /** Full-replay oracle of the incremental/admitted LSH contract —
+    * pairs touching the `doc_id % 10 < 2` increment with verified
+    * shingle Jaccard (shared with `dedup_minhash_incremental`, whose
+    * output the persisted-index admission matches by construction). */
+  private[queries] lazy val lshIncrementalSql: String =
+    PipelineQueries.withC(lshBandsCte + ",\n" +
+      """cand AS (
+        |  SELECT DISTINCT least(n.doc_id, a.doc_id) AS doc_a,
+        |    greatest(n.doc_id, a.doc_id) AS doc_b
+        |  FROM (SELECT * FROM bands WHERE doc_id % 10 < 2) n
+        |  JOIN bands a ON n.band_idx = a.band_idx
+        |    AND n.band_hash = a.band_hash AND n.doc_id <> a.doc_id)"""
+        .stripMargin)(
+      """SELECT c.doc_a, c.doc_b,
+        |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        |    / CAST(len(sa.shingles) + len(sb.shingles)
+        |      - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM cand c
+        |JOIN shingled sa ON c.doc_a = sa.doc_id
+        |JOIN shingled sb ON c.doc_b = sb.doc_id""".stripMargin)
 }

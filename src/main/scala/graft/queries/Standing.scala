@@ -100,6 +100,20 @@ object Standing {
       out
     }
 
+  /** The session-standing [[graft.pipeline.LshIndex]] over `dataDir`'s
+    * documents with `doc_id % 10 >= 2` (the old split of the
+    * incremental minhash line); returns the index dir. Private per
+    * consuming line, like every standing index a line may mutate. */
+  def lshOldIndex(s: SparkSession, dataDir: String, tag: String): String =
+    path(s"$dataDir#lsh-old-$tag") {
+      val out = dirFor(s"graft-standing-lsh-$tag", dataDir)
+      graft.pipeline.LshIndex.build(
+        W.read(s, dataDir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 10 >= 2),
+        out)
+      out
+    }
+
   /** A session-standing [[SsjIndex]] with one ADMITTED batch on top of
     * the old-split build (the post-admission steady state
     * `ssj_index_stats` reports on): old split at batch 0, the

@@ -55,76 +55,22 @@ object StreamingSsjAdmit {
 
   /** Sentinel for [[sink]]'s `idOffset`: derive each epoch's index
     * batch id from the admission high-water mark (see object doc). */
-  val AutoOffset: Long = Long.MinValue
-
-  private def markerPath(pairsDir: String, epochId: Long) =
-    new org.apache.hadoop.fs.Path(s"$pairsDir/_epoch_ids/$epochId")
-
-  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Long = {
-    val in = fs.open(p)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    require(s.nonEmpty && s.forall(_.isDigit),
-      s"corrupt epoch-id record at $p: '$s'")
-    s.toLong
-  }
-
-  private def writeMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path, v: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(s"$p.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not record the epoch id at $p")
-  }
+  val AutoOffset: Long = EpochIds.AutoOffset
 
   /** `idOffset = AutoOffset` (default) derives ids from the index's
-    * high-water mark with a per-epoch record under `pairsDir` (see
-    * object doc — survives crashes, deletions, and id-lifecycle
-    * restarts with no operator arithmetic). An explicit offset maps
-    * epoch N to index batch N + idOffset unconditionally. */
+    * high-water mark with a per-epoch record under `pairsDir`
+    * ([[EpochIds.derive]] — survives crashes, deletions, and
+    * id-lifecycle restarts with no operator arithmetic). An explicit
+    * offset maps epoch N to index batch N + idOffset unconditionally. */
   def sink(dir: String, pairsDir: String, idCol: String = "doc_id",
       textCol: String = "text",
       idOffset: Long = AutoOffset): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       val spark = batch.sparkSession
-      val id =
-        if (idOffset != AutoOffset) batchId + idOffset
-        else {
-          val mp = markerPath(pairsDir, batchId)
-          val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(mp)) {
-            val stored = readMarker(fs, mp)
-            // a LEGITIMATE replay's id sits at the mark, one above it
-            // (crash before the mark advanced), or below it only by
-            // ids that deletions burned since. Anything else is a
-            // stale record from a previous stream generation reusing
-            // this pairsDir — admitting there would overwrite earlier
-            // admissions, so refuse loudly.
-            val hwm = SsjIndex.admittedHwm(spark, dir)
-            val burnedSince =
-              if (stored >= hwm) Set.empty[Long]
-              else SsjIndex.burnedIds(spark, dir)
-            // stored > hwm+1 means the mark moved DOWN since the
-            // record — an id-lifecycle restart (compact/rebuild) with
-            // a reused pairsDir, equally stale
-            require(stored <= hwm + 1 && (stored >= hwm ||
-                ((stored + 1) to hwm).forall(burnedSince.contains)),
-              s"StreamingSsjAdmit: epoch $batchId's recorded index " +
-                s"batch id $stored cannot be a replay at high-water " +
-                s"mark $hwm — this pairsDir was used by a previous " +
-                "stream generation. Use a fresh pairsDir for a fresh " +
-                "checkpoint (or pass an explicit idOffset for a " +
-                "declared replay).")
-            stored
-          } else {
-            val next = SsjIndex.admittedHwm(spark, dir) + 1L
-            writeMarker(fs, mp, next) // record BEFORE admitting: the
-            // id assignment must survive a crash mid-admission
-            next
-          }
-        }
+      val id = EpochIds.derive(spark, "StreamingSsjAdmit", pairsDir,
+        batchId, idOffset,
+        SsjIndex.admittedHwm(spark, dir),
+        SsjIndex.burnedIds(spark, dir))
       SsjIndex.admit(batch, dir, batchId = Some(id),
           allowReplay = true, idCol = idCol, textCol = textCol)
         .withColumn("batch", lit(id))
