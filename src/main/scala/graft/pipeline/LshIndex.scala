@@ -58,37 +58,18 @@ import org.apache.spark.sql.functions._
  */
 object LshIndex {
 
-  private def hwmPath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/admit.hwm")
+  private def hwmPath(dir: String) = StoreOps.hwmPath(dir)
 
   private def fsOf(spark: SparkSession, dir: String) =
-    hwmPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreOps.fsOf(spark, dir)
 
-  private def readHwm(spark: SparkSession, dir: String): Long = {
-    val p = hwmPath(dir)
-    val fs = fsOf(spark, dir)
-    require(fs.exists(p),
-      s"no admission high-water mark at $p — either LshIndex.build " +
-        "never ran, or a compact was interrupted mid-swap; re-run " +
-        "compact to restore a consistent index")
-    val in = fs.open(p)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    require(s.nonEmpty && s.forall(_.isDigit),
-      s"corrupt admission high-water sidecar at $p: '$s'")
-    s.toLong
-  }
+  private def readHwm(spark: SparkSession, dir: String): Long =
+    StoreOps.readHwm(spark, dir,
+      "either LshIndex.build never ran, or a compact was interrupted " +
+        "mid-swap; re-run compact to restore a consistent index")
 
-  private def writeHwm(spark: SparkSession, dir: String, v: Long): Unit = {
-    val p = hwmPath(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp")
-    val fs = fsOf(spark, dir)
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"could not publish the admission high-water mark to $p")
-  }
+  private def writeHwm(spark: SparkSession, dir: String, v: Long): Unit =
+    StoreOps.writeHwm(spark, dir, v)
 
   private def writeMeta(spark: SparkSession, dir: String,
       buckets: Int): Unit = {
@@ -107,62 +88,18 @@ object LshIndex {
     b
   }
 
-  // staged-swap machinery — the [[SsjIndex.recoverStores]] discipline
+  // staged-swap machinery — [[StoreOps]], shared with [[SsjIndex]]
   private val SwappableStores = Seq("bands", "shingles")
 
-  /** Returns true when a promote (live-path mutation) happened. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, store: String): Boolean = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/$store")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/$store.next")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/$store.old")
-    val promoted =
-      if (!fs.exists(live) && fs.exists(next)) {
-        val renamed = fs.rename(next, live)
-        require(renamed || fs.exists(live),
-          s"swap recovery failed: could not promote $next to $live")
-        true
-      } else false
-    if (fs.exists(live)) {
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(next)) fs.delete(next, true)
-    }
-    promoted
-  }
-
   private[pipeline] def recoverStores(spark: SparkSession,
-      dir: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val promoted = SwappableStores.map(recoverSwap(fs, dir, _))
-    if (promoted.contains(true)) refreshStores(spark, dir)
-  }
+      dir: String): Unit =
+    StoreOps.recoverStores(spark, dir, SwappableStores)
 
-  /** Invalidate the session's file-listing cache and recache any
-    * cached plans over the stores — MANDATORY after every in-place
-    * store mutation (partition rewrite, rename-aside swap, lifecycle
-    * restart): Spark's shared leaf-file cache has no TTL, so a later
-    * `spark.read.parquet(store)` would otherwise resolve against the
-    * pre-mutation listing and read deleted files. */
-  private def refreshStores(spark: SparkSession, dir: String): Unit = {
-    org.apache.spark.sql.graft.FileListingBridge.invalidateListings(spark)
-    SwappableStores.foreach(s => spark.catalog.refreshByPath(s"$dir/$s"))
-  }
-
-  private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, store: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/$store")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/$store.next")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/$store.old")
-    require(fs.rename(live, old),
-      s"store swap failed: could not rename $live aside to $old")
-    require(fs.rename(next, live),
-      s"store swap failed: could not promote $next to $live — " +
-        s"$old holds the previous store; the next index call recovers")
-    fs.delete(old, true)
-  }
+  private def refreshStores(spark: SparkSession, dir: String): Unit =
+    StoreOps.refreshStores(spark, dir, SwappableStores)
 
   private def deletedSidecar(dir: String, id: Long) =
-    new org.apache.hadoop.fs.Path(s"$dir/deleted/batch=$id")
+    StoreOps.deletedSidecar(dir, id)
 
   private def isBurned(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, id: Long): Boolean =
@@ -177,16 +114,9 @@ object LshIndex {
   private[graft] def admittedHwm(spark: SparkSession, dir: String): Long =
     readHwm(spark, dir)
 
-  /** Every burned (deletion) id on record — the sidecar batches.
-    * Bounded by the number of deletions ever run, never by data. */
-  private[graft] def burnedIds(spark: SparkSession, dir: String): Set[Long] = {
-    val fs = fsOf(spark, dir)
-    val del = new org.apache.hadoop.fs.Path(s"$dir/deleted")
-    if (!fs.exists(del)) Set.empty[Long]
-    else fs.listStatus(del).map(_.getPath.getName)
-      .filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong).toSet
-  }
+  /** Every burned (deletion) id on record — the sidecar batches. */
+  private[graft] def burnedIds(spark: SparkSession, dir: String): Set[Long] =
+    StoreOps.sidecarBurnedIds(spark, dir)
 
   /** Per-document shingle sets of the index's shape: documents with no
     * shingles (fewer than `w` tokens) are OUTSIDE the index — they can
@@ -353,9 +283,9 @@ object LshIndex {
    * (No contiguity requirement — this index has no running state to
    * fold, so gaps in the id sequence are merely unusual, not corrupt.)
    *
-   * The returned pairs are MATERIALIZED before this method returns —
-   * a fixed value, safe to consume after later admissions mutate the
-   * store.
+   * The returned pairs are MATERIALIZED (eager localCheckpoint, the
+   * lineage to the store cut) before this method returns — a fixed
+   * value, safe to consume after later admissions mutate the store.
    */
   def admit(newDocs: DataFrame, dir: String, batchId: Option[Long] = None,
       allowReplay: Boolean = false, idCol: String = "doc_id",
@@ -418,10 +348,12 @@ object LshIndex {
       .collect().map(_.getLong(0)).toSeq
     val verifySh = storedShingles(spark, dir, id, touchedDb)
       .unionByName(sh)
-    val out = Dedup.persistInternal("lshidx_admit_pairs",
-      Dedup.jaccardVerify(cand, verifySh))
-    out.count() // pin the result to THIS admission's store state
-    out
+    // PIN the result: localCheckpoint materializes the pairs into
+    // their own storage blocks and CUTS the lineage to the store — a
+    // cached-but-lineaged frame would silently recompute against the
+    // mutated store (and so change its answer) once a later admission
+    // or deletion evicts or recaches it
+    Dedup.jaccardVerify(cand, verifySh).localCheckpoint(true)
   }
 
   /**
@@ -547,8 +479,8 @@ object LshIndex {
     // point of no return: invalidate, void the burn registry, swap
     fs.delete(hwmPath(dir), false)
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deleted"), true)
-    swapStore(fs, dir, "bands")
-    swapStore(fs, dir, "shingles")
+    StoreOps.swapStore(fs, dir, "bands")
+    StoreOps.swapStore(fs, dir, "shingles")
     refreshStores(spark, dir)
     writeHwm(spark, dir, 0L)
   }

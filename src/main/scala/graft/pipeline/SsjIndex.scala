@@ -98,27 +98,16 @@ object SsjIndex {
 
   private val DeletionMarker = "_deletion"
 
-  private def hwmPath(dir: String) =
-    new org.apache.hadoop.fs.Path(s"$dir/admit.hwm")
+  private def hwmPath(dir: String) = StoreOps.hwmPath(dir)
 
   private def fsOf(spark: SparkSession, dir: String) =
-    hwmPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreOps.fsOf(spark, dir)
 
-  private def readHwm(spark: SparkSession, dir: String): Long = {
-    val p = hwmPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p),
-      s"no admission high-water mark at $p — either SsjIndex.build " +
-        "never ran, or a maintenance pass (compact/rebuildPrefixes) " +
-        "was interrupted mid-swap; re-run that maintenance op to " +
-        "restore a consistent index")
-    val in = fs.open(p)
-    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    require(s.nonEmpty && s.forall(_.isDigit),
-      s"corrupt admission high-water sidecar at $p: '$s'")
-    s.toLong
-  }
+  private def readHwm(spark: SparkSession, dir: String): Long =
+    StoreOps.readHwm(spark, dir,
+      "either SsjIndex.build never ran, or a maintenance pass " +
+        "(compact/rebuildPrefixes) was interrupted mid-swap; re-run " +
+        "that maintenance op to restore a consistent index")
 
   /** The mark, tolerating the compact/rebuild crash window where the
     * file is deliberately absent: fall back to the largest `cum=` dir
@@ -142,85 +131,20 @@ object SsjIndex {
     }
   }
 
-  private def writeHwm(spark: SparkSession, dir: String, v: Long): Unit = {
-    val p = hwmPath(dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/admit.hwm.tmp")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"could not publish the admission high-water mark to $p")
-  }
+  private def writeHwm(spark: SparkSession, dir: String, v: Long): Unit =
+    StoreOps.writeHwm(spark, dir, v)
 
-  // ---------------------------------------------------------------------
-  // staged-swap machinery (the [[Similarity.recoverCorpus]] discipline,
-  // generalized): a store rewrites by staging the full replacement at
-  // `<store>.next`, renaming the live dir ASIDE to `<store>.old`,
-  // promoting `.next`, then dropping `.old` — a complete store exists
-  // at every crash point, and recoverSwap finishes any interruption.
-  // ---------------------------------------------------------------------
-
+  // staged-swap machinery + listing-cache invalidation — [[StoreOps]],
+  // shared with [[LshIndex]]
   private val SwappableStores = Seq("order", "prefix", "docs", "freq")
-
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, store: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/$store")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/$store.next")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/$store.old")
-    if (!fs.exists(live) && fs.exists(next)) {
-      // live moved aside but the promote never ran: .next is a COMPLETE
-      // replacement (staging finished before the swap began) — promote
-      val renamed = fs.rename(next, live)
-      require(renamed || fs.exists(live),
-        s"swap recovery failed: could not promote $next to $live")
-    }
-    if (fs.exists(live)) {
-      // crash after promote (drop the aside) or mid-staging (drop the
-      // incomplete staging dir — the op that wrote it will re-stage)
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(next)) fs.delete(next, true)
-    }
-  }
 
   /** Finish any interrupted store swap — run by every entry point. */
   private[pipeline] def recoverStores(spark: SparkSession,
-      dir: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val promoted = SwappableStores.map { s =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$s")
-      val before = fs.exists(live)
-      recoverSwap(fs, dir, s)
-      !before && fs.exists(live) // a promote mutated the live path
-    }
-    if (promoted.contains(true)) refreshStores(spark, dir)
-  }
+      dir: String): Unit =
+    StoreOps.recoverStores(spark, dir, SwappableStores)
 
-  /** Invalidate the session's file-listing cache and recache any
-    * cached plans over the stores — MANDATORY after every in-place
-    * store mutation (partition rewrite, rename-aside swap, cum-state
-    * prune, lifecycle restart): Spark's shared leaf-file cache has no
-    * TTL, so a later `spark.read.parquet(store)` would otherwise
-    * resolve against the pre-mutation listing and read deleted files
-    * (FAILED_READ_FILE.FILE_NOT_EXIST — or worse, silently stale
-    * data). The [[LshIndex]] twin carries the same calls. */
-  private def refreshStores(spark: SparkSession, dir: String): Unit = {
-    org.apache.spark.sql.graft.FileListingBridge.invalidateListings(spark)
-    SwappableStores.foreach(s => spark.catalog.refreshByPath(s"$dir/$s"))
-  }
-
-  private def swapStore(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, store: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/$store")
-    val next = new org.apache.hadoop.fs.Path(s"$dir/$store.next")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/$store.old")
-    require(fs.rename(live, old),
-      s"store swap failed: could not rename $live aside to $old")
-    require(fs.rename(next, live),
-      s"store swap failed: could not promote $next to $live — " +
-        s"$old holds the previous store; the next index call recovers")
-    fs.delete(old, true)
-  }
+  private def refreshStores(spark: SparkSession, dir: String): Unit =
+    StoreOps.refreshStores(spark, dir, SwappableStores)
 
   // ---------------------------------------------------------------------
   // deletion sidecar: dir/deleted/batch=N holds the (doc_id, toks) rows
@@ -230,7 +154,7 @@ object SsjIndex {
   // ---------------------------------------------------------------------
 
   private def deletedSidecar(dir: String, id: Long) =
-    new org.apache.hadoop.fs.Path(s"$dir/deleted/batch=$id")
+    StoreOps.deletedSidecar(dir, id)
 
   private def isBurned(fs: org.apache.hadoop.fs.FileSystem,
       dir: String, id: Long): Boolean =
@@ -243,12 +167,7 @@ object SsjIndex {
     * run, never by data. */
   private[graft] def burnedIds(spark: SparkSession, dir: String): Set[Long] = {
     val fs = fsOf(spark, dir)
-    val del = new org.apache.hadoop.fs.Path(s"$dir/deleted")
-    val fromSidecar =
-      if (!fs.exists(del)) Set.empty[Long]
-      else fs.listStatus(del).map(_.getPath.getName)
-        .filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong).toSet
+    val fromSidecar = StoreOps.sidecarBurnedIds(spark, dir)
     val freq = new org.apache.hadoop.fs.Path(s"$dir/freq")
     val fromMarkers =
       if (!fs.exists(freq)) Set.empty[Long]
@@ -490,10 +409,11 @@ object SsjIndex {
    * crashed post-admit and was replayed after a takedown would re-land
    * its original partitions and resurrect the victims.
    *
-   * The returned pairs are MATERIALIZED (cached and counted) before
-   * this method returns: the result is a fixed value, safe to consume
-   * after later admissions mutate the store — a lazy plan would
-   * silently pick up the newer batches' rows on its corpus side.
+   * The returned pairs are MATERIALIZED (eager localCheckpoint, the
+   * lineage to the store cut) before this method returns: the result
+   * is a fixed value, safe to consume after later admissions mutate
+   * the store — a lazy or merely-cached plan would silently pick up
+   * the newer batches' rows on its corpus side when evicted/recached.
    */
   def admit(newDocs: DataFrame, dir: String, batchId: Option[Long] = None,
       allowReplay: Boolean = false, idCol: String = "doc_id",
@@ -611,10 +531,12 @@ object SsjIndex {
     val verifySets = storedSets(spark, dir, id, touchedDb)
       .unionByName(sets)
       .select(col("doc_id"), col("toks"), col("len").as("n"))
-    val out = Dedup.persistInternal("ssjidx_admit_pairs",
-      Dedup.ssjVerifySets(cand, verifySets, tau))
-    out.count() // pin the result to THIS admission's store state
-    out
+    // PIN the result: localCheckpoint materializes the pairs into
+    // their own storage blocks and CUTS the lineage to the store — a
+    // cached-but-lineaged frame (the previous persist-and-count form)
+    // silently recomputed against the mutated store once a later
+    // admission or deletion evicted or recached it
+    Dedup.ssjVerifySets(cand, verifySets, tau).localCheckpoint(true)
   }
 
   /**
@@ -844,9 +766,9 @@ object SsjIndex {
     // BEFORE the mark is rewritten, so a crash between the two can
     // never leave stale burns constraining the new id sequence
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/deleted"), true)
-    swapStore(fs, dir, "prefix")
-    swapStore(fs, dir, "docs")
-    swapStore(fs, dir, "freq")
+    StoreOps.swapStore(fs, dir, "prefix")
+    StoreOps.swapStore(fs, dir, "docs")
+    StoreOps.swapStore(fs, dir, "freq")
     refreshStores(spark, dir)
     writeHwm(spark, dir, 0L)
   }
@@ -896,8 +818,8 @@ object SsjIndex {
       .parquet(s"$dir/prefix.next")
     // ---- invalidate, swap, restore ----
     fs.delete(hwmPath(dir), false)
-    swapStore(fs, dir, "order")
-    swapStore(fs, dir, "prefix")
+    StoreOps.swapStore(fs, dir, "order")
+    StoreOps.swapStore(fs, dir, "prefix")
     refreshStores(spark, dir)
     writeHwm(spark, dir, hwm)
   }

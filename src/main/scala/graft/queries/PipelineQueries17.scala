@@ -206,6 +206,28 @@ object PipelineQueries17 {
         W.read(s, dir, "documents").filter(col("doc_id") % 10 < 2), idx)
     },
 
+    // The LSH index's certified HEALTH REPORT: per-batch store shape
+    // over a standing admitted index. There is deliberately NO drift
+    // column — LSH bands depend on each document's own shingles alone,
+    // so nothing in the store ever goes stale (the structural contrast
+    // with ssj_index_stats, whose drift signal schedules an order
+    // rebuild this index never needs); the monitored signal here is
+    // the band-rows/doc gap (deletion-tombstone volume, compact-due)
+    // and the per-epoch partition growth. Every document with at
+    // least one shingle carries exactly 2 band rows — the oracle
+    // replays the canon split counts and that invariant.
+    QueryDef("lsh_index_stats",
+      PipelineQueries.withC(PipelineQueries.shingled)(
+        """SELECT CAST(CASE WHEN doc_id % 10 >= 2 THEN 0 ELSE 1 END
+          |    AS BIGINT) AS batch,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(2 * count(*) AS BIGINT) AS n_band_rows
+          |FROM shingled WHERE len(shingles) >= 1
+          |GROUP BY 1""".stripMargin)) { (s, dir) =>
+      val idx = Standing.lshAdmittedIndex(s, dir, "stats")
+      graft.pipeline.LshIndex.stats(s, idx)
+    },
+
     // The REAL image codec, hash-certified end to end — the image twin
     // of mm_audio_real: deterministic small PNGs are painted from a
     // known integer pixel formula (a third of the docs flat — the

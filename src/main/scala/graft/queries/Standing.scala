@@ -114,6 +114,23 @@ object Standing {
       out
     }
 
+  /** A session-standing [[graft.pipeline.LshIndex]] with one ADMITTED
+    * batch on top of the old-split build (old split at batch 0, the
+    * `doc_id % 10 < 2` split admitted as batch 1 — the steady state
+    * `lsh_index_stats` reports on). Private to its consuming line. */
+  def lshAdmittedIndex(s: SparkSession, dataDir: String,
+      tag: String): String =
+    path(s"$dataDir#lsh-admitted-$tag") {
+      import org.apache.spark.sql.functions.col
+      val out = dirFor(s"graft-standing-lshadm-$tag", dataDir)
+      val docs = W.read(s, dataDir, "documents")
+      graft.pipeline.LshIndex.build(docs.filter(col("doc_id") % 10 >= 2),
+        out)
+      graft.pipeline.LshIndex.admit(docs.filter(col("doc_id") % 10 < 2),
+        out, batchId = Some(1L))
+      out
+    }
+
   /** A session-standing [[SsjIndex]] with one ADMITTED batch on top of
     * the old-split build (the post-admission steady state
     * `ssj_index_stats` reports on): old split at batch 0, the

@@ -227,6 +227,24 @@ class LshIndexSpec extends TestBase {
     assert(LshIndex.lookup(corpus(31 to 33), dir).count() == before)
   }
 
+  test("admit's returned pairs are PINNED: later admissions and " +
+      "deletions cannot change an already-returned result") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("lsh-pin").toString
+    LshIndex.build(all.filter(col("doc_id") <= 30), dir, buckets = 8)
+    val p1 = LshIndex.admit(
+      all.filter(col("doc_id") > 30 && col("doc_id") <= 40), dir)
+    val first = pairsOf(p1)
+    // mutate the store every way an operator can
+    LshIndex.admit(all.filter(col("doc_id") > 40 && col("doc_id") <= 50),
+      dir).count()
+    LshIndex.delete(spark, dir, Seq(33L).toDF("doc_id"))
+    LshIndex.compact(spark, dir)
+    assert(pairsOf(p1) == first,
+      "an already-returned admission result must be a fixed value — " +
+        "recomputing against the mutated store changes the answer")
+  }
+
   test("stats reports per-batch store shape") {
     val all = corpus(1 to 40)
     val dir = tmpDir("lsh-stats").toString

@@ -120,6 +120,23 @@ class SsjIndexSpec extends TestBase
     assert(SsjIndex.admit(corpus(41 to 45), dir).collect() != null)
   }
 
+  test("admit's returned pairs are PINNED: later admissions and " +
+      "deletions cannot change an already-returned result") {
+    val all = corpus(1 to 60)
+    val dir = tmpDir("ssj-pin").toString
+    SsjIndex.build(all.filter(col("doc_id") <= 30), dir,
+      tauMilli = 500, buckets = 8)
+    val p1 = SsjIndex.admit(
+      all.filter(col("doc_id") > 30 && col("doc_id") <= 40), dir)
+    val first = pairsOf(p1)
+    SsjIndex.admit(all.filter(col("doc_id") > 40 && col("doc_id") <= 50),
+      dir).count()
+    SsjIndex.delete(spark, dir, Seq(33L).toDF("doc_id"))
+    assert(pairsOf(p1) == first,
+      "an already-returned admission result must be a fixed value — " +
+        "recomputing against the mutated store changes the answer")
+  }
+
   test("store reads prune to touched hash-buckets: a 1-doc admission " +
       "reads a strict subset of the prefix store's partitions") {
     val all = corpus(1 to 60)

@@ -98,4 +98,34 @@ class StreamingLshAdmitSpec extends TestBase {
     }
     assert(e.getMessage.contains("previous stream generation"))
   }
+
+  test("a delete crashed mid-flight (redo log landed, mark not " +
+      "advanced) never strands the sink: the fresh epoch skips the " +
+      "pending burn and its record validates on retry") {
+    val all = corpus(1 to 40)
+    val dir = tmpDir("lsh-pend").toString
+    val pairsDir = tmpDir("lsh-pend-p").toString
+    LshIndex.build(all.filter(_._1 <= 30).toDF("doc_id", "text"), dir,
+      buckets = 8)
+    // simulate the crash: land a redo log at hwm+1 by hand, as
+    // delete() does, without finishing
+    val hwm = LshIndex.admittedHwm(spark, dir)
+    graft.pipeline.Dedup.shingled(
+        all.filter(_._1 == 7L).toDF("doc_id", "text"))
+      .withColumn("batch", lit(hwm + 1)).repartition(1)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch").parquet(s"$dir/deleted")
+    val sink = StreamingLshAdmit.sink(dir, pairsDir)
+    val epoch = all.filter(_._1 > 30).toDF("doc_id", "text")
+    sink(epoch, 0L) // must skip the burned hwm+1, finish the delete
+    assert(LshIndex.admittedHwm(spark, dir) == hwm + 2,
+      "the epoch must finish the crashed delete and land above it")
+    assert(spark.read.parquet(s"$dir/shingles")
+      .filter(col("doc_id") === 7L).count() == 0)
+    // Structured Streaming retries the epoch: its recorded id (above
+    // the burn) validates and the replay is a no-op
+    sink(epoch, 0L)
+    assert(spark.read.parquet(s"$dir/shingles")
+      .groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+  }
 }
