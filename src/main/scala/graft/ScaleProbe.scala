@@ -707,6 +707,42 @@ object ScaleProbe {
       p1.unpersist(); l1.unpersist(); pk.unpersist(); lk.unpersist()
       victims.unpersist()
     }
+    // round-15: the retraction's honest cost BOUNDS on the kx graph.
+    // On this probe's adversarial distribution the 1x victims' salted
+    // replicas are near-dups of the victims, so every victim's cluster
+    // densifies ~kx — the touched subgraph IS a large share of the
+    // graph, and cc_retract's ratio above tracks that growth (not the
+    // corpus per se). The bounds separate the axes: pass-through
+    // (victims absent from the graph — cost is the label scan alone)
+    // vs the same victims' touched-cluster recompute vs a FULL CC
+    // recompute over all surviving pairs (what a system without the
+    // retraction would run). Retraction cost lives between the first
+    // two and must never exceed the third.
+    if (only.forall("cc_retract_bounds".contains(_))) {
+      val pairs = Dedup.simhashPairs(docsK).select("doc_a", "doc_b")
+        .persist()
+      pairs.count()
+      val labels = Dedup.connectedComponents(pairs).persist()
+      labels.count()
+      val victims = docs1.filter(col("doc_id") % 97 === 0)
+        .select("doc_id").persist()
+      victims.count()
+      Dedup.connectedComponentsRetract(labels, pairs, victims).count() // warmup
+      val (tr, nr) = time(
+        Dedup.connectedComponentsRetract(labels, pairs, victims).count())
+      val absent = docs1.sparkSession.range(1, 42)
+        .select((col("id") + 777777777L).as("doc_id"))
+      val (tp, np) = time(
+        Dedup.connectedComponentsRetract(labels, pairs, absent).count())
+      val surviving = pairs
+        .join(victims.select(col("doc_id").as("doc_a")), Seq("doc_a"),
+          "left_anti")
+        .join(victims.select(col("doc_id").as("doc_b")), Seq("doc_b"),
+          "left_anti")
+      val (tf, nf) = time(Dedup.connectedComponents(surviving).count())
+      println(f"${"cc_retract_bounds"}%-28s ${k}x: passthrough $tp%6.2f s ($np%9d)   retract $tr%7.2f s ($nr%9d)   full-recompute $tf%7.2f s ($nf%9d)")
+      pairs.unpersist(); labels.unpersist(); victims.unpersist()
+    }
     run("card_incremental")(d => {
       val dl = d.withColumn("lang", lit("en"))
         .withColumn("n_chars", length(col("text")).cast("long"))

@@ -339,8 +339,12 @@ object LshIndex {
     val touchedBb = bNew.select(bb(buckets).as("bb")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ buckets values
     val corpus = storedBands(spark, dir, id, touchedBb).unionByName(bNew)
-    val cand = Dedup.persistInternal("lshidx_admit_cand",
-      Dedup.incrementalCandidates(bNew, corpus))
+    // localCheckpoint, not persist: cand reads the band store, and
+    // refreshStores (run on every admission) eagerly recaches any
+    // cached plan over the stores — a lineage-cut frame costs nothing
+    // at refresh time (see the SsjIndex.admit twin)
+    val cand = Dedup.incrementalCandidates(bNew, corpus)
+      .localCheckpoint(true)
     // verify against the shingle store, pruned to candidate-doc buckets
     val touchedDb = cand
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))

@@ -489,8 +489,14 @@ object SsjIndex {
     // 2) increment prefixes under the FROZEN order (consistency with
     //    every stored prefix — the two-sided filter's requirement)
     val order = spark.read.parquet(s"$dir/order")
-    val pNew = Dedup.persistInternal("ssjidx_admit_prefix",
-      prefixRows(sets, order, meta.tauMilli))
+    // localCheckpoint, not persist: the admit path's reused frames
+    // must carry NO lineage to the store paths — refreshStores below
+    // recaches every cached plan over the stores, and a merely-cached
+    // frame would be eagerly recomputed on every admission (measured
+    // +40% on the dedup_setjoin_admit bench line) while a lineage-cut
+    // frame costs nothing at refresh time
+    val pNew = prefixRows(sets, order, meta.tauMilli)
+      .localCheckpoint(true)
     // 3) land the batch (dynamic overwrite scoped to batch=id)
     pNew.withColumn("batch", lit(id)).withColumn("pb", pb(meta.buckets))
       .repartition(col("pb")) // one file per bucket dir (see build)
@@ -513,7 +519,8 @@ object SsjIndex {
     val corpus = storedPrefixes(spark, dir, id, touchedPb)
       .unionByName(pNew)
     val tau = meta.tauMilli
-    val cand = Dedup.persistInternal("ssjidx_admit_cand",
+    // lineage-cut for the same reason as pNew (reads the prefix store)
+    val cand =
       pNew.as("a").join(corpus.as("b"),
           col("a.tok") === col("b.tok") &&
           col("a.doc_id") =!= col("b.doc_id") &&
@@ -521,7 +528,8 @@ object SsjIndex {
             lit(tau) * greatest(col("a.len"), col("b.len")))
         .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
           greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-        .distinct())
+        .distinct()
+        .localCheckpoint(true)
     // 5) exact verify against the docs store, pruned to candidate-doc
     //    buckets (≤ buckets values, driver-bounded)
     val touchedDb = cand
