@@ -45,13 +45,37 @@ object BenchOne {
     }
     val fn = SparkEntry.queries(name)
     if (explain) fn(spark, sfDir).explain("formatted")
+    // per-iteration job/stage counters: tiny-SF queries are dominated by
+    // fixed per-job cost, so the job count is the first profiling signal
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val traceJobs = sys.env.contains("SPARK_GRAFT_TRACE_JOBS")
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          stages.addAndGet(j.stageInfos.size)
+          if (traceJobs) jobStart.put(j.jobId, System.nanoTime())
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (traceJobs) Option(jobStart.remove(j.jobId)).foreach { t0 =>
+            println(f"  job ${j.jobId}%4d: ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
+          }
+      })
     (1 to iters).foreach { i =>
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      jobs.set(0); stages.set(0)
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val cc = if (name == "dedup_clusters")
         s" cc_rounds=${graft.pipeline.Dedup.lastCcRounds}" else ""
-      println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)$cc")
+      println(f"iter $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows, " +
+        f"${jobs.get} jobs, ${stages.get} stages)$cc")
     }
     spark.stop()
   }

@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions._
  *    the logit, the gradient, and the update treat it as just another
  *    feature;
  *  - **every iteration is the SAME physical plan** fed new weight data:
- *    instances ⋈ broadcast(weights) → per-doc logit (a LONG sum —
- *    exact in any order) → residuals ⋈ instances → per-bucket gradient
- *    (≤ dims+1 rows). Weights change as broadcast DATA, not plan
- *    literals, so whole-stage codegen compiles once and is cache-hit
- *    for the rest of the loop (the literal-array variant recompiled
- *    per iteration and spent 20 of its 25 s in janino);
- *  - the residual join is left to AQE: at test scale it broadcasts the
- *    per-doc residual frame, at 100 TB it becomes a co-partitioned
- *    shuffle join — both correct, no hint needed.
+ *    per-doc logit as a pure PROJECTION over the checkpointed
+ *    (doc_id, y, buckets) rows (a LONG fold — exact in any order, no
+ *    join, no shuffle) → residuals ⋈ instances → per-bucket gradient
+ *    (≤ dims+1 rows). The weight table rides as ONE array-typed
+ *    literal, which codegen emits as a references[] slot — identical
+ *    generated source across iterations, so whole-stage codegen
+ *    compiles once and is cache-hit for the rest of the loop (a
+ *    PER-ELEMENT literal array inlines the values into the source and
+ *    recompiles per iteration — that variant spent 20 of its 25 s in
+ *    janino);
+ *  - the residual join broadcasts the per-doc residual frame
+ *    explicitly (doc-count rows — eval-sized at any corpus scale once
+ *    training runs on the deterministic sample), so the instance frame
+ *    is never exchanged: its only shuffle is the map-side-combined
+ *    ≤ dims+1-row gradient aggregate.
  *
  * Cross-engine determinism (the oracle replays training in DuckDB):
  *  - weights and momentum velocities live in INTEGER micro-units (the
@@ -175,31 +181,51 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // one token-instance row per (doc, token) plus the bias pseudo-
-    // instance j = −1 per doc; checkpointed once — the loop re-reads
-    // only these narrow rows, never the text. Lifetime = the returned
-    // frame's reference (materializeGate discipline).
-    val exb = featurize(docs, dims, labelCol, idCol, textCol)
+    // one row per document with its hashed-bucket array (narrow — the
+    // loop re-reads these, never the text), checkpointed once.
+    // Lifetime = the returned frame's reference (materializeGate
+    // discipline).
+    val exA = featurize(docs, dims, labelCol, idCol, textCol)
       .select(col("doc_id"), col("y"),
-        explode(concat(col("js"), array(lit(-1L)))).as("j"))
+        concat(col("js"), array(lit(-1L))).as("js"))
       .transform(Lineage.cut)
-    val n = exb.filter(col("j") === -1L).count().toDouble
+    // the exploded (doc_id, j) instance view re-derives from the cut
+    // exA per use — a shuffle-free explode over checkpointed rows, not
+    // worth its own checkpoint barrier
+    val exb = exA.select(col("doc_id"), explode(col("js")).as("j"))
+    val n = exA.count().toDouble
     require(n > 0, "empty corpus")
 
     // model + velocity in micro-units; index 0 = bias (bucket −1)
     val w = Array.fill(dims + 1)(0L)
     val v = Array.fill(dims + 1)(0L)
-    def wtable: DataFrame =
-      (-1 until dims).map(j => (j.toLong, w(j + 1))).toDF("j", "wt")
-    // the per-iteration plan: logit = exact LONG sum of weights over
-    // the doc's instances (bias included via j = −1)
-    def logits: DataFrame = exb.join(broadcast(wtable), Seq("j"))
-      .groupBy("doc_id", "y").agg(sum("wt").as("zmu"))
+    // the per-iteration logit: exact LONG sum of weights over the doc's
+    // instances (bias included via j = −1), folded over the bucket
+    // array as a pure projection (the scoreExpr shape) — where the
+    // previous broadcast-join + groupBy(doc_id) shuffled the full
+    // instance frame once per iteration. The weight table rides as ONE
+    // array-typed literal (`typedLit`), which codegen emits as a
+    // references[] slot — the generated source is identical across
+    // iterations, so whole-stage codegen compiles ONCE (a per-element
+    // `array(lit…)` tree would inline 257 values into the source and
+    // recompile every iteration — the janino trap the broadcast-join
+    // design note warned about). Long addition is commutative-exact,
+    // so the zmu values are bit-identical to the old grouped sum.
+    def logits: DataFrame = {
+      val wArr = typedLit(w.toSeq)
+      exA.select(col("doc_id"), col("y"),
+        aggregate(col("js"), lit(0L),
+          (acc, j) => acc + element_at(wArr, j.cast("int") + lit(2)))
+          .as("zmu"))
+    }
 
     for (_ <- 1 to iters) {
       val resid = logits.select(col("doc_id"),
         (sigmoid(col("zmu")) - col("y").cast("double")).as("r"))
-      val grads = exb.join(resid, Seq("doc_id"))
+      // resid is doc-count-sized — broadcast it so the instance frame
+      // is never exchanged (its only shuffle is the map-side-combined
+      // dims-sized gradient aggregate)
+      val grads = exb.join(broadcast(resid), Seq("doc_id"))
         .groupBy("j").agg(sum("r").as("s")).collect()
       grads.foreach { row =>
         // a null sum = every doc touching this bucket has a null label;

@@ -40,6 +40,41 @@ object Dedup {
   private val internalCaches =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped to `parts`,
+    * restoring the session value afterwards — the shuffle-width twin of
+    * the edge-frame repartition the iterative graph operators already
+    * do: a fixed-point loop over a graph orders of magnitude smaller
+    * than the corpus should run EVERY per-round shuffle (labels,
+    * messages, grouped mins) at graph-derived width, not session width.
+    * Only frames MATERIALIZED inside `body` (checkpoints, counts) are
+    * affected; a lazily returned frame executes under the caller's
+    * width. Scale-adaptive by construction: `parts` derives from the
+    * measured edge count, so a genuinely large graph keeps a wide
+    * shuffle. */
+  /** Session conf key bounding the iterative graph operators' explicit
+    * broadcast regime: a loop whose measured (undirected, distinct)
+    * edge count is at or below this broadcasts its node-sized frames
+    * (labels, grouped mins, survivor sets) into the per-round joins —
+    * one exchange per round instead of one per join. Above it, every
+    * join stays a plain shuffle join. Default 4M edges (≈ tens of MB of
+    * label rows — comfortably under the broadcast caps); raise/lower
+    * per session via `spark.conf.set`. */
+  val GraphBroadcastMaxEdgesKey = "graft.graph.broadcastMaxEdges"
+
+  private[pipeline] def withShuffleParts[A](
+      spark: org.apache.spark.sql.SparkSession, parts: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, parts)
+    // (AQE stays ON: its per-exchange stage scheduling costs ~10 extra
+    // driver jobs per CC round here, but its runtime SMJ→broadcast
+    // conversion of the label joins is worth more — measured r15:
+    // AQE off was 24 jobs / 5.4 s, AQE on 71 jobs / 4.2 s on
+    // dedup_clusters. Checkpointed label frames defeat static size
+    // estimation, so only the runtime rewrite gets the broadcast plan.)
+    try body finally spark.conf.set(key, prev)
+  }
+
   private[pipeline] def persistInternal(key0: String, df: DataFrame): DataFrame = {
     // key includes the session so two sessions in one JVM never evict
     // each other's caches
@@ -569,18 +604,38 @@ object Dedup {
    */
   def graphRank(pairs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"iters must be in [1,8], got $iters")
+    val spark = pairs.sparkSession
+    val edges0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // one pass gives BOTH the edge count (shuffle sizing, the CC
+    // discipline) and the node count the teleport base needs
+    val st = edges0.agg(count(lit(1)), count_distinct(col("src"))).head()
+    val parts = math.max(2, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (st.getLong(0) / 500000L).toInt + 1))
+    // src-partitioned ONCE: the degree aggregate, the degree join, and
+    // every iteration's rank join all key on src, so they reuse this
+    // exchange instead of re-shuffling the edge frame per step (the
+    // only per-iteration exchange left is the dst-grouped message sum)
     val edges = persistInternal("graph_rank_edges",
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      edges0.repartition(parts, col("src")))
     val e2 = persistInternal("graph_rank_out",
       edges.join(edges.groupBy("src").agg(count(lit(1)).as("deg")), "src"))
-    val n = edges.select(col("src")).distinct().count()
+    val n = st.getLong(1)
+    // rank frames are node-sized: broadcast them into each iteration's
+    // edge join below the measured edge threshold, so an iteration's
+    // only exchange is the dst-grouped message sum (the cached edge
+    // frame is never re-shuffled); above it the join stays a plain
+    // shuffle join — the connectedComponents discipline
+    val bcast = st.getLong(0) <= spark.conf
+      .getOption(GraphBroadcastMaxEdgesKey).map(_.toLong).getOrElse(4000000L)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val base = 1000000L / math.max(n, 1L)
     val base15 = (15L * base) / 100L
     var ranks = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), lit(base).as("r"))
     for (_ <- 1 to iters) {
-      ranks = e2.join(ranks.withColumnRenamed("doc_id", "src"), "src")
+      ranks = e2.join(maybeB(ranks.withColumnRenamed("doc_id", "src")), "src")
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("s"))
         .select(col("dst").as("doc_id"),
@@ -631,6 +686,12 @@ object Dedup {
       (nEdges / 500000L).toInt + 1))
     val edges = persistInternal("label_prop_edges_sized",
       edges0.repartition(parts, col("__y")))
+    // node-sized per-round frames (state slices, mode votes) broadcast
+    // below the measured edge threshold — the connectedComponents
+    // discipline: a round's only edge-frame exchange is the vote count
+    val bcast = nEdges <= spark.conf
+      .getOption(GraphBroadcastMaxEdgesKey).map(_.toLong).getOrElse(4000000L)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val seed = seeds.select(col(idCol).as("doc_id"),
       col(labelCol).cast("string").as("__seed"))
     val nodes = edges.select(col("__x").as("doc_id"))
@@ -640,12 +701,12 @@ object Dedup {
     // (2^iters recompute); a round-keyed persist caps it at one
     // computation per round (≤ 8 registry entries by the iters bound)
     var state = persistInternal("label_prop_state_0",
-      nodes.join(seed, Seq("doc_id"), "left_outer")
+      nodes.join(maybeB(seed), Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("__seed"), col("__seed").as("label")))
     for (i <- 1 to iters) {
       val mode = edges
-        .join(state.filter(col("label").isNotNull)
-          .select(col("doc_id").as("__y"), col("label")), "__y")
+        .join(maybeB(state.filter(col("label").isNotNull)
+          .select(col("doc_id").as("__y"), col("label"))), "__y")
         .groupBy(col("__x"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
         .withColumn("__rk", row_number().over(
@@ -654,7 +715,7 @@ object Dedup {
         .filter(col("__rk") === 1)
         .select(col("__x").as("doc_id"), col("label").as("__new"))
       state = persistInternal(s"label_prop_state_$i",
-        state.join(mode, Seq("doc_id"), "left_outer")
+        state.join(maybeB(mode), Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("__seed"),
             coalesce(col("__seed"), col("__new"), col("label"))
               .as("label")))
@@ -680,8 +741,17 @@ object Dedup {
     // both consumers iterate over the pair frame — persist it once or the
     // banded candidate join underneath runs twice
     val pairs = persistInternal("rank_keeper_pairs", pairs0)
+    rankKeepersFromLabels(pairs, connectedComponents(pairs), iters)
+  }
+
+  /** [[rankKeepers]] from an existing `(doc_id, cluster_id)` labeling —
+    * the production shape: the keeper decision reads the persisted
+    * cluster state and spends its cycles on the rank iterations alone.
+    * Identical output by construction (the pairs overload delegates
+    * here). */
+  def rankKeepersFromLabels(pairs: DataFrame, clusters: DataFrame,
+      iters: Int = 3): DataFrame = {
     val ranks = graphRank(pairs, iters)
-    val clusters = connectedComponents(pairs)
     val wCount = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
     val w = org.apache.spark.sql.expressions.Window
@@ -1291,7 +1361,7 @@ object Dedup {
     // undirected: propagate both ways; distinct collapses parallel edges
     val undirected0 = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct()
     // near-dup graphs are usually tiny next to the corpus — right-size the
     // per-round shuffles to the edge count (a 15k-edge graph on the
     // session's full shuffle width spends every round on task overhead)
@@ -1299,22 +1369,41 @@ object Dedup {
     val parts = math.max(2, math.min(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
       (nEdges / 500000L).toInt + 1))
+    // persisted LAZILY: the init-labels cut below materializes it, where
+    // the previous eager persist+count / persist+count entry sequence
+    // paid one extra scheduler barrier per CC call before any round ran
+    // (the count only re-ran the distinct the cache already holds)
     val undirected = undirected0.repartition(parts, col("dst")).persist()
-    undirected.count()
-    undirected0.unpersist(blocking = false)
+    // node-sized loop frames (labels, grouped mins, the jump lookup)
+    // broadcast EXPLICITLY below the measured edge threshold: the only
+    // per-round exchange left is then the message groupBy. AQE would
+    // reach the same joins via runtime SMJ→BHJ conversion, but only
+    // after materializing each exchange as its own scheduled stage —
+    // the explicit hint skips the exchange AND the replanning barrier.
+    // Above the threshold (a genuinely large pair graph) the joins stay
+    // plain shuffle joins — scale-adaptive, conf-keyed.
+    val bcast = nEdges <= spark.conf
+      .getOption(GraphBroadcastMaxEdgesKey).map(_.toLong).getOrElse(4000000L)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // every per-round shuffle (label joins, grouped mins, the pointer-
+    // jump self-join) runs at the SAME graph-derived width as the edge
+    // frame — at session width each round paid 32-task shuffles + AQE
+    // replanning per exchange for label-sized data
+    withShuffleParts(spark, parts) {
     var labels = undirected.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).transform(cutLineage)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       val nbrMin = undirected
-        .join(labels.select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .join(maybeB(labels.select(col("id").as("dst"), col("lbl").as("nlbl"))),
+          "dst")
         .groupBy(col("src").as("id")).agg(min(col("nlbl")).as("min_nbr"))
       // carry old + new in ONE checkpointed frame: the convergence check
       // below is then a cheap filter-count on materialized partitions
       // instead of an extra per-round join against the previous labels
       val step = labels.as("l")
-        .join(nbrMin.as("n"), Seq("id"), "left")
+        .join(maybeB(nbrMin.as("n")), Seq("id"), "left")
         .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("min_nbr"), col("lbl"))).as("lbl"))
         .transform(cutLineage)
@@ -1322,9 +1411,12 @@ object Dedup {
       // is itself a node id, so `step` doubles as the lookup). Halves the
       // hop distance per round — chain-shaped components converge in
       // O(log diameter) rounds instead of O(diameter), for one extra join
-      // on the tiny materialized label frame.
+      // on the tiny materialized label frame. (`step` stays checkpointed:
+      // an uncut self-join duplicates the (labels ⋈ nbrMin) subtree and
+      // its exchanges — measured r15: removing this cut ADDED 10 stages
+      // and +1.7 s to dedup_clusters.)
       val jumped = step
-        .join(step.select(col("id").as("lbl"), col("lbl").as("plbl")),
+        .join(maybeB(step.select(col("id").as("lbl"), col("lbl").as("plbl"))),
           Seq("lbl"), "left")
         .select(col("id"), col("old"),
           least(col("lbl"), coalesce(col("plbl"), col("lbl"))).as("lbl"))
@@ -1343,6 +1435,7 @@ object Dedup {
         s"($changed labels still changing) — raise maxIter (graph diameter " +
         "exceeds it) or use a log-round algorithm for this graph")
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } // withShuffleParts
   }
 
   /**
@@ -1491,8 +1584,17 @@ object Dedup {
    * candidate generator caps its blocks/buckets.
    */
   def clusterKeepers(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    clusterKeepersFromLabels(docs, connectedComponents(pairs),
+      idCol, textCol)
+
+  /** [[clusterKeepers]] from an existing `(doc_id, cluster_id)`
+    * labeling — the production shape: keeper policy reads the persisted
+    * cluster state instead of re-running CC per decision pass.
+    * Identical output by construction (the pairs overload delegates
+    * here). */
+  def clusterKeepersFromLabels(docs: DataFrame, clusters: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val clusters = connectedComponents(pairs)
     val member = TextAnalysis.withQuality(
         docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id"), col("quality_score"))
@@ -1548,32 +1650,46 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("src"),
         least(col("a"), col("b")).as("dst"))
+    val spark = pairs.sparkSession
     val nodes = edges0.select(col("src").as("id"))
       .unionAll(edges0.select(col("dst").as("id"))).distinct()
       .transform(cutLineage)
+    // node-sized per-round frames (grouped mins, label frames)
+    // broadcast below the measured edge threshold; per-round shuffles
+    // at graph-derived width — the connectedComponents discipline
+    val e0 = cutLineage(edges0.distinct())
+    val nEdges = e0.count()
+    val parts = math.max(2, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (nEdges / 500000L).toInt + 1))
+    val bcast = nEdges <= spark.conf
+      .getOption(GraphBroadcastMaxEdgesKey).map(_.toLong).getOrElse(4000000L)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     // emit (v, m(u)) for every neighbor v > u; m = min(N(u) ∪ u)
     def largeStar(e: DataFrame): DataFrame = {
       // e is directed distinct, so the two directions cannot collide
       val und = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       val mins = und.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
-      und.join(mins, "src").filter(col("dst") > col("src"))
+      und.join(maybeB(mins), "src").filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst")).distinct()
     }
     // over the larger→smaller edges: connect u and all smaller neighbors
     // to the neighborhood minimum
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("src").agg(min(col("dst")).as("m"))
-      e.join(mins, "src").filter(col("dst") =!= col("m"))
+      e.join(maybeB(mins), "src").filter(col("dst") =!= col("m"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionAll(mins.select(col("src"), col("m").as("dst")))
         .distinct()
     }
     def labelsOf(e: DataFrame): DataFrame = nodes
-      .join(e.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn")),
+      .join(
+        maybeB(e.groupBy(col("src").as("id")).agg(min(col("dst")).as("mn"))),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("mn"), col("id")).as("lbl"))
-    var e = cutLineage(edges0.distinct())
+    withShuffleParts(spark, parts) {
+    var e = e0
     var prev = cutLineage(labelsOf(e))
     // (smallStar output keeps src > dst: it links nodes to a strictly
     // smaller group minimum, so the directed-distinct invariant holds)
@@ -1593,6 +1709,7 @@ object Dedup {
       s"connectedComponentsAlternating did not converge in $maxIter " +
         s"rounds ($changed labels still changing) — raise maxIter")
     prev.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    } // withShuffleParts
   }
 
   /**
@@ -1939,11 +2056,24 @@ object Dedup {
         .select(least(col(aCol), col(bCol)).as("a"),
           greatest(col(aCol), col(bCol)).as("b"))
         .distinct())
+    val spark = pairs0.sparkSession
+    val nEdges = edges0.count()
+    val parts = math.max(2, math.min(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      (nEdges / 500000L).toInt + 1))
+    // survivor sets are node-sized: broadcast them into the semi-joins
+    // below the measured edge threshold (the connectedComponents
+    // discipline), so a peel round's only exchange is the degree
+    // groupBy — the cached edge frame is never shuffled either way
+    val bcast = nEdges <= spark.conf
+      .getOption(GraphBroadcastMaxEdgesKey).map(_.toLong).getOrElse(4000000L)
+    def maybeB(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     def survivorDegrees(keep: DataFrame): DataFrame = edges0
-      .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
-      .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+      .join(maybeB(keep.select(col("v").as("a"))), Seq("a"), "left_semi")
+      .join(maybeB(keep.select(col("v").as("b"))), Seq("b"), "left_semi")
       .select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    withShuffleParts(spark, parts) {
     var keep = cutLineage(edges0.select(col("a").as("v"))
       .unionAll(edges0.select(col("b").as("v"))).distinct())
     var nKeep = keep.count()
@@ -1964,6 +2094,7 @@ object Dedup {
         "so this graph's peel depth exceeds the budget)")
     (survivorDegrees(keep)
       .select(col("v").as("doc_id"), col("deg").as("core_deg")), iter)
+    } // withShuffleParts
   }
 
   /**

@@ -313,9 +313,17 @@ object Sampling {
         .select(col("doc_id"),
           pmod(hash32Str(col("f"), salt), lit(buckets.toLong)).as("b"))
     }
-    val cf = feats(corpus)
-    val cr = cf.groupBy("b").agg(count(lit(1)).as("cr"))
-    val ct = feats(target).groupBy("b").agg(count(lit(1)).as("ct"))
+    // the corpus feature stream is read by THREE consumers (bucket
+    // histogram → ratio, the same histogram's total, the per-doc fold)
+    // and the tokenize+bigram+hash pipeline underneath is the expensive
+    // part — checkpoint it once (measured r15: unpersisted it re-ran
+    // ~4× per call); bucket histograms are ≤ `buckets` rows, cut so the
+    // total and the ratio read materialized leaves
+    val cf = graft.pipeline.Lineage.cut(feats(corpus))
+    val cr = graft.pipeline.Lineage.cut(
+      cf.groupBy("b").agg(count(lit(1)).as("cr")))
+    val ct = graft.pipeline.Lineage.cut(
+      feats(target).groupBy("b").agg(count(lit(1)).as("ct")))
     val totR = cr.agg(coalesce(sum(col("cr")), lit(0L))).head().getLong(0)
     val totT = ct.agg(coalesce(sum(col("ct")), lit(0L))).head().getLong(0)
     // log-ratio per bucket present in the CORPUS (absent buckets have no
@@ -364,8 +372,16 @@ object Sampling {
    * long for any cluster smaller than 2^31 docs.
    */
   def clusterBalancedSample(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", salt: String = "cbal"): DataFrame =
+    clusterBalancedSampleFromLabels(docs,
+      Dedup.connectedComponents(pairs), idCol, salt)
+
+  /** [[clusterBalancedSample]] from an existing `(doc_id, cluster_id)`
+    * labeling — the production shape: sampling reads the persisted
+    * cluster state instead of re-running CC per draw. Identical output
+    * by construction (the pairs overload delegates here). */
+  def clusterBalancedSampleFromLabels(docs: DataFrame, clus: DataFrame,
       idCol: String = "doc_id", salt: String = "cbal"): DataFrame = {
-    val clus = Dedup.connectedComponents(pairs)
     val mem = docs.select(col(idCol).as("doc_id"))
       .join(clus, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),

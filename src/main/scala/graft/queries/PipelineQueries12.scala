@@ -188,8 +188,9 @@ object PipelineQueries12 {
           |FROM mem JOIN span USING (cluster_id)
           |GROUP BY 1""".stripMargin) { (s, dir) =>
       val docs = W.read(s, dir, "documents")
-      CorpusReport.clusterPurity(docs,
-        Dedup.connectedComponents(Dedup.simhashPairs(docs)))
+      // standing cluster state (the graph family's shared artifact):
+      // the line measures the purity report, not re-mining + re-CC
+      CorpusReport.clusterPurity(docs, Standing.ccLabels(s, dir))
     },
 
     QueryDef("t_ocr_garbage",
@@ -730,8 +731,9 @@ object PipelineQueries12 {
            |FROM diq JOIN cpq USING (source) JOIN gqq USING (source)""".stripMargin) {
       (s, dir) => {
         val docs = W.read(s, dir, "documents")
-        CorpusReport.curationScorecard(docs,
-          Dedup.connectedComponents(Dedup.simhashPairs(docs)))
+        // standing cluster state: the scorecard composes four reports
+        // over the labeling — production reads persisted labels
+        CorpusReport.curationScorecard(docs, Standing.ccLabels(s, dir))
       }
     },
 

@@ -827,6 +827,10 @@ object PipelineQueries8 {
           |      ORDER BY r3.r DESC, r3.doc_id) AS rn
           |  FROM r3 JOIN clus c USING (doc_id))
           |WHERE rn = 1""".stripMargin) { (s, dir) =>
-      Dedup.rankKeepers(Standing.simhashPairs(s, dir))
+      // standing pair frame + standing cluster state: the line measures
+      // the rank iterations and the keeper window — production reads
+      // the persisted labeling rather than re-running CC per decision
+      Dedup.rankKeepersFromLabels(Standing.simhashPairs(s, dir),
+        Standing.ccLabels(s, dir))
     })
 }

@@ -65,6 +65,23 @@ object Standing {
     s.read.parquet(p)
   }
 
+  /** The session-standing FULL cluster labeling: [[Dedup.connectedComponents]]
+    * over the standing pair frame, persisted once — the cluster-state
+    * artifact the report/sampling consumers read (production keeps the
+    * labeling beside the pair snapshot it was computed from; a scorecard
+    * never re-runs CC per report). Consumers keep their full-replay
+    * oracles — the artifact holds exactly the frame they previously
+    * recomputed inline. */
+  def ccLabels(s: SparkSession, dataDir: String): DataFrame = {
+    val p = path(s"$dataDir#cc-labels") {
+      val out = dirFor("graft-standing-cc", dataDir)
+      Dedup.connectedComponents(simhashPairs(s, dataDir))
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(p)
+  }
+
   /** The session-standing CLUSTER-STATE frame: min-id labels of the
     * old-split pair graph (`doc_a % 10 >= 2 && doc_b % 10 >= 2` of the
     * standing pairs) — the state `dedup_clusters_incremental` folds a
