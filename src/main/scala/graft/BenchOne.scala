@@ -64,6 +64,21 @@ object BenchOne {
           if (traceJobs) Option(jobStart.remove(j.jobId)).foreach { t0 =>
             println(f"  job ${j.jobId}%4d: ${(System.nanoTime() - t0) / 1e6}%8.1f ms")
           }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = if (traceJobs) {
+          val i = s.stageInfo
+          val ms = i.taskMetrics
+          if (i.completionTime.isDefined && i.submissionTime.isDefined) {
+            val wall = i.completionTime.get - i.submissionTime.get
+            if (wall > 500)
+              println(f"    stage ${i.stageId}%4d: ${wall}%6d ms, " +
+                f"${i.numTasks}%4d tasks, " +
+                f"run ${ms.executorRunTime}%7d ms, " +
+                f"cpu ${ms.executorCpuTime / 1000000}%7d ms  " +
+                i.name.take(60))
+          }
+        }
       })
     (1 to iters).foreach { i =>
       spark.catalog.clearCache()

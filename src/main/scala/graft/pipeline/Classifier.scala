@@ -185,7 +185,8 @@ object Classifier {
     // loop re-reads these, never the text), checkpointed once.
     // Lifetime = the returned frame's reference (materializeGate
     // discipline).
-    val exA = featurize(docs, dims, labelCol, idCol, textCol)
+    val exA = featurize(Dedup.spread(docs, col(idCol)), dims, labelCol,
+        idCol, textCol)
       .select(col("doc_id"), col("y"),
         concat(col("js"), array(lit(-1L))).as("js"))
       .transform(Lineage.cut)

@@ -61,6 +61,20 @@ object Dedup {
     * per session via `spark.conf.set`. */
   val GraphBroadcastMaxEdgesKey = "graft.graph.broadcastMaxEdges"
 
+  /** Rebalance a CPU-dense pipeline's input to the session shuffle
+    * width BEFORE its heavy per-row work — and only when the input's
+    * own parallelism is below it. The corpora here are small in BYTES
+    * (a single parquet row group → one scan task; AQE coalescing also
+    * sizes by bytes), so without this every tokenize/shingle/hash chain
+    * runs on ONE core no matter how many the session has. At scale the
+    * guard makes this a no-op: a large input already scans at ≥ the
+    * session width, and no extra corpus shuffle is ever added. */
+  private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
+    val w = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= w) df else df.repartition(w, key)
+  }
+
   private[pipeline] def withShuffleParts[A](
       spark: org.apache.spark.sql.SparkSession, parts: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -112,10 +126,14 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** (doc_id, shingles) with tokens evaluated once per row. */
+  /** (doc_id, shingles) with tokens evaluated once per row. Spread to
+    * session width first ([[spread]] is a no-op on inputs already that
+    * parallel): tokenize + w-shingle + distinct is the heavy per-row
+    * work of every minhash/jaccard consumer, and a single-row-group
+    * corpus would otherwise run it on one core. */
   def shingled(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", w: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
+    spread(docs, col(idCol)).select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("shingles"))
 
@@ -347,7 +365,10 @@ object Dedup {
               "O(block²); pass blockCap or raise maxBlock"))).isNull)
         .drop("blk_n")
     }
-    t.as("a").join(t.as("b"),
+    // probe-side spread — the ngramJaccardPairs argument: block keys are
+    // few, the per-pair intersect is the cost, and a broadcast-converted
+    // self-join inherits the probe side's parallelism (no-op at scale)
+    spread(t, col("doc_id")).as("a").join(t.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         size(col("a.toks")).as("na"), size(col("b.toks")).as("nb"),
@@ -488,9 +509,17 @@ object Dedup {
       .select(col("doc_id"), col("tier"), explode(bandEntries).as("e"))
       .select(col("doc_id"), col("tier"), col("e.g").as("g"),
         col("e.band_idx").as("band_idx"), col("e.band_hash").as("band_hash"))
+    // WIDTH-PINNED band exchange: the band rows are tiny in bytes, so
+    // AQE's byte-based coalescing collapsed the banded self-join to ONE
+    // task doing the whole quadratic in-bucket pair enumeration
+    // (measured r15: a 7.4 s single-task stage on 32 cores). A user
+    // repartition is never coalesced; the band-key exchange happens for
+    // the join anyway, so pinning its width costs nothing at scale.
+    val wParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val unpivoted = bucketCap
       .map(capByKey(unpivotedAll, Seq("g", "band_idx", "band_hash"), _))
       .getOrElse(unpivotedAll)
+      .repartition(wParts, col("g"), col("band_idx"), col("band_hash"))
     // tier-resolution Jaccard lower bound for a containment-t pair whose
     // member sizes are ~2^tier, and the widest granularity that clears it
     val lo = pow(lit(2.0), least(col("a.tier"), col("b.tier")).cast("double"))
@@ -530,7 +559,10 @@ object Dedup {
     }
     if (candidatesOnly) return cand
     val t = toksDf
-    cand.join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
+    // same width pin for the exact-verify join: candidate pairs are a
+    // few MB of ids, but each row costs a full sorted-merge intersect
+    cand.repartition(wParts, col("doc_a"))
+      .join(t.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(t.as("tb"), col("doc_b") === col("tb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(col("ta.toks")).as("na"), size(col("tb.toks")).as("nb"),
@@ -803,8 +835,13 @@ object Dedup {
       base0.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= cap).drop("__rn")
     }
-    val a = base.select(col("id").as("id_a") +: col("s").as("__sa") +:
-      bNames.map(col): _*)
+    // probe side spread to session width (no-op at scale): the per-pair
+    // Levenshtein dominates, and a broadcast-converted block self-join
+    // inherits the probe side's parallelism — a single-row-group input
+    // ran the whole verify on one core (r15: 4.4 s single-task stage)
+    val a = spread(base, col("id"))
+      .select(col("id").as("id_a") +: col("s").as("__sa") +:
+        bNames.map(col): _*)
     val b = base.select(col("id").as("id_b") +: col("s").as("__sb") +:
       bNames.map(col): _*)
     a.join(b, bNames)
@@ -975,7 +1012,13 @@ object Dedup {
     // Evaluated as a cheap long compare in the join filter — the intersect
     // below then runs on the ~surviving pairs only (sound: no qualifying
     // pair is dropped).
-    t.as("a").join(t.as("b"),
+    // probe side spread to session width: block keys are few, so the
+    // block exchange alone cannot parallelize the per-pair intersects;
+    // when the runtime converts this self-join to broadcast-hash (small
+    // corpora), the probe side's own partitioning IS the join's
+    // parallelism — and a single-row-group corpus gave it one task.
+    // spread() is a no-op at scale (input already wide).
+    spread(t, col("doc_id")).as("a").join(t.as("b"),
         col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id") &&
         least(col("a.n"), col("b.n")).cast("double") >=
           lit(threshold) * greatest(col("a.n"), col("b.n")).cast("double"))
@@ -1131,7 +1174,9 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       nBits: Int = 16): DataFrame =
     simhashFromFeatures(
-      docs.select(col(idCol).as("doc_id"),
+      // spread before the tokenize+explode (single-row-group corpora
+      // otherwise run the whole feature pass on one core; no-op at scale)
+      spread(docs, col(idCol)).select(col(idCol).as("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok")),
       nBits)
 

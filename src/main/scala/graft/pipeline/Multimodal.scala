@@ -292,7 +292,12 @@ object Multimodal {
       bytesCol: String = "media_bytes"): DataFrame = {
     val nBytes = octet_length(col(bytesCol))
     Dedup.simhashFromFeatures(
-      media.select(col(idCol).as("doc_id"),
+      // spread first: the byte-4-gram explode + per-gram md5 below is
+      // the query's whole cost, and a single-row-group media table
+      // would otherwise run it on one core (Dedup.spread is a no-op
+      // when the input already scans at session width)
+      Dedup.spread(media, col(idCol))
+        .select(col(idCol).as("doc_id"),
           hex(col(bytesCol)).as("hx"), nBytes.as("nb"))
         .select(col("doc_id"),
           explode(array_distinct(
@@ -335,7 +340,9 @@ object Multimodal {
       bytesCol: String = "media_bytes"): DataFrame = {
     require(windowSamples >= 4 && windowSamples <= 65536,
       s"windowSamples must be in [4, 65536], got $windowSamples")
-    media
+    // spread before the per-sample explode (the chunker's whole cost;
+    // single-row-group media ran it on one core — no-op at scale)
+    Dedup.spread(media, col(idCol))
       .select(col(idCol).as("doc_id"),
         decode(col(bytesCol), "UTF-8").as("__s"))
       .withColumn("__n", expr("length(__s) div 2"))

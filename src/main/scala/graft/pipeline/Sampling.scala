@@ -319,7 +319,7 @@ object Sampling {
     // part — checkpoint it once (measured r15: unpersisted it re-ran
     // ~4× per call); bucket histograms are ≤ `buckets` rows, cut so the
     // total and the ratio read materialized leaves
-    val cf = graft.pipeline.Lineage.cut(feats(corpus))
+    val cf = graft.pipeline.Lineage.cut(feats(Dedup.spread(corpus, col(idCol))))
     val cr = graft.pipeline.Lineage.cut(
       cf.groupBy("b").agg(count(lit(1)).as("cr")))
     val ct = graft.pipeline.Lineage.cut(

@@ -537,7 +537,12 @@ object Semantic {
    * the count along in the same aggregate.
    */
   def pcaState(embs: DataFrame, vecCol: String = "embedding"): DataFrame = {
-    val e = embs.select(
+    // spread before the d×d outer-product explode (the state's whole
+    // cost — d² rows per vector; a single-row-group embeddings table
+    // ran it on one core). Keyed on the vector itself: deterministic,
+    // and the grouped LONG sums are partitioning-invariant. No-op on
+    // inputs already at session width.
+    val e = Dedup.spread(embs, col(vecCol)).select(
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val d = e.select(size(col("v"))).head().getInt(0)
     e.select(col("v"), explode(sequence(lit(1), lit(d))).as("i"))

@@ -776,7 +776,10 @@ object TextAnalysis {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
-    docs
+    // spread before the k-gram explode + per-gram md5 (the operator's
+    // whole cost; single-row-group corpora would run it on one core —
+    // Dedup.spread is a no-op on inputs already at session width)
+    Dedup.spread(docs, col(idCol))
       .select(col(idCol).as("doc_id"), normText(col(textCol)).as("s"))
       .select(col("doc_id"), col("s"),
         (length(col("s")) - (k - 1)).as("n_kg"))
@@ -1052,7 +1055,9 @@ object TextAnalysis {
       salt: String = "feathash", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val buckets = docs
+    // spread before the tokenize+explode (single-row-group corpora run
+    // it on one core; no-op at scale)
+    val buckets = Dedup.spread(docs, col(idCol))
       .select(col(idCol).as("vec_id"), explode(tokens(col(textCol))).as("tok"))
       .select(col("vec_id"),
         (Sampling.hash32Str(col("tok"), salt) % dim).cast("int").as("b"))

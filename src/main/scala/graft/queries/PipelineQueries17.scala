@@ -78,8 +78,12 @@ object PipelineQueries17 {
         |    THEN 1 ELSE 0 END AS INT) AS is_silence
         |FROM smp GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val payloads = W.read(s, dir, "documents")
-        .select("doc_id").as[Long]
+      // spread before the per-doc encode+decode (single-row-group
+      // corpora ran the whole codec pass on one core; no-op at scale)
+      val payloads = graft.pipeline.Dedup.spread(
+          W.read(s, dir, "documents").select("doc_id"),
+          org.apache.spark.sql.functions.col("doc_id"))
+        .as[Long]
         .mapPartitions { it =>
           it.map { d =>
             val m = if (d % 3 == 0) 256L else 65536L
@@ -267,8 +271,11 @@ object PipelineQueries17 {
         |    THEN 1 ELSE 0 END AS INT) AS is_flat
         |FROM px GROUP BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val payloads = W.read(s, dir, "documents")
-        .select("doc_id").as[Long]
+      // spread before the per-doc paint+encode+decode (the codec cost)
+      val payloads = graft.pipeline.Dedup.spread(
+          W.read(s, dir, "documents").select("doc_id"),
+          org.apache.spark.sql.functions.col("doc_id"))
+        .as[Long]
         .mapPartitions { it =>
           it.map { d =>
             val w = (4 + d % 5).toInt

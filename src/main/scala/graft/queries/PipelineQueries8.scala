@@ -507,8 +507,12 @@ object PipelineQueries8 {
          |    ORDER BY cos_sim DESC, c_id) AS rank
          |  FROM scored) WHERE rank <= $hvK""".stripMargin
     }) { (s, dir) =>
-      val hv = TextAnalysis.hashedVectors(W.read(s, dir, "documents"),
-        dim = hvDim, salt = hvSalt)
+      // checkpointed: the hashed-vector frame feeds the 2-iteration
+      // training collects, the assignment, AND both ivfTopK sides —
+      // uncut, the tokenize+hash pipeline re-ran once per consumer
+      val hv = graft.pipeline.Lineage.cut(
+        TextAnalysis.hashedVectors(W.read(s, dir, "documents"),
+          dim = hvDim, salt = hvSalt))
       val cents = Semantic.kmeansCentroids(hv, k = hvCells, iters = 2)
       val vecs = hv.join(
         Semantic.assignTo(hv, cents)
