@@ -132,10 +132,16 @@ object Dedup {
     * work of every minhash/jaccard consumer, and a single-row-group
     * corpus would otherwise run it on one core. */
   def shingled(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", w: Int = 3): DataFrame =
-    spread(docs, col(idCol)).select(col(idCol).as("doc_id"),
+      textCol: String = "text", w: Int = 3,
+      doSpread: Boolean = true): DataFrame = {
+    // doSpread = false for callers whose input is a small increment (an
+    // admission batch): there the exchange costs more than the one-core
+    // shingle pass it parallelizes (measured r15 on the LSH-index admit)
+    val src = if (doSpread) spread(docs, col(idCol)) else docs
+    src.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), shinglesFromTokens(col("toks"), w).as("shingles"))
+  }
 
   /** Exact dedup: group by content fingerprint, keep min doc_id.
     * Pure hash-groupBy — one shuffle on the fingerprint. */

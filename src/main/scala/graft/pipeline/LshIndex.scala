@@ -125,7 +125,12 @@ object LshIndex {
     * empty array yields no rows). */
   private def shingleFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    Dedup.shingled(docs, idCol, textCol).filter(size(col("shingles")) >= 1)
+    // doSpread = false: admit/lookup inputs are increment-sized, and the
+    // spread exchange measured slower than the one-core shingle pass it
+    // buys back (build's one-time cost is absorbed by the standing
+    // discipline either way)
+    Dedup.shingled(docs, idCol, textCol, doSpread = false)
+      .filter(size(col("shingles")) >= 1)
 
   /** k=8 MinHash signature from a (doc_id, shingles) frame — the
     * [[Dedup.minhashSignatures]] arithmetic (min of seeded md5) lifted
