@@ -72,9 +72,35 @@ object Dedup {
   private[graft] def spread(df: DataFrame, key: Column): DataFrame = {
     val w = df.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= w) df else df.repartition(w, key)
+    if (needsSpread(df, w)) df.repartition(w, key) else df
   }
 
+  /** Decide the spread from PLAN STATISTICS, never by executing the
+    * input: the previous `df.rdd.getNumPartitions` probe materialized
+    * every upstream exchange at plan-build time and the returned
+    * `repartition` then re-executed them — a measured 2× regression on
+    * shuffle-rooted inputs (dedup_minhash_robust_skew, r15) and a scale
+    * hazard on any non-scan input. The criterion: a frame whose
+    * estimated bytes are below `width × advisoryPartitionSize` is one
+    * AQE would coalesce under the session width (its coalescing is
+    * byte-based, blind to per-row CPU), so the CPU-dense consumer pins
+    * an explicit exchange; anything larger already runs at ≥ width and
+    * spread is a no-op. Stats come from the optimized logical plan — a
+    * driver-side estimate, no job submission. */
+  private def needsSpread(df: DataFrame, w: Int): Boolean = {
+    val advisory = df.sparkSession.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(w) * BigInt(math.max(advisory, 1L))
+  }
+
+  /** SINGLE-THREADED-SESSION assumption: the override below mutates the
+    * shared session conf for the duration of `body` (scoped + restored).
+    * A query PLANNED concurrently on the same SparkSession (e.g. a
+    * streaming foreachBatch micro-batch) would inherit the narrowed
+    * width. The bench/pipeline drivers here run one query at a time; a
+    * deployment that plans concurrent queries must run the iterative
+    * graph operators on `spark.newSession()` so the conf is isolated. */
   private[pipeline] def withShuffleParts[A](
       spark: org.apache.spark.sql.SparkSession, parts: Int)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -110,6 +136,20 @@ object Dedup {
       it.remove()
     }
   }
+
+  /** Value-identical wrapper that makes a derived column NON-PUSHABLE:
+    * a filter on an expensive derived column (shingle arrays, token
+    * sets) is otherwise pushed below the spread exchange with the WHOLE
+    * deriving expression inlined into the scan-side predicate — the
+    * heavy work then runs twice, and the scan-side copy single-task
+    * (guide §4.4's duplicated-expensive-expression trap, built-in
+    * flavor; measured r16: the LshIndex admit's tokenize+shingle pass
+    * ran 1.9-2.1 s in ONE task below the exchange). The optimizer may
+    * not push predicates through a projection with a nondeterministic
+    * field, and `monotonically_increasing_id() >= 0` is always true, so
+    * this is a plan barrier with no value or row change. */
+  private[graft] def unpushable(c: Column): Column =
+    when(monotonically_increasing_id() >= 0, c).otherwise(c)
 
   /** Distinct word w-shingles from a *materialized* token-array column
     * (empty when fewer than w tokens — guarded because Spark's
@@ -469,11 +509,17 @@ object Dedup {
       candidatesOnly: Boolean = false): DataFrame = {
     require(k > 0 && (k & (k - 1)) == 0, s"k must be a power of two, got $k")
     val spark = docs.sparkSession
-    val toksDf = docs.select(
+    // `size(toks) > 0` only ever drops NULL-text rows (split of any
+    // non-null normText yields ≥ 1 element), but filtering on the
+    // DERIVED column pushed the whole tokenize+sort+distinct expression
+    // into the scan-side predicate — every row paid it twice. The
+    // equivalent raw-column predicate pushes to the parquet scan for
+    // free (PushedFilters: IsNotNull(text)).
+    val toksDf = docs.filter(col(textCol).isNotNull)
+      .select(
         col(idCol).as("doc_id"),
         sort_array(array_distinct(TextAnalysis.tokens(col(textCol))))
           .as("toks"))
-      .filter(size(col("toks")) > 0)
     // `parityHash = true` swaps the xxhash64 signature/band family for an
     // md5-string one (min over md5("j:" + token), band = md5 of the
     // joined slice) that DuckDB can replay verbatim — the banding,

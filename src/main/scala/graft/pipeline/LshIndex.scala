@@ -125,11 +125,15 @@ object LshIndex {
     * empty array yields no rows). */
   private def shingleFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    // doSpread = false: admit/lookup inputs are increment-sized, and the
-    // spread exchange measured slower than the one-core shingle pass it
-    // buys back (build's one-time cost is absorbed by the standing
-    // discipline either way)
-    Dedup.shingled(docs, idCol, textCol, doSpread = false)
+    // doSpread reinstated (r16): the r15 retraction blamed the spread
+    // exchange, but the real cost was the empty-shingle filter below —
+    // pushed under the exchange with the whole tokenize+shingle
+    // expression inlined, it ran the heavy pass TWICE, the scan-side
+    // copy single-task (2.1 s CPU in the admit trace). [[Dedup.
+    // unpushable]] pins the filter above the spread, so the pass runs
+    // once, wide.
+    Dedup.shingled(docs, idCol, textCol)
+      .select(col("doc_id"), Dedup.unpushable(col("shingles")).as("shingles"))
       .filter(size(col("shingles")) >= 1)
 
   /** k=8 MinHash signature from a (doc_id, shingles) frame — the
@@ -343,7 +347,14 @@ object LshIndex {
     // side pruned to the buckets the increment actually touches
     val touchedBb = bNew.select(bb(buckets).as("bb")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ buckets values
+    // WIDTH-PINNED band exchange (the containmentPairsLsh F2 move): the
+    // band rows are tiny in bytes, so AQE's byte-based coalescing ran
+    // the quadratic in-bucket candidate enumeration on ONE task. A user
+    // repartition is never coalesced, and the band-key exchange happens
+    // for the join anyway, so pinning its width costs nothing at scale.
+    val wParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val corpus = storedBands(spark, dir, id, touchedBb).unionByName(bNew)
+      .repartition(wParts, col("band_idx"), col("band_hash"))
     // localCheckpoint, not persist: cand reads the band store, and
     // refreshStores (run on every admission) eagerly recaches any
     // cached plan over the stores — a lineage-cut frame costs nothing
@@ -361,8 +372,12 @@ object LshIndex {
     // their own storage blocks and CUTS the lineage to the store — a
     // cached-but-lineaged frame would silently recompute against the
     // mutated store (and so change its answer) once a later admission
-    // or deletion evicts or recaches it
-    Dedup.jaccardVerify(cand, verifySh).localCheckpoint(true)
+    // or deletion evicts or recaches it. The verify's candidate side is
+    // width-pinned too: each pair costs a full shingle intersect, and
+    // the checkpointed pairs are few enough bytes that the verify
+    // otherwise ran single-task (r15 trace: a ~2.9 s one-task stage).
+    Dedup.jaccardVerify(cand.repartition(wParts, col("doc_a")), verifySh)
+      .localCheckpoint(true)
   }
 
   /**
@@ -383,7 +398,11 @@ object LshIndex {
     val bQ = Dedup.persistInternal("lshidx_lookup_bands", bandRows(sh))
     val touchedBb = bQ.select(bb(buckets).as("bb")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // width-pinned band + verify exchanges — the admit path's F2 move
+    // (tiny band/pair bytes otherwise coalesce to one task under AQE)
+    val wParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val stored = storedBands(spark, dir, excludeBatch = -1L, touchedBb)
+      .repartition(wParts, col("band_idx"), col("band_hash"))
     val cand = Dedup.persistInternal("lshidx_lookup_cand",
       bQ.as("a").join(stored.as("b"),
           col("a.band_idx") === col("b.band_idx") &&
@@ -396,7 +415,7 @@ object LshIndex {
     val cSh = storedShingles(spark, dir, excludeBatch = -1L, touchedDb)
     // q and corpus sides stay apart (a re-presented admitted document
     // reports its J = 1 self-match, never cross-wires)
-    cand
+    cand.repartition(wParts, col("q_id"))
       .join(sh.select(col("doc_id").as("q_id"), col("shingles").as("sa")),
         "q_id")
       .join(cSh.select(col("doc_id").as("c_id"), col("shingles").as("sb")),

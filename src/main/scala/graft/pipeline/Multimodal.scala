@@ -342,9 +342,12 @@ object Multimodal {
       s"windowSamples must be in [4, 65536], got $windowSamples")
     // spread before the per-sample explode (the chunker's whole cost;
     // single-row-group media ran it on one core — no-op at scale)
+    // Dedup.unpushable pins the __n filter ABOVE the spread exchange —
+    // pushed below, it re-inlines the UTF-8 decode into the scan-side
+    // predicate and runs it twice (once single-task)
     Dedup.spread(media, col(idCol))
       .select(col(idCol).as("doc_id"),
-        decode(col(bytesCol), "UTF-8").as("__s"))
+        Dedup.unpushable(decode(col(bytesCol), "UTF-8")).as("__s"))
       .withColumn("__n", expr("length(__s) div 2"))
       .filter(col("__n") >= 1)
       .select(col("doc_id"), posexplode(expr(

@@ -779,8 +779,12 @@ object TextAnalysis {
     // spread before the k-gram explode + per-gram md5 (the operator's
     // whole cost; single-row-group corpora would run it on one core —
     // Dedup.spread is a no-op on inputs already at session width)
+    // Dedup.unpushable pins the n_kg filter ABOVE the spread exchange —
+    // pushed below, it re-inlines the whole normText chain into the
+    // scan-side predicate and runs it twice (once single-task)
     Dedup.spread(docs, col(idCol))
-      .select(col(idCol).as("doc_id"), normText(col(textCol)).as("s"))
+      .select(col(idCol).as("doc_id"),
+        Dedup.unpushable(normText(col(textCol))).as("s"))
       .select(col("doc_id"), col("s"),
         (length(col("s")) - (k - 1)).as("n_kg"))
       .filter(col("n_kg") >= w)

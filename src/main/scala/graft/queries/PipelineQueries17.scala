@@ -78,11 +78,11 @@ object PipelineQueries17 {
         |    THEN 1 ELSE 0 END AS INT) AS is_silence
         |FROM smp GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       import s.implicits._
-      // spread before the per-doc encode+decode (single-row-group
-      // corpora ran the whole codec pass on one core; no-op at scale)
-      val payloads = graft.pipeline.Dedup.spread(
-          W.read(s, dir, "documents").select("doc_id"),
-          org.apache.spark.sql.functions.col("doc_id"))
+      // NO spread here (r16): the WAV encode of these short payloads is
+      // cheaper than the exchange the spread adds — measured r15
+      // regression 0.75 → 1.23 s; the image twin keeps its spread (the
+      // PNG paint+encode is heavy enough to amortize it)
+      val payloads = W.read(s, dir, "documents").select("doc_id")
         .as[Long]
         .mapPartitions { it =>
           it.map { d =>
