@@ -516,8 +516,18 @@ object SsjIndex {
     val touchedPb = pNew
       .select(pb(meta.buckets).as("pb")).distinct()
       .collect().map(_.getLong(0)).toSeq // ≤ buckets values
+    // WIDTH-PINNED token exchange (the containmentPairsLsh F2 move):
+    // prefix rows are tiny in bytes, so AQE's byte-based coalescing ran
+    // the quadratic in-token candidate enumeration on ONE task
+    // (measured r15: a ~4.4 s single-task stage inside the 9.7 s
+    // dedup_setjoin_admit line). A user repartition is never coalesced;
+    // the tok exchange happens for the join anyway, so the pin costs
+    // nothing at scale. The store lifecycle (writes above, mark, crash
+    // contracts) is untouched — this only re-widths the read-side join.
+    val wParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val corpus = storedPrefixes(spark, dir, id, touchedPb)
       .unionByName(pNew)
+      .repartition(wParts, col("tok"))
     val tau = meta.tauMilli
     // lineage-cut for the same reason as pNew (reads the prefix store)
     val cand =
@@ -543,8 +553,11 @@ object SsjIndex {
     // their own storage blocks and CUTS the lineage to the store — a
     // cached-but-lineaged frame (the previous persist-and-count form)
     // silently recomputed against the mutated store once a later
-    // admission or deletion evicted or recached it
-    Dedup.ssjVerifySets(cand, verifySets, tau).localCheckpoint(true)
+    // admission or deletion evicted or recached it. The verify's
+    // candidate side is width-pinned too (each pair costs a sorted
+    // intersect; checkpointed pair bytes otherwise coalesce to 1 task).
+    Dedup.ssjVerifySets(cand.repartition(wParts, col("doc_a")),
+      verifySets, tau).localCheckpoint(true)
   }
 
   /**
