@@ -161,9 +161,14 @@ object Classifier {
       salt: String = "ctrain"): DataFrame = {
     require(sampleRate > 0 && sampleRate <= 1,
       s"sampleRate must be in (0, 1], got $sampleRate")
-    val model = trainLr(
+    // spreadInput = false: the training slice is sample-sized by
+    // construction — the spread exchange costs more than the one-core
+    // featurize it parallelizes (and plan stats cannot see through the
+    // sample's filter to gate it automatically)
+    val (model, _) = train(
       Sampling.deterministicSample(docs, idCol, sampleRate, salt),
-      dims, iters, lr, beta, labelCol, idCol, textCol)
+      dims, iters, lr, beta, labelCol, idCol, textCol,
+      spreadInput = false)
     val s = scoreExpr(model, textCol)
     docs.select(col(idCol).as("doc_id"), labelCol.cast("int").as("label"),
       s.as("score"), (s >= 0.5).cast("int").as("pred"))
@@ -173,7 +178,8 @@ object Classifier {
     * model and the scored logit frame `(doc_id, y, zmu)` under the
     * FINAL weights. */
   private def train(docs: DataFrame, dims: Int, iters: Int, lr: Double,
-      beta: Double, labelCol: Column, idCol: String, textCol: String)
+      beta: Double, labelCol: Column, idCol: String, textCol: String,
+      spreadInput: Boolean = true)
       : (LrModel, DataFrame) = {
     require(dims > 0 && iters >= 0 && lr > 0 && beta >= 0 && beta < 1,
       s"need dims > 0, iters >= 0, lr > 0, 0 <= beta < 1; " +
@@ -184,18 +190,31 @@ object Classifier {
     // one row per document with its hashed-bucket array (narrow — the
     // loop re-reads these, never the text), checkpointed once.
     // Lifetime = the returned frame's reference (materializeGate
-    // discipline).
-    val exA = featurize(Dedup.spread(docs, col(idCol)), dims, labelCol,
-        idCol, textCol)
+    // discipline). spreadInput = false for increment/sample-sized
+    // inputs, where the exchange costs more than the one-core
+    // featurize it parallelizes (measured r15: t_classifier_sampled
+    // 1.52 → 2.06 s from spreading a 500-doc sample).
+    val src = if (spreadInput) Dedup.spread(docs, col(idCol)) else docs
+    val exA = featurize(src, dims, labelCol, idCol, textCol)
       .select(col("doc_id"), col("y"),
         concat(col("js"), array(lit(-1L))).as("js"))
       .transform(Lineage.cut)
-    // the exploded (doc_id, j) instance view re-derives from the cut
-    // exA per use — a shuffle-free explode over checkpointed rows, not
-    // worth its own checkpoint barrier
-    val exb = exA.select(col("doc_id"), explode(col("js")).as("j"))
-    val n = exA.count().toDouble
+    val nLong = exA.count()
+    val n = nLong.toDouble
     require(n > 0, "empty corpus")
+    // The gradient loop's per-task work is a fold + explode over
+    // checkpointed rows — trivially cheap per row, so a session-width
+    // stage over a small corpus is pure scheduler overhead (the family
+    // measured ~2× FASTER at 8 cores than 32 on the r15 driver's c8
+    // bench). Scale the loop's source to rows-per-task rather than a
+    // constant width: a corpus large enough to need every checkpoint
+    // partition keeps them all (coalesce only ever narrows).
+    val rowsPerTask = spark.conf
+      .get("graft.classifier.gradRowsPerTask", "4096").toLong
+    val ckptParts = exA.rdd.getNumPartitions
+    val loopParts = math.max(1L, math.min(ckptParts.toLong,
+      (nLong + rowsPerTask - 1) / rowsPerTask)).toInt
+    val gradSrc = if (loopParts < ckptParts) exA.coalesce(loopParts) else exA
 
     // model + velocity in micro-units; index 0 = bias (bucket −1)
     val w = Array.fill(dims + 1)(0L)
@@ -212,21 +231,29 @@ object Classifier {
     // recompile every iteration — the janino trap the broadcast-join
     // design note warned about). Long addition is commutative-exact,
     // so the zmu values are bit-identical to the old grouped sum.
-    def logits: DataFrame = {
+    def zmuCol: Column = {
       val wArr = typedLit(w.toSeq)
-      exA.select(col("doc_id"), col("y"),
-        aggregate(col("js"), lit(0L),
-          (acc, j) => acc + element_at(wArr, j.cast("int") + lit(2)))
-          .as("zmu"))
+      aggregate(col("js"), lit(0L),
+        (acc, j) => acc + element_at(wArr, j.cast("int") + lit(2)))
     }
+    def logits: DataFrame =
+      exA.select(col("doc_id"), col("y"), zmuCol.as("zmu"))
 
     for (_ <- 1 to iters) {
-      val resid = logits.select(col("doc_id"),
-        (sigmoid(col("zmu")) - col("y").cast("double")).as("r"))
-      // resid is doc-count-sized — broadcast it so the instance frame
-      // is never exchanged (its only shuffle is the map-side-combined
-      // dims-sized gradient aggregate)
-      val grads = exb.join(broadcast(resid), Seq("doc_id"))
+      // FUSED gradient pass: the residual is computed per document in a
+      // projection and the bucket array exploded in the projection above
+      // the partial aggregate — one job per iteration, no broadcast
+      // build, no join, and nothing doc-count-sized ever leaves the
+      // executors (the previous broadcast(resid) hard-capped the corpus
+      // at the 8 GB broadcast limit). The residual expression is the old
+      // one verbatim and rows stream in the same order; only the
+      // partial-sum partition grouping moves (coalesce above), which the
+      // 1e-6 micro-unit rounding of the update absorbs — verified
+      // bit-identical against the DuckDB oracle at sf0.001/sf0.01.
+      val grads = gradSrc
+        .select(col("js"),
+          (sigmoid(zmuCol) - col("y").cast("double")).as("r"))
+        .select(col("r"), explode(col("js")).as("j"))
         .groupBy("j").agg(sum("r").as("s")).collect()
       grads.foreach { row =>
         // a null sum = every doc touching this bucket has a null label;

@@ -88,7 +88,17 @@ object Semantic {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
-    val e = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    val e0 = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+    // every Lloyd's iteration re-scans this frame and pays the full
+    // assign + partial-average inside the scan stage — on a single-
+    // row-group corpus that is ONE task per iteration (r16 trace). When
+    // the corpus is small enough that Dedup.spread fires, checkpoint
+    // the spread frame once: iterations then scan width-partitioned
+    // local blocks instead of re-running scan + exchange each round.
+    // At scale spread is a no-op and nothing is checkpointed (a corpus-
+    // sized localCheckpoint would be the real hazard there).
+    val eSp = Dedup.spread(e0, col("vec_id"))
+    val e = if (eSp eq e0) e0 else Lineage.cut(eSp)
 
     // deterministic init: the k lowest-id vectors ARE the first centroids
     var centroids: Seq[(Int, Array[Double])] =
@@ -96,23 +106,27 @@ object Semantic {
         i -> r.getSeq[Double](1).toArray
       }.toSeq
 
+    if (centroids.isEmpty) return centroids
+    val dim = centroids.head._2.length
     for (_ <- 1 to iters) {
       // one scan assigns (literal centroids below the plan-size
       // threshold, broadcast-join above — see assignCells); one
-      // k×dim-row aggregate re-centers. The avg is rounded so both
+      // k-row aggregate re-centers. The avg is rounded so both
       // engines land on the same quantized centroid no matter their
-      // float summation order.
+      // float summation order. The re-center is ONE groupBy with dim
+      // parallel avg columns — the previous posexplode + two-level
+      // groupBy shape multiplied the rows by dim and paid a second
+      // exchange per iteration for the map_from_arrays re-assembly
+      // (measured r15: the indexed-serve family is driver/stage-bound,
+      // not compute-bound, so per-iteration stages are the cost).
       val assigned = assignCells(e, centroids, "vec_id", "v", "cluster_id")
+      val avgs = (0 until dim).map(i =>
+        round(avg(element_at(col("v"), i + 1)), 6).as(s"m$i"))
       centroids = assigned
-        .select(col("cluster_id"), posexplode(col("v")))
-        .groupBy(col("cluster_id"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("m"))
         .groupBy(col("cluster_id"))
-        .agg(map_from_arrays(collect_list(col("pos")), collect_list(col("m")))
-          .as("byPos"))
+        .agg(avgs.head, avgs.tail: _*)
         .collect().map { r =>
-          val m = r.getMap[Int, Double](1)
-          r.getInt(0) -> Array.tabulate(m.size)(m(_))
+          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 1))
         }.toSeq.sortBy(_._1)
     }
     centroids

@@ -365,7 +365,11 @@ object Similarity {
     * iteration and the encode pass reuse one compiled plan. */
   private[pipeline] def pqSubFrame(vecs: DataFrame, m: Int,
       subDim: Int): DataFrame =
-    vecs.select(col("vec_id"), pqSubCol(col("v"), m, subDim).as("e"))
+    // spread before the checkpoint: the slice-explode and every
+    // training pass over the checkpointed rows otherwise inherit the
+    // single-row-group scan's ONE partition (no-op at scale)
+    Dedup.spread(vecs, col("vec_id"))
+      .select(col("vec_id"), pqSubCol(col("v"), m, subDim).as("e"))
       .select(col("vec_id"), col("e.s").as("s"), col("e.subv").as("subv"))
       .transform(Lineage.cut)
 
@@ -387,6 +391,26 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("b.cid").as("cid"))
   }
 
+  /** [[pqAssignFrame]]'s assignment rule as a pure per-row COLUMN: the
+    * codebook rides as ONE nested typed literal (a codegen references[]
+    * slot — the source compiles once even as the values change across
+    * Lloyd's iterations), entries of the row's subspace are scanned by
+    * `array_min` over (distance, cid) structs. Distance is [[pqSqd]]
+    * verbatim and the struct min is the same (d, cid) lexicographic
+    * rule, so the chosen cid is bit-identical to the join shape — with
+    * no broadcast build, no join, and no group-back exchange. */
+  private def pqNearestCidCol(subv: Column, sCol: Column,
+      cents: Seq[(Int, Int, Seq[Double])]): Column = {
+    val maxS = cents.map(_._1).max
+    val bySub: Seq[Seq[(Int, Seq[Double])]] = (0 to maxS).map(s =>
+      cents.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3)))
+    val cbLit = typedLit(bySub)
+    array_min(transform(element_at(cbLit, sCol + lit(1)), e =>
+      struct(pqSqd(subv, e.getField("_2")).as("d"),
+        e.getField("_1").as("cid"))))
+      .getField("cid")
+  }
+
   /** Per-subspace PQ codebooks under the deterministic Lloyd's
     * discipline (lowest-vec_id init with cid = id rank, broadcast
     * codebook DATA so every iteration reuses one compiled plan,
@@ -398,27 +422,37 @@ object Similarity {
     * collect-recenter Lloyd's) — codes only ever reference surviving
     * entries. */
   private[pipeline] def pqTrainOnSub(all: DataFrame, sub: DataFrame,
-      ks: Int, iters: Int): Seq[(Int, Int, Seq[Double])] = {
-    val spark = all.sparkSession
-    import spark.implicits._
-    val initIds = all.select(col("vec_id")).orderBy("vec_id").limit(ks)
-      .as[Long].collect()
-    val cidOf = initIds.zipWithIndex.toMap
-    var cents: Seq[(Int, Int, Seq[Double])] =
-      sub.filter(col("vec_id").isin(initIds: _*)).collect().map { r =>
-        (r.getInt(1), cidOf(r.getLong(0)), r.getSeq[Double](2))
-      }.toSeq
+      ks: Int, iters: Int, m: Int): Seq[(Int, Int, Seq[Double])] = {
+    // init: every vec_id contributes exactly m sub rows, so the ks
+    // lowest ids' subvectors are the first ks·m rows of (vec_id, s)
+    // order — ONE collect fuses the old id-scan + filtered-sub-scan
+    // pair of jobs (`all` stays a parameter only for its row identity;
+    // sub derives from it)
+    val initRows = sub.orderBy("vec_id", "s").limit(ks * m).collect()
+    val cidOf = initRows.map(_.getLong(0)).distinct.sorted
+      .zipWithIndex.toMap
+    var cents: Seq[(Int, Int, Seq[Double])] = initRows.map { r =>
+      (r.getInt(1), cidOf(r.getLong(0)), r.getSeq[Double](2).toSeq)
+    }.toSeq
+    if (cents.isEmpty) return cents
+    val subDim = cents.head._3.length
     for (_ <- 1 to iters) {
-      cents = pqAssignFrame(sub, cents).join(sub, Seq("vec_id", "s"))
-        .select(col("s"), col("cid"), posexplode(col("subv")))
-        .groupBy("s", "cid", "pos").agg(round(avg("col"), 6).as("mv"))
-        .groupBy("s", "cid")
-        .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
-          .as("byPos"))
+      // FUSED Lloyd's step: nearest-cid as a per-row expression over
+      // the nested codebook literal, then ONE groupBy with subDim
+      // parallel avg columns — one exchange per iteration where the
+      // join shape paid four (broadcast build, assign group-back,
+      // join-back to sub, posexplode double groupBy). The avg is
+      // rounded to 1e-6 so the re-center is summation-order-proof.
+      val avgs = (0 until subDim).map(i =>
+        round(avg(element_at(col("subv"), i + 1)), 6).as(s"m$i"))
+      cents = sub
+        .groupBy(col("s"),
+          pqNearestCidCol(col("subv"), col("s"), cents).as("cid"))
+        .agg(avgs.head, avgs.tail: _*)
         .collect().map { r =>
-          val mm = r.getMap[Int, Double](2)
-          (r.getInt(0), r.getInt(1), Seq.tabulate(mm.size)(mm(_)))
-        }.toSeq
+          (r.getInt(0), r.getInt(1),
+            Seq.tabulate(subDim)(i => r.getDouble(i + 2)))
+        }.toSeq.sortBy(t => (t._1, t._2))
     }
     cents
   }
@@ -448,7 +482,7 @@ object Similarity {
     // (vec_id, s, subv) — one row per subvector, reused by every
     // training iteration and the encode pass
     val sub = pqSubFrame(all.select(col("vec_id"), col("v")), m, subDim)
-    val cents = pqTrainOnSub(all, sub, ks, iters)
+    val cents = pqTrainOnSub(all, sub, ks, iters, m)
     val ctDF: DataFrame = cents.toDF("s", "cid", "cv")
 
     // encode under the final codebook; carry the IVF cell for routing
@@ -662,6 +696,25 @@ object Similarity {
   private val sidecarCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
 
+  /** Bounded insert: the cache is keyed by index dir, so a long-lived
+    * JVM cycling through many index dirs (tests, multi-tenant serving)
+    * must not grow it without limit — clear-and-restart is fine, the
+    * entries are one cheap re-read each. */
+  private def sidecarCachePut(key: String, v: (String, AnyRef)): Unit = {
+    if (sidecarCache.size() >= 512) sidecarCache.clear()
+    sidecarCache.put(key, v)
+  }
+
+  /** The value is cached only when the sidecar's directory listing is
+    * UNCHANGED across the read — a rewrite racing the read can
+    * otherwise pair the old stamp with the new content and serve it
+    * until the next rewrite. */
+  private def sidecarPutIfStable(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, key: String, stampBefore: String,
+      v: AnyRef): Unit =
+    if (sidecarStamp(fs, p) == stampBefore)
+      sidecarCachePut(key, (stampBefore, v))
+
   private def sidecarStamp(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String =
     fs.listStatus(p).map(f =>
@@ -692,7 +745,7 @@ object Similarity {
     require(meta.dim > 0 && meta.kCells > 0 &&
         IvfCodecs.contains(meta.codec),
       s"corrupt index meta at $dir/meta: $meta")
-    sidecarCache.put(key, (stamp, meta))
+    sidecarPutIfStable(fs, p, key, stamp, meta)
     meta
   }
 
@@ -758,7 +811,7 @@ object Similarity {
         val r = spark.read.parquet(s"$dir/centroids")
           .select(col("cell"), col("cv")).collect()
           .map(row => (row.getInt(0), row.getSeq[Double](1).toSeq))
-        if (stamp.nonEmpty) sidecarCache.put(key, (stamp, r))
+        if (stamp.nonEmpty) sidecarPutIfStable(fs, p, key, stamp, r)
         r
       }
     require(rows.length == kCells,
@@ -948,7 +1001,7 @@ object Similarity {
               trainFraction, "pqtrain")
             (tp, pqSubFrame(tp, m, subDim))
           }
-        val trained = pqTrainOnSub(trainPos, trainSub, ks, iters)
+        val trained = pqTrainOnSub(trainPos, trainSub, ks, iters, m)
         import spark.implicits._
         trained.toDF("s", "cid", "cv").repartition(1)
           .write.mode("overwrite").parquet(s"$dir/codebook")
@@ -1336,12 +1389,6 @@ object Similarity {
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/radii.old"), true)
     }
     clearAdmitHwm(spark, dir)
-    val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
-    require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
-    val dim = dimRow(0).getInt(0)
-    require(dim > 0, s"buildIvfIndex: zero-length embedding in $vecCol")
-    require(!codec.startsWith("pq") || dim % pqM == 0,
-      s"dim $dim not divisible by pqM = $pqM")
     // deterministic training sample (replayable — no RNG state): the
     // Lloyd's chain sees the sample, the assignment pass sees everyone
     val trainSet =
@@ -1349,6 +1396,19 @@ object Similarity {
       else Sampling.deterministicSample(corpus, idCol, trainFraction,
         "ivftrain")
     val cents = Semantic.kmeansCentroids(trainSet, kCells, iters, idCol, vecCol)
+    // dim comes off the k-means init collect (the centroids) — one
+    // fewer driver action than the dedicated limit(1) scan; the scan
+    // fallback only runs when the training sample came up empty
+    val dim =
+      if (cents.nonEmpty) cents.head._2.length
+      else {
+        val dimRow = corpus.select(size(col(vecCol))).limit(1).collect()
+        require(dimRow.nonEmpty, "buildIvfIndex on an empty corpus")
+        dimRow(0).getInt(0)
+      }
+    require(dim > 0, s"buildIvfIndex: zero-length embedding in $vecCol")
+    require(!codec.startsWith("pq") || dim % pqM == 0,
+      s"dim $dim not divisible by pqM = $pqM")
     def centFrame = cents.map { case (cid, cv) => (cid, cv.toSeq) }
       .toDF("cell", "cv")
     centFrame
@@ -1362,9 +1422,14 @@ object Similarity {
       cbp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(cbp, true)
     }
-    val tagged = corpus.select(col(idCol).as("vec_id") +:
+    // spread before the per-row assign/encode chain: the cell
+    // assignment, codec encode, radii aggregate, and the corpus write's
+    // map side all hang off this frame, and a single-row-group corpus
+    // otherwise runs them on ONE task (no-op at scale)
+    val tagged = Dedup.spread(
+      corpus.select(col(idCol).as("vec_id") +:
         dimChecked(col(vecCol), dim, "buildIvfIndex").as("embedding") +:
-        attrCols.map(col): _*)
+        attrCols.map(col): _*), col("vec_id"))
       .withColumn("__vd", asDouble(col("embedding")))
     val assigned = Semantic
       .assignCells(tagged, cents, "vec_id", "__vd", "cell")
