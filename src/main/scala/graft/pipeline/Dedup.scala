@@ -542,7 +542,11 @@ object Dedup {
     // at sf0.1, and a MEMORY_AND_DISK_SER token cache measured ZERO
     // speedup; the banded candidate join dominates (7.9 s of 8.6,
     // 840k candidates from 5k docs), so the memory-safe recompute stays.
-    val base = persistInternal("containment_lsh_sig", toksDf
+    // spread BEFORE the k-hash signature pass: it is the query's densest
+    // per-row work (k minhash folds over the token array per doc) and on
+    // a single-row-group corpus it otherwise runs in the scan's ONE task
+    // (measured r16: a 5.9 s single-task stage on 32 cores)
+    val base = persistInternal("containment_lsh_sig", spread(toksDf, col("doc_id"))
       .withColumn("tier", floor(log2(size(col("toks")))).cast("int"))
       .withColumn("sig", sigCol)
       .select(col("doc_id"), col("tier"), col("sig")))
@@ -567,11 +571,18 @@ object Dedup {
     // (measured r15: a 7.4 s single-task stage on 32 cores). A user
     // repartition is never coalesced; the band-key exchange happens for
     // the join anyway, so pinning its width costs nothing at scale.
+    // The pin must sit BELOW the bucket-cap window: the window requires
+    // the same clustering, so a pin placed above it is elided as
+    // already-satisfied and the surviving window exchange — an
+    // OPTIMIZER exchange — gets AQE-coalesced back to one task
+    // (measured r16: the r15 pin never materialized here). Pinned below,
+    // the window and the banded self-join both run on the user exchange.
     val wParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val unpivoted = bucketCap
-      .map(capByKey(unpivotedAll, Seq("g", "band_idx", "band_hash"), _))
-      .getOrElse(unpivotedAll)
+    val unpivotedPinned = unpivotedAll
       .repartition(wParts, col("g"), col("band_idx"), col("band_hash"))
+    val unpivoted = bucketCap
+      .map(capByKey(unpivotedPinned, Seq("g", "band_idx", "band_hash"), _))
+      .getOrElse(unpivotedPinned)
     // tier-resolution Jaccard lower bound for a containment-t pair whose
     // member sizes are ~2^tier, and the widest granularity that clears it
     val lo = pow(lit(2.0), least(col("a.tier"), col("b.tier")).cast("double"))
