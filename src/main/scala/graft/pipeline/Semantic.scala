@@ -88,17 +88,15 @@ object Semantic {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got $k, $iters")
-    val e0 = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
-    // every Lloyd's iteration re-scans this frame and pays the full
-    // assign + partial-average inside the scan stage — on a single-
-    // row-group corpus that is ONE task per iteration (r16 trace). When
-    // the corpus is small enough that Dedup.spread fires, checkpoint
-    // the spread frame once: iterations then scan width-partitioned
-    // local blocks instead of re-running scan + exchange each round.
-    // At scale spread is a no-op and nothing is checkpointed (a corpus-
-    // sized localCheckpoint would be the real hazard there).
-    val eSp = Dedup.spread(e0, col("vec_id"))
-    val e = if (eSp eq e0) e0 else Lineage.cut(eSp)
+    // NO spread/checkpoint of the training frame (tried and reverted,
+    // r16): a spread + localCheckpoint before the loop measured a
+    // consistent LOSS across the k-means consumers (sem_kmeans_assign
+    // 1.4→2.6 s, sim_index_stats 2.3→3.9 s, sim_nprobe_curve 5.3→11.2 s
+    // warm) — the extra materialization job plus width-count scheduler
+    // stages cost more than re-running the cheap per-row assign inside
+    // the scan; iters is small (≤3 everywhere) so the re-scan is paid
+    // at most thrice.
+    val e = emb.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
 
     // deterministic init: the k lowest-id vectors ARE the first centroids
     var centroids: Seq[(Int, Array[Double])] =
